@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions._
+
+/** Registration + Column-level API for graft's custom Catalyst expressions.
+  *
+  * Expressions are registered as session temp functions and surfaced through
+  * `call_function`, so they work identically from the Column API and from
+  * `spark.sql(...)`. Registration is idempotent.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got: $other")
+  }
+
+  /** Accept array<double>/array<int> vectors by inserting an explicit cast
+    * to array<float>; a float→float cast is elided by Catalyst's
+    * SimplifyCasts. Unconditional because the child may still be unresolved
+    * here (calling .dataType would throw). */
+  private def asFloatArray(e: Expression): Expression =
+    Cast(e, ArrayType(FloatType))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim",
+      es => CosineSimilarity(asFloatArray(es(0)), asFloatArray(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dot_product",
+      es => DotProduct(asFloatArray(es(0)), asFloatArray(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "l2_norm", es => L2Norm(asFloatArray(es(0))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hash_embed", es => HashEmbed(es(0), intArg(es(1), "hash_embed dim")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", es => MinHashSignature(es(0), intArg(es(1), "minhash_sig k")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rolling_fingerprint",
+      es => RollingFingerprint(es(0), intArg(es(1), "rolling_fingerprint k")), "scala_udf")
+  }
+
+  // ---- Column API (requires register(spark) once per session) ----
+
+  /** Cosine similarity between two array<float> columns → double. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  def l2Norm(a: Column): Column = call_function("l2_norm", a)
+
+  /** Deterministic feature-hashing embedding of a text column → array<float>(dim). */
+  def hashEmbed(text: Column, dim: Int): Column =
+    call_function("hash_embed", text, lit(dim))
+
+  /** MinHash signature of an array<string> shingle column → array<int>(k). */
+  def minhashSig(shingles: Column, k: Int): Column =
+    call_function("minhash_sig", shingles, lit(k))
+
+  /** 64-bit SimHash of an array<string> token column → long. */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Winnowing-style min-rolling-hash fingerprint of a text column → long. */
+  def rollingFingerprint(text: Column, k: Int): Column =
+    call_function("rolling_fingerprint", text, lit(k))
+}

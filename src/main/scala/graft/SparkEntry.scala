@@ -1,13 +1,640 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftFunctions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, GraphOps, Similarity}
+
+/** Driver contract: the operator inventory of SURVEY.md §2 (plus the
+  * training-data-pipeline extras) exercised as named queries over the
+  * driver's synthetic tables, each with an equivalent DuckDB oracle.
+  *
+  * Numeric-determinism rules used throughout (so Spark and DuckDB hash
+  * identically):
+  *   - double SUMs go through DECIMAL(18,2) (exact, order-independent) and
+  *     are cast back to double only at the end;
+  *   - integer results are cast to BIGINT on both sides;
+  *   - every query has a total ORDER BY (ties broken by keys) so LIMIT is
+  *     deterministic;
+  *   - raw doubles are only emitted when they came straight from storage
+  *     (min/max/point lookups), never from re-associated arithmetic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4 only
+    * reads as long via the legacy conf. Exposes `ts` (micros timestamp,
+    * exact truncation via integer DIV — never a double round-trip, which
+    * would lose precision above 2^53 ns) plus raw `ts_ns` for ordering and
+    * second-exact arithmetic. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("CAST(ts_ns DIV 1000 AS BIGINT)")))
+  }
+
+  /** exact decimal view of a 2-dp double column */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def withReg(
+      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => { GraftSession.prepare(s); f(s, dir) }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Relational catalog (SURVEY §2.2–2.7)
+  // ------------------------------------------------------------------
+
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 partial+final hash agg over decimal-exact sums (TPC-H Q1 shape)
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // T2 top-k after aggregation (TakeOrderedAndProject)
+    "q02_top_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(desc("n"), col("l_partkey"))
+        .limit(20)
+    }),
+
+    // J1/J2 broadcast-able equi-join + agg
+    "q03_mktsegment_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J5 multi-hop join chain (dimensions broadcast)
+    "q04_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J3 left outer join, count(col) null semantics
+    "q05_customer_order_counts" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // J7 semi-join (EXISTS)
+    "q06_big_spenders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J9 anti-join (NOT EXISTS)
+    "q07_never_ordered_parts" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+        .limit(50)
+    }),
+
+    // A2 exact distinct count per group
+    "q08_status_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // J4 co-occurrence self-join through a shared neighbor
+    "q09_part_pairs" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = l.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      a.join(b, a("l_orderkey") === b("ok2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("p1"), col("p2"))
+        .limit(25)
+    }),
+
+    // P8 union of two node types with a type literal
+    "q10_entity_balances" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_name").as("name"), col("c_acctbal").as("bal"),
+          lit("customer").as("typ"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_acctbal").as("bal"),
+          lit("supplier").as("typ"))
+      c.unionByName(sup)
+        .orderBy(desc("bal"), col("name"), col("typ"))
+        .limit(30)
+    }),
+
+    // window function: per-group top-n
+    "q11_top_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // date extraction + agg
+    "q12_orders_by_year" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("yr"))
+    }),
+
+    // P6 range predicates pushed to the parquet scan
+    "q13_shipdate_window" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") >= 10.0 && col("l_quantity") <= 30.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("base_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // P4 point lookup
+    "q14_part_lookup" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") === 100L)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"), col("p_retailprice"))
+    }),
+
+    // distinct
+    "q15_flag_status_domain" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A4 collect_set with canonical (sorted) ordering
+    "q16_nation_segments" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // tumbling time bucket (batch analog of the streaming window)
+    "q17_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
+    // JSON scalar extraction
+    "q18_events_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // multi-key sort, no limit (T3)
+    "q25_priority_matrix" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    })
+  )
+
+  private val relationalOracle: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_parts" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n DESC, l_partkey LIMIT 20""".stripMargin,
+    "q03_mktsegment_revenue" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_region_revenue" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q05_customer_order_counts" ->
+      """SELECT c_nationkey, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q06_big_spenders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_never_ordered_parts" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey LIMIT 50""".stripMargin,
+    "q08_status_customers" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q09_part_pairs" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 25""".stripMargin,
+    "q10_entity_balances" ->
+      """SELECT name, bal, typ FROM (
+        |  SELECT c_name AS name, c_acctbal AS bal, 'customer' AS typ FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, s_acctbal AS bal, 'supplier' AS typ FROM supplier)
+        |ORDER BY bal DESC, name, typ LIMIT 30""".stripMargin,
+    "q11_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q12_orders_by_year" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q13_shipdate_window" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS base_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity >= 10.0 AND l_quantity <= 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_part_lookup" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_partkey = 100""".stripMargin,
+    "q15_flag_status_domain" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q16_nation_segments" ->
+      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        | COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q17_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | MIN(value) AS vmin, MAX(value) AS vmax
+        |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+    "q18_events_json" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_priority_matrix" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // Text analysis / dedup catalog (training-data-pipeline surface)
+  // ------------------------------------------------------------------
+
+  private val textCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_doc_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"),
+          col("n_chars"))
+        .orderBy(desc("n_tokens"), col("doc_id"))
+        .limit(50)
+    }),
+    "q20_doc_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.digitCount(col("text")).as("digits"),
+          TextFunctions.punctCount(col("text")).as("punct"),
+          TextFunctions.spaceCount(col("text")).as("spaces"),
+          TextFunctions.stopwordCount(col("text")).as("stopwords"))
+        .orderBy(col("doc_id"))
+    }),
+    "q21_doc_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("lang"), TextFunctions.langGuessSimple(col("text")).as("guess"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    }),
+    "q22_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("fingerprint"), col("n"), col("keep_id"))
+        .orderBy(col("fingerprint"))
+        .limit(100)
+    })
+  )
+
+  private val textOracle: Map[String, String] = Map(
+    "q19_doc_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+        | n_chars
+        |FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 50""".stripMargin,
+    "q20_doc_stats" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+        | CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+        | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces,
+        | CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   tok -> tok IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'))) AS BIGINT) AS stopwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_doc_lang" ->
+      """SELECT lang,
+        | CASE
+        |  WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > length(text) / 2 THEN 'cjk'
+        |  WHEN ' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %' OR ' ' || lower(text) || ' ' LIKE '% is %' THEN 'en'
+        |  WHEN ' ' || lower(text) || ' ' LIKE '% le %' OR ' ' || lower(text) || ' ' LIKE '% la %' OR ' ' || lower(text) || ' ' LIKE '% et %' THEN 'fr'
+        |  WHEN ' ' || lower(text) || ' ' LIKE '% el %' OR ' ' || lower(text) || ' ' LIKE '% los %' OR ' ' || lower(text) || ' ' LIKE '% y %' THEN 'es'
+        |  WHEN ' ' || lower(text) || ' ' LIKE '% der %' OR ' ' || lower(text) || ' ' LIKE '% und %' OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+        |  ELSE 'other' END AS guess,
+        | COUNT(*) AS n
+        |FROM documents GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY fingerprint ORDER BY fingerprint LIMIT 100""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // Vector similarity catalog
+  // ------------------------------------------------------------------
+
+  private val vectorCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine kNN; ids+rank only so cross-engine float noise
+    // can't flip a hash (ordering gaps >> 1e-12)
+    "q23_knn_of_vec0" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchor = e.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val top = e.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(anchor))
+        .withColumn("score", cosineSim(col("embedding"), col("qv")))
+        .select(col("vec_id"), col("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+      top
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("score"), col("vec_id"))).cast("long"))
+        .select(col("vec_id"), col("rk"))
+        .orderBy(col("rk"))
+    }),
+    "q24_embed_label_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          max(size(col("embedding"))).cast("long").as("dim"))
+        .orderBy(col("label"))
+    })
+  )
+
+  private val vectorOracle: Map[String, String] = Map(
+    "q23_knn_of_vec0" ->
+      """SELECT vec_id, rk FROM (
+        |  SELECT e.vec_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])) DESC,
+        |      e.vec_id) AS BIGINT) AS rk
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        |  WHERE e.vec_id <> 0)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "q24_embed_label_stats" ->
+      """SELECT label, COUNT(*) AS n, CAST(MAX(len(embedding)) AS BIGINT) AS dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // Sessionization (windowed analytics over the events stream table)
+  // ------------------------------------------------------------------
+
+  private val sessionCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_user_sessions" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("sec", expr("CAST(ts_ns DIV 1000000000 AS BIGINT)"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      ev.withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("is_new",
+          when(col("sec") - col("prev") > 1800L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg((lit(1) + sum(col("is_new"))).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  private val sessionOracle: Map[String, String] = Map(
+    "st01_user_sessions" ->
+      """SELECT user_id,
+        | CAST(1 + SUM(CASE WHEN sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // Graph catalog: BFS / variable-length paths over a derived hierarchy
+  // (region → nation → customer), oracle-checked against the closed form.
+  // ------------------------------------------------------------------
+
+  private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
+    val rn = t(s, dir, "nation").select(
+      (col("n_regionkey").cast("long") + 1000000L).as("src"),
+      (col("n_nationkey").cast("long") + 2000000L).as("dst"))
+    val nc = t(s, dir, "customer").select(
+      (col("c_nationkey").cast("long") + 2000000L).as("src"),
+      (col("c_custkey") + 3000000L).as("dst"))
+    rn.unionByName(nc)
+  }
+
+  private val graphCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_bfs_depths" -> ((s, dir) => {
+      val roots = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 1000000L).as("id"))
+      GraphOps.bfsDepths(hierarchyEdges(s, dir), roots, maxDepth = 5)
+        .orderBy(col("id"))
+    }),
+    "g02_path_counts" -> ((s, dir) => {
+      val roots = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 1000000L).as("id"))
+      GraphOps.varLengthPaths(hierarchyEdges(s, dir), roots, maxDepth = 5)
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("nodes"), sum(col("n_paths")).as("paths"))
+        .orderBy(col("depth"))
+    })
+  )
+
+  private val graphOracle: Map[String, String] = Map(
+    // closed form of BFS over the region→nation→customer tree
+    "g01_bfs_depths" ->
+      """SELECT id, depth FROM (
+        |  SELECT CAST(r_regionkey AS BIGINT) + 1000000 AS id, 0 AS depth FROM region
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 2000000, 1 FROM nation
+        |  UNION ALL
+        |  SELECT c_custkey + 3000000, 2 FROM customer)
+        |ORDER BY id""".stripMargin,
+    "g02_path_counts" ->
+      """SELECT depth, nodes, paths FROM (
+        |  SELECT 1 AS depth, COUNT(*) AS nodes, COUNT(*) AS paths FROM nation
+        |  UNION ALL
+        |  SELECT 2, COUNT(*), COUNT(*) FROM customer)
+        |ORDER BY depth""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // Rows-only catalog (no closed-form SQL oracle): LSH dedup, ANN, GraphX
+  // ------------------------------------------------------------------
+
+  private val rowsOnlyCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd01_minhash_candidates" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, nGram = 3)
+        .orderBy(desc("est_jaccard"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    "dd02_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 32)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    "dd03_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+          nGram = 3, threshold = 0.0)
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    "dd04_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, cosThreshold = -1.0, bitsPerTable = 6, tables = 4)
+        .orderBy(desc("cos"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    "ann01_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.lshTopK(e.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        dim = 64, query = q, k = 10, bits = 6, tables = 4)
+    }),
+    "ann02_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val cents = Similarity.Ivf.centroids(e, "vec_id", "embedding", nCells = 16)
+      val assigned = Similarity.Ivf.assignCells(
+        e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cents)
+      Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q, k = 10, nProbe = 4)
+    }),
+    "g03_components" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
+      val edges = a.join(b, a("l_orderkey") === b("ok2") && col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst")
+      GraphOps.connectedComponents(edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("csize"))
+    }),
+    "g04_communities" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
+      val edges = a.join(b, a("l_orderkey") === b("ok2") && col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst")
+      GraphOps.labelPropagation(edges, iters = 5)
+        .groupBy(col("label")).agg(count(lit(1)).as("csize"))
+        .agg(count(lit(1)).as("n_communities"),
+          max(col("csize")).as("largest"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (relational ++ textCatalog ++ vectorCatalog ++ sessionCatalog ++
+      graphCatalog ++ rowsOnlyCatalog)
+      .map { case (k, f) => k -> withReg(f) }
+
+  def oracleSql: Map[String, String] =
+    relationalOracle ++ textOracle ++ vectorOracle ++ sessionOracle ++ graphOracle
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus curation, expressed as
+  * compositions of built-in (codegen'd, pushdown-friendly) Spark functions —
+  * no UDFs anywhere on this path, so a 100 TB scan of `documents` stays
+  * inside WholeStageCodegen.
+  *
+  * Covers the training-data-pipeline surface: tokenization, token/char
+  * statistics, quality scoring, language identification and fingerprinting.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Raw (case-preserving) whitespace tokens. */
+  def rawTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space chars — a cheap proxy for tokenizer cost. */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("long")
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
+
+  def spaceCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", ""))).cast("long")
+
+  def nonAsciiCount(text: Column): Column =
+    length(regexp_replace(text, "[\\x00-\\x7F]", "")).cast("long")
+
+  /** Integer division on long columns (Column./ is double division). */
+  private def ldiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** Words per 1000 chars, integer (deterministic across engines). */
+  def wordDensityPermille(text: Column): Column =
+    ldiv(tokenCount(text) * lit(1000L), greatest(charCount(text), lit(1L)))
+
+  private val stopwordsEn = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that")
+
+  /** Count of English stopword tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwordsEn: _*))).cast("long")
+
+  /** Integer quality score in [0,100]: rewards stopword presence and word
+    * density, penalises digit/punct-heavy text. Deterministic integer
+    * arithmetic only — no float rounding to diverge between engines. */
+  def qualityScore(text: Column): Column = {
+    val tc = greatest(tokenCount(text), lit(1L))
+    val cc = greatest(charCount(text), lit(1L))
+    val stopPct = ldiv(stopwordCount(text) * lit(100L), tc)
+    val digitPct = ldiv(digitCount(text) * lit(100L), cc)
+    val punctPct = ldiv(punctCount(text) * lit(100L), cc)
+    val lenScore = least(ldiv(cc, lit(20L)), lit(30L)) // saturate at 600 chars
+    greatest(
+      least(stopPct + lenScore + lit(40L) - digitPct - punctPct, lit(100L)),
+      lit(0L))
+  }
+
+  /** Simple marker-based language guess (deterministic; mirrors the SQL
+    * oracle exactly). The heavier n-gram profile scorer is `langIdNgram`. */
+  def langGuessSimple(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    when(nonAsciiCount(text) > charCount(text) / lit(2L), lit("cjk"))
+      .when(t.like("% the %") || t.like("% and %") || t.like("% is %"), lit("en"))
+      .when(t.like("% le %") || t.like("% la %") || t.like("% et %"), lit("fr"))
+      .when(t.like("% el %") || t.like("% los %") || t.like("% y %"), lit("es"))
+      .when(t.like("% der %") || t.like("% und %") || t.like("% die %"), lit("de"))
+      .otherwise(lit("other"))
+  }
+
+  /** Stopword-profile language scorer over {en,fr,es,de}: picks the language
+    * whose stopword set hits the most tokens; `und` (undetermined) when no
+    * profile hits. All-Column implementation — stays in codegen. */
+  def langIdNgram(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+      "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+      "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "que"),
+      "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "von"))
+    val toks = tokens(text)
+    val scored = profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact-dedup fingerprint: md5 hex of the raw text bytes. */
+  def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Token n-grams ("shingles") of the lower-cased text, joined by single
+    * spaces: input to MinHash / Jaccard dedup. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n > 0)
+    val toks = tokens(text)
+    when(size(toks) < n, array())
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+}

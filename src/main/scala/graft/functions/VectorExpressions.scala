@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float>` columns.
+  *
+  * The reference engine scores embeddings with a server-side
+  * `vector.similarity.cosine` scan (reference: `src/semantic_search.py:62-71`,
+  * `analysis_queries.md:504,515`). Spark has no built-in cosine over arrays;
+  * a Scala UDF would box every element and block whole-stage codegen, so
+  * this is the one place the engine drops to a custom `Expression` with
+  * `doGenCode` — the generated loop stays inside the WholeStageCodegen span
+  * and reads primitive floats straight out of Tungsten `ArrayData`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.floatArrays(prettyName, left.dataType, right.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: this expression can occur many times in one projection
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product over two `array<float>` columns (codegen'd). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.floatArrays(prettyName, left.dataType, right.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an `array<float>` column (codegen'd). */
+case class L2Norm(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.floatArrays(prettyName, child.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorOps.l2Norm($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deterministic feature-hashing text embedder producing `array<float>`.
+  *
+  * Stand-in for the reference's sentence-transformers MiniLM encoder
+  * (reference: `src/embedding_utils.py:8-20`) in a zero-egress JVM build:
+  * bag-of-words feature hashing (sign + slot from murmur3), L2-normalised so
+  * cosine scores are meaningful. The real model sits behind the same
+  * `TextEmbedder` trait (see graft.esco.embed) — this expression is the
+  * deterministic test/CI implementation.
+  */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+
+  require(dim > 0, "dim must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash_embed"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.hashEmbed(a.toString, dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.hashEmbed($a.toString(), $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private[graft] object GraftTypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+  def floatArrays(fn: String, ts: DataType*): TypeCheckResult =
+    if (ts.forall(_.isInstanceOf[ArrayType]) &&
+        ts.forall(_.asInstanceOf[ArrayType].elementType == FloatType)) TypeCheckSuccess
+    else TypeCheckFailure(s"$fn expects array<float> arguments, got ${ts.mkString(", ")}")
+  def strings(fn: String, ts: DataType*): TypeCheckResult =
+    if (ts.forall(_ == StringType)) TypeCheckSuccess
+    else TypeCheckFailure(s"$fn expects string arguments, got ${ts.mkString(", ")}")
+  def stringArrays(fn: String, ts: DataType*): TypeCheckResult =
+    if (ts.forall(t => t.isInstanceOf[ArrayType] &&
+        t.asInstanceOf[ArrayType].elementType == StringType)) TypeCheckSuccess
+    else TypeCheckFailure(s"$fn expects array<string> arguments, got ${ts.mkString(", ")}")
+}
+
+/** Static helpers callable from generated code. */
+object VectorOps {
+  def l2Norm(x: ArrayData): Double = {
+    var s = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  def hashEmbed(text: String, dim: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          val tok = text.substring(start, i).toLowerCase
+          val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+          val slot = math.floorMod(h >>> 1, dim)
+          val sign = if ((h & 1) == 0) 1.0 else -1.0
+          acc(slot) += sign
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += acc(j) * acc(j); j += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](dim)
+    j = 0
+    while (j < dim) { out(j) = (acc(j) * inv).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions._
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators, designed for the 100 TB path:
+  *
+  *  - exact:   one hash-shuffle on a 16-byte digest (never on raw text);
+  *  - MinHash: signature is a narrow map; the only shuffle is the LSH
+  *             band/bucket exchange whose keys are (band, 8-byte hash);
+  *  - SimHash: 64-bit signature, candidate join on 16-bit blocks
+  *             (pigeonhole: hamming ≤ 3 ⇒ some 16-bit block equal);
+  *  - n-gram Jaccard: inverted-index (posting-list) self-join — shuffles
+  *             (shingle-hash, id) pairs, never text × text;
+  *  - embedding cosine: random-hyperplane LSH buckets, verify inside bucket.
+  *
+  * Every function returns a lazy DataFrame — no driver-side collection.
+  * Popular-bucket blowup is capped with `maxBucketSize` (documents sharing a
+  * degenerate bucket beyond the cap are skipped for that bucket, standard
+  * LSH practice; other bands still catch them).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest.
+    * Output: (fingerprint, n, keep_id) — keep_id = min id, the canonical row. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5Fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(count("*").as("n"), min(idCol).as("keep_id"))
+
+  /** Ids to drop under exact dedup (everything but the canonical id). */
+  def exactDropIds(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.select(col(idCol), md5Fingerprint(col(textCol)).as("fingerprint"))
+    val keep = withFp.groupBy("fingerprint").agg(min(idCol).as("keep_id"))
+    withFp.join(keep, "fingerprint")
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol), col("keep_id"))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
+    *
+    * shingle(nGram) → k-permutation MinHash → split signature into `bands`
+    * bands of k/bands rows → bucket-join on (band, hash(bandSlice)) →
+    * distinct candidate pairs → estimate Jaccard from full signatures.
+    * Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSig(tokenNgrams(col(textCol), nGram), numHashes).as("sig"))
+
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val pairs = bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
+
+    pairs
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-duplicates: pairs with hamming(sig_a, sig_b) <= maxHamming.
+    * Uses the 4×16-bit block pigeonhole for candidate generation, which is
+    * complete for maxHamming <= 3. Output: (id_a, id_b, hamming). */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sig"))
+
+    val blockStructs = (0 until 4).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("bucket"))
+    }
+    val blocked = sigs.select(
+      col("id"), col("sig"),
+      explode(array(blockStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    bucketPairs(blocked, Seq("band", "bucket"), maxBucketSize)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity via an inverted-index self-join.
+    * Output: (id_a, id_b, jaccard) for pairs sharing >= 1 shingle and
+    * jaccard >= threshold. Shuffles (shingle-hash, id, setSize) postings —
+    * text never crosses the wire. */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      threshold: Double = 0.0,
+      maxPostingLength: Int = 10000): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("id"),
+      array_distinct(tokenNgrams(col(textCol), nGram)).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+
+    val postings = sets
+      .select(col("id"), col("set_size"),
+        explode(col("shingles")).as("shingle"))
+      .withColumn("sh", xxhash64(col("shingle")))
+      .drop("shingle")
+
+    // prune degenerate shingles shared by huge numbers of docs
+    val pruned = postings
+      .withColumn("df_count", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df_count") <= maxPostingLength)
+      .drop("df_count")
+
+    val a = pruned.select(col("id").as("id_a"), col("set_size").as("size_a"), col("sh"))
+    val b = pruned.select(col("id").as("id_b"), col("set_size").as("size_b"), col("sh"))
+
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count("*").as("inter"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicates: random-hyperplane LSH bucket join + exact
+    * cosine verification inside buckets. Output: (id_a, id_b, cos). */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      cosThreshold: Double = 0.9,
+      bitsPerTable: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val hashed = Similarity.withLshBuckets(df, vecCol, dim, bitsPerTable, tables, seed)
+      .select(col(idCol).as("id"), col(vecCol).as("sig"),
+        explode(col("lsh_buckets")).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    bucketPairs(hashed, Seq("band", "bucket"), maxBucketSize)
+      .withColumn("cos", cosineSim(col("sig_a"), col("sig_b")))
+      .filter(col("cos") >= cosThreshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Distinct within-bucket pairs (id_a < id_b) carrying each side's `sig`,
+    * with a per-bucket size cap to bound worst-case blowup. */
+  private def bucketPairs(
+      banded: DataFrame,
+      bucketCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val capped = banded
+      .withColumn("bucket_n", count("*").over(w))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val l = capped.select(
+      bucketCols.map(col) :+ col("id").as("id_a") :+ col("sig").as("sig_a"): _*)
+    val r = capped.select(
+      bucketCols.map(col) :+ col("id").as("id_b") :+ col("sig").as("sig_b"): _*)
+
+    l.join(r, bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

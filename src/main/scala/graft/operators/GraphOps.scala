@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.lib.LabelPropagation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph traversal and analytics over edge DataFrames.
+  *
+  * Replaces the reference's server-side Cypher traversals
+  * (`analysis_queries.md:87-110` variable-length paths, `:138-141`
+  * shortestPath, `:206-242` GDS betweenness/Louvain) with two Spark shapes:
+  *
+  *  - relational iteration: a driver loop of joins over a frontier
+  *    DataFrame, `localCheckpoint`ed per hop to cut lineage — hierarchies
+  *    are shallow (ESCO ISCO tree ≈ 8 levels) so the loop runs O(depth)
+  *    joins, each a shuffle on the edge key, AQE-sized;
+  *  - GraphX programs (connected components, label propagation, PageRank)
+  *    for whole-graph analytics where Pregel is the right model.
+  *
+  * Edge DataFrames use long vertex ids. For string-keyed graphs (URIs) use
+  * `Vertices.dictionary` to build a collision-checked id mapping first.
+  */
+object GraphOps {
+
+  /** Minimum-depth BFS from `roots` following `edges` (src → dst).
+    * Returns (id, depth), depth 0 at the roots.
+    * One shuffle join per level; frontier is localCheckpointed so lineage
+    * stays O(1) per iteration instead of O(depth). */
+  def bfsDepths(
+      edges: DataFrame,
+      roots: DataFrame,
+      maxDepth: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = roots.select(col("id"), lit(0).as("depth")).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), lit(depth).as("depth"))
+        .distinct()
+        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** Variable-length path enumeration with Cypher `-[:T*]->` semantics:
+    * one row per (root, node, depth) with the number of distinct paths —
+    * path-counting, not reachable-pair, semantics (SURVEY §7.4.2).
+    * Returns (root, id, depth, n_paths), depth >= 1. */
+  def varLengthPaths(
+      edges: DataFrame,
+      roots: DataFrame,
+      maxDepth: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val spark = edges.sparkSession
+    var result: DataFrame = null
+    var frontier = roots
+      .select(col("id").as("root"), col("id"), lit(1L).as("n_paths"))
+      .localCheckpoint()
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("id") === e("src"))
+        .groupBy(col("root"), e("dst").as("id"))
+        .agg(sum("n_paths").as("n_paths"))
+        .localCheckpoint()
+      val step = next.withColumn("depth", lit(depth))
+        .select("root", "id", "depth", "n_paths")
+      result = if (result == null) step else result.unionByName(step)
+      frontier = next.select("root", "id", "n_paths")
+    }
+    if (result == null)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("root", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_paths", org.apache.spark.sql.types.LongType))))
+    else result
+  }
+
+  /** Undirected single-pair shortest path length (hops), or -1 if not
+    * connected within maxDepth. BFS over the symmetrised edge set. */
+  def shortestPathLength(
+      edges: DataFrame,
+      srcId: Long,
+      dstId: Long,
+      maxDepth: Int = 20): Int = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val roots = Seq(srcId).toDF("id")
+    val depths = bfsDepths(undirected, roots, maxDepth)
+    val hit = depths.filter(col("id") === dstId).select("depth").collect()
+    if (hit.isEmpty) -1 else hit.head.getInt(0)
+  }
+
+  // ---- GraphX analytics ----
+
+  private def toGraph(edges: DataFrame): Graph[Int, Int] = {
+    val edgeRdd = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 1,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Connected components → (id, component). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    toGraph(edges).connectedComponents().vertices
+      .toDF("id", "component")
+  }
+
+  /** Label propagation communities (LPA, `iters` supersteps) → (id, label).
+    * Stands in for the reference's GDS Louvain (SURVEY G5 divergence). */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    LabelPropagation.run(toGraph(edges), iters).vertices.toDF("id", "label")
+  }
+
+  /** PageRank → (id, rank). */
+  def pageRank(edges: DataFrame, tol: Double = 0.001): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    toGraph(edges).pageRank(tol).vertices.toDF("id", "rank")
+  }
+
+  /** In/out degree per vertex → (id, out_degree, in_degree). Pure
+    * relational — two partial aggregations, no GraphX materialisation. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count("*").as("out_degree"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count("*").as("in_degree"))
+    out.join(in, Seq("id"), "full_outer")
+      .na.fill(0, Seq("out_degree", "in_degree"))
+  }
+}
+
+/** String-keyed vertex id assignment with collision detection. */
+object Vertices {
+  /** (key → id) dictionary via xxhash64; fails fast on hash collisions so a
+    * silent graph corruption can't happen (SURVEY §1.4 GDS mapping note). */
+  def dictionary(df: DataFrame, keyCol: String): DataFrame = {
+    val dict = df.select(col(keyCol).as("key")).distinct()
+      .withColumn("id", xxhash64(col("key")))
+    val collisions = dict.groupBy("id").count().filter(col("count") > 1)
+    if (!collisions.isEmpty)
+      throw new IllegalStateException(
+        "xxhash64 vertex-id collision detected; use a salted dictionary")
+    dict
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single narrow scan + distributed
+  * `TakeOrderedAndProject` (orderBy+limit never global-sorts). Scale paths:
+  * random-hyperplane LSH bucketing (`lshTopK`) and an IVF-style coarse
+  * quantizer (`ivfTopK`) that prunes the scan to the `nProbe` nearest
+  * centroid cells, the standard recall/cost dial for 100 TB corpora.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for one query vector.
+    * Plans as scan → project(score) → TakeOrderedAndProject: no shuffle of
+    * the corpus, no global sort — the right physical shape at any scale. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame =
+    corpus
+      .withColumn("score", cosineSim(col(vecCol), typedLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Exact top-k for a (small, broadcastable) set of query rows.
+    * Output: (query id, corpus id, score, rank<=k). */
+  def crossTopK(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(
+      broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("query_vec"))))
+      .withColumn("score", cosineSim(col(vecCol), col("query_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: tables × bits vectors of ±1/0.3-ish
+    * gaussians from a seeded PRNG, broadcast as literals (driver-side
+    * constants, executor-side pure math — no shuffle). */
+  private[operators] def hyperplanes(
+      dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)((rnd.nextGaussian()).toFloat)
+  }
+
+  /** Adds `lsh_buckets`: array<struct<band:int, bucket:long>> — one signed
+    * random-projection bucket per table. */
+  def withLshBuckets(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      bits: Int,
+      tables: Int,
+      seed: Long): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val bucketStructs: Seq[Column] = (0 until tables).map { t =>
+      val bucket = (0 until bits)
+        .map { b =>
+          val sign = when(dotProduct(col(vecCol), typedLit(planes(t)(b).toSeq)) >= 0, 1L)
+            .otherwise(0L)
+          shiftleft(sign, b)
+        }
+        .reduce(_.bitwiseOR(_))
+      struct(lit(t).as("band"), bucket.cast("long").as("bucket"))
+    }
+    df.withColumn("lsh_buckets", array(bucketStructs: _*))
+  }
+
+  /** Approximate top-k: score only corpus rows sharing an LSH bucket with
+    * the query in any table. Recall rises with `tables`, cost falls with
+    * `bits`. */
+  def lshTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      query: Seq[Float],
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    def bucketOf(vec: Seq[Float], t: Int): Long = {
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var i = 0
+        val p = planes(t)(b)
+        val n = math.min(p.length, vec.length)
+        while (i < n) { dot += p(i).toDouble * vec(i).toDouble; i += 1 }
+        if (dot >= 0) acc |= (1L << b)
+        b += 1
+      }
+      acc
+    }
+    val queryBuckets = (0 until tables).map(t => (t, bucketOf(query, t)))
+
+    val bucketed = withLshBuckets(corpus, vecCol, dim, bits, tables, seed)
+    val matches = queryBuckets
+      .map { case (t, qb) =>
+        bucketed.filter(
+          array_contains(
+            col("lsh_buckets"),
+            struct(lit(t).as("band"), lit(qb).as("bucket"))))
+      }
+      .reduce(_.unionByName(_))
+      .dropDuplicates(idCol)
+
+    matches
+      .withColumn("score", cosineSim(col(vecCol), typedLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: assign every corpus row to its nearest of `nCells`
+    * coarse centroids (deterministically sampled from the corpus itself),
+    * then serve a query by scanning only the `nProbe` cells whose centroids
+    * are closest to it. `assignCells` is the expensive one-off build step
+    * (persist its output); `probe` is the cheap query step. */
+  object Ivf {
+    /** Deterministic coarse centroids: the nCells rows with the smallest
+      * xxhash64(id) — a seed-stable uniform sample requiring one pass. */
+    def centroids(
+        corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+      corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(nCells)
+        .withColumn("cell", row_number().over(
+          Window.orderBy(xxhash64(col(idCol)), col(idCol))) - 1)
+        .select(col("cell"), col(vecCol).as("centroid"))
+
+    def assignCells(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        cents: DataFrame): DataFrame = {
+      val scored = corpus
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", cosineSim(col(vecCol), col("centroid")))
+      val w = Window.partitionBy(col(idCol)).orderBy(desc("cscore"), col("cell"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col(vecCol), col("cell"))
+    }
+
+    def probe(
+        assigned: DataFrame,
+        idCol: String,
+        vecCol: String,
+        cents: DataFrame,
+        query: Seq[Float],
+        k: Int,
+        nProbe: Int): DataFrame = {
+      val probeCells = cents
+        .withColumn("qscore", cosineSim(col("centroid"), typedLit(query)))
+        .orderBy(desc("qscore"), col("cell"))
+        .limit(nProbe)
+        .select("cell")
+      assigned
+        .join(broadcast(probeCells), "cell")
+        .withColumn("score", cosineSim(col(vecCol), typedLit(query)))
+        .select(col(idCol), col("score"))
+        .orderBy(desc("score"), col(idCol))
+        .limit(k)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+    (4L, "completely unrelated content about databases and distributed query engines"),
+    (5L, "yet another separate document mentioning graphs vertices and edges")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate group") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n") == 2L)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exactDropIds keeps the smallest id") {
+    val drops = Dedup.exactDropIds(docs, "doc_id", "text").collect()
+    assert(drops.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated pairs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, nGram = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cands.contains((1L, 2L)), s"exact dup pair missing from $cands")
+    assert(cands((1L, 2L)) == 1.0)
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)),
+      s"near dup pair missing from $cands")
+    assert(!cands.contains((4L, 5L)))
+  }
+
+  test("simhash near-dup: exact + one-word-edit pairs found on long docs") {
+    // simhash bit margins stabilise with token count: a one-token edit on a
+    // ~60-token doc flips only low-margin bits, so some 16-bit block matches
+    val base = ((1 to 60).map(i => s"tok$i") :+ "ending").mkString(" ")
+    val edited = ((1 to 60).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val longDocs = Seq(
+      (1L, base), (2L, base), (3L, edited),
+      (4L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(longDocs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)), s"near pair missing: $pairs")
+    assert(pairs.keySet.forall { case (a, b) => b != 4L && a != 4L },
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("ngramJaccard computes exact jaccard (dup pair = 1.0)") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", nGram = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((4L, 5L)))
+  }
+
+  test("embeddingNearDup finds identical embeddings via LSH buckets") {
+    val vecs = Seq(
+      (1L, Seq.fill(16)(0.5f)),
+      (2L, Seq.fill(16)(0.5f)),
+      (3L, (0 until 16).map(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        dim = 16, cosThreshold = 0.99, bitsPerTable = 4, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

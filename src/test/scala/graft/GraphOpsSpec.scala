@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphOps, Vertices}
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // diamond DAG: 1→2, 1→3, 2→4, 3→4, 4→5
+  private lazy val diamond =
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+
+  test("bfsDepths: minimum depth per node") {
+    val d = GraphOps.bfsDepths(diamond, Seq(1L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+  }
+
+  test("varLengthPaths: path-counting (Cypher `*` semantics), not reachability") {
+    val p = GraphOps.varLengthPaths(diamond, Seq(1L).toDF("id"))
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // node 4 reachable via two distinct depth-2 paths; node 5 via two depth-3
+    assert(p((2L, 1)) == 1L && p((3L, 1)) == 1L)
+    assert(p((4L, 2)) == 2L)
+    assert(p((5L, 3)) == 2L)
+  }
+
+  test("shortestPathLength: undirected hops; -1 when disconnected") {
+    assert(GraphOps.shortestPathLength(diamond, 5L, 1L) == 3)
+    assert(GraphOps.shortestPathLength(diamond, 2L, 3L) == 2)
+    val twoIslands = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.shortestPathLength(twoIslands, 1L, 4L) == -1)
+  }
+
+  test("connectedComponents finds the two islands") {
+    val cc = GraphOps.connectedComponents(Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == cc(2L) && cc(2L) == cc(3L))
+    assert(cc(10L) == cc(11L))
+    assert(cc(1L) != cc(10L))
+  }
+
+  test("labelPropagation returns a label per vertex") {
+    val lp = GraphOps.labelPropagation(diamond, iters = 3).collect()
+    assert(lp.length == 5)
+  }
+
+  test("degrees") {
+    val d = GraphOps.degrees(diamond).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d(1L) == ((2L, 0L)))
+    assert(d(4L) == ((1L, 2L)))
+    assert(d(5L) == ((0L, 1L)))
+  }
+
+  test("vertex dictionary assigns stable distinct ids") {
+    val dict = Vertices.dictionary(
+      Seq("uri:a", "uri:b", "uri:c", "uri:a").toDF("k"), "k")
+    val rows = dict.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).distinct.length == 3)
+  }
+}

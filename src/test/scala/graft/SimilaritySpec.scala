@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map { i =>
+      (i, Seq.fill(32)((rnd.nextGaussian()).toFloat))
+    }.toDF("id", "vec")
+  }
+
+  private lazy val query: Seq[Float] =
+    corpus.filter(col("id") === 0L).head().getSeq[Float](1)
+
+  private lazy val bruteTop10: Seq[Long] =
+    Similarity.bruteForceTopK(corpus, "id", "vec", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+
+  test("bruteForceTopK: query vector itself ranks first with score 1") {
+    val top = Similarity.bruteForceTopK(corpus, "id", "vec", query, 10).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("crossTopK matches bruteForceTopK for the same query") {
+    val queries = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Similarity.crossTopK(queries, "qid", "qvec", corpus, "id", "vec", 10)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got == bruteTop10)
+  }
+
+  test("lshTopK returns the self-match and decent recall vs brute force") {
+    val approx = Similarity.lshTopK(corpus, "id", "vec", dim = 32,
+      query = query, k = 10, bits = 4, tables = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L))
+    val recall = approx.intersect(bruteTop10.toSet).size / 10.0
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+
+  test("IVF probe returns k rows including the self-match at full probe") {
+    val cents = Similarity.Ivf.centroids(corpus, "id", "vec", nCells = 8)
+    assert(cents.count() == 8)
+    val assigned = Similarity.Ivf.assignCells(corpus, "id", "vec", cents)
+    assert(assigned.count() == 200)
+    // every row lands in exactly one cell
+    assert(assigned.groupBy("id").count().filter(col("count") > 1).isEmpty)
+    val res = Similarity.Ivf.probe(assigned, "id", "vec", cents, query,
+      k = 10, nProbe = 8)
+    val ids = res.collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 10)
+    assert(ids.head == 0L) // full probe = exact
+    assert(ids == bruteTop10)
+  }
+}

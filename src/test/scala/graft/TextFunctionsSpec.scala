@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftFunctions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("token and char counts") {
+    val r = one("Hello  world, this is  Spark!")
+      .select(tokenCount(col("text")), charCount(col("text"))).head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 29L)
+  }
+
+  test("digit / punct / stopword counts") {
+    val r = one("the cat, 42 dogs and 7 fish!")
+      .select(digitCount(col("text")), punctCount(col("text")),
+        stopwordCount(col("text"))).head()
+    assert(r.getLong(0) == 3L) // 4,2,7
+    assert(r.getLong(1) == 2L) // comma, bang
+    assert(r.getLong(2) == 2L) // the, and
+  }
+
+  test("quality score stays in [0,100] and orders sensibly") {
+    val df = Seq(
+      ("good", "the quick brown fox is one of the animals that live in the forest and it hunts for food"),
+      ("bad", "9384 2837 4952 1029 !!!! ???? ,,,, 8473")
+    ).toDF("id", "text").select(col("id"), qualityScore(col("text")).as("q"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.values.forall(v => v >= 0 && v <= 100))
+    assert(m("good") > m("bad"))
+  }
+
+  test("langIdNgram identifies stopword-rich languages") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy"),
+      ("fr", "le chat est sur la table et il est content"),
+      ("es", "el gato es un animal y la casa es grande"),
+      ("de", "der hund ist ein tier und die katze ist nicht da"),
+      ("und", "zzz qqq xxx")
+    ).toDF("want", "text").select(col("want"), langIdNgram(col("text")).as("got"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token n-grams") {
+    val r = one("a b c d")
+      .select(tokenNgrams(col("text"), 3).as("g")).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = one("a b")
+      .select(tokenNgrams(col("text"), 3).as("g")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("md5 fingerprint equals reference value") {
+    val r = one("abc").select(md5Fingerprint(col("text"))).head().getString(0)
+    assert(r == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("minhash signature: identical texts identical, similar texts close") {
+    val df = Seq(
+      ("a", "one two three four five six seven eight nine ten"),
+      ("b", "one two three four five six seven eight nine ten"),
+      ("c", "one two three four five six seven eight nine eleven"),
+      ("d", "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("id", "text")
+      .select(col("id"), minhashSig(tokenNgrams(col("text"), 3), 64).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs("a") == sigs("b"))
+    val simAC = sigs("a").zip(sigs("c")).count { case (x, y) => x == y } / 64.0
+    val simAD = sigs("a").zip(sigs("d")).count { case (x, y) => x == y } / 64.0
+    assert(simAC > 0.5, s"near-dup minhash sim was $simAC")
+    assert(simAD < 0.2, s"unrelated minhash sim was $simAD")
+  }
+
+  test("simhash: hamming small for near-dups, large for unrelated") {
+    val df = Seq(
+      ("a", "one two three four five six seven eight nine ten"),
+      ("c", "one two three four five six seven eight nine eleven"),
+      ("d", "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("id", "text")
+      .select(col("id"), simhash64(tokens(col("text"))).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs("a"), sigs("c")) < ham(sigs("a"), sigs("d")))
+  }
+
+  test("rolling fingerprint: equal for equal text, deterministic") {
+    val df = Seq("some document body here", "some document body here",
+      "another entirely different body").toDF("text")
+      .select(rollingFingerprint(col("text"), 8).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

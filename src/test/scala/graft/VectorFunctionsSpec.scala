@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftFunctions._
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+
+  test("cosine of a vector with itself is 1") {
+    assert(math.abs(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-12)
+  }
+
+  test("cosine is symmetric and within [-1, 1] (100 random pairs, seed 7)") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 100).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (Seq.fill(n)((rnd.nextGaussian() * 10).toFloat),
+        Seq.fill(n)((rnd.nextGaussian() * 10).toFloat))
+    }
+    import spark.implicits._
+    val rows = pairs.toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("ab"),
+        cosineSim(col("b"), col("a")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine of orthogonal vectors is 0, opposite is -1") {
+    assert(math.abs(cos(Seq(1f, 0f), Seq(0f, 1f))) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 2f), Seq(-1f, -2f)) + 1.0) < 1e-12)
+  }
+
+  test("zero vector yields 0 (null-safe convention)") {
+    assert(cos(Seq(0f, 0f), Seq(1f, 2f)) == 0.0)
+  }
+
+  test("dot product and l2 norm agree with manual computation") {
+    val row = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b")).as("d"), l2Norm(col("a")).as("n"))
+      .head()
+    assert(row.getDouble(0) == 32.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("cosine accepts array<double> via implicit cast") {
+    val c = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("c")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-6)
+  }
+
+  test("hash_embed is deterministic, unit-norm, and cosine-sane") {
+    val df = Seq(
+      ("d1", "the quick brown fox jumps"),
+      ("d2", "the quick brown fox jumps"),
+      ("d3", "completely different words entirely elsewhere")
+    ).toDF("id", "text")
+      .withColumn("v", hashEmbed(col("text"), 64))
+    val vs = df.select("id", "v").collect().map(r =>
+      r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(vs("d1") == vs("d2"))
+    val norm = math.sqrt(vs("d1").map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    val sameCos = df.filter(col("id") === "d1")
+      .crossJoin(df.filter(col("id") === "d2").select(col("v").as("v2")))
+      .select(cosineSim(col("v"), col("v2"))).head().getDouble(0)
+    assert(math.abs(sameCos - 1.0) < 1e-6)
+  }
+
+  test("cosine_sim works from SQL too") {
+    spark.sql("SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c")
+      .head().getDouble(0) match {
+      case c => assert(math.abs(c - 1.0) < 1e-12)
+    }
+  }
+}
