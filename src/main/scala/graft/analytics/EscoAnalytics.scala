@@ -1,0 +1,204 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+import graft.operators.{GraphOps, Vertices}
+import graft.sources.EscoWarehouse
+import graft.vector.SemanticSearch
+
+/** The reference's analysis-query catalog (`analysis_queries.md`, ~30
+  * Cypher queries) re-expressed as named DataFrame functions. Each function
+  * cites the query block it replaces. All are lazy plans; Catalyst
+  * broadcasts the dimension-sized node tables into the edge joins.
+  */
+object EscoAnalytics {
+
+  /** Node counts by label array (A8, `analysis_queries.md:10-12`). Q1
+    * dual-labels: SkillGroups report [Skill, SkillGroup]. */
+  def nodeCounts(wh: EscoWarehouse): DataFrame =
+    wh.allNodes
+      .groupBy(col("labels")).agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"))
+
+  /** Relationship counts by type (A9, `analysis_queries.md:17-20`). */
+  def relationshipCounts(wh: EscoWarehouse): DataFrame =
+    wh.allEdges
+      .groupBy(col("relType")).agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), col("relType"))
+
+  /** Top skills by number of occupations requiring them essentially
+    * (`analysis_queries.md:37-41`). */
+  def topEssentialSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.essentialFor
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel")), Seq("skillUri"))
+      .groupBy(col("skillUri"), col("preferredLabel"))
+      .agg(count(lit(1)).as("occupation_count"))
+      .orderBy(desc("occupation_count"), col("skillUri"))
+      .limit(k)
+
+  /** Top skills by optional demand (`analysis_queries.md:47-50`). */
+  def topOptionalSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.optionalFor
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel")), Seq("skillUri"))
+      .groupBy(col("skillUri"), col("preferredLabel"))
+      .agg(count(lit(1)).as("occupation_count"))
+      .orderBy(desc("occupation_count"), col("skillUri"))
+      .limit(k)
+
+  /** Occupations with the most essential skills (`analysis_queries.md:57-61`). */
+  def topOccupationsByEssentialSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.essentialFor
+      .join(wh.occupations.select(col("conceptUri").as("occupationUri"),
+        col("preferredLabel")), Seq("occupationUri"))
+      .groupBy(col("occupationUri"), col("preferredLabel"))
+      .agg(count(lit(1)).as("skill_count"))
+      .orderBy(desc("skill_count"), col("occupationUri"))
+      .limit(k)
+
+  /** ISCO groups with most occupations (`analysis_queries.md:78-81`; the
+    * SURVEY §7.2 first-slice query). */
+  def iscoGroupsWithMostOccupations(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.partOfIscoGroup
+      .join(wh.iscoGroups.select(col("conceptUri").as("iscoUri"),
+        col("preferredLabel"), col("code")), Seq("iscoUri"))
+      .groupBy(col("iscoUri"), col("preferredLabel"), col("code"))
+      .agg(count(lit(1)).as("occupation_count"))
+      .orderBy(desc("occupation_count"), col("code"))
+      .limit(k)
+
+  /** Skill co-occurrence: pairs essential for the same occupation (J4,
+    * `analysis_queries.md:127-131`). The classic self-join-through-shared-
+    * neighbor; anti-self predicate keeps s1 < s2 so each pair counts once
+    * per shared occupation. */
+  def skillCooccurrence(wh: EscoWarehouse, k: Int = 20): DataFrame = {
+    val e = wh.essentialFor
+    val pairs = e.select(col("skillUri").as("s1"), col("occupationUri"))
+      .join(e.select(col("skillUri").as("s2"),
+        col("occupationUri").as("o2")),
+        col("occupationUri") === col("o2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared_occupations"))
+    val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
+    pairs
+      .join(labels.select(col("conceptUri").as("s1"),
+        col("preferredLabel").as("skill1")), Seq("s1"))
+      .join(labels.select(col("conceptUri").as("s2"),
+        col("preferredLabel").as("skill2")), Seq("s2"))
+      .orderBy(desc("shared_occupations"), col("s1"), col("s2"))
+      .limit(k)
+  }
+
+  /** Skills shared between two occupations by label (J5,
+    * `analysis_queries.md:156-160`). */
+  def sharedSkills(wh: EscoWarehouse, occLabel1: String, occLabel2: String): DataFrame = {
+    val occ = wh.occupations.select(col("conceptUri"), col("preferredLabel"))
+    def skillsOf(label: String) = occ.filter(col("preferredLabel") === label)
+      .join(wh.essentialFor.withColumnRenamed("occupationUri", "conceptUri"),
+        Seq("conceptUri"))
+      .select(col("skillUri"))
+    skillsOf(occLabel1).intersect(skillsOf(occLabel2))
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel")), Seq("skillUri"))
+      .orderBy(col("preferredLabel"))
+  }
+
+  /** ISCO hierarchy depth distribution (G1, `analysis_queries.md:87-90`):
+    * variable-length BROADER_THAN* with Cypher path-counting semantics. */
+  def iscoHierarchyDepths(wh: EscoWarehouse): DataFrame = {
+    val dict = Vertices.dictionary(
+      wh.broaderIsco.select(col("parentUri").as("k"))
+        .unionByName(wh.broaderIsco.select(col("childUri").as("k"))), "k")
+    val edges = wh.broaderIsco
+      .join(dict.withColumnRenamed("key", "parentUri"), Seq("parentUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "childUri"), Seq("childUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    // roots: parents that are nobody's child
+    val roots = edges.select(col("src").as("id"))
+      .distinct()
+      .join(edges.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+    GraphOps.varLengthPaths(edges, roots, maxDepth = 10)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("nodes"), sum(col("n_paths")).as("paths"))
+      .orderBy(col("depth"))
+  }
+
+  /** Undirected shortest path length between two skills by label (G2,
+    * `analysis_queries.md:138-141`). */
+  def shortestPathBetweenSkills(
+      wh: EscoWarehouse, label1: String, label2: String): Int = {
+    val nodes = wh.allNodes.select(col("conceptUri").as("k"))
+    val dict = Vertices.dictionary(nodes, "k")
+    val edges = wh.allEdges
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    def idOf(label: String): Long = wh.skills
+      .filter(col("preferredLabel") === label)
+      .join(dict.withColumnRenamed("key", "conceptUri"), Seq("conceptUri"))
+      .select(col("id")).head().getLong(0)
+    GraphOps.shortestPathLength(edges, idOf(label1), idOf(label2), maxDepth = 15)
+  }
+
+  /** Community detection over the skill-relation graph — LPA standing in
+    * for the reference's GDS Louvain (G5 divergence, `analysis_queries.md:
+    * 237-242`): returns (uri, label, communityId) ordered like the Cypher. */
+  def skillCommunities(wh: EscoWarehouse, iters: Int = 5): DataFrame = {
+    val dict = Vertices.dictionary(
+      wh.relatedSkill.select(col("srcUri").as("k"))
+        .unionByName(wh.relatedSkill.select(col("dstUri").as("k"))), "k")
+    val edges = wh.relatedSkill
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    GraphOps.labelPropagation(edges, iters)
+      .join(dict, Seq("id"))
+      .join(wh.skills.select(col("conceptUri").as("key"),
+        col("preferredLabel")), Seq("key"))
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("label").as("communityId"))
+      .orderBy(col("communityId"), col("preferredLabel")) // T3 multi-key sort
+  }
+
+  /** Stored-vs-stored similarity join: skills similar to a named skill and
+    * the occupations needing them (J8, `analysis_queries.md:511-522`). */
+  def similarSkillsWithOccupations(
+      wh: EscoWarehouse,
+      search: SemanticSearch,
+      skillLabelContains: String,
+      threshold: Double = 0.6,
+      k: Int = 10): DataFrame = {
+    val indexed = search.skillsIndexed
+    val anchor = indexed
+      .filter(col("preferredLabel").contains(skillLabelContains)) // P7
+      .select(col("embedding").as("anchor_vec"),
+        col("conceptUri").as("anchor_uri"))
+      .limit(1)
+    val similar = indexed
+      .crossJoin(broadcast(anchor))
+      .filter(col("conceptUri") =!= col("anchor_uri")) // P5
+      .withColumn("score",
+        GraftFunctions.cosineSim(col("embedding"), col("anchor_vec")))
+      .filter(col("score") > threshold)
+      .orderBy(desc("score"), col("conceptUri"))
+      .limit(k)
+      .select(col("conceptUri").as("skillUri"),
+        col("preferredLabel").as("similar_skill"), col("score"))
+    similar
+      .join(wh.essentialFor, Seq("skillUri"), "left_outer")
+      .join(wh.occupations.select(col("conceptUri").as("occupationUri"),
+        col("preferredLabel").as("occupation")), Seq("occupationUri"), "left_outer")
+      .groupBy(col("skillUri"), col("similar_skill"), col("score"))
+      .agg(sort_array(collect_set(col("occupation"))).as("occupations"))
+      .orderBy(desc("score"), col("skillUri"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.analytics.EscoAnalytics
+import graft.enrich.{IdentityTranslator, Translate}
+import graft.profile.Profiles
+import graft.sources.EscoWarehouse
+import graft.vector.{HashingEmbedder, SemanticSearch}
+
+/** Thin CLI mirroring the reference's `esco_cli.py` subcommands
+  * (reference: `src/esco_cli.py:225-374`): ingest / search / analyze /
+  * translate, JSON output parity for search results
+  * (`src/esco_cli.py:92-94`). All heavy lifting stays in the library.
+  *
+  * Usage:
+  *   ingest    <escoCsvDir> <warehouseDir>
+  *   search    <warehouseDir> <query> [--type skill|occupation|both]
+  *             [--threshold 0.5] [--limit 10] [--json]
+  *   analyze   <warehouseDir> <queryName>
+  *   translate <warehouseDir> <property>
+  */
+object EscoCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "graft-esco-cli")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private[cli] def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "ingest" :: escoDir :: whDir :: Nil =>
+      val wh = EscoWarehouse.build(spark, escoDir)
+      EscoWarehouse.save(wh, whDir)
+      val counts = Seq(
+        "skills" -> wh.skills.count(),
+        "occupations" -> wh.occupations.count(),
+        "iscoGroups" -> wh.iscoGroups.count(),
+        "edges" -> wh.allEdges.count())
+      counts.foreach { case (k, v) => println(f"$k%-12s $v") }
+
+    case "search" :: whDir :: query :: rest =>
+      val opts = parseOpts(rest)
+      val wh = EscoWarehouse.load(spark, whDir)
+      val search = new SemanticSearch(wh, new HashingEmbedder())
+      val hits = search.search(query,
+        nodeType = opts.getOrElse("type", "both"),
+        threshold = opts.getOrElse("threshold", "0.5").toDouble,
+        limit = opts.getOrElse("limit", "10").toInt)
+      if (opts.contains("json")) printJson(hits) else printTable(hits)
+
+    case "analyze" :: whDir :: queryName :: Nil =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val df = queryName match {
+        case "node-counts" => EscoAnalytics.nodeCounts(wh)
+        case "rel-counts" => EscoAnalytics.relationshipCounts(wh)
+        case "top-essential-skills" => EscoAnalytics.topEssentialSkills(wh)
+        case "top-optional-skills" => EscoAnalytics.topOptionalSkills(wh)
+        case "top-occupations" => EscoAnalytics.topOccupationsByEssentialSkills(wh)
+        case "isco-most-occupations" => EscoAnalytics.iscoGroupsWithMostOccupations(wh)
+        case "skill-cooccurrence" => EscoAnalytics.skillCooccurrence(wh)
+        case "isco-depths" => EscoAnalytics.iscoHierarchyDepths(wh)
+        case "communities" => EscoAnalytics.skillCommunities(wh)
+        case other => sys.error(
+          s"unknown analysis '$other'; see EscoAnalytics for the catalog")
+      }
+      printTable(df)
+
+    case "translate" :: whDir :: property :: Nil =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val translated = Translate.translateProperty(
+        wh.occupations, property, new IdentityTranslator("he:"))
+      // S6 columnar write-back: rewrite the table, not per-node round-trips
+      translated.write.mode("overwrite").parquet(s"$whDir/occupations_translated")
+      println(s"translated ${Translate.propertyMap.getOrElse(property, property)} " +
+        s"-> $whDir/occupations_translated")
+
+    case _ =>
+      System.err.println(
+        """usage:
+          |  ingest    <escoCsvDir> <warehouseDir>
+          |  search    <warehouseDir> <query> [--type T] [--threshold X] [--limit N] [--json]
+          |  analyze   <warehouseDir> <queryName>
+          |  translate <warehouseDir> <property>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def parseOpts(rest: List[String]): Map[String, String] = {
+    def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {
+      case ("--json") :: t => loop(t, acc + ("json" -> "true"))
+      case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.drop(2) -> v))
+      case Nil => acc
+      case other => sys.error(s"bad options: $other")
+    }
+    loop(rest, Map.empty)
+  }
+
+  private def printTable(df: DataFrame): Unit = df.show(50, truncate = false)
+
+  /** JSON lines, reference `esco_cli.py --output json` parity. */
+  private def printJson(df: DataFrame): Unit =
+    df.toJSON.collect().foreach(println)
+}

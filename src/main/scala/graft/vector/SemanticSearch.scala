@@ -1,0 +1,95 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+import graft.functions.VectorOps
+import graft.sources.EscoWarehouse
+
+/** Pluggable text embedder (SURVEY M1/M2).
+  *
+  * The reference embeds with sentence-transformers MiniLM-L6-v2, 384-dim
+  * (reference: `src/embedding_utils.py:8-20`) — a Python-only model. The
+  * engine treats the embedder as a trait: `HashingEmbedder` is the
+  * deterministic zero-egress implementation (feature hashing, same math on
+  * executors via the `hash_embed` Catalyst expression and on the driver for
+  * query strings); an ONNX MiniLM implementation would slot in behind the
+  * same trait without touching any query code.
+  */
+trait TextEmbedder extends Serializable {
+  def dim: Int
+  /** Add `outCol: array<float>` embedding of `textCol`. */
+  def embed(df: DataFrame, textCol: Column, outCol: String): DataFrame
+  /** Driver-side embedding of one query string (the reference also embeds
+    * the query client-side, `src/semantic_search.py:54`). */
+  def embedQuery(text: String): Seq[Float]
+}
+
+final class HashingEmbedder(override val dim: Int = 384) extends TextEmbedder {
+  override def embed(df: DataFrame, textCol: Column, outCol: String): DataFrame =
+    df.withColumn(outCol, GraftFunctions.hashEmbed(textCol, dim))
+  override def embedQuery(text: String): Seq[Float] = {
+    val a = VectorOps.hashEmbed(text, dim)
+    (0 until dim).map(a.getFloat)
+  }
+}
+
+/** Semantic search over the warehouse (SURVEY V1, `src/semantic_search.py`).
+  *
+  * Faithful to the reference's *actual* execution: a brute-force scored
+  * scan with strict `score > threshold` and top-k (the Neo4j vector index
+  * it creates is never used by its search path — SURVEY §4.1). Spark plans
+  * the top-k as TakeOrderedAndProject: no global sort, no corpus shuffle.
+  * The scale path (LSH / IVF) lives in graft.operators.Similarity.
+  */
+class SemanticSearch(wh: EscoWarehouse, embedder: TextEmbedder) {
+
+  /** Embedding text: label + altLabels + description (reference F6,
+    * `src/embedding_utils.py:24-29`; nulls skipped by concat_ws rather
+    * than Python's "nan" artifact — documented divergence). */
+  private def embedText: Column =
+    concat_ws(". ", col("preferredLabel"), col("altLabels"), col("description"))
+
+  /** Skills with embeddings (includes SkillGroups per Q1 — faithful:
+    * `MATCH (s:Skill)` sees them too). */
+  lazy val skillsIndexed: DataFrame =
+    embedder.embed(wh.skills, embedText, "embedding")
+
+  lazy val occupationsIndexed: DataFrame =
+    embedder.embed(wh.occupations, embedText, "embedding")
+
+  /** `is_data_indexed` semi-join probe (reference `src/semantic_search.py:14-37`). */
+  def isDataIndexed: Boolean =
+    !skillsIndexed.filter(col("embedding").isNotNull).isEmpty
+
+  /** Top-k semantic search (reference `src/semantic_search.py:39-109`).
+    * @param nodeType "skill", "occupation" or "both" (P8 label disjunction)
+    */
+  def search(
+      query: String,
+      nodeType: String = "both",
+      threshold: Double = 0.5,
+      limit: Int = 10): DataFrame = {
+    val qv = embedder.embedQuery(query)
+    def scored(df: DataFrame, typ: String) = df
+      .filter(col("embedding").isNotNull) // P2
+      .withColumn("score", GraftFunctions.cosineSim(col("embedding"), typedLit(qv)))
+      .select(
+        col("conceptUri").as("uri"),
+        col("preferredLabel").as("label"),
+        col("description"),
+        lit(typ).as("type"), // F2: deterministic type literal (Q4 decision)
+        col("score"))
+    val base = nodeType.toLowerCase match {
+      case "skill" => scored(skillsIndexed, "Skill")
+      case "occupation" => scored(occupationsIndexed, "Occupation")
+      case _ => scored(skillsIndexed, "Skill")
+        .unionByName(scored(occupationsIndexed, "Occupation"))
+    }
+    base
+      .filter(col("score") > threshold) // P6: strict >, reference default 0.5
+      .orderBy(desc("score"), col("uri"))
+      .limit(limit)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{FakeDecoder, Multimodal}
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** events.parquet copied into its own dir (streams read directories). */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(
+      Path.of("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling window equals the batch computation") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.tumblingCounts(stream, "1 hour"), "t_tumbling")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStreams.tumblingCounts(
+      EventStreams.normalize(spark.read.parquet(eventsDir)), "1 hour")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    val s = streamed.collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val b = batch.collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(s == b, s"stream=${s.size} batch=${b.size}")
+    assert(b.nonEmpty)
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStreams.sessionCounts(
+      EventStreams.normalize(spark.read.parquet(eventsDir)), "30 minutes")
+    val rows = batch.collect()
+    assert(rows.nonEmpty)
+    // session event counts sum to the total event count
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      spark.read.parquet(eventsDir).count())
+  }
+
+  test("sliding windows: each event lands in window/slide buckets") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStreams.slidingUsers(
+      EventStreams.normalize(spark.read.parquet(eventsDir)), "1 hour", "15 minutes")
+    assert(batch.count() > 0)
+  }
+
+  test("multimodal: deterministic fake decode through real partition plumbing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
+      new FakeDecoder)
+    val n = docs.count()
+    assert(feats.count() == n)
+    val r = feats.orderBy(col("doc_id")).head()
+    assert(r.getAs[String]("kind") == "image")
+    assert(r.getAs[Long]("sizeBytes") > 0L)
+    assert(r.getAs[scala.collection.Seq[Float]]("bandMeans").length == 4)
+    // deterministic across runs
+    val again = Multimodal.featureTable(docs, "doc_id", "text", "image",
+      new FakeDecoder).orderBy(col("doc_id")).head()
+    assert(r.getAs[Long]("checksum") == again.getAs[Long]("checksum"))
+  }
+}
