@@ -47,6 +47,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "rolling_fingerprint",
       es => RollingFingerprint(es(0), intArg(es(1), "rolling_fingerprint k")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "ngram_hashes",
+      es => NgramHashes(es(0), intArg(es(1), "ngram_hashes n")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_from_hashes",
+      es => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k")), "scala_udf")
   }
 
   // ---- Column API (requires register(spark) once per session) ----
@@ -72,4 +78,12 @@ object GraftFunctions {
   /** Winnowing-style min-rolling-hash fingerprint of a text column → long. */
   def rollingFingerprint(text: Column, k: Int): Column =
     call_function("rolling_fingerprint", text, lit(k))
+
+  /** Distinct hashed token n-grams of an array<string> column → array<long>. */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    call_function("ngram_hashes", tokens, lit(n))
+
+  /** MinHash signature over pre-hashed shingles → array<int>(k). */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    call_function("minhash_from_hashes", hashes, lit(k))
 }

@@ -45,6 +45,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
 
+  // one strong base hash per shingle + k universal-hash permutations
+  // (a_j * h + b_j): 64× fewer hash computations than hashing per
+  // permutation, statistically equivalent for MinHash (Broder's scheme)
+  private lazy val as: Array[Long] = {
+    val rnd = new java.util.Random(0x9e3779b97f4a7c15L)
+    Array.fill(numHashes)(rnd.nextLong() | 1L) // odd multipliers
+  }
+  private lazy val bs: Array[Long] = {
+    val rnd = new java.util.Random(0xc2b2ae3d27d4eb4fL)
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -54,10 +66,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val s = arr.getUTF8String(i)
       if (s != null) {
         val bytes = s.getBytes
+        val h = Sketches.hash64(bytes, 0x1b873593, 0x85ebca6b)
         var j = 0
         while (j < numHashes) {
-          val h = MurmurHash3.bytesHash(bytes, 0x1b873593 + j * 0x9e3779b9)
-          if (h < mins(j)) mins(j) = h
+          // top 32 bits of the permuted hash: well-mixed under a*h+b
+          val p = ((as(j) * h + bs(j)) >>> 32).toInt
+          if (p < mins(j)) mins(j) = p
           j += 1
         }
       }
@@ -102,6 +116,109 @@ case class SimHash64(child: Expression)
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct hashed token n-grams: `array<string>` tokens → `array<long>`
+  * of the distinct n-gram hashes. The allocation-free path feeding MinHash
+  * and Jaccard — building shingle STRINGS via higher-order functions costs
+  * interpreted per-element lambdas plus string copies (measured ~10× the
+  * whole dedup runtime); this walks the token array once and combines
+  * per-token hashes positionally. */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n > 0, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.stringArrays(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) new GenericArrayData(Array.empty[Long])
+    else {
+      // per-token 64-bit hashes once, then positional combine per window
+      val th = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) 0L else Sketches.hash64(s.getBytes, 0x9747b28c, 0x3c6ef372)
+        i += 1
+      }
+      val out = new java.util.HashSet[java.lang.Long]()
+      i = 0
+      while (i <= cnt - n) {
+        var h = 0x811c9dc5L
+        var j = 0
+        while (j < n) { h = h * 0x100000001b3L + th(i + j); j += 1 }
+        out.add(h)
+        i += 1
+      }
+      val res = new Array[Long](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { res(k) = it.next(); k += 1 }
+      java.util.Arrays.sort(res) // deterministic order regardless of set impl
+      new GenericArrayData(res)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (`array<long>`), permutation
+  * scheme identical to [[MinHashSignature]] but with the base hash already
+  * computed — the fast path used by graft.operators.Dedup. */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<long>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_from_hashes"
+
+  private lazy val as: Array[Long] = {
+    val rnd = new java.util.Random(0x9e3779b97f4a7c15L)
+    Array.fill(numHashes)(rnd.nextLong() | 1L)
+  }
+  private lazy val bs: Array[Long] = {
+    val rnd = new java.util.Random(0xc2b2ae3d27d4eb4fL)
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val mins = Array.fill(numHashes)(Int.MaxValue)
+    var i = 0
+    while (i < cnt) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val p = ((as(j) * h + bs(j)) >>> 32).toInt
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

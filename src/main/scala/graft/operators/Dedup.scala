@@ -24,6 +24,14 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** CPU-heavy per-row stages must not inherit a tiny input's partitioning
+    * (a single small parquet file = ONE partition = one core doing all the
+    * hashing). No-op when the input is already parallel enough. */
+  private[operators] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicate groups by content digest.
     * Output: (fingerprint, n, keep_id) — keep_id = min id, the canonical row. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -58,9 +66,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val sigs = df
+    val sigs = ensureParallelism(df)
       .select(col(idCol).as("id"),
-        minhashSig(tokenNgrams(col(textCol), nGram), numHashes).as("sig"))
+        minhashFromHashes(
+          ngramHashes(tokens(col(textCol)), nGram), numHashes).as("sig"))
 
     val bandStructs = (0 until bands).map { b =>
       struct(
@@ -94,7 +103,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = df.select(
+    val sigs = ensureParallelism(df).select(
       col(idCol).as("id"),
       simhash64(tokens(col(textCol))).as("sig"))
 
@@ -115,10 +124,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity via an inverted-index self-join.
+  /** Exact n-gram Jaccard similarity via inverted-index posting lists.
     * Output: (id_a, id_b, jaccard) for pairs sharing >= 1 shingle and
-    * jaccard >= threshold. Shuffles (shingle-hash, id, setSize) postings —
-    * text never crosses the wire. */
+    * jaccard >= threshold.
+    *
+    * Shape chosen for scale AND constant-factor: postings are grouped per
+    * shingle-hash and pairs generated inside the grouped array — exactly
+    * two shuffles total (by shingle, by pair) and the shingling pipeline
+    * runs once, vs. the naive self-join's double computation + extra
+    * exchange. Text never crosses the wire, only (hash, id, size).
+    * Degenerate shingles (posting list > maxPostingLength) are dropped —
+    * the standard stopword-shingle guard against quadratic blowup. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
@@ -126,35 +142,45 @@ object Dedup {
       nGram: Int = 3,
       threshold: Double = 0.0,
       maxPostingLength: Int = 10000): DataFrame = {
-    val sets = df.select(
+    val sets = ensureParallelism(df).select(
       col(idCol).as("id"),
-      array_distinct(tokenNgrams(col(textCol), nGram)).as("shingles"))
+      ngramHashes(tokens(col(textCol)), nGram).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
 
     val postings = sets
-      .select(col("id"), col("set_size"),
-        explode(col("shingles")).as("shingle"))
-      .withColumn("sh", xxhash64(col("shingle")))
-      .drop("shingle")
+      .select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
 
-    // prune degenerate shingles shared by huge numbers of docs
-    val pruned = postings
-      .withColumn("df_count", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df_count") <= maxPostingLength)
-      .drop("df_count")
+    val lists = postings
+      .groupBy("sh")
+      .agg(collect_list(struct(col("id"), col("set_size"))).as("ps"))
+      .filter(size(col("ps")).between(2, maxPostingLength))
 
-    val a = pruned.select(col("id").as("id_a"), col("set_size").as("size_a"), col("sh"))
-    val b = pruned.select(col("id").as("id_b"), col("set_size").as("size_b"), col("sh"))
+    // all i<j combinations within one posting list, generated in-place
+    val combos = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("a"), y.as("b")))))
 
-    a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "size_a", "size_b")
+    val pairs = lists
+      .select(explode(combos).as("p"))
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        col("p.a.set_size").as("sa"), col("p.b.set_size").as("sb"))
+
+    // length-ratio prune: jaccard <= min/max sizes
+    val sizeCompatible =
+      if (threshold <= 0.0) lit(true)
+      else least(col("sa"), col("sb")).cast("double") >=
+        greatest(col("sa"), col("sb")).cast("double") * threshold
+
+    pairs
+      .filter(sizeCompatible)
+      .groupBy("id_a", "id_b", "sa", "sb")
       .agg(count("*").as("inter"))
       .withColumn(
         "jaccard",
         col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -171,7 +197,8 @@ object Dedup {
       tables: Int = 4,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    val hashed = Similarity.withLshBuckets(df, vecCol, dim, bitsPerTable, tables, seed)
+    val hashed = Similarity.withLshBuckets(
+      ensureParallelism(df), vecCol, dim, bitsPerTable, tables, seed)
       .select(col(idCol).as("id"), col(vecCol).as("sig"),
         explode(col("lsh_buckets")).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))

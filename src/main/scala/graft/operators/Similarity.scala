@@ -114,18 +114,17 @@ object Similarity {
     }
     val queryBuckets = (0 until tables).map(t => (t, bucketOf(query, t)))
 
+    // ONE corpus scan: a row is a candidate if it collides with the query
+    // in ANY table (disjunction of array_contains, no per-table re-scan)
     val bucketed = withLshBuckets(corpus, vecCol, dim, bits, tables, seed)
-    val matches = queryBuckets
+    val anyCollision = queryBuckets
       .map { case (t, qb) =>
-        bucketed.filter(
-          array_contains(
-            col("lsh_buckets"),
-            struct(lit(t).as("band"), lit(qb).as("bucket"))))
+        array_contains(col("lsh_buckets"),
+          struct(lit(t).as("band"), lit(qb).as("bucket")))
       }
-      .reduce(_.unionByName(_))
-      .dropDuplicates(idCol)
+      .reduce(_ || _)
 
-    matches
+    bucketed.filter(anyCollision)
       .withColumn("score", cosineSim(col(vecCol), typedLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
