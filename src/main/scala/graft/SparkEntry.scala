@@ -253,6 +253,118 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
+    // window frame: running decimal-exact sum per customer
+    "q26_running_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("run", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("run"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // rollup / grouping sets
+    "q27_status_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // INTERSECT: segments common to two nations' customer bases
+    "q28_shared_segments" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_nationkey") === 1).select(col("c_mktsegment"))
+        .intersect(c.filter(col("c_nationkey") === 2).select(col("c_mktsegment")))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // EXCEPT: part types stocked large but never small
+    "q29_exclusive_types" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") >= 40).select(col("p_type"))
+        .except(p.filter(col("p_size") <= 10).select(col("p_type")))
+        .orderBy(col("p_type"))
+    }),
+
+    // conditional aggregation (pivot-style wide counts)
+    "q30_segment_matrix" -> ((s, dir) => {
+      def cnt(seg: String) =
+        sum(when(col("c_mktsegment") === seg, 1L).otherwise(0L)).as(seg.toLowerCase)
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(cnt("AUTOMOBILE"), cnt("BUILDING"), cnt("FURNITURE"),
+          cnt("HOUSEHOLD"), cnt("MACHINERY"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // scalar string functions
+    "q31_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          length(col("p_name")).cast("long").as("name_len"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+        .limit(30)
+    }),
+
+    // null handling: nullif / coalesce
+    "q32_null_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("SUPPRESSED")).as("seg"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("seg"))
+    }),
+
+    // dense_rank over an aggregate: favourite event type per user
+    "q33_favourite_event" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("n"), col("event_type"))
+      counts
+        .withColumn("rk", dense_rank().over(w).cast("long"))
+        .filter(col("rk") === 1L)
+        .select(col("user_id"), col("event_type"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // lead: event-type transition matrix per user timeline
+    "q34_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // median (interpolated) per group
+    "q35_quantity_median" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A5 shape: sorted set of structs per group
+    "q36_status_priority_structs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sort_array(collect_set(struct(col("o_orderpriority").as("p"))))
+          .as("priorities"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -353,7 +465,69 @@ object SparkEntry {
     "q25_priority_matrix" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority, o_orderstatus
-        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q26_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_status_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q28_shared_segments" ->
+      """SELECT c_mktsegment FROM customer WHERE c_nationkey = 1
+        |INTERSECT
+        |SELECT c_mktsegment FROM customer WHERE c_nationkey = 2
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q29_exclusive_types" ->
+      """SELECT p_type FROM part WHERE p_size >= 40
+        |EXCEPT
+        |SELECT p_type FROM part WHERE p_size <= 10
+        |ORDER BY p_type""".stripMargin,
+    "q30_segment_matrix" ->
+      """SELECT c_nationkey,
+        | CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+        | CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+        | CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+        | CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+        | CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q31_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc, substr(p_name, 1, 10) AS name10,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        | concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey LIMIT 30""".stripMargin,
+    "q32_null_funcs" ->
+      """SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg,
+        | COUNT(*) AS n
+        |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
+    "q33_favourite_event" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, n,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM (SELECT user_id, event_type, COUNT(*) AS n
+        |        FROM events GROUP BY user_id, event_type))
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "q34_event_transitions" ->
+      """SELECT event_type, next_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+    "q35_quantity_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_status_priority_structs" ->
+      """SELECT o_orderstatus,
+        | list_sort(list(DISTINCT {'p': o_orderpriority})) AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 
   // ------------------------------------------------------------------

@@ -169,6 +169,27 @@ object EscoAnalytics {
       .orderBy(col("communityId"), col("preferredLabel")) // T3 multi-key sort
   }
 
+  /** Betweenness centrality top-N over the full graph (G4,
+    * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
+    * call is exact, divergence documented (SURVEY §7.5). */
+  def topBetweenness(wh: EscoWarehouse, n: Int = 20, sampleK: Int = 16): DataFrame = {
+    val dict = Vertices.dictionary(wh.allNodes.select(col("conceptUri").as("k")), "k")
+    val edges = wh.allEdges
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    graft.operators.Betweenness.approx(edges, k = sampleK)
+      .join(dict, Seq("id"))
+      .join(wh.allNodes.select(col("conceptUri").as("key"),
+        col("preferredLabel")), Seq("key"))
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("betweenness"), col("scaled"))
+      .orderBy(desc("betweenness"), col("uri"))
+      .limit(n)
+  }
+
   /** Stored-vs-stored similarity join: skills similar to a named skill and
     * the occupations needing them (J8, `analysis_queries.md:511-522`). */
   def similarSkillsWithOccupations(

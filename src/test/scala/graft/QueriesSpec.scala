@@ -14,7 +14,8 @@ class QueriesSpec extends AnyFunSuite {
   // candidate-pair mining may legitimately return zero pairs on the tiny sf
   private val mayBeEmpty = Set(
     "dd01_minhash_candidates", "dd02_simhash_pairs", "dd03_ngram_jaccard",
-    "dd04_embedding_neardup", "q07_never_ordered_parts")
+    "dd04_embedding_neardup", "q07_never_ordered_parts",
+    "q28_shared_segments", "q29_exclusive_types")
 
   test("every oracle query has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
