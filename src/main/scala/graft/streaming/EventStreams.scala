@@ -52,6 +52,41 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Custom per-key state via `mapGroupsWithState` (SURVEY §2.11 stateful
+    * path): sessionization with an explicit gap, one state record per user.
+    * Works identically on batch (full-group fold) and streaming (GroupState
+    * with ProcessingTime/EventTime timeouts would be added for unbounded
+    * runs). Events inside a group are sorted by time in-memory — per-user
+    * event counts are bounded, the USERS are what scales out. */
+  def statefulSessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val perUser = events
+      .select(col("user_id").cast("long"),
+        expr("CAST(ts_ns DIV 1000000000 AS BIGINT)").as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    def fold(user: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[(Long, Long)]): (Long, Long, Long) = {
+      val secs = rows.map(_._2).toArray
+      java.util.Arrays.sort(secs)
+      var sessions = 0L
+      var events = 0L
+      var last = Long.MinValue
+      secs.foreach { s =>
+        if (last == Long.MinValue || s - last > gapSeconds) sessions += 1
+        last = s
+        events += 1
+      }
+      (user, sessions, events)
+    }
+    perUser
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(fold)
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   /** Open a file stream over a directory of event parquet, watermarked so
     * window state is bounded and late data beyond the bound is dropped. */
   def readEventStream(

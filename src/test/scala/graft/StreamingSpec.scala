@@ -55,6 +55,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stateful sessionize (mapGroupsWithState) matches the window-function result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(eventsDir).withColumnRenamed("ts", "ts_ns")
+    val stateful = EventStreams.statefulSessionize(raw, gapSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent computation via the oracle-checked st01 query shape
+    val viaSql = SparkEntry.queries("st01_user_sessions")(spark,
+      "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stateful == viaSql)
+  }
+
   test("multimodal: deterministic fake decode through real partition plumbing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
