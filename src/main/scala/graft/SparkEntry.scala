@@ -787,6 +787,22 @@ object SparkEntry {
         .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("csize"))
     }),
+    "g05_betweenness" -> ((s, dir) => {
+      val edges = hierarchyEdges(s, dir)
+      graft.operators.Betweenness.approx(edges, k = 8, seed = 42L, maxDepth = 6)
+        .orderBy(desc("betweenness"), col("id"))
+        .limit(20)
+    }),
+    "cu01_curation" -> ((s, dir) => {
+      val (curated, dropped) = graft.operators.Curation.curate(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.Curation.Config(keepLangs =
+          Seq("en", "fr", "es", "de", "und")))
+      curated.select(col("doc_id"), col("n_tokens"), col("quality"),
+          col("lang_guess"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
     "g04_communities" -> ((s, dir) => {
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))

@@ -108,10 +108,16 @@ object GraphOps {
   // ---- GraphX analytics ----
 
   private def toGraph(edges: DataFrame): Graph[Int, Int] = {
+    // Pregel recomputes its edge input every superstep — persist, or the
+    // (possibly expensive) upstream plan re-runs per iteration. Partition
+    // count is left to the upstream plan: measured locally, coalescing a
+    // small graph to few partitions costs more (lost parallelism) than the
+    // extra task overhead saves.
     val edgeRdd = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     Graph.fromEdges(edgeRdd, defaultValue = 1,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)

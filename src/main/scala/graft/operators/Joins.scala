@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join utilities for skewed keys at scale.
+  *
+  * AQE's skew-join splitting (on in `GraftSession`) handles most skew at
+  * runtime; `saltedJoin` is the explicit tool for the pathological case it
+  * can't fix — a shuffle join where a handful of hot keys dwarf everything
+  * (the classic "null key / hub vertex / default value" skew), or where the
+  * planner picked sort-merge before sizes were known.
+  *
+  * Fact side gets a random salt in [0, salts); the dimension side is
+  * exploded `salts`× so every (key, salt) bucket finds its match. Hot keys
+  * spread across `salts` reducers at the cost of duplicating only the
+  * (small) dimension rows.
+  */
+object Joins {
+
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    // deterministic salt: hash of the whole fact row modulo salts (a random
+    // salt would make retried tasks nondeterministic)
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)))
+    val exploded = dim
+      .withColumn("__salt", explode(
+        array((0 until salts).map(s => lit(s.toLong)): _*)))
+    salted
+      .join(exploded, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

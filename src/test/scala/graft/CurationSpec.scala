@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Joins}
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val good =
+    "the quick brown fox is one of the animals that live in the forest " +
+    "and it hunts for food while the sun is up in the sky over the trees"
+
+  private lazy val docs = Seq(
+    (1L, good),
+    (2L, good), // exact dup of 1
+    (3L, good + " tonight"), // near dup of 1
+    (4L, "short text"), // too short
+    (5L, "9384 2837 4952 1029 8473 1111 2222 3333 4444 5555 6666"), // low quality
+    (6L, "le chat est sur la table et il est content dans la maison " +
+      "avec le chien et la souris qui sont des animaux de la ferme") // non-en
+  ).toDF("doc_id", "text")
+
+  test("curate: filters + exact dedup + near dedup, with drop reasons") {
+    val (curated, dropped) = Curation.curate(docs, "doc_id", "text")
+    val keptIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reasons = dropped.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptIds == Set(1L))
+    assert(reasons(2L) == "exact_duplicate")
+    assert(reasons(3L) == "near_duplicate")
+    assert(reasons(4L) == "too_short")
+    assert(reasons(5L) == "low_quality")
+    assert(reasons(6L) == "language")
+    // every input either kept or explained
+    assert(keptIds.size + reasons.size == 6)
+  }
+
+  test("annotate adds one-scan metrics") {
+    val a = Curation.annotate(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head()
+    assert(a.getAs[Long]("n_tokens") > 20L)
+    assert(a.getAs[String]("lang_guess") == "en")
+    assert(a.getAs[String]("fingerprint").length == 32)
+  }
+
+  test("saltedJoin equals plain join") {
+    val fact = (1L to 1000L).map(i => (i % 3, i)).toDF("k", "v") // heavy skew on 3 keys
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Joins.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("saltedJoin left_outer keeps unmatched fact rows") {
+    val fact = Seq((1L, "x"), (99L, "y")).toDF("k", "v")
+    val dim = Seq((1L, "a")).toDF("k", "name")
+    val rows = Joins.saltedJoin(fact, dim, "k", salts = 4, joinType = "left_outer")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.isNullAt(2)) == 1)
+  }
+}
