@@ -45,11 +45,27 @@ object EscoCli {
       val opts = parseOpts(rest)
       val wh = EscoWarehouse.load(spark, whDir)
       val search = new SemanticSearch(wh, new HashingEmbedder())
-      val hits = search.search(query,
-        nodeType = opts.getOrElse("type", "both"),
-        threshold = opts.getOrElse("threshold", "0.5").toDouble,
-        limit = opts.getOrElse("limit", "10").toInt)
-      if (opts.contains("json")) printJson(hits) else printTable(hits)
+      val nodeType = opts.getOrElse("type", "both")
+      val threshold = opts.getOrElse("threshold", "0.5").toDouble
+      val limit = opts.getOrElse("limit", "10").toInt
+      // --profile-search: hits + related graph in ONE plan (reference did
+      // 1 + k round trips); --related: expansion joined onto plain hits
+      val result =
+        if (opts.contains("profile-search"))
+          Profiles.profileSearch(wh, search, query, nodeType, threshold, limit)
+        else {
+          val hits = search.search(query, nodeType, threshold, limit)
+          if (opts.contains("related")) {
+            val anchors = hits.select(col("uri"))
+            val expanded =
+              if (nodeType.equalsIgnoreCase("skill"))
+                Profiles.skillRelatedGraph(wh, anchors)
+              else Profiles.occupationRelatedGraph(wh, anchors)
+            hits.join(expanded, Seq("uri"), "left_outer")
+              .orderBy(desc("score"), col("uri"))
+          } else hits
+        }
+      if (opts.contains("json")) printJson(result) else printTable(result)
 
     case "analyze" :: whDir :: queryName :: Nil =>
       val wh = EscoWarehouse.load(spark, whDir)
@@ -90,7 +106,9 @@ object EscoCli {
 
   private def parseOpts(rest: List[String]): Map[String, String] = {
     def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {
-      case ("--json") :: t => loop(t, acc + ("json" -> "true"))
+      case "--json" :: t => loop(t, acc + ("json" -> "true"))
+      case "--related" :: t => loop(t, acc + ("related" -> "true"))
+      case "--profile-search" :: t => loop(t, acc + ("profile-search" -> "true"))
       case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.drop(2) -> v))
       case Nil => acc
       case other => sys.error(s"bad options: $other")

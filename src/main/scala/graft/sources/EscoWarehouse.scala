@@ -221,6 +221,38 @@ object EscoWarehouse {
       df.write.mode("overwrite").parquet(s"$dir/$n")
     }
 
+  /** Bucketed persistence: node and edge tables bucketed (and sorted) on
+    * their join keys so edge⋈node joins run WITHOUT a shuffle exchange —
+    * the on-disk co-location strategy for the 100 TB deployment (SCALING.md
+    * "Parquet layout"). Requires a table catalog (`saveAsTable`); bucket
+    * counts are per-table because a 100 TB edge table and a dimension-sized
+    * node table need different fan-outs. */
+  def saveBucketed(
+      wh: EscoWarehouse,
+      spark: SparkSession,
+      database: String,
+      nodeBuckets: Int = 8,
+      edgeBuckets: Int = 8): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    def bucketed(df: DataFrame, table: String, key: String, n: Int): Unit = {
+      // a stale managed-table location (fresh in-memory catalog, old
+      // warehouse dir on disk) must not fail the rebuild
+      spark.sql(s"DROP TABLE IF EXISTS $database.$table")
+      df.write.mode("overwrite")
+        .bucketBy(n, key).sortBy(key)
+        .saveAsTable(s"$database.$table")
+    }
+    bucketed(wh.skills, "skills", "conceptUri", nodeBuckets)
+    bucketed(wh.occupations, "occupations", "conceptUri", nodeBuckets)
+    bucketed(wh.iscoGroups, "isco_groups", "conceptUri", nodeBuckets)
+    bucketed(wh.essentialFor, "essential_for", "skillUri", edgeBuckets)
+    bucketed(wh.optionalFor, "optional_for", "skillUri", edgeBuckets)
+    bucketed(wh.relatedSkill, "related_skill", "srcUri", edgeBuckets)
+    bucketed(wh.broaderSkill, "broader_skill", "childUri", edgeBuckets)
+    bucketed(wh.broaderIsco, "broader_isco", "childUri", edgeBuckets)
+    bucketed(wh.partOfIscoGroup, "part_of_isco_group", "occupationUri", edgeBuckets)
+  }
+
   def load(spark: SparkSession, dir: String): EscoWarehouse = {
     def t(n: String) = spark.read.parquet(s"$dir/$n")
     EscoWarehouse(t("skills"), t("occupations"), t("isco_groups"),

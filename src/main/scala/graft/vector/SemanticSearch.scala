@@ -59,6 +59,14 @@ class SemanticSearch(wh: EscoWarehouse, embedder: TextEmbedder) {
   lazy val occupationsIndexed: DataFrame =
     embedder.embed(wh.occupations, embedText, "embedding")
 
+  /** Materialize the embedding columns to Parquet (S5 write-back as a
+    * columnar rewrite — the reference does 2 Bolt round-trips per node,
+    * `src/esco_ingest.py:350-386`; here it is one pass per table). */
+  def persistIndex(dir: String): Unit = {
+    skillsIndexed.write.mode("overwrite").parquet(s"$dir/skills_indexed")
+    occupationsIndexed.write.mode("overwrite").parquet(s"$dir/occupations_indexed")
+  }
+
   /** `is_data_indexed` semi-join probe (reference `src/semantic_search.py:14-37`). */
   def isDataIndexed: Boolean =
     !skillsIndexed.filter(col("embedding").isNotNull).isEmpty
