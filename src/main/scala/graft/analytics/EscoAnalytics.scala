@@ -169,6 +169,64 @@ object EscoAnalytics {
       .orderBy(col("communityId"), col("preferredLabel")) // T3 multi-key sort
   }
 
+  /** Combined direct + indirect skill connections (A7 multi-stage
+    * aggregation, `analysis_queries.md:173-197`): for each skill, the
+    * directly related skills and the 2-hop "related of related", collected
+    * separately then combined — the Cypher `WITH collect … WITH collect`
+    * pipeline as chained grouped aggregations. */
+  def combinedConnections(wh: EscoWarehouse, k: Int = 20): DataFrame = {
+    val undirected = wh.relatedSkill.select(col("srcUri"), col("dstUri"))
+      .unionByName(wh.relatedSkill.select(col("dstUri").as("srcUri"),
+        col("srcUri").as("dstUri")))
+    val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
+    val direct = undirected
+      .join(labels.withColumnRenamed("conceptUri", "dstUri"), Seq("dstUri"))
+      .groupBy(col("srcUri"))
+      .agg(sort_array(collect_set(col("preferredLabel"))).as("direct_skills"))
+    val twoHop = undirected.as("a")
+      .join(undirected.as("b"), col("a.dstUri") === col("b.srcUri"))
+      .filter(col("a.srcUri") =!= col("b.dstUri")) // P5 anti-self
+      .select(col("a.srcUri").as("srcUri"), col("b.dstUri").as("indirect"))
+      .join(labels.withColumnRenamed("conceptUri", "indirect"), Seq("indirect"))
+      .groupBy(col("srcUri"))
+      .agg(sort_array(collect_set(col("preferredLabel"))).as("indirect_skills"))
+    direct
+      .join(twoHop, Seq("srcUri"), "left_outer")
+      .withColumn("indirect_skills", coalesce(col("indirect_skills"), array()))
+      .join(labels.withColumnRenamed("conceptUri", "srcUri"), Seq("srcUri"))
+      .withColumn("n_direct", size(col("direct_skills")))
+      .orderBy(desc("n_direct"), col("srcUri"))
+      .limit(k)
+      .select(col("srcUri").as("uri"), col("preferredLabel"),
+        col("direct_skills"), col("indirect_skills"))
+  }
+
+  /** 2-hop network extraction around one occupation (G9,
+    * `analysis_queries.md:312-345`): its skills, and for each skill the
+    * other occupations needing it — typed struct collections. */
+  def occupationTwoHopNetwork(wh: EscoWarehouse, occLabel: String): DataFrame = {
+    val anchor = wh.occupations
+      .filter(col("preferredLabel") === occLabel)
+      .select(col("conceptUri").as("occupationUri"))
+    val skills = wh.essentialFor
+      .join(anchor, Seq("occupationUri"), "left_semi")
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel").as("skill")), Seq("skillUri"))
+    val otherOccs = skills
+      .join(wh.essentialFor.withColumnRenamed("occupationUri", "otherOcc"),
+        Seq("skillUri"))
+      .join(anchor.withColumnRenamed("occupationUri", "otherOcc"),
+        Seq("otherOcc"), "left_anti")
+      .join(wh.occupations.select(col("conceptUri").as("otherOcc"),
+        col("preferredLabel").as("occupation")), Seq("otherOcc"))
+    otherOccs
+      .groupBy(col("skillUri"), col("skill"))
+      .agg(sort_array(collect_set(
+        struct(col("occupation").as("occupation"),
+          lit("Essential").as("type")))).as("also_needed_by"))
+      .orderBy(col("skill"))
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

@@ -72,6 +72,15 @@ class EscoQuerySpec extends AnyFunSuite {
     assert(depths.values.sum > 500L) // most of the 609 child groups reached
   }
 
+  test("combinedConnections / twoHopNetwork run over the fixture graph") {
+    // relatedSkill is empty on the snapshot (skills file absent), so these
+    // exercise plan validity + empty-collect semantics
+    val cc = EscoAnalytics.combinedConnections(whReal)
+    assert(cc.count() == 0L)
+    val net = EscoAnalytics.occupationTwoHopNetwork(whReal, "technical director")
+    assert(net.count() == 0L)
+  }
+
   test("translate: worklist semantics + distinct-first + Q5 mapping") {
     val translated = Translate.translateProperty(
       whReal.occupations.limit(50), "prefLabel",

@@ -159,4 +159,24 @@ class EscoFixtureSpec extends AnyFunSuite {
   test("skill pillar hierarchy joins both endpoints as :Skill (Q1)") {
     assert(wh.broaderSkill.count() == 2L)
   }
+
+  test("combinedConnections (A7): direct lists, anti-self 2-hop") {
+    val rows = graft.analytics.EscoAnalytics.combinedConnections(wh)
+      .collect()
+      .map(r => r.getString(1) -> ((r.getSeq[String](2), r.getSeq[String](3))))
+      .toMap
+    assert(rows("manage data")._1 == Seq("spark internals"))
+    assert(rows("manage data")._2.isEmpty) // 1→2→1 removed by anti-self
+    assert(rows("spark internals")._1 == Seq("manage data"))
+  }
+
+  test("occupationTwoHopNetwork (G9): typed struct collections") {
+    val net = graft.analytics.EscoAnalytics
+      .occupationTwoHopNetwork(wh, "data engineer").collect()
+    assert(net.length == 1)
+    assert(net.head.getString(1) == "manage data")
+    val also = net.head.getSeq[org.apache.spark.sql.Row](2)
+    assert(also.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("data analyst", "Essential")))
+  }
 }
