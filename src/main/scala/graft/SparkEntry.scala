@@ -350,6 +350,15 @@ object SparkEntry {
         .orderBy(col("event_type"), col("next_type"))
     }),
 
+    // day-of-week extraction (normalized 0=Sunday across engines)
+    "q39_events_by_dow" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy((dayofweek(col("ts")) - lit(1)).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("dow"))
+    }),
+
     // median (interpolated) per group
     "q35_quantity_median" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -524,6 +533,10 @@ object SparkEntry {
     "q35_quantity_median" ->
       """SELECT l_returnflag, median(l_quantity) AS med, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_events_by_dow" ->
+      """SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow, COUNT(*) AS n,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY dow ORDER BY dow""".stripMargin,
     "q36_status_priority_structs" ->
       """SELECT o_orderstatus,
         | list_sort(list(DISTINCT {'p': o_orderpriority})) AS priorities
@@ -559,6 +572,23 @@ object SparkEntry {
         .groupBy(col("lang"), col("guess"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("guess"))
+    }),
+    // corpus token frequency (explode + agg + top-k)
+    "q37_top_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok"))
+        .limit(30)
+    }),
+    // distinct n-gram cardinality per document
+    "q38_doc_ngram_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextFunctions.tokenNgrams(col("text"), 3)))
+            .cast("long").as("n_shingles"))
+        .orderBy(desc("n_shingles"), col("doc_id"))
+        .limit(50)
     }),
     "q22_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -596,7 +626,19 @@ object SparkEntry {
         |FROM documents GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
     "q22_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, COUNT(*) AS n, MIN(doc_id) AS keep_id
-        |FROM documents GROUP BY fingerprint ORDER BY fingerprint LIMIT 100""".stripMargin
+        |FROM documents GROUP BY fingerprint ORDER BY fingerprint LIMIT 100""".stripMargin,
+    "q37_top_tokens" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 30""".stripMargin,
+    "q38_doc_ngram_counts" ->
+      """SELECT doc_id,
+        | CAST(len(list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+        |   for i in range(1, len(lst) - 1)])) AS BIGINT) AS n_shingles
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS lst
+        |      FROM documents)
+        |ORDER BY n_shingles DESC, doc_id LIMIT 50""".stripMargin
   )
 
   // ------------------------------------------------------------------
