@@ -147,6 +147,33 @@ object EscoAnalytics {
     GraphOps.shortestPathLength(edges, idOf(label1), idOf(label2), maxDepth = 15)
   }
 
+  /** Full G2 semantics: the shortest path's node labels in order (the
+    * Cypher query returns the path object; `analysis_queries.md:138-141`). */
+  def shortestPathNodes(
+      wh: EscoWarehouse, label1: String, label2: String): Seq[String] = {
+    val nodes = wh.allNodes.select(col("conceptUri").as("k"), col("preferredLabel"))
+    val dict = Vertices.dictionary(nodes.select(col("k")), "k")
+    val edges = wh.allEdges
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    def idOf(label: String): Long = wh.skills
+      .filter(col("preferredLabel") === label)
+      .join(dict.withColumnRenamed("key", "conceptUri"), Seq("conceptUri"))
+      .select(col("id")).head().getLong(0)
+    val ids = GraphOps.shortestPath(edges, idOf(label1), idOf(label2), maxDepth = 15)
+    if (ids.isEmpty) Nil
+    else {
+      val labelById = dict.join(nodes, dict("key") === nodes("k"))
+        .filter(col("id").isin(ids: _*))
+        .select(col("id"), col("preferredLabel"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      ids.map(labelById)
+    }
+  }
+
   /** Community detection over the skill-relation graph — LPA standing in
     * for the reference's GDS Louvain (G5 divergence, `analysis_queries.md:
     * 237-242`): returns (uri, label, communityId) ordered like the Cypher. */

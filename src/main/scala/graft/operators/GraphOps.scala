@@ -105,6 +105,57 @@ object GraphOps {
     if (hit.isEmpty) -1 else hit.head.getInt(0)
   }
 
+  /** Undirected single-pair shortest path WITH the node sequence (full G2
+    * Cypher semantics — `shortestPath((a)-[*]-(b))` returns a path, not a
+    * length; `analysis_queries.md:138-141`). BFS with parent tracking,
+    * then a driver walk over the ≤depth-sized parent chain (a single
+    * path's length is bounded by the BFS depth cap, so the driver-side
+    * reconstruction is O(depth) lookups against a filtered frontier, not a
+    * collect of the graph). Returns Nil if unreachable within maxDepth. */
+  def shortestPath(
+      edges: DataFrame,
+      srcId: Long,
+      dstId: Long,
+      maxDepth: Int = 20): Seq[Long] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var visited = Seq((srcId, 0, -1L)).toDF("id", "depth", "parent")
+      .localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    var found = !frontier.filter(col("id") === dstId).isEmpty
+    while (depth < maxDepth && !frontier.isEmpty && !found) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), lit(depth).as("depth"),
+          frontier("id").as("parent"))
+        .groupBy("id").agg(min("depth").as("depth"), min("parent").as("parent"))
+        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      found = !next.filter(col("id") === dstId).isEmpty
+    }
+    if (!found && srcId != dstId) Nil
+    else {
+      // walk parents dst -> src; each step is a point lookup on `visited`
+      var path = List(dstId)
+      var cur = dstId
+      var steps = 0
+      while (cur != srcId && steps <= maxDepth) {
+        val p = visited.filter(col("id") === cur)
+          .select(col("parent")).head().getLong(0)
+        path = p :: path
+        cur = p
+        steps += 1
+      }
+      if (cur == srcId) path else Nil
+    }
+  }
+
   // ---- GraphX analytics ----
 
   private def toGraph(edges: DataFrame): Graph[Int, Int] = {

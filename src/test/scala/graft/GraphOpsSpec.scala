@@ -36,6 +36,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.shortestPathLength(twoIslands, 1L, 4L) == -1)
   }
 
+  test("shortestPath reconstructs a valid minimal node sequence") {
+    val p = GraphOps.shortestPath(diamond, 1L, 5L)
+    assert(p.length == 4) // 1 -> {2|3} -> 4 -> 5
+    assert(p.head == 1L && p.last == 5L)
+    assert(p(2) == 4L && (p(1) == 2L || p(1) == 3L))
+    // deterministic across runs (min-parent tiebreak)
+    assert(GraphOps.shortestPath(diamond, 1L, 5L) == p)
+    assert(GraphOps.shortestPath(diamond, 1L, 1L) == Seq(1L))
+    val twoIslands = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.shortestPath(twoIslands, 1L, 4L).isEmpty)
+  }
+
+  test("random DAGs: bfsDepths equals a local reference BFS (3 seeds)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.12
+      } yield (a.toLong, b.toLong))
+      val got = GraphOps.bfsDepths(edges.toDF("src", "dst"), Seq(0L).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // local reference BFS
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var want = Map(0L -> 0)
+      var frontier = Seq(0L)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Nil))
+          .filterNot(want.contains).distinct
+        want = want ++ frontier.map(_ -> d)
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("connectedComponents finds the two islands") {
     val cc = GraphOps.connectedComponents(Seq((1L, 2L), (2L, 3L), (10L, 11L))
         .toDF("src", "dst"))
