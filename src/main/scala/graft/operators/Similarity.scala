@@ -149,6 +149,45 @@ object Similarity {
           Window.orderBy(xxhash64(col(idCol)), col(idCol))) - 1)
         .select(col("cell"), col(vecCol).as("centroid"))
 
+    /** Spherical k-means refinement of the coarse centroids (Lloyd
+      * iterations): assign → per-cell element-wise mean via posexplode →
+      * L2-normalize. Each iteration is one broadcast join + two shuffles
+      * keyed (cell, pos) / (cell); centroid count stays driver-side tiny.
+      * Cells that lose every member keep their previous centroid. */
+    def trainCentroids(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        nCells: Int,
+        iters: Int = 5): DataFrame = {
+      var cents = centroids(corpus, idCol, vecCol, nCells)
+      for (_ <- 1 to iters) {
+        val assigned = assignCells(corpus, idCol, vecCol, cents)
+        val means = assigned
+          .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .groupBy(col("cell"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")).as("mean"))
+        val norm = aggregate(col("mean"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val updated = means
+          .withColumn("norm", sqrt(norm))
+          .withColumn("centroid",
+            when(col("norm") > 0.0,
+              transform(col("mean"), x => (x.cast("double") / col("norm")).cast("float")))
+              .otherwise(col("mean")))
+          .select(col("cell"), col("centroid"))
+        cents = cents.select(col("cell"), col("centroid").as("prev"))
+          .join(updated, Seq("cell"), "left_outer")
+          .select(col("cell"), coalesce(col("centroid"), col("prev")).as("centroid"))
+          .localCheckpoint()
+      }
+      cents
+    }
+
     def assignCells(
         corpus: DataFrame,
         idCol: String,

@@ -47,6 +47,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
 
+  test("k-means IVF: trained centroids separate synthetic clusters; nProbe=1 finds in-cluster neighbors") {
+    // 3 well-separated direction clusters in 8-d
+    val rnd = new scala.util.Random(5)
+    val protos = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val pts = (0L until 150L).map { i =>
+      val p = protos((i % 3).toInt)
+      (i, p.map(v => v + (rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val cents = Similarity.Ivf.trainCentroids(pts, "id", "vec", nCells = 3, iters = 4)
+    val assigned = Similarity.Ivf.assignCells(pts, "id", "vec", cents)
+    // every ground-truth cluster maps to exactly one cell
+    val purity = assigned
+      .withColumn("truth", col("id") % 3)
+      .groupBy("truth").agg(countDistinct("cell").as("cells"))
+      .collect().map(_.getLong(1))
+    assert(purity.forall(_ == 1L), s"clusters split across cells: ${purity.toSeq}")
+    // probing 1 of 3 cells recovers the true top-10 for an in-cluster query
+    val q = pts.filter(col("id") === 0L).head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(pts, "id", "vec", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.Ivf.probe(assigned, "id", "vec", cents, q, k = 10, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == exact, s"nProbe=1 recall loss: ${exact.diff(ivf)}")
+  }
+
   test("IVF probe returns k rows including the self-match at full probe") {
     val cents = Similarity.Ivf.centroids(corpus, "id", "vec", nCells = 8)
     assert(cents.count() == 8)
