@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (pushdown, pruning, broadcast selection, distributed top-k) are asserted
+  * on the actual executed plans so a refactor can't silently regress them.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // formatted mode prints full PushedFilters/ReadSchema (toString truncates)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+  private def optimized(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.optimizedPlan.toString()
+  }
+
+  test("q13: range predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q13_shipdate_window")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity"), p)
+  }
+
+  test("q13: column pruning — scan reads only the 4 needed columns") {
+    val p = plan("q13_shipdate_window")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_discount"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q04: dimension joins broadcast (no shuffle join for small dims)") {
+    val p = plan("q04_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q02: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q02_top_parts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q23: cosine kNN keeps TakeOrderedAndProject over the scored scan") {
+    val p = plan("q23_knn_of_vec0")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("cosine_sim") || p.contains("cosinesimilarity"),
+      s"custom expression missing from plan:\n$p")
+  }
+
+  test("q01: aggregation is partial+final hash agg (map-side combine)") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_(sum|count)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q07: anti join stays a join, not a filter-collect") {
+    val o = optimized("q07_never_ordered_parts")
+    assert(o.contains("Join LeftAnti"), o)
+  }
+
+  test("dedup queries never shuffle raw text: exchanges carry only ids/hashes") {
+    val p = plan("dd01_minhash_candidates")
+    // the exchange partitioning expressions must not include the text col
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), exchanges.mkString("\n"))
+  }
+}
