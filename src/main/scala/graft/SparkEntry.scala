@@ -581,9 +581,12 @@ object SparkEntry {
         .orderBy(desc("n"), col("tok"))
         .limit(30)
     }),
-    // distinct n-gram cardinality per document
+    // distinct n-gram cardinality per document; string shingles (not the
+    // hashed fast path) so the DuckDB oracle can mirror it — repartition
+    // because the interpreted HOF work must not run on one input split
     "q38_doc_ngram_counts" -> ((s, dir) => {
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           size(array_distinct(TextFunctions.tokenNgrams(col("text"), 3)))
             .cast("long").as("n_shingles"))
