@@ -28,31 +28,32 @@ object GraftFunctions {
   private def asFloatArray(e: Expression): Expression =
     Cast(e, ArrayType(FloatType))
 
+  /** The single source of truth for name → expression builder, consumed by
+    * both the session-level registry (`register`) and the build-time
+    * `graft.plans.GraftExtensions` injection path. */
+  private[graft] val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" ->
+      ((es: Seq[Expression]) => CosineSimilarity(asFloatArray(es(0)), asFloatArray(es(1)))),
+    "dot_product" ->
+      ((es: Seq[Expression]) => DotProduct(asFloatArray(es(0)), asFloatArray(es(1)))),
+    "l2_norm" -> ((es: Seq[Expression]) => L2Norm(asFloatArray(es(0)))),
+    "hash_embed" ->
+      ((es: Seq[Expression]) => HashEmbed(es(0), intArg(es(1), "hash_embed dim"))),
+    "minhash_sig" ->
+      ((es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_sig k"))),
+    "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "rolling_fingerprint" ->
+      ((es: Seq[Expression]) => RollingFingerprint(es(0), intArg(es(1), "rolling_fingerprint k"))),
+    "ngram_hashes" ->
+      ((es: Seq[Expression]) => NgramHashes(es(0), intArg(es(1), "ngram_hashes n"))),
+    "minhash_from_hashes" ->
+      ((es: Seq[Expression]) => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k"))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_sim",
-      es => CosineSimilarity(asFloatArray(es(0)), asFloatArray(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "dot_product",
-      es => DotProduct(asFloatArray(es(0)), asFloatArray(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "l2_norm", es => L2Norm(asFloatArray(es(0))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "hash_embed", es => HashEmbed(es(0), intArg(es(1), "hash_embed dim")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", es => MinHashSignature(es(0), intArg(es(1), "minhash_sig k")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "rolling_fingerprint",
-      es => RollingFingerprint(es(0), intArg(es(1), "rolling_fingerprint k")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "ngram_hashes",
-      es => NgramHashes(es(0), intArg(es(1), "ngram_hashes n")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_from_hashes",
-      es => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k")), "scala_udf")
+    functionBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, es => builder(es), "scala_udf")
+    }
   }
 
   // ---- Column API (requires register(spark) once per session) ----

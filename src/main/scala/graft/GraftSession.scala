@@ -22,9 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // functions arrive via the extensions injection path — no manual
+      // registration; externally built sessions use prepare() instead
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    GraftFunctions.register(s)
     s
   }
 
