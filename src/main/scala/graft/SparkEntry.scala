@@ -367,6 +367,25 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A3 collect_list (canonicalized) per group
+    "q40_customer_orderkeys" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 20L)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // P7 substring containment predicate
+    "q41_contains_filter" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").contains("ha"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
     // A5 shape: sorted set of structs per group
     "q36_status_priority_structs" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -540,7 +559,15 @@ object SparkEntry {
     "q36_status_priority_structs" ->
       """SELECT o_orderstatus,
         | list_sort(list(DISTINCT {'p': o_orderpriority})) AS priorities
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q40_customer_orderkeys" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+        |ORDER BY o_custkey""".stripMargin,
+    "q41_contains_filter" ->
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |WHERE contains(p_name, 'ha')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 
   // ------------------------------------------------------------------
@@ -841,8 +868,9 @@ object SparkEntry {
     "cu01_curation" -> ((s, dir) => {
       val (curated, dropped) = graft.operators.Curation.curate(
         t(s, dir, "documents"), "doc_id", "text",
-        graft.operators.Curation.Config(keepLangs =
-          Seq("en", "fr", "es", "de", "und")))
+        graft.operators.Curation.Config(
+          keepLangs = Seq("en", "fr", "es", "de", "und"),
+          minhashHashes = 64, minhashBands = 16))
       curated.select(col("doc_id"), col("n_tokens"), col("quality"),
           col("lang_guess"))
         .orderBy(col("doc_id"))
