@@ -373,14 +373,14 @@ object SparkEntry {
         .groupBy(col("o_custkey"))
         .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
           count(lit(1)).as("n"))
-        .filter(col("n") >= 20L)
+        .filter(col("n") >= 12L)
         .orderBy(col("o_custkey"))
     }),
 
     // P7 substring containment predicate
     "q41_contains_filter" -> ((s, dir) => {
       t(s, dir, "part")
-        .filter(col("p_name").contains("ha"))
+        .filter(col("p_name").contains("wid"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("p_brand"))
@@ -562,11 +562,11 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q40_customer_orderkeys" ->
       """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, COUNT(*) AS n
-        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
     "q41_contains_filter" ->
       """SELECT p_brand, COUNT(*) AS n FROM part
-        |WHERE contains(p_name, 'ha')
+        |WHERE contains(p_name, 'wid')
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 
