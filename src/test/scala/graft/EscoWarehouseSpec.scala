@@ -170,6 +170,56 @@ class EscoFixtureSpec extends AnyFunSuite {
     assert(rows("spark internals")._1 == Seq("manage data"))
   }
 
+  test("degree analytics over the fixture graph (top-k catalog queries)") {
+    import graft.analytics.EscoAnalytics
+    val top = EscoAnalytics.topEssentialSkills(wh).collect()
+    // skill/1 essential for both occupations; skill/3 for one
+    assert(top.head.getString(1) == "manage data")
+    assert(top.head.getAs[Long]("occupation_count") == 2L)
+    val occs = EscoAnalytics.topOccupationsByEssentialSkills(wh).collect()
+    assert(occs.head.getString(1) == "data analyst") // 2 essential skills
+    assert(occs.head.getAs[Long]("skill_count") == 2L)
+    val opt = EscoAnalytics.topOptionalSkills(wh).collect()
+    assert(opt.length == 1 && opt.head.getString(1) == "spark internals")
+  }
+
+  test("skillCooccurrence (J4) counts shared occupations per skill pair") {
+    val pairs = graft.analytics.EscoAnalytics.skillCooccurrence(wh).collect()
+    // skills 1 and 3 are both essential for occ/2 -> one co-occurrence
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("shared_occupations") == 1L)
+    assert(Set(pairs.head.getAs[String]("skill1"),
+      pairs.head.getAs[String]("skill2")) == Set("manage data", "communicate"))
+  }
+
+  test("sharedSkills (J5 intersection) between the two occupations") {
+    val shared = graft.analytics.EscoAnalytics
+      .sharedSkills(wh, "data engineer", "data analyst").collect()
+    assert(shared.map(_.getString(1)).toSeq == Seq("manage data"))
+  }
+
+  test("skillCommunities (G5) yields a stable partition of the related graph") {
+    val comm = graft.analytics.EscoAnalytics.skillCommunities(wh, iters = 3)
+      .collect()
+    // fixture related graph: skill/1 - skill/2 only
+    assert(comm.length == 2)
+    assert(comm.map(_.getAs[Long]("communityId")).distinct.length <= 2)
+  }
+
+  test("similarSkillsWithOccupations (J8) anchors by CONTAINS and joins occupations") {
+    val search = new graft.vector.SemanticSearch(
+      wh, new graft.vector.HashingEmbedder(64))
+    val rows = graft.analytics.EscoAnalytics
+      .similarSkillsWithOccupations(wh, search, "manage", threshold = -1.0, k = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySkill = rows.map(r => r.getString(1) ->
+      r.getAs[scala.collection.Seq[String]]("occupations")).toMap
+    // "spark internals" is optional-not-essential -> no occupations via J8
+    assert(bySkill.keySet.contains("communicate"))
+    assert(bySkill("communicate") == Seq("data analyst"))
+  }
+
   test("occupationTwoHopNetwork (G9): typed struct collections") {
     val net = graft.analytics.EscoAnalytics
       .occupationTwoHopNetwork(wh, "data engineer").collect()
