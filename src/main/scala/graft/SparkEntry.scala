@@ -386,6 +386,45 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // scalar subquery (broadcast one-row aggregate into the filter)
+    "q42_above_median_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val med = o.agg(median(col("o_totalprice")).as("m"))
+      o.crossJoin(broadcast(med))
+        .filter(col("o_totalprice") > col("m"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // regexp_extract scalar
+    "q43_first_word" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(regexp_extract(col("text"), "^(\\w+)", 1).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w"))
+        .limit(20)
+    }),
+
+    // date/interval arithmetic across a join
+    "q44_late_shipments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // CASE bucketing histogram (integer-exact bucket edges)
+    "q45_price_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // A5 shape: sorted set of structs per group
     "q36_status_priority_structs" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -567,7 +606,23 @@ object SparkEntry {
     "q41_contains_filter" ->
       """SELECT p_brand, COUNT(*) AS n FROM part
         |WHERE contains(p_name, 'wid')
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q42_above_median_orders" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_totalprice > (SELECT median(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q43_first_word" ->
+      """SELECT regexp_extract(text, '^(\w+)', 1) AS w, COUNT(*) AS n
+        |FROM documents GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin,
+    "q44_late_shipments" ->
+      """SELECT l_returnflag, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q45_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   // ------------------------------------------------------------------
