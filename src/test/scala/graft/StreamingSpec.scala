@@ -55,6 +55,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("watermark drops late data and bounds window state (append mode)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-late").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def write(batch: Seq[(Long, String, Double)], file: String): Unit = {
+      val rows = batch.map { case (u, t, v) =>
+        org.apache.spark.sql.Row(u, Timestamp.valueOf(t), v) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    write(Seq(
+      (1L, "2024-01-01 10:05:00", 1.0),
+      (1L, "2024-01-01 10:15:00", 1.0),
+      (1L, "2024-01-01 10:29:00", 1.0)), "b1")
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_test")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable() // watermark -> 10:29 - 10min = 10:19
+      // batch 2: one event far below the watermark + one advancing it
+      write(Seq(
+        (1L, "2024-01-01 09:00:30", 99.0), // LATE: window closed, must drop
+        (1L, "2024-01-01 11:00:00", 1.0)), "b2")
+      q.processAllAvailable()
+      write(Seq((1L, "2024-01-01 12:00:00", 1.0)), "b3") // flush 11:00 window
+      q.processAllAvailable()
+      val windows = spark.table("late_test")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(!windows.keySet.exists(_.contains("09:00")),
+        s"late event created a window: $windows")
+      assert(windows("2024-01-01 10:00:00") == 1L)
+      assert(windows("2024-01-01 10:10:00") == 1L)
+      assert(windows("2024-01-01 11:00:00") == 1L)
+    } finally q.stop()
+  }
+
   test("stateful sessionize (mapGroupsWithState) matches the window-function result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(eventsDir).withColumnRenamed("ts", "ts_ns")
