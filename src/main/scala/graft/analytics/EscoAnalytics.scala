@@ -174,9 +174,32 @@ object EscoAnalytics {
     }
   }
 
-  /** Community detection over the skill-relation graph — LPA standing in
-    * for the reference's GDS Louvain (G5 divergence, `analysis_queries.md:
-    * 237-242`): returns (uri, label, communityId) ordered like the Cypher. */
+  /** Louvain proper over the skill-relation graph (G5,
+    * `analysis_queries.md:237-242`): modularity-based communities like the
+    * reference's GDS call; community ids differ (documented), the
+    * partition itself is comparable. */
+  def skillCommunitiesLouvain(wh: EscoWarehouse, levels: Int = 2): DataFrame = {
+    val dict = Vertices.dictionary(
+      wh.relatedSkill.select(col("srcUri").as("k"))
+        .unionByName(wh.relatedSkill.select(col("dstUri").as("k"))), "k")
+    val edges = wh.relatedSkill
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    graft.operators.Louvain.run(edges, levels = levels)
+      .join(dict, Seq("id"))
+      .join(wh.skills.select(col("conceptUri").as("key"),
+        col("preferredLabel")), Seq("key"))
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("community").as("communityId"))
+      .orderBy(col("communityId"), col("preferredLabel"))
+  }
+
+  /** LPA communities — the fast approximation (documented alternative to
+    * Louvain above): returns (uri, label, communityId) ordered like the
+    * Cypher. */
   def skillCommunities(wh: EscoWarehouse, iters: Int = 5): DataFrame = {
     val dict = Vertices.dictionary(
       wh.relatedSkill.select(col("srcUri").as("k"))

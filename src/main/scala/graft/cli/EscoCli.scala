@@ -79,6 +79,7 @@ object EscoCli {
         case "skill-cooccurrence" => EscoAnalytics.skillCooccurrence(wh)
         case "isco-depths" => EscoAnalytics.iscoHierarchyDepths(wh)
         case "communities" => EscoAnalytics.skillCommunities(wh)
+        case "communities-louvain" => EscoAnalytics.skillCommunitiesLouvain(wh)
         case "betweenness" => EscoAnalytics.topBetweenness(wh)
         case other => sys.error(
           s"unknown analysis '$other'; see EscoAnalytics for the catalog")
