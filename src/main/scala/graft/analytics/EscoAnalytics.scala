@@ -277,6 +277,25 @@ object EscoAnalytics {
       .orderBy(col("skill"))
   }
 
+  /** PageRank top-N over the full graph (companion centrality to G4;
+    * GraphX-native). */
+  def topPageRank(wh: EscoWarehouse, n: Int = 20, tol: Double = 0.001): DataFrame = {
+    val dict = Vertices.dictionary(wh.allNodes.select(col("conceptUri").as("k")), "k")
+    val edges = wh.allEdges
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    GraphOps.pageRank(edges, tol)
+      .join(dict, Seq("id"))
+      .join(wh.allNodes.select(col("conceptUri").as("key"),
+        col("preferredLabel")), Seq("key"))
+      .select(col("key").as("uri"), col("preferredLabel"), col("rank"))
+      .orderBy(desc("rank"), col("uri"))
+      .limit(n)
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

@@ -81,6 +81,7 @@ object EscoCli {
         case "communities" => EscoAnalytics.skillCommunities(wh)
         case "communities-louvain" => EscoAnalytics.skillCommunitiesLouvain(wh)
         case "betweenness" => EscoAnalytics.topBetweenness(wh)
+        case "pagerank" => EscoAnalytics.topPageRank(wh)
         case other => sys.error(
           s"unknown analysis '$other'; see EscoAnalytics for the catalog")
       }
