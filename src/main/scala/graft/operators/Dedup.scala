@@ -94,6 +94,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Transitive near-duplicate resolution: candidate pairs form a graph;
+    * connected components give duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C}
+    * keep one), which pairwise dropping gets wrong. Returns
+    * (id, keep_id) for every clustered id — rows with id != keep_id are
+    * the drops. Pair mining is pluggable: feed it `minhashCandidates`
+    * (filtered to the confidence threshold), `simhashNearDup`, etc. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    GraphOps.connectedComponents(edges)
+      .groupBy(col("component"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id"),
+        array_min(col("ids")).as("keep_id"))
+  }
+
   /** SimHash near-duplicates: pairs with hamming(sig_a, sig_b) <= maxHamming.
     * Uses the 4×16-bit block pigeonhole for candidate generation, which is
     * complete for maxHamming <= 3. Output: (id_a, id_b, hamming). */

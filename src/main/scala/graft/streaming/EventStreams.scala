@@ -97,6 +97,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
   }
 
+  /** Stream-stream interval join: correlate two event streams on user
+    * within a bounded event-time window (right event within [0, maxGap]
+    * after the left). Both sides watermarked so join state is bounded —
+    * the canonical funnel/attribution shape (view → purchase). Works on
+    * batch DataFrames identically. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxGap: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"))
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+  }
+
   /** Drive a streaming aggregation to completion against a static dir and
     * return the result table (memory sink) — the local smoke path. */
   def runToMemory(

@@ -35,6 +35,39 @@ final class HashingEmbedder(override val dim: Int = 384) extends TextEmbedder {
   }
 }
 
+/** Character-trigram feature-hashing embedder: same trait, subword
+  * granularity — robust to token variants ("developer"/"developers" share
+  * most trigrams where word hashing sees disjoint tokens). Executor side
+  * runs the composed Column plan (pad → trigrams → hashed bag), the driver
+  * side replays identical math for query strings. */
+final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
+    extends TextEmbedder {
+  import org.apache.spark.sql.functions._
+
+  private def grams(text: String): Seq[String] = {
+    // boundary pad, then '_' for spaces so downstream whitespace
+    // tokenization can't split a gram
+    val padded = ("_" + text.toLowerCase.replace(' ', '_') + "_")
+    if (padded.length < n) Seq(padded)
+    else (0 to padded.length - n).map(i => padded.substring(i, i + n))
+  }
+
+  override def embed(df: DataFrame, textCol: Column, outCol: String): DataFrame = {
+    // reuse the executor-side hash_embed over space-joined trigrams so both
+    // embedders share one audited normalization/hash path
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gramUdf = udf((s: String) =>
+      if (s == null) null else grams(s).mkString(" "))
+    df.withColumn(outCol, GraftFunctions.hashEmbed(gramUdf(textCol), dim))
+  }
+
+  override def embedQuery(text: String): Seq[Float] = {
+    val a = VectorOps.hashEmbed(grams(text).mkString(" "), dim)
+    (0 until dim).map(a.getFloat)
+  }
+}
+
 /** Semantic search over the warehouse (SURVEY V1, `src/semantic_search.py`).
   *
   * Faithful to the reference's *actual* execution: a brute-force scored

@@ -67,6 +67,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!j.contains((4L, 5L)))
   }
 
+  test("nearDupClusters resolves transitive chains to one keeper") {
+    // A~B and B~C but never A~C directly: pairwise dropping would keep C
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
   test("embeddingNearDup finds identical embeddings via LSH buckets") {
     val vecs = Seq(
       (1L, Seq.fill(16)(0.5f)),

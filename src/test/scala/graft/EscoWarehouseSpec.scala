@@ -65,6 +65,14 @@ class EscoWarehouseSpec extends AnyFunSuite {
     assert(edgeCounts("PART_OF_ISCOGROUP") == 3039L)
   }
 
+  test("ingest is idempotent: rebuilding yields identical tables") {
+    val again = EscoWarehouse.build(spark, escoDir)
+    assert(again.occupations.count() == wh.occupations.count())
+    assert(again.broaderSkill.exceptAll(wh.broaderSkill).isEmpty)
+    assert(wh.broaderSkill.exceptAll(again.broaderSkill).isEmpty)
+    assert(again.partOfIscoGroup.exceptAll(wh.partOfIscoGroup).isEmpty)
+  }
+
   test("save/load round-trip") {
     val dir = Files.createTempDirectory("graft-wh").toString
     EscoWarehouse.save(wh, dir)

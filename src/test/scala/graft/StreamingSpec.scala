@@ -114,6 +114,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == viaSql)
   }
 
+  test("stream-stream interval join equals its batch computation") {
+    import org.apache.spark.sql.streaming.Trigger
+    val mkStream = () => EventStreams.readEventStream(spark, eventsDir, "1 hour")
+    val views = mkStream().filter(col("event_type") === "view")
+    val purchases = mkStream().filter(col("event_type") === "purchase")
+    // stream-stream joins emit in append mode; aggregate the sink table
+    val joined = EventStreams.intervalJoin(views, purchases, "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj")
+      .groupBy(col("l_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStreams.normalize(spark.read.parquet(eventsDir))
+    val expected = EventStreams.intervalJoin(
+        batch.filter(col("event_type") === "view"),
+        batch.filter(col("event_type") === "purchase"), "30 minutes")
+      .groupBy(col("l_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("multimodal: deterministic fake decode through real partition plumbing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
