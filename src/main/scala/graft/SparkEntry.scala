@@ -914,6 +914,19 @@ object SparkEntry {
         .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("csize"))
     }),
+    // sketch aggregates: the 100 TB observability path (exact distinct /
+    // quantiles don't scale; HLL + KLL-style approximations do). Rows-only
+    // (sketch internals differ between engines); accuracy pinned in
+    // SketchAccuracySpec instead.
+    "sk01_approx_stats" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("event_type"))
+    }),
     "g05_betweenness" -> ((s, dir) => {
       val edges = hierarchyEdges(s, dir)
       graft.operators.Betweenness.approx(edges, k = 8, seed = 42L, maxDepth = 6)

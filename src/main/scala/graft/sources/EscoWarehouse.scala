@@ -221,6 +221,17 @@ object EscoWarehouse {
       df.write.mode("overwrite").parquet(s"$dir/$n")
     }
 
+  /** Keyed upsert for incremental re-runs (the reference's MERGE semantics
+    * when the warehouse is NOT rebuilt from empty): incoming rows replace
+    * existing rows with the same key; unseen keys are appended. One
+    * outer-shuffle-free plan when both sides are bucketed on the key. */
+  def upsertNodes(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val cols = existing.columns
+    incoming.select(cols.map(col): _*)
+      .unionByName(
+        existing.join(incoming.select(col(key)), Seq(key), "left_anti"))
+  }
+
   /** Bucketed persistence: node and edge tables bucketed (and sorted) on
     * their join keys so edge⋈node joins run WITHOUT a shuffle exchange —
     * the on-disk co-location strategy for the 100 TB deployment (SCALING.md
