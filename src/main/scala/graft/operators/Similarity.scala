@@ -163,14 +163,11 @@ object Similarity {
       var cents = centroids(corpus, idCol, vecCol, nCells)
       for (_ <- 1 to iters) {
         val assigned = assignCells(corpus, idCol, vecCol, cents)
+        // element-wise mean via the VectorAvg UDAF: one hash aggregation,
+        // no dim× posexplode shuffle
         val means = assigned
-          .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(avg(col("v")).as("m"))
           .groupBy(col("cell"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m").cast("float")).as("mean"))
+          .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("mean"))
         val norm = aggregate(col("mean"), lit(0.0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))
         val updated = means

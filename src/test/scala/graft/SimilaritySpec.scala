@@ -75,6 +75,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == exact, s"nProbe=1 recall loss: ${exact.diff(ivf)}")
   }
 
+  test("VectorAvg aggregator: element-wise mean, merge-safe, empty-group safe") {
+    import graft.functions.VectorAvg
+    val df = Seq(
+      ("a", Seq(1f, 2f, 3f)), ("a", Seq(3f, 4f, 5f)),
+      ("b", Seq(10f, 20f, 30f))
+    ).toDF("g", "v").repartition(4) // force partial buffers + merge
+    val out = df.groupBy("g").agg(VectorAvg.vectorAvg(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(out("a") == Seq(2f, 3f, 4f))
+    assert(out("b") == Seq(10f, 20f, 30f))
+  }
+
   test("IVF probe returns k rows including the self-match at full probe") {
     val cents = Similarity.Ivf.centroids(corpus, "id", "vec", nCells = 8)
     assert(cents.count() == 8)
