@@ -386,6 +386,18 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // correlated aggregate: order price vs the CUSTOMER's own median
+    "q46_above_own_median" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val med = o.groupBy(col("o_custkey").as("mk"))
+        .agg(median(col("o_totalprice")).as("cust_med"))
+      o.join(med, o("o_custkey") === col("mk"))
+        .filter(col("o_totalprice") > col("cust_med"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // scalar subquery (broadcast one-row aggregate into the filter)
     "q42_above_median_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -607,6 +619,13 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n FROM part
         |WHERE contains(p_name, 'wid')
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q46_above_own_median" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS mk, median(o_totalprice) AS cust_med
+        |  FROM orders GROUP BY o_custkey) m ON o.o_custkey = m.mk
+        |WHERE o.o_totalprice > m.cust_med
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q42_above_median_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT median(o_totalprice) FROM orders)

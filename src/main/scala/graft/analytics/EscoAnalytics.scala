@@ -128,6 +128,26 @@ object EscoAnalytics {
       .orderBy(col("depth"))
   }
 
+  /** SkillGroup hierarchy depth distribution (G1 second instance,
+    * `analysis_queries.md:107-110`) over the skill pillar. */
+  def skillHierarchyDepths(wh: EscoWarehouse): DataFrame = {
+    val dict = Vertices.dictionary(
+      wh.broaderSkill.select(col("parentUri").as("k"))
+        .unionByName(wh.broaderSkill.select(col("childUri").as("k"))), "k")
+    val edges = wh.broaderSkill
+      .join(dict.withColumnRenamed("key", "parentUri"), Seq("parentUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "childUri"), Seq("childUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    val roots = edges.select(col("src").as("id")).distinct()
+      .join(edges.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+    GraphOps.varLengthPaths(edges, roots, maxDepth = 12)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("nodes"), sum(col("n_paths")).as("paths"))
+      .orderBy(col("depth"))
+  }
+
   /** Undirected shortest path length between two skills by label (G2,
     * `analysis_queries.md:138-141`). */
   def shortestPathBetweenSkills(

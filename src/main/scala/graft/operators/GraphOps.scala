@@ -53,7 +53,13 @@ object GraphOps {
   /** Variable-length path enumeration with Cypher `-[:T*]->` semantics:
     * one row per (root, node, depth) with the number of distinct paths —
     * path-counting, not reachable-pair, semantics (SURVEY §7.4.2).
-    * Returns (root, id, depth, n_paths), depth >= 1. */
+    * Returns (root, id, depth, n_paths), depth >= 1.
+    *
+    * DAG semantics: Cypher's `*` additionally enforces per-path
+    * relationship uniqueness, which only matters on cyclic graphs; the
+    * reference's hierarchies are DAGs (SURVEY G1) where the two semantics
+    * coincide. On cyclic input this operator enumerates walks up to
+    * maxDepth — bounded, but a documented divergence. */
   def varLengthPaths(
       edges: DataFrame,
       roots: DataFrame,
