@@ -53,7 +53,7 @@ object Louvain {
       .localCheckpoint()
 
     var level = 0
-    var done = false
+    var done = adj.isEmpty // empty graph: nothing to move, empty membership
     while (level < levels && !done) {
       val comm = oneLevel(adj, sweepsPerLevel)
       membership = membership

@@ -227,7 +227,8 @@ object EscoWarehouse {
     * outer-shuffle-free plan when both sides are bucketed on the key. */
   def upsertNodes(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
     val cols = existing.columns
-    incoming.select(cols.map(col): _*)
+    incoming.dropDuplicates(key) // uniqueness constraint holds post-upsert
+      .select(cols.map(col): _*)
       .unionByName(
         existing.join(incoming.select(col(key)), Seq(key), "left_anti"))
   }

@@ -45,6 +45,11 @@ class LouvainSpec extends AnyFunSuite {
     assert(comm.values.toSet.size == 3, s"expected 3 communities: $comm")
   }
 
+  test("empty edge set yields empty membership (no crash)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Louvain.run(empty).isEmpty)
+  }
+
   test("deterministic across runs") {
     val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
       .toDF("src", "dst")
