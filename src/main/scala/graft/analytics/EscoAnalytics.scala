@@ -92,6 +92,43 @@ object EscoAnalytics {
       .limit(k)
   }
 
+  /** Occupation co-occurrence: pairs sharing essential skills (the J4
+    * self-join mirrored to the occupation side, `analysis_queries.md:
+    * 156-170` family). */
+  def occupationCooccurrence(wh: EscoWarehouse, k: Int = 20): DataFrame = {
+    val e = wh.essentialFor
+    val pairs = e.select(col("occupationUri").as("o1"), col("skillUri"))
+      .join(e.select(col("occupationUri").as("o2"),
+        col("skillUri").as("s2")),
+        col("skillUri") === col("s2") && col("o1") < col("o2"))
+      .groupBy(col("o1"), col("o2"))
+      .agg(count(lit(1)).as("shared_skills"))
+    val labels = wh.occupations.select(col("conceptUri"), col("preferredLabel"))
+    pairs
+      .join(labels.select(col("conceptUri").as("o1"),
+        col("preferredLabel").as("occupation1")), Seq("o1"))
+      .join(labels.select(col("conceptUri").as("o2"),
+        col("preferredLabel").as("occupation2")), Seq("o2"))
+      .orderBy(desc("shared_skills"), col("o1"), col("o2"))
+      .limit(k)
+  }
+
+  /** Skills essential to occupations of one ISCO group (3-hop chain
+    * ISCO → occupation → skill, `analysis_queries.md:424-432` family). */
+  def skillsForIscoGroup(wh: EscoWarehouse, iscoCode: String, k: Int = 20): DataFrame = {
+    val group = wh.iscoGroups.filter(col("code") === iscoCode)
+      .select(col("conceptUri").as("iscoUri"))
+    wh.partOfIscoGroup
+      .join(group, Seq("iscoUri"), "left_semi")
+      .join(wh.essentialFor, Seq("occupationUri"))
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel")), Seq("skillUri"))
+      .groupBy(col("skillUri"), col("preferredLabel"))
+      .agg(countDistinct(col("occupationUri")).as("occupation_count"))
+      .orderBy(desc("occupation_count"), col("skillUri"))
+      .limit(k)
+  }
+
   /** Skills shared between two occupations by label (J5,
     * `analysis_queries.md:156-160`). */
   def sharedSkills(wh: EscoWarehouse, occLabel1: String, occLabel2: String): DataFrame = {

@@ -20,6 +20,7 @@ import graft.vector.{HashingEmbedder, SemanticSearch}
   *   search    <warehouseDir> <query> [--type skill|occupation|both]
   *             [--threshold 0.5] [--limit 10] [--json]
   *   analyze   <warehouseDir> <queryName>
+  *   curate    <documentsParquet> <outDir>
   *   translate <warehouseDir> <property>
   */
 object EscoCli {
@@ -87,6 +88,18 @@ object EscoCli {
       }
       printTable(df)
 
+    case "curate" :: docsParquet :: outDir :: Nil =>
+      val docs = spark.read.parquet(docsParquet)
+      val (curated, dropped) = graft.operators.Curation.curate(
+        docs, "doc_id", "text",
+        graft.operators.Curation.Config(keepLangs =
+          Seq("en", "fr", "es", "de", "und")))
+      curated.write.mode("overwrite").parquet(s"$outDir/curated")
+      dropped.write.mode("overwrite").parquet(s"$outDir/dropped")
+      val stats = dropped.groupBy(col("drop_reason")).count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+      println(s"kept=${spark.read.parquet(s"$outDir/curated").count()} dropped: $stats")
+
     case "translate" :: whDir :: property :: Nil =>
       val wh = EscoWarehouse.load(spark, whDir)
       val translated = Translate.translateProperty(
@@ -101,7 +114,11 @@ object EscoCli {
         """usage:
           |  ingest    <escoCsvDir> <warehouseDir>
           |  search    <warehouseDir> <query> [--type T] [--threshold X] [--limit N] [--json]
-          |  analyze   <warehouseDir> <queryName>
+          |  analyze   <warehouseDir> <queryName>   (node-counts rel-counts
+          |            top-essential-skills top-optional-skills top-occupations
+          |            isco-most-occupations skill-cooccurrence isco-depths
+          |            communities communities-louvain betweenness pagerank)
+          |  curate    <documentsParquet> <outDir>
           |  translate <warehouseDir> <property>""".stripMargin)
       sys.exit(2)
   }

@@ -45,18 +45,19 @@ object Curation {
           .when(col("quality") < cfg.minQuality, "low_quality")
           .when(!col("lang_guess").isin(cfg.keepLangs: _*), "language"))
 
-    // reused by three downstream branches (keep-join, near-dup mining,
-    // drop-report) — persist so the annotate scan runs once
-    val passing = reasons.filter(col("drop_reason").isNull).drop("drop_reason")
+    // exact dedup in ONE shuffle: rank within fingerprint groups (keeper =
+    // smallest id); the ranked frame feeds both the survivors and the
+    // drop-report, persisted once for the downstream branches
+    val ranked = reasons
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint"), col("drop_reason").isNull)
+          .orderBy(col(idCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact dedup: keep the smallest id per fingerprint
-    val keep = passing.groupBy(col("fingerprint"))
-      .agg(min(col(idCol)).as("__keep_id"))
-    val exactDeduped = passing
-      .join(keep, Seq("fingerprint"))
-      .filter(col(idCol) === col("__keep_id"))
-      .drop("__keep_id")
+    val passing = ranked.filter(col("drop_reason").isNull)
+    val exactDeduped = passing.filter(col("__rn") === 1)
+      .drop("__rn", "drop_reason")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near dedup: drop the larger id of any candidate pair over threshold
@@ -67,11 +68,10 @@ object Curation {
     val nearDropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
     val curated = exactDeduped.join(nearDropIds, Seq(idCol), "left_anti")
 
-    val dropped = reasons.filter(col("drop_reason").isNotNull)
+    val dropped = ranked.filter(col("drop_reason").isNotNull)
       .select(col(idCol), col("drop_reason"))
       .unionByName(
-        passing.join(keep, Seq("fingerprint"))
-          .filter(col(idCol) =!= col("__keep_id"))
+        passing.filter(col("__rn") > 1)
           .select(col(idCol), lit("exact_duplicate").as("drop_reason")))
       .unionByName(
         nearDropIds.select(col(idCol), lit("near_duplicate").as("drop_reason")))

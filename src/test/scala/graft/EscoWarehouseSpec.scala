@@ -200,6 +200,20 @@ class EscoFixtureSpec extends AnyFunSuite {
       pairs.head.getAs[String]("skill2")) == Set("manage data", "communicate"))
   }
 
+  test("occupationCooccurrence mirrors the skill-side self-join") {
+    val pairs = graft.analytics.EscoAnalytics.occupationCooccurrence(wh).collect()
+    // occ/1 and occ/2 share exactly skill/1
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("shared_skills") == 1L)
+  }
+
+  test("skillsForIscoGroup: 3-hop ISCO → occupation → skill chain") {
+    val skills = graft.analytics.EscoAnalytics.skillsForIscoGroup(wh, "1234")
+      .collect().map(r => r.getString(1) -> r.getAs[Long]("occupation_count")).toMap
+    assert(skills("manage data") == 2L)
+    assert(skills("communicate") == 1L)
+  }
+
   test("sharedSkills (J5 intersection) between the two occupations") {
     val shared = graft.analytics.EscoAnalytics
       .sharedSkills(wh, "data engineer", "data analyst").collect()
