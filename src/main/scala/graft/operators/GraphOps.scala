@@ -188,6 +188,43 @@ object GraphOps {
       .toDF("id", "component")
   }
 
+  /** Relational connected components: min-label propagation to fixpoint —
+    * the shuffle-transparent alternative to the GraphX/Pregel version
+    * (same output contract: component id = min vertex id). Each round is
+    * one join + one aggregation over the symmetric edge set; rounds are
+    * O(diameter). Preferable where the GraphX materialization cost
+    * dominates (short chains of relational work before/after) or where
+    * RDD caching pressure is unwanted. */
+  def connectedComponentsRelational(
+      edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "ncomp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"),
+          (col("nmin") < col("component")).as("moved"))
+        .localCheckpoint()
+      changed = updated.filter(col("moved")).count()
+      labels = updated.drop("moved")
+      iter += 1
+    }
+    labels
+  }
+
   /** Label propagation communities (LPA, `iters` supersteps) → (id, label).
     * Stands in for the reference's GDS Louvain (SURVEY G5 divergence). */
   def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {

@@ -82,6 +82,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(cc(1L) != cc(10L))
   }
 
+  test("relational CC equals GraphX CC on random graphs (2 seeds)") {
+    for (seed <- Seq(4, 9)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).toDF("src", "dst")
+      val viaGraphX = GraphOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaSql = GraphOps.connectedComponentsRelational(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSql == viaGraphX, s"seed=$seed")
+    }
+  }
+
   test("labelPropagation returns a label per vertex") {
     val lp = GraphOps.labelPropagation(diamond, iters = 3).collect()
     assert(lp.length == 5)
