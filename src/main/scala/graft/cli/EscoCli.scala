@@ -16,7 +16,7 @@ import graft.vector.{HashingEmbedder, SemanticSearch}
   * (`src/esco_cli.py:92-94`). All heavy lifting stays in the library.
   *
   * Usage:
-  *   ingest    <escoCsvDir> <warehouseDir>
+  *   ingest    <escoCsvDir> <warehouseDir> [--embed]
   *   search    <warehouseDir> <query> [--type skill|occupation|both]
   *             [--threshold 0.5] [--limit 10] [--json]
   *   analyze   <warehouseDir> <queryName>
@@ -32,9 +32,14 @@ object EscoCli {
   }
 
   private[cli] def run(spark: SparkSession, args: List[String]): Unit = args match {
-    case "ingest" :: escoDir :: whDir :: Nil =>
+    case "ingest" :: escoDir :: whDir :: rest =>
+      val opts = parseOpts(rest)
       val wh = EscoWarehouse.build(spark, escoDir)
       EscoWarehouse.save(wh, whDir)
+      // reference ingest ends with embedding generation
+      // (src/esco_ingest.py:410-412); one columnar pass here
+      if (opts.contains("embed"))
+        new SemanticSearch(wh, new HashingEmbedder()).persistIndex(whDir)
       val counts = Seq(
         "skills" -> wh.skills.count(),
         "occupations" -> wh.occupations.count(),
@@ -112,7 +117,7 @@ object EscoCli {
     case _ =>
       System.err.println(
         """usage:
-          |  ingest    <escoCsvDir> <warehouseDir>
+          |  ingest    <escoCsvDir> <warehouseDir> [--embed]
           |  search    <warehouseDir> <query> [--type T] [--threshold X] [--limit N] [--json]
           |  analyze   <warehouseDir> <queryName>   (node-counts rel-counts
           |            top-essential-skills top-optional-skills top-occupations
@@ -126,6 +131,7 @@ object EscoCli {
   private def parseOpts(rest: List[String]): Map[String, String] = {
     def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {
       case "--json" :: t => loop(t, acc + ("json" -> "true"))
+      case "--embed" :: t => loop(t, acc + ("embed" -> "true"))
       case "--related" :: t => loop(t, acc + ("related" -> "true"))
       case "--profile-search" :: t => loop(t, acc + ("profile-search" -> "true"))
       case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.drop(2) -> v))
