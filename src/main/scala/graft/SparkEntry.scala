@@ -218,11 +218,14 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // A4 collect_set with canonical (sorted) ordering
+    // A4 collect_set with canonical (sorted) ordering, emitted as a joined
+    // scalar so the result frame carries only hashable columns.
     "q16_nation_segments" -> ((s, dir) => {
       t(s, dir, "customer")
         .groupBy(col("c_nationkey"))
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        .agg(
+          array_join(sort_array(collect_set(col("c_mktsegment"))), "|")
+            .as("segments"),
           count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"))
     }),
@@ -367,11 +370,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
-    // A3 collect_list (canonicalized) per group
+    // A3 collect_list (canonicalized) per group, joined to a scalar string
     "q40_customer_orderkeys" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(col("o_orderkey"))),
+              x => x.cast("string")),
+            "|").as("orderkeys"),
           count(lit(1)).as("n"))
         .filter(col("n") >= 12L)
         .orderBy(col("o_custkey"))
@@ -437,12 +444,18 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
-    // A5 shape: sorted set of structs per group
+    // A5/F8 shape: sorted set of structs per group; the struct collect stays
+    // in the plan, then each struct is rendered "p=<v>" and joined so the
+    // output column is a plain string.
     "q36_status_priority_structs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(sort_array(collect_set(struct(col("o_orderpriority").as("p"))))
-          .as("priorities"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_set(struct(col("o_orderpriority").as("p")))),
+              x => concat(lit("p="), x.getField("p"))),
+            "|").as("priorities"))
         .orderBy(col("o_orderstatus"))
     })
   )
@@ -528,7 +541,8 @@ object SparkEntry {
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q16_nation_segments" ->
-      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      """SELECT c_nationkey,
+        | array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
         | COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q17_events_hourly" ->
@@ -609,10 +623,14 @@ object SparkEntry {
         |FROM events GROUP BY dow ORDER BY dow""".stripMargin,
     "q36_status_priority_structs" ->
       """SELECT o_orderstatus,
-        | list_sort(list(DISTINCT {'p': o_orderpriority})) AS priorities
+        | array_to_string(
+        |   list_transform(list_sort(list(DISTINCT o_orderpriority)),
+        |                  x -> 'p=' || x), '|') AS priorities
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q40_customer_orderkeys" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, COUNT(*) AS n
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(o_orderkey)), '|') AS orderkeys,
+        | COUNT(*) AS n
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
     "q41_contains_filter" ->
