@@ -457,6 +457,33 @@ object SparkEntry {
               x => concat(lit("p="), x.getField("p"))),
             "|").as("priorities"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // OPTIONAL-MATCH degree ranking (the `analysis_queries.md:25-32` shape
+    // over driver tables): every part keeps a row, zero-degree included —
+    // pre-aggregated fact side left-joined to the dimension, coalesce 0.
+    "q47_part_degree_ranking" -> ((s, dir) => {
+      val refs = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(count(lit(1)).as("n_refs"))
+      t(s, dir, "part").select(col("p_partkey"))
+        .join(refs, Seq("p_partkey"), "left_outer")
+        .withColumn("n_refs", coalesce(col("n_refs"), lit(0L)))
+        .orderBy(desc("n_refs"), col("p_partkey"))
+    }),
+
+    // transferable-skills shape (`analysis_queries.md:115-121`): 2-hop
+    // chain then count DISTINCT terminal group — part → order → customer
+    // nation, dimension joins broadcast, one distinct-count shuffle.
+    "q48_part_nation_reach" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy(desc("n_nations"), col("l_partkey"))
     })
   )
 
@@ -637,6 +664,16 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n FROM part
         |WHERE contains(p_name, 'wid')
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q47_part_degree_ranking" ->
+      """SELECT p_partkey, COUNT(l_orderkey) AS n_refs
+        |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY p_partkey ORDER BY n_refs DESC, p_partkey""".stripMargin,
+    "q48_part_nation_reach" ->
+      """SELECT l_partkey, COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY l_partkey ORDER BY n_nations DESC, l_partkey""".stripMargin,
     "q46_above_own_median" ->
       """SELECT o_orderstatus, COUNT(*) AS n
         |FROM orders o JOIN (

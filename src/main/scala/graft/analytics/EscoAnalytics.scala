@@ -28,6 +28,54 @@ object EscoAnalytics {
       .groupBy(col("relType")).agg(count(lit(1)).as("count"))
       .orderBy(desc("count"), col("relType"))
 
+  /** Top skills by TOTAL outgoing relationship count, zero-degree skills
+    * included (`analysis_queries.md:25-32`: `MATCH (s:Skill) OPTIONAL MATCH
+    * (s)-[r]->()`). The OPTIONAL MATCH becomes a left join against the
+    * pre-aggregated degree frame with a coalesce-to-0 — skills with no
+    * outgoing edge keep a row, exactly like the Cypher. One shuffle on the
+    * edge table's srcUri; the node side is dimension-sized and broadcast. */
+  def topSkillsByRelationships(wh: EscoWarehouse, k: Int = 20): DataFrame = {
+    val outDegrees = wh.allEdges
+      .groupBy(col("srcUri").as("conceptUri"))
+      .agg(count(lit(1)).as("relationship_count"))
+    wh.skills.select(col("conceptUri"), col("preferredLabel"))
+      .join(outDegrees, Seq("conceptUri"), "left_outer")
+      .withColumn("relationship_count",
+        coalesce(col("relationship_count"), lit(0L)))
+      .orderBy(desc("relationship_count"), col("conceptUri"))
+      .limit(k)
+  }
+
+  /** Skill groups with the most (narrower) skills
+    * (`analysis_queries.md:95-101`: `MATCH (sg:SkillGroup)-[:BROADER_THAN]->
+    * (s:Skill)`). BROADER_THAN is ingested parent→child (reference
+    * `src/esco_ingest.py:183`), so this counts each group's children; by Q1
+    * dual-labeling, children that are themselves groups match `:Skill` and
+    * count too. */
+  def skillGroupsWithMostSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.broaderSkill
+      .join(wh.skills.filter(col("isSkillGroup"))
+        .select(col("conceptUri").as("parentUri"), col("preferredLabel")),
+        Seq("parentUri"))
+      .groupBy(col("parentUri").as("conceptUri"), col("preferredLabel"))
+      .agg(count(lit(1)).as("skill_count"))
+      .orderBy(desc("skill_count"), col("conceptUri"))
+      .limit(k)
+
+  /** Transferable skills: essential across the most distinct ISCO groups
+    * (`analysis_queries.md:115-121`): skill →ESSENTIAL_FOR→ occupation
+    * →PART_OF_ISCOGROUP→ group, `count(DISTINCT group)`. Two broadcast-able
+    * dimension joins then one distinct-count shuffle keyed on skillUri. */
+  def transferableSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.essentialFor
+      .join(wh.partOfIscoGroup, Seq("occupationUri"))
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel")), Seq("skillUri"))
+      .groupBy(col("skillUri"), col("preferredLabel"))
+      .agg(countDistinct(col("iscoUri")).as("isco_group_count"))
+      .orderBy(desc("isco_group_count"), col("skillUri"))
+      .limit(k)
+
   /** Top skills by number of occupations requiring them essentially
     * (`analysis_queries.md:37-41`). */
   def topEssentialSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
@@ -52,6 +100,18 @@ object EscoAnalytics {
   /** Occupations with the most essential skills (`analysis_queries.md:57-61`). */
   def topOccupationsByEssentialSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
     wh.essentialFor
+      .join(wh.occupations.select(col("conceptUri").as("occupationUri"),
+        col("preferredLabel")), Seq("occupationUri"))
+      .groupBy(col("occupationUri"), col("preferredLabel"))
+      .agg(count(lit(1)).as("skill_count"))
+      .orderBy(desc("skill_count"), col("occupationUri"))
+      .limit(k)
+
+  /** Occupations with the most OPTIONAL skills
+    * (`analysis_queries.md:64-70`) — the optional mirror of
+    * [[topOccupationsByEssentialSkills]]. */
+  def topOccupationsByOptionalSkills(wh: EscoWarehouse, k: Int = 20): DataFrame =
+    wh.optionalFor
       .join(wh.occupations.select(col("conceptUri").as("occupationUri"),
         col("preferredLabel")), Seq("occupationUri"))
       .groupBy(col("occupationUri"), col("preferredLabel"))
@@ -111,6 +171,75 @@ object EscoAnalytics {
         col("preferredLabel").as("occupation2")), Seq("o2"))
       .orderBy(desc("shared_skills"), col("o1"), col("o2"))
       .limit(k)
+  }
+
+  /** Occupations related to ONE anchor through directly shared essential
+    * skills, with the connecting skills collected
+    * (`analysis_queries.md:155-161`): anchor ←ESSENTIAL_FOR– skill
+    * –ESSENTIAL_FOR→ other. The anchor side is a 1-row broadcast; the
+    * grouped collect shuffles on the related-occupation uri only. */
+  def relatedOccupationsDirect(wh: EscoWarehouse, occLabel: String): DataFrame = {
+    val anchor = wh.occupations
+      .filter(col("preferredLabel") === occLabel)
+      .select(col("conceptUri").as("occupationUri"),
+        col("preferredLabel").as("source_occupation"))
+    val anchorSkills = wh.essentialFor
+      .join(broadcast(anchor), Seq("occupationUri"))
+      .select(col("skillUri"), col("occupationUri").as("anchorUri"),
+        col("source_occupation"))
+    anchorSkills
+      .join(wh.essentialFor.withColumnRenamed("occupationUri", "otherUri"),
+        Seq("skillUri"))
+      .filter(col("otherUri") =!= col("anchorUri")) // WHERE o1 <> o2
+      .join(wh.skills.select(col("conceptUri").as("skillUri"),
+        col("preferredLabel").as("skill")), Seq("skillUri"))
+      .join(wh.occupations.select(col("conceptUri").as("otherUri"),
+        col("preferredLabel").as("related_occupation")), Seq("otherUri"))
+      .groupBy(col("source_occupation"), col("otherUri"),
+        col("related_occupation"))
+      .agg(sort_array(collect_set(col("skill"))).as("connecting_skills"))
+      .withColumn("connection_type", lit("Direct"))
+      .withColumn("n_connecting", size(col("connecting_skills")))
+      .orderBy(desc("n_connecting"), col("otherUri"))
+      .drop("otherUri", "n_connecting")
+  }
+
+  /** Occupations related to ONE anchor through the RELATED_SKILL bridge
+    * (`analysis_queries.md:163-170`): anchor ←ESSENTIAL_FOR– s1
+    * –RELATED_SKILL– s2 –ESSENTIAL_FOR→ other, undirected middle hop,
+    * source and target skills collected separately. */
+  def relatedOccupationsViaRelatedSkills(
+      wh: EscoWarehouse, occLabel: String): DataFrame = {
+    val anchor = wh.occupations
+      .filter(col("preferredLabel") === occLabel)
+      .select(col("conceptUri").as("occupationUri"),
+        col("preferredLabel").as("source_occupation"))
+    val undirected = wh.relatedSkill.select(col("srcUri"), col("dstUri"))
+      .unionByName(wh.relatedSkill.select(col("dstUri").as("srcUri"),
+        col("srcUri").as("dstUri")))
+    val skillLabels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
+    wh.essentialFor // anchor's skills s1
+      .join(broadcast(anchor), Seq("occupationUri"))
+      .select(col("skillUri").as("s1"), col("occupationUri").as("anchorUri"),
+        col("source_occupation"))
+      .join(undirected.select(col("srcUri").as("s1"), col("dstUri").as("s2")),
+        Seq("s1"))
+      .join(wh.essentialFor.select(col("skillUri").as("s2"),
+        col("occupationUri").as("otherUri")), Seq("s2"))
+      .filter(col("otherUri") =!= col("anchorUri")) // WHERE o1 <> o2
+      .join(skillLabels.select(col("conceptUri").as("s1"),
+        col("preferredLabel").as("source_skill")), Seq("s1"))
+      .join(skillLabels.select(col("conceptUri").as("s2"),
+        col("preferredLabel").as("target_skill")), Seq("s2"))
+      .join(wh.occupations.select(col("conceptUri").as("otherUri"),
+        col("preferredLabel").as("related_occupation")), Seq("otherUri"))
+      .groupBy(col("source_occupation"), col("otherUri"),
+        col("related_occupation"))
+      .agg(sort_array(collect_set(col("source_skill"))).as("source_skills"),
+        sort_array(collect_set(col("target_skill"))).as("target_skills"))
+      .withColumn("connection_type", lit("Indirect"))
+      .orderBy(col("otherUri"))
+      .drop("otherUri")
   }
 
   /** Skills essential to occupations of one ISCO group (3-hop chain
