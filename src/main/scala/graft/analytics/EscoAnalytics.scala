@@ -516,6 +516,9 @@ object EscoAnalytics {
       .filter(col("preferredLabel").contains(skillLabelContains)) // P7
       .select(col("embedding").as("anchor_vec"),
         col("conceptUri").as("anchor_uri"))
+      // total order before LIMIT: several labels can contain the substring
+      // and an unordered limit(1) is partition-order-dependent
+      .orderBy(col("anchor_uri"))
       .limit(1)
     val similar = indexed
       .crossJoin(broadcast(anchor))

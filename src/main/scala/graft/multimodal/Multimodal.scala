@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side design is real and tested: schema, partition-sized
   * batching, executor-side decoder state, feature vectors ready for the
-  * similarity operators. The DECODE ITSELF IS A DETERMINISTIC STUB
-  * (`FakeDecoder`) — this container has no image/audio codecs; a real
-  * decoder (JavaCV, TwelveMonkeys, ONNX vision encoder) implements the
-  * same `MediaDecoder` trait and nothing else changes.
+  * similarity operators. Image decode is REAL ([[ImageIODecoder]], JDK
+  * `javax.imageio` — PNG/JPEG/GIF/BMP, no external dependency); bytes no
+  * reader understands (audio/video, corrupt payloads) fall back to the
+  * deterministic [[FakeDecoder]] so decode stays total. A heavier codec
+  * (JavaCV, TwelveMonkeys, ONNX vision encoder) implements the same
+  * `MediaDecoder` trait and nothing else changes.
   */
 final case class MediaMeta(kind: String, width: Int, height: Int, sizeBytes: Long)
 
@@ -80,9 +82,11 @@ object Multimodal {
       }
   }
 
-  /** Full pipeline: payload → features → similarity-ready embedding table. */
+  /** Full pipeline: payload → features → similarity-ready embedding table.
+    * Default decoder tries real image decode first, falls back to the
+    * deterministic stub for non-image bytes. */
   def featureTable(df: DataFrame, idCol: String, textCol: String,
-      kind: String, decoder: MediaDecoder = new FakeDecoder): DataFrame =
+      kind: String, decoder: MediaDecoder = new ImageIODecoder): DataFrame =
     extractFeatures(withBinaryPayload(df, textCol, kind), idCol, decoder)
       .toDF()
 }

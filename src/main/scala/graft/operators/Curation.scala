@@ -31,13 +31,25 @@ object Curation {
 
   /** Full pipeline. Returns the surviving documents with annotations and
     * a `drop_reason` view of what was removed (for pipeline observability
-    * — silent filtering is how corpora rot). */
+    * — silent filtering is how corpora rot).
+    *
+    * The text is tokenized/shingled in ONE scan: the MinHash signature
+    * (`cfg.minhashHashes` ints — small enough to carry) is computed next
+    * to the annotation columns, so the near-dup stage banding-joins the
+    * persisted signature instead of re-reading and re-shingling text.
+    * Near-dup drops are TRANSITIVE: candidate pairs → connected-component
+    * clusters → keep each cluster's min id ([[Dedup.nearDupClusters]]) —
+    * pairwise dropping keeps {1,3} of a {1~5, 3~5} chain where the cluster
+    * policy keeps only {1}. */
   def curate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val annotated = annotate(docs, idCol, textCol)
+      .withColumn("__sig", graft.GraftFunctions.minhashFromHashes(
+        graft.GraftFunctions.ngramHashes(tokens(col(textCol)), 3),
+        cfg.minhashHashes))
 
     val reasons = annotated
       .withColumn("drop_reason",
@@ -55,18 +67,22 @@ object Curation {
           .orderBy(col(idCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // derived from the cached `ranked` on each use — a second full-frame
+    // persist would re-serialize all the text for a pair of cheap filters
     val passing = ranked.filter(col("drop_reason").isNull)
     val exactDeduped = passing.filter(col("__rn") === 1)
       .drop("__rn", "drop_reason")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // near dedup: drop the larger id of any candidate pair over threshold
-    val nearPairs = Dedup.minhashCandidates(
-      exactDeduped, idCol, textCol,
+    // near dedup over the carried signature; transitive cluster resolution
+    val nearPairs = Dedup.minhashCandidatesFromSigs(
+      exactDeduped.select(col(idCol).as("id"), col("__sig").as("sig")),
       numHashes = cfg.minhashHashes, bands = cfg.minhashBands)
       .filter(col("est_jaccard") >= cfg.nearDupJaccard)
-    val nearDropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
+    val nearDropIds = Dedup.nearDupClusters(nearPairs)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
     val curated = exactDeduped.join(nearDropIds, Seq(idCol), "left_anti")
+      .drop("__sig")
 
     val dropped = ranked.filter(col("drop_reason").isNotNull)
       .select(col(idCol), col("drop_reason"))

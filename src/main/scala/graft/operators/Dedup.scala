@@ -29,7 +29,11 @@ object Dedup {
     * hashing). No-op when the input is already parallel enough. */
   private[operators] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd reads the partition count off the prepared physical plan
+    // without the row-encoding layer df.rdd would add
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Exact duplicate groups by content digest.
@@ -62,14 +66,33 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       nGram: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
+      numHashes, bands, maxBucketSize)
+
+  /** The signature column alone: (id, sig). Exposed so a composed pipeline
+    * (e.g. [[Curation.curate]]) can compute the signature in the SAME scan
+    * as its other per-document columns instead of re-tokenizing later. */
+  def minhashSignature(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      nGram: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashFromHashes(
+        ngramHashes(tokens(col(textCol)), nGram), numHashes).as("sig"))
+
+  /** LSH banding + candidate estimation over precomputed (id, sig) rows —
+    * the second half of [[minhashCandidates]]. */
+  def minhashCandidatesFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-
-    val sigs = ensureParallelism(df)
-      .select(col(idCol).as("id"),
-        minhashFromHashes(
-          ngramHashes(tokens(col(textCol)), nGram), numHashes).as("sig"))
 
     val bandStructs = (0 until bands).map { b =>
       struct(
@@ -102,11 +125,13 @@ object Dedup {
     * (filtered to the confidence threshold), `simhashNearDup`, etc. */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    GraphOps.connectedComponents(edges)
-      .groupBy(col("component"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id"),
-        array_min(col("ids")).as("keep_id"))
+    // Star CC, not GraphX: duplicate chains are path-shaped (each doc near
+    // the next drift step), so round count must not scale with chain
+    // length; and the candidate-pair graph is tiny next to the corpus, so
+    // the GraphX materialization fixed cost would dominate. The component
+    // label IS the cluster's min id — exactly the keeper contract.
+    GraphOps.connectedComponentsStar(edges)
+      .select(col("id"), col("component").as("keep_id"))
   }
 
   /** SimHash near-duplicates: pairs with hamming(sig_a, sig_b) <= maxHamming.

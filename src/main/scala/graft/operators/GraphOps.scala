@@ -222,7 +222,101 @@ object GraphOps {
       labels = updated.drop("moved")
       iter += 1
     }
+    // A silent early exit would hand back non-converged labels and break
+    // the "component id = min vertex id" contract on long-chain graphs.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsRelational did not converge in $maxIter " +
+          s"iterations ($changed labels still moving); raise maxIter or " +
+          "use connectedComponentsStar (O(log n) rounds) for " +
+          "large-diameter graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log² n) rounds regardless of graph DIAMETER,
+    * unlike min-label propagation (O(diameter) rounds) — the scale path for
+    * path-shaped graphs. Each round is two groupBy-min passes over the edge
+    * list; no vertex state frame is carried, so the only growing cost is
+    * the (shrinking) edge list itself.
+    *
+    * large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u});
+    * small-star: every neighbor v ≤ u (plus u) points to the same m.
+    * Fixpoint = forest of depth-1 stars rooted at each component's min id.
+    * Output contract matches [[connectedComponents]]: (id, component). */
+  def connectedComponentsStar(
+      edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    val allIds = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // canonical working set: undirected edge (u,v) stored once as u > v,
+    // self-loops dropped
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // set digest for the convergence check: (count, sum of row hashes) —
+    // one narrow agg job per round instead of a count + anti-join pair.
+    // Two distinct edge sets colliding needs a 64-bit hash-sum collision
+    // at equal cardinality; a false "converged" is ~2^-64, accepted.
+    def digest(df: DataFrame): (Long, BigDecimal) = {
+      // decimal accumulator: long sums overflow under ANSI mode
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var iter = 0
+    var eDigest = digest(e)
+    var done = eDigest._1 == 0L
+    while (!done && iter < maxIter) {
+      // large-star over the symmetric adjacency: each neighbor v LARGER
+      // than the center u re-points to m = min(N(u) ∪ {u}). Per-center min
+      // is joined back (never a collected adjacency array — hub nodes stay
+      // safe at scale).
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // dup pairs are harmless downstream (min-aggregated or re-distinct'd
+      // at the end of the round), so no distinct here
+      val large = sym
+        .join(minN, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star over child→parent edges (u > v by construction): u and
+      // all its (smaller) neighbors point to u's min neighbor
+      val minU = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val smallNbrs = large
+        .join(minU, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val small = smallNbrs
+        .unionByName(minU.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val smallDigest = digest(small)
+      done = smallDigest == eDigest
+      e = small
+      eDigest = smallDigest
+      iter += 1
+    }
+    if (!done && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are (member, componentMin); roots map to themselves
+    allIds
+      .join(e.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Label propagation communities (LPA, `iters` supersteps) → (id, label).

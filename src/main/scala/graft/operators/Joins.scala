@@ -25,6 +25,14 @@ object Joins {
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    // The salt scheme is only correct when unmatched DIM rows never reach
+    // the output: with 'right'/'full_outer' an unmatched dim row would
+    // survive once per salt (the dim side is exploded salts×).
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType': " +
+        "outer-preserved dim rows would be duplicated salts times")
     // deterministic salt: hash of the whole fact row modulo salts (a random
     // salt would make retried tasks nondeterministic)
     val salted = fact.withColumn("__salt",

@@ -126,14 +126,24 @@ object Louvain {
         .select(col("id"), col("ncomm").as("best"), col("gain").as("best_gain"),
           col("community"))
 
-      // gain of staying put, for the strict comparison
-      val stay = candidates.filter(col("ncomm") === col("community"))
-        .select(col("id"), col("gain").as("stay_gain"))
+      // Gain of staying put, for the strict comparison. Computed for EVERY
+      // node from its current community directly — a node with no edges
+      // into its own community has no candidates row for it, and its true
+      // stay gain is NEGATIVE (-k·(Σtot−k)/2m), not 0: flooring it at 0
+      // would let such nodes stick in communities they have no link to.
+      val stay = comm
+        .join(degrees, Seq("id"))
+        .join(sigmaTot, Seq("community"))
+        .join(kiIn.withColumnRenamed("ncomm", "community"),
+          Seq("id", "community"), "left_outer")
+        .withColumn("stay_gain",
+          coalesce(col("ki_in"), lit(0.0)) -
+            col("k") * (col("sigma_tot") - col("k")) / lit(m2))
+        .select(col("id"), col("stay_gain"))
 
       val parity = sweep % 2
       val decided = best
-        .join(stay, Seq("id"), "left_outer")
-        .withColumn("stay_gain", coalesce(col("stay_gain"), lit(0.0)))
+        .join(stay, Seq("id"))
         .withColumn("move",
           (pmod(xxhash64(col("id")), lit(2)) === parity) &&
             col("best") =!= col("community") &&

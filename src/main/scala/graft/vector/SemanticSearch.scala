@@ -54,12 +54,17 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
 
   override def embed(df: DataFrame, textCol: Column, outCol: String): DataFrame = {
     // reuse the executor-side hash_embed over space-joined trigrams so both
-    // embedders share one audited normalization/hash path
-    val spark = df.sparkSession
-    import spark.implicits._
-    val gramUdf = udf((s: String) =>
-      if (s == null) null else grams(s).mkString(" "))
-    df.withColumn(outCol, GraftFunctions.hashEmbed(gramUdf(textCol), dim))
+    // embedders share one audited normalization/hash path. Pure Column
+    // composition (no UDF): the gramming stays inside WholeStageCodegen.
+    val padded = concat(lit("_"), translate(lower(textCol), " ", "_"), lit("_"))
+    val gramsCol = array_join(
+      transform(
+        // shorter-than-n input yields the single padded string, exactly
+        // like the driver-side grams()
+        sequence(lit(1), greatest(length(padded) - lit(n - 1), lit(1))),
+        i => padded.substr(i, lit(n))),
+      " ")
+    df.withColumn(outCol, GraftFunctions.hashEmbed(gramsCol, dim))
   }
 
   override def embedQuery(text: String): Seq[Float] = {

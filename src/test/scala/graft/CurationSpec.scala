@@ -38,6 +38,31 @@ class CurationSpec extends AnyFunSuite {
     assert(keptIds.size + reasons.size == 6)
   }
 
+  test("curate resolves near-dup CHAINS transitively (cluster, not pairwise)") {
+    // 1 ~ 5 and 3 ~ 5 are near-dups; 1 ~ 3 is below threshold. Pairwise
+    // drop-the-larger keeps {1, 3}; the cluster policy keeps only {1}.
+    val base = (0 until 50).map(i => s"word$i alpha").mkString(" ")
+    def edit(eds: (Int, String)*) =
+      eds.foldLeft(base.split(" ")) { case (ws, (at, to)) =>
+        ws.updated(at, to)
+      }.mkString(" ")
+    // J(1,5)=J(3,5)≈(98-6)/(98+6)≈0.88; J(1,3)≈(98-12)/(98+12)≈0.78
+    val chain = Seq(
+      (1L, edit(20 -> "changeda", 40 -> "changedb")),
+      (3L, edit(60 -> "changedc", 80 -> "changedd")),
+      (5L, base)
+    ).toDF("doc_id", "text")
+    val cfg = Curation.Config(
+      minTokens = 5L, minQuality = 0L, keepLangs = Seq("en", "und"),
+      minhashHashes = 512, minhashBands = 64, nearDupJaccard = 0.83)
+    val (curated, dropped) = Curation.curate(chain, "doc_id", "text", cfg)
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reasons = dropped.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Set(1L),
+      s"kept $kept, reasons $reasons — chain not resolved transitively")
+    assert(reasons(3L) == "near_duplicate" && reasons(5L) == "near_duplicate")
+  }
+
   test("annotate adds one-scan metrics") {
     val a = Curation.annotate(docs, "doc_id", "text")
       .filter(col("doc_id") === 1L).head()
@@ -64,5 +89,16 @@ class CurationSpec extends AnyFunSuite {
       .collect()
     assert(rows.length == 2)
     assert(rows.count(_.isNullAt(2)) == 1)
+  }
+
+  test("saltedJoin rejects outer types that would duplicate dim rows") {
+    val fact = Seq((1L, "x")).toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Joins.saltedJoin(fact, dim, "k", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("inner/left"), jt)
+    }
   }
 }

@@ -93,7 +93,31 @@ class GraphOpsSpec extends AnyFunSuite {
       val viaSql = GraphOps.connectedComponentsRelational(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaSql == viaGraphX, s"seed=$seed")
+      val viaStar = GraphOps.connectedComponentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaGraphX, s"seed=$seed (star)")
     }
+  }
+
+  test("star CC converges on a long chain where min-label propagation can't") {
+    // 80-node path: diameter 79 > the default 30 min-label rounds
+    val chain = (0L until 79L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = GraphOps.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 80 && cc.values.forall(_ == 0L))
+    // and min-label now FAILS LOUDLY instead of returning wrong labels
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponentsRelational(chain, maxIter = 10).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star CC: isolated-pair and self-referential inputs") {
+    val cc = GraphOps.connectedComponentsStar(
+      Seq((5L, 5L), (7L, 8L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // self-loop node keeps its own id; the pair maps to its min
+    assert(cc == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
   test("labelPropagation returns a label per vertex") {

@@ -1,0 +1,93 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{FakeDecoder, ImageIODecoder, Multimodal}
+
+/** Real image decode (JDK `javax.imageio`) through the distributed
+  * plumbing: programmatically generated PNGs with known pixels, asserted
+  * to the exact width/height/channel means; non-image bytes prove the
+  * total-function fallback. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, b) => Row(id, "image", b) }, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media_kind", StringType),
+        StructField("media", BinaryType))))
+
+  test("ImageIODecoder: exact dimensions and channel means from real pixels") {
+    // solid color 8×4: R=200, G=100, B=50 everywhere
+    val solid = png(8, 4)((_, _) => (200 << 16) | (100 << 8) | 50)
+    // half black / half white 10×10 → every channel mean 127.5
+    val halves = png(10, 10)((x, _) => if (x < 5) 0x000000 else 0xffffff)
+    val feats = Multimodal.extractFeatures(
+      mediaDf(Seq(1L -> solid, 2L -> halves)), "doc_id", new ImageIODecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val s = feats(1L)
+    assert(s.width == 8 && s.height == 4)
+    assert(s.bandMeans(0) == 200f && s.bandMeans(1) == 100f && s.bandMeans(2) == 50f)
+    assert(s.bandMeans(3) == -1f) // no alpha channel in TYPE_INT_RGB
+
+    val hm = feats(2L)
+    assert(hm.width == 10 && hm.height == 10)
+    (0 to 2).foreach(b => assert(hm.bandMeans(b) == 127.5f, s"band $b"))
+  }
+
+  test("ImageIODecoder: JPEG decodes too (JDK codec), size plausible") {
+    val img = new BufferedImage(6, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    val f = new ImageIODecoder().decode(7L, "image", out.toByteArray)
+    assert(f.width == 6 && f.height == 3)
+    // JPEG is lossy: means close to 128, not exact
+    (0 to 2).foreach(b => assert(math.abs(f.bandMeans(b) - 128f) < 8f))
+  }
+
+  test("non-image bytes fall back to the deterministic stub, never throw") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val viaReal = new ImageIODecoder().decode(3L, "audio", junk)
+    val viaFake = new FakeDecoder().decode(3L, "audio", junk)
+    assert(viaReal == viaFake.copy(bandMeans = viaReal.bandMeans) &&
+      viaReal.bandMeans.sameElements(viaFake.bandMeans))
+    // and the empty payload path
+    val empty = new ImageIODecoder().decode(4L, "image", Array.empty)
+    assert(empty.sizeBytes == 0L)
+  }
+
+  test("mixed corpus through the partition-wise stage: images decode, text falls back") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20)
+    val textFeats = Multimodal.featureTable(docs, "doc_id", "text", "image")
+      .collect()
+    assert(textFeats.length == 20)
+    // utf-8 text payloads are not images: fallback metadata, still total
+    assert(textFeats.forall(_.getAs[Long]("sizeBytes") > 0L))
+    val imgRow = mediaDf(Seq(100L -> png(5, 5)((_, _) => 0xff0000)))
+    val f = Multimodal.extractFeatures(imgRow, "doc_id", new ImageIODecoder)
+      .head()
+    assert(f.width == 5 && f.bandMeans(0) == 255f && f.bandMeans(1) == 0f)
+  }
+}

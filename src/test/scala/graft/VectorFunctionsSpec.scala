@@ -78,6 +78,27 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(sameCos - 1.0) < 1e-6)
   }
 
+  test("CharNgramEmbedder: executor Column path equals driver embedQuery, no UDF") {
+    val emb = new graft.vector.CharNgramEmbedder(dim = 64)
+    val texts = Seq("manage data", "x", "", "Spark  Internals")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaPlan = emb.embed(df, col("text"), "v")
+      .orderBy("id").collect().map(_.getSeq[Float](2))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(viaPlan(i) == emb.embedQuery(t), s"text '$t'")
+    }
+    // subword robustness: shared trigrams → high cosine for variants
+    val a = emb.embedQuery("developer")
+    val b = emb.embedQuery("developers")
+    val cos = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos > 0.8, s"cosine $cos")
+    // the plan must contain no BatchEvalPython/ScalaUDF node
+    val plan = emb.embed(df, col("text"), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("cosine_sim works from SQL too") {
     spark.sql("SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
         "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c")
