@@ -909,6 +909,41 @@ object SparkEntry {
         .groupBy(col("depth"))
         .agg(count(lit(1)).as("nodes"), sum(col("n_paths")).as("paths"))
         .orderBy(col("depth"))
+    }),
+    // MULTI-PARENT var-length paths: extending the tree with orders and
+    // parts makes a true DAG (a part sits in many orders), so at depth 4
+    // paths > nodes — path-counting ≠ pair-counting, oracle-proven.
+    "g06_multiparent_paths" -> ((s, dir) => {
+      val roots = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 1000000L).as("id"))
+      val custOrder = t(s, dir, "orders").select(
+        (col("o_custkey") + 3000000L).as("src"),
+        (col("o_orderkey") + 10000000L).as("dst"))
+      val orderPart = t(s, dir, "lineitem").select(
+        (col("l_orderkey") + 10000000L).as("src"),
+        (col("l_partkey") + 100000000L).as("dst"))
+        .distinct()
+      val edges = hierarchyEdges(s, dir)
+        .unionByName(custOrder).unionByName(orderPart)
+      GraphOps.varLengthPaths(edges, roots, maxDepth = 6)
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("nodes"), sum(col("n_paths")).as("paths"))
+        .orderBy(col("depth"))
+    }),
+    // moved out of rows-only: the component histogram has a closed
+    // recursive-CTE oracle in DuckDB
+    "g03_components" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
+      val edges = a.join(b, a("l_orderkey") === b("ok2") && col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst")
+      GraphOps.connectedComponents(edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("csize"))
     })
   )
 
@@ -927,7 +962,66 @@ object SparkEntry {
         |  SELECT 1 AS depth, COUNT(*) AS nodes, COUNT(*) AS paths FROM nation
         |  UNION ALL
         |  SELECT 2, COUNT(*), COUNT(*) FROM customer)
-        |ORDER BY depth""".stripMargin
+        |ORDER BY depth""".stripMargin,
+    // closed form for the multi-parent DAG: depths 1..3 are trees (paths =
+    // nodes); depth 4 counts parts once per containing order
+    "g06_multiparent_paths" ->
+      """SELECT depth, nodes, paths FROM (
+        |  SELECT 1 AS depth, COUNT(*) AS nodes, COUNT(*) AS paths FROM nation
+        |  UNION ALL
+        |  SELECT 2, COUNT(*), COUNT(*) FROM customer
+        |  UNION ALL
+        |  SELECT 3, COUNT(*), COUNT(*) FROM orders
+        |  UNION ALL
+        |  -- a (root, node) row per region that reaches the part; paths =
+        |  -- one per distinct containing order
+        |  SELECT 4, COUNT(DISTINCT (n_regionkey, l_partkey)),
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_partkey
+        |                           FROM lineitem))
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |ORDER BY depth""".stripMargin,
+    // min-label fixpoint as a recursive CTE: a label spreads to any
+    // neighbor with a larger id, so each component's min reaches every
+    // member; MIN(lab) per node = component id
+    "g03_components" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst),
+        |comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |sizes AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp)
+        |SELECT csize, COUNT(*) AS n_components FROM sizes
+        |GROUP BY csize ORDER BY csize""".stripMargin,
+    // exact jaccard over distinct word-3-gram shingle sets; matches the
+    // posting-list implementation (hash collisions are 64-bit-improbable)
+    "dd03_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 3)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0)
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 20""".stripMargin
   )
 
   // ------------------------------------------------------------------
@@ -974,19 +1068,6 @@ object SparkEntry {
       val assigned = Similarity.Ivf.assignCells(
         e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cents)
       Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q, k = 10, nProbe = 4)
-    }),
-    "g03_components" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
-      val edges = a.join(b, a("l_orderkey") === b("ok2") && col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("src", "dst")
-      GraphOps.connectedComponents(edges)
-        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
-        .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
-        .orderBy(col("csize"))
     }),
     // sketch aggregates: the 100 TB observability path (exact distinct /
     // quantiles don't scale; HLL + KLL-style approximations do). Rows-only

@@ -200,12 +200,20 @@ object Dedup {
       transform(slice(col("ps"), i + lit(2), size(col("ps"))),
         y => struct(x.as("a"), y.as("b")))))
 
+    // canonicalize the WHOLE struct by id, so (sa, sb) stay paired with
+    // (id_a, id_b): collect_list order is partition-arrival order, and
+    // keeping a's size with the least id regardless of which side a landed
+    // on would split one pair into several (id_a, id_b, sa, sb) groups
+    // with mixed-up sizes — undercounting the intersection
+    val lo = when(col("p.a.id") <= col("p.b.id"), col("p.a")).otherwise(col("p.b"))
+    val hi = when(col("p.a.id") <= col("p.b.id"), col("p.b")).otherwise(col("p.a"))
     val pairs = lists
       .select(explode(combos).as("p"))
       .select(
-        least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        col("p.a.set_size").as("sa"), col("p.b.set_size").as("sb"))
+        lo.getField("id").as("id_a"),
+        hi.getField("id").as("id_b"),
+        lo.getField("set_size").as("sa"),
+        hi.getField("set_size").as("sb"))
 
     // length-ratio prune: jaccard <= min/max sizes
     val sizeCompatible =

@@ -87,13 +87,78 @@ object EventStreams {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Per-user session state for the unbounded-stream sessionizer. */
+  final case class SessionState(startSec: Long, lastSec: Long, nEvents: Long)
+
+  /** Sessionization for UNBOUNDED streams: `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout, so per-user state expires `gapSeconds` after the
+    * user's last event once the watermark passes — without this, an
+    * ever-growing user population would grow the state store forever
+    * (the `statefulSessionize` batch fold has no such concern).
+    *
+    * Emits one row per CLOSED session (append mode): a session closes
+    * either when a later event from the same user arrives beyond the gap,
+    * or when the event-time timeout fires. Sessions still open when the
+    * stream ends stay unemitted — the streaming-correct behavior.
+    *
+    * Input must be watermarked (`readEventStream` does this). */
+  def statefulSessionizeStreaming(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]): Iterator[(Long, Long, Long, Long)] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator((user, s.startSec, s.lastSec, s.nEvents))
+      } else {
+        val secs = rows.map(_._2.getTime / 1000L).toArray
+        java.util.Arrays.sort(secs)
+        val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var cur = state.getOption
+        secs.foreach { s =>
+          cur = cur match {
+            case Some(c) if s - c.lastSec <= gapSeconds =>
+              Some(c.copy(lastSec = s, nEvents = c.nEvents + 1))
+            case Some(c) =>
+              closed += ((user, c.startSec, c.lastSec, c.nEvents))
+              Some(SessionState(s, s, 1L))
+            case None =>
+              Some(SessionState(s, s, 1L))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          // timeout once the watermark passes last-event + gap (the
+          // timestamp must sit beyond the current watermark, so floor it)
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1000L,
+            (c.lastSec + gapSeconds) * 1000L))
+        }
+        closed.iterator
+      }
+    }
+    events.select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+      .toDF("user_id", "session_start_sec", "session_end_sec", "n_events")
+  }
+
   /** Open a file stream over a directory of event parquet, watermarked so
     * window state is bounded and late data beyond the bound is dropped. */
   def readEventStream(
-      spark: SparkSession, dir: String, watermark: String = "10 minutes"): DataFrame = {
+      spark: SparkSession, dir: String, watermark: String = "10 minutes",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(
-      spark.readStream.schema(eventSchemaNanos).parquet(dir))
+    val reader = spark.readStream.schema(eventSchemaNanos)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    normalize(withOpt.parquet(dir))
       .withWatermark("ts", watermark)
   }
 

@@ -67,6 +67,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!j.contains((4L, 5L)))
   }
 
+  test("ngramJaccard emits exactly ONE row per pair on a real corpus") {
+    // regression: (sa, sb) used to be labeled by collect_list arrival order,
+    // splitting one pair into several groups with mixed-up set sizes and
+    // undercounting the intersection (found by the dd03 DuckDB oracle)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      nGram = 3, threshold = 0.0)
+    val dupGroups = pairs.groupBy("id_a", "id_b").count()
+      .filter(col("count") > 1).collect()
+    assert(dupGroups.isEmpty,
+      s"pair emitted multiple times: ${dupGroups.mkString(",")}")
+    // spot-check one pair against a driver-side exact computation
+    val top = pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")).head()
+    val (ia, ib, jSpark) = (top.getLong(0), top.getLong(1), top.getDouble(2))
+    val texts = corpus.filter(col("doc_id").isin(ia, ib))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def sh(t: String): Set[String] = {
+      val ts = t.trim.toLowerCase.split("\\s+").toSeq
+      (0 to ts.length - 3).map(i => ts.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val (sa, sb) = (sh(texts(ia)), sh(texts(ib)))
+    val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(jSpark == expect, s"pair ($ia,$ib): $jSpark != $expect")
+  }
+
   test("nearDupClusters resolves transitive chains to one keeper") {
     // A~B and B~C but never A~C directly: pairwise dropping would keep C
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -139,6 +139,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  /** Write one parquet file of event-schema rows (ts in NANOS, like the
+    * driver tables) under `dir/name`. */
+  private def writeEventFile(
+      dir: String, name: String, rows: Seq[(Long, Long, String)]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val data = rows.zipWithIndex.map { case ((u, sec, et), i) =>
+      org.apache.spark.sql.Row(i.toLong, sec * 1000000000L, u, et, 1.0, "{}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/$name")
+  }
+
+  test("streaming sessionize: EVENT-TIME TIMEOUT expires state and emits the session") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1700000000L
+    val dir = Files.createTempDirectory("graft-sess").toString
+    writeEventFile(dir, "b1", Seq(
+      (1L, base, "view"), (1L, base + 10, "view"), (1L, base + 20, "view")))
+    val sessions = EventStreams.statefulSessionizeStreaming(
+      EventStreams.readEventStream(spark, s"$dir/*", "10 minutes"),
+      gapSeconds = 60L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // session still open: nothing emitted, state held
+      assert(spark.table("sess_timeout").isEmpty)
+      // a much later event advances the watermark past lastEvent + gap →
+      // the no-data batch fires the event-time timeout for user 1
+      writeEventFile(dir, "b2", Seq((99L, base + 7200, "view")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(rows.keySet == Set(1L),
+        s"expected only the timed-out user-1 session, got $rows")
+      assert(rows(1L) == ((base, base + 20, 3L)))
+    } finally q.stop()
+  }
+
+  test("interval join: late event beyond the watermark is DROPPED, not joined") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1700000000L
+    val ldir = Files.createTempDirectory("graft-ij-left").toString
+    val rdir = Files.createTempDirectory("graft-ij-right").toString
+    writeEventFile(ldir, "l1", Seq((1L, base, "view"), (2L, base + 60, "view")))
+    // user 1's purchase is on time; user 99 only advances the watermark
+    writeEventFile(rdir, "r1", Seq(
+      (1L, base + 600, "purchase"), (99L, base + 10800, "purchase")))
+    val joined = EventStreams.intervalJoin(
+      EventStreams.readEventStream(spark, s"$ldir/*", "10 minutes"),
+      EventStreams.readEventStream(spark, s"$rdir/*", "10 minutes"),
+      "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_late")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // the GLOBAL watermark is the min across both streams — advance the
+      // left side too, so it passes base+10200 on both
+      writeEventFile(ldir, "l2", Seq((98L, base + 10800, "view")))
+      q.processAllAvailable()
+      // user 2's matching purchase arrives AFTER the global watermark moved
+      // to base+10200: inside the join interval, but late → dropped
+      writeEventFile(rdir, "r2", Seq((2L, base + 720, "purchase")))
+      q.processAllAvailable()
+      val users = spark.table("ij_late").select(col("l_user"))
+        .collect().map(_.getLong(0)).toSet
+      assert(users == Set(1L),
+        s"late right-side event must not join; joined users: $users")
+    } finally q.stop()
+  }
+
   test("multimodal: deterministic fake decode through real partition plumbing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
