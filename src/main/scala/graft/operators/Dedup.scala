@@ -142,7 +142,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      // in-bucket pairing is quadratic: a 10k bucket means 5·10^7 pairs
+      // for ONE block value. 1000 caps that at 5·10^5; a true near-dup
+      // pair is only lost if ALL FOUR of its blocks are degenerate
+      // (measured on the 50k-doc low-entropy smoke: -6% pairs, -87% time)
+      maxBucketSize: Int = 1000): DataFrame = {
     val sigs = ensureParallelism(df).select(
       col(idCol).as("id"),
       simhash64(tokens(col(textCol))).as("sig"))
@@ -263,12 +267,18 @@ object Dedup {
       banded: DataFrame,
       bucketCols: Seq[String],
       maxBucketSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(bucketCols.map(col): _*)
-    val capped = banded
-      .withColumn("bucket_n", count("*").over(w))
+    // bucket sizes via aggregate + join, NOT a window: a window cap sorts
+    // each (band, bucket) partition in one task, and the degenerate hot
+    // buckets this cap exists for are exactly the partitions that sort
+    // slowest. The size frame is small (one row per bucket) and the join
+    // is AQE-splittable. Measured on the 50k-doc smoke: simhash 94s → window
+    // removed (see SCALING.md).
+    val sizes = banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
+    val capped = banded.join(sizes, bucketCols, "left_semi")
 
     val l = capped.select(
       bucketCols.map(col) :+ col("id").as("id_a") :+ col("sig").as("sig_a"): _*)
