@@ -103,7 +103,8 @@ object EscoCli {
       dropped.write.mode("overwrite").parquet(s"$outDir/dropped")
       val stats = dropped.groupBy(col("drop_reason")).count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
-      println(s"kept=${spark.read.parquet(s"$outDir/curated").count()} dropped: $stats")
+      // count from the (cached) pipeline frame, not a re-read of the sink
+      println(s"kept=${curated.count()} dropped: $stats")
 
     case "translate" :: whDir :: property :: Nil =>
       val wh = EscoWarehouse.load(spark, whDir)

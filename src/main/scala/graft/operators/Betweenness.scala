@@ -80,35 +80,51 @@ object Betweenness {
     }
 
     // ---- backward: dependency accumulation, deepest level first ----
-    // deltas holds (root, id, depth, sigma, delta), delta finalized once
-    // every deeper level has pushed its contribution up
-    var deltas = visited.withColumn("delta", lit(0.0)).localCheckpoint()
-    levels.filter(_ > 0).foreach { d =>
-      val w = deltas.filter(col("depth") === d)
-        .select(col("root").as("wr"), col("id").as("wid"),
-          col("sigma").as("wsigma"), col("delta").as("wdelta"))
-      // contributions flow along edges v -> w with depth(v) = d-1
+    // In an unweighted BFS DAG every shortest-path edge crosses exactly one
+    // level, so a node's dependency is fully determined by the level below
+    // it. Deltas therefore live in PER-LEVEL frames: each round touches
+    // only levels d and d-1 (O(level size) work), instead of rewriting and
+    // re-checkpointing the whole k·V frame once per level — the difference
+    // between O(k·V) and O(depth·k·V) total backward work on deep graphs.
+    val levelFrames: Map[Int, DataFrame] = levels.map(d =>
+      d -> visited.filter(col("depth") === d)
+        .select(col("root"), col("id"), col("sigma"))
+        .localCheckpoint()).toMap
+    val maxL = levels.max
+    // finalized (id, delta) rows for intermediate nodes (depth > 0)
+    var finals: List[DataFrame] = Nil
+    // delta for the level currently deepest-unprocessed; nodes missing
+    // from the frame have delta 0 (no shortest path continues below them)
+    var deltaNext: DataFrame = levelFrames(maxL)
+      .select(col("root"), col("id"), lit(0.0).as("delta"))
+    for (d <- maxL to 1 by -1) {
+      val w = levelFrames(d)
+        .join(deltaNext, Seq("root", "id"), "left_outer")
+        .withColumn("delta", coalesce(col("delta"), lit(0.0)))
+      finals = w.select(col("id"), col("delta")) :: finals
+      // contributions flow along edges v(d-1) -> w(d)
       val contrib = e
-        .join(w, e("dst") === col("wid"))
+        .join(w.select(col("root").as("wr"), col("id").as("wid"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta")),
+          e("dst") === col("wid"))
         .select(col("wr").as("root"), e("src").as("id"),
           col("wsigma"), col("wdelta"))
-        .join(deltas.filter(col("depth") === d - 1)
+        .join(levelFrames(d - 1)
             .select(col("root").as("vr"), col("id").as("vi"),
               col("sigma").as("vsigma")),
           col("root") === col("vr") && col("id") === col("vi"))
         .groupBy(col("root"), col("id"))
         .agg(sum(col("vsigma").cast("double") / col("wsigma").cast("double") *
-          (lit(1.0) + col("wdelta"))).as("contrib"))
-      deltas = deltas
-        .join(contrib.withColumnRenamed("root", "cr").withColumnRenamed("id", "ci"),
-          col("root") === col("cr") && col("id") === col("ci"), "left_outer")
-        .withColumn("delta", col("delta") + coalesce(col("contrib"), lit(0.0)))
-        .drop("cr", "ci", "contrib")
+          (lit(1.0) + col("wdelta"))).as("delta"))
         .localCheckpoint()
+      deltaNext = contrib
     }
 
-    val bc = deltas
-      .filter(col("depth") > 0) // exclude the source itself
+    val bc =
+      (if (finals.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("id"), lit(0.0).as("delta"))
+          .limit(0)
+      else finals.reduce(_ unionByName _))
       .groupBy(col("id"))
       .agg(sum(col("delta")).as("betweenness"))
     // vertices never reached as intermediates get 0
