@@ -72,4 +72,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("text")), exchanges.mkString("\n"))
   }
+
+  test("q47: degree ranking pre-aggregates the fact side, then broadcasts it") {
+    val p = plan("q47_part_degree_ranking")
+    // OPTIONAL MATCH shape: the 6M-row side is aggregated to one row per
+    // key BEFORE the join, and the dimension left-joins a broadcast of it —
+    // the fact table itself is never shuffled against the dimension
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p)
+    assert("HashAggregate[\\s\\S]*BroadcastExchange".r.findFirstIn(p).isDefined, p)
+    // both scans read exactly one column (no comma inside the struct)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(schemas.nonEmpty && schemas.forall(s => !s.contains(",")),
+      schemas.mkString("\n"))
+  }
 }
