@@ -59,13 +59,19 @@ object Curation {
 
     // exact dedup in ONE shuffle: rank within fingerprint groups (keeper =
     // smallest id); the ranked frame feeds both the survivors and the
-    // drop-report, persisted once for the downstream branches
+    // drop-report. Materialized once via LAZY localCheckpoint rather than
+    // persist(): persist registers the (large) analyzed plan with the
+    // CacheManager, and every later plan BUILD in the session then pays a
+    // sameResult scan against it — measured seconds of driver time per
+    // query once a few curate plans had accumulated. The checkpoint cuts
+    // lineage instead of cache-matching; on a cluster swap for
+    // `checkpoint(false)` to reliable storage.
     val ranked = reasons
       .withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint"), col("drop_reason").isNull)
           .orderBy(col(idCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     // derived from the cached `ranked` on each use — a second full-frame
     // persist would re-serialize all the text for a pair of cheap filters

@@ -248,17 +248,22 @@ object GraphOps {
   def connectedComponentsStar(
       edges: DataFrame, maxIter: Int = 40): DataFrame = {
     val spark = edges.sparkSession
-    val allIds = edges.select(col("src").as("id"))
-      .unionByName(edges.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint()
-    // canonical working set: undirected edge (u,v) stored once as u > v,
-    // self-loops dropped
-    var e = edges
+    // canonicalize ONCE including self-loops, checkpoint, and derive both
+    // the id universe and the working set from the checkpoint — deriving
+    // them separately from `edges` would execute the (possibly expensive)
+    // upstream plan twice before the loop even starts
+    val canon = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
+    val allIds = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // working set: undirected edge (u,v) stored once as u > v, no self-loops
+    var e = canon
+      .filter(col("u") =!= col("v"))
       .localCheckpoint()
     // set digest for the convergence check: (count, sum of row hashes) —
     // one narrow agg job per round instead of a count + anti-join pair.
