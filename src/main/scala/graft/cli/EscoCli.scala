@@ -16,10 +16,13 @@ import graft.vector.{HashingEmbedder, SemanticSearch}
   * (`src/esco_cli.py:92-94`). All heavy lifting stays in the library.
   *
   * Usage:
-  *   ingest    <escoCsvDir> <warehouseDir> [--embed]
+  *   ingest    <escoCsvDir> <warehouseDir> [--embed] [--embeddings-only]
+  *             [--delete-all]
   *   search    <warehouseDir> <query> [--type skill|occupation|both]
   *             [--threshold 0.5] [--limit 10] [--json]
   *   analyze   <warehouseDir> <queryName>
+  *   analyze   <warehouseDir> related-occupations <occLabel> [--bridge]
+  *   analyze   <warehouseDir> skill-profile <skillLabel>
   *   curate    <documentsParquet> <outDir>
   *   translate <warehouseDir> <property>
   */
@@ -34,18 +37,39 @@ object EscoCli {
   private[cli] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "ingest" :: escoDir :: whDir :: rest =>
       val opts = parseOpts(rest)
-      val wh = EscoWarehouse.build(spark, escoDir)
-      EscoWarehouse.save(wh, whDir)
-      // reference ingest ends with embedding generation
-      // (src/esco_ingest.py:410-412); one columnar pass here
-      if (opts.contains("embed"))
+      if (opts.contains("embeddings-only")) {
+        // reference `ingest --embeddings-only` (src/esco_cli.py:221):
+        // regenerate the vector index over an existing warehouse
+        val wh = EscoWarehouse.load(spark, whDir)
         new SemanticSearch(wh, new HashingEmbedder()).persistIndex(whDir)
-      val counts = Seq(
-        "skills" -> wh.skills.count(),
-        "occupations" -> wh.occupations.count(),
-        "iscoGroups" -> wh.iscoGroups.count(),
-        "edges" -> wh.allEdges.count())
-      counts.foreach { case (k, v) => println(f"$k%-12s $v") }
+        println(s"embeddings refreshed under $whDir")
+      } else {
+        // reference `--delete-all` (src/esco_cli.py:222) = S7 full wipe;
+        // parquet overwrite mode already replaces every table, so the
+        // flag only forces removal of tables a schema change orphaned
+        if (opts.contains("delete-all")) {
+          val dir = new java.io.File(whDir)
+          if (dir.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(dir)
+          }
+        }
+        val wh = EscoWarehouse.build(spark, escoDir)
+        EscoWarehouse.save(wh, whDir)
+        // reference ingest ends with embedding generation
+        // (src/esco_ingest.py:410-412); one columnar pass here
+        if (opts.contains("embed"))
+          new SemanticSearch(wh, new HashingEmbedder()).persistIndex(whDir)
+        val counts = Seq(
+          "skills" -> wh.skills.count(),
+          "occupations" -> wh.occupations.count(),
+          "iscoGroups" -> wh.iscoGroups.count(),
+          "edges" -> wh.allEdges.count())
+        counts.foreach { case (k, v) => println(f"$k%-12s $v") }
+      }
 
     case "search" :: whDir :: query :: rest =>
       val opts = parseOpts(rest)
@@ -88,10 +112,35 @@ object EscoCli {
         case "communities-louvain" => EscoAnalytics.skillCommunitiesLouvain(wh)
         case "betweenness" => EscoAnalytics.topBetweenness(wh)
         case "pagerank" => EscoAnalytics.topPageRank(wh)
+        case "top-skills-by-relationships" =>
+          EscoAnalytics.topSkillsByRelationships(wh)
+        case "top-occupations-optional" =>
+          EscoAnalytics.topOccupationsByOptionalSkills(wh)
+        case "transferable-skills" => EscoAnalytics.transferableSkills(wh)
+        case "skill-groups-most-skills" =>
+          EscoAnalytics.skillGroupsWithMostSkills(wh)
+        case "skill-depths" => EscoAnalytics.skillHierarchyDepths(wh)
         case other => sys.error(
           s"unknown analysis '$other'; see EscoAnalytics for the catalog")
       }
       printTable(df)
+
+    // anchored analyses that need a label argument
+    case "analyze" :: whDir :: "related-occupations" :: occLabel :: rest =>
+      val opts = parseOpts(rest)
+      val wh = EscoWarehouse.load(spark, whDir)
+      val df =
+        if (opts.contains("bridge"))
+          EscoAnalytics.relatedOccupationsViaRelatedSkills(wh, occLabel)
+        else EscoAnalytics.relatedOccupationsDirect(wh, occLabel)
+      printTable(df)
+
+    case "analyze" :: whDir :: "skill-profile" :: skillLabel :: Nil =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val anchors = wh.skills
+        .filter(col("preferredLabel") === skillLabel)
+        .select(col("conceptUri").as("uri"))
+      printTable(Profiles.skillCompleteProfile(wh, anchors))
 
     case "curate" :: docsParquet :: outDir :: Nil =>
       val docs = spark.read.parquet(docsParquet)
@@ -118,12 +167,17 @@ object EscoCli {
     case _ =>
       System.err.println(
         """usage:
-          |  ingest    <escoCsvDir> <warehouseDir> [--embed]
+          |  ingest    <escoCsvDir> <warehouseDir> [--embed] [--embeddings-only] [--delete-all]
           |  search    <warehouseDir> <query> [--type T] [--threshold X] [--limit N] [--json]
           |  analyze   <warehouseDir> <queryName>   (node-counts rel-counts
           |            top-essential-skills top-optional-skills top-occupations
           |            isco-most-occupations skill-cooccurrence isco-depths
-          |            communities communities-louvain betweenness pagerank)
+          |            skill-depths communities communities-louvain betweenness
+          |            pagerank top-skills-by-relationships
+          |            top-occupations-optional transferable-skills
+          |            skill-groups-most-skills)
+          |  analyze   <warehouseDir> related-occupations <occLabel> [--bridge]
+          |  analyze   <warehouseDir> skill-profile <skillLabel>
           |  curate    <documentsParquet> <outDir>
           |  translate <warehouseDir> <property>""".stripMargin)
       sys.exit(2)
@@ -133,7 +187,10 @@ object EscoCli {
     def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {
       case "--json" :: t => loop(t, acc + ("json" -> "true"))
       case "--embed" :: t => loop(t, acc + ("embed" -> "true"))
+      case "--embeddings-only" :: t => loop(t, acc + ("embeddings-only" -> "true"))
+      case "--delete-all" :: t => loop(t, acc + ("delete-all" -> "true"))
       case "--related" :: t => loop(t, acc + ("related" -> "true"))
+      case "--bridge" :: t => loop(t, acc + ("bridge" -> "true"))
       case "--profile-search" :: t => loop(t, acc + ("profile-search" -> "true"))
       case k :: v :: t if k.startsWith("--") => loop(t, acc + (k.drop(2) -> v))
       case Nil => acc

@@ -100,4 +100,39 @@ object Curation {
 
     (curated, dropped)
   }
+
+  /** STREAMING curation: the same annotate → quality/language filter →
+    * exact-dedup pipeline over an unbounded document stream.
+    *
+    * The annotations are pure Column work (stream-capable as-is); exact
+    * dedup becomes `dropDuplicatesWithinWatermark` on the content
+    * fingerprint, so duplicate state expires once the watermark passes —
+    * an ever-growing corpus does not grow the state store beyond one
+    * watermark-window of distinct fingerprints. A duplicate arriving
+    * WITHIN the watermark of its first occurrence is dropped exactly like
+    * the batch pipeline's keeper rule; one arriving later than the
+    * watermark is admitted (the documented streaming relaxation — at
+    * 100 TB/day the alternative is unbounded state).
+    *
+    * NEAR-dup dedup (LSH banding) is inherently cross-row and stays a
+    * periodic BATCH compaction over the streamed-in corpus — run
+    * [[curate]] over the sink on a schedule; the shared
+    * fingerprint/signature columns make the compaction incremental.
+    *
+    * @param docs      streaming DataFrame with `idCol`, `textCol`, and
+    *                  `tsCol` (event-time)
+    * @param watermark how long duplicate fingerprints are remembered */
+  def curateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      cfg: Config = Config(),
+      watermark: String = "1 hour"): DataFrame =
+    annotate(docs, idCol, textCol)
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("quality") >= cfg.minQuality &&
+        col("lang_guess").isin(cfg.keepLangs: _*))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

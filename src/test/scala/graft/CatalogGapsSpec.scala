@@ -25,50 +25,7 @@ import graft.sources.EscoWarehouse
 class CatalogGapsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def df(cols: Seq[String], rows: Product*): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(cols.map(StructField(_, StringType, nullable = true)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        rows.map(p => Row(p.productIterator.toSeq: _*)), 1),
-      schema)
-  }
-
-  private lazy val wh: EscoWarehouse = {
-    val skills = df(
-      Seq("conceptUri", "preferredLabel", "altLabels", "description"),
-      ("s1", "manage data", "handle data", "Manages data."),
-      ("s2", "spark internals", null, "Knows Catalyst."),
-      ("s3", "communicate", null, "Talks."),
-      ("s4", "lonely", null, "No edges."),
-      ("g1", "data skills", null, "Group."))
-      .withColumn("isSkillGroup", col("conceptUri") === "g1")
-    val occupations = df(
-      Seq("conceptUri", "preferredLabel", "description"),
-      ("o1", "data engineer", "Builds pipelines."),
-      ("o2", "data analyst", "Analyses."),
-      ("o3", "ml engineer", "Trains models."))
-    val isco = df(
-      Seq("conceptUri", "preferredLabel", "code"),
-      ("i1", "Data professionals", "1234"),
-      ("i2", "ICT professionals", "25"))
-    EscoWarehouse(
-      skills = skills,
-      occupations = occupations,
-      iscoGroups = isco,
-      broaderSkill = df(Seq("parentUri", "childUri"), ("g1", "s1"), ("g1", "s2")),
-      broaderIsco = df(Seq("parentUri", "childUri"), ("i2", "i1")),
-      broaderOccupation = df(Seq("parentUri", "childUri")),
-      partOfIscoGroup = df(Seq("occupationUri", "iscoUri"),
-        ("o1", "i1"), ("o2", "i1"), ("o3", "i2")),
-      essentialFor = df(Seq("skillUri", "occupationUri"),
-        ("s1", "o1"), ("s1", "o2"), ("s1", "o3"), ("s3", "o2"), ("s2", "o3")),
-      optionalFor = df(Seq("skillUri", "occupationUri"),
-        ("s2", "o1"), ("s3", "o1")),
-      relatedSkill = df(Seq("srcUri", "dstUri", "relType"),
-        ("s1", "s2", "optional")),
-      partOfSkillGroup = df(Seq("skillUri", "groupUri")))
-  }
+  private lazy val wh: EscoWarehouse = TestWarehouse.build(spark)
 
   test("topSkillsByRelationships ranks by outgoing degree, keeps zero-degree") {
     val rows = EscoAnalytics.topSkillsByRelationships(wh, k = 10).collect()

@@ -217,6 +217,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: filters + exact dedup with bounded state (duality with batch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-cur-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val good =
+      "the quick brown fox is one of the animals that live in the forest " +
+      "and it hunts for food while the sun is up in the sky over the trees"
+    def write(file: String, rows: Seq[(Long, String, String)]): Unit = {
+      val data = rows.map { case (id, t, txt) =>
+        org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), txt) }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    write("b1", Seq(
+      (1L, "2024-01-01 10:00:00", good),
+      (2L, "2024-01-01 10:01:00", "too short"),
+      (3L, "2024-01-01 10:02:00", good + " but different tail entirely")))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val curated = graft.operators.Curation.curateStream(
+      stream, "doc_id", "text", "ts", watermark = "1 hour")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("cur_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an exact duplicate of doc 1 within the watermark → dropped
+      write("b2", Seq(
+        (4L, "2024-01-01 10:30:00", good),
+        (5L, "2024-01-01 10:31:00", good + " yet another distinct variant")))
+      q.processAllAvailable()
+      val ids = spark.table("cur_stream").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L),
+        s"expected dup 4 and short 2 dropped, got $ids")
+    } finally q.stop()
+  }
+
   test("multimodal: deterministic fake decode through real partition plumbing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
