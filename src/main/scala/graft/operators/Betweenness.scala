@@ -73,7 +73,9 @@ object Betweenness {
         .select("root", "id", "depth", "sigma")
         .localCheckpoint()
       if (!next.isEmpty) {
-        visited = visited.unionByName(next).localCheckpoint()
+        // union of the per-level checkpoints — flat lineage, no
+        // O(total-visited) re-materialization every level
+        visited = visited.unionByName(next)
         frontier = next
         levels = depth :: levels
       } else frontier = next

@@ -44,7 +44,9 @@ object GraphOps {
         .distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      // visited stays a UNION of the per-level checkpoints — flat lineage,
+      // no O(total-visited) re-materialization every level
+      visited = visited.unionByName(next)
       frontier = next
     }
     visited
@@ -73,11 +75,13 @@ object GraphOps {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
+      // LAZY checkpoint: the loop condition's isEmpty probe materializes
+      // it — one job per level instead of checkpoint-then-probe
       val next = frontier
         .join(e, frontier("id") === e("src"))
         .groupBy(col("root"), e("dst").as("id"))
         .agg(sum("n_paths").as("n_paths"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val step = next.withColumn("depth", lit(depth))
         .select("root", "id", "depth", "n_paths")
       result = if (result == null) step else result.unionByName(step)
@@ -141,7 +145,7 @@ object GraphOps {
         .groupBy("id").agg(min("depth").as("depth"), min("parent").as("parent"))
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next) // union of checkpointed levels
       frontier = next
       found = !next.filter(col("id") === dstId).isEmpty
     }
