@@ -112,6 +112,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star CC equals GraphX CC across random graph shapes (5 seeds, mixed density)") {
+    for (seed <- Seq(1, 7, 13, 21, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(120)
+      val m = n / 2 + rnd.nextInt(2 * n)
+      val edges = (1 to m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).toDF("src", "dst")
+      val viaGraphX = GraphOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = GraphOps.connectedComponentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaGraphX, s"seed=$seed n=$n m=$m")
+    }
+  }
+
   test("star CC: isolated-pair and self-referential inputs") {
     val cc = GraphOps.connectedComponentsStar(
       Seq((5L, 5L), (7L, 8L)).toDF("src", "dst"))
