@@ -195,12 +195,14 @@ object EscoAnalytics {
         col("preferredLabel").as("skill")), Seq("skillUri"))
       .join(wh.occupations.select(col("conceptUri").as("otherUri"),
         col("preferredLabel").as("related_occupation")), Seq("otherUri"))
-      .groupBy(col("source_occupation"), col("otherUri"),
-        col("related_occupation"))
+      // anchorUri in the keys: Cypher matches per NODE, so two anchors
+      // sharing the same preferredLabel must not pool their skills
+      .groupBy(col("anchorUri").as("source_uri"), col("source_occupation"),
+        col("otherUri"), col("related_occupation"))
       .agg(sort_array(collect_set(col("skill"))).as("connecting_skills"))
       .withColumn("connection_type", lit("Direct"))
       .withColumn("n_connecting", size(col("connecting_skills")))
-      .orderBy(desc("n_connecting"), col("otherUri"))
+      .orderBy(desc("n_connecting"), col("source_uri"), col("otherUri"))
       .drop("otherUri", "n_connecting")
   }
 
@@ -233,12 +235,13 @@ object EscoAnalytics {
         col("preferredLabel").as("target_skill")), Seq("s2"))
       .join(wh.occupations.select(col("conceptUri").as("otherUri"),
         col("preferredLabel").as("related_occupation")), Seq("otherUri"))
-      .groupBy(col("source_occupation"), col("otherUri"),
-        col("related_occupation"))
+      // per-anchor-NODE grouping (see relatedOccupationsDirect)
+      .groupBy(col("anchorUri").as("source_uri"), col("source_occupation"),
+        col("otherUri"), col("related_occupation"))
       .agg(sort_array(collect_set(col("source_skill"))).as("source_skills"),
         sort_array(collect_set(col("target_skill"))).as("target_skills"))
       .withColumn("connection_type", lit("Indirect"))
-      .orderBy(col("otherUri"))
+      .orderBy(col("source_uri"), col("otherUri"))
       .drop("otherUri")
   }
 

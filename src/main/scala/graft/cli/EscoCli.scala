@@ -46,18 +46,21 @@ object EscoCli {
       } else {
         // reference `--delete-all` (src/esco_cli.py:222) = S7 full wipe;
         // parquet overwrite mode already replaces every table, so the
-        // flag only forces removal of tables a schema change orphaned
+        // flag only forces removal of tables a schema change orphaned.
+        // Wipe AFTER the source builds — a typo'd escoDir must fail
+        // before the existing warehouse is destroyed.
+        val wh = EscoWarehouse.build(spark, escoDir)
         if (opts.contains("delete-all")) {
           val dir = new java.io.File(whDir)
           if (dir.exists()) {
             def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
+              // listFiles is null on IO/permission races, not just empty
+              Option(f.listFiles()).foreach(_.foreach(rm))
               f.delete(): Unit
             }
             rm(dir)
           }
         }
-        val wh = EscoWarehouse.build(spark, escoDir)
         EscoWarehouse.save(wh, whDir)
         // reference ingest ends with embedding generation
         // (src/esco_ingest.py:410-412); one columnar pass here

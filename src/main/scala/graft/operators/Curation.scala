@@ -47,9 +47,8 @@ object Curation {
       textCol: String,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val annotated = annotate(docs, idCol, textCol)
-      .withColumn("__sig", graft.GraftFunctions.minhashFromHashes(
-        graft.GraftFunctions.ngramHashes(tokens(col(textCol)), 3),
-        cfg.minhashHashes))
+      .withColumn("__sig",
+        Dedup.minhashSigColumn(col(textCol), cfg.minhashHashes))
 
     val reasons = annotated
       .withColumn("drop_reason",
@@ -130,9 +129,15 @@ object Curation {
       cfg: Config = Config(),
       watermark: String = "1 hour"): DataFrame =
     annotate(docs, idCol, textCol)
-      .filter(col("n_tokens") >= cfg.minTokens &&
-        col("quality") >= cfg.minQuality &&
-        col("lang_guess").isin(cfg.keepLangs: _*))
+      // EXACTLY the batch when-chain: a row passes iff no drop branch
+      // fires — null annotations skip every branch and pass, like batch;
+      // a direct >= filter would silently drop the null rows instead
+      .withColumn("__drop",
+        when(col("n_tokens") < cfg.minTokens, "too_short")
+          .when(col("quality") < cfg.minQuality, "low_quality")
+          .when(!col("lang_guess").isin(cfg.keepLangs: _*), "language"))
+      .filter(col("__drop").isNull)
+      .drop("__drop")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 }

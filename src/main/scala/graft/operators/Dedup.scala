@@ -71,9 +71,19 @@ object Dedup {
       minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
       numHashes, bands, maxBucketSize)
 
-  /** The signature column alone: (id, sig). Exposed so a composed pipeline
-    * (e.g. [[Curation.curate]]) can compute the signature in the SAME scan
-    * as its other per-document columns instead of re-tokenizing later. */
+  /** THE shingle→signature recipe, as a Column — the single source of
+    * truth for what a MinHash signature means in this library. Both
+    * [[minhashSignature]] and composed pipelines ([[Curation.curate]]
+    * carries it next to its annotation columns) use this, so the
+    * tokenizer/nGram/hash choices can never drift apart and break the
+    * banding compatibility between carried and freshly computed sigs. */
+  def minhashSigColumn(
+      textCol: Column, numHashes: Int = 64, nGram: Int = 3): Column =
+    minhashFromHashes(ngramHashes(tokens(textCol), nGram), numHashes)
+
+  /** The signature frame alone: (id, sig). Exposed so a pipeline can
+    * compute the signature in the SAME scan as its other per-document
+    * columns instead of re-tokenizing later. */
   def minhashSignature(
       df: DataFrame,
       idCol: String,
@@ -81,8 +91,7 @@ object Dedup {
       numHashes: Int = 64,
       nGram: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),
-      minhashFromHashes(
-        ngramHashes(tokens(col(textCol)), nGram), numHashes).as("sig"))
+      minhashSigColumn(col(textCol), numHashes, nGram).as("sig"))
 
   /** LSH banding + candidate estimation over precomputed (id, sig) rows —
     * the second half of [[minhashCandidates]]. */

@@ -121,8 +121,13 @@ object EventStreams {
         var cur = state.getOption
         secs.foreach { s =>
           cur = cur match {
+            // merge with min/max clamps: an out-of-order event above the
+            // watermark but BEHIND the session's last event (s < lastSec)
+            // must extend the span, never rewind it — a plain
+            // lastSec := s would record a session ending before it starts
             case Some(c) if s - c.lastSec <= gapSeconds =>
-              Some(c.copy(lastSec = s, nEvents = c.nEvents + 1))
+              Some(SessionState(math.min(c.startSec, s),
+                math.max(c.lastSec, s), c.nEvents + 1))
             case Some(c) =>
               closed += ((user, c.startSec, c.lastSec, c.nEvents))
               Some(SessionState(s, s, 1L))

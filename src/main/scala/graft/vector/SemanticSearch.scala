@@ -46,10 +46,16 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
 
   private def grams(text: String): Seq[String] = {
     // boundary pad, then '_' for spaces so downstream whitespace
-    // tokenization can't split a gram
-    val padded = ("_" + text.toLowerCase.replace(' ', '_') + "_")
-    if (padded.length < n) Seq(padded)
-    else (0 to padded.length - n).map(i => padded.substring(i, i + n))
+    // tokenization can't split a gram. Locale.ROOT + code-point windows so
+    // the driver replays EXACTLY what Spark's locale-independent lower()
+    // and code-point-based substr() compute on executors (a default-locale
+    // toLowerCase diverges on e.g. Turkish dotless-i; UTF-16 indexing
+    // diverges on astral characters).
+    val padded =
+      "_" + text.toLowerCase(java.util.Locale.ROOT).replace(' ', '_') + "_"
+    val cps = padded.codePoints().toArray
+    if (cps.length < n) Seq(padded)
+    else (0 to cps.length - n).map(i => new String(cps, i, n))
   }
 
   override def embed(df: DataFrame, textCol: Column, outCol: String): DataFrame = {
@@ -57,13 +63,18 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
     // embedders share one audited normalization/hash path. Pure Column
     // composition (no UDF): the gramming stays inside WholeStageCodegen.
     val padded = concat(lit("_"), translate(lower(textCol), " ", "_"), lit("_"))
-    val gramsCol = array_join(
+    val joined = array_join(
       transform(
         // shorter-than-n input yields the single padded string, exactly
         // like the driver-side grams()
         sequence(lit(1), greatest(length(padded) - lit(n - 1), lit(1))),
         i => padded.substr(i, lit(n))),
       " ")
+    // null text → null embedding (array_join would otherwise swallow the
+    // null into "", giving every null-text row the SAME vector — two null
+    // rows must not score cosine 1.0 against each other)
+    val gramsCol = when(textCol.isNull, lit(null).cast("string"))
+      .otherwise(joined)
     df.withColumn(outCol, GraftFunctions.hashEmbed(gramsCol, dim))
   }
 

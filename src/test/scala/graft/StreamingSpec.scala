@@ -184,6 +184,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: out-of-order event above the watermark extends, never rewinds") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1700000000L
+    val dir = Files.createTempDirectory("graft-sess-ooo").toString
+    writeEventFile(dir, "b1", Seq(
+      (1L, base, "view"), (1L, base + 30, "view"), (1L, base + 55, "view")))
+    val sessions = EventStreams.statefulSessionizeStreaming(
+      EventStreams.readEventStream(spark, s"$dir/*", "10 minutes"),
+      gapSeconds = 60L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // out-of-order but above the watermark: t=base+10 arrives AFTER
+      // t=base+55 was absorbed — must merge into the span, not rewind it
+      writeEventFile(dir, "b2", Seq((1L, base + 10, "view")))
+      q.processAllAvailable()
+      // advance the watermark far past lastSec + gap → timeout emits
+      writeEventFile(dir, "b3", Seq((99L, base + 7200, "view")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(rows.keySet == Set(1L), s"got $rows")
+      // span stays [base, base+55]; the late event only adds to the count
+      assert(rows(1L) == ((base, base + 55, 4L)), s"got ${rows(1L)}")
+    } finally q.stop()
+  }
+
   test("interval join: late event beyond the watermark is DROPPED, not joined") {
     import org.apache.spark.sql.streaming.Trigger
     val base = 1700000000L

@@ -78,9 +78,20 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(sameCos - 1.0) < 1e-6)
   }
 
+  test("CharNgramEmbedder: null text embeds to null, not the empty-string vector") {
+    val emb = new graft.vector.CharNgramEmbedder(dim = 64)
+    val df = Seq((1L, null: String), (2L, null: String), (3L, "real text"))
+      .toDF("id", "text")
+    val rows = emb.embed(df, col("text"), "v").orderBy("id").collect()
+    // two null-text rows must NOT share an (identical) vector
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(!rows(2).isNullAt(2))
+  }
+
   test("CharNgramEmbedder: executor Column path equals driver embedQuery, no UDF") {
     val emb = new graft.vector.CharNgramEmbedder(dim = 64)
-    val texts = Seq("manage data", "x", "", "Spark  Internals")
+    val texts = Seq("manage data", "x", "", "Spark  Internals",
+      "DATA İ I analysis", "emoji 🎉🚀 pad")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
     val viaPlan = emb.embed(df, col("text"), "v")
