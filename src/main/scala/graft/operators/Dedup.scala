@@ -93,6 +93,28 @@ object Dedup {
     df.select(col(idCol).as("id"),
       minhashSigColumn(col(textCol), numHashes, nGram).as("sig"))
 
+  /** (id, sig) → exploded (id, sig, band, bucket) LSH banding rows. */
+  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    sigs.select(
+      col("id"), col("sig"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Signature-overlap estimate of Jaccard between two sig columns. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+
   /** LSH banding + candidate estimation over precomputed (id, sig) rows —
     * the second half of [[minhashCandidates]]. */
   def minhashCandidatesFromSigs(
@@ -100,30 +122,60 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-
-    val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-
+    val banded = bandRows(sigs, numHashes, bands)
     val pairs = bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
 
     pairs
-      .withColumn(
-        "est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard",
+        estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Banded LSH INDEX of a corpus: (id, sig, band, bucket) rows, ready to
+    * persist (partition/bucket by (band, bucket) at scale). Precompute once
+    * over the existing corpus; incremental arrivals then check against it
+    * with [[nearDupAgainstIndex]] instead of re-running all-corpus dedup. */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3): DataFrame =
+    bandRows(
+      minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
+      numHashes, bands)
+
+  /** Near-dup candidates of INCOMING documents against a prebuilt
+    * [[minhashIndex]]: one equi-join on (band, bucket) — stateless per
+    * batch, so `incoming` may be a STREAMING DataFrame (stream-static
+    * join; each micro-batch of new docs is checked against the corpus
+    * without recomputing anything corpus-side). Output: (id, corpus_id,
+    * est_jaccard, band) — a pair sharing several bands emits one row per
+    * shared band; batch callers can `dropDuplicates("id","corpus_id")`,
+    * streaming callers keep the operator stateless and dedup downstream.
+    * `incoming` docs are NOT checked against each other — compose with
+    * [[minhashCandidates]] over the batch for intra-batch pairs. */
+  def nearDupAgainstIndex(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3): DataFrame = {
+    val newBands = bandRows(
+      incoming.select(col(idCol).as("id"),
+        minhashSigColumn(col(textCol), numHashes, nGram).as("sig")),
+      numHashes, bands)
+    newBands
+      .join(index.select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("sig").as("corpus_sig")),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("corpus_id")) // re-ingested known docs
+      .select(col("id"), col("corpus_id"),
+        estJaccard(col("sig"), col("corpus_sig"), numHashes).as("est_jaccard"),
+        col("band"))
   }
 
   /** Transitive near-duplicate resolution: candidate pairs form a graph;

@@ -92,6 +92,29 @@ class DedupSpec extends AnyFunSuite {
     assert(jSpark == expect, s"pair ($ia,$ib): $jSpark != $expect")
   }
 
+  test("nearDupAgainstIndex: incremental arrivals match the corpus index only") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val known = corpus.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).head()
+    val incoming = Seq(
+      (100000L, known.getString(1)), // exact dup of an indexed doc
+      (100001L, "a completely novel document about nothing indexed xyzzy " +
+        "plugh quux flibber jabber wocky snark boojum vorpal")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstIndex(incoming, "doc_id", "text", index)
+      .dropDuplicates("id", "corpus_id")
+      .collect()
+    val byId = hits.groupBy(_.getLong(0))
+    // the dup must hit its source with est 1.0; the novel doc hits nothing
+    assert(byId.contains(100000L), s"dup not detected: ${hits.mkString(",")}")
+    val dupHits = byId(100000L)
+    assert(dupHits.exists(r =>
+      r.getLong(1) == known.getLong(0) && r.getDouble(2) == 1.0))
+    assert(!byId.contains(100001L),
+      s"novel doc false-matched: ${byId.get(100001L).mkString(",")}")
+  }
+
   test("nearDupClusters resolves transitive chains to one keeper") {
     // A~B and B~C but never A~C directly: pairwise dropping would keep C
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -287,6 +287,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupAgainstIndex works as a stream-static join (stateless per batch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text")
+      .localCheckpoint() // static side materialized once
+    val knownText = corpus.orderBy("doc_id").limit(1)
+      .select(col("text")).head().getString(0)
+    val dir = Files.createTempDirectory("graft-inc-dedup").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def write(file: String, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }, 1),
+        schema).write.mode("overwrite").parquet(s"$dir/$file")
+    write("b1", Seq((200000L, knownText),
+      (200001L, "novel streaming text qwerty asdf zxcv poiu lkjh mnbv " +
+        "unseen tokens only here")))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val hits = graft.operators.Dedup.nearDupAgainstIndex(
+      stream, "doc_id", "text", index)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("inc_dedup")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("inc_dedup").select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(200000L),
+        s"streamed dup must match, novel must not: $ids")
+    } finally q.stop()
+  }
+
   test("multimodal: deterministic fake decode through real partition plumbing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
