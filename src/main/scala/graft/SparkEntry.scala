@@ -472,6 +472,15 @@ object SparkEntry {
         .orderBy(desc("n_refs"), col("p_partkey"))
     }),
 
+    // training-data chunking: overlapping token windows, pure Column work
+    // (one pass, zero shuffles before the presentation sort)
+    "q49_doc_chunks" -> ((s, dir) => {
+      graft.operators.Chunking.chunk(
+        t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // transferable-skills shape (`analysis_queries.md:115-121`): 2-hop
     // chain then count DISTINCT terminal group — part → order → customer
     // nation, dimension joins broadcast, one distinct-count shuffle.
@@ -674,6 +683,21 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY l_partkey ORDER BY n_nations DESC, l_partkey""".stripMargin,
+    "q49_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) <= 64 THEN 1
+        |         ELSE 1 + CAST(ceil((len(ts) - 64) / 48.0) AS BIGINT)
+        |    END AS nc
+        |  FROM t)
+        |SELECT doc_id, g - 1 AS chunk_idx,
+        |  array_to_string(ts[(g-1)*48 + 1 : (g-1)*48 + 64], ' ') AS chunk_text,
+        |  len(ts[(g-1)*48 + 1 : (g-1)*48 + 64]) AS n_tokens
+        |FROM n, UNNEST(generate_series(1, nc)) AS s(g)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q46_above_own_median" ->
       """SELECT o_orderstatus, COUNT(*) AS n
         |FROM orders o JOIN (
@@ -1068,6 +1092,19 @@ object SparkEntry {
       val assigned = Similarity.Ivf.assignCells(
         e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cents)
       Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q, k = 10, nProbe = 4)
+    }),
+    // sequence packing: chunks → budget-bounded bins, greedy next-fit per
+    // deterministic pack group (greedy scan is sequential; groups scale
+    // out). Rows-only: the bin layout has no closed-form SQL.
+    "pk01_sequence_packing" -> ((s, dir) => {
+      val chunks = graft.operators.Chunking.chunk(
+        t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+      graft.operators.Chunking.packGreedy(chunks, maxTokens = 256L, numGroups = 16)
+        .toDF()
+        .select(col("group"), col("bin"), col("n_chunks"),
+          col("total_tokens"),
+          array_join(col("chunk_keys"), "|").as("chunk_keys"))
+        .orderBy(col("group"), col("bin"))
     }),
     // sketch aggregates: the 100 TB observability path (exact distinct /
     // quantiles don't scale; HLL + KLL-style approximations do). Rows-only
