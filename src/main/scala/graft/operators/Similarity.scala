@@ -185,20 +185,26 @@ object Similarity {
       cents
     }
 
+    /** Nearest-centroid assignment as an ARGMAX AGGREGATION: broadcast
+      * the centroids, score corpus×cells map-side, then `min(struct(
+      * -score, cell, vec))` per id — a partial-aggregable hash agg that
+      * shuffles one row per corpus id. (The previous window-sort shape
+      * shuffled corpus×nCells rows just to pick one max — ×nCells
+      * amplification at exactly the corpus sizes IVF exists for.)
+      * Tie-break matches the old shape: highest score, then lowest cell. */
     def assignCells(
         corpus: DataFrame,
         idCol: String,
         vecCol: String,
-        cents: DataFrame): DataFrame = {
-      val scored = corpus
+        cents: DataFrame): DataFrame =
+      corpus
         .crossJoin(broadcast(cents))
         .withColumn("cscore", cosineSim(col(vecCol), col("centroid")))
-      val w = Window.partitionBy(col(idCol)).orderBy(desc("cscore"), col("cell"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col(vecCol), col("cell"))
-    }
+        .groupBy(col(idCol))
+        .agg(min(struct(
+          (-col("cscore")).as("ns"), col("cell").as("cell"),
+          col(vecCol).as("vec"))).as("best"))
+        .select(col(idCol), col("best.vec").as(vecCol), col("best.cell").as("cell"))
 
     def probe(
         assigned: DataFrame,

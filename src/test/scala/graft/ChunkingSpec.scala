@@ -39,6 +39,16 @@ class ChunkingSpec extends AnyFunSuite {
     assert(chunks.last.getAs[String]("chunk_text") == "t7 t8 t9")
   }
 
+  test("chunk: null-text documents are dropped, not emitted as null chunks") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunk(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect()
+    assert(chunks.length == 1)
+    assert(chunks.head.getAs[Long]("id") == 1L)
+    assert(chunks.head.getAs[String]("chunk_text") == "a b c")
+  }
+
   test("packGreedy: next-fit bins respect the budget; oversized chunk gets its own bin") {
     // one doc per chunk so sizes are easy to stage: 3,4,2,5 then a 9
     val chunks = Seq(
@@ -63,5 +73,31 @@ class ChunkingSpec extends AnyFunSuite {
     val total4 = Chunking.packGreedy(chunks, 256L, 4)
       .collect().map(_.n_chunks).sum
     assert(total8.toLong == total4) // every chunk packed exactly once
+  }
+
+  test("packGreedy: adversarially small numGroups streams whole corpus through one group") {
+    // numGroups=1 puts EVERY chunk in one pack group — the shape that
+    // OOM'd the old toArray scan. The streaming scan must produce the
+    // exact layout a driver-side sequential next-fit produces.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = Chunking.chunk(docs, "doc_id", "text", window = 64, stride = 48)
+    val bins = Chunking.packGreedy(chunks, maxTokens = 256L, numGroups = 1)
+      .collect().sortBy(_.bin)
+    assert(bins.forall(_.group == 0L))
+    assert(bins.map(_.bin).toSeq == bins.indices.map(_.toLong)) // dense bin ids
+    // reference: sequential next-fit over the driver-collected chunk list
+    val seq = chunks.select("id", "chunk_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Long)]
+    seq.foreach { case (id, idx, nTok) =>
+      val key = s"$id:$idx"
+      expected.lastOption match {
+        case Some((ks, tot)) if tot + nTok <= 256L =>
+          expected(expected.length - 1) = (ks :+ key, tot + nTok)
+        case _ => expected += ((Seq(key), nTok))
+      }
+    }
+    assert(bins.map(_.chunk_keys.toSeq).toSeq == expected.map(_._1).toSeq)
+    assert(bins.map(_.total_tokens).toSeq == expected.map(_._2).toSeq)
   }
 }

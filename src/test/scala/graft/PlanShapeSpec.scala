@@ -73,6 +73,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")), exchanges.mkString("\n"))
   }
 
+  test("ivf assignCells: argmax is a partial hash agg, no window sort") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // materialize the (tiny) centroid frame so its own row_number window
+    // doesn't appear in the assign plan under test
+    val cents = graft.operators.Similarity.Ivf.centroids(
+      e, "vec_id", "embedding", nCells = 8).localCheckpoint()
+    val assigned = graft.operators.Similarity.Ivf.assignCells(
+      e, "vec_id", "embedding", cents)
+    val p = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the ×nCells amplification fix: one partial-aggregable hash agg per
+    // id, never a corpus×cells shuffle into a window sort
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert("partial_min".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q47: degree ranking pre-aggregates the fact side, then broadcasts it") {
     val p = plan("q47_part_degree_ranking")
     // OPTIONAL MATCH shape: the 6M-row side is aggregated to one row per
