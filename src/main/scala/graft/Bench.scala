@@ -1,10 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query MEDIAN seconds.
+  *
+  * Methodology (so the "within 2x of baseline" gate is adjudicable on a
+  * shared box whose single-run noise is itself ~2x):
+  *   - every parquet table is pre-touched once, so alphabetically-early
+  *     queries stop absorbing first-read page-cache costs;
+  *   - the session is warmed (codegen compiler, FS init, the widest
+  *     expression DAG) before any timing;
+  *   - each query runs `SPARK_GRAFT_BENCH_ITERS` times (default 5) and
+  *     reports the median; iterations are ROUND-ROBIN (all queries once,
+  *     then again, ...) so a transient load burst on the shared box lands
+  *     on one iteration of many queries instead of all iterations of one
+  *     query — back-to-back repeats would share the burst and the median
+  *     would keep it.
+  * The reported "total" is the sum of medians.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,7 +36,15 @@ object Bench {
     // absorb one-time session costs (codegen compiler, FS init) so they
     // don't land on whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // pre-touch every table once: first read pays dcache/page-cache and
+    // footer-parse costs that would otherwise land on whichever query
+    // reads the table first (alphabetical order made that systematic)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    // events.parquet needs the nanos flag; touch via the entry helper
+    try SparkEntry.queries("q17_events_hourly")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // the curation DAG is the widest expression tree in the suite; compile
     // its codegen once on 32 synthetic rows so cu01 (3rd alphabetically)
     // measures steady-state work, not the one-time janino compile
@@ -30,15 +56,24 @@ object Bench {
       graft.operators.Curation.Config(
         minTokens = 1L, minQuality = -100L, keepLangs = Seq("en", "und")))
     wc.count(); wd.count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to iters; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
+    val results = ordered.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

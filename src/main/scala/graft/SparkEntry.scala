@@ -762,11 +762,11 @@ object SparkEntry {
         .limit(30)
     }),
     // distinct n-gram cardinality per document; string shingles (not the
-    // hashed fast path) so the DuckDB oracle can mirror it — repartition
-    // because the interpreted HOF work must not run on one input split
+    // hashed fast path) so the DuckDB oracle can mirror it — the
+    // interpreted HOF work must not run on one input split, but an input
+    // that is already parallel must not pay a full-text shuffle either
     "q38_doc_ngram_counts" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.ensureParallelism(t(s, dir, "documents"))
         .select(col("doc_id"),
           size(array_distinct(TextFunctions.tokenNgrams(col("text"), 3)))
             .cast("long").as("n_shingles"))

@@ -59,10 +59,13 @@ object Betweenness {
         lit(1L).as("sigma"))
       .localCheckpoint()
     var frontier = visited
+    var frontierN = frontier.count()
     var depth = 0
     var levels = List(0)
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierN > 0L) {
       depth += 1
+      // LAZY checkpoint + count: one job materializes the level and
+      // answers the loop guard (eager checkpoint + isEmpty was two)
       val next = frontier
         .join(e, frontier("id") === e("src"))
         .groupBy(col("root"), e("dst").as("id"))
@@ -71,8 +74,9 @@ object Betweenness {
           col("root") === col("vr") && col("id") === col("vi"), "left_anti")
         .withColumn("depth", lit(depth))
         .select("root", "id", "depth", "sigma")
-        .localCheckpoint()
-      if (!next.isEmpty) {
+        .localCheckpoint(false)
+      frontierN = next.count()
+      if (frontierN > 0L) {
         // union of the per-level checkpoints — flat lineage, no
         // O(total-visited) re-materialization every level
         visited = visited.unionByName(next)

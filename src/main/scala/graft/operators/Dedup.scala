@@ -27,7 +27,7 @@ object Dedup {
   /** CPU-heavy per-row stages must not inherit a tiny input's partitioning
     * (a single small parquet file = ONE partition = one core doing all the
     * hashing). No-op when the input is already parallel enough. */
-  private[operators] def ensureParallelism(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd reads the partition count off the prepared physical plan
     // without the row-encoding layer df.rdd would add
@@ -134,17 +134,32 @@ object Dedup {
   /** Banded LSH INDEX of a corpus: (id, sig, band, bucket) rows, ready to
     * persist (partition/bucket by (band, bucket) at scale). Precompute once
     * over the existing corpus; incremental arrivals then check against it
-    * with [[nearDupAgainstIndex]] instead of re-running all-corpus dedup. */
+    * with [[nearDupAgainstIndex]] instead of re-running all-corpus dedup.
+    *
+    * Hot buckets are CAPPED at build time, mirroring [[minhashCandidates]]'
+    * in-corpus cap: a degenerate (band, bucket) shared by more than
+    * `maxBucketSize` corpus rows is dropped from the index (other bands
+    * still catch its members), so the stream-static join in
+    * [[nearDupAgainstIndex]] can never fan one incoming row out by an
+    * unbounded bucket — the cap is the join's worst-case per-row output. */
   def minhashIndex(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      nGram: Int = 3): DataFrame =
-    bandRows(
+      nGram: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val banded = bandRows(
       minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
       numHashes, bands)
+    val ok = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    banded.join(ok, Seq("band", "bucket"), "left_semi")
+  }
 
   /** Near-dup candidates of INCOMING documents against a prebuilt
     * [[minhashIndex]]: one equi-join on (band, bucket) — stateless per
@@ -154,8 +169,10 @@ object Dedup {
     * est_jaccard, band) — a pair sharing several bands emits one row per
     * shared band; batch callers can `dropDuplicates("id","corpus_id")`,
     * streaming callers keep the operator stateless and dedup downstream.
-    * `incoming` docs are NOT checked against each other — compose with
-    * [[minhashCandidates]] over the batch for intra-batch pairs. */
+    * Per-row fan-out is bounded by the index's build-time bucket cap
+    * ([[minhashIndex]] `maxBucketSize`). `incoming` docs are NOT checked
+    * against each other — use [[nearDupMicroBatch]] (from `foreachBatch`)
+    * when a batch's internal dups must not slip through. */
   def nearDupAgainstIndex(
       incoming: DataFrame,
       idCol: String,
@@ -176,6 +193,48 @@ object Dedup {
       .select(col("id"), col("corpus_id"),
         estJaccard(col("sig"), col("corpus_sig"), numHashes).as("est_jaccard"),
         col("band"))
+  }
+
+  /** Complete near-dup check for ONE micro-batch: the batch against the
+    * corpus index (stream-static shape) UNION the batch against ITSELF
+    * (intra-batch LSH) — without the second leg, two near-identical docs
+    * arriving in the same micro-batch both pass and only surface at the
+    * next periodic compaction. Signatures are computed once (lazy
+    * checkpoint) and feed both legs.
+    *
+    * The intra-batch leg is a self-join, so `batch` must be a STATIC
+    * frame — in Structured Streaming call this from `foreachBatch`, the
+    * standard hook for per-batch relational work the streaming planner
+    * can't express statelessly.
+    *
+    * Output: (id, dup_of, est_jaccard, source); source = "corpus" |
+    * "batch". For batch pairs the larger id is reported as the dup
+    * (keeper = min id, the library-wide convention). */
+  def nearDupMicroBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = minhashSignature(
+      ensureParallelism(batch), idCol, textCol, numHashes, nGram)
+      .localCheckpoint(false)
+    val vsCorpus = bandRows(sigs, numHashes, bands)
+      .join(index.select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("sig").as("corpus_sig")),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id").as("dup_of"),
+        estJaccard(col("sig"), col("corpus_sig"), numHashes).as("est_jaccard"))
+      .dropDuplicates("id", "dup_of")
+      .withColumn("source", lit("corpus"))
+    val intra = minhashCandidatesFromSigs(sigs, numHashes, bands, maxBucketSize)
+      .select(col("id_b").as("id"), col("id_a").as("dup_of"),
+        col("est_jaccard"), lit("batch").as("source"))
+    vsCorpus.unionByName(intra)
   }
 
   /** Transitive near-duplicate resolution: candidate pairs form a graph;

@@ -27,7 +27,11 @@ object GraphOps {
   /** Minimum-depth BFS from `roots` following `edges` (src → dst).
     * Returns (id, depth), depth 0 at the roots.
     * One shuffle join per level; frontier is localCheckpointed so lineage
-    * stays O(1) per iteration instead of O(depth). */
+    * stays O(1) per iteration instead of O(depth). Exactly ONE driver job
+    * per level: the loop guard's emptiness comes from `count()` on the
+    * LAZY checkpoint, which materializes it and answers the guard in the
+    * same job (an `isEmpty` probe after an eager checkpoint was a second
+    * job per level). */
   def bfsDepths(
       edges: DataFrame,
       roots: DataFrame,
@@ -35,15 +39,17 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
     var visited = roots.select(col("id"), lit(0).as("depth")).localCheckpoint()
     var frontier = visited
+    var frontierN = frontier.count()
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierN > 0L) {
       depth += 1
       val next = frontier
         .join(e, frontier("id") === e("src"))
         .select(e("dst").as("id"), lit(depth).as("depth"))
         .distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
+      frontierN = next.count() // materializes the checkpoint + guards the loop
       // visited stays a UNION of the per-level checkpoints — flat lineage,
       // no O(total-visited) re-materialization every level
       visited = visited.unionByName(next)
@@ -66,27 +72,38 @@ object GraphOps {
       edges: DataFrame,
       roots: DataFrame,
       maxDepth: Int = 20): DataFrame = {
+    // pre-partition the edge side on the join key ONCE and persist: the
+    // cached InMemoryTableScan reports hashpartitioning(src), so every
+    // level's join re-shuffles only the (small, shrinking) frontier, not
+    // the full edge set — O(1) edge shuffles for the whole traversal
+    // instead of O(depth)
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     var result: DataFrame = null
     var frontier = roots
       .select(col("id").as("root"), col("id"), lit(1L).as("n_paths"))
       .localCheckpoint()
+    var frontierN = frontier.count()
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierN > 0L) {
       depth += 1
-      // LAZY checkpoint: the loop condition's isEmpty probe materializes
-      // it — one job per level instead of checkpoint-then-probe
+      // LAZY checkpoint + count: ONE job per level that materializes the
+      // checkpoint and answers the loop guard (isEmpty after the
+      // materialization was a second probe job per level)
       val next = frontier
         .join(e, frontier("id") === e("src"))
         .groupBy(col("root"), e("dst").as("id"))
         .agg(sum("n_paths").as("n_paths"))
         .localCheckpoint(false)
+      frontierN = next.count()
       val step = next.withColumn("depth", lit(depth))
         .select("root", "id", "depth", "n_paths")
       result = if (result == null) step else result.unionByName(step)
       frontier = next.select("root", "id", "n_paths")
     }
+    e.unpersist(blocking = false) // levels are checkpointed; lineage no longer needs e
     if (result == null)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -135,8 +152,17 @@ object GraphOps {
       .localCheckpoint()
     var frontier = visited
     var depth = 0
-    var found = !frontier.filter(col("id") === dstId).isEmpty
-    while (depth < maxDepth && !frontier.isEmpty && !found) {
+    // ONE job per level: counting rows + dst hits on the lazy checkpoint
+    // materializes it and answers both loop guards at once (eager
+    // checkpoint + isEmpty + found-filter probe was 3 jobs per level)
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        count(when(col("id") === dstId, lit(1)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (frontierN, hits) = probe(frontier)
+    var found = hits > 0L
+    while (depth < maxDepth && frontierN > 0L && !found) {
       depth += 1
       val next = frontier
         .join(e, frontier("id") === e("src"))
@@ -144,10 +170,12 @@ object GraphOps {
           frontier("id").as("parent"))
         .groupBy("id").agg(min("depth").as("depth"), min("parent").as("parent"))
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
+      val p = probe(next)
+      frontierN = p._1
+      found = p._2 > 0L
       visited = visited.unionByName(next) // union of checkpointed levels
       frontier = next
-      found = !next.filter(col("id") === dstId).isEmpty
     }
     if (!found && srcId != dstId) Nil
     else {

@@ -115,6 +115,52 @@ class DedupSpec extends AnyFunSuite {
       s"novel doc false-matched: ${byId.get(100001L).mkString(",")}")
   }
 
+  test("minhashIndex caps hot buckets so the stream-static join fan-out is bounded") {
+    // 30 identical docs: every (band, bucket) they share holds 30 rows.
+    // With maxBucketSize=10 those buckets must be dropped entirely; a
+    // handful of distinct docs below the cap must keep their buckets.
+    val docs = ((1L to 30L).map(i => (i, "same degenerate text every time " +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit")) ++
+      Seq((100L, "one unique document about xyzzy plugh quux flibber"),
+        (101L, "another unique document snark boojum vorpal jabber")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashIndex(docs, "doc_id", "text", maxBucketSize = 10)
+    val sizes = capped.groupBy("band", "bucket").count().collect()
+    assert(sizes.nonEmpty, "unique docs must keep their buckets")
+    assert(sizes.forall(_.getLong(2) <= 10L),
+      s"bucket above cap survived: ${sizes.mkString(",")}")
+    assert(capped.filter(col("id") >= 100L).count() > 0)
+    // and the degenerate crowd is fully out (all its buckets were hot)
+    assert(capped.filter(col("id") <= 30L).count() == 0)
+  }
+
+  test("nearDupMicroBatch catches intra-batch dups AND corpus dups in one pass") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val known = corpus.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).head()
+    val novel = "a completely novel document about nothing indexed xyzzy " +
+      "plugh quux flibber jabber wocky snark boojum vorpal"
+    val batch = Seq(
+      (100000L, known.getString(1)), // dup of an indexed corpus doc
+      (100001L, novel), // intra-batch dup pair: 100001 ~ 100002
+      (100002L, novel)
+    ).toDF("doc_id", "text")
+    val hits = Dedup.nearDupMicroBatch(batch, "doc_id", "text", index)
+      .collect()
+    val corpusHits = hits.filter(_.getString(3) == "corpus")
+    val batchHits = hits.filter(_.getString(3) == "batch")
+    assert(corpusHits.exists(r =>
+      r.getLong(0) == 100000L && r.getLong(1) == known.getLong(0)),
+      s"corpus dup missed: ${hits.mkString(",")}")
+    assert(batchHits.exists(r =>
+      r.getLong(0) == 100002L && r.getLong(1) == 100001L &&
+        r.getDouble(2) == 1.0),
+      s"intra-batch dup missed: ${hits.mkString(",")}")
+    // the novel pair must not corpus-match; the corpus dup not batch-match
+    assert(!corpusHits.exists(r => r.getLong(0) == 100001L))
+  }
+
   test("nearDupClusters resolves transitive chains to one keeper") {
     // A~B and B~C but never A~C directly: pairwise dropping would keep C
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

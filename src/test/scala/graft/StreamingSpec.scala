@@ -321,6 +321,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch nearDupMicroBatch: dups INSIDE one micro-batch are caught") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val knownText = corpus.orderBy("doc_id").limit(1)
+      .select(col("text")).head().getString(0)
+    val novel = "streaming intra batch twin document qwerty asdf zxcv " +
+      "poiu lkjh mnbv unseen tokens only here"
+    val dir = Files.createTempDirectory("graft-microbatch-dedup").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // ONE file => ONE micro-batch holding a corpus dup + an intra-batch twin
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(300000L, knownText),
+        org.apache.spark.sql.Row(300001L, novel),
+        org.apache.spark.sql.Row(300002L, novel)), 1),
+      schema).write.mode("overwrite").parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= graft.operators.Dedup
+            .nearDupMicroBatch(batch, "doc_id", "text", index)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val got = collected.synchronized(collected.toSet)
+      assert(got.exists { case (id, _, src) => id == 300000L && src == "corpus" },
+        s"corpus dup missed in micro-batch: $got")
+      assert(got.contains((300002L, 300001L, "batch")),
+        s"intra-batch twin slipped through: $got")
+    } finally q.stop()
+  }
+
   test("multimodal: deterministic fake decode through real partition plumbing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.featureTable(docs, "doc_id", "text", "image",
