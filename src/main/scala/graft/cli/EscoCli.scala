@@ -23,6 +23,8 @@ import graft.vector.{HashingEmbedder, SemanticSearch}
   *   analyze   <warehouseDir> <queryName>
   *   analyze   <warehouseDir> related-occupations <occLabel> [--bridge]
   *   analyze   <warehouseDir> skill-profile <skillLabel>
+  *   analyze   <warehouseDir> shortest-path <label1> <label2>
+  *   analyze   <warehouseDir> viz-graph <occLabel>
   *   curate    <documentsParquet> <outDir>
   *   translate <warehouseDir> <property>
   */
@@ -123,6 +125,7 @@ object EscoCli {
         case "skill-groups-most-skills" =>
           EscoAnalytics.skillGroupsWithMostSkills(wh)
         case "skill-depths" => EscoAnalytics.skillHierarchyDepths(wh)
+        case "combined-connections" => EscoAnalytics.combinedConnections(wh)
         case other => sys.error(
           s"unknown analysis '$other'; see EscoAnalytics for the catalog")
       }
@@ -144,6 +147,22 @@ object EscoCli {
         .filter(col("preferredLabel") === skillLabel)
         .select(col("conceptUri").as("uri"))
       printTable(Profiles.skillCompleteProfile(wh, anchors))
+
+    // G2: the path object itself, like the reference's shortestPath Cypher
+    case "analyze" :: whDir :: "shortest-path" :: label1 :: label2 :: Nil =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val path = EscoAnalytics.shortestPathNodes(wh, label1, label2)
+      if (path.isEmpty)
+        println(s"no path between '$label1' and '$label2' (within depth 15)")
+      else
+        println(s"length=${path.length - 1}  ${path.mkString(" -> ")}")
+
+    case "analyze" :: whDir :: "viz-graph" :: occLabel :: Nil =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val anchors = wh.occupations
+        .filter(col("preferredLabel") === occLabel)
+        .select(col("conceptUri").as("uri"))
+      printTable(Profiles.occupationVizGraph(wh, anchors))
 
     case "curate" :: docsParquet :: outDir :: Nil =>
       val docs = spark.read.parquet(docsParquet)
@@ -178,9 +197,11 @@ object EscoCli {
           |            skill-depths communities communities-louvain betweenness
           |            pagerank top-skills-by-relationships
           |            top-occupations-optional transferable-skills
-          |            skill-groups-most-skills)
+          |            skill-groups-most-skills combined-connections)
           |  analyze   <warehouseDir> related-occupations <occLabel> [--bridge]
           |  analyze   <warehouseDir> skill-profile <skillLabel>
+          |  analyze   <warehouseDir> shortest-path <label1> <label2>
+          |  analyze   <warehouseDir> viz-graph <occLabel>
           |  curate    <documentsParquet> <outDir>
           |  translate <warehouseDir> <property>""".stripMargin)
       sys.exit(2)

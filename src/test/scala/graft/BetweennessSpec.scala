@@ -44,6 +44,67 @@ class BetweennessSpec extends AnyFunSuite {
     assert(math.abs(m(3L) - 1.0) < 1e-12)
   }
 
+  /** Driver-side exact Brandes (undirected input, directed-both-ways
+    * convention — the operator's documented contract). */
+  private def localBrandes(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val vertices = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val bc = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    for (s <- vertices) {
+      val sigma = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var frontier = Seq(s)
+      var d = 0
+      while (frontier.nonEmpty) {
+        order ++= frontier
+        d += 1
+        val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+        for (v <- frontier; w <- adj.getOrElse(v, Nil)) {
+          if (!dist.contains(w)) { next += w; dist(w) = d }
+          if (dist(w) == d) sigma(w) += sigma(v)
+        }
+        frontier = next.toSeq
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for (w <- order.reverse; v <- adj.getOrElse(w, Nil)
+          if dist.get(v).contains(dist(w) - 1)) {
+        delta(v) += sigma(v).toDouble / sigma(w).toDouble * (1.0 + delta(w))
+      }
+      for (v <- order if v != s) bc(v) += delta(v)
+    }
+    vertices.map(v => v -> bc(v)).toMap
+  }
+
+  test("exact mode (k >= |V|) equals driver-side Brandes on 100 random graphs") {
+    // 100 disjoint random graphs, id-offset so one batched approx() call
+    // computes all of them at once (betweenness of a disjoint union is the
+    // per-component betweenness) — one Spark loop, 100 property cases
+    val rnd = new scala.util.Random(11)
+    val perGraph = (0 until 100).map { g =>
+      val n = 4 + rnd.nextInt(5)
+      val base = g * 1000L
+      g -> (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.4
+      } yield (base + a, base + b))
+    }.toMap
+    val all = perGraph.values.flatten.toSeq
+    val got = Betweenness.approx(all.toDF("src", "dst"), k = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((g, es) <- perGraph if es.nonEmpty; (v, want) <- localBrandes(es)) {
+      assert(math.abs(got(v) - want) < 1e-9,
+        s"graph $g vertex $v: got ${got(v)}, want $want")
+    }
+    // scaled == raw when every vertex is a source
+    val scaledEq = Betweenness.approx(all.toDF("src", "dst"), k = 1000000)
+      .filter(abs(col("betweenness") - col("scaled")) > lit(1e-12)).count()
+    assert(scaledEq == 0L)
+  }
+
   test("sampling: k=2 of a path still ranks the middle highest, scaled") {
     val m = Betweenness.approx(
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), k = 2, seed = 7L)

@@ -26,7 +26,8 @@ class EscoCliSpec extends AnyFunSuite {
     "top-optional-skills", "top-occupations", "isco-most-occupations",
     "skill-cooccurrence", "skill-depths",
     "top-skills-by-relationships", "top-occupations-optional",
-    "transferable-skills", "skill-groups-most-skills")
+    "transferable-skills", "skill-groups-most-skills",
+    "combined-connections")
 
   analyses.foreach { name =>
     test(s"analyze $name runs") {
@@ -45,10 +46,47 @@ class EscoCliSpec extends AnyFunSuite {
     EscoCli.run(spark, List("analyze", whDir, "skill-profile", "manage data"))
   }
 
+  test("analyze shortest-path runs (connected and disconnected pairs)") {
+    // s1 -[related]- s2 in the mini warehouse: direct hop
+    EscoCli.run(spark,
+      List("analyze", whDir, "shortest-path", "manage data", "spark internals"))
+    // s4 has no edges: the no-path branch must print, not throw
+    EscoCli.run(spark,
+      List("analyze", whDir, "shortest-path", "manage data", "lonely"))
+  }
+
+  test("analyze viz-graph runs") {
+    EscoCli.run(spark, List("analyze", whDir, "viz-graph", "data engineer"))
+  }
+
   test("search --json and --profile-search run against the saved warehouse") {
     EscoCli.run(spark, List("search", whDir, "data", "--type", "skill",
       "--threshold", "-1.0", "--limit", "3", "--json"))
     EscoCli.run(spark, List("search", whDir, "data", "--type", "skill",
       "--threshold", "-1.0", "--profile-search"))
+  }
+
+  test("real-ESCO smoke: shortest-path and viz-graph over the reference CSVs") {
+    val dir = Files.createTempDirectory("graft-cli-realwh").toString
+    val wh = EscoWarehouse.build(spark, "/root/reference/ESCO")
+    EscoWarehouse.save(wh, dir)
+    // a (parent, child) pair from the skill pillar: path length must be 1
+    val pair = wh.broaderSkill
+      .join(wh.skills.select(org.apache.spark.sql.functions.col("conceptUri")
+          .as("parentUri"),
+        org.apache.spark.sql.functions.col("preferredLabel").as("pl")),
+        Seq("parentUri"))
+      .join(wh.skills.select(org.apache.spark.sql.functions.col("conceptUri")
+          .as("childUri"),
+        org.apache.spark.sql.functions.col("preferredLabel").as("cl")),
+        Seq("childUri"))
+      .select("pl", "cl").head()
+    EscoCli.run(spark,
+      List("analyze", dir, "shortest-path", pair.getString(0), pair.getString(1)))
+    val occLabel = wh.occupations
+      .orderBy("conceptUri")
+      .select("preferredLabel").head().getString(0)
+    EscoCli.run(spark, List("analyze", dir, "viz-graph", occLabel))
+    EscoCli.run(spark, List("analyze", dir, "combined-connections"))
   }
 }
