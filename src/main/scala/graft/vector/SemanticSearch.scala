@@ -46,11 +46,14 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
 
   private def grams(text: String): Seq[String] = {
     // boundary pad, then '_' for spaces so downstream whitespace
-    // tokenization can't split a gram. Locale.ROOT + code-point windows so
-    // the driver replays EXACTLY what Spark's locale-independent lower()
-    // and code-point-based substr() compute on executors (a default-locale
-    // toLowerCase diverges on e.g. Turkish dotless-i; UTF-16 indexing
-    // diverges on astral characters).
+    // tokenization can't split a gram. Locale.ROOT + code-point windows
+    // give ASCII-EXACT driver/executor parity with Spark's lower() and
+    // code-point-based substr(). Caveat: Spark's UTF8String.toLowerCase
+    // fast-paths ASCII but delegates its non-ASCII slow path to the
+    // default-locale String.toLowerCase, so on non-ASCII text under a
+    // non-ROOT default JVM locale (e.g. Turkish dotted-I) executors can
+    // still diverge from this ROOT-locale replay — pin -Duser.language on
+    // the cluster if non-ASCII query parity matters.
     val padded =
       "_" + text.toLowerCase(java.util.Locale.ROOT).replace(' ', '_') + "_"
     val cps = padded.codePoints().toArray

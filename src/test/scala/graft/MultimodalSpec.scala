@@ -77,6 +77,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empty.sizeBytes == 0L)
   }
 
+  test("decompression-bomb guard: declared pixels above maxPixels fall back pre-alloc") {
+    // a real 8x6 PNG: decodes fine by default, but a decoder whose pixel
+    // ceiling is below 48 must refuse from the HEADER (no raster alloc)
+    // and produce exactly the deterministic fallback features
+    val small = png(8, 6)((_, _) => 0x336699)
+    val ok = new ImageIODecoder().decode(9L, "image", small)
+    assert(ok.width == 8 && ok.height == 6)
+    val guarded = new ImageIODecoder(maxPixels = 47L).decode(9L, "image", small)
+    val fake = new FakeDecoder().decode(9L, "image", small)
+    assert(guarded == fake.copy(bandMeans = guarded.bandMeans) &&
+      guarded.bandMeans.sameElements(fake.bandMeans))
+    // a forged header declaring 1 Gpix on a tiny payload: guard must trip
+    // on the declared dimensions without trying to decode the body
+    val bomb = {
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      val ihdrBody = java.nio.ByteBuffer.allocate(13)
+        .putInt(40000).putInt(40000) // width, height
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrBody)
+      val buf = java.nio.ByteBuffer.allocate(sig.length + 4 + 4 + 13 + 4)
+      buf.put(sig).putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .put(ihdrBody).putInt(crc.getValue.toInt)
+      buf.array()
+    }
+    val bombed = new ImageIODecoder().decode(10L, "image", bomb)
+    val bombedFake = new FakeDecoder().decode(10L, "image", bomb)
+    assert(bombed == bombedFake.copy(bandMeans = bombed.bandMeans) &&
+      bombed.bandMeans.sameElements(bombedFake.bandMeans))
+  }
+
   test("mixed corpus through the partition-wise stage: images decode, text falls back") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(20)
