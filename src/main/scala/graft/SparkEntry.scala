@@ -855,6 +855,48 @@ object SparkEntry {
     })
   )
 
+  /** pk01's greedy next-fit is a per-group SEQUENTIAL recurrence — bin and
+    * running total at rank i depend on rank i-1 — so the oracle is a
+    * recursive CTE stepping rank→rank+1 within each pack group (all 16
+    * groups advance one rank per recursion level). The chunk derivation
+    * mirrors q49's; keys/aggregation mirror PackedBin exactly. */
+  private val packingOracle: Map[String, String] = Map(
+    "pk01_sequence_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) <= 64 THEN 1
+        |         ELSE 1 + CAST(ceil((len(ts) - 64) / 48.0) AS BIGINT)
+        |    END AS nc
+        |  FROM t WHERE ts IS NOT NULL
+        |), c0 AS (
+        |  SELECT doc_id, g - 1 AS chunk_idx,
+        |    len(ts[(g-1)*48 + 1 : (g-1)*48 + 64]) AS n_tokens
+        |  FROM n, UNNEST(generate_series(1, nc)) AS s(g)
+        |), c AS (
+        |  SELECT doc_id % 16 AS grp, doc_id, chunk_idx,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 16
+        |                       ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM c0
+        |), r AS (
+        |  SELECT grp, rn, doc_id, chunk_idx, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS tot
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.grp, c.rn, c.doc_id, c.chunk_idx, c.n_tokens,
+        |    CASE WHEN r.tot + c.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END,
+        |    CASE WHEN r.tot + c.n_tokens <= 256 THEN r.tot + c.n_tokens
+        |         ELSE c.n_tokens END
+        |  FROM r JOIN c ON c.grp = r.grp AND c.rn = r.rn + 1
+        |)
+        |SELECT grp AS "group", bin, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  string_agg(doc_id || ':' || chunk_idx, '|' ORDER BY rn) AS chunk_keys
+        |FROM r GROUP BY grp, bin ORDER BY "group", bin""".stripMargin)
+
   private val vectorOracle: Map[String, String] = Map(
     "q23_knn_of_vec0" ->
       """SELECT vec_id, rk FROM (
@@ -1095,7 +1137,8 @@ object SparkEntry {
     }),
     // sequence packing: chunks → budget-bounded bins, greedy next-fit per
     // deterministic pack group (greedy scan is sequential; groups scale
-    // out). Rows-only: the bin layout has no closed-form SQL.
+    // out). Oracle-gated: the per-group next-fit recurrence replays as a
+    // DuckDB recursive CTE over each group's (id, chunk_idx) rank.
     "pk01_sequence_packing" -> ((s, dir) => {
       val chunks = graft.operators.Chunking.chunk(
         t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
@@ -1159,5 +1202,6 @@ object SparkEntry {
       .map { case (k, f) => k -> withReg(f) }
 
   def oracleSql: Map[String, String] =
-    relationalOracle ++ textOracle ++ vectorOracle ++ sessionOracle ++ graphOracle
+    relationalOracle ++ textOracle ++ vectorOracle ++ sessionOracle ++
+      graphOracle ++ packingOracle
 }
