@@ -161,6 +161,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!corpusHits.exists(r => r.getLong(0) == 100001L))
   }
 
+  test("ensureParallelism: no-op on parallel input, repartitions narrow input") {
+    // reference equality IS the no-exchange guarantee q38 relies on: an
+    // already-parallel frame passes through untouched (no plan node added)
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).repartition(target).toDF()
+    assert(Dedup.ensureParallelism(wide) eq wide)
+    val narrow = spark.range(1000).coalesce(1).toDF()
+    val fixed = Dedup.ensureParallelism(narrow)
+    assert(fixed.queryExecution.toRdd.getNumPartitions == target)
+  }
+
   test("nearDupClusters resolves transitive chains to one keeper") {
     // A~B and B~C but never A~C directly: pairwise dropping would keep C
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
