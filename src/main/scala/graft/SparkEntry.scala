@@ -147,10 +147,16 @@ object SparkEntry {
 
     // J4 co-occurrence self-join through a shared neighbor
     "q09_part_pairs" -> ((s, dir) => {
+      // J4 co-occurrence in its scalable shape: pairs are generated INSIDE
+      // per-order grouped lists (orders are small, bounded fan-out), not by
+      // a self-join — one scan + two shuffles instead of two scans + three
+      // (same multiset of pairs: measured 2x faster at sf0.1, G03Probe)
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val a = l.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
-      a.join(b, a("l_orderkey") === b("ok2") && col("p1") < col("p2"))
+      l.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("p1"), col("ps"))
+        .select(col("p1"), explode(col("ps")).as("p2"))
+        .filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("p1"), col("p2"))
@@ -999,10 +1005,14 @@ object SparkEntry {
     // moved out of rows-only: the component histogram has a closed
     // recursive-CTE oracle in DuckDB
     "g03_components" -> ((s, dir) => {
+      // co-purchase edges via grouped pair generation (one lineitem scan,
+      // no self-join — same multiset of pairs, measured 2x faster; G03Probe)
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
-      val edges = a.join(b, a("l_orderkey") === b("ok2") && col("src") < col("dst"))
+      val edges = l.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("src"), col("ps"))
+        .select(col("src"), explode(col("ps")).as("dst"))
+        .filter(col("src") < col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("src", "dst")
