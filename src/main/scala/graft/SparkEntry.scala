@@ -1145,6 +1145,18 @@ object SparkEntry {
         e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cents)
       Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q, k = 10, nProbe = 4)
     }),
+    // kNN-graph over the whole embeddings table (LSH candidates, per-id
+    // top-k): the semantic-dedup/clustering primitive. Rows-only — the
+    // candidate set depends on the library's seeded hyperplanes, which no
+    // SQL engine reproduces; exact-scoring parity is pinned by
+    // SimilaritySpec cluster tests instead.
+    "ann03_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnJoin(e, "vec_id", "embedding", dim = 64, k = 5,
+        bits = 6, tables = 4)
+        .orderBy(col("id"), col("rank"))
+        .limit(100)
+    }),
     // sequence packing: chunks → budget-bounded bins, greedy next-fit per
     // deterministic pack group (greedy scan is sequential; groups scale
     // out). Oracle-gated: the per-group next-fit recurrence replays as a

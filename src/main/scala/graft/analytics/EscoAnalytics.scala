@@ -135,11 +135,20 @@ object EscoAnalytics {
     * neighbor; anti-self predicate keeps s1 < s2 so each pair counts once
     * per shared occupation. */
   def skillCooccurrence(wh: EscoWarehouse, k: Int = 20): DataFrame = {
+    // pairs generated inside per-occupation collected lists — an
+    // occupation's essential-skill set is small and bounded, so the
+    // grouped shape (one scan, two shuffles) beats the self-join (two
+    // scans, three shuffles; measured 2x on the same pattern, G03Probe).
+    // NOTE: occupationCooccurrence keeps the join shape deliberately —
+    // it groups by SKILL, and a popular skill's occupation list is a hot
+    // key whose quadratic pair fan-out should be spread by the join, not
+    // generated in one task.
     val e = wh.essentialFor
-    val pairs = e.select(col("skillUri").as("s1"), col("occupationUri"))
-      .join(e.select(col("skillUri").as("s2"),
-        col("occupationUri").as("o2")),
-        col("occupationUri") === col("o2") && col("s1") < col("s2"))
+    val pairs = e.groupBy(col("occupationUri"))
+      .agg(collect_list(col("skillUri")).as("ss"))
+      .select(explode(col("ss")).as("s1"), col("ss"))
+      .select(col("s1"), explode(col("ss")).as("s2"))
+      .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared_occupations"))
     val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))

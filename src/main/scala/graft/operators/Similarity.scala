@@ -131,6 +131,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Approximate kNN-GRAPH: the k nearest neighbors of EVERY corpus row —
+    * the primitive behind semantic dedup clustering, diversity sampling
+    * and graph-based ANN indexes. Exact construction is N² cosine evals;
+    * here candidates are limited to rows sharing an LSH bucket
+    * ([[graft.operators.Dedup.embeddingNearDup]]'s capped bucket join, so
+    * worst-case work is bounded by `maxBucketSize`), then ranked per id.
+    * The per-id rank window is safe at scale because its input is bounded
+    * by tables × maxBucketSize candidates per id, not by corpus size.
+    * Output: (id, neighbor_id, score, rank), rank 1..k by falling cosine.
+    * Recall rises with `tables` and falls with `bits` (bigger buckets =
+    * more candidates); rows whose every bucket is empty of others simply
+    * have no rows here — at high `tables` that means genuine outliers. */
+  def knnJoin(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = Dedup.embeddingNearDup(
+      corpus, idCol, vecCol, dim, cosThreshold = -2.0,
+      bitsPerTable = bits, tables = tables, seed = seed,
+      maxBucketSize = maxBucketSize)
+    // each undirected candidate pair feeds both endpoints' neighbor lists
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("neighbor_id"),
+        col("cos").as("score"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("neighbor_id"), col("cos").as("score")))
+    val w = Window.partitionBy("id").orderBy(desc("score"), col("neighbor_id"))
+    sym
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: assign every corpus row to its nearest of `nCells`
     * coarse centroids (deterministically sampled from the corpus itself),
     * then serve a query by scanning only the `nProbe` cells whose centroids

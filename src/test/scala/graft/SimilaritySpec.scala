@@ -30,6 +30,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("knnJoin: cluster members are each other's nearest neighbors") {
+    // 3 tight clusters: same direction, different magnitudes (cosine == 1
+    // within a cluster, and parallel vectors land in identical LSH
+    // buckets, so within-cluster recall is deterministic)
+    val rnd = new scala.util.Random(5)
+    val dirs = Seq.fill(3)(Seq.fill(16)(rnd.nextGaussian().toFloat))
+    val docs = (for {
+      c <- 0 until 3
+      m <- 1 to 5
+    } yield ((c * 100 + m).toLong, dirs(c).map(x => x * m)))
+      .toDF("id", "vec")
+    val g = Similarity.knnJoin(docs, "id", "vec", dim = 16, k = 4)
+      .collect()
+    val byId = g.groupBy(_.getLong(0))
+    assert(byId.size == 15, s"every row needs neighbors: ${byId.keySet}")
+    byId.foreach { case (id, rows) =>
+      val cluster = id / 100
+      // all 4 same-cluster peers present, all with cosine ~1, before any
+      // cross-cluster candidate
+      val top4 = rows.sortBy(_.getInt(3)).take(4)
+      assert(top4.forall(_.getLong(1) / 100 == cluster),
+        s"id $id neighbors ${rows.map(_.getLong(1)).toSeq}")
+      assert(top4.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6))
+    }
+  }
+
+  test("knnJoin ranks are dense per id and bounded by k") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val g = Similarity.knnJoin(docs, "id", "vec", dim = 16, k = 3,
+      bits = 2, tables = 4) // coarse buckets -> plenty of candidates
+      .collect()
+    g.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"id $id ranks $ranks")
+      assert(ranks.length <= 3)
+      assert(!rows.exists(_.getLong(1) == id), "self must not be a neighbor")
+    }
+  }
+
   test("crossTopK matches bruteForceTopK for the same query") {
     val queries = corpus.filter(col("id") === 0L)
       .select(col("id").as("qid"), col("vec").as("qvec"))
