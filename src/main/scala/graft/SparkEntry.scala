@@ -1151,9 +1151,12 @@ object SparkEntry {
     // SQL engine reproduces; exact-scoring parity is pinned by
     // SimilaritySpec cluster tests instead.
     "ann03_knn_graph" -> ((s, dir) => {
+      // bits=8 → ~256 buckets/table: ~40-row buckets at sf0.1 give each
+      // id ~160 candidates across 4 tables — ample for k=5 at a quarter
+      // of the bits=6 pair count
       val e = t(s, dir, "embeddings")
       Similarity.knnJoin(e, "vec_id", "embedding", dim = 64, k = 5,
-        bits = 6, tables = 4)
+        bits = 8, tables = 4)
         .orderBy(col("id"), col("rank"))
         .limit(100)
     }),
