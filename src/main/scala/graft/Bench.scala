@@ -36,12 +36,15 @@ object Bench {
     // absorb one-time session costs (codegen compiler, FS init) so they
     // don't land on whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
-    // pre-touch every table once: first read pays dcache/page-cache and
+    // pre-touch every table once: first read pays page-cache and
     // footer-parse costs that would otherwise land on whichever query
-    // reads the table first (alphabetical order made that systematic)
+    // reads the table first (alphabetical order made that systematic).
+    // A bare count() only reads footers, so hash ALL columns — that
+    // decompresses every column page through the OS cache once.
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .selectExpr("sum(xxhash64(struct(*)))").collect()
     // events.parquet needs the nanos flag; touch via the entry helper
     try SparkEntry.queries("q17_events_hourly")(spark, sfDir).count()
     catch { case _: Throwable => () }

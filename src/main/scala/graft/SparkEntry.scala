@@ -147,17 +147,12 @@ object SparkEntry {
 
     // J4 co-occurrence self-join through a shared neighbor
     "q09_part_pairs" -> ((s, dir) => {
-      // J4 co-occurrence in its scalable shape: pairs are generated INSIDE
-      // per-order grouped lists (orders are small, bounded fan-out), not by
-      // a self-join — one scan + two shuffles instead of two scans + three
-      // (same multiset of pairs: measured 2x faster at sf0.1, G03Probe)
+      // J4 co-occurrence in its scalable shape: pairs generated inside
+      // per-order grouped lists (bounded fan-out), not by a self-join —
+      // see Joins.groupedPairs for the measured rationale
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      l.groupBy(col("l_orderkey"))
-        .agg(collect_list(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("p1"), col("ps"))
-        .select(col("p1"), explode(col("ps")).as("p2"))
-        .filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2"))
+      graft.operators.Joins.groupedPairs(l, "l_orderkey", "l_partkey")
+        .groupBy(col("a").as("p1"), col("b").as("p2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("p1"), col("p2"))
         .limit(25)
@@ -1006,14 +1001,11 @@ object SparkEntry {
     // recursive-CTE oracle in DuckDB
     "g03_components" -> ((s, dir) => {
       // co-purchase edges via grouped pair generation (one lineitem scan,
-      // no self-join — same multiset of pairs, measured 2x faster; G03Probe)
+      // no self-join — Joins.groupedPairs, measured 2x faster)
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = l.groupBy(col("l_orderkey"))
-        .agg(collect_list(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("src"), col("ps"))
-        .select(col("src"), explode(col("ps")).as("dst"))
-        .filter(col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = graft.operators.Joins.groupedPairs(l, "l_orderkey", "l_partkey")
+        .groupBy(col("a").as("src"), col("b").as("dst"))
+        .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("src", "dst")
       GraphOps.connectedComponents(edges)

@@ -137,19 +137,14 @@ object EscoAnalytics {
   def skillCooccurrence(wh: EscoWarehouse, k: Int = 20): DataFrame = {
     // pairs generated inside per-occupation collected lists — an
     // occupation's essential-skill set is small and bounded, so the
-    // grouped shape (one scan, two shuffles) beats the self-join (two
-    // scans, three shuffles; measured 2x on the same pattern, G03Probe).
-    // NOTE: occupationCooccurrence keeps the join shape deliberately —
-    // it groups by SKILL, and a popular skill's occupation list is a hot
-    // key whose quadratic pair fan-out should be spread by the join, not
-    // generated in one task.
-    val e = wh.essentialFor
-    val pairs = e.groupBy(col("occupationUri"))
-      .agg(collect_list(col("skillUri")).as("ss"))
-      .select(explode(col("ss")).as("s1"), col("ss"))
-      .select(col("s1"), explode(col("ss")).as("s2"))
-      .filter(col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2"))
+    // grouped shape fits (Joins.groupedPairs; measured 2x over the
+    // self-join). NOTE: occupationCooccurrence keeps the join shape
+    // deliberately — it groups by SKILL, and a popular skill's occupation
+    // list is a hot key whose quadratic pair fan-out should be spread by
+    // the join, not generated in one task.
+    val pairs = graft.operators.Joins
+      .groupedPairs(wh.essentialFor, "occupationUri", "skillUri")
+      .groupBy(col("a").as("s1"), col("b").as("s2"))
       .agg(count(lit(1)).as("shared_occupations"))
     val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
     pairs
@@ -326,6 +321,19 @@ object EscoAnalytics {
       .orderBy(col("depth"))
   }
 
+  /** Label → vertex id for the shortest-path entry points; a label with
+    * no matching skill fails with a nameable error instead of a bare
+    * `head` NoSuchElementException (the CLI surfaces the message). */
+  private def idOfSkillLabel(
+      wh: EscoWarehouse, dict: DataFrame, label: String): Long =
+    wh.skills
+      .filter(col("preferredLabel") === label)
+      .join(dict.withColumnRenamed("key", "conceptUri"), Seq("conceptUri"))
+      .select(col("id")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no skill with preferredLabel '$label'"))
+      .getLong(0)
+
   /** Undirected shortest path length between two skills by label (G2,
     * `analysis_queries.md:138-141`). */
   def shortestPathBetweenSkills(
@@ -338,10 +346,7 @@ object EscoAnalytics {
       .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
       .withColumnRenamed("id", "dst")
       .select("src", "dst")
-    def idOf(label: String): Long = wh.skills
-      .filter(col("preferredLabel") === label)
-      .join(dict.withColumnRenamed("key", "conceptUri"), Seq("conceptUri"))
-      .select(col("id")).head().getLong(0)
+    def idOf(label: String): Long = idOfSkillLabel(wh, dict, label)
     GraphOps.shortestPathLength(edges, idOf(label1), idOf(label2), maxDepth = 15)
   }
 
@@ -357,10 +362,7 @@ object EscoAnalytics {
       .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
       .withColumnRenamed("id", "dst")
       .select("src", "dst")
-    def idOf(label: String): Long = wh.skills
-      .filter(col("preferredLabel") === label)
-      .join(dict.withColumnRenamed("key", "conceptUri"), Seq("conceptUri"))
-      .select(col("id")).head().getLong(0)
+    def idOf(label: String): Long = idOfSkillLabel(wh, dict, label)
     val ids = GraphOps.shortestPath(edges, idOf(label1), idOf(label2), maxDepth = 15)
     if (ids.isEmpty) Nil
     else {

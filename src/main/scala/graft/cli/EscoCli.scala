@@ -151,11 +151,16 @@ object EscoCli {
     // G2: the path object itself, like the reference's shortestPath Cypher
     case "analyze" :: whDir :: "shortest-path" :: label1 :: label2 :: Nil =>
       val wh = EscoWarehouse.load(spark, whDir)
-      val path = EscoAnalytics.shortestPathNodes(wh, label1, label2)
-      if (path.isEmpty)
-        println(s"no path between '$label1' and '$label2' (within depth 15)")
-      else
-        println(s"length=${path.length - 1}  ${path.mkString(" -> ")}")
+      try {
+        val path = EscoAnalytics.shortestPathNodes(wh, label1, label2)
+        if (path.isEmpty)
+          println(s"no path between '$label1' and '$label2' (within depth 15)")
+        else
+          println(s"length=${path.length - 1}  ${path.mkString(" -> ")}")
+      } catch {
+        // unknown label: a usage-level message, not a stack trace
+        case e: IllegalArgumentException => System.err.println(e.getMessage)
+      }
 
     case "analyze" :: whDir :: "viz-graph" :: occLabel :: Nil =>
       val wh = EscoWarehouse.load(spark, whDir)

@@ -136,12 +136,16 @@ object Dedup {
     * over the existing corpus; incremental arrivals then check against it
     * with [[nearDupAgainstIndex]] instead of re-running all-corpus dedup.
     *
-    * Hot buckets are CAPPED at build time, mirroring [[minhashCandidates]]'
-    * in-corpus cap: a degenerate (band, bucket) shared by more than
-    * `maxBucketSize` corpus rows is dropped from the index (other bands
-    * still catch its members), so the stream-static join in
-    * [[nearDupAgainstIndex]] can never fan one incoming row out by an
-    * unbounded bucket — the cap is the join's worst-case per-row output. */
+    * Hot buckets are CAPPED at build time: a (band, bucket) shared by
+    * more than `maxBucketSize` corpus rows keeps only its min-id row as a
+    * REPRESENTATIVE, so the stream-static join in [[nearDupAgainstIndex]]
+    * can never fan one incoming row out by an unbounded bucket — the cap
+    * is the join's worst-case per-row output per band. Degrading to a
+    * representative (not dropping, as [[minhashCandidates]]' in-corpus
+    * cap does) matters because the hottest buckets are exact-duplicate
+    * crowds whose EVERY band is over cap — dropping would make the index
+    * blind to precisely the most-duplicated content; one representative
+    * still flags every incoming copy (its signature IS the crowd's). */
   def minhashIndex(
       df: DataFrame,
       idCol: String,
@@ -153,12 +157,20 @@ object Dedup {
     val banded = bandRows(
       minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
       numHashes, bands)
-    val ok = banded
+    val sizes = banded
       .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    banded.join(ok, Seq("band", "bucket"), "left_semi")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+    val cold = banded.join(
+      sizes.filter(col("__n") <= maxBucketSize).select(col("band"), col("bucket")),
+      Seq("band", "bucket"), "left_semi")
+    val hot = sizes.filter(col("__n") > maxBucketSize)
+      .select(col("band").as("__hb"), col("bucket").as("__hk"), col("__rep"))
+    val hotReps = banded.join(hot,
+      col("band") === col("__hb") && col("bucket") === col("__hk") &&
+        col("id") === col("__rep"))
+      .select(banded.columns.map(col): _*)
+    // hot buckets contribute exactly their representative row
+    cold.unionByName(hotReps)
   }
 
   /** Near-dup candidates of INCOMING documents against a prebuilt
@@ -377,7 +389,10 @@ object Dedup {
 
     bucketPairs(hashed, Seq("band", "bucket"), maxBucketSize)
       .withColumn("cos", cosineSim(col("sig_a"), col("sig_b")))
-      .filter(col("cos") >= cosThreshold)
+      // NaN guard: a zero vector makes cosine 0/0 = NaN, and Spark's
+      // ordering semantics make NaN pass ANY >= threshold — without the
+      // guard a failed-embedding row would near-dup-match its whole bucket
+      .filter(!isnan(col("cos")) && col("cos") >= cosThreshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 

@@ -44,4 +44,21 @@ object Joins {
       .join(exploded, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Co-occurrence pairs WITHOUT a self-join: collect each group's items,
+    * explode twice, keep a < b. Same pair multiset as the classic
+    * self-join-on-group (duplicates in a group pair per occurrence), but
+    * one scan + two shuffles instead of two scans + three — measured 2×
+    * on the co-purchase graph (G03Probe). ONLY for bounded groups (an
+    * order's lineitems, an occupation's skills): a hot GROUP's quadratic
+    * fan-out is generated inside one task here, where a self-join would
+    * spread it — for hot-group data keep the join (see
+    * `EscoAnalytics.occupationCooccurrence`).
+    * Output: (a, b) item pairs, one row per co-occurrence. */
+  def groupedPairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(collect_list(col(itemCol)).as("__items"))
+      .select(explode(col("__items")).as("a"), col("__items"))
+      .select(col("a"), explode(col("__items")).as("b"))
+      .filter(col("a") < col("b"))
 }

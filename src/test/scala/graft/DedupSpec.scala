@@ -115,12 +115,15 @@ class DedupSpec extends AnyFunSuite {
       s"novel doc false-matched: ${byId.get(100001L).mkString(",")}")
   }
 
-  test("minhashIndex caps hot buckets so the stream-static join fan-out is bounded") {
+  test("minhashIndex caps hot buckets to ONE representative (fan-out bounded, detection kept)") {
     // 30 identical docs: every (band, bucket) they share holds 30 rows.
-    // With maxBucketSize=10 those buckets must be dropped entirely; a
-    // handful of distinct docs below the cap must keep their buckets.
-    val docs = ((1L to 30L).map(i => (i, "same degenerate text every time " +
-        "lorem ipsum dolor sit amet consectetur adipiscing elit")) ++
+    // With maxBucketSize=10 those buckets must degrade to the min-id
+    // representative — NOT drop: an exact-dup crowd is over cap in EVERY
+    // band, so dropping would blind the index to exactly the
+    // most-duplicated content.
+    val degenerate = "same degenerate text every time " +
+      "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val docs = ((1L to 30L).map(i => (i, degenerate)) ++
       Seq((100L, "one unique document about xyzzy plugh quux flibber"),
         (101L, "another unique document snark boojum vorpal jabber")))
       .toDF("doc_id", "text")
@@ -130,8 +133,17 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes.forall(_.getLong(2) <= 10L),
       s"bucket above cap survived: ${sizes.mkString(",")}")
     assert(capped.filter(col("id") >= 100L).count() > 0)
-    // and the degenerate crowd is fully out (all its buckets were hot)
-    assert(capped.filter(col("id") <= 30L).count() == 0)
+    // the crowd survives as exactly its min id in each band
+    val crowdIds = capped.filter(col("id") <= 30L)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(crowdIds == Set(1L), s"expected one representative, got $crowdIds")
+    // and an incoming 31st copy is STILL detected against the capped index
+    val incoming = Seq((200L, degenerate)).toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstIndex(incoming, "doc_id", "text", capped)
+      .dropDuplicates("id", "corpus_id").collect()
+    assert(hits.exists(r => r.getLong(0) == 200L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 1.0),
+      s"incoming copy of the capped crowd must match: ${hits.mkString(",")}")
   }
 
   test("nearDupMicroBatch catches intra-batch dups AND corpus dups in one pass") {

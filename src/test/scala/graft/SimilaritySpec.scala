@@ -56,6 +56,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin: a zero vector scores 0.0 (cosineSim zero-norm guard) and never outranks real neighbors") {
+    // cosineSim defines cosine-with-zero-norm as 0.0 (not 0/0 = NaN), so
+    // a failed-embedding row can appear in neighbor lists only with zero
+    // similarity, behind every positive-cosine neighbor; nothing is NaN
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val docs = (Seq((0L, Seq.fill(16)(0.0f))) ++
+      (1L to 10L).map(i => (i, base.map(x => x * i))))
+      .toDF("id", "vec")
+    val g = Similarity.knnJoin(docs, "id", "vec", dim = 16, k = 3,
+      bits = 2, tables = 4)
+      .collect()
+    assert(g.nonEmpty)
+    assert(!g.exists(r => r.getDouble(2).isNaN), "NaN score leaked")
+    // any pair involving the zero vector scores exactly 0.0
+    assert(g.filter(r => r.getLong(0) == 0L || r.getLong(1) == 0L)
+      .forall(_.getDouble(2) == 0.0))
+    // the 10 parallel vectors (cosine 1 to each other) must all rank a
+    // real peer first — the zero vector can never be a rank-1 neighbor
+    assert(!g.exists(r => r.getLong(1) == 0L && r.getInt(3) == 1),
+      "zero vector outranked a real neighbor")
+  }
+
   test("knnJoin ranks are dense per id and bounded by k") {
     val rnd = new scala.util.Random(7)
     val docs = (0L until 60L).map(i =>
