@@ -62,6 +62,11 @@ object Betweenness {
     var frontierN = frontier.count()
     var depth = 0
     var levels = List(0)
+    // each forward level is ALREADY a checkpointed frame — retain it for
+    // the backward phase instead of re-filtering `visited` into per-level
+    // frames afterwards (which cost one extra checkpoint job per level)
+    val levelAcc = scala.collection.mutable.Map[Int, DataFrame](
+      0 -> visited.select(col("root"), col("id"), col("sigma")))
     while (depth < maxDepth && frontierN > 0L) {
       depth += 1
       // LAZY checkpoint + count: one job materializes the level and
@@ -82,6 +87,7 @@ object Betweenness {
         visited = visited.unionByName(next)
         frontier = next
         levels = depth :: levels
+        levelAcc(depth) = next.select(col("root"), col("id"), col("sigma"))
       } else frontier = next
     }
 
@@ -92,10 +98,7 @@ object Betweenness {
     // only levels d and d-1 (O(level size) work), instead of rewriting and
     // re-checkpointing the whole k·V frame once per level — the difference
     // between O(k·V) and O(depth·k·V) total backward work on deep graphs.
-    val levelFrames: Map[Int, DataFrame] = levels.map(d =>
-      d -> visited.filter(col("depth") === d)
-        .select(col("root"), col("id"), col("sigma"))
-        .localCheckpoint()).toMap
+    val levelFrames: Map[Int, DataFrame] = levelAcc.toMap
     val maxL = levels.max
     // finalized (id, delta) rows for intermediate nodes (depth > 0)
     var finals: List[DataFrame] = Nil
