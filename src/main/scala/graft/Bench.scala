@@ -43,8 +43,9 @@ object Bench {
     // decompresses every column page through the OS cache once.
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings"))
+      // max, not sum: summing 64-bit hashes overflows under ANSI mode
       spark.read.parquet(s"$sfDir/$t.parquet")
-        .selectExpr("sum(xxhash64(struct(*)))").collect()
+        .selectExpr("max(xxhash64(struct(*)))").collect()
     // events.parquet needs the nanos flag; touch via the entry helper
     try SparkEntry.queries("q17_events_hourly")(spark, sfDir).count()
     catch { case _: Throwable => () }
