@@ -64,7 +64,9 @@ object Louvain {
           coalesce(col("next"), col("community")).as("community"))
         .localCheckpoint()
       // contract: group both endpoints by community; internal weight lands
-      // on self-loop rows (cs = cd), conserving total weight
+      // on self-loop rows (cs = cd), conserving total weight. LAZY
+      // checkpoint + count: the convergence probe materializes it in the
+      // same job (eager + isEmpty was two jobs per level).
       val contracted = adj
         .join(comm.withColumnRenamed("id", "src")
           .withColumnRenamed("new_community", "cs"), Seq("src"))
@@ -72,9 +74,9 @@ object Louvain {
           .withColumnRenamed("new_community", "cd"), Seq("dst"))
         .groupBy(col("cs").as("src"), col("cd").as("dst"))
         .agg(sum("w").as("w"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // converged when nothing merged (only self-loops or same node count)
-      done = contracted.filter(col("src") =!= col("dst")).isEmpty
+      done = contracted.filter(col("src") =!= col("dst")).count() == 0L
       adj = contracted
       level += 1
     }
@@ -142,13 +144,15 @@ object Louvain {
         .select(col("id"), col("stay_gain"))
 
       val parity = sweep % 2
+      // LAZY checkpoint: the moves count below materializes it — one job
+      // per sweep instead of checkpoint-then-count
       val decided = best
         .join(stay, Seq("id"))
         .withColumn("move",
           (pmod(xxhash64(col("id")), lit(2)) === parity) &&
             col("best") =!= col("community") &&
             col("best_gain") > col("stay_gain"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // early exit: a parity sweep with zero moves after sweep 2 means the
       // other parity class also had its chance — converged
       val moves = decided.filter(col("move")).count()

@@ -105,6 +105,16 @@ class BetweennessSpec extends AnyFunSuite {
     assert(scaledEq == 0L)
   }
 
+  test("directed mode: edges are not symmetrised (path 1->2->3 gives bc(2)=1)") {
+    // undirected counts the (1,3) pair from both endpoints (bc(2)=2);
+    // directed only the 1->3 direction exists
+    val m = Betweenness.approx(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), k = 100, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(2L) == 1.0)
+    assert(m(1L) == 0.0 && m(3L) == 0.0)
+  }
+
   test("sampling: k=2 of a path still ranks the middle highest, scaled") {
     val m = Betweenness.approx(
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), k = 2, seed = 7L)
