@@ -1197,11 +1197,11 @@ object SparkEntry {
         .limit(100)
     }),
     "g04_communities" -> ((s, dir) => {
+      // same grouped-pair co-purchase edge build as g03 (Joins.groupedPairs)
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val a = l.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
-      val edges = a.join(b, a("l_orderkey") === b("ok2") && col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = graft.operators.Joins.groupedPairs(l, "l_orderkey", "l_partkey")
+        .groupBy(col("a").as("src"), col("b").as("dst"))
+        .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("src", "dst")
       GraphOps.labelPropagation(edges, iters = 5)
