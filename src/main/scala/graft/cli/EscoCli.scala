@@ -158,8 +158,11 @@ object EscoCli {
         else
           println(s"length=${path.length - 1}  ${path.mkString(" -> ")}")
       } catch {
-        // unknown label: a usage-level message, not a stack trace
-        case e: IllegalArgumentException => System.err.println(e.getMessage)
+        // unknown label: a usage-level message, not a stack trace — but
+        // still a nonzero exit so scripted callers see the failure
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage)
+          sys.exit(1)
       }
 
     case "analyze" :: whDir :: "viz-graph" :: occLabel :: Nil =>

@@ -157,20 +157,18 @@ object Dedup {
     val banded = bandRows(
       minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
       numHashes, bands)
+    // ONE join + one filter: a row survives if its bucket is under cap,
+    // or it is the bucket's min-id representative. Keeps `banded` (the
+    // expensive shingle→minhash pipeline) at two plan references — a
+    // cold/hot two-join union held four, and Spark does not dedupe
+    // common subtrees across DataFrame references.
     val sizes = banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
-    val cold = banded.join(
-      sizes.filter(col("__n") <= maxBucketSize).select(col("band"), col("bucket")),
-      Seq("band", "bucket"), "left_semi")
-    val hot = sizes.filter(col("__n") > maxBucketSize)
-      .select(col("band").as("__hb"), col("bucket").as("__hk"), col("__rep"))
-    val hotReps = banded.join(hot,
-      col("band") === col("__hb") && col("bucket") === col("__hk") &&
-        col("id") === col("__rep"))
-      .select(banded.columns.map(col): _*)
-    // hot buckets contribute exactly their representative row
-    cold.unionByName(hotReps)
+    banded
+      .join(sizes, Seq("band", "bucket"))
+      .filter(col("__n") <= maxBucketSize || col("id") === col("__rep"))
+      .drop("__n", "__rep")
   }
 
   /** Near-dup candidates of INCOMING documents against a prebuilt
@@ -389,9 +387,10 @@ object Dedup {
 
     bucketPairs(hashed, Seq("band", "bucket"), maxBucketSize)
       .withColumn("cos", cosineSim(col("sig_a"), col("sig_b")))
-      // NaN guard: a zero vector makes cosine 0/0 = NaN, and Spark's
-      // ordering semantics make NaN pass ANY >= threshold — without the
-      // guard a failed-embedding row would near-dup-match its whole bucket
+      // NaN guard: cosineSim already defines zero-norm cosine as 0.0, so
+      // NaN can only arise from NaN-valued embedding ELEMENTS (a corrupt
+      // upstream model write) — and Spark's ordering semantics would let
+      // that NaN pass ANY >= threshold and match its whole bucket
       .filter(!isnan(col("cos")) && col("cos") >= cosThreshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

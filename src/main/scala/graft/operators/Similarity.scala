@@ -229,11 +229,11 @@ object Similarity {
       * shuffles one row per corpus id. (The previous window-sort shape
       * shuffled corpus×nCells rows just to pick one max — ×nCells
       * amplification at exactly the corpus sizes IVF exists for.)
-      * Tie-break: highest score, then lowest cell. NaN cells (a zero
-      * centroid makes cosine NaN; NaN sorts LARGEST in Spark) lose to any
-      * real score under min(-score) — an improvement over the window
-      * shape, whose desc sort ranked NaN first and assigned every row to
-      * the degenerate cell. */
+      * Tie-break: highest score, then lowest cell — same as the window
+      * shape. (Zero-norm centroids score 0.0, not NaN — cosineSim guards
+      * that; a NaN score would need NaN-valued embedding elements, and
+      * under min(-score) such a cell loses to any real score, where the
+      * old desc sort would have ranked it first.) */
     def assignCells(
         corpus: DataFrame,
         idCol: String,
