@@ -89,4 +89,142 @@ object Multimodal {
       kind: String, decoder: MediaDecoder = new ImageIODecoder): DataFrame =
     extractFeatures(withBinaryPayload(df, textCol, kind), idCol, decoder)
       .toDF()
+
+  /** One resized image row: payload re-encoded as PNG when scaling was
+    * needed, passed through untouched otherwise. */
+  final case class ResizedMedia(
+      doc_id: Long, media: Array[Byte], width: Int, height: Int,
+      resized: Boolean)
+
+  /** Bounded-dimension image RESIZE as a per-partition stage (REAL —
+    * JDK `Graphics2D` bilinear scaling + PNG re-encode, no external
+    * dependency): any decodable image whose longer side exceeds `maxDim`
+    * is scaled down aspect-preserving; smaller images and non-image
+    * bytes pass through byte-identical with `resized = false`. Never
+    * upscales. The decompression-bomb guard applies — payloads declaring
+    * more than `maxPixels` are passed through undecoded rather than
+    * allocated. This is the normalize-before-training shape: bound the
+    * pixel count per sample without losing aspect ratio. */
+  def resizeImages(
+      df: DataFrame,
+      idCol: String,
+      maxDim: Int,
+      maxPixels: Long = 64L * 1000 * 1000): Dataset[ResizedMedia] = {
+    require(maxDim > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          ResizeSupport.resize(id, bytes, maxDim, maxPixels)
+        }
+      }
+  }
+
+  /** One sampled frame: ordinal + payload. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Per-document frame extraction for video/audio payloads. The codec
+    * lives behind this trait — real video decoders (JavaCV/ffmpeg) are
+    * not available in a zero-egress build, so the shipped implementation
+    * is the deterministic [[FakeFrameSampler]] STUB; the Spark-side
+    * plumbing (per-partition sampler state, one-row-per-frame fan-out,
+    * schema) is real and tested. */
+  trait FrameSampler extends Serializable {
+    /** Sample up to `n` frames from one payload. Must be total. */
+    def sample(id: Long, bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])]
+  }
+
+  /** STUB frame sampler (no video codec in this container): emits `n`
+    * evenly-spaced byte windows of the payload as "frames" — stable
+    * across runs/JVMs so the fan-out plumbing can be golden-tested. A
+    * real implementation decodes keyframes at n evenly-spaced timestamps
+    * behind the same trait. */
+  final class FakeFrameSampler extends FrameSampler {
+    override def sample(
+        id: Long, bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])] = {
+      if (bytes.isEmpty || n <= 0) Iterator.empty
+      else {
+        val window = math.max(bytes.length / n, 1)
+        (0 until math.min(n, bytes.length)).iterator.map { i =>
+          val start = math.min(i.toLong * bytes.length / n, bytes.length - 1).toInt
+          (i, bytes.slice(start, math.min(start + window, bytes.length)))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling as a per-partition flatMap: one sampler instance per
+    * partition (codec state is heavyweight), one output row per sampled
+    * frame — the row fan-out is bounded by `framesPerDoc`, so output
+    * size is predictable at 100 TB (n × docs rows, never unbounded). */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      framesPerDoc: Int,
+      sampler: FrameSampler = new FakeFrameSampler): Dataset[SampledFrame] = {
+    require(framesPerDoc > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          sampler.sample(id, bytes, framesPerDoc)
+            .map { case (idx, frame) => SampledFrame(id, idx, frame) }
+        }
+      }
+  }
+}
+
+/** JDK-only image scaling, shared by [[Multimodal.resizeImages]]. */
+private[multimodal] object ResizeSupport {
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+
+  def resize(
+      id: Long, bytes: Array[Byte], maxDim: Int, maxPixels: Long): Multimodal.ResizedMedia = {
+    def passthrough(w: Int, h: Int) =
+      Multimodal.ResizedMedia(id, bytes, w, h, resized = false)
+    if (bytes.isEmpty) return passthrough(0, 0)
+    try {
+      ImageIO.setUseCache(false)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return passthrough(0, 0)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          // bomb guard: never allocate a raster above the pixel ceiling
+          if (w <= 0 || h <= 0 || w.toLong * h.toLong > maxPixels)
+            return passthrough(w, h)
+          if (math.max(w, h) <= maxDim) return passthrough(w, h) // never upscale
+          val scale = maxDim.toDouble / math.max(w, h)
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val src = reader.read(0)
+          val dst = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", out)
+          Multimodal.ResizedMedia(id, out.toByteArray, nw, nh, resized = true)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case _: Exception => passthrough(0, 0)
+    }
+  }
 }

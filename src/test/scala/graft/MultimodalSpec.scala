@@ -109,6 +109,44 @@ class MultimodalSpec extends AnyFunSuite {
       bombed.bandMeans.sameElements(bombedFake.bandMeans))
   }
 
+  test("resizeImages: real downscale to bounded dimensions, passthrough below the cap") {
+    import spark.implicits._
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val big = png(100, 60)((x, _) => if (x < 50) 0xff0000 else 0x0000ff)
+    val small = png(8, 6)((_, _) => 0x00ff00)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq((1L, big), (2L, small), (3L, junk)).toDF("doc_id", "media")
+    val out = Multimodal.resizeImages(df, "doc_id", maxDim = 50)
+      .collect().map(r => r.doc_id -> r).toMap
+    // the big image really scaled: 100x60 -> 50x30, decodable PNG out
+    assert(out(1L).resized && out(1L).width == 50 && out(1L).height == 30)
+    val rescaled = ImageIO.read(new ByteArrayInputStream(out(1L).media))
+    assert(rescaled.getWidth == 50 && rescaled.getHeight == 30)
+    // small image and junk pass through byte-identical, unresized
+    assert(!out(2L).resized && out(2L).media.sameElements(small))
+    assert(!out(3L).resized && out(3L).media.sameElements(junk))
+  }
+
+  test("sampleFrames: bounded one-row-per-frame fan-out, deterministic stub") {
+    import spark.implicits._
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val df = Seq((7L, bytes), (8L, Array.empty[Byte])).toDF("doc_id", "media")
+    val frames = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 4)
+      .collect()
+    val by7 = frames.filter(_.doc_id == 7L).sortBy(_.frame_idx)
+    assert(by7.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    // evenly spaced 25-byte windows of the payload
+    assert(by7(0).frame.toSeq == (0 until 25).map(_.toByte))
+    assert(by7(2).frame.toSeq == (50 until 75).map(_.toByte))
+    // empty payload yields no frame rows, not nulls
+    assert(!frames.exists(_.doc_id == 8L))
+    // determinism across runs
+    val again = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 4)
+      .collect().filter(_.doc_id == 7L).sortBy(_.frame_idx)
+    assert(again.zip(by7).forall { case (a, b) => a.frame.sameElements(b.frame) })
+  }
+
   test("mixed corpus through the partition-wise stage: images decode, text falls back") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(20)
