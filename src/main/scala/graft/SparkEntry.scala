@@ -948,6 +948,118 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------------
+  // Temporal joins + deterministic sampling (training-pipeline extras):
+  // as-of join, point-in-interval range join, hash split, group sample.
+  // ------------------------------------------------------------------
+
+  private val temporalCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: each view event matched to the user's most recent
+    // purchase at-or-before it (pandas merge_asof semantics, one
+    // sort-shuffle on user_id — no pair blow-up). Right side is
+    // pre-aggregated to one row per (user, ts) so ts ties can't make the
+    // carried value nondeterministic.
+    "aj01_asof_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("value")).as("purchase_value"))
+        .select(col("user_id"), col("ts_ns").as("pts_ns"), col("purchase_value"))
+      graft.operators.TemporalJoins.asofJoin(
+          views, purchases, key = "user_id",
+          leftTs = "ts_ns", rightTs = "pts_ns",
+          rightCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          // ns difference is nonnegative (backward match), so truncating
+          // DIV equals floor — matches DuckDB's // on bigints
+          expr("CAST((ts_ns - matched_ts) DIV 1000000000 AS BIGINT)").as("gap_s"),
+          col("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+    // range join: how many lineitems shipped within ±1 day of each urgent
+    // order's date — a genuine inequality join (no equi-key) that the
+    // bucketized rangeJoin turns into an equi-join on 2-day cells instead
+    // of a nested loop over |orders|×|lineitem|.
+    "rj01_range_join" -> ((s, dir) => {
+      // parquet dates load as TIMESTAMP_NTZ; all sessions pin UTC, so the
+      // NTZ→TIMESTAMP cast is exact and epoch seconds match DuckDB epoch()
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (unix_seconds(col("o_orderdate").cast("timestamp")) - 86400L).as("w_lo"),
+          (unix_seconds(col("o_orderdate").cast("timestamp")) + 86400L).as("w_hi"))
+      val p = t(s, dir, "lineitem")
+        .select(unix_seconds(col("l_shipdate").cast("timestamp")).as("ship_s"))
+      graft.operators.TemporalJoins.rangeJoin(p, iv, "ship_s", "w_lo", "w_hi",
+          bucketWidth = 172800L, inclusiveHigh = true)
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_in_window"))
+        .groupBy(col("n_in_window")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_in_window"))
+    }),
+    // content-addressed train/val/test split: md5(id-salt) cut by weight
+    // thresholds — zero shuffles, identical assignment on any engine
+    "sp01_hash_split" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplit(t(s, dir, "documents"),
+          "doc_id", "graft", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+    // deterministic per-group sample: 3 docs per language by salted hash
+    "sp02_group_sample" -> ((s, dir) => {
+      graft.operators.Sampling.groupSample(t(s, dir, "documents"),
+          groupCol = "lang", idCol = "doc_id", n = 3, salt = "sample")
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    })
+  )
+
+  private val temporalOracle: Map[String, String] = Map(
+    "aj01_asof_purchase" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, MAX(value) AS purchase_value FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id,
+        |  (epoch_ns(v.ts) - epoch_ns(p.ts)) // 1000000000 AS gap_s,
+        |  p.purchase_value
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+    "rj01_range_join" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) - 86400 AS w_lo,
+        |    CAST(epoch(o_orderdate) AS BIGINT) + 86400 AS w_hi
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |p AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) AS ship_s FROM lineitem),
+        |m AS (SELECT o_orderkey, COUNT(*) AS n_in_window
+        |      FROM p JOIN iv ON ship_s >= w_lo AND ship_s <= w_hi
+        |      GROUP BY 1)
+        |SELECT n_in_window, COUNT(*) AS n_orders FROM m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sp01_hash_split" ->
+      """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT CASE WHEN h < 'cccccccc' THEN 'train'
+        |                  WHEN h < 'e6666666' THEN 'val'
+        |                  ELSE 'test' END AS split, n_chars
+        |      FROM (SELECT substring(md5(CAST(doc_id AS VARCHAR) || '-graft'), 1, 8) AS h,
+        |                   n_chars
+        |            FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "sp02_group_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      substring(md5(CAST(doc_id AS VARCHAR) || '-sample'), 1, 8),
+        |      doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 3
+        |ORDER BY lang, sample_rank""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
   // Graph catalog: BFS / variable-length paths over a derived hierarchy
   // (region → nation → customer), oracle-checked against the closed form.
   // ------------------------------------------------------------------
@@ -1215,10 +1327,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (relational ++ textCatalog ++ vectorCatalog ++ sessionCatalog ++
-      graphCatalog ++ rowsOnlyCatalog)
+      temporalCatalog ++ graphCatalog ++ rowsOnlyCatalog)
       .map { case (k, f) => k -> withReg(f) }
 
   def oracleSql: Map[String, String] =
     relationalOracle ++ textOracle ++ vectorOracle ++ sessionOracle ++
-      graphOracle ++ packingOracle
+      temporalOracle ++ graphOracle ++ packingOracle
 }

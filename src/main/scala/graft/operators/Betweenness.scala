@@ -125,7 +125,13 @@ object Betweenness {
         .groupBy(col("root"), col("id"))
         .agg(sum(col("vsigma").cast("double") / col("wsigma").cast("double") *
           (lit(1.0) + col("wdelta"))).as("delta"))
-        .localCheckpoint()
+        // LAZY checkpoint: the backward loop has a FIXED level count (no
+        // data-dependent guard), so nothing needs materializing per level —
+        // the final action computes each level once, deepest first, and the
+        // checkpoint barrier still keeps lineage flat (each level's plan
+        // references only the previous barrier, not the whole chain).
+        // Eager (the old shape) cost one driver job per level.
+        .localCheckpoint(false)
       deltaNext = contrib
     }
 

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * `df.sample()` / `rand()` are the wrong tools for ML data work: a rerun
+  * (task retry, next pipeline run, another team's job over the same
+  * corpus) must land every document in the SAME split, or eval sets leak
+  * into training. The standard fix is content-addressed assignment: hash a
+  * stable id with a salt and cut the hash space by the split weights.
+  * Changing the salt produces a fresh independent assignment; keeping it
+  * reproduces the old one exactly — on any engine, any partitioning, any
+  * cluster size.
+  *
+  * All assignment here is md5-based: fully portable (every engine hashes
+  * identical bytes to identical hex), and map-side only — `hashSplit` and
+  * `sampleFraction` add ZERO shuffles at any scale.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(id-salt): a uniform draw from [0, 2^32) in
+    * lexicographic order (fixed-width lowercase hex compares like the
+    * number it encodes). */
+  private def hashHex(idCol: Column, salt: String): Column =
+    substring(
+      md5(concat(idCol.cast("string"), lit("-" + salt)).cast("binary")), 1, 8)
+
+  /** 8-hex-char threshold for a cumulative weight in [0, 1]. */
+  private def thresholdHex(cum: Double): String =
+    f"${math.min((cum * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  /** Deterministic train/val/test-style split. Appends `splitCol` with the
+    * name of the bucket each row's salted id-hash falls into; weights are
+    * normalized. Map-side only — no shuffle, no RNG, stable under retries
+    * and across engines.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      weights: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "split names must be distinct")
+    val total = weights.map(_._2).sum
+    val cums = weights.scanLeft(0.0)(_ + _._2 / total).tail
+    val h = hashHex(col(idCol), salt)
+    // chained when(): h < t1 -> name1, h < t2 -> name2, ..., else last
+    val assigned = weights.init.zip(cums.init).foldLeft(
+        when(lit(false), lit(null).cast("string"))) {
+      case (acc, ((name, _), cum)) =>
+        acc.when(h < lit(thresholdHex(cum)), lit(name))
+    }.otherwise(lit(weights.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Keep a deterministic `fraction` of rows by salted id-hash. Same
+    * content-addressed guarantee as `hashSplit`; a row's fate depends only
+    * on (id, salt). Fractions compose: sampleFraction(0.5) of
+    * sampleFraction(0.5) with DIFFERENT salts is an unbiased 0.25. */
+  def sampleFraction(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(hashHex(col(idCol), salt) < lit(thresholdHex(fraction)))
+  }
+
+  /** Deterministic per-group sample: the `n` rows of each group with the
+    * smallest salted id-hash (ties broken by id). A rank window, so one
+    * shuffle on `groupCol` with a per-partition sort.
+    *
+    * Scale: for huge groups and small `n`, pre-filter with
+    * `preFilterFraction` — rows hash-filtered BEFORE the rank shuffle (the
+    * same hash orders and filters, so the top-n by hash is unchanged as
+    * long as each group keeps >= n survivors; a fraction of f keeps the
+    * result exact whenever every group has >= n rows below the f
+    * threshold — size the fraction so f * minGroupSize >> n).
+    */
+  def groupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      n: Int,
+      salt: String,
+      preFilterFraction: Double = 1.0): DataFrame = {
+    require(n > 0, "n must be positive")
+    val h = hashHex(col(idCol), salt)
+    val pre =
+      if (preFilterFraction >= 1.0) df
+      else df.filter(h < lit(thresholdHex(preFilterFraction)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    pre.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: as-of join and
+  * point-in-interval (range) join.
+  *
+  * Both are staples of a training-data pipeline — "join each log event to
+  * the newest model-checkpoint snapshot at or before it", "count events
+  * inside each maintenance window" — and both degenerate catastrophically
+  * if written naively in Spark: an inequality join plans as
+  * BroadcastNestedLoopJoin (O(n·m) comparisons) and an
+  * equi-join + window-rank shuffles the full n×m pair blow-up.
+  *
+  * The implementations here use the two classic scalable shapes:
+  *
+  *  - `asofJoin`: UNION both sides, one shuffle on the key, one sort within
+  *    partitions, then `last(_, ignoreNulls)` over an unbounded-preceding
+  *    running frame. Cost is sort-shuffle of |L|+|R| rows — no pair
+  *    materialization at any point. (Same plan a stream-table processor
+  *    like Flink's temporal join executes.)
+  *
+  *  - `rangeJoin`: bucketize time into `bucketWidth`-sized cells; an
+  *    interval explodes to the cells it covers, a point maps to exactly one
+  *    cell, and the join becomes an equi-join on the cell id + a residual
+  *    filter. Each (interval, point) match meets in exactly the point's
+  *    cell, so no dedup pass is needed. Cost is |P| + Σ cells(interval)
+  *    rows into a hash join — no nested loop.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightTs <= leftTs` (direction="backward", the default) or the least
+    * `rightTs >= leftTs` (direction="forward") sharing the same `key`.
+    * Pandas `merge_asof` / kdb `aj` semantics, left-preserving: every left
+    * row survives; unmatched rows carry nulls.
+    *
+    * `rightCols` are the right-side columns carried onto the match (must
+    * not collide with left column names); `matchedTs` (the matched right
+    * timestamp, null when unmatched) is always appended so callers can
+    * apply a tolerance as a post-filter:
+    * `when(l_ts - matched_ts <= tol, matched_col)`.
+    *
+    * Ties: equal `rightTs` within a key are broken by the LAST such right
+    * row in (ts, input-order) — callers needing determinism under ts ties
+    * should pre-aggregate the right side to one row per (key, ts).
+    * `strict=true` excludes `rightTs == leftTs` matches.
+    *
+    * Null handling: null-ts right rows are dropped (they can never be a
+    * match); null-ts left rows are preserved with a null match (they sort
+    * before every real timestamp via nulls-first, so the running `last`
+    * has seen no right row yet).
+    *
+    * Scale: one shuffle on `key`, one sort — the optimal distributed
+    * as-of. The unit of parallelism is the key: a single pathologically
+    * hot key serializes into one task; shard such keys by a coarse time
+    * bucket first (run asofJoin per bucket with the previous bucket's
+    * last right row injected as a seed).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      direction: String = "backward",
+      strict: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(",")}")
+    require(!left.columns.contains("matched_ts"),
+      "left side already has a matched_ts column")
+
+    val leftCols = left.columns.toSeq
+    // __tag orders left vs right rows at equal ts: inclusive match wants
+    // the right row FIRST (so the left row's running `last` sees it),
+    // strict wants it AFTER.
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(if (strict) 0 else 1))
+      .withColumn("matched_ts", lit(null).cast(right.schema(rightTs).dataType))
+      .select(Seq(col(key), col("__ts"), col("__tag"), col("matched_ts")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .filter(col(rightTs).isNotNull)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__tag", lit(if (strict) 1 else 0))
+      .withColumn("matched_ts", col(rightTs))
+      .select(Seq(col(key), col("__ts"), col("__tag"), col("matched_ts")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+
+    // nulls-first in BOTH directions so a null-ts left row precedes every
+    // right row and matches nothing (desc default would be nulls-last and
+    // hand it the globally-last value)
+    val ordering =
+      if (direction == "backward") Seq(col("__ts").asc_nulls_first, col("__tag").asc)
+      else Seq(col("__ts").desc_nulls_first, col("__tag").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = "matched_ts" +: rightCols
+    val isLeft = col("__tag") === lit(if (strict) 0 else 1)
+    lTagged.unionByName(rTagged)
+      .select(Seq(col(key), col("__ts"), col("__tag")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(isLeft)
+      .drop("__ts", "__tag")
+  }
+
+  /** Point-in-interval join: rows of `points` matched to every `intervals`
+    * row whose [lowCol, highCol) contains pointCol (`inclusiveHigh=true`
+    * for closed intervals). All three columns must be LONG (callers
+    * convert timestamps via `unix_seconds`/`unix_micros` first — explicit,
+    * so the bucket width's unit is never ambiguous).
+    *
+    * `bucketWidth` trades fan-out for selectivity: intervals are exploded
+    * to `ceil(span / bucketWidth)` cells, so pick it near the TYPICAL
+    * interval span (one cell per interval) — too small multiplies the
+    * interval side, too large packs unrelated intervals into each cell and
+    * the residual filter does the work. `maxCellsPerInterval` fails fast
+    * (at runtime, per row) on degenerate giant intervals instead of
+    * letting one row explode into millions.
+    *
+    * Inner-join semantics: points matching no interval are dropped.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      lowCol: String,
+      highCol: String,
+      bucketWidth: Long,
+      inclusiveHigh: Boolean = false,
+      maxCellsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(collisions.isEmpty,
+      s"points/intervals column collision: ${collisions.mkString(",")}")
+
+    // exact floor division on longs: Spark's `/` on integers is DOUBLE
+    // division (lossy past 2^53), so go through SQL DIV (truncates toward
+    // zero) with the usual negative-remainder correction
+    def floorDiv(c: String) =
+      expr(s"CASE WHEN $c >= 0 OR $c % $bucketWidth = 0 " +
+        s"THEN $c DIV $bucketWidth ELSE $c DIV $bucketWidth - 1 END")
+
+    val iCells = intervals
+      .filter(col(lowCol).isNotNull && col(highCol).isNotNull)
+      .withColumn("__lo", col(lowCol).cast("long"))
+      .withColumn("__hi",
+        col(highCol).cast("long") - lit(if (inclusiveHigh) 0L else 1L))
+      .filter(col("__hi") >= col("__lo"))
+      .withColumn("__c0", floorDiv("__lo"))
+      .withColumn("__c1", floorDiv("__hi"))
+      // the guard lives INSIDE the evaluated expression (a dropped
+      // assert_true column would be pruned away and never fire)
+      .withColumn("__cell", explode(
+        when(col("__c1") - col("__c0") < lit(maxCellsPerInterval.toLong),
+          sequence(col("__c0"), col("__c1")))
+        .otherwise(raise_error(lit(
+          s"rangeJoin: interval spans >= $maxCellsPerInterval cells; " +
+            "raise bucketWidth or maxCellsPerInterval"))
+          .cast("array<bigint>"))))
+      .drop("__lo", "__hi", "__c0", "__c1")
+    val pCells = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__pt", col(pointCol).cast("long"))
+      .withColumn("__cell", floorDiv("__pt"))
+      .drop("__pt")
+
+    val inRange =
+      if (inclusiveHigh) col(pointCol) >= col(lowCol) && col(pointCol) <= col(highCol)
+      else col(pointCol) >= col(lowCol) && col(pointCol) < col(highCol)
+    pCells.join(iCells, Seq("__cell")).filter(inRange).drop("__cell")
+  }
+}

@@ -103,4 +103,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(schemas.nonEmpty && schemas.forall(s => !s.contains(",")),
       schemas.mkString("\n"))
   }
+
+  test("aj01: as-of join plans as union + one window — no join, one exchange") {
+    val p = plan("aj01_asof_purchase")
+    // the whole as-of is ONE sort-shuffle on the key: a Join node would
+    // mean the pair-materializing shape snuck back in
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("NestedLoop"), p)
+  }
+
+  test("rj01: range join is a hash/merge equi-join on cells, never a nested loop") {
+    val p = plan("rj01_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("sp01: hash split plans with zero exchanges (map-side only)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Sampling.hashSplit(docs, "doc_id", "s",
+        Seq("a" -> 0.9, "b" -> 0.1))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+  }
 }

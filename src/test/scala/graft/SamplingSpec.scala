@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
+
+  test("hashSplit: every row assigned, weights roughly respected, deterministic") {
+    val df = ids(4000)
+    val counts = Sampling.hashSplit(df, "id", "s1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 4000 draws keep each bucket well within ±5 pp
+    assert(math.abs(counts("train") - 3200L) < 200, counts)
+    assert(math.abs(counts("val") - 400L) < 200, counts)
+    // identical call -> identical assignment, row by row
+    val a = Sampling.hashSplit(df, "id", "s1", Seq("a" -> 1.0, "b" -> 1.0))
+      .orderBy("id").select("split").as[String].collect().toSeq
+    val b = Sampling.hashSplit(df, "id", "s1", Seq("a" -> 1.0, "b" -> 1.0))
+      .orderBy("id").select("split").as[String].collect().toSeq
+    assert(a == b)
+  }
+
+  test("hashSplit: assignment matches a driver-side md5 replay (engine portability)") {
+    val got = Sampling.hashSplit(ids(50), "id", "graft",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("id").select("split").as[String].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (1 to 50).map { i =>
+      val hex = md.digest(s"$i-graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (hex < "cccccccc") "train" else if (hex < "e6666666") "val" else "test"
+    }
+    assert(got == expect)
+  }
+
+  test("hashSplit adds no shuffle (map-side only)") {
+    val plan = Sampling.hashSplit(ids(10), "id", "s", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleFraction: nested thresholds with the same salt, independent with different salts") {
+    val df = ids(2000)
+    val f3 = Sampling.sampleFraction(df, "id", "s", 0.3).select("id").as[Long].collect().toSet
+    val f6 = Sampling.sampleFraction(df, "id", "s", 0.6).select("id").as[Long].collect().toSet
+    assert(f3.subsetOf(f6))
+    assert(math.abs(f3.size - 600) < 120, f3.size)
+    // composing two 0.5s with DIFFERENT salts is an unbiased quarter
+    val q = Sampling.sampleFraction(
+      Sampling.sampleFraction(df, "id", "sA", 0.5), "id", "sB", 0.5)
+      .count()
+    assert(math.abs(q - 500L) < 150, q)
+    // edge fractions
+    assert(Sampling.sampleFraction(df, "id", "s", 0.0).count() == 0L)
+    assert(Sampling.sampleFraction(df, "id", "s", 1.0).count() == 2000L)
+  }
+
+  test("groupSample: min(n, group size) rows per group, hash-then-id rank order") {
+    val df = Seq.tabulate(30)(i => (s"g${i % 3}", i.toLong)) ++ Seq(("tiny", 99L))
+    val out = Sampling.groupSample(df.toDF("g", "id"), "g", "id", n = 4, salt = "s")
+      .orderBy("g", "sample_rank").collect()
+    val perGroup = out.groupBy(_.getAs[String]("g")).view.mapValues(_.length).toMap
+    assert(perGroup == Map("g0" -> 4, "g1" -> 4, "g2" -> 4, "tiny" -> 1))
+    assert(out.filter(_.getAs[String]("g") == "g0")
+      .map(_.getAs[Int]("sample_rank")).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("groupSample: preFilterFraction keeps the result exact when groups stay big enough") {
+    // 200 rows per group, n=3: a 0.5 pre-filter keeps ~100 per group — far
+    // more than 3, so the hash-ordered top-3 is unchanged
+    val df = Seq.tabulate(600)(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val full = Sampling.groupSample(df, "g", "id", n = 3, salt = "s")
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val pre = Sampling.groupSample(df, "g", "id", n = 3, salt = "s",
+        preFilterFraction = 0.5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(full == pre)
+  }
+}

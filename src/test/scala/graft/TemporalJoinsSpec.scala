@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    // (event, key, ts)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L),
+    (4L, "b", 100L), (5L, "c", 50L)
+  ).toDF("event", "k", "ts")
+
+  private def rightDf = Seq(
+    // (key, ts, v)
+    ("a", 8L, 0.8), ("a", 15L, 1.5), ("a", 20L, 2.0),
+    ("b", 200L, 9.9)
+  ).toDF("k", "rts", "v")
+
+  test("asofJoin backward: greatest right ts <= left ts, left rows preserved") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, "k", "ts", "rts", Seq("v"))
+      .orderBy("event").collect()
+    assert(out.length == 5)
+    val byEvent = out.map(r => r.getAs[Long]("event") ->
+      (Option(r.getAs[java.lang.Long]("matched_ts")), Option(r.getAs[java.lang.Double]("v")))).toMap
+    assert(byEvent(1L) == (Some(8L), Some(0.8)))   // 8 <= 10 < 15
+    assert(byEvent(2L) == (Some(20L), Some(2.0)))  // equal ts matches (inclusive)
+    assert(byEvent(3L) == (None, None))            // nothing at or before 5
+    assert(byEvent(4L) == (None, None))            // b's only right row is later
+    assert(byEvent(5L) == (None, None))            // key c has no right rows
+  }
+
+  test("asofJoin strict: equal timestamps do not match") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, "k", "ts", "rts", Seq("v"),
+      strict = true).orderBy("event").collect()
+    val byEvent = out.map(r => r.getAs[Long]("event") ->
+      Option(r.getAs[java.lang.Long]("matched_ts"))).toMap
+    assert(byEvent(2L) == Some(15L)) // 20 excluded, falls back to 15
+    assert(byEvent(1L) == Some(8L))
+  }
+
+  test("asofJoin forward: least right ts >= left ts") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, "k", "ts", "rts", Seq("v"),
+      direction = "forward").orderBy("event").collect()
+    val byEvent = out.map(r => r.getAs[Long]("event") ->
+      Option(r.getAs[java.lang.Long]("matched_ts"))).toMap
+    assert(byEvent(1L) == Some(15L))  // first at or after 10
+    assert(byEvent(2L) == Some(20L))  // inclusive
+    assert(byEvent(3L) == Some(8L))   // first at or after 5
+    assert(byEvent(4L) == Some(200L))
+    assert(byEvent(5L) == None)
+  }
+
+  test("asofJoin: null-ts left rows survive unmatched; null-ts right rows are dropped") {
+    val l = Seq((1L, "a", java.lang.Long.valueOf(10L)),
+      (2L, "a", null.asInstanceOf[java.lang.Long])).toDF("event", "k", "ts")
+    val r = Seq(("a", java.lang.Long.valueOf(8L), 1.0),
+      ("a", null.asInstanceOf[java.lang.Long], 666.0)).toDF("k", "rts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val out = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"),
+        direction = dir).orderBy("event").collect()
+      assert(out.length == 2, dir)
+      val nullRow = out.find(_.getAs[Long]("event") == 2L).get
+      assert(nullRow.isNullAt(nullRow.fieldIndex("matched_ts")), dir)
+      assert(nullRow.isNullAt(nullRow.fieldIndex("v")), dir)
+      // the non-null row never matches the null-ts right row
+      val r1 = out.find(_.getAs[Long]("event") == 1L).get
+      assert(Option(r1.getAs[java.lang.Double]("v")) != Some(666.0), dir)
+    }
+  }
+
+  test("asofJoin: plans as one window over a union — no join operator") {
+    val plan = TemporalJoins.asofJoin(leftDf, rightDf, "k", "ts", "rts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"asofJoin must not plan a join:\n$plan")
+  }
+
+  test("asofJoin property: matches a naive per-row reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val lrows = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(200).toLong))
+    // right side unique per (key, ts) for determinism
+    val rrows = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(10)}", rnd.nextInt(200).toLong, i.toDouble)
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lrows.toDF("event", "k", "ts")
+    val r = rrows.toDF("k", "rts", "v")
+    val got = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"))
+      .select("event", "matched_ts").collect()
+      .map(x => x.getAs[Long]("event") -> Option(x.getAs[java.lang.Long]("matched_ts")).map(_.toLong))
+      .toMap
+    val rByKey = rrows.groupBy(_._1)
+    lrows.foreach { case (ev, k, ts) =>
+      val expect = rByKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._2)
+      assert(got(ev) == expect, s"event $ev key $k ts $ts")
+    }
+  }
+
+  test("rangeJoin: hand-computed matches, half-open vs closed high") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L))
+      .toDF("pid", "p")
+    val intervals = Seq((100L, 0L, 10L), (200L, 10L, 20L)).toDF("iid", "lo", "hi")
+    val halfOpen = TemporalJoins.rangeJoin(points, intervals, "p", "lo", "hi",
+        bucketWidth = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(halfOpen == Set((1L, 100L), (2L, 200L), (3L, 200L)))
+    val closed = TemporalJoins.rangeJoin(points, intervals, "p", "lo", "hi",
+        bucketWidth = 7L, inclusiveHigh = true)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(closed == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
+  }
+
+  test("rangeJoin: negative coordinates bucket correctly (floor, not truncate)") {
+    val points = Seq((1L, -5L), (2L, -14L), (3L, 0L)).toDF("pid", "p")
+    val intervals = Seq((100L, -15L, -1L), (200L, -3L, 4L)).toDF("iid", "lo", "hi")
+    val got = TemporalJoins.rangeJoin(points, intervals, "p", "lo", "hi",
+        bucketWidth = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 200L)))
+  }
+
+  test("rangeJoin property: equals naive cross-filter on random data") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(400).toLong - 200L))
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(400).toLong - 200L
+      (1000L + i, lo, lo + rnd.nextInt(50).toLong)
+    }
+    val p = pts.toDF("pid", "p")
+    val iv = ivs.toDF("iid", "lo", "hi")
+    for (width <- Seq(3L, 17L, 100L); inclHigh <- Seq(false, true)) {
+      val got = TemporalJoins.rangeJoin(p, iv, "p", "lo", "hi", width, inclHigh)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (pid, pv) <- pts
+        (iid, lo, hi) <- ivs
+        if pv >= lo && (if (inclHigh) pv <= hi else pv < hi)
+      } yield (pid, iid)).toSet
+      assert(got == expect, s"width=$width inclusiveHigh=$inclHigh")
+    }
+  }
+
+  test("rangeJoin: a degenerate giant interval fails fast instead of exploding") {
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val intervals = Seq((100L, 0L, 100000000L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      TemporalJoins.rangeJoin(points, intervals, "p", "lo", "hi",
+        bucketWidth = 10L, maxCellsPerInterval = 64).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rangeJoin")), ex.getMessage)
+  }
+}
