@@ -47,7 +47,8 @@ object GraftFunctions {
     "ngram_hashes" ->
       ((es: Seq[Expression]) => NgramHashes(es(0), intArg(es(1), "ngram_hashes n"))),
     "minhash_from_hashes" ->
-      ((es: Seq[Expression]) => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k"))))
+      ((es: Seq[Expression]) => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k"))),
+    "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -87,4 +88,9 @@ object GraftFunctions {
   /** MinHash signature over pre-hashed shingles → array<int>(k). */
   def minhashFromHashes(hashes: Column, k: Int): Column =
     call_function("minhash_from_hashes", hashes, lit(k))
+
+  /** 1-based index of the greatest element <= ts in an ascending-sorted
+    * array<bigint> timeline, null when none (feeds `element_at`). */
+  def asofIndex(tsArray: Column, ts: Column): Column =
+    call_function("asof_index", tsArray, ts)
 }

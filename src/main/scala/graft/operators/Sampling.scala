@@ -28,9 +28,13 @@ object Sampling {
     substring(
       md5(concat(idCol.cast("string"), lit("-" + salt)).cast("binary")), 1, 8)
 
-  /** 8-hex-char threshold for a cumulative weight in [0, 1]. */
+  /** 8-hex-char threshold for a cumulative weight in [0, 1]. A weight of
+    * 1.0 returns "g", which sorts above every hex string — `h < "g"` keeps
+    * ALL rows (capping at "ffffffff" would drop the 2^-32 sliver hashing
+    * exactly there). */
   private def thresholdHex(cum: Double): String =
-    f"${math.min((cum * 4294967296.0).toLong, 4294967295L)}%08x"
+    if (cum >= 1.0) "g"
+    else f"${(cum * 4294967296.0).toLong}%08x"
 
   /** Deterministic train/val/test-style split. Appends `splitCol` with the
     * name of the bucket each row's salted id-hash falls into; weights are
@@ -70,6 +74,30 @@ object Sampling {
       fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     df.filter(hashHex(col(idCol), salt) < lit(thresholdHex(fraction)))
+  }
+
+  /** Deterministic stratified sampling: a different keep-fraction per
+    * stratum value (`df.stat.sampleBy` without the RNG). Strata not listed
+    * in `fractions` are dropped. Same content-addressed guarantee as
+    * `sampleFraction`, and still map-side only — the stratum threshold is
+    * a chained when() on the stratum column, not a join. */
+  def sampleByStratum(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      salt: String): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val h = hashHex(col(idCol), salt)
+    val threshold = fractions.tail.foldLeft(
+        when(col(stratumCol) === lit(fractions.head._1),
+          lit(thresholdHex(fractions.head._2)))) {
+      case (acc, (stratum, f)) =>
+        acc.when(col(stratumCol) === lit(stratum), lit(thresholdHex(f)))
+    } // unlisted strata: null threshold, h < null is null -> filtered out
+    df.filter(h < threshold)
   }
 
   /** Deterministic per-group sample: the `n` rows of each group with the

@@ -182,4 +182,70 @@ object TemporalJoins {
       else col(pointCol) >= col(lowCol) && col(pointCol) < col(highCol)
     pCells.join(iCells, Seq("__cell")).filter(inRange).drop("__cell")
   }
+
+  /** Compact a timeline table to ONE row per key: `__asof_ts` (ascending
+    * `array<bigint>`) plus one aligned array per value column. This is the
+    * build side of `asofJoinIndexed` — the shape that makes as-of legal on
+    * a STREAM (window functions aren't; an equi-join plus per-row binary
+    * search is).
+    *
+    * `rightTs` must be integral (convert timestamps with
+    * `unix_micros` first). Each key's whole timeline becomes one row, so
+    * this is for dimension-style histories (model checkpoints, config
+    * versions, price snapshots) — `maxPerKey` fails fast (at runtime) on a
+    * key whose history wouldn't fit a row, rather than silently building a
+    * multi-GB array. */
+  def compactTimeline(
+      right: DataFrame,
+      key: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      maxPerKey: Int = 1000000): DataFrame = {
+    val fields = struct((col(rightTs).cast("long").as("__t") +:
+      valueCols.map(col)): _*)
+    // struct sort is lexicographic by field order -> ascending by ts, value
+    // ties broken deterministically by the value fields
+    val tl = sort_array(collect_list(fields))
+    val guarded = when(size(tl) <= lit(maxPerKey), tl)
+      .otherwise(raise_error(lit(
+        s"compactTimeline: key exceeds $maxPerKey timeline entries")))
+    right
+      .filter(col(rightTs).isNotNull)
+      .groupBy(col(key))
+      .agg(guarded.as("__tl"))
+      .select(col(key) +: (col("__tl")("__t").as("__asof_ts") +:
+        valueCols.map(c => col("__tl")(c).as(s"__asof_$c"))): _*)
+  }
+
+  /** As-of join against a compacted timeline (from `compactTimeline`):
+    * equi-join on the key, then an O(log n) `asof_index` binary search per
+    * row — no window function, so this SAME call works on a streaming
+    * `left` against a static timeline (stream-static left join + projection
+    * are both streaming-legal). Semantics match `asofJoin(direction =
+    * "backward")`: greatest right ts <= left ts, left rows preserved,
+    * unmatched rows carry nulls, plus the same `matched_ts` column.
+    *
+    * Requires `GraftSession.prepare` (registers `asof_index`). The batch
+    * `asofJoin` stays preferable when both sides are large and fine-grained
+    * (it never widens a row to a whole timeline); this one is for
+    * dimension-style histories probed by a big fact/stream side. */
+  def asofJoinIndexed(
+      left: DataFrame,
+      timeline: DataFrame,
+      key: String,
+      leftTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    val collisions = (("matched_ts" +: rightCols).toSet).intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right columns collide with left columns: ${collisions.mkString(",")}")
+    val idx = graft.GraftFunctions.asofIndex(
+      col("__asof_ts"), col(leftTs).cast("long"))
+    left
+      .join(timeline, Seq(key), "left")
+      .withColumn("__idx", idx)
+      .withColumn("matched_ts", element_at(col("__asof_ts"), col("__idx")))
+      .select(left.columns.map(col) ++
+        Seq(col("matched_ts")) ++
+        rightCols.map(c => element_at(col(s"__asof_$c"), col("__idx")).as(c)): _*)
+  }
 }

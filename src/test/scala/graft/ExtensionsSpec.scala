@@ -20,6 +20,10 @@ class ExtensionsSpec extends AnyFunSuite {
       .head()
     assert(math.abs(c.getDouble(0) - 1.0) < 1e-12)
     assert(c.getLong(1) != 0L)
+    val i = SparkTestSession.spark.sql(
+      "SELECT asof_index(array(CAST(10 AS BIGINT), CAST(20 AS BIGINT)), " +
+        "CAST(15 AS BIGINT)) AS i").head().getInt(0)
+    assert(i == 1)
   }
 
   test("prepare() covers externally built sessions (temp registration)") {

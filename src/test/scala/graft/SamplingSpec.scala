@@ -64,6 +64,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sampleFraction(df, "id", "s", 1.0).count() == 2000L)
   }
 
+  test("sampleByStratum: per-stratum fractions, unlisted strata dropped, nested in sampleFraction") {
+    val df = Seq.tabulate(3000)(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    val out = Sampling.sampleByStratum(df, "id", "g",
+      Map("s0" -> 1.0, "s1" -> 0.2, "s2" -> 0.0), salt = "st")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("s0", 0L) == 1000L) // fraction 1.0 keeps ALL rows
+    assert(math.abs(counts.getOrElse("s1", 0L) - 200L) < 80, counts)
+    assert(!counts.contains("s2"))
+    // stratum rows are the SAME rows sampleFraction would keep (shared hash)
+    val viaFraction = Sampling.sampleFraction(
+      df.filter(col("g") === "s1"), "id", "st", 0.2)
+      .select("id").as[Long].collect().toSet
+    val viaStratum = out.filter(col("g") === "s1")
+      .select("id").as[Long].collect().toSet
+    assert(viaStratum == viaFraction)
+    // strata missing from the map are dropped, not kept
+    val partial = Sampling.sampleByStratum(df, "id", "g",
+      Map("s1" -> 0.5), salt = "st")
+    assert(partial.select("g").distinct().as[String].collect().toSeq == Seq("s1"))
+  }
+
   test("groupSample: min(n, group size) rows per group, hash-then-id rank order") {
     val df = Seq.tabulate(30)(i => (s"g${i % 3}", i.toLong)) ++ Seq(("tiny", 99L))
     val out = Sampling.groupSample(df.toDF("g", "id"), "g", "id", n = 4, salt = "s")

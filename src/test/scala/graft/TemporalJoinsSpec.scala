@@ -146,6 +146,95 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_index: binary-search cases (empty, before-first, exact, between, after-last)") {
+    import graft.GraftFunctions.asofIndex
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L), 5L), (2L, Seq(10L, 20L, 30L), 10L),
+      (3L, Seq(10L, 20L, 30L), 25L), (4L, Seq(10L, 20L, 30L), 99L),
+      (5L, Seq.empty[Long], 7L)
+    ).toDF("case", "arr", "ts")
+    val got = df.select(col("case"), asofIndex(col("arr"), col("ts")).as("i"))
+      .collect().map(r => r.getAs[Long]("case") ->
+        Option(r.getAs[java.lang.Integer]("i")).map(_.toInt)).toMap
+    assert(got == Map(1L -> None, 2L -> Some(1), 3L -> Some(2),
+      4L -> Some(3), 5L -> None))
+  }
+
+  test("asofJoinIndexed: equals asofJoin(backward) on random data") {
+    val rnd = new scala.util.Random(13)
+    val lrows = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(150).toLong))
+    val rrows = (1 to 200).map { i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(150).toLong, i.toDouble)
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lrows.toDF("event", "k", "ts")
+    val r = rrows.toDF("k", "rts", "v")
+    val viaWindow = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"))
+      .select("event", "matched_ts", "v").collect()
+      .map(x => (x.getAs[Long]("event"),
+        Option(x.getAs[java.lang.Long]("matched_ts")),
+        Option(x.getAs[java.lang.Double]("v")))).toSet
+    val tl = TemporalJoins.compactTimeline(r, "k", "rts", Seq("v"))
+    val viaIndex = TemporalJoins.asofJoinIndexed(l, tl, "k", "ts", Seq("v"))
+      .select("event", "matched_ts", "v").collect()
+      .map(x => (x.getAs[Long]("event"),
+        Option(x.getAs[java.lang.Long]("matched_ts")),
+        Option(x.getAs[java.lang.Double]("v")))).toSet
+    assert(viaIndex == viaWindow)
+  }
+
+  test("compactTimeline: per-key cap fails fast") {
+    val r = Seq.tabulate(50)(i => ("hot", i.toLong, i.toDouble)).toDF("k", "rts", "v")
+    val ex = intercept[Exception] {
+      // count() would prune the guarded aggregate away — read the array
+      TemporalJoins.compactTimeline(r, "k", "rts", Seq("v"), maxPerKey = 10)
+        .agg(sum(size(col("__asof_ts")))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("compactTimeline")), ex.getMessage)
+  }
+
+  test("asofJoinIndexed: runs on a STREAMING left against the static timeline") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-asof-stream").toString
+    val schema = StructType(Seq(
+      StructField("event", LongType), StructField("k", StringType),
+      StructField("ts", LongType)))
+    def write(batch: Seq[(Long, String, Long)], file: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          batch.map { case (e, k, t) => org.apache.spark.sql.Row(e, k, t) }, 1),
+        schema).write.mode("overwrite").parquet(s"$dir/$file")
+    write(Seq((1L, "a", 10L), (2L, "a", 4L), (3L, "b", 50L)), "b1")
+
+    val timeline = TemporalJoins.compactTimeline(
+      Seq(("a", 5L, 0.5), ("a", 9L, 0.9), ("c", 1L, 0.1)).toDF("k", "rts", "v"),
+      "k", "rts", Seq("v"))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val joined = TemporalJoins.asofJoinIndexed(stream, timeline, "k", "ts", Seq("v"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      write(Seq((4L, "a", 7L)), "b2") // second micro-batch probes the same timeline
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .collect().map(r => r.getAs[Long]("event") ->
+          ((Option(r.getAs[java.lang.Long]("matched_ts")),
+            Option(r.getAs[java.lang.Double]("v"))))).toMap
+      assert(got == Map(
+        1L -> ((Some(9L), Some(0.9))),  // greatest ts <= 10
+        2L -> ((None, None)),           // before a's first snapshot
+        3L -> ((None, None)),           // key b has no timeline
+        4L -> ((Some(5L), Some(0.5))))) // batch 2, ts 7 -> snapshot 5
+    } finally q.stop()
+  }
+
   test("rangeJoin: a degenerate giant interval fails fast instead of exploding") {
     val points = Seq((1L, 5L)).toDF("pid", "p")
     val intervals = Seq((100L, 0L, 100000000L)).toDF("iid", "lo", "hi")
