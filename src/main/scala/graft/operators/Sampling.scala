@@ -23,10 +23,15 @@ object Sampling {
 
   /** First 8 hex chars of md5(id-salt): a uniform draw from [0, 2^32) in
     * lexicographic order (fixed-width lowercase hex compares like the
-    * number it encodes). */
+    * number it encodes). A null id fails fast: every silent option is a
+    * trap (all nulls share one hash, so they'd co-move into one split,
+    * hog the top groupSample ranks, or vanish from sampleFraction —
+    * each wrong in a different way). */
   private def hashHex(idCol: Column, salt: String): Column =
-    substring(
-      md5(concat(idCol.cast("string"), lit("-" + salt)).cast("binary")), 1, 8)
+    when(idCol.isNull, raise_error(lit(
+      "Sampling: null id — content-addressed sampling requires non-null ids")))
+    .otherwise(substring(
+      md5(concat(idCol.cast("string"), lit("-" + salt)).cast("binary")), 1, 8))
 
   /** 8-hex-char threshold for a cumulative weight in [0, 1]. A weight of
     * 1.0 returns "g", which sorts above every hex string — `h < "g"` keeps
@@ -119,6 +124,8 @@ object Sampling {
       salt: String,
       preFilterFraction: Double = 1.0): DataFrame = {
     require(n > 0, "n must be positive")
+    require(!df.columns.contains("sample_rank"),
+      "input already has a sample_rank column")
     val h = hashHex(col(idCol), salt)
     val pre =
       if (preFilterFraction >= 1.0) df

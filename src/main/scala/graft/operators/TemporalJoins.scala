@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Temporal join operators Spark lacks natively: as-of join and
   * point-in-interval (range) join.
@@ -48,8 +49,9 @@ object TemporalJoins {
     * should pre-aggregate the right side to one row per (key, ts).
     * `strict=true` excludes `rightTs == leftTs` matches.
     *
-    * Null handling: null-ts right rows are dropped (they can never be a
-    * match); null-ts left rows are preserved with a null match (they sort
+    * Null handling: null-ts and null-KEY right rows are dropped (SQL join
+    * semantics — null keys never match, matching `asofJoinIndexed`);
+    * null-ts/null-key left rows are preserved with a null match (they sort
     * before every real timestamp via nulls-first, so the running `last`
     * has seen no right row yet).
     *
@@ -73,29 +75,37 @@ object TemporalJoins {
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightCols collide with left columns: ${collisions.mkString(",")}")
-    require(!left.columns.contains("matched_ts"),
-      "left side already has a matched_ts column")
+    val reserved = Set("matched_ts", "__ts", "__tag", "__carry")
+    val clashes = reserved.intersect(left.columns.toSet ++ rightCols)
+    require(clashes.isEmpty,
+      s"reserved column names in use: ${clashes.mkString(",")}")
 
     val leftCols = left.columns.toSeq
     // __tag orders left vs right rows at equal ts: inclusive match wants
     // the right row FIRST (so the left row's running `last` sees it),
-    // strict wants it AFTER.
+    // strict wants it AFTER. The carried payload is ONE struct per right
+    // row (null for left rows): a single last(_, ignoreNulls) then can't
+    // mix columns from different right rows — per-column ignoreNulls would
+    // back-fill a genuinely-null value from an OLDER row.
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(if (strict) 0 else 1))
-      .withColumn("matched_ts", lit(null).cast(right.schema(rightTs).dataType))
-      .select(Seq(col(key), col("__ts"), col("__tag"), col("matched_ts")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__carry", lit(null).cast(
+        StructType(StructField("matched_ts", right.schema(rightTs).dataType) +:
+          rightCols.map(c => right.schema(c).copy(name = c)))))
+      .select(Seq(col(key), col("__ts"), col("__tag"), col("__carry")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
     val rTagged = right
-      .filter(col(rightTs).isNotNull)
+      // null keys never match (SQL join semantics; asofJoinIndexed's
+      // equi-join agrees) — null-key LEFT rows are preserved unmatched
+      .filter(col(rightTs).isNotNull && col(key).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(if (strict) 1 else 0))
-      .withColumn("matched_ts", col(rightTs))
-      .select(Seq(col(key), col("__ts"), col("__tag"), col("matched_ts")) ++
+      .withColumn("__carry",
+        struct(col(rightTs).as("matched_ts") +: rightCols.map(col): _*))
+      .select(Seq(col(key), col("__ts"), col("__tag"), col("__carry")) ++
         leftCols.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // nulls-first in BOTH directions so a null-ts left row precedes every
     // right row and matches nothing (desc default would be nulls-last and
@@ -106,14 +116,15 @@ object TemporalJoins {
     val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = "matched_ts" +: rightCols
     val isLeft = col("__tag") === lit(if (strict) 0 else 1)
     lTagged.unionByName(rTagged)
-      .select(Seq(col(key), col("__ts"), col("__tag")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(Seq(col(key), col("__ts"), col("__tag"),
+        last(col("__carry"), ignoreNulls = true).over(w).as("__carry")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
       .filter(isLeft)
-      .drop("__ts", "__tag")
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        (col("__carry")("matched_ts").as("matched_ts") +:
+          rightCols.map(c => col("__carry")(c).as(c))): _*)
   }
 
   /** Point-in-interval join: rows of `points` matched to every `intervals`
@@ -145,6 +156,21 @@ object TemporalJoins {
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty,
       s"points/intervals column collision: ${collisions.mkString(",")}")
+    val reserved = Set("__cell", "__pt", "__lo", "__hi", "__c0", "__c1")
+    val clashes = reserved.intersect(points.columns.toSet ++ intervals.columns)
+    require(clashes.isEmpty,
+      s"reserved column names in use: ${clashes.mkString(",")}")
+    // enforce the documented LONG-only contract: a silent cast of DOUBLE
+    // bounds would TRUNCATE them, and the half-open `high - 1` trick then
+    // drops sub-unit intervals entirely (wrong results, not an error)
+    Seq(points.schema(pointCol) -> pointCol,
+        intervals.schema(lowCol) -> lowCol,
+        intervals.schema(highCol) -> highCol).foreach { case (f, n) =>
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"rangeJoin column $n must be integral (long/int), got ${f.dataType}; " +
+          "convert timestamps with unix_seconds/unix_micros first")
+    }
 
     // exact floor division on longs: Spark's `/` on integers is DOUBLE
     // division (lossy past 2^53), so go through SQL DIV (truncates toward
@@ -201,6 +227,7 @@ object TemporalJoins {
       rightTs: String,
       valueCols: Seq[String],
       maxPerKey: Int = 1000000): DataFrame = {
+    require(!valueCols.contains("__t"), "valueCols may not use the name __t")
     val fields = struct((col(rightTs).cast("long").as("__t") +:
       valueCols.map(col)): _*)
     // struct sort is lexicographic by field order -> ascending by ts, value
@@ -223,7 +250,10 @@ object TemporalJoins {
     * `left` against a static timeline (stream-static left join + projection
     * are both streaming-legal). Semantics match `asofJoin(direction =
     * "backward")`: greatest right ts <= left ts, left rows preserved,
-    * unmatched rows carry nulls, plus the same `matched_ts` column.
+    * unmatched rows carry nulls, plus a `matched_ts` column — here always
+    * LONG (the timeline stores integral ts), where `asofJoin` preserves
+    * the right column's original type. Null keys never match on either
+    * path.
     *
     * Requires `GraftSession.prepare` (registers `asof_index`). The batch
     * `asofJoin` stays preferable when both sides are large and fine-grained
@@ -238,6 +268,8 @@ object TemporalJoins {
     val collisions = (("matched_ts" +: rightCols).toSet).intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right columns collide with left columns: ${collisions.mkString(",")}")
+    require(!left.columns.contains("__idx"),
+      "left side may not have a column named __idx")
     val idx = graft.GraftFunctions.asofIndex(
       col("__asof_ts"), col(leftTs).cast("long"))
     left

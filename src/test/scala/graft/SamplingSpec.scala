@@ -85,6 +85,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(partial.select("g").distinct().as[String].collect().toSeq == Seq("s1"))
   }
 
+  test("null ids fail fast instead of co-moving, hogging ranks, or vanishing") {
+    val df = Seq(Some(1L), None).map(o => Tuple1(o.map(java.lang.Long.valueOf).orNull))
+      .toDF("id")
+    val ex = intercept[Exception] {
+      Sampling.hashSplit(df, "id", "s", Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null id")), ex.getMessage)
+  }
+
   test("groupSample: min(n, group size) rows per group, hash-then-id rank order") {
     val df = Seq.tabulate(30)(i => (s"g${i % 3}", i.toLong)) ++ Seq(("tiny", 99L))
     val out = Sampling.groupSample(df.toDF("g", "id"), "g", "id", n = 4, salt = "s")

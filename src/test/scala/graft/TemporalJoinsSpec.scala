@@ -73,6 +73,38 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: a genuinely-null right value at the matched ts stays null (no stale back-fill)") {
+    val l = Seq((1L, "a", 10L)).toDF("event", "k", "ts")
+    val r = Seq(("a", 5L, java.lang.Double.valueOf(1.0)),
+      ("a", 8L, null.asInstanceOf[java.lang.Double])).toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v")).head()
+    assert(out.getAs[Long]("matched_ts") == 8L)
+    // the matched row's v IS null; per-column ignoreNulls would leak 1.0
+    // from the older ts=5 row
+    assert(out.isNullAt(out.fieldIndex("v")))
+  }
+
+  test("asofJoin: null keys never match (right dropped, left preserved unmatched)") {
+    val l = Seq((1L, null.asInstanceOf[String], 10L), (2L, "a", 10L))
+      .toDF("event", "k", "ts")
+    val r = Seq((null.asInstanceOf[String], 5L, 9.9), ("a", 5L, 1.0))
+      .toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"))
+      .orderBy("event").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("v"))) // null key: no match
+    assert(out(1).getAs[Double]("v") == 1.0)
+  }
+
+  test("rangeJoin: non-integral bound columns are rejected, not truncated") {
+    val points = Seq((1L, 1.5)).toDF("pid", "p")
+    val intervals = Seq((100L, 1.2, 1.8)).toDF("iid", "lo", "hi")
+    val ex = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(points, intervals, "p", "lo", "hi", bucketWidth = 10L)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("asofJoin: plans as one window over a union — no join operator") {
     val plan = TemporalJoins.asofJoin(leftDf, rightDf, "k", "ts", "rts", Seq("v"))
       .queryExecution.executedPlan.toString
