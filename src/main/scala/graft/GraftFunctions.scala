@@ -48,7 +48,8 @@ object GraftFunctions {
       ((es: Seq[Expression]) => NgramHashes(es(0), intArg(es(1), "ngram_hashes n"))),
     "minhash_from_hashes" ->
       ((es: Seq[Expression]) => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k"))),
-    "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))))
+    "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))),
+    "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -93,4 +94,7 @@ object GraftFunctions {
     * array<bigint> timeline, null when none (feeds `element_at`). */
   def asofIndex(tsArray: Column, ts: Column): Column =
     call_function("asof_index", tsArray, ts)
+
+  /** Integer dot product of two array<tinyint> quantized vectors → long. */
+  def dotQ8(a: Column, b: Column): Column = call_function("dot_q8", a, b)
 }

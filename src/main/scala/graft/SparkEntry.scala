@@ -989,11 +989,16 @@ object SparkEntry {
         .select(col("o_orderkey"),
           (unix_seconds(col("o_orderdate").cast("timestamp")) - 86400L).as("w_lo"),
           (unix_seconds(col("o_orderdate").cast("timestamp")) + 86400L).as("w_hi"))
+      // dedup-before-join: shipdates are day-granular, so 600k point rows
+      // collapse to ~2.5k distinct days — join the distinct values weighted
+      // by count and SUM the weights after (same result, ~100x less join
+      // work; the pattern that matters at 100 TB)
       val p = t(s, dir, "lineitem")
         .select(unix_seconds(col("l_shipdate").cast("timestamp")).as("ship_s"))
+        .groupBy(col("ship_s")).agg(count(lit(1)).as("n_pts"))
       graft.operators.TemporalJoins.rangeJoin(p, iv, "ship_s", "w_lo", "w_hi",
           bucketWidth = 172800L, inclusiveHigh = true)
-        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_in_window"))
+        .groupBy(col("o_orderkey")).agg(sum(col("n_pts")).as("n_in_window"))
         .groupBy(col("n_in_window")).agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_in_window"))
     }),

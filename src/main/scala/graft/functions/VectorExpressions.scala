@@ -104,6 +104,50 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two `array<tinyint>` columns (codegen'd) —
+  * the scoring kernel of the int8-quantized ANN path
+  * (`Similarity.quantizeI8`). Returns LONG so no dimension count can
+  * overflow (127² per element). Reconstruct real-space similarity by
+  * multiplying with the two per-vector scales.
+  */
+case class DotProductQ8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.byteArrays(prettyName, left.dataType, right.dataType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_q8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of an `array<float>` column (codegen'd). */
 case class L2Norm(child: Expression)
     extends UnaryExpression {
@@ -170,6 +214,10 @@ private[graft] object GraftTypeChecks {
   def strings(fn: String, ts: DataType*): TypeCheckResult =
     if (ts.forall(_ == StringType)) TypeCheckSuccess
     else TypeCheckFailure(s"$fn expects string arguments, got ${ts.mkString(", ")}")
+  def byteArrays(fn: String, ts: DataType*): TypeCheckResult =
+    if (ts.forall(t => t.isInstanceOf[ArrayType] &&
+        t.asInstanceOf[ArrayType].elementType == ByteType)) TypeCheckSuccess
+    else TypeCheckFailure(s"$fn expects array<tinyint> arguments, got ${ts.mkString(", ")}")
   def stringArrays(fn: String, ts: DataType*): TypeCheckResult =
     if (ts.forall(t => t.isInstanceOf[ArrayType] &&
         t.asInstanceOf[ArrayType].elementType == StringType)) TypeCheckSuccess

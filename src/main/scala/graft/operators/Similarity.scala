@@ -52,6 +52,45 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("score"), col("rank"))
   }
 
+  /** Int8 symmetric per-vector quantization of an `array<float>` embedding
+    * column: appends `q8` (array<tinyint>), `q8_scale` (the per-vector
+    * dequant factor maxabs/127) and `q8_norm` (the reconstructed L2 norm).
+    * 4x smaller at rest and in shuffle than float32 — at 100 TB the
+    * embedding columns ARE the storage bill, and an int8 scan feeds 4x
+    * more vectors per IO. Pure Column ops (codegen'd), no shuffle.
+    *
+    * Scoring: `cosineQ8` reconstructs cosine as
+    * `dot_q8 * aScale * bScale / (aNorm * bNorm)` via the codegen'd
+    * `dot_q8` kernel — error is bounded by the per-element rounding step
+    * (scale/2), recall pinned in QuantizationSpec. */
+  def quantizeI8(df: DataFrame, vecCol: String): DataFrame = {
+    val reserved = Seq("q8", "q8_scale", "q8_norm")
+    require(!reserved.exists(df.columns.contains),
+      s"input already has one of ${reserved.mkString("/")}")
+    df
+      // 1e-30 floor: an all-zero vector quantizes to zeros with a real
+      // scale instead of a 0/0 NaN
+      .withColumn("q8_scale",
+        greatest(array_max(transform(col(vecCol), x => abs(x))), lit(1e-30))
+          .cast("double") / lit(127.0))
+      .withColumn("q8", transform(col(vecCol),
+        // |x| <= 127*scale by construction, so round stays in [-127, 127]
+        x => round(x.cast("double") / col("q8_scale")).cast("byte")))
+      .withColumn("q8_norm",
+        col("q8_scale") * sqrt(aggregate(col("q8"),
+          lit(0.0),
+          (acc, q) => acc + q.cast("double") * q.cast("double"))))
+  }
+
+  /** Reconstructed cosine between two quantized vectors (see quantizeI8):
+    * columns are (q8, scale, norm) per side. Zero-norm guard matches
+    * `cosine_sim`'s convention (score 0). */
+  def cosineQ8(aQ8: Column, aScale: Column, aNorm: Column,
+      bQ8: Column, bScale: Column, bNorm: Column): Column =
+    when(aNorm === 0.0 || bNorm === 0.0, lit(0.0))
+      .otherwise(dotQ8(aQ8, bQ8).cast("double") * aScale * bScale /
+        (aNorm * bNorm))
+
   /** Deterministic random hyperplanes: tables × bits vectors of ±1/0.3-ish
     * gaussians from a seeded PRNG, broadcast as literals (driver-side
     * constants, executor-side pure math — no shuffle). */
