@@ -112,7 +112,7 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asofJoin must not plan a join:\n$plan")
   }
 
-  test("asofJoin property: matches a naive per-row reference on random data") {
+  test("asofJoin property: matches a naive per-row reference in all four modes") {
     val rnd = new scala.util.Random(7)
     val lrows = (1 to 400).map(i =>
       (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(200).toLong))
@@ -122,15 +122,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
     val l = lrows.toDF("event", "k", "ts")
     val r = rrows.toDF("k", "rts", "v")
-    val got = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"))
-      .select("event", "matched_ts").collect()
-      .map(x => x.getAs[Long]("event") -> Option(x.getAs[java.lang.Long]("matched_ts")).map(_.toLong))
-      .toMap
     val rByKey = rrows.groupBy(_._1)
-    lrows.foreach { case (ev, k, ts) =>
-      val expect = rByKey.getOrElse(k, Seq.empty)
-        .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._2)
-      assert(got(ev) == expect, s"event $ev key $k ts $ts")
+    for (dir <- Seq("backward", "forward"); strict <- Seq(false, true)) {
+      val got = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"),
+          direction = dir, strict = strict)
+        .select("event", "matched_ts").collect()
+        .map(x => x.getAs[Long]("event") ->
+          Option(x.getAs[java.lang.Long]("matched_ts")).map(_.toLong))
+        .toMap
+      lrows.foreach { case (ev, k, ts) =>
+        val cands = rByKey.getOrElse(k, Seq.empty).map(_._2)
+        val expect =
+          if (dir == "backward")
+            cands.filter(t => if (strict) t < ts else t <= ts)
+              .sorted.lastOption
+          else
+            cands.filter(t => if (strict) t > ts else t >= ts)
+              .sorted.headOption
+        assert(got(ev) == expect, s"dir=$dir strict=$strict event $ev key $k ts $ts")
+      }
     }
   }
 
