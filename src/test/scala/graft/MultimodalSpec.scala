@@ -160,4 +160,60 @@ class MultimodalSpec extends AnyFunSuite {
       .head()
     assert(f.width == 5 && f.bandMeans(0) == 255f && f.bandMeans(1) == 0f)
   }
+
+  // ---- audio lane (REAL javax.sound WAV decode) ----
+
+  /** 16-bit little-endian mono PCM sine wave wrapped as a WAV. */
+  private def sineWav(freq: Double, sr: Int, ms: Int, amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = sr * ms / 1000
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / sr) * amplitude * 32767).toInt.toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFeatures: real WAV decode — format metadata, RMS, zero-cross rate") {
+    import graft.multimodal.AudioFeaturesStage
+    val sr = 8000
+    val freq = 440.0
+    val amp = 0.5
+    val wav = sineWav(freq, sr, ms = 500, amplitude = amp)
+    val df = mediaDf(Seq(1L -> wav, 2L -> "definitely not audio".getBytes("UTF-8")))
+    val feats = AudioFeaturesStage.audioFeatures(df, "doc_id", windows = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val a = feats(1L)
+    assert(a.valid)
+    assert(a.sample_rate == sr && a.channels == 1)
+    assert(a.n_frames == sr / 2)
+    assert(math.abs(a.duration_ms - 500L) <= 1L)
+    // sine RMS = amplitude / sqrt(2), in every window
+    a.rms_windows.foreach(r =>
+      assert(math.abs(r - amp / math.sqrt(2)) < 0.02, r))
+    // a sine crosses zero 2*freq times per second
+    assert(math.abs(a.zero_cross_rate - 2 * freq / sr) < 0.01, a.zero_cross_rate)
+
+    // non-audio bytes: total fallback, never a task failure
+    val b = feats(2L)
+    assert(!b.valid && b.sample_rate == 0 && b.n_frames == 0L)
+  }
+
+  test("audioFeatures: maxBytes caps the decoded PCM per row (untrusted header)") {
+    import graft.multimodal.AudioFeaturesStage
+    val wav = sineWav(440.0, 8000, ms = 1000, amplitude = 0.5) // 16k PCM bytes
+    val df = mediaDf(Seq(1L -> wav))
+    val capped = AudioFeaturesStage.audioFeatures(df, "doc_id", windows = 2,
+      maxBytes = 4000).head()
+    assert(capped.valid)
+    assert(capped.n_frames == 2000L) // 4000 bytes / 2 per frame, not 8000
+  }
 }
