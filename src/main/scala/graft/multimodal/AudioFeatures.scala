@@ -48,56 +48,70 @@ object AudioFeaturesStage {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
         val channels = fmt.getChannels
-        // JDK WAV readers yield PCM_SIGNED 8/16-bit; anything else (float
-        // WAV, a-law) is rare enough to take the fallback
-        if ((bits != 8 && bits != 16) || channels <= 0 ||
-            fmt.getEncoding.toString != "PCM_SIGNED")
-          return invalid(id, windows)
+        val enc = fmt.getEncoding.toString
+        // WAV stores 16-bit PCM signed and 8-bit PCM UNSIGNED; anything
+        // else (float WAV, a-law) takes the fallback
+        val ok = channels > 0 &&
+          ((bits == 16 && enc == "PCM_SIGNED") ||
+            (bits == 8 && enc == "PCM_UNSIGNED"))
+        if (!ok) return invalid(id, windows)
         val frameSize = fmt.getFrameSize
-        val pcm = in.readNBytes(maxBytes)
-        val nFrames = pcm.length / frameSize
+        // frame-ALIGNED cap + manual loop: AudioInputStream.read rounds a
+        // sub-frame request down and returns 0 (not -1, even at EOF), so
+        // readNBytes(maxBytes) with an unaligned remainder spins forever
+        val cap = maxBytes - (maxBytes % frameSize)
+        if (cap < frameSize) return invalid(id, windows)
+        val pcm = new Array[Byte](cap)
+        var filled = 0
+        var r = 1
+        while (filled < cap && r > 0) {
+          r = in.read(pcm, filled, cap - filled)
+          if (r > 0) filled += r
+        }
+        val nFrames = filled / frameSize
         if (nFrames == 0) return invalid(id, windows)
 
-        // mono-fold samples in [-1, 1]
-        val samples = new Array[Double](nFrames)
+        // single pass straight off the PCM buffer: O(windows) extra memory
+        // (a per-row Array[Double](nFrames) would 4x the buffer again)
         val bytesPerSample = bits / 8
+        val sumSq = new Array[Double](windows)
+        val cnt = new Array[Int](windows)
+        var crossings = 0L
+        var prevNonNeg = true
         var f = 0
+        var w = 0
+        var wEnd = (nFrames.toLong / windows).toInt
         while (f < nFrames) {
+          while (w < windows - 1 && f >= wEnd) {
+            w += 1
+            wEnd = ((w + 1).toLong * nFrames / windows).toInt
+          }
           var acc = 0.0
           var c = 0
           while (c < channels) {
             val off = f * frameSize + c * bytesPerSample
             val v =
-              if (bits == 8) pcm(off).toDouble / 127.0
+              if (bits == 8) ((pcm(off) & 0xff) - 128).toDouble / 128.0
               else {
-                val lo = pcm(off) & 0xff
-                val hi = pcm(off + 1)
                 val s = if (fmt.isBigEndian) (pcm(off) << 8) | (pcm(off + 1) & 0xff)
-                        else (hi << 8) | lo
+                        else (pcm(off + 1) << 8) | (pcm(off) & 0xff)
                 s.toDouble / 32767.0
               }
             acc += v
             c += 1
           }
-          samples(f) = acc / channels
+          val s = acc / channels
+          sumSq(w) += s * s
+          cnt(w) += 1
+          val nonNeg = s >= 0
+          if (f > 0 && nonNeg != prevNonNeg) crossings += 1
+          prevNonNeg = nonNeg
           f += 1
         }
-
         val rms = new Array[Float](windows)
-        var w = 0
-        while (w < windows) {
-          val start = (w.toLong * nFrames / windows).toInt
-          val end = ((w + 1).toLong * nFrames / windows).toInt
-          var s = 0.0
-          var i = start
-          while (i < end) { s += samples(i) * samples(i); i += 1 }
-          rms(w) = if (end > start) math.sqrt(s / (end - start)).toFloat else 0f
-          w += 1
-        }
-        var crossings = 0L
-        var i = 1
-        while (i < nFrames) {
-          if ((samples(i) >= 0) != (samples(i - 1) >= 0)) crossings += 1
+        var i = 0
+        while (i < windows) {
+          rms(i) = if (cnt(i) == 0) 0f else math.sqrt(sumSq(i) / cnt(i)).toFloat
           i += 1
         }
         val sr = fmt.getSampleRate.toInt

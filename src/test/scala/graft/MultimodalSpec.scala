@@ -211,9 +211,53 @@ class MultimodalSpec extends AnyFunSuite {
     import graft.multimodal.AudioFeaturesStage
     val wav = sineWav(440.0, 8000, ms = 1000, amplitude = 0.5) // 16k PCM bytes
     val df = mediaDf(Seq(1L -> wav))
+    // 4001 is deliberately NOT frame-aligned: AudioInputStream.read rounds
+    // sub-frame requests to 0 without EOF, so an unaligned cap used to
+    // spin readNBytes forever — the decoder must frame-align it
     val capped = AudioFeaturesStage.audioFeatures(df, "doc_id", windows = 2,
-      maxBytes = 4000).head()
+      maxBytes = 4001).head()
     assert(capped.valid)
-    assert(capped.n_frames == 2000L) // 4000 bytes / 2 per frame, not 8000
+    assert(capped.n_frames == 2000L) // floor(4001/2) bytes -> 2000 frames
+  }
+
+  test("audioFeatures: 8-bit unsigned and stereo WAVs decode for real") {
+    import javax.sound.sampled._
+    import graft.multimodal.AudioFeaturesStage
+    val sr = 8000
+    val n = sr / 2
+    // 8-bit WAV is PCM_UNSIGNED by spec: bytes are (sample*127 + 128)
+    val data8 = Array.tabulate(n)(i =>
+      ((math.sin(2 * math.Pi * 440 * i / sr) * 0.5 * 127) + 128).toInt.toByte)
+    val out8 = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data8),
+      new AudioFormat(sr.toFloat, 8, 1, false, false), n.toLong),
+      AudioFileFormat.Type.WAVE, out8)
+    // stereo 16-bit: same sine in both channels -> mono fold is the sine
+    val data16 = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / sr) * 0.5 * 32767).toInt.toShort
+      for (c <- 0 until 2) {
+        data16(4 * i + 2 * c) = (s & 0xff).toByte
+        data16(4 * i + 2 * c + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val out16 = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data16),
+      new AudioFormat(sr.toFloat, 16, 2, true, false), n.toLong),
+      AudioFileFormat.Type.WAVE, out16)
+
+    val feats = AudioFeaturesStage.audioFeatures(
+      mediaDf(Seq(1L -> out8.toByteArray, 2L -> out16.toByteArray)),
+      "doc_id", windows = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    val a8 = feats(1L)
+    assert(a8.valid && a8.sample_rate == sr && a8.channels == 1)
+    assert(math.abs(a8.rms_windows(0) - 0.5 / math.sqrt(2)) < 0.03, a8.rms_windows(0))
+    val st = feats(2L)
+    assert(st.valid && st.channels == 2 && st.n_frames == n.toLong)
+    assert(math.abs(st.rms_windows(0) - 0.5 / math.sqrt(2)) < 0.02, st.rms_windows(0))
+    assert(math.abs(st.zero_cross_rate - 2 * 440.0 / sr) < 0.01)
   }
 }
