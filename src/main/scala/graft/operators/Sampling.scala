@@ -105,6 +105,34 @@ object Sampling {
     df.filter(h < threshold)
   }
 
+  /** Per-stratum fractions that downsample every stratum toward
+    * `targetPerStratum` rows (strata already at or under target keep
+    * fraction 1.0) — the class-balancing companion to `sampleByStratum`:
+    *
+    * {{{
+    * val fr = Sampling.balancedFractions(docs, "lang", 100000)
+    * val balanced = Sampling.sampleByStratum(docs, "doc_id", "lang", fr, "v1")
+    * }}}
+    *
+    * One count aggregation; the returned map is driver-side (stratum
+    * cardinality must be driver-sized, which class labels are). Expected
+    * kept rows per stratum = target (hash sampling is binomial around it,
+    * not exact — for exact-n use `groupSample`). */
+  def balancedFractions(
+      df: DataFrame,
+      stratumCol: String,
+      targetPerStratum: Long): Map[String, Double] = {
+    require(targetPerStratum > 0, "targetPerStratum must be positive")
+    df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .flatMap { r =>
+        Option(r.getAs[String]("__s")).map { s =>
+          s -> math.min(1.0, targetPerStratum.toDouble / r.getAs[Long]("__n"))
+        }
+      }.toMap
+  }
+
   /** Deterministic per-group sample: the `n` rows of each group with the
     * smallest salted id-hash (ties broken by id). A rank window, so one
     * shuffle on `groupCol` with a per-partition sort.

@@ -85,6 +85,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(partial.select("g").distinct().as[String].collect().toSeq == Seq("s1"))
   }
 
+  test("balancedFractions: downsamples big strata toward target, keeps small ones whole") {
+    // strata sizes: s0=2000, s1=500, s2=100; target 400
+    val df = (Seq.fill(2000)("s0") ++ Seq.fill(500)("s1") ++ Seq.fill(100)("s2"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val fr = Sampling.balancedFractions(df, "g", 400L)
+    assert(fr("s0") == 0.2 && fr("s1") == 0.8 && fr("s2") == 1.0)
+    val out = Sampling.sampleByStratum(df, "id", "g", fr, "bal")
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(out("s2") == 100L)                      // under target: untouched
+    assert(math.abs(out("s0") - 400L) < 80, out)   // binomial around target
+    assert(math.abs(out("s1") - 400L) < 80, out)
+  }
+
   test("null ids fail fast instead of co-moving, hogging ranks, or vanishing") {
     val df = Seq(Some(1L), None).map(o => Tuple1(o.map(java.lang.Long.valueOf).orNull))
       .toDF("id")
