@@ -49,7 +49,8 @@ object GraftFunctions {
     "minhash_from_hashes" ->
       ((es: Seq[Expression]) => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k"))),
     "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))),
-    "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))))
+    "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))),
+    "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -97,4 +98,7 @@ object GraftFunctions {
 
   /** Integer dot product of two array<tinyint> quantized vectors → long. */
   def dotQ8(a: Column, b: Column): Column = call_function("dot_q8", a, b)
+
+  /** Unicode NFC normalization of a string column (DuckDB-parity). */
+  def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
 }

@@ -729,6 +729,19 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private val textCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // canonical normalization (NFC + control strip + whitespace collapse)
+    // value-checked end-to-end: the md5 of the normalized text must agree
+    // with DuckDB's nfc_normalize + identical regex pipeline
+    "tx01_normalize_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).cast("long").as("norm_chars"),
+          md5(col("norm").cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
     "q19_doc_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
@@ -783,6 +796,16 @@ object SparkEntry {
   )
 
   private val textOracle: Map[String, String] = Map(
+    "tx01_normalize_text" ->
+      """SELECT doc_id,
+        |  CAST(length(norm) AS BIGINT) AS norm_chars,
+        |  md5(norm) AS norm_md5
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |          '[ \t\n\r\f]+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
     "q19_doc_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,

@@ -105,6 +105,19 @@ object TextFunctions {
   /** Exact-dedup fingerprint: md5 hex of the raw text bytes. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  /** Canonical text normalization for curation pipelines: Unicode NFC
+    * (composed vs decomposed accents hash identically), strip
+    * non-whitespace control chars, collapse runs of [ \t\n\r\f] to one
+    * space, trim. Every step has an exact DuckDB equivalent
+    * (`nfc_normalize` + the same explicit character classes — NOT `\s`,
+    * whose Java and RE2 definitions differ on \x0B), so the whole
+    * pipeline is oracle-checkable (tx01). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.GraftFunctions.nfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
+
   /** Token n-grams ("shingles") of the lower-cased text, joined by single
     * spaces: input to MinHash / Jaccard dedup. */
   def tokenNgrams(text: Column, n: Int): Column = {

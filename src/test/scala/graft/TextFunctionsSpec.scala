@@ -99,4 +99,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("normalizeText: NFC composes decomposed accents, strips controls, collapses whitespace") {
+    val composed = "Caf\u00e9"        // é as one code point
+    val decomposed = "Cafe\u0301"    // e + combining acute
+    val df = Seq(
+      (1L, composed), (2L, decomposed),
+      (3L, "  ab\u0007\t\tc\r\nd  "), // BEL stripped, ws collapsed, trimmed
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+      .select(col("id"), normalizeText(col("text")).as("n"))
+    val got = df.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[String]("n"))).toMap
+    // the whole point: both accent encodings normalize to the SAME string
+    assert(got(1L) == got(2L) && got(1L) == Some(composed))
+    assert(got(3L) == Some("ab c d"))
+    assert(got(4L) == None)
+    // and therefore the same md5 fingerprint (dedup treats them as equal)
+    val fp = Seq(composed, decomposed).toDF("text")
+      .select(md5Fingerprint(normalizeText(col("text"))).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+  }
 }
