@@ -801,9 +801,9 @@ object SparkEntry {
         |  CAST(length(norm) AS BIGINT) AS norm_chars,
         |  md5(norm) AS norm_md5
         |FROM (SELECT doc_id,
-        |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-        |          '[ \t\n\r\f]+', ' ', 'g')) AS norm
+        |        trim(regexp_replace(nfc_normalize(regexp_replace(text,
+        |          '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')),
+        |          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id LIMIT 200""".stripMargin,
     "q19_doc_tokens" ->

@@ -105,18 +105,22 @@ object TextFunctions {
   /** Exact-dedup fingerprint: md5 hex of the raw text bytes. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 
-  /** Canonical text normalization for curation pipelines: Unicode NFC
-    * (composed vs decomposed accents hash identically), strip
-    * non-whitespace control chars, collapse runs of [ \t\n\r\f] to one
-    * space, trim. Every step has an exact DuckDB equivalent
-    * (`nfc_normalize` + the same explicit character classes — NOT `\s`,
-    * whose Java and RE2 definitions differ on \x0B), so the whole
-    * pipeline is oracle-checkable (tx01). */
+  /** Canonical text normalization for curation pipelines: strip
+    * NON-whitespace control chars, Unicode NFC (composed vs decomposed
+    * accents hash identically), collapse runs of [ \t\n\x0B\f\r] to one
+    * space, trim. Two ordering subtleties: controls are stripped BEFORE
+    * NFC (a control between a base letter and its combining mark blocks
+    * composition — stripping after would leave decomposed text), and
+    * vertical-tab/form-feed are COLLAPSED to a space, not deleted (a
+    * page-break must not fuse the words around it). Every step has an
+    * exact DuckDB equivalent (`nfc_normalize` + the same explicit
+    * character classes — NOT `\s`, whose Java and RE2 definitions differ
+    * on \x0B), so the whole pipeline is oracle-checkable (tx01). */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(graft.GraftFunctions.nfcNormalize(text),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-      "[ \\t\\n\\r\\f]+", " "))
+      graft.GraftFunctions.nfcNormalize(
+        regexp_replace(text, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Token n-grams ("shingles") of the lower-cased text, joined by single
     * spaces: input to MinHash / Jaccard dedup. */

@@ -83,7 +83,13 @@ object Sampling {
 
   /** Deterministic stratified sampling: a different keep-fraction per
     * stratum value (`df.stat.sampleBy` without the RNG). Strata not listed
-    * in `fractions` are dropped. Same content-addressed guarantee as
+    * in `fractions` are dropped — and a NULL stratum can never be listed,
+    * so null-stratum rows are always dropped too (coalesce the column
+    * first if they should survive). The stratum is compared via its
+    * cast-to-string rendering, the same keys `balancedFractions` emits —
+    * comparing the raw column to a string literal would go through
+    * Spark's numeric widening, under which float strata like 0.1f never
+    * equal their own rendering. Same content-addressed guarantee as
     * `sampleFraction`, and still map-side only — the stratum threshold is
     * a chained when() on the stratum column, not a join. */
   def sampleByStratum(
@@ -96,12 +102,13 @@ object Sampling {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0,1]")
     val h = hashHex(col(idCol), salt)
+    val s = col(stratumCol).cast("string")
     val threshold = fractions.tail.foldLeft(
-        when(col(stratumCol) === lit(fractions.head._1),
+        when(s === lit(fractions.head._1),
           lit(thresholdHex(fractions.head._2)))) {
       case (acc, (stratum, f)) =>
-        acc.when(col(stratumCol) === lit(stratum), lit(thresholdHex(f)))
-    } // unlisted strata: null threshold, h < null is null -> filtered out
+        acc.when(s === lit(stratum), lit(thresholdHex(f)))
+    } // unlisted/null strata: null threshold, h < null is null -> dropped
     df.filter(h < threshold)
   }
 
@@ -115,9 +122,13 @@ object Sampling {
     * }}}
     *
     * One count aggregation; the returned map is driver-side (stratum
-    * cardinality must be driver-sized, which class labels are). Expected
-    * kept rows per stratum = target (hash sampling is binomial around it,
-    * not exact — for exact-n use `groupSample`). */
+    * cardinality must be driver-sized, which class labels are). Keys are
+    * the strata's cast-to-string renderings — exactly what
+    * `sampleByStratum` matches on. NULL strata are excluded (a map can't
+    * key them and `sampleByStratum` drops them regardless — coalesce
+    * first to keep them). Expected kept rows per stratum = target (hash
+    * sampling is binomial around it, not exact — for exact-n use
+    * `groupSample`). */
   def balancedFractions(
       df: DataFrame,
       stratumCol: String,

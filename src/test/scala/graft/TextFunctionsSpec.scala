@@ -121,4 +121,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(fp(0) == fp(1))
   }
+
+  test("normalizeText: controls strip BEFORE NFC; page breaks become spaces, not fusions") {
+    val df = Seq(
+      // BEL between 'e' and combining acute would block NFC composition
+      // if stripped after normalization
+      (1L, "Cafe\u0007\u0301"),
+      // form feed / vertical tab are page separators: collapse to a
+      // space — deleting them would fuse the surrounding words
+      (2L, "end of page.\fChapter 2"),
+      (3L, "a\u000Bb")
+    ).toDF("id", "text").select(col("id"), normalizeText(col("text")).as("n"))
+    val got = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("n")).toMap
+    assert(got(1L) == "Caf\u00e9", got(1L))
+    assert(got(2L) == "end of page. Chapter 2")
+    assert(got(3L) == "a b")
+  }
 }
