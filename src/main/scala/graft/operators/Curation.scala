@@ -27,7 +27,13 @@ object Curation {
       keepLangs: Seq[String] = Seq("en"),
       minhashHashes: Int = 128,
       minhashBands: Int = 32,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      /** apply `TextFunctions.normalizeText` (strip controls → NFC →
+        * collapse whitespace) before annotation/fingerprinting, so
+        * composed vs decomposed accent encodings of the same text dedup
+        * as EXACT duplicates. Off by default: it rewrites the text
+        * column, and the tx-oracle documents are already clean. */
+      normalize: Boolean = false)
 
   /** Full pipeline. Returns the surviving documents with annotations and
     * a `drop_reason` view of what was removed (for pipeline observability
@@ -46,7 +52,10 @@ object Curation {
       idCol: String,
       textCol: String,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val annotated = annotate(docs, idCol, textCol)
+    val source =
+      if (cfg.normalize) docs.withColumn(textCol, normalizeText(col(textCol)))
+      else docs
+    val annotated = annotate(source, idCol, textCol)
       .withColumn("__sig",
         Dedup.minhashSigColumn(col(textCol), cfg.minhashHashes))
 

@@ -208,6 +208,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` most-similar corpus rows that are NOT its gold positives (the
+    * anchor itself is never a candidate — the kNN graph has no self
+    * pairs). Near-misses are what make contrastive losses learn; random
+    * negatives are trivially separable.
+    *
+    * Built on the capped LSH kNN graph with `headroom` extra candidates
+    * per anchor, so anchors whose top list is crowded with positives
+    * still yield `k` negatives (an anchor with more than `headroom`
+    * positives among its nearest neighbors may come up short — raise
+    * `headroom` for dense duplicate clusters). Same bounded shapes as
+    * `knnJoin`: no all-pairs, per-bucket cap, per-anchor rank window.
+    *
+    * @param positives gold (anchorCol, positiveCol) pairs to exclude
+    * @return (id, negative_id, score, neg_rank<=k) */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      positives: DataFrame,
+      anchorCol: String,
+      positiveCol: String,
+      k: Int,
+      headroom: Int = 8,
+      bits: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(k > 0 && headroom >= 0, "k must be positive, headroom >= 0")
+    val knn = knnJoin(corpus, idCol, vecCol, dim, k + headroom,
+      bits, tables, seed, maxBucketSize)
+    val gold = positives.select(
+      col(anchorCol).as("id"), col(positiveCol).as("neighbor_id"))
+    val w = Window.partitionBy("id").orderBy(desc("score"), col("neighbor_id"))
+    knn
+      .join(gold, Seq("id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("id"), col("neighbor_id").as("negative_id"),
+        col("score"), col("neg_rank"))
+  }
+
   /** IVF-style ANN: assign every corpus row to its nearest of `nCells`
     * coarse centroids (deterministically sampled from the corpus itself),
     * then serve a query by scanning only the `nProbe` cells whose centroids

@@ -38,6 +38,26 @@ class CurationSpec extends AnyFunSuite {
     assert(keptIds.size + reasons.size == 6)
   }
 
+  test("curate normalize=true: composed vs decomposed encodings become EXACT duplicates") {
+    // same sentence, once with composed é, once decomposed (e + combining
+    // acute) and messier whitespace — byte-different, semantically equal
+    val composedText = good + " caf\u00e9"
+    val decomposedText = good + "  cafe\u0301 "
+    val pair = Seq((1L, composedText), (2L, decomposedText)).toDF("doc_id", "text")
+    // without normalization the md5s differ, so only the (probabilistic)
+    // minhash NEAR-dup stage can catch the pair
+    val (_, droppedPlain) = Curation.curate(pair, "doc_id", "text")
+    val plainReasons = droppedPlain.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plainReasons.get(2L).forall(_ == "near_duplicate"), plainReasons)
+    // with normalization they are byte-identical -> deterministic EXACT dup
+    val (normed, droppedN) = Curation.curate(pair, "doc_id", "text",
+      Curation.Config(normalize = true))
+    assert(normed.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val reasons = droppedN.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(2L) == "exact_duplicate")
+  }
+
   test("curate resolves near-dup CHAINS transitively (cluster, not pairwise)") {
     // 1 ~ 5 and 3 ~ 5 are near-dups; 1 ~ 3 is below threshold. Pairwise
     // drop-the-larger keeps {1, 3}; the cluster policy keeps only {1}.

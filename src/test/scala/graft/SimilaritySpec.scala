@@ -94,6 +94,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: excludes gold positives and self, ranks the near-misses") {
+    // two tight clusters; anchor 1's hardest negatives are its OWN
+    // cluster-mates that aren't gold positives
+    val rnd = new scala.util.Random(9)
+    def near(base: Seq[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+    val a = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val b = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val docs = ((1L to 8L).map(i => (i, near(a))) ++
+      (11L to 18L).map(i => (i, near(b)))).toDF("id", "vec")
+    val gold = Seq((1L, 2L), (1L, 3L)).toDF("anchor", "pos")
+    val negs = Similarity.hardNegatives(docs, "id", "vec", dim = 16,
+      positives = gold, anchorCol = "anchor", positiveCol = "pos",
+      k = 3, bits = 2, tables = 4)
+      .filter(col("id") === 1L).orderBy(col("neg_rank")).collect()
+    assert(negs.length == 3, negs.mkString(","))
+    val negIds = negs.map(_.getAs[Long]("negative_id")).toSet
+    assert(!negIds.contains(1L) && !negIds.contains(2L) && !negIds.contains(3L),
+      s"self/positives leaked: $negIds")
+    // hard = same cluster: all three come from cluster A (ids 4-8)
+    assert(negIds.subsetOf((4L to 8L).toSet), negIds)
+    assert(negs.map(_.getAs[Int]("neg_rank")).toSeq == Seq(1, 2, 3))
+  }
+
   test("crossTopK matches bruteForceTopK for the same query") {
     val queries = corpus.filter(col("id") === 0L)
       .select(col("id").as("qid"), col("vec").as("qvec"))
