@@ -742,6 +742,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .limit(200)
     }),
+    // Gopher-style repetition signals as exact integer permille
+    "tx02_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupLinePermille(col("text")).as("dup_line_pm"),
+          TextFunctions.dupNgramPermille(col("text"), 3).as("dup_3gram_pm"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
     "q19_doc_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
@@ -806,6 +815,25 @@ object SparkEntry {
         |          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+    "tx02_repetition" ->
+      """WITH p AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    x -> trim(x)), x -> length(x) > 0) AS lines,
+        |  string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, lines,
+        |  CASE WHEN len(ts) < 3 THEN []
+        |       ELSE list_transform(range(1, len(ts) - 1),
+        |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS gr
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN len(lines) = 0 THEN 0
+        |       ELSE (1000 * (len(lines) - len(list_distinct(lines)))) // len(lines)
+        |  END AS dup_line_pm,
+        |  CASE WHEN len(gr) = 0 THEN 0
+        |       ELSE (1000 * (len(gr) - len(list_distinct(gr)))) // len(gr)
+        |  END AS dup_3gram_pm
+        |FROM g ORDER BY doc_id LIMIT 200""".stripMargin,
     "q19_doc_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,

@@ -133,4 +133,31 @@ object TextFunctions {
           sequence(lit(1), size(toks) - lit(n - 1)),
           i => array_join(slice(toks, i, lit(n)), " ")))
   }
+
+  /** Duplicated fraction of a string array in permille (integer — exact
+    * and engine-portable): 1000 * (n - distinct) / n, floor; 0 for empty.
+    * floor-of-double equals integer division here (operands far below
+    * 2^53). */
+  private def dupPermille(items: Column): Column = {
+    val n = size(items)
+    when(n <= 0, lit(0L)).otherwise(
+      floor(lit(1000.0) * (n - size(array_distinct(items))) / n).cast("long"))
+  }
+
+  /** Gopher/RefinedWeb-style repetition signals — heavily repeated lines
+    * or n-grams mark boilerplate/spam/generated text that token counts
+    * and quality ratios miss. Both are pure Column work (one scan) with
+    * DuckDB-exact integer permille outputs (oracle tx02). */
+
+  /** Permille of non-empty trimmed lines that are duplicates of an
+    * earlier line. */
+  def dupLinePermille(text: Column): Column =
+    dupPermille(filter(
+      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0))
+
+  /** Permille of token n-grams that are duplicates (high = loops/chants/
+    * keyword stuffing; Gopher drops docs with excessive duplicate
+    * 2-4-grams). */
+  def dupNgramPermille(text: Column, n: Int): Column =
+    dupPermille(tokenNgrams(text, n))
 }

@@ -122,6 +122,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1))
   }
 
+  test("repetition permilles: hand-computed duplicate line and 3-gram fractions") {
+    val df = Seq(
+      // 4 non-empty lines, "same" appears 3x -> dup = 2/4 = 500 pm
+      (1L, "same\nsame\n\n  same  \nother"),
+      // 6 tokens "a b a b a b": 4 3-grams, "a b a"/"b a b" each twice
+      // -> dup = 2/4 = 500 pm
+      (2L, "a b a b a b"),
+      (3L, "all lines distinct\nno repeats here"),
+      (4L, ""), (5L, "one two") // too short for 3-grams
+    ).toDF("id", "text").select(col("id"),
+      dupLinePermille(col("text")).as("dl"),
+      dupNgramPermille(col("text"), 3).as("dg"))
+    val got = df.collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("dl"), r.getAs[Long]("dg")))).toMap
+    assert(got(1L)._1 == 500L, got(1L))
+    assert(got(2L)._2 == 500L, got(2L))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L)._2 == 0L)
+  }
+
   test("normalizeText: controls strip BEFORE NFC; page breaks become spaces, not fusions") {
     val df = Seq(
       // BEL between 'e' and combining acute would block NFC composition
