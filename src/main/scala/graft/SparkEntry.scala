@@ -817,9 +817,10 @@ object SparkEntry {
         |ORDER BY doc_id LIMIT 200""".stripMargin,
     "tx02_repetition" ->
       """WITH p AS (SELECT doc_id,
-        |  list_filter(list_transform(string_split(text, chr(10)),
+        |  list_filter(list_transform(regexp_split_to_array(text, '\r?\n'),
         |    x -> trim(x)), x -> length(x) > 0) AS lines,
-        |  string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  -- explicit class == Java \s (RE2's \s lacks \x0B)
+        |  string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ts
         |  FROM documents),
         |g AS (SELECT doc_id, lines,
         |  CASE WHEN len(ts) < 3 THEN []

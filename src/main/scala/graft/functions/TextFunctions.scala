@@ -135,13 +135,13 @@ object TextFunctions {
   }
 
   /** Duplicated fraction of a string array in permille (integer — exact
-    * and engine-portable): 1000 * (n - distinct) / n, floor; 0 for empty.
-    * floor-of-double equals integer division here (operands far below
-    * 2^53). */
+    * and engine-portable via `ldiv`): 1000 * (n - distinct) / n; 0 for
+    * empty. */
   private def dupPermille(items: Column): Column = {
     val n = size(items)
     when(n <= 0, lit(0L)).otherwise(
-      floor(lit(1000.0) * (n - size(array_distinct(items))) / n).cast("long"))
+      ldiv((n - size(array_distinct(items))).cast("long") * lit(1000L),
+        n.cast("long")))
   }
 
   /** Gopher/RefinedWeb-style repetition signals — heavily repeated lines
@@ -150,10 +150,12 @@ object TextFunctions {
     * DuckDB-exact integer permille outputs (oracle tx02). */
 
   /** Permille of non-empty trimmed lines that are duplicates of an
-    * earlier line. */
+    * earlier line. Splits on `\r?\n` so CRLF documents don't keep a
+    * trailing `\r` that excludes the final line from duplicate
+    * matching. */
   def dupLinePermille(text: Column): Column =
     dupPermille(filter(
-      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0))
+      transform(split(text, "\r?\n"), l => trim(l)), l => length(l) > 0))
 
   /** Permille of token n-grams that are duplicates (high = loops/chants/
     * keyword stuffing; Gopher drops docs with excessive duplicate

@@ -221,8 +221,10 @@ object Similarity {
     * `headroom` for dense duplicate clusters). Same bounded shapes as
     * `knnJoin`: no all-pairs, per-bucket cap, per-anchor rank window.
     *
-    * @param positives gold (anchorCol, positiveCol) pairs to exclude
-    * @return (id, negative_id, score, neg_rank<=k) */
+    * @param positives gold (anchorCol, positiveCol) pairs to exclude —
+    *                  excluded in BOTH orientations; only ids appearing
+    *                  as anchors get a negative list
+    * @return (id, negative_id, score, neg_rank<=k), one group per anchor */
   def hardNegatives(
       corpus: DataFrame,
       idCol: String,
@@ -240,10 +242,18 @@ object Similarity {
     require(k > 0 && headroom >= 0, "k must be positive, headroom >= 0")
     val knn = knnJoin(corpus, idCol, vecCol, dim, k + headroom,
       bits, tables, seed, maxBucketSize)
-    val gold = positives.select(
-      col(anchorCol).as("id"), col(positiveCol).as("neighbor_id"))
+    // only ANCHOR rows get negative lists, and gold pairs are excluded in
+    // BOTH orientations: without the symmetric union, a positive P of
+    // anchor A would rank A (cosine ~1) as P's own top "negative" — a
+    // contrastive loss fed that list trains gold pairs apart
+    val anchors = positives.select(col(anchorCol).as("id")).distinct()
+    val gold = positives
+      .select(col(anchorCol).as("id"), col(positiveCol).as("neighbor_id"))
+      .unionByName(positives
+        .select(col(positiveCol).as("id"), col(anchorCol).as("neighbor_id")))
     val w = Window.partitionBy("id").orderBy(desc("score"), col("neighbor_id"))
     knn
+      .join(anchors, Seq("id"), "left_semi")
       .join(gold, Seq("id", "neighbor_id"), "left_anti")
       .withColumn("neg_rank", row_number().over(w))
       .filter(col("neg_rank") <= k)

@@ -104,10 +104,13 @@ class SimilaritySpec extends AnyFunSuite {
     val docs = ((1L to 8L).map(i => (i, near(a))) ++
       (11L to 18L).map(i => (i, near(b)))).toDF("id", "vec")
     val gold = Seq((1L, 2L), (1L, 3L)).toDF("anchor", "pos")
-    val negs = Similarity.hardNegatives(docs, "id", "vec", dim = 16,
+    val all = Similarity.hardNegatives(docs, "id", "vec", dim = 16,
       positives = gold, anchorCol = "anchor", positiveCol = "pos",
-      k = 3, bits = 2, tables = 4)
-      .filter(col("id") === 1L).orderBy(col("neg_rank")).collect()
+      k = 3, bits = 2, tables = 4).collect()
+    // ONLY anchors get negative lists — in particular positive 2 gets no
+    // list at all (it would rank its own anchor 1 as a top "negative")
+    assert(all.map(_.getAs[Long]("id")).toSet == Set(1L), all.mkString(","))
+    val negs = all.sortBy(_.getAs[Int]("neg_rank"))
     assert(negs.length == 3, negs.mkString(","))
     val negIds = negs.map(_.getAs[Long]("negative_id")).toSet
     assert(!negIds.contains(1L) && !negIds.contains(2L) && !negIds.contains(3L),

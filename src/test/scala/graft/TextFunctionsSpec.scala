@@ -130,7 +130,8 @@ class TextFunctionsSpec extends AnyFunSuite {
       // -> dup = 2/4 = 500 pm
       (2L, "a b a b a b"),
       (3L, "all lines distinct\nno repeats here"),
-      (4L, ""), (5L, "one two") // too short for 3-grams
+      (4L, ""), (5L, "one two"), // too short for 3-grams
+      (6L, "same\r\nsame") // CRLF: the \r must not break line matching
     ).toDF("id", "text").select(col("id"),
       dupLinePermille(col("text")).as("dl"),
       dupNgramPermille(col("text"), 3).as("dg"))
@@ -141,6 +142,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
     assert(got(4L) == ((0L, 0L)))
     assert(got(5L)._2 == 0L)
+    assert(got(6L)._1 == 500L, got(6L)) // CRLF duplicate detected
   }
 
   test("normalizeText: controls strip BEFORE NFC; page breaks become spaces, not fusions") {
