@@ -56,10 +56,23 @@ object TemporalJoins {
     * has seen no right row yet).
     *
     * Scale: one shuffle on `key`, one sort — the optimal distributed
-    * as-of. The unit of parallelism is the key: a single pathologically
-    * hot key serializes into one task; shard such keys by a coarse time
-    * bucket first (run asofJoin per bucket with the previous bucket's
-    * last right row injected as a seed).
+    * as-of. The unit of parallelism is the key, so a single pathologically
+    * hot key would serialize into one task; `hotKeyBuckets > 1` pre-shards
+    * every key into that many coarse TIME buckets and windows over
+    * `(key, bucket)` instead. Each bucket needs the newest right row from
+    * earlier buckets as its starting state, so the per-(key, bucket) last
+    * right carry (one partial-aggregable `max_by`/`min_by`) is re-emitted
+    * as a seed row into every later (backward) / earlier (forward) bucket
+    * — O(hotKeyBuckets²) seed rows per key, negligible for the 8–64 range
+    * this is meant for. Seeds come from a strictly different bucket, hence
+    * a strictly different ts, so `strict`/inclusive semantics are
+    * untouched. Bucket arithmetic needs a numeric view of the ts:
+    * `hotKeyBuckets > 1` requires a numeric or timestamp ts column (cast
+    * dates to timestamp first). Tie-breaking among equal right ts in a
+    * seed aggregate is arbitrary — same disclaimer as above: pre-aggregate
+    * the right side for determinism under ties. Computing the shared time
+    * range for bucketing runs one small min/max aggregate job eagerly at
+    * call time (a bounded driver scalar, like the sampling strata probe).
     */
   def asofJoin(
       left: DataFrame,
@@ -69,16 +82,27 @@ object TemporalJoins {
       rightTs: String,
       rightCols: Seq[String],
       direction: String = "backward",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      hotKeyBuckets: Int = 1): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightCols collide with left columns: ${collisions.mkString(",")}")
-    val reserved = Set("matched_ts", "__ts", "__tag", "__carry")
+    val reserved = Set("matched_ts", "__ts", "__tag", "__carry", "__bkt")
     val clashes = reserved.intersect(left.columns.toSet ++ rightCols)
     require(clashes.isEmpty,
       s"reserved column names in use: ${clashes.mkString(",")}")
+    require(hotKeyBuckets >= 1, "hotKeyBuckets must be >= 1")
+    if (hotKeyBuckets > 1) {
+      import org.apache.spark.sql.types._
+      Seq(left.schema(leftTs), right.schema(rightTs)).foreach { f =>
+        require(f.dataType.isInstanceOf[NumericType] ||
+            f.dataType == TimestampType || f.dataType == TimestampNTZType,
+          s"hotKeyBuckets needs a numeric/timestamp ts, got ${f.dataType} " +
+            s"(${f.name}); cast dates to timestamp first")
+      }
+    }
 
     val leftCols = left.columns.toSeq
     // __tag orders left vs right rows at equal ts: inclusive match wants
@@ -107,17 +131,69 @@ object TemporalJoins {
         leftCols.filterNot(_ == key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    // Hot-key pre-shard: assign every row a coarse time bucket (equal ts
+    // always land in the same bucket — monotonic floor of a shared range),
+    // seed each bucket with the best-so-far right carry from the buckets
+    // the window can no longer see, and partition the window by
+    // (key, bucket). Null-ts left rows get a null bucket: they form their
+    // own shard with no right rows and stay unmatched, as before.
+    val (lIn, rIn, partCols) = if (hotKeyBuckets <= 1) {
+      (lTagged, rTagged, Seq(col(key)))
+    } else {
+      val n = hotKeyBuckets
+      val bounds = lTagged.select(col("__ts").cast("double").as("v"))
+        .unionAll(rTagged.select(col("__ts").cast("double").as("v")))
+        .agg(min(col("v")), max(col("v"))).head()
+      if (bounds.isNullAt(0)) (lTagged, rTagged, Seq(col(key)))
+      else {
+        val lo = bounds.getDouble(0)
+        val width = math.max((bounds.getDouble(1) - lo) / n,
+          java.lang.Double.MIN_VALUE)
+        val bkt = least(greatest(
+          floor((col("__ts").cast("double") - lit(lo)) / lit(width)),
+          lit(0L)), lit((n - 1).toLong)).cast("int")
+        val lB = lTagged.withColumn("__bkt", bkt)
+        val rB = rTagged.withColumn("__bkt", bkt)
+        // One seed per (key, source bucket): the right carry a later
+        // (backward) / earlier (forward) bucket would otherwise have to
+        // reach across the shard boundary for. explode of an empty array
+        // drops edge buckets with no targets.
+        val bestCarry =
+          if (direction == "backward") max_by(col("__carry"), col("__ts"))
+          else min_by(col("__carry"), col("__ts"))
+        val targets =
+          if (direction == "backward")
+            when(col("__bkt") < lit(n - 1),
+              sequence(col("__bkt") + 1, lit(n - 1)))
+              .otherwise(array().cast("array<int>"))
+          else
+            when(col("__bkt") > lit(0),
+              sequence(lit(0), col("__bkt") - 1))
+              .otherwise(array().cast("array<int>"))
+        val seeds = rB.groupBy(col(key), col("__bkt"))
+          .agg(bestCarry.as("__carry"))
+          .select(col(key), col("__carry"), explode(targets).as("__bkt"))
+          .select(Seq(col(key),
+            col("__carry")("matched_ts").as("__ts"),
+            lit(if (strict) 1 else 0).as("__tag"),
+            col("__carry"), col("__bkt")) ++
+            leftCols.filterNot(_ == key).map(c =>
+              lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        (lB, rB.unionByName(seeds), Seq(col(key), col("__bkt")))
+      }
+    }
+
     // nulls-first in BOTH directions so a null-ts left row precedes every
     // right row and matches nothing (desc default would be nulls-last and
     // hand it the globally-last value)
     val ordering =
       if (direction == "backward") Seq(col("__ts").asc_nulls_first, col("__tag").asc)
       else Seq(col("__ts").desc_nulls_first, col("__tag").asc)
-    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
+    val w = Window.partitionBy(partCols: _*).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val isLeft = col("__tag") === lit(if (strict) 0 else 1)
-    lTagged.unionByName(rTagged)
+    lIn.unionByName(rIn, allowMissingColumns = true)
       .select(Seq(col(key), col("__ts"), col("__tag"),
         last(col("__carry"), ignoreNulls = true).over(w).as("__carry")) ++
         leftCols.filterNot(_ == key).map(col): _*)

@@ -144,6 +144,50 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin hotKeyBuckets: hot key spreads across tasks, output identical") {
+    val rnd = new scala.util.Random(11)
+    // one key with 100x the rows of the others
+    val lrows = (1 to 2000).map(i =>
+      (i.toLong, "hot", rnd.nextInt(100000).toLong)) ++
+      (2001 to 2020).map(i => (i.toLong, s"k${i % 4}", rnd.nextInt(100000).toLong))
+    // right side unique per (key, ts) for determinism
+    val rrows = ((1 to 1000).map(i =>
+      ("hot", rnd.nextInt(100000).toLong, i.toDouble)) ++
+      (1 to 40).map(i => (s"k${i % 4}", rnd.nextInt(100000).toLong, -i.toDouble)))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lrows.toDF("event", "k", "ts")
+    val r = rrows.toDF("k", "rts", "v")
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.select("event", "matched_ts", "v").collect()
+        .map(x => (x.getAs[Long]("event"),
+          Option(x.getAs[java.lang.Long]("matched_ts")).map(_.toLong),
+          Option(x.getAs[java.lang.Double]("v")).map(_.toDouble))).toSet
+    for (dir <- Seq("backward", "forward"); strict <- Seq(false, true)) {
+      val base = snapshot(TemporalJoins.asofJoin(
+        l, r, "k", "ts", "rts", Seq("v"), dir, strict))
+      val sharded = snapshot(TemporalJoins.asofJoin(
+        l, r, "k", "ts", "rts", Seq("v"), dir, strict, hotKeyBuckets = 8))
+      assert(sharded == base, s"dir=$dir strict=$strict")
+    }
+    val out = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"),
+      hotKeyBuckets = 8)
+    // the window partitions by (key, bucket), still with no join operator
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), plan)
+    assert(!plan.contains("Join"), s"sharded asofJoin must not plan a join:\n$plan")
+    // and the hot key's rows genuinely occupy more than one task (AQE
+    // coalescing off: at this toy size it folds everything into one
+    // partition and would mask the sharding we're asserting)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val hotTasks = out.filter(col("k") === "hot").rdd
+        .mapPartitions(it => Iterator(it.size)).collect().count(_ > 0)
+      assert(hotTasks > 1, s"hot key still serialized into $hotTasks task(s)")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("rangeJoin: hand-computed matches, half-open vs closed high") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L))
       .toDF("pid", "p")
