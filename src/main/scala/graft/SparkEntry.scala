@@ -1265,16 +1265,30 @@ object SparkEntry {
   // Rows-only catalog (no closed-form SQL oracle): LSH dedup, ANN, GraphX
   // ------------------------------------------------------------------
 
+  // Rows-only entries carry SELF-VERIFYING invariant columns: the exact
+  // value (or an independently computed check) rides in the same row as
+  // the estimate, so the semantics are pinned by InvariantsSpec bounds —
+  // the driver's rows-only gate checks cardinality; the invariant columns
+  // carry the meaning.
   private val rowsOnlyCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd01_minhash_candidates" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          numHashes = 64, bands = 16, nGram = 3)
+      val docs = t(s, dir, "documents")
+      // exact_jaccard next to the MinHash estimate: |est - exact| is
+      // bounded by the 64-hash signature's sampling error (InvariantsSpec)
+      Dedup.withExactJaccard(
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, nGram = 3),
+        docs, "doc_id", "text", nGram = 3)
         .orderBy(desc("est_jaccard"), col("id_a"), col("id_b"))
         .limit(20)
     }),
     "dd02_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 32)
+      val docs = t(s, dir, "documents")
+      // exact token-set (1-gram) Jaccard next to the hamming distance:
+      // simhash hashes token sets, so low hamming must mean high overlap
+      Dedup.withExactJaccard(
+        Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 32),
+        docs, "doc_id", "text", nGram = 1)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)
     }),
@@ -1285,26 +1299,56 @@ object SparkEntry {
         .limit(20)
     }),
     "dd04_embedding_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val e = t(s, dir, "embeddings")
+      // cos_check re-scores each surviving pair via the SQL-only cosine
+      // path — the codegen'd expression and the built-in higher-order
+      // functions agreeing pins scoring in the output itself
+      Dedup.embeddingNearDup(e, "vec_id", "embedding",
           dim = 64, cosThreshold = -1.0, bitsPerTable = 6, tables = 4)
         .orderBy(desc("cos"), col("id_a"), col("id_b"))
         .limit(20)
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("__va")),
+          Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("__vb")),
+          Seq("id_b"))
+        .withColumn("cos_check",
+          Similarity.cosineSqlPath(col("__va"), col("__vb")))
+        .drop("__va", "__vb")
+        .orderBy(desc("cos"), col("id_a"), col("id_b"))
     }),
     "ann01_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0)
-      Similarity.lshTopK(e.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
-        dim = 64, query = q, k = 10, bits = 6, tables = 4)
+      val corpus = e.filter(col("vec_id") =!= 0L)
+      // exact_rank: this id's position in the exact global top-10 (null =
+      // a true LSH miss) — recall@10 is readable off the output itself
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .withColumn("exact_rank", row_number().over(
+          Window.orderBy(desc("score"), col("vec_id"))))
+        .select(col("vec_id"), col("exact_rank"))
+      Similarity.lshTopK(corpus, "vec_id", "embedding",
+          dim = 64, query = q, k = 10, bits = 6, tables = 4)
+        .join(exact, Seq("vec_id"), "left")
+        .orderBy(desc("score"), col("vec_id"))
     }),
     "ann02_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0)
+      val corpus = e.filter(col("vec_id") =!= 0L)
       val cents = Similarity.Ivf.centroids(e, "vec_id", "embedding", nCells = 16)
       val assigned = Similarity.Ivf.assignCells(
-        e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cents)
-      Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q, k = 10, nProbe = 4)
+        corpus, "vec_id", "embedding", cents)
+      // same verification lane as ann01: exact global rank per returned id
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .withColumn("exact_rank", row_number().over(
+          Window.orderBy(desc("score"), col("vec_id"))))
+        .select(col("vec_id"), col("exact_rank"))
+      Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q,
+          k = 10, nProbe = 4)
+        .join(exact, Seq("vec_id"), "left")
+        .orderBy(desc("score"), col("vec_id"))
     }),
     // kNN-graph over the whole embeddings table (LSH candidates, per-id
     // top-k): the semantic-dedup/clustering primitive. Rows-only — the
@@ -1316,10 +1360,22 @@ object SparkEntry {
       // id ~160 candidates across 4 tables — ample for k=5 at a quarter
       // of the bits=6 pair count
       val e = t(s, dir, "embeddings")
+      // cos_check: SQL-path re-score of each emitted edge (post-limit, so
+      // the lane costs two tiny joins); InvariantsSpec also pins dense
+      // ranks and per-id score monotonicity
       Similarity.knnJoin(e, "vec_id", "embedding", dim = 64, k = 5,
-        bits = 8, tables = 4)
+          bits = 8, tables = 4)
         .orderBy(col("id"), col("rank"))
         .limit(100)
+        .join(e.select(col("vec_id").as("id"), col("embedding").as("__va")),
+          Seq("id"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__vb")), Seq("neighbor_id"))
+        .withColumn("cos_check",
+          Similarity.cosineSqlPath(col("__va"), col("__vb")))
+        .select(col("id"), col("neighbor_id"), col("score"), col("rank"),
+          col("cos_check"))
+        .orderBy(col("id"), col("rank"))
     }),
     // sequence packing: chunks → budget-bounded bins, greedy next-fit per
     // deterministic pack group (greedy scan is sequential; groups scale
@@ -1340,9 +1396,13 @@ object SparkEntry {
     // (sketch internals differ between engines); accuracy pinned in
     // SketchAccuracySpec instead.
     "sk01_approx_stats" -> ((s, dir) => {
+      // n_events rides along as the invariant anchor (same agg, zero extra
+      // shuffle): approx_users can never exceed the group's row count, and
+      // p50 <= p99 by definition — both asserted in InvariantsSpec
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
+          count(lit(1)).as("n_events"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
           percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
@@ -1360,8 +1420,16 @@ object SparkEntry {
         graft.operators.Curation.Config(
           keepLangs = Seq("en", "fr", "es", "de", "und"),
           minhashHashes = 64, minhashBands = 16))
+      // verification lane: an INDEPENDENT token recount (regex word-run
+      // count vs the split-based tokenizer) and the config predicates
+      // every survivor must satisfy — InvariantsSpec asserts both
       curated.select(col("doc_id"), col("n_tokens"), col("quality"),
-          col("lang_guess"))
+          col("lang_guess"),
+          regexp_count(trim(col("text")), lit("\\S+")).cast("long")
+            .as("n_tokens_check"),
+          (col("n_tokens") >= 10L && col("quality") >= 20L &&
+            col("lang_guess").isin("en", "fr", "es", "de", "und"))
+            .as("passes_config"))
         .orderBy(col("doc_id"))
         .limit(100)
     }),
@@ -1373,10 +1441,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("src", "dst")
-      GraphOps.labelPropagation(edges, iters = 5)
+        // both the LPA run and the modularity lane read the edge frame —
+        // cut the grouped-pairs lineage once instead of recomputing it
+        .localCheckpoint(false)
+      val membership = GraphOps.labelPropagation(edges, iters = 5)
+      // modularity rides on the summary row: near-zero means the labeling
+      // is no better than random — the semantic signal a row-count gate
+      // can't see (bound asserted in InvariantsSpec)
+      val mod = graft.operators.Louvain.modularityDF(
+        edges, membership.select(col("id"), col("label").as("community")))
+      membership
         .groupBy(col("label")).agg(count(lit(1)).as("csize"))
         .agg(count(lit(1)).as("n_communities"),
           max(col("csize")).as("largest"))
+        .crossJoin(mod)
     })
   )
 

@@ -25,10 +25,15 @@ object Betweenness {
 
   /** @param edges (src, dst) long ids; treated per `directed`
     * @param k number of sampled sources (all vertices if k >= |V|)
-    * @return (id, betweenness, scaled) — `scaled` multiplies by |V|/k to
-    *         estimate the full sum; directed-path convention (an
-    *         undirected pair contributes from both endpoints when both are
-    *         sampled). */
+    * @return (id, betweenness, scaled, bc_a, bc_b) — `scaled` multiplies
+    *         by |V|/k to estimate the full sum; directed-path convention
+    *         (an undirected pair contributes from both endpoints when both
+    *         are sampled). `bc_a`/`bc_b` split the same run's per-source
+    *         contributions into two disjoint seed-hash halves of the
+    *         source sample: two INDEPENDENT estimators computed for free
+    *         (bc_a + bc_b == betweenness exactly), whose rank agreement is
+    *         the self-check a rows-only gate can't do — a broken
+    *         sigma/delta recurrence decorrelates the halves. */
   def approx(
       edges: DataFrame,
       k: Int = 16,
@@ -110,7 +115,7 @@ object Betweenness {
       val w = levelFrames(d)
         .join(deltaNext, Seq("root", "id"), "left_outer")
         .withColumn("delta", coalesce(col("delta"), lit(0.0)))
-      finals = w.select(col("id"), col("delta")) :: finals
+      finals = w.select(col("root"), col("id"), col("delta")) :: finals
       // contributions flow along edges v(d-1) -> w(d)
       val contrib = e
         .join(w.select(col("root").as("wr"), col("id").as("wid"),
@@ -135,17 +140,26 @@ object Betweenness {
       deltaNext = contrib
     }
 
+    // half assignment is a pure function of the root id (seed-hash
+    // parity), so it needs no extra state carried through the BFS
+    val half = pmod(xxhash64(col("root"), lit(seed + 1)), lit(2))
     val bc =
       (if (finals.isEmpty)
-        spark.emptyDataFrame.select(lit(0L).as("id"), lit(0.0).as("delta"))
+        spark.emptyDataFrame
+          .select(lit(0L).as("root"), lit(0L).as("id"), lit(0.0).as("delta"))
           .limit(0)
       else finals.reduce(_ unionByName _))
       .groupBy(col("id"))
-      .agg(sum(col("delta")).as("betweenness"))
+      .agg(sum(col("delta")).as("betweenness"),
+        sum(when(half === 0, col("delta")).otherwise(lit(0.0))).as("bc_a"),
+        sum(when(half === 1, col("delta")).otherwise(lit(0.0))).as("bc_b"))
     // vertices never reached as intermediates get 0
     vertices.join(bc, Seq("id"), "left_outer")
       .withColumn("betweenness", coalesce(col("betweenness"), lit(0.0)))
       .withColumn("scaled",
         col("betweenness") * lit(nV.toDouble / math.min(k, nV).toDouble))
+      .withColumn("bc_a", coalesce(col("bc_a"), lit(0.0)))
+      .withColumn("bc_b", coalesce(col("bc_b"), lit(0.0)))
+      .select("id", "betweenness", "scaled", "bc_a", "bc_b")
   }
 }

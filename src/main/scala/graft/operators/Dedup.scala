@@ -395,6 +395,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Self-verification lane for estimator-based candidate pairs: append
+    * the EXACT n-gram Jaccard (`exact_jaccard`) to a (id_a, id_b, …) pair
+    * frame by joining each side back to its distinct-shingle set. Cost is
+    * two joins driven by the (few) candidate pairs, never corpus×corpus —
+    * candidates are the output of a capped LSH/blocking stage, so this
+    * stays cheap at any corpus size. With the exact value riding in the
+    * same row as the estimate, a drifting estimator is visible in the
+    * query output itself, not only in a spec. */
+  def withExactJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("__xid"),
+      ngramHashes(tokens(col(textCol)), nGram).as("__xset"))
+    val inter = size(array_intersect(col("__xa"), col("__xb"))).cast("double")
+    pairs
+      .join(sets.select(col("__xid").as("id_a"), col("__xset").as("__xa")),
+        Seq("id_a"))
+      .join(sets.select(col("__xid").as("id_b"), col("__xset").as("__xb")),
+        Seq("id_b"))
+      .withColumn("exact_jaccard",
+        when(size(col("__xa")) + size(col("__xb")) === 0, 0.0)
+          .otherwise(inter /
+            (size(col("__xa")) + size(col("__xb")) - inter).cast("double")))
+      .drop("__xa", "__xb")
+  }
+
   /** Distinct within-bucket pairs (id_a < id_b) carrying each side's `sig`,
     * with a per-bucket size cap to bound worst-case blowup. */
   private def bucketPairs(

@@ -166,9 +166,13 @@ object Louvain {
     comm.select(col("id"), col("community").as("new_community"))
   }
 
-  /** Modularity of a partition (for tests / quality reporting).
-    * Q = in/(2m) − Σ_c (tot_c/(2m))², computed over the symmetric view. */
-  def modularity(edges: DataFrame, membership: DataFrame): Double = {
+  /** Modularity of a partition as a LAZY one-row DataFrame (`modularity`
+    * double): Q = in/(2m) − Σ_c (tot_c/(2m))², computed over the symmetric
+    * view. The lazy shape lets a catalog query crossJoin the value onto
+    * its summary row as a self-verification column (modularity near 0
+    * means the labeling is no better than random — a semantic signal a
+    * row-count gate can't see). */
+  def modularityDF(edges: DataFrame, membership: DataFrame): DataFrame = {
     val simple = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -178,18 +182,25 @@ object Louvain {
       .select(col("a").as("src"), col("b").as("dst"), lit(1.0).as("w"))
       .unionByName(simple.select(col("b").as("src"), col("a").as("dst"),
         lit(1.0).as("w")))
-    val m2 = adj.agg(sum("w")).head().getDouble(0)
     val withC = adj
       .join(membership.withColumnRenamed("id", "src")
         .withColumnRenamed("community", "cs"), Seq("src"))
       .join(membership.withColumnRenamed("id", "dst")
         .withColumnRenamed("community", "cd"), Seq("dst"))
-    val inC = withC.filter(col("cs") === col("cd"))
-      .agg(coalesce(sum("w"), lit(0.0))).head().getDouble(0)
-    val totSq = adj.groupBy("src").agg(sum("w").as("k"))
+    val m2df = adj.agg(sum("w").as("__m2"))
+    val inCdf = withC.filter(col("cs") === col("cd"))
+      .agg(coalesce(sum("w"), lit(0.0)).as("__in"))
+    val totSqDf = adj.groupBy("src").agg(sum("w").as("k"))
       .join(membership.withColumnRenamed("id", "src"), Seq("src"))
       .groupBy("community").agg(sum("k").as("tot"))
-      .select(sum(col("tot") * col("tot"))).head().getDouble(0)
-    inC / m2 - totSq / (m2 * m2)
+      .select(coalesce(sum(col("tot") * col("tot")), lit(0.0)).as("__totsq"))
+    // three one-row aggregates — broadcast crossJoins, no real shuffle
+    m2df.crossJoin(inCdf).crossJoin(totSqDf)
+      .select((col("__in") / col("__m2") -
+        col("__totsq") / (col("__m2") * col("__m2"))).as("modularity"))
   }
+
+  /** Driver-side scalar view of [[modularityDF]] (tests / reporting). */
+  def modularity(edges: DataFrame, membership: DataFrame): Double =
+    modularityDF(edges, membership).head().getDouble(0)
 }
