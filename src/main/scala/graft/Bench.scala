@@ -68,16 +68,44 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // a failing query must be VISIBLE in the artifact, not a silent
+    // time-to-exception folded into the median: failed iterations are
+    // excluded from samples and the query lands in "errors" instead
+    val errors = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 1 to iters; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) samples(name) = dt :: samples(name) else errors += name
     }
-    val results = ordered.map { case (name, _) => name -> median(samples(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a query that failed EVERY iteration has no median and no entry in
+    // "queries" — its name in "errors" is the record
+    val results = ordered.flatMap { case (name, _) =>
+      val xs = samples(name)
+      if (xs.nonEmpty) Some(name -> median(xs)) else None
+    }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+    // full-precision copy (with every raw sample) written unconditionally
+    // to docs/ — the authoritative record if the driver's tail capture
+    // truncates the printed line
+    try {
+      val full = results.map { case (k, v) =>
+        "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
+          samples(k).reverse.mkString(",") + "]}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
+        s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters}
+           |""".stripMargin.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
