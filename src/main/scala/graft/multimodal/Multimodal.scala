@@ -209,8 +209,14 @@ private[multimodal] object ResizeSupport {
           val nw = math.max(1, math.round(w * scale).toInt)
           val nh = math.max(1, math.round(h * scale).toInt)
           val src = reader.read(0)
-          val dst = new java.awt.image.BufferedImage(
-            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // pick the canvas from the source: an RGB canvas would silently
+          // composite RGBA/paletted transparency onto black — lossy beyond
+          // the documented downscale (PNG round-trips both types)
+          val dstType =
+            if (src.getColorModel.hasAlpha)
+              java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val dst = new java.awt.image.BufferedImage(nw, nh, dstType)
           val g = dst.createGraphics()
           try {
             g.setRenderingHint(

@@ -109,6 +109,25 @@ class MultimodalSpec extends AnyFunSuite {
       bombed.bandMeans.sameElements(bombedFake.bandMeans))
   }
 
+  test("resizeImages: alpha survives the downscale (no black compositing)") {
+    import java.awt.image.BufferedImage
+    // 100x100 RGBA: fully transparent everywhere, opaque red center block
+    val img = new BufferedImage(100, 100, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 40 until 60; x <- 40 until 60) img.setRGB(x, y, 0xffff0000)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val resized = Multimodal.resizeImages(
+      mediaDf(Seq(1L -> out.toByteArray)), "doc_id", maxDim = 50).head()
+    assert(resized.resized && resized.width == 50)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(resized.media))
+    assert(back.getColorModel.hasAlpha, "alpha channel dropped")
+    // corner stays transparent; center stays opaque red
+    assert((back.getRGB(2, 2) >>> 24) == 0, "transparent corner composited")
+    val center = back.getRGB(25, 25)
+    assert((center >>> 24) == 0xff && ((center >> 16) & 0xff) > 200,
+      f"center lost opacity/color: $center%08x")
+  }
+
   test("resizeImages: real downscale to bounded dimensions, passthrough below the cap") {
     import spark.implicits._
     import javax.imageio.ImageIO
@@ -205,6 +224,68 @@ class MultimodalSpec extends AnyFunSuite {
     // non-audio bytes: total fallback, never a task failure
     val b = feats(2L)
     assert(!b.valid && b.sample_rate == 0 && b.n_frames == 0L)
+  }
+
+  test("fftRadix2: golden transforms (impulse is flat, sine hits its bin)") {
+    import graft.multimodal.AudioFeaturesStage.fftRadix2
+    // impulse at t=0 -> |X(k)| = 1 for every bin
+    val re = new Array[Double](64); val im = new Array[Double](64)
+    re(0) = 1.0
+    fftRadix2(re, im)
+    (0 until 64).foreach { k =>
+      assert(math.abs(math.hypot(re(k), im(k)) - 1.0) < 1e-12, s"bin $k")
+    }
+    // pure cosine at bin 5 of 64 -> energy only at bins 5 and 59 (N/2 each)
+    val re2 = Array.tabulate(64)(i => math.cos(2 * math.Pi * 5 * i / 64))
+    val im2 = new Array[Double](64)
+    fftRadix2(re2, im2)
+    (0 until 64).foreach { k =>
+      val mag = math.hypot(re2(k), im2(k))
+      if (k == 5 || k == 59) assert(math.abs(mag - 32.0) < 1e-9, s"bin $k: $mag")
+      else assert(mag < 1e-9, s"leakage at bin $k: $mag")
+    }
+  }
+
+  test("spectralFeatures: sine is tonal at its frequency, noise is flat") {
+    import graft.multimodal.AudioFeaturesStage
+    val sr = 8000
+    val wav = sineWav(1000.0, sr, ms = 1000, amplitude = 0.5)
+    // seeded white noise, same container
+    val rnd = new scala.util.Random(3)
+    val n = sr
+    val noise = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = ((rnd.nextDouble() * 2 - 1) * 0.5 * 32767).toInt.toShort
+      noise(2 * i) = (s & 0xff).toByte
+      noise(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    import javax.sound.sampled._
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(noise),
+      new AudioFormat(sr.toFloat, 16, 1, true, false), n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+
+    val feats = AudioFeaturesStage.spectralFeatures(
+      mediaDf(Seq(1L -> wav, 2L -> out.toByteArray,
+        3L -> "not audio".getBytes("UTF-8"))),
+      "doc_id", windows = 4, fftSize = 1024)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val tone = feats(1L)
+    assert(tone.valid && tone.sample_rate == sr)
+    val binHz = sr.toDouble / 1024
+    tone.dominant_hz.foreach(d =>
+      assert(math.abs(d - 1000.0) <= binHz, s"dominant $d"))
+    tone.centroid_hz.foreach(c =>
+      assert(math.abs(c - 1000.0) < 100.0, s"centroid $c"))
+    tone.flatness.foreach(f => assert(f < 0.05, s"sine flatness $f"))
+
+    val flat = feats(2L)
+    assert(flat.valid)
+    flat.flatness.foreach(f => assert(f > 0.3, s"noise flatness $f"))
+
+    assert(!feats(3L).valid)
   }
 
   test("audioFeatures: maxBytes caps the decoded PCM per row (untrusted header)") {
