@@ -1048,8 +1048,11 @@ object SparkEntry {
       val p = t(s, dir, "lineitem")
         .select(unix_seconds(col("l_shipdate").cast("timestamp")).as("ship_s"))
         .groupBy(col("ship_s")).agg(count(lit(1)).as("n_pts"))
+      // bucketWidth = 0 derives the cell width from the median interval
+      // span (here exactly the old 172800 s constant — every window is
+      // two days wide), so callers stop hand-tuning a data property
       graft.operators.TemporalJoins.rangeJoin(p, iv, "ship_s", "w_lo", "w_hi",
-          bucketWidth = 172800L, inclusiveHigh = true)
+          bucketWidth = 0L, inclusiveHigh = true)
         .groupBy(col("o_orderkey")).agg(sum(col("n_pts")).as("n_in_window"))
         .groupBy(col("n_in_window")).agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_in_window"))

@@ -135,15 +135,13 @@ object EscoAnalytics {
     * neighbor; anti-self predicate keeps s1 < s2 so each pair counts once
     * per shared occupation. */
   def skillCooccurrence(wh: EscoWarehouse, k: Int = 20): DataFrame = {
-    // pairs generated inside per-occupation collected lists — an
-    // occupation's essential-skill set is small and bounded, so the
-    // grouped shape fits (Joins.groupedPairs; measured 2x over the
-    // self-join). NOTE: occupationCooccurrence keeps the join shape
-    // deliberately — it groups by SKILL, and a popular skill's occupation
-    // list is a hot key whose quadratic pair fan-out should be spread by
-    // the join, not generated in one task.
+    // shape chosen from the data (Joins.adaptivePairs): an occupation's
+    // essential-skill set is small and bounded, so this resolves to the
+    // grouped shape (measured 2x over the self-join) — but a degenerate
+    // load (one occupation with thousands of skills) would flip it to the
+    // spread-out join instead of serializing the fan-out into one task
     val pairs = graft.operators.Joins
-      .groupedPairs(wh.essentialFor, "occupationUri", "skillUri")
+      .adaptivePairs(wh.essentialFor, "occupationUri", "skillUri")
       .groupBy(col("a").as("s1"), col("b").as("s2"))
       .agg(count(lit(1)).as("shared_occupations"))
     val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
@@ -160,12 +158,12 @@ object EscoAnalytics {
     * self-join mirrored to the occupation side, `analysis_queries.md:
     * 156-170` family). */
   def occupationCooccurrence(wh: EscoWarehouse, k: Int = 20): DataFrame = {
-    val e = wh.essentialFor
-    val pairs = e.select(col("occupationUri").as("o1"), col("skillUri"))
-      .join(e.select(col("occupationUri").as("o2"),
-        col("skillUri").as("s2")),
-        col("skillUri") === col("s2") && col("o1") < col("o2"))
-      .groupBy(col("o1"), col("o2"))
+    // grouped by SKILL a popular skill's occupation list is a potential
+    // hot key — adaptivePairs probes the distribution and picks the
+    // spread-out self-join exactly when such a key exists
+    val pairs = graft.operators.Joins
+      .adaptivePairs(wh.essentialFor, "skillUri", "occupationUri")
+      .groupBy(col("a").as("o1"), col("b").as("o2"))
       .agg(count(lit(1)).as("shared_skills"))
     val labels = wh.occupations.select(col("conceptUri"), col("preferredLabel"))
     pairs

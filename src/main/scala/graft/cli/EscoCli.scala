@@ -25,6 +25,7 @@ import graft.vector.{HashingEmbedder, SemanticSearch}
   *   analyze   <warehouseDir> skill-profile <skillLabel>
   *   analyze   <warehouseDir> shortest-path <label1> <label2>
   *   analyze   <warehouseDir> viz-graph <occLabel>
+  *   analyze   <warehouseDir> skill-viz-graph <skillLabel>
   *   curate    <documentsParquet> <outDir>
   *   translate <warehouseDir> <property>
   */
@@ -172,6 +173,13 @@ object EscoCli {
         .select(col("conceptUri").as("uri"))
       printTable(Profiles.occupationVizGraph(wh, anchors))
 
+    case "analyze" :: whDir :: "skill-viz-graph" :: skillLabel :: Nil =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val anchors = wh.skills
+        .filter(col("preferredLabel") === skillLabel)
+        .select(col("conceptUri").as("uri"))
+      printTable(Profiles.skillVizGraph(wh, anchors))
+
     case "curate" :: docsParquet :: outDir :: Nil =>
       val docs = spark.read.parquet(docsParquet)
       val (curated, dropped) = graft.operators.Curation.curate(
@@ -210,6 +218,7 @@ object EscoCli {
           |  analyze   <warehouseDir> skill-profile <skillLabel>
           |  analyze   <warehouseDir> shortest-path <label1> <label2>
           |  analyze   <warehouseDir> viz-graph <occLabel>
+          |  analyze   <warehouseDir> skill-viz-graph <skillLabel>
           |  curate    <documentsParquet> <outDir>
           |  translate <warehouseDir> <property>""".stripMargin)
       sys.exit(2)

@@ -61,4 +61,43 @@ object Joins {
       .select(explode(col("__items")).as("a"), col("__items"))
       .select(col("a"), explode(col("__items")).as("b"))
       .filter(col("a") < col("b"))
+
+  /** The classic self-join co-occurrence shape: same pair multiset as
+    * [[groupedPairs]], but a hot group's quadratic fan-out is SPREAD by
+    * the join (both sides shuffle-partition on the group key and the pair
+    * rows materialize across the matching tasks) instead of generated
+    * inside one task's collected array. Costs one extra scan + shuffle —
+    * only worth it when a hot group exists. */
+  def selfJoinPairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val l = df.select(col(groupCol).as("__g"), col(itemCol).as("a"))
+    val r = df.select(col(groupCol).as("__g"), col(itemCol).as("b"))
+    l.join(r, Seq("__g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+  }
+
+  /** Co-occurrence pairs with the physical shape chosen from the DATA:
+    * one cheap count-aggregate probe finds the largest group, and the
+    * grouped shape ([[groupedPairs]], one scan + two shuffles) is used
+    * only when every group is at most `hotGroupThreshold` items —
+    * otherwise the spread-out [[selfJoinPairs]] shape. Callers no longer
+    * need to know their distribution (the skill-side vs occupation-side
+    * co-occurrence split used to be a hand-made version of exactly this
+    * decision). The probe is one small aggregate job run eagerly at call
+    * time — a bounded driver scalar, like the sampling strata probe.
+    * Output: (a, b), one row per co-occurrence — identical multiset from
+    * either shape. */
+  def adaptivePairs(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      hotGroupThreshold: Int = 1000): DataFrame = {
+    require(hotGroupThreshold > 0, "hotGroupThreshold must be positive")
+    val maxRow = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxGroup = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxGroup <= hotGroupThreshold) groupedPairs(df, groupCol, itemCol)
+    else selfJoinPairs(df, groupCol, itemCol)
+  }
 }

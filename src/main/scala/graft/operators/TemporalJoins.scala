@@ -213,9 +213,15 @@ object TemporalJoins {
     * to `ceil(span / bucketWidth)` cells, so pick it near the TYPICAL
     * interval span (one cell per interval) — too small multiplies the
     * interval side, too large packs unrelated intervals into each cell and
-    * the residual filter does the work. `maxCellsPerInterval` fails fast
-    * (at runtime, per row) on degenerate giant intervals instead of
-    * letting one row explode into millions.
+    * the residual filter does the work. Pass `bucketWidth = 0` to DERIVE
+    * it from the data: one small aggregate reads the median interval span
+    * (the "one cell per typical interval" rule applied automatically, run
+    * eagerly at call time — a bounded driver scalar, like the sampling
+    * strata probe). `maxCellsPerInterval` fails fast (at runtime, per
+    * row) on degenerate giant intervals instead of letting one row
+    * explode into millions — with a derived width it also bounds the
+    * damage a heavy-tailed span distribution can do (median-sized cells,
+    * outlier-sized intervals).
     *
     * Inner-join semantics: points matching no interval are dropped.
     */
@@ -228,7 +234,7 @@ object TemporalJoins {
       bucketWidth: Long,
       inclusiveHigh: Boolean = false,
       maxCellsPerInterval: Int = 4096): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(bucketWidth >= 0, "bucketWidth must be positive (or 0 = derive)")
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty,
       s"points/intervals column collision: ${collisions.mkString(",")}")
@@ -248,12 +254,24 @@ object TemporalJoins {
           "convert timestamps with unix_seconds/unix_micros first")
     }
 
+    val width: Long =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val row = intervals
+          .filter(col(lowCol).isNotNull && col(highCol).isNotNull)
+          .select((col(highCol).cast("long") - col(lowCol).cast("long"))
+            .as("__span"))
+          .filter(col("__span") >= 0)
+          .agg(percentile_approx(col("__span"), lit(0.5), lit(1000))).head()
+        if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+      }
+
     // exact floor division on longs: Spark's `/` on integers is DOUBLE
     // division (lossy past 2^53), so go through SQL DIV (truncates toward
     // zero) with the usual negative-remainder correction
     def floorDiv(c: String) =
-      expr(s"CASE WHEN $c >= 0 OR $c % $bucketWidth = 0 " +
-        s"THEN $c DIV $bucketWidth ELSE $c DIV $bucketWidth - 1 END")
+      expr(s"CASE WHEN $c >= 0 OR $c % $width = 0 " +
+        s"THEN $c DIV $width ELSE $c DIV $width - 1 END")
 
     val iCells = intervals
       .filter(col(lowCol).isNotNull && col(highCol).isNotNull)

@@ -266,6 +266,58 @@ object Profiles {
     )).orderBy(col("uri"))
   }
 
+  /** Skill-side viz projection — the symmetric partner of
+    * [[occupationVizGraph]], covering the Skill Profile Graph shape
+    * (`analysis_queries.md:407-417`): the anchor skill as a typed struct
+    * plus tagged collections for essential/optional occupations,
+    * broader/narrower skills, undirected related skills, and skill groups
+    * (empty by replicated Q3, still queryable). Same single-plan
+    * grouped-collect shape: each relation aggregates once on its anchor
+    * uri, then left-joins — no per-anchor round trips. */
+  def skillVizGraph(wh: EscoWarehouse, anchors: DataFrame): DataFrame = {
+    val skillLabels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
+    val occLabels = wh.occupations.select(col("conceptUri"), col("preferredLabel"))
+    def relTagged(edges: DataFrame, anchorCol: String, otherCol: String,
+        labels: DataFrame, nodeType: String, relation: String,
+        outCol: String): DataFrame =
+      edges
+        .join(labels.withColumnRenamed("conceptUri", otherCol), Seq(otherCol))
+        .groupBy(col(anchorCol).as("uri"))
+        .agg(sort_array(collect_set(struct(
+          col("preferredLabel").as("preferredLabel"),
+          lit(nodeType).as("type"),
+          lit(relation).as("relation")))).as(outCol))
+    val relatedUndirected = wh.relatedSkill.select(col("srcUri"), col("dstUri"))
+      .unionByName(wh.relatedSkill.select(col("dstUri").as("srcUri"),
+        col("srcUri").as("dstUri")))
+    val base = anchors
+      .join(wh.skills.select(col("conceptUri").as("uri"),
+        col("preferredLabel"), col("description")), Seq("uri"))
+      .withColumn("skill", struct(
+        col("preferredLabel").as("preferredLabel"),
+        col("description").as("description"),
+        lit("Skill").as("type")))
+      .drop("preferredLabel", "description")
+    leftJoinAll(base, Seq(
+      relTagged(wh.essentialFor, "skillUri", "occupationUri", occLabels,
+        "Occupation", "Essential", "essential_for_occupations")
+        -> "essential_for_occupations",
+      relTagged(wh.optionalFor, "skillUri", "occupationUri", occLabels,
+        "Occupation", "Optional", "optional_for_occupations")
+        -> "optional_for_occupations",
+      relTagged(wh.broaderSkill.select(col("childUri"), col("parentUri")),
+        "childUri", "parentUri", skillLabels, "Skill", "Broader",
+        "broader_skills") -> "broader_skills",
+      relTagged(wh.broaderSkill.select(col("parentUri"), col("childUri")),
+        "parentUri", "childUri", skillLabels, "Skill", "Narrower",
+        "narrower_skills") -> "narrower_skills",
+      relTagged(relatedUndirected, "srcUri", "dstUri", skillLabels,
+        "Skill", "Related", "related_skills") -> "related_skills",
+      relTagged(wh.partOfSkillGroup, "skillUri", "groupUri", skillLabels,
+        "SkillGroup", "PartOf", "skill_groups") -> "skill_groups"
+    )).orderBy(col("uri"))
+  }
+
   /** Two-phase profile search as ONE plan (SURVEY G7): top-k semantic hits
     * expanded with their related graph — replaces the reference's 1 + k
     * round-trip loop (`src/semantic_search.py:205-214`). */

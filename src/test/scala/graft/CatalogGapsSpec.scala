@@ -162,4 +162,31 @@ class CatalogGapsSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Row]]("broader_occupations").isEmpty)
     assert(r.getAs[scala.collection.Seq[Row]]("narrower_occupations").isEmpty)
   }
+
+  test("skillVizGraph: the symmetric skill-side projection (analysis_queries 407-417)") {
+    val anchors = wh.skills.filter(col("conceptUri") === "s1")
+      .select(col("conceptUri").as("uri"))
+    val rows = Profiles.skillVizGraph(wh, anchors).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val sk = r.getAs[Row]("skill")
+    assert(sk.getString(0) == "manage data")
+    assert(sk.getString(1) == "Manages data.")
+    assert(sk.getString(2) == "Skill")
+    val ess = r.getAs[scala.collection.Seq[Row]]("essential_for_occupations")
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    assert(ess == Seq(("data analyst", "Occupation", "Essential"),
+      ("data engineer", "Occupation", "Essential"),
+      ("ml engineer", "Occupation", "Essential")))
+    assert(r.getAs[scala.collection.Seq[Row]]("optional_for_occupations").isEmpty)
+    val broader = r.getAs[scala.collection.Seq[Row]]("broader_skills")
+      .map(x => (x.getString(0), x.getString(2)))
+    assert(broader == Seq(("data skills", "Broader")))
+    assert(r.getAs[scala.collection.Seq[Row]]("narrower_skills").isEmpty)
+    val related = r.getAs[scala.collection.Seq[Row]]("related_skills")
+      .map(x => (x.getString(0), x.getString(2)))
+    assert(related == Seq(("spark internals", "Related")))
+    // Q3: PART_OF_SKILLGROUP never populated -> always []
+    assert(r.getAs[scala.collection.Seq[Row]]("skill_groups").isEmpty)
+  }
 }

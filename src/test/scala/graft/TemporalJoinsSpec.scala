@@ -202,6 +202,21 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(closed == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
   }
 
+  test("rangeJoin: derived width (bucketWidth=0) matches the hand-picked constant") {
+    val rnd = new scala.util.Random(5)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "p")
+    val intervals = (1 to 100).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i.toLong * 1000, lo, lo + 50 + rnd.nextInt(100))
+    }.toDF("iid", "lo", "hi")
+    def run(w: Long) = TemporalJoins.rangeJoin(
+      points, intervals, "p", "lo", "hi", bucketWidth = w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(run(0L) == run(100L))
+    assert(run(0L).nonEmpty)
+  }
+
   test("rangeJoin: negative coordinates bucket correctly (floor, not truncate)") {
     val points = Seq((1L, -5L), (2L, -14L), (3L, 0L)).toDF("pid", "p")
     val intervals = Seq((100L, -15L, -1L), (200L, -3L, 4L)).toDF("iid", "lo", "hi")
