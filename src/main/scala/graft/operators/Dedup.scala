@@ -329,20 +329,27 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("set_size"))).as("ps"))
       .filter(size(col("ps")).between(2, maxPostingLength))
 
-    // all i<j combinations within one posting list, generated in-place
-    val combos = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("a"), y.as("b")))))
+    // all i<j combinations within one posting list — as TWO chained
+    // Generate operators, so pairs STREAM through the pipeline one row at
+    // a time. A single flatten(transform×transform) array held every
+    // |ps|²/2 pair struct of a posting list in one row's buffer while it
+    // was built: at maxPostingLength=10000 that is ~5·10⁷ structs (GBs)
+    // per hot shingle in one task — measured OOM on the 10× hot-shingle
+    // corpus (ScaleProof); the chained-explode shape's transient state is
+    // one carried array (≤ maxPostingLength structs), never the square
+    val firsts = lists
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b"))
 
     // canonicalize the WHOLE struct by id, so (sa, sb) stay paired with
     // (id_a, id_b): collect_list order is partition-arrival order, and
     // keeping a's size with the least id regardless of which side a landed
     // on would split one pair into several (id_a, id_b, sa, sb) groups
     // with mixed-up sizes — undercounting the intersection
-    val lo = when(col("p.a.id") <= col("p.b.id"), col("p.a")).otherwise(col("p.b"))
-    val hi = when(col("p.a.id") <= col("p.b.id"), col("p.b")).otherwise(col("p.a"))
-    val pairs = lists
-      .select(explode(combos).as("p"))
+    val lo = when(col("a.id") <= col("b.id"), col("a")).otherwise(col("b"))
+    val hi = when(col("a.id") <= col("b.id"), col("b")).otherwise(col("a"))
+    val pairs = firsts
       .select(
         lo.getField("id").as("id_a"),
         hi.getField("id").as("id_b"),

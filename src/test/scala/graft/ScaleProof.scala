@@ -1,0 +1,189 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Similarity}
+
+/** Scale-proof harness for the dedup/ANN/curation family: runs every
+  * operator at 1× (the sf0.1 tables: 5k docs / 2k vectors) and at 10×
+  * (50k docs / 20k vectors) and prints measured per-operator evidence:
+  *
+  *   - total shuffle WRITE bytes and the largest single stage's bytes
+  *     (the quantity that must grow ~linearly, not quadratically);
+  *   - task skew: max task duration / median task duration over the
+  *     operator's stages (a hot bucket/key serializing shows up here);
+  *   - wall time and output rows.
+  *
+  * The 10× corpus is deliberately adversarial, not uniform:
+  *   - SKEWED DUP CLUSTERS: every 100th base doc spawns 109 near-dup
+  *     variants (50 hot clusters), the rest spawn 9 — cluster-size skew
+  *     that hammers LSH buckets and cluster resolution;
+  *   - HOT SHINGLES: ~a third of all docs share one boilerplate sentence,
+  *     so its shingles' posting lists cover ~17k docs — far past
+  *     `maxPostingLength`/`maxBucketSize`, exercising the caps;
+  *   - embeddings: 10 deterministic small perturbations per base vector —
+  *     dense near-dup clusters for the vector lanes.
+  *
+  * Run: Test/runMain graft.ScaleProof  (writes the table to stdout; the
+  * measured numbers are recorded in SCALING.md §Measured evidence)
+  */
+object ScaleProof {
+
+  final case class OpStats(
+      name: String, scale: String, rows: Long, wallSec: Double,
+      shuffleMiB: Double, maxStageMiB: Double, taskSkew: Double, tasks: Int)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.prepare(spark)
+
+    // ---- metrics listener: per-stage shuffle bytes + task durations ----
+    val stageShuffle = new ConcurrentHashMap[Int, Long]()
+    val taskDurations = new ConcurrentHashMap[Int, ArrayBuffer[Long]]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stageShuffle.put(sc.stageInfo.stageId,
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null) {
+          taskDurations.computeIfAbsent(te.stageId, _ => ArrayBuffer.empty)
+            .synchronized {
+              taskDurations.get(te.stageId) += te.taskInfo.duration: Unit
+            }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // ---- corpora ----
+    val docs1x = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val emb1x = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+    val boiler = " the standard disclaimer sentence appears in very many documents here"
+    val docs10x = docs1x
+      .withColumn("variants",
+        when(col("doc_id") % 100 === 0, lit(110)).otherwise(lit(10)))
+      .select(col("doc_id"), col("text"), explode(
+        sequence(lit(0), col("variants") - 1)).as("variant"))
+      .select(
+        (col("doc_id") * 1000L + col("variant")).as("doc_id"),
+        concat(col("text"),
+          // hot shingle: every third variant carries the boilerplate
+          when(col("variant") % 3 === 0, lit(boiler)).otherwise(lit("")),
+          lit(" variant marker "), col("variant")).as("text"))
+      .repartition(32)
+    val emb10x = emb1x
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(9))).as("variant"))
+      .select(
+        (col("vec_id") * 100L + col("variant")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), col("variant"), i), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * lit(0.02)).cast("float"))
+          .as("embedding"))
+      .repartition(32)
+
+    // materialize generators to parquet so every operator measures ITS
+    // work, not the corpus construction
+    val base = "/tmp/graft_scaleproof"
+    docs10x.write.mode("overwrite").parquet(s"$base/docs10x")
+    emb10x.write.mode("overwrite").parquet(s"$base/emb10x")
+    val d10 = spark.read.parquet(s"$base/docs10x")
+    val e10 = spark.read.parquet(s"$base/emb10x")
+    println(s"docs 1x=${docs1x.count()} 10x=${d10.count()}  " +
+      s"emb 1x=${emb1x.count()} 10x=${e10.count()}")
+
+    val results = ArrayBuffer.empty[OpStats]
+
+    def measure(name: String, scale: String)(f: => Long): Unit = {
+      stageShuffle.clear(); taskDurations.clear()
+      val t0 = System.nanoTime()
+      val rows = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      val shuffles = stageShuffle.values.asScala.toSeq
+      val durations = taskDurations.values.asScala.flatMap(_.toSeq).toSeq.sorted
+      val skew =
+        if (durations.isEmpty) 0.0
+        else {
+          val med = math.max(1L, durations(durations.size / 2))
+          durations.last.toDouble / med
+        }
+      results += OpStats(name, scale, rows, wall,
+        shuffles.sum / 1048576.0,
+        (0L +: shuffles).max / 1048576.0, skew, durations.size)
+      println(f"  $name%-14s $scale%3s ${wall}%7.1f s rows=$rows%-8d " +
+        f"shuffle=${shuffles.sum / 1048576.0}%8.1f MiB " +
+        f"maxStage=${(0L +: shuffles).max / 1048576.0}%8.1f MiB " +
+        f"skew=${if (durations.isEmpty) 0.0 else durations.last.toDouble / math.max(1L, durations(durations.size / 2))}%5.1f")
+    }
+
+    def runFamily(scale: String, docs: DataFrame, emb: DataFrame): Unit = {
+      println(s"== scale $scale ==")
+      measure("dd01_minhash", scale)(
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, nGram = 3)
+          .filter(col("est_jaccard") >= 0.8).count())
+      measure("dd02_simhash", scale)(
+        Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3).count())
+      measure("dd03_ngram", scale)(
+        Dedup.ngramJaccard(docs, "doc_id", "text", nGram = 3,
+          threshold = 0.7).count())
+      measure("dd04_embdup", scale)(
+        Dedup.embeddingNearDup(emb, "vec_id", "embedding", dim = 64,
+          cosThreshold = 0.95, bitsPerTable = 8, tables = 4).count())
+      measure("ann01_lsh", scale) {
+        val q = emb.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+        Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64,
+          query = q, k = 10, bits = 8, tables = 4).count()
+      }
+      measure("ann02_ivf", scale) {
+        val q = emb.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+        val cents = Similarity.Ivf.centroids(emb, "vec_id", "embedding", nCells = 16)
+        val assigned = Similarity.Ivf.assignCells(emb, "vec_id", "embedding", cents)
+        Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q,
+          k = 10, nProbe = 4).count()
+      }
+      measure("ann03_knn", scale)(
+        Similarity.knnJoin(emb, "vec_id", "embedding", dim = 64, k = 5,
+          bits = 8, tables = 4, maxBucketSize = 1000).count())
+      measure("cu01_curate", scale) {
+        val (curated, dropped) = Curation.curate(docs, "doc_id", "text",
+          Curation.Config(keepLangs = Seq("en", "fr", "es", "de", "und"),
+            minhashHashes = 64, minhashBands = 16))
+        curated.count() + dropped.count()
+      }
+    }
+
+    runFamily("1x", docs1x, emb1x)
+    runFamily("10x", d10, e10)
+
+    // growth table: 10x/1x ratios (sub-quadratic = shuffle ratio well
+    // under 100 for a 10x input)
+    println("\n| operator | rows 1x→10x | wall 1x→10x | shuffle MiB 1x→10x | ratio | maxStage 1x→10x | skew 1x→10x |")
+    println("|---|---|---|---|---|---|---|")
+    results.groupBy(_.name).toSeq.sortBy(_._1).foreach { case (n, rs) =>
+      val a = rs.find(_.scale == "1x").get
+      val b = rs.find(_.scale == "10x").get
+      val ratio = if (a.shuffleMiB > 0) b.shuffleMiB / a.shuffleMiB else 0.0
+      println(f"| $n | ${a.rows}→${b.rows} | ${a.wallSec}%.1f→${b.wallSec}%.1f s " +
+        f"| ${a.shuffleMiB}%.1f→${b.shuffleMiB}%.1f | ${ratio}%.1f× " +
+        f"| ${a.maxStageMiB}%.1f→${b.maxStageMiB}%.1f | ${a.taskSkew}%.1f→${b.taskSkew}%.1f |")
+    }
+    spark.stop()
+  }
+}

@@ -59,6 +59,10 @@ class EscoCliSpec extends AnyFunSuite {
     EscoCli.run(spark, List("analyze", whDir, "viz-graph", "data engineer"))
   }
 
+  test("analyze skill-viz-graph runs") {
+    EscoCli.run(spark, List("analyze", whDir, "skill-viz-graph", "manage data"))
+  }
+
   test("search --json and --profile-search run against the saved warehouse") {
     EscoCli.run(spark, List("search", whDir, "data", "--type", "skill",
       "--threshold", "-1.0", "--limit", "3", "--json"))
