@@ -375,7 +375,16 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: random-hyperplane LSH bucket join + exact
-    * cosine verification inside buckets. Output: (id_a, id_b, cos). */
+    * cosine verification inside buckets. Output: (id_a, id_b, cos).
+    *
+    * `quantized = true` swaps the float vectors in the candidate-pair
+    * exchange for int8 (`Similarity.quantizeI8`) and scores with the
+    * codegen'd `dot_q8` reconstruction: the pair shuffle — measured as
+    * the dominant exchange at scale (SCALING.md §Measured evidence) —
+    * carries ~4× fewer bytes. Scores then deviate from float cosine by
+    * the per-element rounding step (|Δcos| ≲ 0.01 on unit-ish vectors;
+    * bound pinned in QuantizationSpec): pad `cosThreshold` accordingly,
+    * and keep the default float path when exact float parity matters. */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
@@ -385,15 +394,29 @@ object Dedup {
       bitsPerTable: Int = 8,
       tables: Int = 4,
       seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val hashed = Similarity.withLshBuckets(
+      maxBucketSize: Int = 10000,
+      quantized: Boolean = false): DataFrame = {
+    val bucketed = Similarity.withLshBuckets(
       ensureParallelism(df), vecCol, dim, bitsPerTable, tables, seed)
-      .select(col(idCol).as("id"), col(vecCol).as("sig"),
-        explode(col("lsh_buckets")).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val hashed =
+      (if (quantized)
+        Similarity.quantizeI8(bucketed, vecCol)
+          .select(col(idCol).as("id"),
+            struct(col("q8"), col("q8_scale"), col("q8_norm")).as("sig"),
+            explode(col("lsh_buckets")).as("bb"))
+      else
+        bucketed.select(col(idCol).as("id"), col(vecCol).as("sig"),
+          explode(col("lsh_buckets")).as("bb")))
+        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
+    val score =
+      if (quantized)
+        Similarity.cosineQ8(
+          col("sig_a.q8"), col("sig_a.q8_scale"), col("sig_a.q8_norm"),
+          col("sig_b.q8"), col("sig_b.q8_scale"), col("sig_b.q8_norm"))
+      else cosineSim(col("sig_a"), col("sig_b"))
     bucketPairs(hashed, Seq("band", "bucket"), maxBucketSize)
-      .withColumn("cos", cosineSim(col("sig_a"), col("sig_b")))
+      .withColumn("cos", score)
       // NaN guard: cosineSim already defines zero-norm cosine as 0.0, so
       // NaN can only arise from NaN-valued embedding ELEMENTS (a corrupt
       // upstream model write) — and Spark's ordering semantics would let

@@ -208,11 +208,15 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4,
       seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      // int8 candidate exchange (see Dedup.embeddingNearDup): 4x smaller
+      // pair shuffle, |Δcos| ≲ 0.01 — neighbor RANKS may swap within that
+      // band; recall bound pinned in QuantizationSpec
+      quantized: Boolean = false): DataFrame = {
     val pairs = Dedup.embeddingNearDup(
       corpus, idCol, vecCol, dim, cosThreshold = -2.0,
       bitsPerTable = bits, tables = tables, seed = seed,
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, quantized = quantized)
     // each undirected candidate pair feeds both endpoints' neighbor lists
     val sym = pairs
       .select(col("id_a").as("id"), col("id_b").as("neighbor_id"),

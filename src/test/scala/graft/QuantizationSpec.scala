@@ -71,4 +71,41 @@ class QuantizationSpec extends AnyFunSuite {
     val recall = exact.intersect(quantized).size / 10.0
     assert(recall >= 0.8, s"recall@10 = $recall (exact=$exact quant=$quantized)")
   }
+
+  test("embeddingNearDup quantized=true: same pairs within the rounding band") {
+    import graft.operators.Dedup
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairs(quantized: Boolean) = Dedup.embeddingNearDup(
+      e, "vec_id", "embedding", dim = 64, cosThreshold = -1.0,
+      bitsPerTable = 6, tables = 4, quantized = quantized)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val fl = pairs(quantized = false)
+    val q8 = pairs(quantized = true)
+    // candidate generation is identical (same hyperplanes, threshold -1
+    // admits every candidate) — only the scoring path differs
+    assert(fl.keySet == q8.keySet)
+    assert(fl.nonEmpty)
+    val maxErr = fl.map { case (k, c) => math.abs(c - q8(k)) }.max
+    assert(maxErr < 0.01, s"quantized cosine drifted by $maxErr")
+  }
+
+  test("knnJoin quantized=true: neighbor sets survive quantization") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def knn(quantized: Boolean) = Similarity.knnJoin(
+      e, "vec_id", "embedding", dim = 64, k = 5, bits = 6, tables = 4,
+      quantized = quantized)
+      .collect().groupBy(_.getAs[Long]("id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val fl = knn(quantized = false)
+    val q8 = knn(quantized = true)
+    assert(fl.keySet == q8.keySet)
+    // ranks may swap inside the ~0.01 cosine band; the neighbor SETS must
+    // agree nearly everywhere
+    val agree = fl.keys.count(id =>
+      (fl(id) & q8(id)).size >= math.min(fl(id).size, q8(id).size) - 1)
+    assert(agree >= (fl.size * 0.9).toInt,
+      s"only $agree/${fl.size} ids kept their neighbor set")
+  }
 }

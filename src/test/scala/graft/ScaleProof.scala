@@ -158,9 +158,17 @@ object ScaleProof {
         Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q,
           k = 10, nProbe = 4).count()
       }
+      measure("dd04_embdup_q8", scale)(
+        Dedup.embeddingNearDup(emb, "vec_id", "embedding", dim = 64,
+          cosThreshold = 0.95, bitsPerTable = 8, tables = 4,
+          quantized = true).count())
       measure("ann03_knn", scale)(
         Similarity.knnJoin(emb, "vec_id", "embedding", dim = 64, k = 5,
           bits = 8, tables = 4, maxBucketSize = 1000).count())
+      measure("ann03_knn_q8", scale)(
+        Similarity.knnJoin(emb, "vec_id", "embedding", dim = 64, k = 5,
+          bits = 8, tables = 4, maxBucketSize = 1000,
+          quantized = true).count())
       measure("cu01_curate", scale) {
         val (curated, dropped) = Curation.curate(docs, "doc_id", "text",
           Curation.Config(keepLangs = Seq("en", "fr", "es", "de", "und"),
