@@ -315,7 +315,10 @@ object Dedup {
       textCol: String,
       nGram: Int = 3,
       threshold: Double = 0.0,
-      maxPostingLength: Int = 10000): DataFrame = {
+      maxPostingLength: Int = 10000,
+      // lists longer than this pair via a self-join on the shingle hash
+      // instead of in-group generation — see below
+      selfJoinPostingLength: Int = 1024): DataFrame = {
     val sets = ensureParallelism(df).select(
       col(idCol).as("id"),
       ngramHashes(tokens(col(textCol)), nGram).as("shingles"))
@@ -329,18 +332,34 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("set_size"))).as("ps"))
       .filter(size(col("ps")).between(2, maxPostingLength))
 
-    // all i<j combinations within one posting list — as TWO chained
-    // Generate operators, so pairs STREAM through the pipeline one row at
-    // a time. A single flatten(transform×transform) array held every
-    // |ps|²/2 pair struct of a posting list in one row's buffer while it
-    // was built: at maxPostingLength=10000 that is ~5·10⁷ structs (GBs)
-    // per hot shingle in one task — measured OOM on the 10× hot-shingle
-    // corpus (ScaleProof); the chained-explode shape's transient state is
-    // one carried array (≤ maxPostingLength structs), never the square
-    val firsts = lists
+    // all i<j combinations within one posting list, by list length:
+    //
+    //  - SHORT lists: two chained Generate operators — pairs stream one
+    //    row at a time; transient state is the carried array (≤ a few
+    //    KiB). (A single flatten(transform×transform) array held every
+    //    |ps|²/2 pair struct in one row's buffer while it was built:
+    //    ~5·10⁷ structs (GBs) per hot shingle at maxPostingLength —
+    //    measured OOM on the 10× hot-shingle corpus, ScaleProof.)
+    //  - LONG lists: the chained shape still COPIES the carried array
+    //    once per first-element (O(|ps|²) struct copies — measured 48 s
+    //    at 10×, dominated by exactly this); pairing them as a self-join
+    //    of the re-exploded members on `sh` streams 16-byte rows out of
+    //    the shuffle with no array carrying at all. The exploded frames
+    //    inherit the groupBy's hash partitioning on `sh`, so the join
+    //    adds no extra exchange of the big side.
+    val shortLists = lists.filter(size(col("ps")) <= selfJoinPostingLength)
+    val longLists = lists.filter(size(col("ps")) > selfJoinPostingLength)
+    val shortPairs = shortLists
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"),
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b"))
+    val longMembers = longLists
+      .select(col("sh"), explode(col("ps")).as("m"))
+    val longPairs = longMembers.select(col("sh"), col("m").as("a"))
+      .join(longMembers.select(col("sh"), col("m").as("b")), Seq("sh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a"), col("b"))
+    val firsts = shortPairs.unionByName(longPairs)
 
     // canonicalize the WHOLE struct by id, so (sa, sb) stay paired with
     // (id_a, id_b): collect_list order is partition-arrival order, and

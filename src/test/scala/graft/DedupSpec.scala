@@ -67,6 +67,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!j.contains((4L, 5L)))
   }
 
+  test("ngramJaccard: self-join and grouped pair routes agree exactly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def snap(thr: Int) = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      nGram = 3, threshold = 0.0, selfJoinPostingLength = thr)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val grouped = snap(Int.MaxValue) // every list via chained explode
+    val joined = snap(1)             // every list via the sh self-join
+    assert(grouped == joined)
+    assert(grouped.nonEmpty)
+  }
+
   test("ngramJaccard emits exactly ONE row per pair on a real corpus") {
     // regression: (sa, sb) used to be labeled by collect_list arrival order,
     // splitting one pair into several groups with mixed-up set sizes and
