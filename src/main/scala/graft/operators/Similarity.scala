@@ -259,10 +259,14 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4,
       seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      // int8 candidate exchange (see knnJoin): negatives are ranked by a
+      // score within ~0.01 of float cosine — immaterial for contrastive
+      // mining, 4x less pair shuffle
+      quantized: Boolean = false): DataFrame = {
     require(k > 0 && headroom >= 0, "k must be positive, headroom >= 0")
     val knn = knnJoin(corpus, idCol, vecCol, dim, k + headroom,
-      bits, tables, seed, maxBucketSize)
+      bits, tables, seed, maxBucketSize, quantized)
     // only ANCHOR rows get negative lists, and gold pairs are excluded in
     // BOTH orientations: without the symmetric union, a positive P of
     // anchor A would rank A (cosine ~1) as P's own top "negative" — a

@@ -288,6 +288,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!feats(3L).valid)
   }
 
+  test("spectralFeatures: 8-bit and stereo WAVs hit the same tone bin") {
+    import javax.sound.sampled._
+    import graft.multimodal.AudioFeaturesStage
+    val sr = 8000
+    val n = sr
+    val freq = 500.0
+    val data8 = Array.tabulate(n)(i =>
+      ((math.sin(2 * math.Pi * freq * i / sr) * 0.5 * 127) + 128).toInt.toByte)
+    val out8 = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data8),
+      new AudioFormat(sr.toFloat, 8, 1, false, false), n.toLong),
+      AudioFileFormat.Type.WAVE, out8)
+    val data16 = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / sr) * 0.5 * 32767).toInt.toShort
+      for (c <- 0 until 2) {
+        data16(4 * i + 2 * c) = (s & 0xff).toByte
+        data16(4 * i + 2 * c + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val out16 = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data16),
+      new AudioFormat(sr.toFloat, 16, 2, true, false), n.toLong),
+      AudioFileFormat.Type.WAVE, out16)
+
+    val feats = AudioFeaturesStage.spectralFeatures(
+      mediaDf(Seq(1L -> out8.toByteArray, 2L -> out16.toByteArray)),
+      "doc_id", windows = 2, fftSize = 1024)
+      .collect().map(f => f.doc_id -> f).toMap
+    val binHz = sr.toDouble / 1024
+    Seq(1L, 2L).foreach { id =>
+      val f = feats(id)
+      assert(f.valid, s"doc $id")
+      f.dominant_hz.foreach(d =>
+        assert(math.abs(d - freq) <= binHz, s"doc $id dominant $d"))
+    }
+  }
+
   test("audioFeatures: maxBytes caps the decoded PCM per row (untrusted header)") {
     import graft.multimodal.AudioFeaturesStage
     val wav = sineWav(440.0, 8000, ms = 1000, amplitude = 0.5) // 16k PCM bytes
