@@ -1243,6 +1243,27 @@ object SparkEntry {
         |sizes AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp)
         |SELECT csize, COUNT(*) AS n_components FROM sizes
         |GROUP BY csize ORDER BY csize""".stripMargin,
+    // asymmetric n-gram containment (decontamination): |test ∩ train| /
+    // |test| over distinct word-3-gram shingle sets, deterministic
+    // doc_id%10 test/train split — same hash-vs-string story as dd03
+    "dc01_ngram_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 3),
+        |test AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |train AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT test_id, train_id, containment FROM (
+        |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |    CAST(len(list_intersect(te.s, tr.s)) AS DOUBLE) / len(te.s)
+        |      AS containment
+        |  FROM test te JOIN train tr ON len(list_intersect(te.s, tr.s)) > 0)
+        |ORDER BY containment DESC, test_id, train_id
+        |LIMIT 20""".stripMargin,
     // exact jaccard over distinct word-3-gram shingle sets; matches the
     // posting-list implementation (hash collisions are 64-bit-improbable)
     "dd03_ngram_jaccard" ->
@@ -1299,6 +1320,17 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
           nGram = 3, threshold = 0.0)
         .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    // decontamination: which training docs contain a test doc's n-grams
+    // (deterministic doc_id%10 split; full DuckDB oracle above)
+    "dc01_ngram_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContainment(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        nGram = 3, minContainment = 0.0)
+        .orderBy(desc("containment"), col("test_id"), col("train_id"))
         .limit(20)
     }),
     "dd04_embedding_neardup" -> ((s, dir) => {

@@ -393,6 +393,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus n-gram CONTAINMENT — the decontamination primitive: for
+    * every (test, train) pair sharing at least one shingle,
+    * `containment = |shingles(test) ∩ shingles(train)| / |shingles(test)|`
+    * (asymmetric by design: a test doc fully quoted inside a larger train
+    * doc scores 1.0 where Jaccard would dilute it — exactly the leak that
+    * benchmark decontamination must catch).
+    *
+    * Same scale shape as [[ngramJaccard]]: inverted-index join keyed on
+    * the 64-bit shingle hash — text never shuffles, only (hash, id, size)
+    * rows — with the stopword-shingle guard (`maxPostingLength`, applied
+    * to the TRAIN posting lists, the unbounded side) bounding the
+    * per-shingle fan-out. Intersections accumulate in one partial-
+    * aggregable count keyed (test_id, train_id).
+    *
+    * Output: (test_id, train_id, containment >= minContainment). Callers
+    * drop contaminated TRAIN docs by joining on train_id. */
+  def ngramContainment(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      test: DataFrame,
+      testIdCol: String,
+      testTextCol: String,
+      nGram: Int = 3,
+      minContainment: Double = 0.0,
+      maxPostingLength: Int = 10000): DataFrame = {
+    val trainPost = ensureParallelism(train).select(
+      col(trainIdCol).as("train_id"),
+      explode(ngramHashes(tokens(col(trainTextCol)), nGram)).as("sh"))
+    val testPost = ensureParallelism(test).select(
+      col(testIdCol).as("test_id"),
+      ngramHashes(tokens(col(testTextCol)), nGram).as("shingles"))
+      .withColumn("test_size", size(col("shingles")))
+      .select(col("test_id"), col("test_size"), explode(col("shingles")).as("sh"))
+    // cap degenerate train-side shingles via aggregate + semi-join (no
+    // window — same reasoning as bucketPairs)
+    val okSh = trainPost.groupBy("sh")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxPostingLength)
+      .select("sh")
+    testPost
+      .join(trainPost.join(okSh, Seq("sh"), "left_semi"), Seq("sh"))
+      .groupBy(col("test_id"), col("train_id"), col("test_size"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("test_size").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("test_id"), col("train_id"), col("containment"))
+  }
+
   /** Embedding near-duplicates: random-hyperplane LSH bucket join + exact
     * cosine verification inside buckets. Output: (id_a, id_b, cos).
     *

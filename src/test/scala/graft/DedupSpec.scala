@@ -67,6 +67,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!j.contains((4L, 5L)))
   }
 
+  test("ngramContainment: asymmetric containment, hand-computed") {
+    val train = Seq(
+      (10L, "a b c d e"),  // superset of the test doc
+      (11L, "b c d x y"),  // shares one of two test shingles
+      (12L, "q w e r t")   // disjoint
+    ).toDF("doc_id", "text")
+    val test = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(train, "doc_id", "text",
+        test, "doc_id", "text", nGram = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id")) ->
+        r.getAs[Double]("containment")).toMap
+    // test shingles: {a b c, b c d}; doc 10 contains both (1.0 — where
+    // Jaccard would dilute by doc 10's extra shingles), doc 11 one (0.5)
+    assert(got == Map((1L, 10L) -> 1.0, (1L, 11L) -> 0.5))
+  }
+
   test("ngramJaccard: self-join and grouped pair routes agree exactly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def snap(thr: Int) = Dedup.ngramJaccard(corpus, "doc_id", "text",
