@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftFunctions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, GraphOps, Similarity}
+import graft.operators.{CorpusStats, Dedup, GraphOps, Similarity}
 
 /** Driver contract: the operator inventory of SURVEY.md §2 (plus the
   * training-data-pipeline extras) exercised as named queries over the
@@ -742,6 +742,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .limit(200)
     }),
+    // corpus unigram LM surprisal (CCNet/RefinedWeb-style quality signal):
+    // add-one model over the top-16 vocabulary (cap chosen so the OOV path
+    // is exercised at this corpus size), exact integer micro-bits
+    "lm01_unigram_surprisal" -> ((s, dir) => {
+      CorpusStats.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
+        .orderBy(col("doc_id"))
+    }),
+    // tf-idf top-3 salient terms per document, integer micro-unit scores,
+    // ties broken by token (term_rank makes the LIMIT-free sort total)
+    "ti01_tfidf_terms" -> ((s, dir) => {
+      CorpusStats.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("rank", "term_rank")
+        .orderBy(col("doc_id"), col("term_rank"))
+    }),
+    // cross-document boilerplate signal: permille of each doc's 3-grams
+    // that occur in >= 5 distinct docs (corpus-level complement of tx02)
+    "bp01_boilerplate_score" -> ((s, dir) => {
+      CorpusStats.boilerplateScore(
+        t(s, dir, "documents"), "doc_id", "text", nGram = 3, minDf = 5L)
+        .orderBy(col("doc_id"))
+    }),
+    // PII scrub over deterministic contact blobs synthesized from customer
+    // (the synthetic corpus carries no organic PII, so both engines build
+    // the same email/phone/IP-bearing text and redact it)
+    "pii01_redact" -> ((s, dir) => {
+      val contact = concat(
+        lit("Contact "), col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com> call +1-800-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" host 10.0."), (col("c_custkey") % 256).cast("string"),
+        lit("."), col("c_nationkey").cast("string"))
+      val (em, ph, ip) = TextFunctions.piiCounts(contact)
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          TextFunctions.redactPii(contact).as("redacted"),
+          em.as("n_emails"), ph.as("n_phones"), ip.as("n_ips"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
+    }),
     // Gopher-style repetition signals as exact integer permille
     "tx02_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -815,6 +858,78 @@ object SparkEntry {
         |          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+    "lm01_unigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM cnt),
+        |vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 16),
+        |sc AS (SELECT tk.doc_id,
+        |    CAST(round(-log2(CAST(coalesce(v.c, 0) + 1 AS DOUBLE) / tot.denom)
+        |      * 1000000) AS BIGINT) AS nm
+        |  FROM tk CROSS JOIN tot LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll_micro_avg
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ti01_tfidf_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |nd AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS n1 FROM documents),
+        |sc AS (SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+        |    CAST(round(tf * (log2(nd.n1 / CAST(df + 1 AS DOUBLE)) + 1)
+        |      * 1000000) AS BIGINT) AS score_micro
+        |  FROM tf CROSS JOIN nd JOIN dfq USING (tok)),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, tok) AS BIGINT) AS term_rank FROM sc)
+        |SELECT doc_id, tok, tf, score_micro, term_rank FROM rk
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "bp01_boilerplate_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN []
+        |      ELSE list_transform(range(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS gram
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+        |          '[ \t\n\x0B\f\r]+') AS ts FROM documents)),
+        |dfq AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM g GROUP BY gram)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) FILTER (df >= 5) AS BIGINT) AS boiler_grams,
+        |  CAST((COUNT(*) FILTER (df >= 5) * 1000) // COUNT(*) AS BIGINT)
+        |    AS boiler_permille,
+        |  CAST(MAX(df) AS BIGINT) AS max_df
+        |FROM g JOIN dfq USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pii01_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '.'))
+        |      || '@example.com> call +1-800-'
+        |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      || ' host 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+        |      || '.' || CAST(c_nationkey AS VARCHAR) AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '\+[0-9][0-9\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM c ORDER BY c_custkey LIMIT 100""".stripMargin,
     "tx02_repetition" ->
       """WITH p AS (SELECT doc_id,
         |  list_filter(list_transform(regexp_split_to_array(text, '\r?\n'),

@@ -162,4 +162,33 @@ object TextFunctions {
     * 2-4-grams). */
   def dupNgramPermille(text: Column, n: Int): Column =
     dupPermille(tokenNgrams(text, n))
+
+  /** PII patterns, deliberately restricted to syntax that means the same
+    * thing in Java regex and RE2 (no backreferences, no lookaround), so a
+    * SQL oracle can run the identical pattern. Conservative by design:
+    * high-precision shapes (explicit-looking emails, +international
+    * phones, dotted-quad IPs), not a full PII taxonomy. */
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\+[0-9][0-9\\-]{6,}[0-9]"
+  private[graft] val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, international-format phone numbers, and IPv4 addresses
+    * to `<EMAIL>`/`<PHONE>`/`<IP>` — the standard pre-training scrub pass.
+    * Replacement order matters (emails first, so their dotted domains are
+    * gone before the IP pass) and is part of the contract. Pure
+    * `regexp_replace` chain: codegen'd, scan-local, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Match counts for the three [[redactPii]] classes on the raw text,
+    * as (emails, phones, ips) long columns — audit counters for a scrub
+    * pass (how much PII a source carries is itself a curation signal). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    regexp_count(text, lit(emailRe)).cast("long"),
+    regexp_count(text, lit(phoneRe)).cast("long"),
+    regexp_count(text, lit(ipRe)).cast("long"))
 }

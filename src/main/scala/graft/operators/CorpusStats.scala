@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistics for training-data curation: unigram language-model
+  * surprisal (a KenLM-style quality signal), tf-idf salient terms, n-gram
+  * document frequency with a boilerplate score, and cross-document
+  * boilerplate-line removal (the C4/CCNet "remove lines seen in many
+  * documents" pass).
+  *
+  * Scale design, shared across the family:
+  *   - the only things that ever shuffle are 8-byte hashes, ids, and small
+  *     aggregates — document text stays inside its scan task (the one
+  *     exception is [[removeBoilerplateLines]]'s final doc-granular join,
+  *     where the right side holds only documents that contain at least one
+  *     boilerplate line and is broadcast-eligible under AQE);
+  *   - every groupBy is a plain sum/count/max, so Spark's partial (map-side)
+  *     aggregation collapses per-task volume before the exchange;
+  *   - model tables (vocabulary, document frequency) are bounded — by an
+  *     explicit top-K cap for the LM vocabulary, and by corpus vocabulary
+  *     (not corpus size) for tf-idf/DF — and joined to token streams where
+  *     AQE picks a broadcast when they fit;
+  *   - score outputs are exact integers (micro-units via per-token rounding,
+  *     permilles via floor division), never re-associated floating sums, so
+  *     results are deterministic across partitionings and engines.
+  *
+  * All scores are pure Column compositions of codegen'd built-ins — no UDFs.
+  */
+object CorpusStats {
+
+  /** Integer floor division on non-negative long columns (exact and
+    * engine-portable; mirrors DuckDB's `//`). */
+  private def ldiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** Non-empty whitespace tokens of lower-cased text, one row per
+    * occurrence: the shared first stage of the corpus models. */
+  private def tokenStream(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Corpus-wide token counts (the classic wordcount; map-side combined). */
+  def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenStream(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Per-document mean unigram surprisal in micro-bits — the cheap version
+    * of the perplexity filters used by CCNet/RefinedWeb: documents whose
+    * tokens are improbable under a model of the corpus itself (garbled
+    * text, wrong language, binary spew) score high; repetitive/common text
+    * scores low.
+    *
+    * The model is add-one-smoothed over the `vocabCap` most frequent tokens
+    * (ties broken by token, so the cap is deterministic); everything else
+    * is out-of-vocabulary and scores `-log2(1 / (T + V))`, where `T` is
+    * total token count and `V` is the full (uncapped) distinct-token count.
+    * The cap is the scale lever: the broadcast model table is `vocabCap`
+    * rows no matter how large the corpus vocabulary grows.
+    *
+    * Per-token surprisal is rounded to integer micro-bits BEFORE the
+    * per-document average (exact long sum, floor division) so the output is
+    * deterministic across partitionings and engines.
+    *
+    * Output: (idCol, n_tokens: long, nll_micro_avg: long).
+    */
+  def unigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabCap: Int = 65536): DataFrame = {
+    require(vocabCap > 0, "vocabCap must be positive")
+    val toks = tokenStream(docs, idCol, textCol)
+    val cnt = termCounts(docs, idCol, textCol)
+    // Two bounded scalars (grand totals), not data rows.
+    val row = cnt.agg(
+      coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).head()
+    val denom = (row.getLong(0) + row.getLong(1)).toDouble
+    val vocab = cnt.orderBy(desc("c"), asc("tok")).limit(vocabCap)
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .withColumn(
+        "nll_micro",
+        round(-log2((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          lit(denom)) * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_micro").as("nm"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        ldiv(col("nm"), col("n_tokens")).as("nll_micro_avg"))
+  }
+
+  /** Top-`k` salient terms per document by tf-idf — the standard keyword /
+    * topic-proxy extraction over a corpus.
+    *
+    * `score = tf * (log2((N + 1) / (df + 1)) + 1)`, emitted as integer
+    * micro-units (per-term rounding, so ranking uses the same exact value
+    * both here and in any SQL mirror); ranking ties break by token.
+    *
+    * The df side is bounded by corpus vocabulary, not corpus size, and
+    * arrives pre-aggregated; AQE broadcasts it when it fits, and the
+    * tf side is already collapsed to one row per (doc, token) before the
+    * join, so a hot token costs its df, never its occurrence count.
+    *
+    * Output: (idCol, tok, tf: long, score_micro: long, rank: long).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nDocs = docs.count() // one bounded scalar
+    val tf = tokenStream(docs, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("score_micro"), asc("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn(
+        "score_micro",
+        round(col("tf").cast("double") *
+          (log2(lit((nDocs + 1).toDouble) / (col("df") + lit(1L)).cast("double"))
+            + lit(1.0)) * lit(1000000.0)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("score_micro"), col("rank"))
+  }
+
+  /** Document frequency of word `n`-grams, keyed by 64-bit shingle hash
+    * (gram strings never shuffle; collisions are 64-bit-improbable, the
+    * same contract as [[Dedup.ngramJaccard]]). */
+  def ngramDocFreq(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        explode(TextFunctions.tokenNgrams(col(textCol), nGram)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+      .distinct()
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+
+  /** Per-document boilerplate signal: how much of a document is made of
+    * word `n`-grams that occur in at least `minDf` distinct documents.
+    * High permille = templated/boilerplate text (site chrome, license
+    * headers, generated spam) — the corpus-level complement of the
+    * within-document repetition signals in
+    * [[graft.functions.TextFunctions.dupNgramPermille]].
+    *
+    * Only (id, 8-byte gram hash) pairs shuffle; the DF table is
+    * vocabulary-bounded and pre-aggregated. Documents shorter than `nGram`
+    * tokens have no grams and are absent from the output (by construction,
+    * not silently zeroed).
+    *
+    * Output: (idCol, n_grams, boiler_grams, boiler_permille, max_df), all
+    * longs — exact integers, engine-portable.
+    */
+  def boilerplateScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      minDf: Long = 5L): DataFrame = {
+    require(minDf >= 2, "minDf below 2 marks every n-gram as boilerplate")
+    // collapse to one row per (doc, gram hash) FIRST: the df aggregation,
+    // the join, and the final rollup all run on distinct pairs instead of
+    // gram occurrences (and the two consumers reuse one exchange)
+    val pairCnt = docs
+      .select(
+        col(idCol),
+        explode(TextFunctions.tokenNgrams(col(textCol), nGram)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+      .groupBy(col(idCol), col("gh")).agg(count(lit(1)).as("occ"))
+    val dfreq = pairCnt.groupBy("gh").agg(count(lit(1)).as("df"))
+    pairCnt
+      .join(dfreq, "gh") // every gram has df >= 1: inner join is total
+      .groupBy(col(idCol))
+      .agg(
+        sum("occ").as("n_grams"),
+        sum(when(col("df") >= minDf, col("occ")).otherwise(0L))
+          .as("boiler_grams"),
+        max("df").as("max_df"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("boiler_grams"),
+        ldiv(col("boiler_grams") * lit(1000L), col("n_grams"))
+          .as("boiler_permille"),
+        col("max_df"))
+  }
+
+  /** Remove every line that occurs (byte-identical) in at least `minDocs`
+    * distinct documents — the C4-style cross-document boilerplate pass
+    * (cookie banners, nav bars, license headers). Returns the input with
+    * `textCol` rewritten; all other columns pass through.
+    *
+    * Shape: lines are hashed in the scan and only (id, pos, 8-byte hash)
+    * tuples shuffle to find boilerplate hashes and per-document bad
+    * positions; document text itself moves once, through the final
+    * doc-granular left join, whose right side holds ONLY documents that
+    * contain at least one boilerplate line (broadcast-eligible under AQE
+    * when boilerplate is rare). Line splitting accepts CRLF; rejoining
+    * normalizes line endings to `\n` (documented, same as
+    * [[graft.functions.TextFunctions.dupLinePermille]]'s split).
+    */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, "minDocs below 2 removes every line")
+    require(!docs.columns.contains("graft_bad_pos"),
+      "input already has a graft_bad_pos column")
+    val lineHashes = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), xxhash64(col("line")).as("lh"))
+    val badHashes = lineHashes.select(col(idCol), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("lh")
+    val badPos = lineHashes.join(badHashes, "lh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("graft_bad_pos"))
+    val lines = split(col(textCol), "\r?\n")
+    val kept = filter(lines, (_, i) => !array_contains(col("graft_bad_pos"), i))
+    docs
+      .join(badPos, Seq(idCol), "left_outer")
+      .withColumn(
+        textCol,
+        when(col("graft_bad_pos").isNull, col(textCol))
+          .otherwise(concat_ws("\n", kept)))
+      .drop("graft_bad_pos")
+  }
+}

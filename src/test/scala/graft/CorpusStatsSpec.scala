@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.CorpusStats
+
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4 docs, hand-countable vocabulary: a:5, b:3, c:2, d:1  (T=11, V=4)
+  private def corpus = Seq(
+    (1L, "a a b"),
+    (2L, "a b c"),
+    (3L, "a a b c"),
+    (4L, "d")).toDF("doc_id", "text")
+
+  private def nllMicro(c: Long, denom: Double): Long =
+    math.round(-math.log((c + 1).toDouble / denom) / math.log(2.0) * 1e6)
+
+  test("unigramSurprisal: hand-computed add-one model, full vocab") {
+    val out = CorpusStats.unigramSurprisal(corpus, "doc_id", "text", vocabCap = 10)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val denom = 11.0 + 4.0
+    val a = nllMicro(5, denom); val b = nllMicro(3, denom)
+    val c = nllMicro(2, denom); val d = nllMicro(1, denom)
+    assert(out.toSeq == Seq(
+      (1L, 3L, (2 * a + b) / 3),
+      (2L, 3L, (a + b + c) / 3),
+      (3L, 4L, (2 * a + b + c) / 4),
+      (4L, 1L, d)))
+  }
+
+  test("unigramSurprisal: tokens beyond vocabCap score as OOV (count 0)") {
+    // cap 2 keeps {a, b}; c and d become OOV but T and V stay corpus-wide
+    val out = CorpusStats.unigramSurprisal(corpus, "doc_id", "text", vocabCap = 2)
+      .orderBy("doc_id").collect()
+    val denom = 15.0
+    val oov = nllMicro(0, denom)
+    assert(out(3).getLong(2) == oov) // doc 4 is a single OOV token
+    // doc 2 = a + b + oov(c)
+    assert(out(1).getLong(2) ==
+      (nllMicro(5, denom) + nllMicro(3, denom) + oov) / 3)
+    // OOV is the most surprising class
+    assert(oov > nllMicro(1, denom))
+  }
+
+  test("unigramSurprisal: vocab cap tie-break is deterministic (count desc, token asc)") {
+    // x and y both occur twice; cap 1 must keep x (token asc)
+    val docs = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramSurprisal(docs, "doc_id", "text", vocabCap = 1)
+      .orderBy("doc_id").collect()
+    val denom = 6.0 // T=4, V=2
+    val inV = nllMicro(2, denom); val oov = nllMicro(0, denom)
+    assert(out(0).getLong(2) == (inV + oov) / 2)
+    assert(out(1).getLong(2) == (inV + oov) / 2)
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones") {
+    // "common" is in every doc (idf floor), each doc has one rare term
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3"),
+      (4L, "common rare4")).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // rare term first (df=1), common second (df=4) — even doc 1's double
+    // "common" (tf=2, score exactly 2.0e6) loses to rare1's log2(2.5)+1
+    val n1 = 5.0 // N+1
+    def score(tf: Long, df: Long): Long =
+      math.round(tf * (math.log(n1 / (df + 1)) / math.log(2.0) + 1) * 1e6)
+    assert(score(1, 1) > score(2, 4))
+    assert(out.toSeq == Seq(
+      (1L, "rare1", 1L, 1L), (1L, "common", 2L, 2L),
+      (2L, "rare2", 1L, 1L), (2L, "common", 1L, 2L),
+      (3L, "rare3", 1L, 1L), (3L, "common", 1L, 2L),
+      (4L, "rare4", 1L, 1L), (4L, "common", 1L, 2L)))
+  }
+
+  test("tfidfTopTerms: rank ties break by token ascending") {
+    val docs = Seq((1L, "beta alpha")).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("rank").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("alpha", "beta")) // identical scores
+  }
+
+  test("boilerplateScore: permille of grams above the df threshold") {
+    // exactly one shared 3-gram ("the same header") in docs 1-3: the
+    // 4th token diverges, so "same header <x>" grams stay unique
+    val docs = Seq(
+      (1L, "the same header one unique tail"),
+      (2L, "the same header two unique tail"),
+      (3L, "the same header three unique tail"),
+      (4L, "totally different text here now ok")).toDF("doc_id", "text")
+    val out = CorpusStats.boilerplateScore(docs, "doc_id", "text", nGram = 3, minDf = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // each doc has 4 3-grams; only "the same header" reaches df=3
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 250L, 3L),
+      (2L, 4L, 1L, 250L, 3L),
+      (3L, 4L, 1L, 250L, 3L),
+      (4L, 4L, 0L, 0L, 1L)))
+  }
+
+  test("boilerplateScore: repeated grams within a doc count per occurrence") {
+    // doc 1 contains "a b c" twice; df counts docs (2), occurrences count
+    // grams (2 of doc 1's 4)
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val out = CorpusStats.boilerplateScore(docs, "doc_id", "text", nGram = 3, minDf = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, 500L, 2L),
+      (2L, 2L, 1L, 500L, 2L)))
+  }
+
+  test("boilerplateScore: docs shorter than nGram are absent") {
+    val docs = Seq((1L, "one two"), (2L, "one two three")).toDF("doc_id", "text")
+    val out = CorpusStats.boilerplateScore(docs, "doc_id", "text", nGram = 3, minDf = 2L)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("removeBoilerplateLines: drops cross-doc lines, keeps unique ones in order") {
+    val banner = "ACCEPT COOKIES"
+    val footer = "(c) 2026 example.com"
+    val docs = Seq(
+      (1L, s"$banner\nfirst unique line\n$footer", "en"),
+      (2L, s"$banner\nsecond unique line\n$footer", "en"),
+      (3L, s"$banner\nthird unique line\nmore text\n$footer", "de"),
+      (4L, "no boilerplate at all\njust content", "fr")).toDF("doc_id", "text", "lang")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "first unique line",
+      "second unique line",
+      "third unique line\nmore text",
+      "no boilerplate at all\njust content"))
+    // non-text columns pass through
+    assert(out.map(_.getString(2)).toSeq == Seq("en", "en", "de", "fr"))
+  }
+
+  test("removeBoilerplateLines: CRLF input matches LF boilerplate; output is LF") {
+    val docs = Seq(
+      (1L, "SAME\r\nkeep a"),
+      (2L, "SAME\nkeep b"),
+      (3L, "SAME\r\nkeep c\r\nkeep d")).toDF("doc_id", "text")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("keep a", "keep b", "keep c\nkeep d"))
+  }
+
+  test("removeBoilerplateLines: untouched docs keep their text verbatim (incl CRLF)") {
+    val docs = Seq(
+      (1L, "only\r\ndoc"), (2L, "another one")).toDF("doc_id", "text")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2L)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    // no line reaches minDocs, so even CRLF text passes through unmodified
+    assert(out.toSeq == Seq("only\r\ndoc", "another one"))
+  }
+
+  test("redactPii: emails, phones, IPs replaced; counts agree") {
+    val txt = "Mail alice.smith+x@sub.example.org or bob@x.io, " +
+      "call +44-20-7946-0958, server 192.168.1.255 and 10.0.0.1."
+    val df = Seq(txt).toDF("text")
+    val red = df.select(TextFunctions.redactPii(col("text"))).head.getString(0)
+    assert(red == "Mail <EMAIL> or <EMAIL>, call <PHONE>, " +
+      "server <IP> and <IP>.")
+    val (e, p, i) = TextFunctions.piiCounts(col("text"))
+    val r = df.select(e, p, i).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+  }
+
+  test("redactPii: plain text untouched; no false positives on versions/decimals") {
+    val txt = "version 1.2.3 costs 10.50 at 3-4pm"
+    val red = Seq(txt).toDF("text")
+      .select(TextFunctions.redactPii(col("text"))).head.getString(0)
+    assert(red == txt)
+  }
+}

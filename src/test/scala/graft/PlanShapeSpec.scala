@@ -128,4 +128,33 @@ class PlanShapeSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("lm01: vocabulary model is a broadcast join; scoring agg map-side combines") {
+    val p = plan("lm01_unigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("partial_(sum|count)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("corpus-stats exchanges never carry document text or gram strings") {
+    // lm01/ti01 shuffle single tokens (the model keys), bp01 shuffles only
+    // 8-byte gram hashes; raw `text` must stay inside its scan task
+    for (q <- Seq("lm01_unigram_surprisal", "ti01_tfidf_terms",
+        "bp01_boilerplate_score")) {
+      val exchanges = plan(q).linesIterator
+        .filter(_.contains("hashpartitioning(")).toList
+      assert(exchanges.nonEmpty, q)
+      assert(!exchanges.exists(_.contains("text#")),
+        s"$q shuffles text:\n${exchanges.mkString("\n")}")
+      if (q == "bp01_boilerplate_score")
+        assert(!exchanges.exists(_.contains("gram#")),
+          s"$q shuffles gram strings:\n${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("pii01: redaction is scan-local — distributed top-k, zero exchanges") {
+    val p = plan("pii01_redact")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
 }

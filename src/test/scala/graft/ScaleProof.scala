@@ -9,7 +9,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, Similarity}
 
 /** Scale-proof harness for the dedup/ANN/curation family: runs every
   * operator at 1× (the sf0.1 tables: 5k docs / 2k vectors) and at 10×
@@ -82,10 +82,18 @@ object ScaleProof {
         sequence(lit(0), col("variants") - 1)).as("variant"))
       .select(
         (col("doc_id") * 1000L + col("variant")).as("doc_id"),
+        // newline separators instead of spaces: the token stream (split on
+        // \s+) is IDENTICAL to the previous space-joined layout, so every
+        // shingle-based measurement stays comparable — but the corpus now
+        // also carries adversarial cross-doc LINES for the boilerplate-
+        // removal lane (the boiler line in ~1/3 of all docs, each
+        // "variant marker N" line in one doc per base ≈ 5.4k docs at 10×,
+        // each base text line across its own 10/110 variants)
         concat(col("text"),
           // hot shingle: every third variant carries the boilerplate
-          when(col("variant") % 3 === 0, lit(boiler)).otherwise(lit("")),
-          lit(" variant marker "), col("variant")).as("text"))
+          when(col("variant") % 3 === 0, lit("\n" + boiler.trim))
+            .otherwise(lit("")),
+          lit("\nvariant marker "), col("variant")).as("text"))
       .repartition(32)
     val emb10x = emb1x
       .select(col("vec_id"), col("embedding"),
@@ -169,6 +177,22 @@ object ScaleProof {
         Similarity.knnJoin(emb, "vec_id", "embedding", dim = 64, k = 5,
           bits = 8, tables = 4, maxBucketSize = 1000,
           quantized = true).count())
+      measure("lm01_surprisal", scale)(
+        CorpusStats.unigramSurprisal(docs, "doc_id", "text",
+          vocabCap = 1024).count())
+      measure("ti01_tfidf", scale)(
+        CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 5).count())
+      measure("bp01_boiler", scale)(
+        CorpusStats.boilerplateScore(docs, "doc_id", "text",
+          nGram = 3, minDf = 100L).count())
+      measure("bp02_rmlines", scale)(
+        // sum(length) forces the full text rebuild (a bare count would let
+        // Catalyst prune the rewritten column); the "rows" column is total
+        // output chars for this lane
+        CorpusStats.removeBoilerplateLines(docs, "doc_id", "text",
+          minDocs = 1000L)
+          .agg(coalesce(sum(length(col("text"))), lit(0L)))
+          .head().getLong(0))
       measure("cu01_curate", scale) {
         val (curated, dropped) = Curation.curate(docs, "doc_id", "text",
           Curation.Config(keepLangs = Seq("en", "fr", "es", "de", "und"),
