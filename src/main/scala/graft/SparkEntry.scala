@@ -785,6 +785,12 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
         .limit(100)
     }),
+    // per-source mixture table (docs/tokens/chars + permille token share):
+    // the domain-mixture report a pipeline builds before weighting sources
+    "mw01_mixture_weights" -> ((s, dir) => {
+      CorpusStats.mixtureWeights(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
     // Gopher-style repetition signals as exact integer permille
     "tx02_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -930,6 +936,17 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(contact,
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
         |FROM c ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "mw01_mixture_weights" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_tokens) AS tot FROM g)
+        |SELECT source, n_docs, n_tokens, n_chars,
+        |  CAST((n_tokens * 1000) // t.tot AS BIGINT) AS token_permille
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     "tx02_repetition" ->
       """WITH p AS (SELECT doc_id,
         |  list_filter(list_transform(regexp_split_to_array(text, '\r?\n'),

@@ -132,6 +132,37 @@ object CorpusStats {
       .select(col(idCol), col("tok"), col("tf"), col("score_micro"), col("rank"))
   }
 
+  /** Per-group corpus mixture table — docs, tokens, chars, and each
+    * group's permille share of total tokens: what a training pipeline
+    * reports per source/domain/language before choosing sampling weights
+    * (pair with [[Sampling.balancedFractions]] to hit a target mix).
+    *
+    * One partial-aggregated groupBy over the scan (token counting is
+    * scan-local Column work), then a broadcast one-row total — no driver
+    * collect, no second shuffle. Shares are exact integer permilles.
+    *
+    * Output: (groupCol, n_docs, n_tokens, n_chars, token_permille).
+    */
+  def mixtureWeights(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val g = docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(filter(toks, t => length(t) > 0)).cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"))
+    val tot = g.agg(sum("n_tokens").as("graft_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_chars"),
+        ldiv(col("n_tokens") * lit(1000L), col("graft_tot"))
+          .as("token_permille"))
+  }
+
   /** Document frequency of word `n`-grams, keyed by 64-bit shingle hash
     * (gram strings never shuffle; collisions are 64-bit-improbable, the
     * same contract as [[Dedup.ngramJaccard]]). */

@@ -167,6 +167,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("only\r\ndoc", "another one"))
   }
 
+  test("mixtureWeights: per-source totals and exact permille shares") {
+    val docs = Seq(
+      (1L, "one two three", "web"),
+      (2L, "four five", "web"),
+      (3L, "six", "books")).toDF("doc_id", "text", "source")
+    val out = CorpusStats.mixtureWeights(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("books", 1L, 1L, 3L, 166L), // floor(1000/6)
+      ("web", 2L, 5L, 22L, 833L))) // floor(5000/6)
+  }
+
   test("redactPii: emails, phones, IPs replaced; counts agree") {
     val txt = "Mail alice.smith+x@sub.example.org or bob@x.io, " +
       "call +44-20-7946-0958, server 192.168.1.255 and 10.0.0.1."
