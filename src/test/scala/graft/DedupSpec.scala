@@ -96,6 +96,33 @@ class DedupSpec extends AnyFunSuite {
     assert(grouped.nonEmpty)
   }
 
+  test("ngramJaccard: prefix-filtered route equals full enumeration at every threshold") {
+    // the threshold > 0 path (AllPairs/PPJoin prefix filtering) must find
+    // EXACTLY the pairs the exhaustive path finds — including on a corpus
+    // with planted near-dups and a hot boilerplate shingle shared by many
+    // docs (the case the prefix order is designed to exclude)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import spark.implicits._
+    val boiler = " the shared disclaimer sentence for every third document"
+    val docs = corpus.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(lit("")))
+      .as("text"))
+    val exhaustive = Dedup.ngramJaccard(docs, "doc_id", "text",
+        nGram = 3, threshold = 0.0)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (t <- Seq(0.25, 0.5, 0.8)) {
+      val expected = exhaustive.filter { case (_, j) => j >= t }
+      val prefixed = Dedup.ngramJaccard(docs, "doc_id", "text",
+          nGram = 3, threshold = t)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(prefixed == expected, s"threshold $t")
+    }
+    assert(exhaustive.exists { case (_, j) => j >= 0.25 },
+      "fixture must exercise at least one above-threshold pair")
+  }
+
   test("ngramJaccard emits exactly ONE row per pair on a real corpus") {
     // regression: (sa, sb) used to be labeled by collect_list arrival order,
     // splitting one pair into several groups with mixed-up set sizes and

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.collection.mutable.ArrayBuffer
@@ -41,6 +42,11 @@ object ScaleProof {
       shuffleMiB: Double, maxStageMiB: Double, taskSkew: Double, tasks: Int)
 
   def main(args: Array[String]): Unit = {
+    // optional arg filters: operator names to run (others skipped), and
+    // "--reuse" to keep an existing /tmp 10x corpus (isolating one lane
+    // without paying the corpus write)
+    val reuse = args.contains("--reuse")
+    val only = args.filterNot(_ == "--reuse").toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -109,8 +115,10 @@ object ScaleProof {
     // materialize generators to parquet so every operator measures ITS
     // work, not the corpus construction
     val base = "/tmp/graft_scaleproof"
-    docs10x.write.mode("overwrite").parquet(s"$base/docs10x")
-    emb10x.write.mode("overwrite").parquet(s"$base/emb10x")
+    if (!reuse || !Files.exists(Paths.get(s"$base/docs10x/_SUCCESS"))) {
+      docs10x.write.mode("overwrite").parquet(s"$base/docs10x")
+      emb10x.write.mode("overwrite").parquet(s"$base/emb10x")
+    }
     val d10 = spark.read.parquet(s"$base/docs10x")
     val e10 = spark.read.parquet(s"$base/emb10x")
     println(s"docs 1x=${docs1x.count()} 10x=${d10.count()}  " +
@@ -119,25 +127,28 @@ object ScaleProof {
     val results = ArrayBuffer.empty[OpStats]
 
     def measure(name: String, scale: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       stageShuffle.clear(); taskDurations.clear()
       val t0 = System.nanoTime()
       val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
       val shuffles = stageShuffle.values.asScala.toSeq
-      val durations = taskDurations.values.asScala.flatMap(_.toSeq).toSeq.sorted
-      val skew =
-        if (durations.isEmpty) 0.0
-        else {
-          val med = math.max(1L, durations(durations.size / 2))
-          durations.last.toDouble / med
-        }
+      // skew WITHIN each substantial stage (median >= 200 ms), then the
+      // worst stage: pooling all stages' tasks made a 30 s join task look
+      // 200x skewed against the ms-scale tasks of unrelated tiny stages
+      val skew = taskDurations.values.asScala
+        .map(_.toSeq.sorted)
+        .filter(d => d.nonEmpty && d(d.size / 2) >= 200L)
+        .map(d => d.last.toDouble / d(d.size / 2))
+        .maxOption.getOrElse(1.0)
+      val nTasks = taskDurations.values.asScala.map(_.size).sum
       results += OpStats(name, scale, rows, wall,
         shuffles.sum / 1048576.0,
-        (0L +: shuffles).max / 1048576.0, skew, durations.size)
+        (0L +: shuffles).max / 1048576.0, skew, nTasks)
       println(f"  $name%-14s $scale%3s ${wall}%7.1f s rows=$rows%-8d " +
         f"shuffle=${shuffles.sum / 1048576.0}%8.1f MiB " +
         f"maxStage=${(0L +: shuffles).max / 1048576.0}%8.1f MiB " +
-        f"skew=${if (durations.isEmpty) 0.0 else durations.last.toDouble / math.max(1L, durations(durations.size / 2))}%5.1f")
+        f"skew=${skew}%5.1f")
     }
 
     def runFamily(scale: String, docs: DataFrame, emb: DataFrame): Unit = {
