@@ -392,21 +392,15 @@ object Dedup {
         lo.getField("set_size").as("sa"),
         hi.getField("set_size").as("sb"))
 
-    // length-ratio prune: jaccard <= min/max sizes
-    val sizeCompatible =
-      if (threshold <= 0.0) lit(true)
-      else least(col("sa"), col("sb")).cast("double") >=
-        greatest(col("sa"), col("sb")).cast("double") * threshold
-
+    // threshold is 0 on this path (positive thresholds returned through
+    // the prefix route above): complete pairwise output, no pruning
     pairs
-      .filter(sizeCompatible)
       .groupBy("id_a", "id_b", "sa", "sb")
       .agg(count("*").as("inter"))
       .withColumn(
         "jaccard",
         col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -488,7 +482,12 @@ object Dedup {
     * rows — with the stopword-shingle guard (`maxPostingLength`, applied
     * to the TRAIN posting lists, the unbounded side) bounding the
     * per-shingle fan-out. Intersections accumulate in one partial-
-    * aggregable count keyed (test_id, train_id).
+    * aggregable count keyed (test_id, train_id). And as with
+    * [[ngramJaccard]], `minContainment > 0` routes through one-sided
+    * prefix filtering (test-side prefix ordered by train document
+    * frequency) with exact `array_intersect` verification — hot
+    * boilerplate shingles never generate candidates, and the cap bounds
+    * only candidate generation, not counted overlap.
     *
     * Output: (test_id, train_id, containment >= minContainment). Callers
     * drop contaminated TRAIN docs by joining on train_id. */
@@ -502,14 +501,62 @@ object Dedup {
       nGram: Int = 3,
       minContainment: Double = 0.0,
       maxPostingLength: Int = 10000): DataFrame = {
-    val trainPost = ensureParallelism(train).select(
+    val trainSets = ensureParallelism(train).select(
       col(trainIdCol).as("train_id"),
-      explode(ngramHashes(tokens(col(trainTextCol)), nGram)).as("sh"))
-    val testPost = ensureParallelism(test).select(
+      ngramHashes(tokens(col(trainTextCol)), nGram).as("train_set"))
+    val testSets = ensureParallelism(test).select(
       col(testIdCol).as("test_id"),
-      ngramHashes(tokens(col(testTextCol)), nGram).as("shingles"))
-      .withColumn("test_size", size(col("shingles")))
-      .select(col("test_id"), col("test_size"), explode(col("shingles")).as("sh"))
+      ngramHashes(tokens(col(testTextCol)), nGram).as("test_set"))
+      .withColumn("test_size", size(col("test_set")))
+    val trainPost = trainSets
+      .select(col("train_id"), explode(col("train_set")).as("sh"))
+
+    // With a real threshold, the same prefix-filter argument as
+    // [[prefixFilteredJaccard]] applies one-sidedly: containment >= t
+    // needs |inter| >= t*|test|, so if a test doc's first
+    // |test| - ceil(t*|test|) + 1 shingles — ordered by TRAIN document
+    // frequency ascending (absent-from-train counts as 0), ties by hash —
+    // share nothing with a train doc, that pair is below threshold.
+    // Rare-in-train prefixes mean hot boilerplate shingles never generate
+    // candidates; verification counts the FULL intersection exactly, so
+    // `maxPostingLength` (still applied to the train lists candidates
+    // join through) only bounds generation, not the counted overlap.
+    if (minContainment > 0.0) {
+      val trainDf = trainPost.groupBy("sh").agg(count(lit(1)).as("df"))
+      val prefLen = (col("test_size") -
+        ceil(col("test_size") * lit(minContainment) - lit(1e-9)) + lit(1))
+        .cast("int")
+      val w = Window.partitionBy(col("test_id"))
+        .orderBy(col("df").asc, col("sh").asc)
+      val testPrefix = testSets
+        .select(col("test_id"), col("test_size"),
+          explode(col("test_set")).as("sh"))
+        .join(trainDf, Seq("sh"), "left_outer")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= prefLen)
+        .select("test_id", "sh")
+      val okSh = trainPost.groupBy("sh")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxPostingLength)
+        .select("sh")
+      val cands = testPrefix
+        .join(trainPost.join(okSh, Seq("sh"), "left_semi"), Seq("sh"))
+        .select("test_id", "train_id")
+        .distinct()
+      return cands
+        .join(testSets, "test_id")
+        .join(trainSets, "train_id")
+        .withColumn("inter",
+          size(array_intersect(col("test_set"), col("train_set"))).cast("long"))
+        .withColumn("containment",
+          col("inter").cast("double") / col("test_size").cast("double"))
+        .filter(col("containment") >= minContainment)
+        .select(col("test_id"), col("train_id"), col("containment"))
+    }
+
+    val testPost = testSets
+      .select(col("test_id"), col("test_size"), explode(col("test_set")).as("sh"))
     // cap degenerate train-side shingles via aggregate + semi-join (no
     // window — same reasoning as bucketPairs)
     val okSh = trainPost.groupBy("sh")
@@ -522,7 +569,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment",
         col("inter").cast("double") / col("test_size").cast("double"))
-      .filter(col("containment") >= minContainment)
       .select(col("test_id"), col("train_id"), col("containment"))
   }
 

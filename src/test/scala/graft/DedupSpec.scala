@@ -123,6 +123,31 @@ class DedupSpec extends AnyFunSuite {
       "fixture must exercise at least one above-threshold pair")
   }
 
+  test("ngramContainment: prefix-filtered route equals full enumeration at every threshold") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import spark.implicits._
+    val boiler = " the shared disclaimer sentence for every third document"
+    val docs = corpus.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(lit("")))
+      .as("text"))
+    val trainDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val testDocs = docs.filter(col("doc_id") % 10 === 0)
+    val full = Dedup.ngramContainment(trainDocs, "doc_id", "text",
+        testDocs, "doc_id", "text", nGram = 3, minContainment = 0.0)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      val expected = full.filter { case (_, c) => c >= t }
+      val prefixed = Dedup.ngramContainment(trainDocs, "doc_id", "text",
+          testDocs, "doc_id", "text", nGram = 3, minContainment = t)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(prefixed == expected, s"threshold $t")
+    }
+    assert(full.exists { case (_, c) => c >= 0.2 },
+      "fixture must exercise at least one above-threshold pair")
+  }
+
   test("ngramJaccard emits exactly ONE row per pair on a real corpus") {
     // regression: (sa, sb) used to be labeled by collect_list arrival order,
     // splitting one pair into several groups with mixed-up set sizes and

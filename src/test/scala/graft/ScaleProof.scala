@@ -188,6 +188,13 @@ object ScaleProof {
         Similarity.knnJoin(emb, "vec_id", "embedding", dim = 64, k = 5,
           bits = 8, tables = 4, maxBucketSize = 1000,
           quantized = true).count())
+      measure("dc01_contain", scale)(
+        // decontamination at threshold: exercises the one-sided prefix
+        // route (test = every 10th doc, train = the rest)
+        Dedup.ngramContainment(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          nGram = 3, minContainment = 0.5).count())
       measure("lm01_surprisal", scale)(
         CorpusStats.unigramSurprisal(docs, "doc_id", "text",
           vocabCap = 1024).count())
