@@ -210,6 +210,13 @@ object CorpusStats {
         explode(TextFunctions.tokenNgrams(col(textCol), nGram)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gh"))
       .groupBy(col(idCol), col("gh")).agg(count(lit(1)).as("occ"))
+    // the df aggregation and the scoring join each consume pairCnt, and
+    // Spark cannot unify the two exchanges (the lambda-bound shingle
+    // explode doesn't canonicalize equal across the self-join's
+    // re-aliasing), so the input is scanned twice — the same deliberate
+    // two-pass shape as unigramSurprisal (model pass + scoring pass);
+    // at extreme scale, persist an (id, gh, occ) frame and aggregate both
+    // sides from it
     val dfreq = pairCnt.groupBy("gh").agg(count(lit(1)).as("df"))
     pairCnt
       .join(dfreq, "gh") // every gram has df >= 1: inner join is total
