@@ -158,6 +158,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("keep a", "keep b", "keep c\nkeep d"))
   }
 
+  test("removeBoilerplateLines: a doc that is ALL boilerplate becomes empty text") {
+    val docs = Seq(
+      (1L, "SAME"), (2L, "SAME"), (3L, "SAME\nkept line")).toDF("doc_id", "text")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("", "", "kept line"))
+  }
+
+  test("empty/whitespace docs are absent from token-model outputs, not zeroed") {
+    val docs = Seq((1L, "real tokens here"), (2L, "   ")).toDF("doc_id", "text")
+    assert(CorpusStats.unigramSurprisal(docs, "doc_id", "text", 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(CorpusStats.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("removeBoilerplateLines: untouched docs keep their text verbatim (incl CRLF)") {
     val docs = Seq(
       (1L, "only\r\ndoc"), (2L, "another one")).toDF("doc_id", "text")
