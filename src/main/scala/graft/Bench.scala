@@ -9,12 +9,22 @@ import org.apache.spark.sql.SparkSession
   *     queries stop absorbing first-read page-cache costs;
   *   - the session is warmed (codegen compiler, FS init, the widest
   *     expression DAG) before any timing;
-  *   - each query runs `SPARK_GRAFT_BENCH_ITERS` times (default 5) and
+  *   - each query runs `SPARK_GRAFT_BENCH_ITERS` times (default 3) and
   *     reports the median; iterations are ROUND-ROBIN (all queries once,
   *     then again, ...) so a transient load burst on the shared box lands
   *     on one iteration of many queries instead of all iterations of one
   *     query — back-to-back repeats would share the burst and the median
   *     would keep it.
+  *
+  * Artifact durability (a timed-out run must still leave a parseable
+  * record — an empty artifact is strictly worse than a 1-pass median):
+  *   - the complete JSON line is printed after EVERY round-robin pass,
+  *     tagged `"passes": n`; a consumer that tails stdout takes the LAST
+  *     line, so a kill mid-pass still leaves pass n-1's medians;
+  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 240 s of measured query
+  *     time) stops STARTING new passes once exceeded — on a slow host the
+  *     run self-truncates to fewer passes instead of overrunning the
+  *     driver's wall limit; the emitted line carries `"budget_hit": true`.
   * The reported "total" is the sum of medians.
   */
 object Bench {
@@ -22,7 +32,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,11 +47,11 @@ object Bench {
     // absorb one-time session costs (codegen compiler, FS init) so they
     // don't land on whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
-    // pre-touch every table once: first read pays page-cache and
-    // footer-parse costs that would otherwise land on whichever query
-    // reads the table first (alphabetical order made that systematic).
-    // A bare count() only reads footers, so hash ALL columns — that
-    // decompresses every column page through the OS cache once.
+    // pre-touch every table the catalog reads once: first read pays
+    // page-cache and footer-parse costs that would otherwise land on
+    // whichever query reads the table first (alphabetical order made that
+    // systematic). A bare count() only reads footers, so hash ALL columns
+    // — that decompresses every column page through the OS cache once.
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings"))
       // max, not sum: summing 64-bit hashes overflows under ANSI mode
@@ -72,40 +83,54 @@ object Bench {
     // time-to-exception folded into the median: failed iterations are
     // excluded from samples and the query lands in "errors" instead
     val errors = scala.collection.mutable.SortedSet.empty[String]
-    for (_ <- 1 to iters; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) samples(name) = dt :: samples(name) else errors += name
-    }
-    // a query that failed EVERY iteration has no median and no entry in
-    // "queries" — its name in "errors" is the record
-    val results = ordered.flatMap { case (name, _) =>
-      val xs = samples(name)
-      if (xs.nonEmpty) Some(name -> median(xs)) else None
-    }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
-    // full-precision copy (with every raw sample) written unconditionally
-    // to docs/ — the authoritative record if the driver's tail capture
-    // truncates the printed line
-    try {
-      val full = results.map { case (k, v) =>
-        "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
-          samples(k).reverse.mkString(",") + "]}"
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
-        s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters}
-           |""".stripMargin.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    println(line)
+    // Build + print the artifact from whatever samples exist so far. A
+    // query that failed EVERY iteration has no median and no entry in
+    // "queries" — its name in "errors" is the record.
+    def emit(passes: Int, budgetHit: Boolean): Unit = {
+      val results = ordered.flatMap { case (name, _) =>
+        val xs = samples(name)
+        if (xs.nonEmpty) Some(name -> median(xs)) else None
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}"""
+      // full-precision copy (with every raw sample) written unconditionally
+      // to docs/ — the authoritative record if the driver's tail capture
+      // truncates the printed line
+      try {
+        val full = results.map { case (k, v) =>
+          "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
+            samples(k).reverse.mkString(",") + "]}"
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
+          s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}
+             |""".stripMargin.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+      println(line)
+    }
+    var measuredNanos = 0L
+    var pass = 0
+    var budgetHit = false
+    while (pass < iters && !budgetHit) {
+      pass += 1
+      for ((name, fn) <- ordered) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dtNanos = System.nanoTime() - t0
+        measuredNanos += dtNanos
+        if (ok) samples(name) = dtNanos / 1e9 :: samples(name) else errors += name
+      }
+      // budget check AFTER a completed pass: never truncate mid-pass (that
+      // would bias the pass's medians toward alphabetically-early queries)
+      budgetHit = pass < iters && measuredNanos / 1e9 > budgetS
+      emit(pass, budgetHit)
+    }
     spark.stop()
   }
 }

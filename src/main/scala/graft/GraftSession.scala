@@ -27,13 +27,31 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the extension path already populated the registry — mark it so a
+    // later prepare() doesn't re-register (and WARN) over the injection
+    s.conf.set(RegisteredFlag, "true")
     s
   }
 
+  /** Conf key marking a session whose function registry is already
+    * populated. Session-local (RuntimeConfig), so two concurrent sessions
+    * each register exactly once. */
+  private val RegisteredFlag = "spark.graft.functionsRegistered"
+
   /** Apply engine settings + function registration to an externally built
-    * session (e.g. the driver's Verify/Bench sessions). Idempotent. */
+    * session (e.g. the driver's Verify/Bench sessions).
+    *
+    * Idempotent per session: `SparkEntry` calls this on every catalog
+    * query, and re-running `createOrReplaceTempFunction` for all ~14
+    * functions each time emitted a `SimpleFunctionRegistry … replaced`
+    * WARN per function per query — enough log noise to bury a one-line
+    * bench artifact. The flag lives in the session conf rather than a JVM
+    * global so a fresh session (new registry) still gets registered. */
   def prepare(s: SparkSession): SparkSession = {
-    GraftFunctions.register(s)
+    if (!s.conf.getOption(RegisteredFlag).contains("true")) {
+      GraftFunctions.register(s)
+      s.conf.set(RegisteredFlag, "true")
+    }
     s
   }
 }
