@@ -744,7 +744,13 @@ object SparkEntry {
     }),
     // corpus unigram LM surprisal (CCNet/RefinedWeb-style quality signal):
     // add-one model over the top-16 vocabulary (cap chosen so the OOV path
-    // is exercised at this corpus size), exact integer micro-bits
+    // is exercised at this corpus size), exact integer micro-bits.
+    // Cross-engine caveat (here and ti01): the micro-unit integers come
+    // from half-up rounding of a log2 computed by each engine's libm; a
+    // value landing EXACTLY on a .5 ulp boundary could round apart. No
+    // such boundary case exists in these corpora (hash-verified); if one
+    // ever surfaces, derive the score from a shared integer-only
+    // formulation instead of tightening either engine's libm.
     "lm01_unigram_surprisal" -> ((s, dir) => {
       CorpusStats.unigramSurprisal(
         t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
@@ -763,6 +769,28 @@ object SparkEntry {
     "bp01_boilerplate_score" -> ((s, dir) => {
       CorpusStats.boilerplateScore(
         t(s, dir, "documents"), "doc_id", "text", nGram = 3, minDf = 5L)
+        .orderBy(col("doc_id"))
+    }),
+    // C4-style cross-document boilerplate-line removal. The synthetic
+    // corpus has no repeated lines (verified: every line is unique across
+    // docs), so — like pii01's synthesized PII — both engines append the
+    // same deterministic boilerplate (a copyright line to every 3rd doc, a
+    // blank+newsletter line to every 7th) and the operator must find and
+    // strip exactly those; untouched docs must hash-match their input
+    "bp02_rm_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn(
+        "text",
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nAll rights reserved. Example Corp.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n\nSubscribe to our newsletter!")).otherwise(lit(""))))
+      CorpusStats.removeBoilerplateLines(aug, "doc_id", "text", minDocs = 5L)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text").cast("binary")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
     // PII scrub over deterministic contact blobs synthesized from customer
@@ -914,6 +942,34 @@ object SparkEntry {
         |  CAST(MAX(df) AS BIGINT) AS max_df
         |FROM g JOIN dfq USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bp02_rm_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || 'All rights reserved. Example Corp.'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || chr(10) || 'Subscribe to our newsletter!'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(text, '\r?\n'), 1) AS pos,
+        |    unnest(string_split_regex(text, '\r?\n')) AS line
+        |  FROM aug),
+        |bad AS (SELECT line FROM lines GROUP BY line
+        |        HAVING COUNT(DISTINCT doc_id) >= 5),
+        |affected AS (
+        |  SELECT l.doc_id,
+        |    coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+        |      FILTER (WHERE b.line IS NULL), '') AS new_text
+        |  FROM lines l LEFT JOIN bad b USING (line)
+        |  GROUP BY l.doc_id HAVING COUNT(b.line) > 0)
+        |SELECT x.doc_id, CAST(length(x.t2) AS BIGINT) AS n_chars_clean,
+        |  md5(x.t2) AS clean_md5
+        |FROM (SELECT aug.doc_id, coalesce(af.new_text, aug.text) AS t2
+        |      FROM aug LEFT JOIN affected af USING (doc_id)) x
+        |ORDER BY x.doc_id""".stripMargin,
     "pii01_redact" ->
       """WITH c AS (
         |  SELECT c_custkey,

@@ -32,10 +32,12 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
-  /** Integer floor division on non-negative long columns (exact and
-    * engine-portable; mirrors DuckDB's `//`). */
+  /** Integer division on non-negative long columns (exact at any
+    * magnitude and engine-portable; mirrors DuckDB's `//` for the
+    * non-negative inputs used here). Spark's `div` is integral divide —
+    * no double round-trip, so no 2^53 precision cliff. */
   private def ldiv(a: Column, b: Column): Column =
-    floor(a.cast("double") / b.cast("double")).cast("long")
+    call_function("div", a, b)
 
   /** Non-empty whitespace tokens of lower-cased text, one row per
     * occurrence: the shared first stage of the corpus models. */
@@ -48,6 +50,30 @@ object CorpusStats {
   /** Corpus-wide token counts (the classic wordcount; map-side combined). */
   def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenStream(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** One row per (document, token) with its occurrence count — the shared
+    * materializable intermediate of the token-level corpus models
+    * ([[unigramSurprisalFromCounts]], [[tfidfTopTermsFromCounts]]). Distinct
+    * (doc, token) granularity, so it is never larger than the token stream
+    * and usually far smaller.
+    *
+    * Output: (idCol, tok, occ: long). */
+  def docTermCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenStream(docs, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("occ"))
+
+  /** Eagerly materialize a shared intermediate so its two consumers (model
+    * pass + scoring pass) read stored blocks instead of re-scanning the
+    * source. `localCheckpoint` rather than `persist`: it runs NOW (one
+    * scan, honestly attributed to the caller), truncates lineage, is
+    * block-manager-backed (memory, spilling to disk), and its blocks are
+    * released by the context cleaner when the result frame is dropped — no
+    * cache entry leaks across invocations, and no cross-invocation cache
+    * dedup quietly turns a benchmark's later iterations into cache reads.
+    * At extreme scale, write the counts frame to a table instead and feed
+    * the `FromCounts` overloads directly. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
   /** Per-document mean unigram surprisal in micro-bits — the cheap version
     * of the perplexity filters used by CCNet/RefinedWeb: documents whose
@@ -72,23 +98,37 @@ object CorpusStats {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      vocabCap: Int = 65536): DataFrame =
+    unigramSurprisalFromCounts(
+      materialize(docTermCounts(docs, idCol, textCol)), idCol, vocabCap)
+
+  /** [[unigramSurprisal]] over a pre-computed [[docTermCounts]] frame —
+    * the model pass and the scoring pass both read `termCounts`, so feed
+    * it materialized (the convenience overload does) or pay the source
+    * scan twice. Same output contract as [[unigramSurprisal]]. */
+  def unigramSurprisalFromCounts(
+      termCounts: DataFrame,
+      idCol: String,
       vocabCap: Int = 65536): DataFrame = {
     require(vocabCap > 0, "vocabCap must be positive")
-    val toks = tokenStream(docs, idCol, textCol)
-    val cnt = termCounts(docs, idCol, textCol)
+    val cnt = termCounts.groupBy("tok").agg(sum("occ").as("c"))
     // Two bounded scalars (grand totals), not data rows.
     val row = cnt.agg(
       coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).head()
     val denom = (row.getLong(0) + row.getLong(1)).toDouble
     val vocab = cnt.orderBy(desc("c"), asc("tok")).limit(vocabCap)
-    toks
+    termCounts
       .join(broadcast(vocab), Seq("tok"), "left_outer")
       .withColumn(
         "nll_micro",
         round(-log2((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           lit(denom)) * lit(1000000.0)).cast("long"))
+      // weighting per-token-rounded surprisal by occ is exactly the sum
+      // over occurrence rows the unweighted formulation produced
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum("nll_micro").as("nm"))
+      .agg(
+        sum("occ").as("n_tokens"),
+        sum(col("nll_micro") * col("occ")).as("nm"))
       .select(
         col(idCol),
         col("n_tokens"),
@@ -113,11 +153,24 @@ object CorpusStats {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      k: Int = 5): DataFrame =
+    tfidfTopTermsFromCounts(
+      materialize(docTermCounts(docs, idCol, textCol)), idCol,
+      nDocs = docs.count(), k = k)
+
+  /** [[tfidfTopTerms]] over a pre-computed [[docTermCounts]] frame. The tf
+    * side feeds both the df aggregation and the scoring join, so feed it
+    * materialized. `nDocs` is passed explicitly because documents with no
+    * tokens are absent from the counts frame (the convenience overload
+    * counts the full input). */
+  def tfidfTopTermsFromCounts(
+      termCounts: DataFrame,
+      idCol: String,
+      nDocs: Long,
       k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
-    val nDocs = docs.count() // one bounded scalar
-    val tf = tokenStream(docs, idCol, textCol)
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    require(nDocs >= 0, "nDocs must be non-negative")
+    val tf = termCounts.withColumnRenamed("occ", "tf")
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(desc("score_micro"), asc("tok"))
@@ -147,6 +200,8 @@ object CorpusStats {
       docs: DataFrame,
       groupCol: String,
       textCol: String): DataFrame = {
+    require(!docs.columns.contains("graft_tot"),
+      "input already has a graft_tot column")
     val toks = TextFunctions.tokens(col(textCol))
     val g = docs.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_docs"),
@@ -159,7 +214,11 @@ object CorpusStats {
         col("n_docs"),
         col("n_tokens"),
         col("n_chars"),
-        ldiv(col("n_tokens") * lit(1000L), col("graft_tot"))
+        // an all-empty corpus has no meaningful shares: emit 0, never a
+        // division by zero (NaN/Infinity garbage through doubles, or an
+        // ANSI error through integral div)
+        when(col("graft_tot") === 0L, lit(0L))
+          .otherwise(ldiv(col("n_tokens") * lit(1000L), col("graft_tot")))
           .as("token_permille"))
   }
 
@@ -199,24 +258,41 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       nGram: Int = 3,
-      minDf: Long = 5L): DataFrame = {
-    require(minDf >= 2, "minDf below 2 marks every n-gram as boilerplate")
-    // collapse to one row per (doc, gram hash) FIRST: the df aggregation,
-    // the join, and the final rollup all run on distinct pairs instead of
-    // gram occurrences (and the two consumers reuse one exchange)
-    val pairCnt = docs
+      minDf: Long = 5L): DataFrame =
+    boilerplateScoreFromCounts(
+      materialize(docGramCounts(docs, idCol, textCol, nGram)), idCol, minDf)
+
+  /** One row per (document, word-`n`-gram hash) with its occurrence count —
+    * the materializable intermediate of [[boilerplateScoreFromCounts]].
+    * Collapsing to distinct (doc, gram hash) FIRST means the df
+    * aggregation, the scoring join, and the final rollup all run on
+    * distinct pairs instead of gram occurrences. Gram strings never leave
+    * their scan task; only 8-byte hashes shuffle.
+    *
+    * Output: (idCol, gh: long, occ: long). */
+  def docGramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int): DataFrame =
+    docs
       .select(
         col(idCol),
         explode(TextFunctions.tokenNgrams(col(textCol), nGram)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gh"))
       .groupBy(col(idCol), col("gh")).agg(count(lit(1)).as("occ"))
-    // the df aggregation and the scoring join each consume pairCnt, and
-    // Spark cannot unify the two exchanges (the lambda-bound shingle
-    // explode doesn't canonicalize equal across the self-join's
-    // re-aliasing), so the input is scanned twice — the same deliberate
-    // two-pass shape as unigramSurprisal (model pass + scoring pass);
-    // at extreme scale, persist an (id, gh, occ) frame and aggregate both
-    // sides from it
+
+  /** [[boilerplateScore]] over a pre-computed [[docGramCounts]] frame. The
+    * df aggregation and the scoring join both consume the pairs frame —
+    * and Spark cannot unify the two exchanges across the self-join's
+    * re-aliasing — so feed it materialized (the convenience overload
+    * does) or pay the source scan twice. */
+  def boilerplateScoreFromCounts(
+      gramCounts: DataFrame,
+      idCol: String,
+      minDf: Long = 5L): DataFrame = {
+    require(minDf >= 2, "minDf below 2 marks every n-gram as boilerplate")
+    val pairCnt = gramCounts
     val dfreq = pairCnt.groupBy("gh").agg(count(lit(1)).as("df"))
     pairCnt
       .join(dfreq, "gh") // every gram has df >= 1: inner join is total
