@@ -67,12 +67,24 @@ object TemporalJoins {
     * this is meant for. Seeds come from a strictly different bucket, hence
     * a strictly different ts, so `strict`/inclusive semantics are
     * untouched. Bucket arithmetic needs a numeric view of the ts:
-    * `hotKeyBuckets > 1` requires a numeric or timestamp ts column (cast
-    * dates to timestamp first). Tie-breaking among equal right ts in a
-    * seed aggregate is arbitrary — same disclaimer as above: pre-aggregate
-    * the right side for determinism under ties. Computing the shared time
-    * range for bucketing runs one small min/max aggregate job eagerly at
-    * call time (a bounded driver scalar, like the sampling strata probe).
+    * `hotKeyBuckets > 1` (or auto, below) requires a numeric or timestamp
+    * ts column (cast dates to timestamp first). Tie-breaking among equal
+    * right ts in a seed aggregate is arbitrary — same disclaimer as above:
+    * pre-aggregate the right side for determinism under ties. Computing
+    * the shared time range for bucketing runs one small min/max aggregate
+    * job eagerly at call time (a bounded driver scalar, like the sampling
+    * strata probe).
+    *
+    * `hotKeyBuckets = 0` is AUTO: a count-probe (one partial-aggregable
+    * groupBy over just the key columns, the same shape as
+    * `Joins.adaptivePairs`'s probe) measures the largest window partition
+    * — left plus surviving right rows per key — and shards only when it
+    * exceeds `autoHotKeyThreshold` rows, picking just enough buckets to
+    * bring the hottest key under the threshold (capped at 64; the seed
+    * fan-out is O(buckets²) per key). Uniform inputs keep the plain
+    * single-sort plan; a skewed run flips to the sharded shape with
+    * identical output. The probe is one cheap eager job; pass an explicit
+    * bucket count to skip it.
     */
   def asofJoin(
       left: DataFrame,
@@ -83,7 +95,8 @@ object TemporalJoins {
       rightCols: Seq[String],
       direction: String = "backward",
       strict: Boolean = false,
-      hotKeyBuckets: Int = 1): DataFrame = {
+      hotKeyBuckets: Int = 1,
+      autoHotKeyThreshold: Long = 4000000L): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
@@ -93,8 +106,9 @@ object TemporalJoins {
     val clashes = reserved.intersect(left.columns.toSet ++ rightCols)
     require(clashes.isEmpty,
       s"reserved column names in use: ${clashes.mkString(",")}")
-    require(hotKeyBuckets >= 1, "hotKeyBuckets must be >= 1")
-    if (hotKeyBuckets > 1) {
+    require(hotKeyBuckets >= 0, "hotKeyBuckets must be >= 1, or 0 for auto")
+    require(autoHotKeyThreshold >= 1, "autoHotKeyThreshold must be positive")
+    if (hotKeyBuckets != 1) {
       import org.apache.spark.sql.types._
       Seq(left.schema(leftTs), right.schema(rightTs)).foreach { f =>
         require(f.dataType.isInstanceOf[NumericType] ||
@@ -103,6 +117,24 @@ object TemporalJoins {
             s"(${f.name}); cast dates to timestamp first")
       }
     }
+    // auto mode: measure the largest would-be window partition (left rows
+    // keep null keys — those sort into one shared partition too; right
+    // rows only if they survive the null filter) and shard just enough to
+    // split it under the threshold. One cheap probe job, driver-bounded.
+    val buckets: Int =
+      if (hotKeyBuckets != 0) hotKeyBuckets
+      else {
+        val probe = left.select(col(key).cast("string").as("__k"))
+          .unionAll(right
+            .filter(col(rightTs).isNotNull && col(key).isNotNull)
+            .select(col(key).cast("string").as("__k")))
+          .groupBy(col("__k")).count()
+          .agg(max(col("count"))).head()
+        val hottest = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+        if (hottest <= autoHotKeyThreshold) 1
+        else math.min(64L,
+          (hottest + autoHotKeyThreshold - 1L) / autoHotKeyThreshold).toInt
+      }
 
     val leftCols = left.columns.toSeq
     // __tag orders left vs right rows at equal ts: inclusive match wants
@@ -137,10 +169,10 @@ object TemporalJoins {
     // the window can no longer see, and partition the window by
     // (key, bucket). Null-ts left rows get a null bucket: they form their
     // own shard with no right rows and stay unmatched, as before.
-    val (lIn, rIn, partCols) = if (hotKeyBuckets <= 1) {
+    val (lIn, rIn, partCols) = if (buckets <= 1) {
       (lTagged, rTagged, Seq(col(key)))
     } else {
-      val n = hotKeyBuckets
+      val n = buckets
       val bounds = lTagged.select(col("__ts").cast("double").as("v"))
         .unionAll(rTagged.select(col("__ts").cast("double").as("v")))
         .agg(min(col("v")), max(col("v"))).head()

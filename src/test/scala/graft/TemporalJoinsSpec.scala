@@ -188,6 +188,44 @@ class TemporalJoinsSpec extends AnyFunSuite {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("asofJoin auto hot-key: probe flips to sharded shape on skew only, output identical") {
+    val rnd = new scala.util.Random(13)
+    val lrows = (1 to 600).map(i =>
+      (i.toLong, "hot", rnd.nextInt(100000).toLong)) ++
+      (601 to 640).map(i => (i.toLong, s"k${i % 4}", rnd.nextInt(100000).toLong))
+    val rrows = ((1 to 300).map(i =>
+      ("hot", rnd.nextInt(100000).toLong, i.toDouble)) ++
+      (1 to 40).map(i => (s"k${i % 4}", rnd.nextInt(100000).toLong, -i.toDouble)))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lrows.toDF("event", "k", "ts")
+    val r = rrows.toDF("k", "rts", "v")
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.select("event", "matched_ts", "v").collect()
+        .map(x => (x.getAs[Long]("event"),
+          Option(x.getAs[java.lang.Long]("matched_ts")).map(_.toLong),
+          Option(x.getAs[java.lang.Double]("v")).map(_.toDouble))).toSet
+    // skewed input + low threshold: the probe must flip to the sharded
+    // shape (still join-free) and match the unsharded output exactly
+    for (dir <- Seq("backward", "forward"); strict <- Seq(false, true)) {
+      val base = snapshot(TemporalJoins.asofJoin(
+        l, r, "k", "ts", "rts", Seq("v"), dir, strict))
+      val auto = TemporalJoins.asofJoin(l, r, "k", "ts", "rts", Seq("v"),
+        dir, strict, hotKeyBuckets = 0, autoHotKeyThreshold = 100L)
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("__bkt"),
+        s"dir=$dir strict=$strict: probe did not shard a 100x-threshold key:\n$plan")
+      assert(!plan.contains("Join"), plan)
+      assert(snapshot(auto) == base, s"dir=$dir strict=$strict")
+    }
+    // uniform input under the same threshold: the probe must keep the
+    // plain single-sort plan (no __bkt column anywhere)
+    val uni = TemporalJoins.asofJoin(
+      l.filter(col("k") =!= "hot"), r.filter(col("k") =!= "hot"),
+      "k", "ts", "rts", Seq("v"),
+      hotKeyBuckets = 0, autoHotKeyThreshold = 100L)
+    assert(!uni.queryExecution.executedPlan.toString.contains("__bkt"))
+  }
+
   test("rangeJoin: hand-computed matches, half-open vs closed high") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L))
       .toDF("pid", "p")
