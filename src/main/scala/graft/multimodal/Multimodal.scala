@@ -126,34 +126,15 @@ object Multimodal {
   /** One sampled frame: ordinal + payload. */
   final case class SampledFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Per-document frame extraction for video/audio payloads. The codec
-    * lives behind this trait — real video decoders (JavaCV/ffmpeg) are
-    * not available in a zero-egress build, so the shipped implementation
-    * is the deterministic [[FakeFrameSampler]] STUB; the Spark-side
-    * plumbing (per-partition sampler state, one-row-per-frame fan-out,
-    * schema) is real and tested. */
+  /** Per-document frame extraction for video payloads. The codec lives
+    * behind this trait; the shipped default is the REAL
+    * [[MjpegAviFrameSampler]] (MJPEG-in-AVI needs only RIFF parsing +
+    * the JDK JPEG decoder — no codec jar). Other codecs (H.264/VP9)
+    * implement the same trait with a real decoder and nothing else
+    * changes. */
   trait FrameSampler extends Serializable {
     /** Sample up to `n` frames from one payload. Must be total. */
     def sample(id: Long, bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])]
-  }
-
-  /** STUB frame sampler (no video codec in this container): emits `n`
-    * evenly-spaced byte windows of the payload as "frames" — stable
-    * across runs/JVMs so the fan-out plumbing can be golden-tested. A
-    * real implementation decodes keyframes at n evenly-spaced timestamps
-    * behind the same trait. */
-  final class FakeFrameSampler extends FrameSampler {
-    override def sample(
-        id: Long, bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])] = {
-      if (bytes.isEmpty || n <= 0) Iterator.empty
-      else {
-        val window = math.max(bytes.length / n, 1)
-        (0 until math.min(n, bytes.length)).iterator.map { i =>
-          val start = math.min(i.toLong * bytes.length / n, bytes.length - 1).toInt
-          (i, bytes.slice(start, math.min(start + window, bytes.length)))
-        }
-      }
-    }
   }
 
   /** Frame sampling as a per-partition flatMap: one sampler instance per
@@ -164,7 +145,7 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       framesPerDoc: Int,
-      sampler: FrameSampler = new FakeFrameSampler): Dataset[SampledFrame] = {
+      sampler: FrameSampler = new MjpegAviFrameSampler): Dataset[SampledFrame] = {
     require(framesPerDoc > 0)
     val spark = df.sparkSession
     import spark.implicits._

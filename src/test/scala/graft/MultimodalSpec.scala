@@ -147,11 +147,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3L).resized && out(3L).media.sameElements(junk))
   }
 
+  /** Test-only stub sampler (the old shipped fallback, now demoted to
+    * test code): evenly-spaced byte windows, so the fan-out plumbing is
+    * testable independent of any container format. */
+  private final class WindowFrameSampler extends Multimodal.FrameSampler {
+    override def sample(
+        id: Long, bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])] = {
+      if (bytes.isEmpty || n <= 0) Iterator.empty
+      else {
+        val window = math.max(bytes.length / n, 1)
+        (0 until math.min(n, bytes.length)).iterator.map { i =>
+          val start = math.min(i.toLong * bytes.length / n, bytes.length - 1).toInt
+          (i, bytes.slice(start, math.min(start + window, bytes.length)))
+        }
+      }
+    }
+  }
+
   test("sampleFrames: bounded one-row-per-frame fan-out, deterministic stub") {
     import spark.implicits._
     val bytes = (0 until 100).map(_.toByte).toArray
     val df = Seq((7L, bytes), (8L, Array.empty[Byte])).toDF("doc_id", "media")
-    val frames = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 4)
+    val frames = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 4,
+        sampler = new WindowFrameSampler)
       .collect()
     val by7 = frames.filter(_.doc_id == 7L).sortBy(_.frame_idx)
     assert(by7.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
@@ -161,9 +179,90 @@ class MultimodalSpec extends AnyFunSuite {
     // empty payload yields no frame rows, not nulls
     assert(!frames.exists(_.doc_id == 8L))
     // determinism across runs
-    val again = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 4)
+    val again = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 4,
+        sampler = new WindowFrameSampler)
       .collect().filter(_.doc_id == 7L).sortBy(_.frame_idx)
     assert(again.zip(by7).forall { case (a, b) => a.frame.sameElements(b.frame) })
+  }
+
+  // ---- MJPEG-in-AVI: a real video container assembled in-spec ----
+
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal but structurally honest AVI writer: RIFF('AVI ') holding a
+    * LIST('hdrl') with a real 56-byte avih, a LIST('movi') with one
+    * '00dc' chunk per JPEG frame (even-padded), and an 'idx1' index —
+    * the layout every MJPEG-AVI producer emits. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], wrapInRec: Boolean = false): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ data)
+    val avih = chunk("avih", le32(33333) ++ le32(0) ++ le32(0) ++ le32(16) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(16) ++ le32(16) ++ Array.fill(16)(0.toByte))
+    val frameChunks = frames.map(f => chunk("00dc", f))
+    val moviData =
+      if (wrapInRec) frameChunks.map(fc => list("rec ", fc)).reduce(_ ++ _)
+      else frameChunks.reduce(_ ++ _)
+    val movi = list("movi", moviData)
+    val idx1 = chunk("idx1", frames.indices.map(i =>
+      cc("00dc") ++ le32(16) ++ le32(0) ++ le32(frames(i).length))
+      .reduce(_ ++ _))
+    val body = cc("AVI ") ++ list("hdrl", avih) ++ movi ++ idx1
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("MjpegAviFrameSampler: real frames out of a real container, golden colors") {
+    import spark.implicits._
+    import java.io.ByteArrayInputStream
+    // six solid-color frames; sample 3 → expect frames 0, 2, 4 by even
+    // spacing, each decoding to (approximately — JPEG) its color
+    val colors = Seq(0xc00000, 0x00c000, 0x0000c0, 0xc0c000, 0x00c0c0, 0xc000c0)
+    val avi = mjpegAvi(colors.map(c => jpeg(16, 16, c)))
+    val junk = "RIFFnot really an avi".getBytes("UTF-8")
+    val df = Seq((1L, avi), (2L, junk), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.sampleFrames(df, "doc_id", framesPerDoc = 3).collect()
+    // junk and empty payloads: absent, not null rows
+    assert(out.forall(_.doc_id == 1L))
+    val got = out.sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    val expect = Seq(colors(0), colors(2), colors(4))
+    got.zip(expect).foreach { case (f, c) =>
+      val img = ImageIO.read(new ByteArrayInputStream(f.frame))
+      assert(img != null, s"frame ${f.frame_idx} is not a decodable JPEG")
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      val p = img.getRGB(8, 8)
+      def ch(v: Int, s: Int) = (v >> s) & 0xff
+      // JPEG is lossy: channels within 24 of the solid source color
+      Seq(16, 8, 0).foreach(s =>
+        assert(math.abs(ch(p, s) - ch(c, s)) <= 24,
+          f"frame ${f.frame_idx}: got ${p & 0xffffff}%06x want $c%06x"))
+    }
+    // asking for more frames than exist yields exactly the frame count
+    val all = Multimodal.sampleFrames(
+      Seq((9L, avi)).toDF("doc_id", "media"), "doc_id", framesPerDoc = 99)
+      .collect().sortBy(_.frame_idx)
+    assert(all.length == 6 && all.map(_.frame_idx).toSeq == (0 until 6))
+    // rec-grouped movi lists (interleaved AVIs) parse identically
+    val recAvi = mjpegAvi(colors.map(c => jpeg(16, 16, c)), wrapInRec = true)
+    val rec = Multimodal.sampleFrames(
+      Seq((10L, recAvi)).toDF("doc_id", "media"), "doc_id", framesPerDoc = 6)
+      .collect()
+    assert(rec.length == 6)
   }
 
   test("mixed corpus through the partition-wise stage: images decode, text falls back") {
