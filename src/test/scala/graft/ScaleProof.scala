@@ -41,6 +41,66 @@ object ScaleProof {
       name: String, scale: String, rows: Long, wallSec: Double,
       shuffleMiB: Double, maxStageMiB: Double, taskSkew: Double, tasks: Int)
 
+  /** Bump when the 10× corpus GENERATOR changes layout: `--reuse` only
+    * trusts an on-disk corpus whose marker matches, so a stale corpus
+    * from an older build can't silently invalidate a lane's numbers. */
+  val CorpusLayoutVersion = 3
+
+  /** Shuffle-growth ceilings at 10×, from SCALING.md's committed measured
+    * table (round 4) plus ~50% headroom for run noise. A refactor that
+    * regresses a lane past its ceiling fails the run. `ratioCeil` bounds
+    * shuffle(10×)/shuffle(1×); when the 1× lane is ~zero-shuffle the
+    * ratio is meaningless and `absCeilMiB` bounds the 10× bytes instead.
+    * `skewCeil` bounds max/median task duration within the worst
+    * substantial stage at 10× (measured ≤ 5.3 everywhere except ann02's
+    * driver-head probe stages, measured 16). */
+  final case class Bounds(ratioCeil: Double, skewCeil: Double, absCeilMiB: Double = 8.0)
+  val bounds: Map[String, Bounds] = Map(
+    "dd01_minhash" -> Bounds(75, 8),    // measured 50x
+    "dd02_simhash" -> Bounds(30, 8),    // measured 19x
+    "dd03_ngram" -> Bounds(12, 8),      // measured 7.6x (prefix-filtered)
+    "dd04_embdup" -> Bounds(100, 8),    // measured 67x (output grew 1400x)
+    "dd04_embdup_q8" -> Bounds(100, 8), // measured 67x
+    "ann01_lsh" -> Bounds(5, 8),        // zero-shuffle at any scale
+    "ann02_ivf" -> Bounds(20, 24),      // measured 11x / skew 16
+    "ann03_knn" -> Bounds(100, 8),      // measured 66x
+    "ann03_knn_q8" -> Bounds(100, 8),   // measured 68x
+    "dc01_contain" -> Bounds(5, 8),     // measured 2.8x (prefix-filtered)
+    "lm01_surprisal" -> Bounds(25, 8),  // measured 16x
+    "ti01_tfidf" -> Bounds(32, 8),      // measured 21x
+    "bp01_boiler" -> Bounds(25, 8),     // measured 15x
+    "bp02_rmlines" -> Bounds(30, 8),    // measured 19x
+    "cu01_curate" -> Bounds(80, 8))     // measured 53x
+
+  /** Check measured 1×/10× pairs against [[bounds]]; returns violation
+    * messages (empty = all within ceilings). Lanes missing either scale
+    * (filtered runs) are skipped. */
+  def checkBounds(results: Seq[OpStats]): Seq[String] =
+    results.groupBy(_.name).toSeq.sortBy(_._1).flatMap { case (n, rs) =>
+      (rs.find(_.scale == "1x"), rs.find(_.scale == "10x"), bounds.get(n)) match {
+        case (Some(a), Some(b), Some(bd)) =>
+          val ratioViol =
+            if (a.shuffleMiB < 0.05)
+              if (b.shuffleMiB > bd.absCeilMiB)
+                Seq(f"$n: 10x shuffle ${b.shuffleMiB}%.1f MiB exceeds " +
+                  f"abs ceiling ${bd.absCeilMiB}%.1f (1x was ~zero-shuffle)")
+              else Nil
+            else {
+              val r = b.shuffleMiB / a.shuffleMiB
+              if (r > bd.ratioCeil)
+                Seq(f"$n: shuffle growth $r%.1fx exceeds ceiling ${bd.ratioCeil}%.1fx " +
+                  f"(${a.shuffleMiB}%.1f -> ${b.shuffleMiB}%.1f MiB)")
+              else Nil
+            }
+          val skewViol =
+            if (b.taskSkew > bd.skewCeil)
+              Seq(f"$n: 10x task skew ${b.taskSkew}%.1f exceeds ceiling ${bd.skewCeil}%.1f")
+            else Nil
+          ratioViol ++ skewViol
+        case _ => Nil
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     // optional arg filters: operator names to run (others skipped), and
     // "--reuse" to keep an existing /tmp 10x corpus (isolating one lane
@@ -113,11 +173,21 @@ object ScaleProof {
       .repartition(32)
 
     // materialize generators to parquet so every operator measures ITS
-    // work, not the corpus construction
+    // work, not the corpus construction. --reuse trusts an existing
+    // corpus only when its layout-version marker matches this generator
+    // (a stale corpus from an older build would silently invalidate the
+    // boilerplate/line-layout lanes' measurements).
     val base = "/tmp/graft_scaleproof"
-    if (!reuse || !Files.exists(Paths.get(s"$base/docs10x/_SUCCESS"))) {
+    val marker = Paths.get(s"$base/LAYOUT_VERSION")
+    val markerOk = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim ==
+        CorpusLayoutVersion.toString
+    if (!reuse || !markerOk || !Files.exists(Paths.get(s"$base/docs10x/_SUCCESS"))) {
+      Files.createDirectories(Paths.get(base))
+      Files.deleteIfExists(marker) // no marker while the corpus is mid-write
       docs10x.write.mode("overwrite").parquet(s"$base/docs10x")
       emb10x.write.mode("overwrite").parquet(s"$base/emb10x")
+      Files.write(marker, s"$CorpusLayoutVersion\n".getBytes("UTF-8")): Unit
     }
     val d10 = spark.read.parquet(s"$base/docs10x")
     val e10 = spark.read.parquet(s"$base/emb10x")
@@ -234,6 +304,15 @@ object ScaleProof {
         f"| ${a.shuffleMiB}%.1f→${b.shuffleMiB}%.1f | ${ratio}%.1f× " +
         f"| ${a.maxStageMiB}%.1f→${b.maxStageMiB}%.1f | ${a.taskSkew}%.1f→${b.taskSkew}%.1f |")
     }
+    // enforce the committed ceilings: a refactor that quietly regresses a
+    // lane's shuffle growth or skew fails the run, not just the reader
+    val violations = checkBounds(results.toSeq)
+    if (violations.isEmpty) println("\nbounds: all lanes within committed ceilings")
+    else {
+      println("\nBOUNDS VIOLATIONS:")
+      violations.foreach(v => println(s"  FAIL $v"))
+    }
     spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ScaleProof.{Bounds, OpStats}
+
+/** Pins the scale-growth contract: the ceilings in [[ScaleProof.bounds]]
+  * must accept the committed round-4 measured table (SCALING.md
+  * §Measured evidence) and reject regressions. The MEASURED enforcement
+  * runs via `Test/runMain graft.ScaleProof` (now exits 1 on any ceiling
+  * violation); this spec keeps the ceilings themselves honest so a
+  * future edit can't silently widen or orphan them. */
+class ScaleProofSpec extends AnyFunSuite {
+
+  private def pair(name: String, s1: Double, s10: Double, skew10: Double) = Seq(
+    OpStats(name, "1x", 0L, 0.0, s1, s1, 1.0, 1),
+    OpStats(name, "10x", 0L, 0.0, s10, s10, skew10, 1))
+
+  test("committed round-4 measured table passes every ceiling") {
+    // shuffle MiB 1x -> 10x and 10x skew, transcribed from SCALING.md
+    val committed = Seq(
+      pair("dd01_minhash", 2.9, 147, 1.2),
+      pair("dd02_simhash", 15, 281, 5.3),
+      pair("dd03_ngram", 14, 108, 1.9),
+      pair("dc01_contain", 5.1, 14, 1.7),
+      pair("dd04_embdup", 17, 1132, 1.2),
+      pair("dd04_embdup_q8", 6.7, 450, 1.1),
+      pair("ann01_lsh", 0, 0, 1.0),
+      pair("ann02_ivf", 0.5, 5.7, 16),
+      pair("ann03_knn", 18, 1208, 1.6),
+      pair("ann03_knn_q8", 7.6, 520, 1.5),
+      pair("cu01_curate", 3.6, 191, 1.1),
+      pair("lm01_surprisal", 0.1, 0.5, 1.0),
+      pair("ti01_tfidf", 2.9, 61, 1.4),
+      pair("bp01_boiler", 3.8, 55, 1.2),
+      pair("bp02_rmlines", 0.1, 2.5, 1.4)).flatten
+    val violations = ScaleProof.checkBounds(committed)
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("every measured lane has a ceiling and every ceiling has a lane") {
+    val measured = Set("dd01_minhash", "dd02_simhash", "dd03_ngram",
+      "dd04_embdup", "dd04_embdup_q8", "ann01_lsh", "ann02_ivf",
+      "ann03_knn", "ann03_knn_q8", "dc01_contain", "lm01_surprisal",
+      "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "cu01_curate")
+    assert(ScaleProof.bounds.keySet == measured)
+  }
+
+  test("checkBounds rejects shuffle-growth and skew regressions") {
+    // dd03 at 20x growth (ceiling 12) and 12 skew (ceiling 8): both flagged
+    val bad = pair("dd03_ngram", 14, 280, 12.0)
+    val v = ScaleProof.checkBounds(bad)
+    assert(v.size == 2, v.mkString("\n"))
+    assert(v.exists(_.contains("shuffle growth")) && v.exists(_.contains("skew")))
+    // a zero-shuffle lane that starts shuffling at 10x trips the absolute
+    // ceiling even though the ratio is undefined
+    val abs = pair("ann01_lsh", 0.0, 50.0, 1.0)
+    assert(ScaleProof.checkBounds(abs).exists(_.contains("abs ceiling")))
+    // lanes missing a scale (filtered run) or without a ceiling are skipped
+    assert(ScaleProof.checkBounds(
+      Seq(OpStats("dd03_ngram", "10x", 0L, 0.0, 999, 999, 99, 1))).isEmpty)
+    assert(ScaleProof.checkBounds(pair("unknown_lane", 1, 999, 99)).isEmpty)
+  }
+
+  test("corpus layout-version marker is positive and bumps with the generator") {
+    assert(ScaleProof.CorpusLayoutVersion >= 3)
+  }
+}
