@@ -987,9 +987,14 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(contact,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(contact,
+        |  -- counts mirror the redaction CASCADE (per class, on the text
+        |  -- with earlier classes already replaced), matching piiCounts
+        |  CAST(len(regexp_extract_all(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+[0-9][0-9\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(contact,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
         |FROM c ORDER BY c_custkey LIMIT 100""".stripMargin,
     "mw01_mixture_weights" ->

@@ -184,11 +184,20 @@ object TextFunctions {
         phoneRe, "<PHONE>"),
       ipRe, "<IP>")
 
-  /** Match counts for the three [[redactPii]] classes on the raw text,
-    * as (emails, phones, ips) long columns — audit counters for a scrub
-    * pass (how much PII a source carries is itself a curation signal). */
-  def piiCounts(text: Column): (Column, Column, Column) = (
-    regexp_count(text, lit(emailRe)).cast("long"),
-    regexp_count(text, lit(phoneRe)).cast("long"),
-    regexp_count(text, lit(ipRe)).cast("long"))
+  /** Match counts for the three [[redactPii]] classes, as (emails,
+    * phones, ips) long columns — audit counters for a scrub pass (how
+    * much PII a source carries is itself a curation signal). Each class
+    * is counted on the PROGRESSIVELY-REDACTED text, mirroring
+    * [[redactPii]]'s cascade, so the counts are exactly the number of
+    * `<EMAIL>`/`<PHONE>`/`<IP>` markers in the redacted output — a
+    * phone-shaped digit run inside an email's local part, or an
+    * IP-shaped email domain, counts once as the email that swallowed
+    * it, never twice. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    (regexp_count(text, lit(emailRe)).cast("long"),
+      regexp_count(afterEmail, lit(phoneRe)).cast("long"),
+      regexp_count(afterPhone, lit(ipRe)).cast("long"))
+  }
 }

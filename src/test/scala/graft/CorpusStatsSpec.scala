@@ -208,6 +208,21 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
   }
 
+  test("piiCounts mirror the redaction cascade: nested matches count once") {
+    // a phone-shaped digit run inside the email's local part, and an
+    // IP-shaped email domain: both are swallowed by the email pass, so
+    // they must count as emails only — exactly what the output shows
+    val txt = "x+1-222-333-4444@example.com and root@10.1.2.3.org plus " +
+      "a real +1-555-000-1111 and host 172.16.0.9"
+    val df = Seq(txt).toDF("text")
+    val red = df.select(TextFunctions.redactPii(col("text"))).head.getString(0)
+    assert(red == "<EMAIL> and <EMAIL> plus a real <PHONE> and host <IP>")
+    val (e, p, i) = TextFunctions.piiCounts(col("text"))
+    val r = df.select(e, p, i).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)),
+      s"counts must equal the markers in: $red")
+  }
+
   test("redactPii: plain text untouched; no false positives on versions/decimals") {
     val txt = "version 1.2.3 costs 10.50 at 3-4pm"
     val red = Seq(txt).toDF("text")
