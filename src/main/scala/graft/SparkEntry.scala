@@ -1475,6 +1475,89 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.s, b.s)) > 0)
         |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+    // full MinHash+LSH replay over the engine-portable signature family
+    // (md5-32 base hash; (a_j*h+b_j) mod 4294967291 permutations with
+    // md5-derived constants — no RNG): signatures, 16 bands of 4, distinct
+    // candidate pairs, signature-overlap estimate, exact distinct-3-gram
+    // jaccard — all bit-identical to the Spark lane
+    "dd01_minhash_candidates" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
+        |  FROM tok),
+        |th AS (SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+        |      AS hs
+        |  FROM gr),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    coalesce(list_min(list_transform(hs, h ->
+        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+        |          * h +
+        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+        |        % 4294967291)),
+        |      4294967291)) AS s
+        |  FROM th),
+        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]),
+        |ex AS (SELECT doc_id, list_distinct(grams) AS gs FROM gr)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(len(list_filter(range(1, 65), i -> c.sa[i] = c.sb[i]))
+        |    AS DOUBLE) / 64 AS est_jaccard,
+        |  CASE WHEN len(ea.gs) + len(eb.gs) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |    END AS exact_jaccard
+        |FROM cand c
+        |JOIN ex ea ON ea.doc_id = c.id_a
+        |JOIN ex eb ON eb.doc_id = c.id_b
+        |ORDER BY est_jaccard DESC, c.id_a, c.id_b
+        |LIMIT 20""".stripMargin,
+    // full SimHash replay over the portable 60-bit family (md5-60 token
+    // hashes, majority bit votes), 16-bit pigeonhole blocks, hamming via
+    // bit_count(xor), exact distinct-token jaccard
+    "dd02_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |th AS (SELECT doc_id, ts,
+        |    list_transform(ts, t -> ('0x' || substr(md5(t),1,15))::BIGINT)
+        |      AS hs
+        |  FROM tok),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN 2 * len(list_filter(hs,
+        |            h -> (h // (1::BIGINT << b)) % 2 = 1)) > len(hs)
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS s
+        |  FROM th),
+        |blk AS (SELECT doc_id, s, unnest(range(0, 4)) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.s AS sa, b.s AS sb
+        |  FROM blk a JOIN blk b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND ((a.s >> (16 * a.band)) & 65535) =
+        |        ((b.s >> (16 * b.band)) & 65535)),
+        |ex AS (SELECT doc_id, list_distinct(ts) AS gs FROM tok)
+        |SELECT id_a, id_b, hamming, exact_jaccard FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(bit_count(xor(c.sa, c.sb)) AS BIGINT) AS hamming,
+        |    CASE WHEN len(ea.gs) + len(eb.gs) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |        (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |      END AS exact_jaccard
+        |  FROM cand c
+        |  JOIN ex ea ON ea.doc_id = c.id_a
+        |  JOIN ex eb ON eb.doc_id = c.id_b)
+        |WHERE hamming <= 32
+        |ORDER BY hamming, id_a, id_b
         |LIMIT 20""".stripMargin
   )
 
@@ -1488,24 +1571,36 @@ object SparkEntry {
   // the driver's rows-only gate checks cardinality; the invariant columns
   // carry the meaning.
   private val rowsOnlyCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dd01/dd02 run the REAL banding/blocking/candidate/estimate code over
+    // the engine-portable (md5-derived, RNG-free) signature family, so the
+    // full pipeline — signature, LSH bands, candidate pairs, estimates —
+    // hash-matches a DuckDB replay (oracle below). The murmur signature
+    // path stays the scale default and keeps its own specs + ScaleProof.
     "dd01_minhash_candidates" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      val sigs = docs.select(
+        col("doc_id").as("id"),
+        Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
+          .as("sig"))
       // exact_jaccard next to the MinHash estimate: |est - exact| is
       // bounded by the 64-hash signature's sampling error (InvariantsSpec)
       Dedup.withExactJaccard(
-        Dedup.minhashCandidates(docs, "doc_id", "text",
-          numHashes = 64, bands = 16, nGram = 3),
+        Dedup.minhashCandidatesFromSigs(sigs, numHashes = 64, bands = 16),
         docs, "doc_id", "text", nGram = 3)
         .orderBy(desc("est_jaccard"), col("id_a"), col("id_b"))
         .limit(20)
     }),
     "dd02_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      val sigs = docs.select(
+        col("doc_id").as("id"),
+        Dedup.simhash60Portable(col("text")).as("sig"))
       // exact token-set (1-gram) Jaccard next to the hamming distance:
       // simhash hashes token sets, so low hamming must mean high overlap
       Dedup.withExactJaccard(
-        Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 32),
+        Dedup.simhashNearDupFromSigs(sigs, maxHamming = 32),
         docs, "doc_id", "text", nGram = 1)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)
     }),

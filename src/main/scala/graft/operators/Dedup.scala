@@ -94,6 +94,79 @@ object Dedup {
     df.select(col(idCol).as("id"),
       minhashSigColumn(col(textCol), numHashes, nGram).as("sig"))
 
+  // ---- Engine-portable (derandomized) signatures -------------------
+  //
+  // The murmur-based signature expressions above are the scale path, but
+  // no SQL engine can replay Scala's murmur3 — which left the minhash/
+  // simhash catalog lanes rows-only. These variants derandomize the hash
+  // family into primitives every engine computes bit-identically (md5 of
+  // the gram/token string, integer arithmetic), so a DuckDB oracle can
+  // reproduce candidate pairs and estimates EXACTLY. ~2× the hash cost of
+  // the murmur path (md5 + string shingles): use for verification lanes,
+  // keep the murmur path for 100 TB.
+
+  /** Largest 32-bit prime: modulus of the portable permutation family. */
+  private[graft] val PortableP = 4294967291L
+
+  /** First 32 bits of md5(s) as an unsigned value in a long — driver-side
+    * twin of the SQL `('0x' || substr(md5(s), 1, 8))::BIGINT`. */
+  private def md5_32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** md5-derived 32-bit hash of a string column, exact in any engine
+    * (`conv(substr(md5(c), 1, 8), 16, 10)`). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Engine-portable MinHash signature (array<long>, length `numHashes`).
+    *
+    * Base hash: md5-32 of each n-gram string. Permutations: the classic
+    * 2-universal `(a_j·h + b_j) mod p` with `p` = [[PortableP]]; the
+    * constants are THEMSELVES md5-derived from the literal strings
+    * "a<j>"/"b<j>" — no RNG for an oracle to replay. `a_j` is kept below
+    * 2³¹ so `a_j·h + b_j` stays under 2⁶³: no wrap-around anywhere, so
+    * ANSI Spark, DuckDB BIGINT, and two's-complement longs all agree.
+    * Documents with fewer than `nGram` tokens get the all-sentinel
+    * signature (`p` in every slot — larger than any permuted value).
+    * Banding-compatible with [[minhashCandidatesFromSigs]]. */
+  def minhashSigColumnPortable(
+      textCol: Column, numHashes: Int = 64, nGram: Int = 3): Column = {
+    require(numHashes > 0, "numHashes must be positive")
+    val ab = array((0 until numHashes).map { j =>
+      struct(
+        lit((md5_32("a" + j) % 2147483647L) + 1L).as("a"),
+        lit(md5_32("b" + j) % PortableP).as("b"))
+    }: _*)
+    val th = transform(tokenNgrams(textCol, nGram), g => h32(g))
+    val zero = array(Seq.fill(numHashes)(lit(PortableP)): _*)
+    aggregate(th, zero, (acc, h) =>
+      zip_with(acc, ab, (m, p) =>
+        least(m, (p("a") * h + p("b")) % lit(PortableP))))
+  }
+
+  /** Engine-portable 60-bit SimHash over the token stream (with
+    * multiplicity): per-token hash = md5-60 (15 hex chars — the widest
+    * md5 prefix that fits a positive long in every engine), bit votes,
+    * bit b set iff strictly more tokens set it than clear it. Works with
+    * [[simhashNearDupFromSigs]] (the 16-bit pigeonhole blocks just see a
+    * 12-bit top block). */
+  def simhash60Portable(textCol: Column): Column = {
+    val pw = array((0 until 60).map(b => lit(1L << b)): _*)
+    val th = transform(tokens(textCol), t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val votes = aggregate(th, array(Seq.fill(60)(lit(0L)): _*), (acc, h) =>
+      zip_with(acc, pw, (v, p) =>
+        v + when(call_function("div", h, p) % lit(2L) === lit(1L), 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, pw, (v, p) => when(v > 0L, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** (id, sig) → exploded (id, sig, band, bucket) LSH banding rows. */
   private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -277,11 +350,21 @@ object Dedup {
       // for ONE block value. 1000 caps that at 5·10^5; a true near-dup
       // pair is only lost if ALL FOUR of its blocks are degenerate
       // (measured on the 50k-doc low-entropy smoke: -6% pairs, -87% time)
-      maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = ensureParallelism(df).select(
-      col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sig"))
+      maxBucketSize: Int = 1000): DataFrame =
+    simhashNearDupFromSigs(
+      ensureParallelism(df).select(
+        col(idCol).as("id"),
+        simhash64(tokens(col(textCol))).as("sig")),
+      maxHamming, maxBucketSize)
 
+  /** Block pigeonhole + in-bucket pairing over precomputed (id, sig)
+    * rows — the second half of [[simhashNearDup]], exposed so a pipeline
+    * can carry the signature from its own scan (or use the portable
+    * [[simhash60Portable]] family). */
+  def simhashNearDupFromSigs(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val blockStructs = (0 until 4).map { b =>
       struct(
         lit(b).as("band"),

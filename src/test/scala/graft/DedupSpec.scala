@@ -285,4 +285,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("portable signatures: md5-exact, duplicate-detecting, sentinel on short docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words everywhere here now"),
+      (4L, "too short")                            // < 3 tokens: sentinel sig
+    ).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id").as("id"),
+      Dedup.minhashSigColumnPortable(col("text"), 64, 3).as("sig"))
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(1L) != byId(3L))
+    assert(byId(4L).forall(_ == Dedup.PortableP)) // sentinel everywhere
+    assert(byId(1L).forall(v => v >= 0L && v < Dedup.PortableP))
+    // the real banding code finds the dup pair at estimate 1.0
+    val cands = Dedup.minhashCandidatesFromSigs(sigs, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 1.0))
+    assert(!cands.exists(c => c._2 == 3L && c._3 > 0.5))
+
+    // simhash60Portable on ONE token equals that token's md5-60 hash (every
+    // set bit wins its vote 1-0) — pins the md5 derivation bit-for-bit
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+      .select(Dedup.simhash60Portable(col("text"))).head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes("UTF-8"))
+    val want = md.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+    assert(one == want)
+    // and a 60-bit value with the FromSigs blocking finding exact dups
+    val ssigs = docs.select(col("doc_id").as("id"),
+      Dedup.simhash60Portable(col("text")).as("sig"))
+    assert(ssigs.collect().forall(r => (r.getLong(1) >>> 60) == 0L))
+    val spairs = Dedup.simhashNearDupFromSigs(ssigs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spairs.contains((1L, 2L)))
+  }
 }
