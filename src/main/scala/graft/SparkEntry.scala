@@ -1558,7 +1558,136 @@ object SparkEntry {
         |  JOIN ex eb ON eb.doc_id = c.id_b)
         |WHERE hamming <= 32
         |ORDER BY hamming, id_a, id_b
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // full embedding-LSH replay: md5-derived Rademacher hyperplanes, bit
+    // b of table t set iff the signed sequential-double sum >= 0, 4
+    // bucket tables, distinct bucket-sharing pairs, cosine composed
+    // dot/nx/ny exactly like the codegen'd expression loop
+    "dd04_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bkt AS (
+        |  SELECT vec_id, v, r.t AS band,
+        |    CAST(list_sum(list_transform(range(0, 6), b ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |          CASE WHEN ('0x' || substr(
+        |                md5('p' || r.t || '_' || b || '_' || (i-1)), 1, 8)
+        |              )::BIGINT % 2 = 0
+        |            THEN v[i] ELSE -v[i] END)) >= 0
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, range(0, 4) AS r(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.v AS va, b.v AS vb
+        |  FROM bkt a JOIN bkt b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |          ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |    list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i]))
+        |      AS dot,
+        |    list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * va[i]))
+        |      AS nx,
+        |    list_sum(list_transform(range(1, len(vb) + 1), i -> vb[i] * vb[i]))
+        |      AS ny)) AS cos
+        |FROM cand
+        |ORDER BY cos DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+    // LSH top-k replay: query (vec 0) and corpus bucketed by the same
+    // portable hyperplanes, candidates = bucket collisions in any table,
+    // exact-composition cosine, exact global top-10 rank (0 = LSH miss)
+    "ann01_lsh_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+        |qb AS (
+        |  SELECT r.t AS band,
+        |    CAST(list_sum(list_transform(range(0, 6), b ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |          CASE WHEN ('0x' || substr(
+        |                md5('p' || r.t || '_' || b || '_' || (i-1)), 1, 8)
+        |              )::BIGINT % 2 = 0
+        |            THEN qv[i] ELSE -qv[i] END)) >= 0
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM q, range(0, 8) AS r(t)),
+        |cb AS (
+        |  SELECT vec_id, r.t AS band,
+        |    CAST(list_sum(list_transform(range(0, 6), b ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |          CASE WHEN ('0x' || substr(
+        |                md5('p' || r.t || '_' || b || '_' || (i-1)), 1, 8)
+        |              )::BIGINT % 2 = 0
+        |            THEN v[i] ELSE -v[i] END)) >= 0
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM c, range(0, 8) AS r(t)),
+        |cand AS (SELECT DISTINCT cb.vec_id
+        |  FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket),
+        |sc AS (
+        |  SELECT c.vec_id,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+        |        AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))
+        |        AS nx,
+        |      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))
+        |        AS ny)) AS score
+        |  FROM c, q),
+        |ex AS (SELECT vec_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+        |      AS exact_rank
+        |  FROM sc)
+        |SELECT s.vec_id, s.score,
+        |  coalesce(x.exact_rank, 0) AS exact_rank
+        |FROM sc s
+        |JOIN cand USING (vec_id)
+        |LEFT JOIN (SELECT * FROM ex WHERE exact_rank <= 10) x USING (vec_id)
+        |ORDER BY s.score DESC, s.vec_id
+        |LIMIT 10""".stripMargin,
+    // kNN-graph replay: portable buckets (8 bits x 4 tables), distinct
+    // bucket-sharing pairs, both directions, per-id rank by falling
+    // cosine with neighbor-id ties, rank <= 5, first 100 rows by (id, rank)
+    "ann03_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bkt AS (
+        |  SELECT vec_id, v, r.t AS band,
+        |    CAST(list_sum(list_transform(range(0, 8), b ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |          CASE WHEN ('0x' || substr(
+        |                md5('p' || r.t || '_' || b || '_' || (i-1)), 1, 8)
+        |              )::BIGINT % 2 = 0
+        |            THEN v[i] ELSE -v[i] END)) >= 0
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, range(0, 4) AS r(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.v AS va, b.v AS vb
+        |  FROM bkt a JOIN bkt b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id),
+        |sc AS (SELECT id_a, id_b,
+        |  (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |          ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |    list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i]))
+        |      AS dot,
+        |    list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * va[i]))
+        |      AS nx,
+        |    list_sum(list_transform(range(1, len(vb) + 1), i -> vb[i] * vb[i]))
+        |      AS ny)) AS cos
+        |  FROM cand),
+        |sym AS (
+        |  SELECT id_a AS id, id_b AS neighbor_id, cos AS score FROM sc
+        |  UNION ALL
+        |  SELECT id_b AS id, id_a AS neighbor_id, cos AS score FROM sc),
+        |rk AS (SELECT id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY id
+        |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM sym)
+        |SELECT id, neighbor_id, score, rank FROM rk
+        |WHERE rank <= 5
+        |ORDER BY id, rank
+        |LIMIT 100""".stripMargin
   )
 
   // ------------------------------------------------------------------
@@ -1621,38 +1750,41 @@ object SparkEntry {
         .orderBy(desc("containment"), col("test_id"), col("train_id"))
         .limit(20)
     }),
+    // full LSH near-dup replay: md5-derived Rademacher hyperplanes (no
+    // RNG), buckets from sequential-double signed sums (bit-exact in both
+    // engines), real bucketing/capping/scoring code, full-precision cosine
+    // (the oracle composes dot/nx/ny exactly like the codegen'd loop —
+    // verified bit-exact over all 500 vecs at sf0.01)
     "dd04_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // cos_check re-scores each surviving pair via the SQL-only cosine
-      // path — the codegen'd expression and the built-in higher-order
-      // functions agreeing pins scoring in the output itself
-      Dedup.embeddingNearDup(e, "vec_id", "embedding",
-          dim = 64, cosThreshold = -1.0, bitsPerTable = 6, tables = 4)
+      Dedup.nearDupFromBuckets(
+        Similarity.withLshBucketsPlanes(
+          e, "embedding", Similarity.portableHyperplanes(64, 6, 4)),
+        "vec_id", "embedding", cosThreshold = -1.0)
         .orderBy(desc("cos"), col("id_a"), col("id_b"))
         .limit(20)
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("__va")),
-          Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("__vb")),
-          Seq("id_b"))
-        .withColumn("cos_check",
-          Similarity.cosineSqlPath(col("__va"), col("__vb")))
-        .drop("__va", "__vb")
-        .orderBy(desc("cos"), col("id_a"), col("id_b"))
     }),
+    // portable-hyperplane LSH top-k with a FULL oracle (same replay story
+    // as dd04); exact_rank = position in the exact global top-10, 0 = a
+    // true LSH miss (0 instead of null keeps the column integral in both
+    // engines' dataframe paths) — recall@10 readable off the output
     "ann01_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0)
       val corpus = e.filter(col("vec_id") =!= 0L)
-      // exact_rank: this id's position in the exact global top-10 (null =
-      // a true LSH miss) — recall@10 is readable off the output itself
       val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
         .withColumn("exact_rank", row_number().over(
           Window.orderBy(desc("score"), col("vec_id"))))
         .select(col("vec_id"), col("exact_rank"))
-      Similarity.lshTopK(corpus, "vec_id", "embedding",
-          dim = 64, query = q, k = 10, bits = 6, tables = 4)
+      // 8 tables (vs dd04's 4): the corpus has no true near-neighbors of
+      // vec 0 (exact top-10 cosines 0.28-0.37), so single-table collision
+      // probability is low; 8 tables keep deterministic recall@10 >= 3
+      Similarity.lshTopKPlanes(corpus, "vec_id", "embedding", q, k = 10,
+          planes = Similarity.portableHyperplanes(64, 6, 8))
         .join(exact, Seq("vec_id"), "left")
+        .withColumn("exact_rank",
+          coalesce(col("exact_rank").cast("long"), lit(0L)))
         .orderBy(desc("score"), col("vec_id"))
     }),
     "ann02_ivf_topk" -> ((s, dir) => {
@@ -1674,31 +1806,22 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
     // kNN-graph over the whole embeddings table (LSH candidates, per-id
-    // top-k): the semantic-dedup/clustering primitive. Rows-only — the
-    // candidate set depends on the library's seeded hyperplanes, which no
-    // SQL engine reproduces; exact-scoring parity is pinned by
-    // SimilaritySpec cluster tests instead.
+    // top-k): the semantic-dedup/clustering primitive. Portable
+    // hyperplanes make the candidate set — and therefore the whole graph
+    // slice — fully oracle-replayable (bits=8 → ~256 buckets/table: ~40-row
+    // buckets at sf0.1 give each id ~160 candidates across 4 tables,
+    // ample for k=5)
     "ann03_knn_graph" -> ((s, dir) => {
-      // bits=8 → ~256 buckets/table: ~40-row buckets at sf0.1 give each
-      // id ~160 candidates across 4 tables — ample for k=5 at a quarter
-      // of the bits=6 pair count
       val e = t(s, dir, "embeddings")
-      // cos_check: SQL-path re-score of each emitted edge (post-limit, so
-      // the lane costs two tiny joins); InvariantsSpec also pins dense
-      // ranks and per-id score monotonicity
-      Similarity.knnJoin(e, "vec_id", "embedding", dim = 64, k = 5,
-          bits = 8, tables = 4)
+      Similarity.knnFromPairs(
+        Dedup.nearDupFromBuckets(
+          Similarity.withLshBucketsPlanes(e, "embedding",
+            Similarity.portableHyperplanes(64, 8, 4)),
+          "vec_id", "embedding", cosThreshold = -2.0),
+        k = 5)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("id"), col("rank"))
         .limit(100)
-        .join(e.select(col("vec_id").as("id"), col("embedding").as("__va")),
-          Seq("id"))
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("__vb")), Seq("neighbor_id"))
-        .withColumn("cos_check",
-          Similarity.cosineSqlPath(col("__va"), col("__vb")))
-        .select(col("id"), col("neighbor_id"), col("score"), col("rank"),
-          col("cos_check"))
-        .orderBy(col("id"), col("rank"))
     }),
     // sequence packing: chunks → budget-bounded bins, greedy next-fit per
     // deterministic pack group (greedy scan is sequential; groups scale

@@ -110,7 +110,7 @@ object Dedup {
 
   /** First 32 bits of md5(s) as an unsigned value in a long — driver-side
     * twin of the SQL `('0x' || substr(md5(s), 1, 8))::BIGINT`. */
-  private def md5_32(s: String): Long = {
+  private[operators] def md5_32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
@@ -676,9 +676,24 @@ object Dedup {
       tables: Int = 4,
       seed: Long = 42L,
       maxBucketSize: Int = 10000,
+      quantized: Boolean = false): DataFrame =
+    nearDupFromBuckets(
+      Similarity.withLshBuckets(
+        ensureParallelism(df), vecCol, dim, bitsPerTable, tables, seed),
+      idCol, vecCol, cosThreshold, maxBucketSize, quantized)
+
+  /** Pairing + scoring half of [[embeddingNearDup]] over rows that already
+    * carry `lsh_buckets` (from [[Similarity.withLshBuckets]] or the
+    * portable-hyperplane variant) — exposed so a verification lane can
+    * swap the hyperplane family while exercising the same bucketing,
+    * capping, and scoring code. */
+  def nearDupFromBuckets(
+      bucketed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cosThreshold: Double = 0.9,
+      maxBucketSize: Int = 10000,
       quantized: Boolean = false): DataFrame = {
-    val bucketed = Similarity.withLshBuckets(
-      ensureParallelism(df), vecCol, dim, bitsPerTable, tables, seed)
     val hashed =
       (if (quantized)
         Similarity.quantizeI8(bucketed, vecCol)

@@ -117,6 +117,19 @@ object Similarity {
     Array.fill(tables, bits, dim)((rnd.nextGaussian()).toFloat)
   }
 
+  /** Engine-portable Rademacher (±1) hyperplanes, md5-derived per
+    * (table, bit, component) — the derandomized family a SQL oracle can
+    * reconstruct exactly (sign hyperplanes are a valid signed-random-
+    * projection LSH; Achlioptas-style sparse/sign projections). The
+    * per-bit dot `Σ ±v_i` is a sequential double sum in both the
+    * [[graft.functions.DotProduct]] loop and DuckDB's `list_sum`, so the
+    * BUCKETS match bit-for-bit cross-engine (verified empirically: 12k/12k
+    * signed sums identical at sf0.01). */
+  def portableHyperplanes(
+      dim: Int, bits: Int, tables: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, bits, dim)((t, b, i) =>
+      if (Dedup.md5_32(s"p${t}_${b}_$i") % 2 == 0) 1f else -1f)
+
   /** Adds `lsh_buckets`: array<struct<band:int, bucket:long>> — one signed
     * random-projection bucket per table. */
   def withLshBuckets(
@@ -125,8 +138,17 @@ object Similarity {
       dim: Int,
       bits: Int,
       tables: Int,
-      seed: Long): DataFrame = {
-    val planes = hyperplanes(dim, bits, tables, seed)
+      seed: Long): DataFrame =
+    withLshBucketsPlanes(df, vecCol, hyperplanes(dim, bits, tables, seed))
+
+  /** [[withLshBuckets]] over explicit hyperplanes (seeded gaussian or
+    * [[portableHyperplanes]]). */
+  def withLshBucketsPlanes(
+      df: DataFrame,
+      vecCol: String,
+      planes: Array[Array[Array[Float]]]): DataFrame = {
+    val tables = planes.length
+    val bits = planes.head.length
     val bucketStructs: Seq[Column] = (0 until tables).map { t =>
       val bucket = (0 until bits)
         .map { b =>
@@ -152,8 +174,21 @@ object Similarity {
       k: Int,
       bits: Int = 8,
       tables: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, bits, tables, seed)
+      seed: Long = 42L): DataFrame =
+    lshTopKPlanes(corpus, idCol, vecCol, query, k,
+      hyperplanes(dim, bits, tables, seed))
+
+  /** [[lshTopK]] over explicit hyperplanes (seeded gaussian or
+    * [[portableHyperplanes]] for oracle-replayable lanes). */
+  def lshTopKPlanes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      planes: Array[Array[Array[Float]]]): DataFrame = {
+    val tables = planes.length
+    val bits = planes.head.length
     def bucketOf(vec: Seq[Float], t: Int): Long = {
       var acc = 0L
       var b = 0
@@ -172,7 +207,7 @@ object Similarity {
 
     // ONE corpus scan: a row is a candidate if it collides with the query
     // in ANY table (disjunction of array_contains, no per-table re-scan)
-    val bucketed = withLshBuckets(corpus, vecCol, dim, bits, tables, seed)
+    val bucketed = withLshBucketsPlanes(corpus, vecCol, planes)
     val anyCollision = queryBuckets
       .map { case (t, qb) =>
         array_contains(col("lsh_buckets"),
@@ -212,11 +247,20 @@ object Similarity {
       // int8 candidate exchange (see Dedup.embeddingNearDup): 4x smaller
       // pair shuffle, |Δcos| ≲ 0.01 — neighbor RANKS may swap within that
       // band; recall bound pinned in QuantizationSpec
-      quantized: Boolean = false): DataFrame = {
-    val pairs = Dedup.embeddingNearDup(
-      corpus, idCol, vecCol, dim, cosThreshold = -2.0,
-      bitsPerTable = bits, tables = tables, seed = seed,
-      maxBucketSize = maxBucketSize, quantized = quantized)
+      quantized: Boolean = false): DataFrame =
+    knnFromPairs(
+      Dedup.embeddingNearDup(
+        corpus, idCol, vecCol, dim, cosThreshold = -2.0,
+        bitsPerTable = bits, tables = tables, seed = seed,
+        maxBucketSize = maxBucketSize, quantized = quantized),
+      k)
+
+  /** Per-id neighbor ranking over an (id_a, id_b, cos) candidate-pair
+    * frame — the second half of [[knnJoin]], exposed so a verification
+    * lane can swap the hyperplane family ([[portableHyperplanes]] +
+    * [[graft.operators.Dedup.nearDupFromBuckets]]) while exercising the
+    * same symmetric fan-out and rank window. */
+  def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     // each undirected candidate pair feeds both endpoints' neighbor lists
     val sym = pairs
       .select(col("id_a").as("id"), col("id_b").as("neighbor_id"),

@@ -41,19 +41,16 @@ class InvariantsSpec extends AnyFunSuite {
     assert(jac.sum / jac.length >= 0.05, s"mean exact jaccard ${jac.sum / jac.length}")
   }
 
-  test("dd04: codegen'd cosine equals the SQL-path recompute on every pair") {
-    val rows = q("dd04_embedding_neardup", sfSmall)
-    assert(rows.nonEmpty)
-    val errs = rows.map(r =>
-      math.abs(r.getAs[Double]("cos") - r.getAs[Double]("cos_check")))
-    info(s"n=${rows.length} maxErr=${errs.max}")
-    assert(errs.max < 1e-6, s"cosine paths disagree by ${errs.max}")
-  }
+  // dd04 graduated from invariant-column checking to a full DuckDB oracle
+  // (portable Rademacher hyperplanes + bit-exact cosine replay) in round 5
+  // — its correctness gate is now the hash-match, like dd01/dd02/dd03.
 
   test("ann01: LSH top-k recall against the in-query exact ranks") {
+    // exact_rank is 0 (not null) for a true LSH miss since the lane
+    // graduated to a full oracle in round 5
     val rows = q("ann01_lsh_topk", sfTiny)
     assert(rows.length == 10)
-    val hits = rows.count(!_.isNullAt(rows.head.fieldIndex("exact_rank")))
+    val hits = rows.count(_.getAs[Long]("exact_rank") > 0L)
     info(s"recall@10 = ${hits / 10.0}")
     assert(hits >= 3, s"LSH recall@10 collapsed: $hits/10")
   }
@@ -68,16 +65,15 @@ class InvariantsSpec extends AnyFunSuite {
     assert(hits >= 4, s"IVF recall@10 collapsed: $hits/10")
   }
 
-  test("ann03: dense ranks, monotone scores, SQL-path cosine agreement") {
+  test("ann03: dense ranks, monotone scores") {
+    // cos_check dropped in round 5: the lane carries a full DuckDB oracle
+    // now (portable hyperplanes), which pins scoring far harder
     val rows = q("ann03_knn_graph", sfTiny)
     assert(rows.nonEmpty)
-    val errs = rows.map(r =>
-      math.abs(r.getAs[Double]("score") - r.getAs[Double]("cos_check")))
-    assert(errs.max < 1e-6, s"cosine paths disagree by ${errs.max}")
     rows.groupBy(_.getAs[Long]("id")).foreach { case (id, rs) =>
-      val byRank = rs.sortBy(_.getAs[Int]("rank"))
-      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
-        s"id $id ranks not dense")
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rs.length.toLong), s"id $id ranks not dense")
       val scores = byRank.map(_.getAs[Double]("score"))
       assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12),
         s"id $id scores not monotone")
