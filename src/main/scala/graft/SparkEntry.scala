@@ -1687,7 +1687,86 @@ object SparkEntry {
         |SELECT id, neighbor_id, score, rank FROM rk
         |WHERE rank <= 5
         |ORDER BY id, rank
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    // IVF replay: coarse centroids = the 16 ids with the smallest md5-32
+    // (same portable-hash family as the dedup signatures), cell = argmax
+    // cosine with ties to the lowest cell, probe the 4 cells nearest the
+    // query, exact-composition cosine, exact global rank (0 = IVF miss)
+    "ann02_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h AS (
+        |  SELECT vec_id, v,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+        |  FROM e),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) - 1
+        |      AS cell,
+        |    v AS centroid
+        |  FROM h ORDER BY hk, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+        |sc AS (
+        |  SELECT c.vec_id, c.v, cents.cell,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * centroid[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * v[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |        centroid[i] * centroid[i])) AS ny)) AS cscore
+        |  FROM c CROSS JOIN cents),
+        |asg AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC, cell) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |pc AS (
+        |  SELECT cell FROM (
+        |    SELECT cell,
+        |      (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |              ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |        list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |          centroid[i] * qv[i])) AS dot,
+        |        list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |          centroid[i] * centroid[i])) AS nx,
+        |        list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |          qv[i] * qv[i])) AS ny)) AS qscore
+        |    FROM cents, q)
+        |  ORDER BY qscore DESC, cell LIMIT 4),
+        |sel AS (SELECT a.vec_id, a.v FROM asg a JOIN pc USING (cell)),
+        |scq AS (
+        |  SELECT s.vec_id,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * qv[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * v[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |        qv[i] * qv[i])) AS ny)) AS score
+        |  FROM sel s, q),
+        |exsc AS (
+        |  SELECT c.vec_id,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * qv[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * v[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |        qv[i] * qv[i])) AS ny)) AS score
+        |  FROM c, q),
+        |ex AS (SELECT vec_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+        |      AS exact_rank
+        |  FROM exsc)
+        |SELECT s.vec_id, s.score, coalesce(x.exact_rank, 0) AS exact_rank
+        |FROM scq s
+        |LEFT JOIN (SELECT * FROM ex WHERE exact_rank <= 10) x USING (vec_id)
+        |ORDER BY s.score DESC, s.vec_id
+        |LIMIT 10""".stripMargin
   )
 
   // ------------------------------------------------------------------
@@ -1787,12 +1866,18 @@ object SparkEntry {
           coalesce(col("exact_rank").cast("long"), lit(0L)))
         .orderBy(desc("score"), col("vec_id"))
     }),
+    // IVF top-k with a FULL oracle: portable md5-sampled coarse centroids
+    // (cell assignment is argmax cosine with ties to the lowest cell —
+    // replayed in SQL as a row_number window), probe the 4 cells nearest
+    // the query, exact-composition cosine throughout; exact_rank 0 = a
+    // true IVF miss, as in ann01
     "ann02_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0)
       val corpus = e.filter(col("vec_id") =!= 0L)
-      val cents = Similarity.Ivf.centroids(e, "vec_id", "embedding", nCells = 16)
+      val cents = Similarity.Ivf.portableCentroids(
+        e, "vec_id", "embedding", nCells = 16)
       val assigned = Similarity.Ivf.assignCells(
         corpus, "vec_id", "embedding", cents)
       // same verification lane as ann01: exact global rank per returned id
@@ -1803,6 +1888,8 @@ object SparkEntry {
       Similarity.Ivf.probe(assigned, "vec_id", "embedding", cents, q,
           k = 10, nProbe = 4)
         .join(exact, Seq("vec_id"), "left")
+        .withColumn("exact_rank",
+          coalesce(col("exact_rank").cast("long"), lit(0L)))
         .orderBy(desc("score"), col("vec_id"))
     }),
     // kNN-graph over the whole embeddings table (LSH candidates, per-id

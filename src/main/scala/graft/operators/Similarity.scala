@@ -340,12 +340,29 @@ object Similarity {
       * xxhash64(id) — a seed-stable uniform sample requiring one pass. */
     def centroids(
         corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+      centroidsBy(corpus, idCol, vecCol, nCells, xxhash64(col(idCol)))
+
+    /** [[centroids]] with the sample key replaced by md5-32 of the id's
+      * string form — an engine-portable uniform sample a SQL oracle can
+      * replay exactly (`('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+      * ::BIGINT`), same technique as the dedup family's portable
+      * signatures. Use for verification lanes; `centroids` (xxhash64,
+      * no md5 cost) is the production default. */
+    def portableCentroids(
+        corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+      centroidsBy(corpus, idCol, vecCol, nCells,
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"))
+
+    private def centroidsBy(
+        corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+        sampleKey: Column): DataFrame =
       corpus
         .select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .orderBy(sampleKey, col(idCol))
         .limit(nCells)
         .withColumn("cell", row_number().over(
-          Window.orderBy(xxhash64(col(idCol)), col(idCol))) - 1)
+          Window.orderBy(sampleKey, col(idCol))) - 1)
         .select(col("cell"), col(vecCol).as("centroid"))
 
     /** Spherical k-means refinement of the coarse centroids (Lloyd

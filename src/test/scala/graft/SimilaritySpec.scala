@@ -191,4 +191,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids.head == 0L) // full probe = exact
     assert(ids == bruteTop10)
   }
+
+  test("portableCentroids: cell order replays md5-32 of the id string") {
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val expected = (0L until 200L).sortBy(i => (md5_32(i.toString), i)).take(16)
+    val got = Similarity.Ivf.portableCentroids(corpus, "id", "vec", 16)
+      .orderBy("cell").collect()
+    assert(got.map(_.getInt(0)).toSeq == (0 until 16))
+    // each cell's centroid is the expected id's vector, in hash order
+    val vecById = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    got.zip(expected).foreach { case (row, id) =>
+      assert(row.getSeq[Float](1) == vecById(id),
+        s"cell ${row.getInt(0)} is not id $id's vector")
+    }
+  }
+
+  test("portableHyperplanes: +/-1 entries, deterministic across calls") {
+    val a = Similarity.portableHyperplanes(8, 4, 2)
+    val b = Similarity.portableHyperplanes(8, 4, 2)
+    assert(a.flatten.flatten.forall(v => v == 1f || v == -1f))
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    // not degenerate: both signs appear
+    assert(a.flatten.flatten.distinct.length == 2)
+  }
 }
