@@ -1459,6 +1459,84 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     // exact jaccard over distinct word-3-gram shingle sets; matches the
     // posting-list implementation (hash collisions are 64-bit-improbable)
+    // substring-span replay: positional 8-token window md5-32 hashes,
+    // cross-doc duplicated set, gaps-and-islands merge — the SAME window
+    // functions the Spark plan uses, so the whole lane hash-matches
+    "sd01_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(
+        |      array_to_string(list_slice(toks, i+1, i+8), ' ')), 1, 8)
+        |    )::BIGINT AS gh
+        |  FROM d, LATERAL unnest(range(0, len(toks) - 8 + 1)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |  GROUP BY gh HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM isl)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start
+        |LIMIT 100""".stripMargin,
+    // removal replay: kept tokens = case-preserving raw split at
+    // positions outside every span, re-joined with single spaces;
+    // string_agg(... ORDER BY pos) mirrors the order-preserving
+    // higher-order filter
+    "sd02_rm_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    regexp_split_to_array(trim(text), '\s+') AS rtoks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(
+        |      array_to_string(list_slice(toks, i+1, i+8), ' ')), 1, 8)
+        |    )::BIGINT AS gh
+        |  FROM d, LATERAL unnest(range(0, len(toks) - 8 + 1)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |  GROUP BY gh HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM isl),
+        |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+        |    MAX(pos) + 8 AS span_end
+        |  FROM sp GROUP BY doc_id, span_id),
+        |tok AS (SELECT d.doc_id, i AS pos, rtoks[i+1] AS tk
+        |  FROM d, LATERAL unnest(range(0, len(rtoks))) t(i)
+        |  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM spans)),
+        |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans c
+        |    WHERE c.doc_id = t.doc_id
+        |      AND t.pos >= c.span_start AND t.pos < c.span_end)),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_tokens_after,
+        |    string_agg(tk, ' ' ORDER BY pos) AS new_text
+        |  FROM keep GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  CAST(coalesce(r.n_tokens_after, 0) AS BIGINT) AS n_tokens_after,
+        |  md5(coalesce(r.new_text, '')) AS new_fingerprint
+        |FROM (SELECT DISTINCT doc_id FROM spans) a
+        |LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id
+        |LIMIT 100""".stripMargin,
     "dd03_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -1817,6 +1895,32 @@ object SparkEntry {
           nGram = 3, threshold = 0.0)
         .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
         .limit(20)
+    }),
+    // substring-level dedup (Lee et al. ACL'22 re-expressed relationally):
+    // maximal cross-doc duplicated 8-token spans; fully oracle-replayable
+    // (md5-32 window hashes + the same gaps-and-islands windows in SQL)
+    "sd01_dup_spans" -> ((s, dir) => {
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minDocs = 2L)
+        .orderBy(col("doc_id"), col("span_start"))
+        .limit(100)
+    }),
+    // the removal half: affected docs only, with the rebuilt text pinned
+    // by an md5 fingerprint (case preserved, whitespace normalized)
+    "sd02_rm_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val affected = Dedup.dupSpans(docs, "doc_id", "text",
+          k = 8, minDocs = 2L)
+        .select("doc_id").distinct()
+      Dedup.removeDupSpans(docs, "doc_id", "text", k = 8, minDocs = 2L)
+        .join(affected, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens_after"),
+          md5(col("text").cast("binary")).as("new_fingerprint"))
+        .orderBy(col("doc_id"))
+        .limit(100)
     }),
     // decontamination: which training docs contain a test doc's n-grams
     // (deterministic doc_id%10 split; full DuckDB oracle above)

@@ -780,4 +780,112 @@ object Dedup {
       .select("id_a", "id_b", "sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ------------------------------------------------------------------
+  // Substring-level dedup: duplicated token SPANS across documents
+  // ------------------------------------------------------------------
+
+  /** Positional k-token window hashes of a text column:
+    * `array<long>` where slot p = md5-32 of the space-joined tokens
+    * [p, p+k) of the lower-cased whitespace tokenization. Engine-portable
+    * (DuckDB: md5 over `array_to_string(list_slice(toks, p+1, p+k), ' ')`),
+    * so span lanes can carry a full SQL oracle. Documents shorter than k
+    * tokens get an empty array. Pure codegen'd Column — no explode of
+    * text, no UDF. */
+  def windowHashes(textCol: Column, k: Int): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => h32(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Maximal duplicated token spans — the substring-level member of the
+    * dedup family (the relational re-expression of suffix-array
+    * duplicated-substring removal, Lee et al. ACL 2022, "Deduplicating
+    * Training Data Makes Language Models Better"; reference has no
+    * substring dedup — this is part of the LLM-pipeline surface).
+    *
+    * A position p of a document is duplicated when its k-token window
+    * [p, p+k) also occurs in >= `minDocs` distinct documents (window
+    * equality = [[windowHashes]]). Overlapping-or-adjacent duplicated
+    * windows merge into maximal spans by gaps-and-islands over the
+    * sorted positions — with a uniform k the `pos > lag(pos) + k` test
+    * is exactly the interval-merge condition.
+    *
+    * Scale shape (the removeBoilerplateLines discipline): text is never
+    * exploded or shuffled — only (id, pos, gh) tuples move. The
+    * duplicated-gram set is a partial-aggregated groupBy on an 8-byte
+    * key; a corpus-wide hot window (boilerplate sentence) fans out
+    * linearly in its occurrence count, never quadratically. Span merge
+    * shuffles one narrow row per duplicated window, partitioned by id.
+    *
+    * Output: (id, span_start, span_end, n_windows) — token indices into
+    * the whitespace tokenization, end exclusive, one row per maximal
+    * span. */
+  def dupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minDocs: Long = 2L): DataFrame = {
+    require(k >= 2, "window length below 2 degenerates to token counting")
+    require(minDocs >= 2, "minDocs below 2 marks every position duplicated")
+    val posGram = ensureParallelism(docs)
+      .select(col(idCol),
+        posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "gh")))
+    val dup = posGram.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    posGram.join(dup, "gh")
+      .select(col(idCol), col("pos"))
+      .withColumn("new_span",
+        when(lag(col("pos"), 1).over(w).isNull
+          || col("pos") > lag(col("pos"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Rewrites each document with its [[dupSpans]] removed: tokens whose
+    * index falls inside any duplicated span are dropped, the rest are
+    * re-joined with single spaces. Matching is case-insensitive (the
+    * window hash lower-cases) but the rebuild keeps the ORIGINAL token
+    * case — only documents that actually contain a span are rewritten
+    * at all, and for those, inter-token whitespace is normalized to
+    * single spaces (token-level rebuild, as in the suffix-array
+    * formulation). Unaffected documents pass through byte-identical. */
+  def removeDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minDocs: Long = 2L): DataFrame = {
+    require(!docs.columns.contains("graft_spans"),
+      "input already has a graft_spans column")
+    val spans = dupSpans(docs, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(
+        struct(col("span_start"), col("span_end"))).as("graft_spans"))
+    // raw split (same element count as tokens(): lower() never changes
+    // whitespace) so the rebuild preserves case
+    val rawToks = split(trim(col(textCol)), "\\s+")
+    val kept = filter(rawToks, (_, i) =>
+      !exists(col("graft_spans"), s =>
+        i.cast("long") >= s.getField("span_start")
+          && i.cast("long") < s.getField("span_end")))
+    docs
+      .join(spans, Seq(idCol), "left_outer")
+      .withColumn(textCol,
+        when(col("graft_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)))
+      .drop("graft_spans")
+  }
 }

@@ -322,4 +322,56 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(spairs.contains((1L, 2L)))
   }
+
+  test("dupSpans: shared runs merge to maximal spans; gaps split them") {
+    // A and B share tokens 0-5 ("a1".."a6") and 10-15 ("b1".."b6"),
+    // with doc-unique middles — with k=3 the shared runs are duplicated
+    // windows, the middles break them into TWO spans per doc
+    val a = "a1 a2 a3 a4 a5 a6 xm1 xm2 xm3 xm4 b1 b2 b3 b4 b5 b6"
+    val b = "a1 a2 a3 a4 a5 a6 ym1 ym2 ym3 ym4 b1 b2 b3 b4 b5 b6"
+    val d = Seq((1L, a), (2L, b), (3L, "nothing in common here at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 6L), (1L, 10L, 16L), (2L, 0L, 6L), (2L, 10L, 16L)))
+    // n_windows: a 6-token run has 4 3-grams
+    assert(spans.forall(_.getAs[Long]("n_windows") == 4L))
+  }
+
+  test("dupSpans: adjacent windows merge, sub-k docs and unique text emit nothing") {
+    val d = Seq(
+      (1L, "p q r s t u v w"), // shares the whole 8-token run with 2
+      (2L, "p q r s t u v w"),
+      (3L, "too short"), // < k tokens: no windows at all
+      (4L, "entirely different words everywhere in this one")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // one maximal span covering the whole run in each of docs 1 and 2
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 8L), (2L, 0L, 8L)))
+  }
+
+  test("removeDupSpans: drops span tokens case-preserved, untouched docs byte-identical") {
+    val a = "KEEP1 shared run of tokens here KEEP2 KEEP3"
+    val b = "keepx shared run of tokens here keepy keepz"
+    val untouched = "Totally   Unrelated    Whitespace   Preserved"
+    val d = Seq((1L, a), (2L, b), (3L, untouched)).toDF("doc_id", "text")
+    // k=5: "shared run of tokens here" (positions 1-5) is the only
+    // duplicated window
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", k = 5, minDocs = 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "KEEP1 KEEP2 KEEP3") // case kept, span gone
+    assert(out(1) == "keepx keepy keepz")
+    assert(out(2) == untouched) // not affected: original whitespace intact
+  }
+
+  test("removeDupSpans: a fully-duplicated doc empties to the zero-length string") {
+    val t = "only this exact content twice over"
+    val d = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", k = 6, minDocs = 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("", ""))
+  }
 }

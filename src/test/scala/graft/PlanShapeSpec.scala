@@ -157,4 +157,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange"), p)
   }
+
+  test("sd01: dup-gram set broadcasts into the posting side; text never shuffles; span merge reuses the window's doc_id exchange") {
+    val p = plan("sd01_dup_spans")
+    // membership via broadcast semi-ish join (small dup set); at scale
+    // Spark's size estimates flip this to a shuffle join on the 8-byte gh
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"sd01 shuffles text:\n${exchanges.mkString("\n")}")
+    // exactly ONE exchange keyed by doc_id alone: the islands windows and
+    // the (doc_id, span_id) groupBy all run on the same partitioning
+    // (the other doc_id mention is the dup-set's (doc_id, gh) distinct)
+    val docIdOnly = "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r
+    assert(exchanges.count(l => docIdOnly.findFirstIn(l).isDefined) == 1,
+      s"span merge re-shuffled:\n${exchanges.mkString("\n")}")
+  }
 }
