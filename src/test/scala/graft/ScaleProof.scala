@@ -70,6 +70,8 @@ object ScaleProof {
     "ti01_tfidf" -> Bounds(32, 8),      // measured 21x
     "bp01_boiler" -> Bounds(25, 8),     // measured 15x
     "bp02_rmlines" -> Bounds(30, 8),    // measured 19x
+    "sd01_spans" -> Bounds(25, 8),      // measured 15.7x
+    "sd02_rmspans" -> Bounds(20, 8),    // measured 12.3x
     "cu01_curate" -> Bounds(80, 8))     // measured 53x
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -279,6 +281,16 @@ object ScaleProof {
         // output chars for this lane
         CorpusStats.removeBoilerplateLines(docs, "doc_id", "text",
           minDocs = 1000L)
+          .agg(coalesce(sum(length(col("text"))), lit(0L)))
+          .head().getLong(0))
+      measure("sd01_spans", scale)(
+        // substring dedup: the variant corpus is adversarial (every base
+        // doc's windows recur across its 10/110 variants, plus the hot
+        // boilerplate line in ~1/3 of all docs)
+        Dedup.dupSpans(docs, "doc_id", "text", k = 8, minDocs = 2).count())
+      measure("sd02_rmspans", scale)(
+        // sum(length) forces the rebuild, as in bp02; "rows" = output chars
+        Dedup.removeDupSpans(docs, "doc_id", "text", k = 8, minDocs = 2)
           .agg(coalesce(sum(length(col("text"))), lit(0L)))
           .head().getLong(0))
       measure("cu01_curate", scale) {

@@ -33,7 +33,10 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("lm01_surprisal", 0.1, 0.5, 1.0),
       pair("ti01_tfidf", 2.9, 61, 1.4),
       pair("bp01_boiler", 3.8, 55, 1.2),
-      pair("bp02_rmlines", 0.1, 2.5, 1.4)).flatten
+      pair("bp02_rmlines", 0.1, 2.5, 1.4),
+      // round-5 substring-dedup lanes (SCALING.md round-5 addendum)
+      pair("sd01_spans", 5.0, 78.1, 1.1),
+      pair("sd02_rmspans", 5.8, 71.2, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -42,7 +45,8 @@ class ScaleProofSpec extends AnyFunSuite {
     val measured = Set("dd01_minhash", "dd02_simhash", "dd03_ngram",
       "dd04_embdup", "dd04_embdup_q8", "ann01_lsh", "ann02_ivf",
       "ann03_knn", "ann03_knn_q8", "dc01_contain", "lm01_surprisal",
-      "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "cu01_curate")
+      "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "sd01_spans",
+      "sd02_rmspans", "cu01_curate")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
