@@ -819,6 +819,19 @@ object SparkEntry {
       CorpusStats.mixtureWeights(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
     }),
+    // the selection half of data mixing: per-source 500-token budgets,
+    // greedy maximal prefix in salted-hash order (the two-level bucket
+    // plan; the oracle replays the equivalent naive window prefix)
+    "ms01_mixture_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("token_budget", lit(500L))
+      graft.operators.Sampling.mixtureSample(d, "doc_id", "text", "source",
+          budgets)
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+        .limit(200)
+    }),
     // Gopher-style repetition signals as exact integer permille
     "tx02_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1008,6 +1021,27 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, n_chars,
         |  CAST((n_tokens * 1000) // t.tot AS BIGINT) AS token_permille
         |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
+    // mixture-sample replay: the naive window prefix IS the semantics
+    // (the Spark side's two-level bucket plan is spec-pinned equivalent);
+    // token counter and salted md5-hex order match the engine exactly
+    "ms01_mixture_sample" ->
+      """WITH b AS (
+        |  SELECT DISTINCT source, CAST(500 AS BIGINT) AS token_budget
+        |  FROM documents),
+        |t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-mix'), 1, 8) AS hh
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id)
+        |      AS cum
+        |  FROM t)
+        |SELECT c.source, c.doc_id, c.n_tokens
+        |FROM c JOIN b USING (source)
+        |WHERE cum <= token_budget
+        |ORDER BY source, doc_id
+        |LIMIT 200""".stripMargin,
     "tx02_repetition" ->
       """WITH p AS (SELECT doc_id,
         |  list_filter(list_transform(regexp_split_to_array(text, '\r?\n'),

@@ -173,4 +173,105 @@ object Sampling {
     pre.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  // ------------------------------------------------------------------
+  // Mixture sampling: per-source token budgets
+  // ------------------------------------------------------------------
+
+  /** Non-empty-token count of the lower-cased whitespace tokenization —
+    * the SAME counter [[graft.operators.CorpusStats.mixtureWeights]]
+    * aggregates, so a mixture measured there and sampled here uses one
+    * definition of "token". */
+  private def ntokens(textCol: Column): Column =
+    size(filter(graft.functions.TextFunctions.tokens(textCol),
+      t => length(t) > 0)).cast("long")
+
+  /** Deterministic mixture sampling — the SELECTION half of data mixing
+    * ([[graft.operators.CorpusStats.mixtureWeights]] is the measurement
+    * half). Per group, keeps documents in salted-hash order until the
+    * group's token budget is filled: the greedy maximal prefix whose
+    * running token total stays <= the budget (a uniform, reproducible,
+    * content-addressed sample — rerun, engine, and partitioning
+    * invariant, like everything in [[Sampling]]).
+    *
+    * Scale shape: the naive formulation is one running-sum window per
+    * group — an ENTIRE source through one task, the classic
+    * window-skew trap at 100 TB. Instead the hash space is cut into
+    * 4096 ordered slices (first 3 hex chars): per-(group, slice) token
+    * subtotals (partial-aggregated groupBy; 4096 rows per group) locate
+    * the boundary slice, slices wholly under budget are kept with NO
+    * window at all (broadcast semi-join), and only the boundary
+    * slice's documents — 1/4096th of the group — pay the fine-grained
+    * running sum. Equivalence to the naive prefix is spec-pinned.
+    *
+    * `budgets`: (groupCol, token_budget) — one row per group; groups
+    * without a budget row are dropped (mixtures are explicit opt-in
+    * tables in practice). Output: input columns + `n_tokens`. */
+  def mixtureSample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: DataFrame,
+      salt: String = "mix"): DataFrame = {
+    val reserved = Seq("graft_hh", "graft_bkt", "graft_nt", "graft_bt",
+      "graft_pre", "graft_cum", "n_tokens")
+    require(!reserved.exists(docs.columns.contains),
+      s"input already has one of ${reserved.mkString("/")}")
+    require(budgets.columns.toSeq.sorted == Seq(groupCol, "token_budget").sorted,
+      s"budgets must have exactly ($groupCol, token_budget) columns")
+    val base = docs
+      .withColumn("graft_hh", hashHex(col(idCol), salt))
+      .withColumn("graft_bkt", substring(col("graft_hh"), 1, 3))
+      .withColumn("graft_nt", ntokens(col(textCol)))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("graft_bkt"))
+    val bpre = base
+      .groupBy(col(groupCol), col("graft_bkt"))
+      .agg(sum(col("graft_nt")).as("graft_bt"))
+      .withColumn("graft_pre",
+        sum(col("graft_bt")).over(wb) - col("graft_bt"))
+      .join(broadcast(budgets), Seq(groupCol))
+    val keepWhole = bpre
+      .filter(col("graft_pre") + col("graft_bt") <= col("token_budget"))
+      .select(col(groupCol), col("graft_bkt"))
+    val boundary = bpre
+      .filter(col("graft_pre") <= col("token_budget")
+        && col("graft_pre") + col("graft_bt") > col("token_budget"))
+      .select(col(groupCol), col("graft_bkt"), col("graft_pre"),
+        col("token_budget"))
+    val wf = Window.partitionBy(col(groupCol), col("graft_bkt"))
+      .orderBy(col("graft_hh").asc, col(idCol).asc)
+    val keptBoundary = base
+      .join(broadcast(boundary), Seq(groupCol, "graft_bkt"))
+      .withColumn("graft_cum", sum(col("graft_nt")).over(wf))
+      .filter(col("graft_pre") + col("graft_cum") <= col("token_budget"))
+      .drop("graft_pre", "token_budget", "graft_cum")
+    base.join(broadcast(keepWhole), Seq(groupCol, "graft_bkt"), "left_semi")
+      .unionByName(keptBoundary)
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_hh", "graft_bkt")
+  }
+
+  /** The naive single-window formulation of [[mixtureSample]] — one
+    * running sum per group, each group through one task. Semantically
+    * identical (the spec pins it); here as the equivalence reference
+    * and for small corpora where the two-level plan's extra stages
+    * cost more than they save. */
+  private[graft] def mixtureSampleNaive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: DataFrame,
+      salt: String = "mix"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashHex(col(idCol), salt).asc, col(idCol).asc)
+    docs
+      .withColumn("graft_nt", ntokens(col(textCol)))
+      .withColumn("graft_cum", sum(col("graft_nt")).over(w))
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("graft_cum") <= col("token_budget"))
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_cum", "token_budget")
+  }
 }

@@ -119,6 +119,47 @@ class SamplingSpec extends AnyFunSuite {
       .map(_.getAs[Int]("sample_rank")).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("mixtureSample: two-level bucket plan == naive single-window prefix, exactly") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(20))("w" + rnd.nextInt(50))
+        .mkString(" "), "s" + (i % 5))
+    }.toDF("id", "text", "src")
+    val budgets = Seq(("s0", 120L), ("s1", 0L), ("s2", 55L), ("s3", 1000000L))
+      .toDF("src", "token_budget") // s4 has no budget row: dropped
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "id", "n_tokens").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val fast = canon(Sampling.mixtureSample(docs, "id", "text", "src", budgets))
+    val naive = canon(
+      Sampling.mixtureSampleNaive(docs, "id", "text", "src", budgets))
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+    // budget 0: nothing from s1; no budget row: nothing from s4;
+    // huge budget: ALL of s3
+    assert(!fast.exists(_._1 == "s1") && !fast.exists(_._1 == "s4"))
+    assert(fast.count(_._1 == "s3") == 80)
+    // each group's take is the maximal under-budget prefix: totals fit
+    val bySrc = fast.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc("s0") <= 120L && bySrc("s2") <= 55L)
+  }
+
+  test("mixtureSample: the full-corpus window partitions by (group, bucket), never group alone") {
+    val docs = Seq((1L, "a b c", "s")).toDF("id", "text", "src")
+    val budgets = Seq(("s", 10L)).toDF("src", "token_budget")
+    val plan = Sampling.mixtureSample(docs, "id", "text", "src", budgets)
+      .queryExecution.optimizedPlan.toString()
+    // the window that sorts by the per-doc hash (the one that sees every
+    // document of the boundary slice) must be keyed by (src, graft_bkt);
+    // a window keyed by src alone over doc hashes = the naive skew trap
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("graft_hh"))
+      .toList
+    assert(docWindows.nonEmpty, plan)
+    assert(docWindows.forall(_.contains("graft_bkt")),
+      s"doc-level window not bucket-partitioned:\n${docWindows.mkString("\n")}")
+  }
+
   test("groupSample: preFilterFraction keeps the result exact when groups stay big enough") {
     // 200 rows per group, n=3: a 0.5 pre-filter keeps ~100 per group — far
     // more than 3, so the hash-ordered top-3 is unchanged
