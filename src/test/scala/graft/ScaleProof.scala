@@ -10,7 +10,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Curation, Dedup, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, Sampling, Similarity}
 
 /** Scale-proof harness for the dedup/ANN/curation family: runs every
   * operator at 1× (the sf0.1 tables: 5k docs / 2k vectors) and at 10×
@@ -72,6 +72,7 @@ object ScaleProof {
     "bp02_rmlines" -> Bounds(30, 8),    // measured 19x
     "sd01_spans" -> Bounds(25, 8),      // measured 15.7x
     "sd02_rmspans" -> Bounds(20, 8),    // measured 12.3x
+    "ms01_mixsample" -> Bounds(15, 8),  // measured 9.4x (fixed cost only)
     "cu01_curate" -> Bounds(80, 8))     // measured 53x
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -293,6 +294,18 @@ object ScaleProof {
         Dedup.removeDupSpans(docs, "doc_id", "text", k = 8, minDocs = 2)
           .agg(coalesce(sum(length(col("text"))), lit(0L)))
           .head().getLong(0))
+      measure("ms01_mixsample", scale) {
+        // mixture sampling: fixed per-source budgets, so at 10x the KEPT
+        // set stays the same absolute size — the measured growth is the
+        // honest fixed cost (hashing + per-slice subtotals over the whole
+        // corpus); the boundary window never sees more than one slice
+        val d = docs.withColumn("graft_src",
+          (col("doc_id") % 20).cast("string"))
+        val budgets = d.select(col("graft_src")).distinct()
+          .withColumn("token_budget", lit(5000L))
+        Sampling.mixtureSample(d, "doc_id", "text", "graft_src", budgets)
+          .count()
+      }
       measure("cu01_curate", scale) {
         val (curated, dropped) = Curation.curate(docs, "doc_id", "text",
           Curation.Config(keepLangs = Seq("en", "fr", "es", "de", "und"),
