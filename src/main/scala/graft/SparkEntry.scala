@@ -1633,6 +1633,53 @@ object SparkEntry {
         |JOIN ex eb ON eb.doc_id = c.id_b
         |ORDER BY est_jaccard DESC, c.id_a, c.id_b
         |LIMIT 20""".stripMargin,
+    // dd01's replay + exact-jaccard confirmation at 0.8 + recursive-CTE
+    // connected components (g03's min-label pattern): the full
+    // resolution pipeline, bit-identical to the Spark lane
+    "dd05_dedup_resolve" ->
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
+        |  FROM tok),
+        |th AS (SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+        |      AS hs
+        |  FROM gr),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    coalesce(list_min(list_transform(hs, h ->
+        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+        |          * h +
+        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+        |        % 4294967291)),
+        |      4294967291)) AS s
+        |  FROM th),
+        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]),
+        |ex AS (SELECT doc_id, list_distinct(grams) AS gs FROM gr),
+        |conf AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+        |    JOIN ex eb ON eb.doc_id = c.id_b
+        |  WHERE len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)) > 0
+        |    AND CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |      >= 0.8),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM conf
+        |  UNION SELECT id_b, id_a FROM conf),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst)
+        |SELECT id, MIN(lab) AS keep_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     // full SimHash replay over the portable 60-bit family (md5-60 token
     // hashes, majority bit votes), 16-bit pigeonhole blocks, hamming via
     // bit_count(xor), exact distinct-token jaccard
@@ -1929,6 +1976,16 @@ object SparkEntry {
           nGram = 3, threshold = 0.0)
         .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
         .limit(20)
+    }),
+    // end-to-end near-dup RESOLUTION — the call a curation pipeline
+    // actually makes: portable-minhash LSH candidates → exact-jaccard
+    // confirmation at 0.8 → transitive clusters (star CC; chains like
+    // A~B~C collapse to one survivor). Full oracle: the dd01 replay plus
+    // a recursive-CTE connected components (g03's pattern)
+    "dd05_dedup_resolve" -> ((s, dir) => {
+      Dedup.nearDupResolve(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, portable = true)
+        .orderBy(col("id"))
     }),
     // substring-level dedup (Lee et al. ACL'22 re-expressed relationally):
     // maximal cross-doc duplicated 8-token spans; fully oracle-replayable

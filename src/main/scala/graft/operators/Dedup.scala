@@ -338,6 +338,70 @@ object Dedup {
       .select(col("id"), col("component").as("keep_id"))
   }
 
+  /** End-to-end near-duplicate RESOLUTION — the single call a curation
+    * pipeline actually makes: MinHash signatures → LSH candidate pairs →
+    * exact distinct-n-gram-Jaccard confirmation at `threshold` →
+    * transitive clusters ([[nearDupClusters]]). Output: (id, keep_id)
+    * for every document that landed in a cluster; keep_id is the
+    * cluster's min id (the survivor), so `id != keep_id` rows are the
+    * drop list. Docs that never met a confirmed pair don't appear.
+    *
+    * Confirmation matters: LSH banding alone admits false positives
+    * (est_jaccard is a 64-sample estimate), and pairwise dropping alone
+    * gets chains wrong (A~B, B~C must collapse to ONE survivor even when
+    * A~C was never a candidate). This composes the capped candidate
+    * stage, the pair-driven exact check (never corpus×corpus), and star
+    * CC — each already scale-shaped; nothing here adds a shuffle beyond
+    * theirs.
+    *
+    * `portable = true` swaps in the md5-derived signature family
+    * ([[minhashSigColumnPortable]]) so an external SQL engine can replay
+    * the whole pipeline bit-for-bit (the dd05 oracle does); murmur stays
+    * the 100 TB default. */
+  def nearDupResolve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val sigExpr =
+      if (portable) minhashSigColumnPortable(col(textCol), numHashes, nGram)
+      else minhashSigColumn(col(textCol), numHashes, nGram)
+    val sigs = ensureParallelism(docs)
+      .select(col(idCol).as("id"), sigExpr.as("sig"))
+    val confirmed = withExactJaccard(
+      minhashCandidatesFromSigs(sigs, numHashes, bands, maxBucketSize),
+      docs, idCol, textCol, nGram)
+      .filter(col("exact_jaccard") >= threshold)
+    nearDupClusters(confirmed.select("id_a", "id_b"))
+  }
+
+  /** The corpus after near-duplicate removal: [[nearDupResolve]]'s drop
+    * list anti-joined away — every cluster keeps exactly its min-id
+    * survivor, unclustered documents pass through untouched. The drop
+    * list is tiny relative to the corpus (it's bounded by the confirmed
+    * pairs), so the anti-join broadcasts. */
+  def dropNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val drops = nearDupResolve(docs, idCol, textCol, threshold, nGram,
+      numHashes, bands, maxBucketSize, portable)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicates: pairs with hamming(sig_a, sig_b) <= maxHamming.
     * Uses the 4×16-bit block pigeonhole for candidate generation, which is
     * complete for maxHamming <= 3. Output: (id_a, id_b, hamming). */

@@ -42,6 +42,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((4L, 5L)))
   }
 
+  test("nearDupResolve collapses chains to one survivor; dropNearDups keeps it") {
+    // 1~2 exact, 1~3/2~3 near: whichever pairs survive confirmation, CC
+    // must put all three in one cluster with min id 1 as the keeper
+    val resolved = Dedup.nearDupResolve(docs, "doc_id", "text",
+        threshold = 0.5, portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved.get(1L).contains(1L))
+    assert(resolved.get(2L).contains(1L))
+    assert(resolved.get(3L).contains(1L), s"chain not collapsed: $resolved")
+    assert(!resolved.contains(4L) && !resolved.contains(5L))
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text",
+        threshold = 0.5, portable = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+    // the murmur (scale-path) family resolves identically on this corpus
+    val murmur = Dedup.nearDupResolve(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(murmur == resolved)
+  }
+
   test("simhash near-dup: exact + one-word-edit pairs found on long docs") {
     // simhash bit margins stabilise with token count: a one-token edit on a
     // ~60-token doc flips only low-margin bits, so some 16-bit block matches
