@@ -1293,6 +1293,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"))
     }),
+    // deterministic balanced-token sharding: content-addressed global
+    // shuffle + equal token mass per shard to within one document;
+    // two-level slice plan, naive-global-window oracle (integer-exact)
+    "sp03_token_shards" -> ((s, dir) => {
+      graft.operators.Sampling.shardByTokens(t(s, dir, "documents"),
+          "doc_id", "text", nShards = 8)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
     // deterministic per-group sample: 3 docs per language by salted hash
     "sp02_group_sample" -> ((s, dir) => {
       graft.operators.Sampling.groupSample(t(s, dir, "documents"),
@@ -1335,6 +1345,22 @@ object SparkEntry {
         |                   n_chars
         |            FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+    // naive replay of the two-level shard plan: one global window in
+    // hash order, exclusive running token sum, integer floor division
+    "sp03_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-shard'), 1, 8) AS hh
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY hh, doc_id) - n_tokens AS cum,
+        |    SUM(n_tokens) OVER () AS tot
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN tot <= 0 THEN 0
+        |       ELSE LEAST(7, (cum * 8) // tot) END AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sp02_group_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -274,4 +274,96 @@ object Sampling {
       .withColumnRenamed("graft_nt", "n_tokens")
       .drop("graft_cum", "token_budget")
   }
+
+  /** Deterministic balanced-token SHARDING for training-data writes.
+    * Assigns each document a shard in [0, nShards) such that (a) the
+    * assignment is content-addressed — salted-hash order, so it is
+    * rerun/engine/partitioning invariant AND doubles as a reproducible
+    * global shuffle of the corpus — and (b) shards carry equal token
+    * mass to within one document:
+    * `shard = floor(tokens_before * nShards / total_tokens)` along the
+    * hash order (all integer arithmetic — exact in any engine). A
+    * writer then `.partitionBy("shard")`s to get nShards ≈equal-token
+    * training files with a stable within-shard order ((hash, id)).
+    *
+    * Scale shape: the naive formulation is ONE global running-sum
+    * window — the whole corpus through a single task. Instead, the same
+    * two-level plan as [[mixtureSample]]: 4096 hash slices (first 3 hex
+    * chars), per-slice token subtotals prefix-summed on the tiny
+    * 4096-row frame (broadcast back), and each document pays only a
+    * within-slice window — 4096-way parallel, 1/4096th of the corpus
+    * per task. Two-level ≡ naive is spec-pinned (the slice key is a
+    * prefix of the hash, so (slice, hash, id) order IS (hash, id)
+    * order).
+    *
+    * Bound: needs `total_tokens * nShards < 2^63` — at 10^14 corpus
+    * tokens that still allows ~90k shards. Output: input columns +
+    * `n_tokens` + `shard`. */
+  def shardByTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val reserved = Seq("graft_hh", "graft_bkt", "graft_nt", "graft_bt",
+      "graft_pre", "graft_cum", "graft_tot", "n_tokens", "shard")
+    require(!reserved.exists(docs.columns.contains),
+      s"input already has one of ${reserved.mkString("/")}")
+    val base = docs
+      .withColumn("graft_hh", hashHex(col(idCol), salt))
+      .withColumn("graft_bkt", substring(col("graft_hh"), 1, 3))
+      .withColumn("graft_nt", ntokens(col(textCol)))
+    // per-slice subtotals: ≤4096 rows, so the orderBy window's single
+    // task is trivially small; exclusive prefix = slice's global offset
+    val slices = base
+      .groupBy(col("graft_bkt"))
+      .agg(sum(col("graft_nt")).as("graft_bt"))
+      .withColumn("graft_pre",
+        coalesce(sum(col("graft_bt")).over(
+          Window.orderBy(col("graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("graft_bkt"), col("graft_pre"))
+    val tot = base.agg(sum(col("graft_nt")).as("graft_tot"))
+    val wf = Window.partitionBy(col("graft_bkt"))
+      .orderBy(col("graft_hh").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(slices), Seq("graft_bkt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("graft_cum",
+        col("graft_pre") + coalesce(sum(col("graft_nt")).over(wf), lit(0L)))
+      .withColumn("shard",
+        when(col("graft_tot") <= 0L, lit(0))
+          .otherwise(least(lit(nShards - 1),
+            call_function("div", col("graft_cum") * nShards, col("graft_tot"))
+              .cast("int"))))
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_hh", "graft_bkt", "graft_pre", "graft_cum", "graft_tot")
+  }
+
+  /** The naive single-global-window formulation of [[shardByTokens]] —
+    * semantically identical (spec-pinned); the equivalence reference. */
+  private[graft] def shardByTokensNaive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    val w = Window.orderBy(hashHex(col(idCol), salt).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = docs.select(ntokens(col(textCol)).as("graft_nt"))
+      .agg(sum(col("graft_nt")).as("graft_tot"))
+    docs
+      .withColumn("graft_nt", ntokens(col(textCol)))
+      .crossJoin(broadcast(tot))
+      .withColumn("graft_cum", coalesce(sum(col("graft_nt")).over(w), lit(0L)))
+      .withColumn("shard",
+        when(col("graft_tot") <= 0L, lit(0))
+          .otherwise(least(lit(nShards - 1),
+            call_function("div", col("graft_cum") * nShards, col("graft_tot"))
+              .cast("int"))))
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_cum", "graft_tot")
+  }
 }

@@ -160,6 +160,50 @@ class SamplingSpec extends AnyFunSuite {
       s"doc-level window not bucket-partitioned:\n${docWindows.mkString("\n")}")
   }
 
+  test("shardByTokens: two-level plan == naive global window, exactly") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 500).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))("w" + rnd.nextInt(40)).mkString(" "))
+    }.toDF("id", "text") // some zero-token docs included
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_tokens", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    for (n <- Seq(1, 4, 7)) {
+      val fast = canon(Sampling.shardByTokens(docs, "id", "text", n))
+      assert(fast == canon(Sampling.shardByTokensNaive(docs, "id", "text", n)),
+        s"nShards=$n")
+      assert(fast.map(_._3).distinct.sorted == (0 until n), s"nShards=$n")
+    }
+  }
+
+  test("shardByTokens: shards balanced in token mass to within one document") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 600).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    }.toDF("id", "text")
+    val got = Sampling.shardByTokens(docs, "id", "text", nShards = 8)
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(1))
+    val total = got.sum
+    val maxDoc = 30L
+    // shard boundaries are token-positions: each shard's mass is within
+    // one straddling document of the ideal total/n slice
+    assert(got.forall(t => math.abs(t - total / 8.0) <= maxDoc + 1),
+      got.mkString(","))
+  }
+
+  test("shardByTokens: the doc-level window is slice-partitioned, never global") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = Sampling.shardByTokens(docs, "id", "text", nShards = 4)
+      .queryExecution.optimizedPlan.toString()
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("graft_hh"))
+      .toList
+    assert(docWindows.nonEmpty, plan)
+    assert(docWindows.forall(_.contains("graft_bkt")),
+      s"doc-level window not slice-partitioned:\n${docWindows.mkString("\n")}")
+  }
+
   test("groupSample: preFilterFraction keeps the result exact when groups stay big enough") {
     // 200 rows per group, n=3: a 0.5 pre-filter keeps ~100 per group — far
     // more than 3, so the hash-ordered top-3 is unchanged

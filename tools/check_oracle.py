@@ -44,7 +44,11 @@ def values_equal(a, b) -> bool:
 
 
 n_pass = n_fail = 0
+# optional 3rd arg: comma-separated name substrings — check only those
+pats = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 for name, sql in sorted(oracle.items()):
+    if pats and not any(p in name for p in pats):
+        continue
     try:
         got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         want = canon(con.sql(sql).df())
