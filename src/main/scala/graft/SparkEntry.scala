@@ -1706,6 +1706,104 @@ object SparkEntry {
         |  WHERE r.lab < s.dst)
         |SELECT id, MIN(lab) AS keep_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // the ENTIRE curation pipeline replayed: integer quality score,
+    // stopword-profile language argmax (tie-break = larger lang string,
+    // mirroring Spark's greatest(struct(hits,lang))), exact dedup by
+    // md5 fingerprint rank, portable-minhash LSH near-dup at est>=0.8,
+    // recursive-CTE transitive clusters, anti-join of the drops
+    "cu01_curation" ->
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |ann AS (
+        |  SELECT doc_id, text, ts,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens, md5(text) AS fp,
+        |    GREATEST(CAST(len(ts) AS BIGINT), 1) AS tc,
+        |    GREATEST(CAST(length(text) AS BIGINT), 1) AS cc,
+        |    CAST(len(list_filter(ts, t -> t IN ('the','a','an','and','or',
+        |      'of','to','in','is','it','for','on','with','as','at','by',
+        |      'this','that'))) AS BIGINT) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+        |      AS dg,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+        |      AS pc
+        |  FROM tok),
+        |q2 AS (
+        |  SELECT doc_id, text, ts, n_tokens, fp,
+        |    GREATEST(LEAST((sw*100)//tc + LEAST(cc//20, 30) + 40
+        |      - (dg*100)//cc - (pc*100)//cc, 100), 0) AS quality
+        |  FROM ann),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN GREATEST(h_en,h_fr,h_es,h_de) = 0 THEN 'und'
+        |         WHEN h_fr = GREATEST(h_en,h_fr,h_es,h_de) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_en,h_fr,h_es,h_de) THEN 'es'
+        |         WHEN h_en = GREATEST(h_en,h_fr,h_es,h_de) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM (SELECT doc_id,
+        |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is',
+        |      'that','it','for','was'))) AS h_en,
+        |    len(list_filter(ts, t -> t IN ('le','la','les','de','des','et',
+        |      'un','une','est','que'))) AS h_fr,
+        |    len(list_filter(ts, t -> t IN ('el','la','los','las','de','y',
+        |      'un','una','es','que'))) AS h_es,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ein',
+        |      'eine','ist','nicht','mit','von'))) AS h_de
+        |  FROM q2)),
+        |ded AS (
+        |  SELECT a.doc_id, a.text, a.n_tokens, a.quality, l.lang_guess,
+        |    ROW_NUMBER() OVER (PARTITION BY a.fp ORDER BY a.doc_id) AS rn
+        |  FROM q2 a JOIN lg l USING (doc_id)
+        |  WHERE a.n_tokens >= 10 AND a.quality >= 20
+        |    AND l.lang_guess IN ('en','fr','es','de','und')),
+        |surv AS (SELECT doc_id, text, n_tokens, quality, lang_guess
+        |  FROM ded WHERE rn = 1),
+        |gr AS (
+        |  SELECT s.doc_id, CASE WHEN len(t.ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(t.ts) - 1),
+        |      i -> t.ts[i] || ' ' || t.ts[i+1] || ' ' || t.ts[i+2]) END
+        |      AS grams
+        |  FROM surv s JOIN tok t USING (doc_id)),
+        |th AS (SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+        |      AS hs
+        |  FROM gr),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    coalesce(list_min(list_transform(hs, h ->
+        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+        |          * h +
+        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+        |        % 4294967291)),
+        |      4294967291)) AS s
+        |  FROM th),
+        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+        |conf AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> a.s[i] = b.s[i]))
+        |      AS DOUBLE) / 64 >= 0.8),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM conf
+        |  UNION SELECT id_b, id_a FROM conf),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst),
+        |drops AS (SELECT id FROM
+        |  (SELECT id, MIN(lab) AS keep_id FROM reach GROUP BY id)
+        |  WHERE id != keep_id)
+        |SELECT s.doc_id, s.n_tokens, CAST(s.quality AS BIGINT) AS quality,
+        |  s.lang_guess,
+        |  CAST(len(regexp_extract_all(trim(s.text), '[^ \t\n\x0B\f\r]+'))
+        |    AS BIGINT) AS n_tokens_check,
+        |  (s.n_tokens >= 10 AND s.quality >= 20
+        |    AND s.lang_guess IN ('en','fr','es','de','und')) AS passes_config
+        |FROM surv s ANTI JOIN drops d ON d.id = s.doc_id
+        |ORDER BY s.doc_id
+        |LIMIT 100""".stripMargin,
     // full SimHash replay over the portable 60-bit family (md5-60 token
     // hashes, majority bit votes), 16-bit pigeonhole blocks, hamming via
     // bit_count(xor), exact distinct-token jaccard
@@ -2168,15 +2266,19 @@ object SparkEntry {
         .orderBy(desc("betweenness"), col("id"))
         .limit(20)
     }),
+    // graduated from rows-only: with the portable signature family the
+    // ENTIRE pipeline (annotations → filters → exact dedup → LSH near-dup
+    // → transitive clusters) replays in DuckDB — every stage is integer
+    // arithmetic, md5, or an argmax over stopword-hit counts
     "cu01_curation" -> ((s, dir) => {
       val (curated, dropped) = graft.operators.Curation.curate(
         t(s, dir, "documents"), "doc_id", "text",
         graft.operators.Curation.Config(
           keepLangs = Seq("en", "fr", "es", "de", "und"),
-          minhashHashes = 64, minhashBands = 16))
-      // verification lane: an INDEPENDENT token recount (regex word-run
-      // count vs the split-based tokenizer) and the config predicates
-      // every survivor must satisfy — InvariantsSpec asserts both
+          minhashHashes = 64, minhashBands = 16, portableSig = true))
+      // the INDEPENDENT token recount (regex word-run count vs the
+      // split-based tokenizer) and the config predicates every survivor
+      // must satisfy stay in the output — InvariantsSpec asserts both
       curated.select(col("doc_id"), col("n_tokens"), col("quality"),
           col("lang_guess"),
           regexp_count(trim(col("text")), lit("\\S+")).cast("long")

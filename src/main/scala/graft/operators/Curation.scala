@@ -33,7 +33,13 @@ object Curation {
         * composed vs decomposed accent encodings of the same text dedup
         * as EXACT duplicates. Off by default: it rewrites the text
         * column, and the tx-oracle documents are already clean. */
-      normalize: Boolean = false)
+      normalize: Boolean = false,
+      /** carry the md5-derived portable MinHash family
+        * ([[Dedup.minhashSigColumnPortable]]) instead of murmur — every
+        * stage of the pipeline then replays bit-exactly in external SQL
+        * (the cu01 oracle). Murmur stays the 100 TB default (~2× cheaper
+        * hashing). */
+      portableSig: Boolean = false)
 
   /** Full pipeline. Returns the surviving documents with annotations and
     * a `drop_reason` view of what was removed (for pipeline observability
@@ -57,7 +63,9 @@ object Curation {
       else docs
     val annotated = annotate(source, idCol, textCol)
       .withColumn("__sig",
-        Dedup.minhashSigColumn(col(textCol), cfg.minhashHashes))
+        if (cfg.portableSig)
+          Dedup.minhashSigColumnPortable(col(textCol), cfg.minhashHashes)
+        else Dedup.minhashSigColumn(col(textCol), cfg.minhashHashes))
 
     val reasons = annotated
       .withColumn("drop_reason",
