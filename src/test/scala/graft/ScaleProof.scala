@@ -73,7 +73,9 @@ object ScaleProof {
     "sd01_spans" -> Bounds(25, 8),      // measured 15.7x
     "sd02_rmspans" -> Bounds(20, 8),    // measured 12.3x
     "ms01_mixsample" -> Bounds(15, 8),  // measured 9.4x (fixed cost only)
-    "cu01_curate" -> Bounds(80, 8))     // measured 53x
+    "cu01_curate" -> Bounds(80, 8),     // measured 53x
+    "dd05_resolve" -> Bounds(22, 8),    // measured 13.9x
+    "sp03_shards" -> Bounds(20, 8))     // measured 13.1x (fixed cost only)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -312,6 +314,20 @@ object ScaleProof {
             minhashHashes = 64, minhashBands = 16))
         curated.count() + dropped.count()
       }
+      measure("dd05_resolve", scale)(
+        // end-to-end resolution on the murmur scale path: candidates +
+        // exact confirm + star CC; the variant clusters are dup CHAINS,
+        // so CC has real multi-hop work at both scales
+        Dedup.nearDupResolve(docs, "doc_id", "text", threshold = 0.8)
+          .count())
+      measure("sp03_shards", scale)(
+        // balanced-token sharding: the one unavoidable full-corpus
+        // exchange (text rides the slice-window shuffle exactly once —
+        // the same bytes a shard-writer would move); sum(shard) defeats
+        // column pruning of the window
+        Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
+          .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
+          .head().getLong(0))
     }
 
     runFamily("1x", docs1x, emb1x)
