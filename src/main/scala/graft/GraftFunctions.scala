@@ -48,6 +48,10 @@ object GraftFunctions {
       ((es: Seq[Expression]) => NgramHashes(es(0), intArg(es(1), "ngram_hashes n"))),
     "minhash_from_hashes" ->
       ((es: Seq[Expression]) => MinHashFromHashes(es(0), intArg(es(1), "minhash_from_hashes k"))),
+    "minhash_portable" ->
+      ((es: Seq[Expression]) => MinHashPortable(es(0),
+        intArg(es(1), "minhash_portable k"), intArg(es(2), "minhash_portable n"))),
+    "simhash60_portable" -> ((es: Seq[Expression]) => SimHash60Portable(es(0))),
     "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))),
     "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))),
     "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))))

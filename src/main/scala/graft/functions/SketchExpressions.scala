@@ -225,6 +225,159 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** md5-derived hash primitives shared by the engine-portable signature
+  * family (graft.operators.Dedup's `*Portable` surface). Every value here
+  * is reproducible in any SQL engine from `md5(x)` + integer arithmetic —
+  * that's the whole point: a DuckDB oracle replays signatures bit-for-bit.
+  */
+object PortableHash {
+  /** Largest 32-bit prime: modulus of the portable permutation family. */
+  val P = 4294967291L
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** Thread-local MD5 instance (digest() leaves it reset for reuse). */
+  def md5: java.security.MessageDigest = mdLocal.get()
+
+  /** First 32 bits of an md5 digest as an unsigned value in a long —
+    * `('0x' || substr(md5(s), 1, 8))::BIGINT` in SQL. */
+  @inline def first32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  /** First 60 bits (15 hex chars — the widest md5 prefix that stays a
+    * positive long in every engine): 7 full bytes + the high nibble of
+    * the 8th. */
+  @inline def first60(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** md5-32 of a string's UTF-8 bytes. */
+  def md5_32(s: String): Long = first32(md5.digest(s.getBytes("UTF-8")))
+
+  /** Permutation constants of the portable MinHash family: md5-derived
+    * from the literal strings "a<j>"/"b<j>" — no RNG for an oracle to
+    * replay. `a_j` stays below 2³¹ so `a_j·h + b_j` never exceeds 2⁶³. */
+  def minhashA(j: Int): Long = (md5_32("a" + j) % 2147483647L) + 1L
+  def minhashB(j: Int): Long = md5_32("b" + j) % P
+}
+
+/** Engine-portable MinHash signature over an `array<string>` of tokens:
+  * n-gram shingles joined by single spaces, base hash md5-32 of the
+  * shingle's UTF-8 bytes, permutations `(a_j·h + b_j) mod P` with the
+  * [[PortableHash]] constants. Output `array<long>` of length `numHashes`;
+  * fewer than `nGram` tokens → the all-sentinel signature (P everywhere).
+  *
+  * Bit-identical to the documented SQL formulation (and to the
+  * higher-order-function twin kept in graft.operators.Dedup for the
+  * equivalence spec) but ~10× faster: the HOF version pays an interpreted
+  * lambda plus a fresh 64-slot array per shingle; this is one tight loop
+  * per row. Null tokens are filtered exactly like SQL `array_join`. */
+case class MinHashPortable(child: Expression, numHashes: Int, nGram: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+  require(nGram > 0, "nGram must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.stringArrays(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_portable"
+
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(PortableHash.minhashA)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(PortableHash.minhashB)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val mins = Array.fill(numHashes)(PortableHash.P)
+    if (cnt >= nGram) {
+      val tb = new Array[Array[Byte]](cnt)
+      var i = 0
+      while (i < cnt) {
+        val s = arr.getUTF8String(i)
+        tb(i) = if (s == null) null else s.getBytes
+        i += 1
+      }
+      val md = PortableHash.md5
+      i = 0
+      while (i <= cnt - nGram) {
+        var wrote = false
+        var j = 0
+        while (j < nGram) {
+          val b = tb(i + j)
+          if (b != null) { // array_join filters nulls (delimiter too)
+            if (wrote) md.update(0x20.toByte)
+            md.update(b)
+            wrote = true
+          }
+          j += 1
+        }
+        val h = PortableHash.first32(md.digest())
+        var k = 0
+        while (k < numHashes) {
+          val p = (as(k) * h + bs(k)) % PortableHash.P
+          if (p < mins(k)) mins(k) = p
+          k += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Engine-portable 60-bit SimHash over an `array<string>` of tokens (with
+  * multiplicity): per-token hash = md5-60, bit b votes +1 when set and −1
+  * when clear, output sets bit b iff its vote is strictly positive. A null
+  * token hashes as 0 (every bit clear — the SQL `when` falls to −1), same
+  * as the HOF twin. */
+case class SimHash60Portable(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.stringArrays(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash60_portable"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = PortableHash.md5
+    var i = 0
+    while (i < cnt) {
+      val s = arr.getUTF8String(i)
+      val h = if (s == null) 0L else PortableHash.first60(md.digest(s.getBytes))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing-style document fingerprint: min-of-rolling-polynomial-hash over
   * character k-grams. One long per document; equal fingerprints are strong
   * near-duplicate candidates even under small edits away from the minimum.

@@ -106,16 +106,12 @@ object Dedup {
   // keep the murmur path for 100 TB.
 
   /** Largest 32-bit prime: modulus of the portable permutation family. */
-  private[graft] val PortableP = 4294967291L
+  private[graft] val PortableP = graft.functions.PortableHash.P
 
   /** First 32 bits of md5(s) as an unsigned value in a long — driver-side
     * twin of the SQL `('0x' || substr(md5(s), 1, 8))::BIGINT`. */
-  private[operators] def md5_32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  private[operators] def md5_32(s: String): Long =
+    graft.functions.PortableHash.md5_32(s)
 
   /** md5-derived 32-bit hash of a string column, exact in any engine
     * (`conv(substr(md5(c), 1, 8), 16, 10)`). */
@@ -132,8 +128,22 @@ object Dedup {
     * ANSI Spark, DuckDB BIGINT, and two's-complement longs all agree.
     * Documents with fewer than `nGram` tokens get the all-sentinel
     * signature (`p` in every slot — larger than any permuted value).
-    * Banding-compatible with [[minhashCandidatesFromSigs]]. */
+    * Banding-compatible with [[minhashCandidatesFromSigs]].
+    *
+    * Computed by the codegen-side `minhash_portable` expression
+    * (functions/SketchExpressions.scala) — the SQL-composed formulation
+    * below ([[minhashSigColumnPortableHof]]) is its bit-identical
+    * higher-order-function twin, kept for the equivalence spec; the HOF
+    * route pays an interpreted lambda plus a fresh `numHashes`-slot array
+    * PER SHINGLE (measured 7× the whole dd01 lane at sf0.1). */
   def minhashSigColumnPortable(
+      textCol: Column, numHashes: Int = 64, nGram: Int = 3): Column =
+    call_function("minhash_portable", tokens(textCol), lit(numHashes), lit(nGram))
+
+  /** HOF twin of [[minhashSigColumnPortable]] — the executable statement
+    * of the SQL math the DuckDB oracle replays. Spec-pinned equal to the
+    * expression path; not used in production plans. */
+  private[graft] def minhashSigColumnPortableHof(
       textCol: Column, numHashes: Int = 64, nGram: Int = 3): Column = {
     require(numHashes > 0, "numHashes must be positive")
     val ab = array((0 until numHashes).map { j =>
@@ -153,8 +163,13 @@ object Dedup {
     * md5 prefix that fits a positive long in every engine), bit votes,
     * bit b set iff strictly more tokens set it than clear it. Works with
     * [[simhashNearDupFromSigs]] (the 16-bit pigeonhole blocks just see a
-    * 12-bit top block). */
-  def simhash60Portable(textCol: Column): Column = {
+    * 12-bit top block). Codegen-side expression; [[simhash60PortableHof]]
+    * is the spec-pinned SQL twin. */
+  def simhash60Portable(textCol: Column): Column =
+    call_function("simhash60_portable", tokens(textCol))
+
+  /** HOF twin of [[simhash60Portable]] (see [[minhashSigColumnPortableHof]]). */
+  private[graft] def simhash60PortableHof(textCol: Column): Column = {
     val pw = array((0 until 60).map(b => lit(1L << b)): _*)
     val th = transform(tokens(textCol), t =>
       conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))

@@ -343,6 +343,33 @@ class DedupSpec extends AnyFunSuite {
     assert(spairs.contains((1L, 2L)))
   }
 
+  test("portable signatures: codegen expression == HOF/SQL twin, bit-for-bit") {
+    // the expression path (tight JVM loop) must reproduce the SQL-composed
+    // formulation the DuckDB oracle replays — on real docs AND edge cases
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val edge = Seq(
+      (9001L, ""),                            // empty → single empty token
+      (9002L, "   leading  and   gaps  "),    // trim + \s+ collapse
+      (9003L, "exactly three tokens"),        // boundary: one shingle
+      (9004L, "two tokens"),                  // below nGram: sentinel
+      (9005L, "café naïve 中文 über mix"), // multi-byte UTF-8
+      (9006L, "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val cmp = docs.select(
+      Dedup.minhashSigColumnPortable(col("text"), 16, 3).as("fast"),
+      Dedup.minhashSigColumnPortableHof(col("text"), 16, 3).as("hof"),
+      Dedup.simhash60Portable(col("text")).as("sfast"),
+      Dedup.simhash60PortableHof(col("text")).as("shof"))
+    val rows = cmp.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("dupSpans: shared runs merge to maximal spans; gaps split them") {
     // A and B share tokens 0-5 ("a1".."a6") and 10-15 ("b1".."b6"),
     // with doc-unique middles — with k=3 the shared runs are duplicated
