@@ -1303,6 +1303,18 @@ object SparkEntry {
           col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))
     }),
+    // FineWeb-style quality selection: top-scoring docs until half the
+    // corpus token mass; hierarchical boundary refinement (score-bin
+    // prefix, then hash-slice prefix inside the one boundary bin) — the
+    // naive shape this replays in SQL is ONE global window
+    "qs01_top_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("quality",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+      graft.operators.Sampling.selectTopQualityShare(docs,
+          "doc_id", "text", "quality", sharePermille = 500)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // deterministic per-group sample: 3 docs per language by salted hash
     "sp02_group_sample" -> ((s, dir) => {
       graft.operators.Sampling.groupSample(t(s, dir, "documents"),
@@ -1361,6 +1373,37 @@ object SparkEntry {
         |  CAST(CASE WHEN tot <= 0 THEN 0
         |       ELSE LEAST(7, (cum * 8) // tot) END AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // naive replay of the hierarchical selection: integer quality score
+    // (cu01's replay), salted hash, ONE global window in (quality desc,
+    // hash, id) order, integer-exact half-token budget
+    "qs01_top_quality" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |ann AS (SELECT doc_id,
+        |    CAST(len(list_filter(ts, x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    GREATEST(CAST(len(ts) AS BIGINT), 1) AS tc,
+        |    GREATEST(CAST(length(text) AS BIGINT), 1) AS cc,
+        |    CAST(len(list_filter(ts, t -> t IN ('the','a','an','and','or',
+        |      'of','to','in','is','it','for','on','with','as','at','by',
+        |      'this','that'))) AS BIGINT) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+        |      AS dg,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+        |      AS pc,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-tq'), 1, 8) AS hh
+        |  FROM tok),
+        |q AS (SELECT doc_id, n_tokens, hh,
+        |    GREATEST(LEAST((sw*100)//tc + LEAST(cc//20, 30) + 40
+        |      - (dg*100)//cc - (pc*100)//cc, 100), 0) AS quality
+        |  FROM ann),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, hh, doc_id) AS cum,
+        |    SUM(n_tokens) OVER () AS tot
+        |  FROM q)
+        |SELECT doc_id, CAST(quality AS BIGINT) AS quality, n_tokens
+        |FROM c WHERE cum <= (tot * 500) // 1000
+        |ORDER BY doc_id""".stripMargin,
     "sp02_group_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (
         |  SELECT lang, doc_id,

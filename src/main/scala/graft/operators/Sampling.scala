@@ -342,6 +342,128 @@ object Sampling {
       .drop("graft_hh", "graft_bkt", "graft_pre", "graft_cum", "graft_tot")
   }
 
+  /** FineWeb-style quality-threshold selection: keep the HIGHEST-scoring
+    * documents until their token mass reaches `sharePermille`/1000 of the
+    * corpus (integer budget — `div(total·share, 1000)` — so the cut is
+    * exact in any engine). Order within a score is salted-hash then id:
+    * content-addressed, rerun/partitioning invariant, and unbiased within
+    * the tied score band. `scoreCol` must be integral and non-null (e.g.
+    * [[graft.functions.TextFunctions.qualityScore]]'s [0,100]).
+    *
+    * Scale shape — hierarchical boundary refinement, no full-corpus
+    * window anywhere: the naive formulation is ONE global running-sum
+    * window in (score desc, hash) order. Instead:
+    *   1. per-score-bin token subtotals (one partial-aggregated groupBy;
+    *      ≤ |score range| rows) locate the boundary BIN — bins wholly
+    *      under budget are kept with a broadcast semi-join, later bins
+    *      dropped;
+    *   2. inside the one boundary bin, the [[mixtureSample]] hash-slice
+    *      trick refines further: 4096 per-slice subtotals locate the
+    *      boundary SLICE, whole slices keep by semi-join, and only that
+    *      slice's documents — 1/4096th of ONE score bin — pay the
+    *      fine-grained running sum.
+    * The decomposition is exact because the slice key is a prefix of the
+    * hash, so (score desc, slice, hash, id) order IS the naive order;
+    * two-level ≡ naive is spec-pinned. Output: input columns +
+    * `n_tokens`. */
+  def selectTopQualityShare(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      sharePermille: Int,
+      salt: String = "tq"): DataFrame = {
+    require(sharePermille >= 0 && sharePermille <= 1000,
+      "sharePermille must be in [0, 1000]")
+    val reserved = Seq("graft_hh", "graft_bkt", "graft_nt", "graft_bt",
+      "graft_pre", "graft_cum", "graft_tot", "graft_budget", "graft_rem",
+      "graft_st", "graft_spre", "graft_srem", "n_tokens")
+    require(!reserved.exists(docs.columns.contains),
+      s"input already has one of ${reserved.mkString("/")}")
+    val base = docs
+      .withColumn("graft_hh", hashHex(col(idCol), salt))
+      .withColumn("graft_bkt", substring(col("graft_hh"), 1, 3))
+      .withColumn("graft_nt", ntokens(col(textCol)))
+    // level 1: score-bin subtotals (tiny frame; the orderBy windows below
+    // run on it, not the corpus). Exclusive prefix in score-desc order.
+    val wb = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = base
+      .groupBy(col(scoreCol))
+      .agg(sum(col("graft_nt")).as("graft_bt"))
+      .withColumn("graft_pre", coalesce(sum(col("graft_bt")).over(wb), lit(0L)))
+      .crossJoin(broadcast(base.agg(sum(col("graft_nt")).as("graft_tot"))))
+      .withColumn("graft_budget",
+        call_function("div",
+          coalesce(col("graft_tot"), lit(0L)) * lit(sharePermille.toLong),
+          lit(1000L)))
+    val keepBins = bins
+      .filter(col("graft_pre") + col("graft_bt") <= col("graft_budget"))
+      .select(col(scoreCol))
+    val boundaryBin = bins
+      .filter(col("graft_pre") <= col("graft_budget")
+        && col("graft_pre") + col("graft_bt") > col("graft_budget"))
+      .select(col(scoreCol),
+        (col("graft_budget") - col("graft_pre")).as("graft_rem"))
+    // level 2: hash-slice refinement inside the (at most one) boundary bin
+    val bnd = base.join(broadcast(boundaryBin), Seq(scoreCol))
+    val ws = Window.orderBy(col("graft_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val slices = bnd
+      .groupBy(col("graft_bkt"))
+      .agg(sum(col("graft_nt")).as("graft_st"),
+        max(col("graft_rem")).as("graft_rem"))
+      .withColumn("graft_spre", coalesce(sum(col("graft_st")).over(ws), lit(0L)))
+    val keepSlices = slices
+      .filter(col("graft_spre") + col("graft_st") <= col("graft_rem"))
+      .select(col("graft_bkt"))
+    val boundarySlice = slices
+      .filter(col("graft_spre") <= col("graft_rem")
+        && col("graft_spre") + col("graft_st") > col("graft_rem"))
+      .select(col("graft_bkt"),
+        (col("graft_rem") - col("graft_spre")).as("graft_srem"))
+    val wf = Window.partitionBy(col("graft_bkt"))
+      .orderBy(col("graft_hh").asc, col(idCol).asc)
+    val keptBoundary = bnd
+      .join(broadcast(boundarySlice), Seq("graft_bkt"))
+      .withColumn("graft_cum", sum(col("graft_nt")).over(wf))
+      .filter(col("graft_cum") <= col("graft_srem"))
+      .drop("graft_rem", "graft_srem", "graft_cum")
+    base.join(broadcast(keepBins), Seq(scoreCol), "left_semi")
+      .unionByName(
+        bnd.join(broadcast(keepSlices), Seq("graft_bkt"), "left_semi")
+          .drop("graft_rem"))
+      .unionByName(keptBoundary)
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_hh", "graft_bkt")
+  }
+
+  /** The naive single-global-window formulation of
+    * [[selectTopQualityShare]] — semantically identical (spec-pinned);
+    * the equivalence reference and the shape the SQL oracle replays. */
+  private[graft] def selectTopQualityShareNaive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      sharePermille: Int,
+      salt: String = "tq"): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc,
+      hashHex(col(idCol), salt).asc, col(idCol).asc)
+    val tot = docs.select(ntokens(col(textCol)).as("graft_nt"))
+      .agg(sum(col("graft_nt")).as("graft_tot"))
+    docs
+      .withColumn("graft_nt", ntokens(col(textCol)))
+      .crossJoin(broadcast(tot))
+      .withColumn("graft_cum", sum(col("graft_nt")).over(w))
+      .filter(col("graft_cum") <=
+        call_function("div",
+          coalesce(col("graft_tot"), lit(0L)) * lit(sharePermille.toLong),
+          lit(1000L)))
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_cum", "graft_tot")
+  }
+
   /** The naive single-global-window formulation of [[shardByTokens]] —
     * semantically identical (spec-pinned); the equivalence reference. */
   private[graft] def shardByTokensNaive(

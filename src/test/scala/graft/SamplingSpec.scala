@@ -204,6 +204,60 @@ class SamplingSpec extends AnyFunSuite {
       s"doc-level window not slice-partitioned:\n${docWindows.mkString("\n")}")
   }
 
+  test("selectTopQualityShare: hierarchical plan == naive global window, exactly") {
+    val rnd = new scala.util.Random(17)
+    // few distinct scores over many docs (some zero-token), so score BINS
+    // are fat: the boundary bin genuinely splits across hash slices
+    val docs = (1 to 500).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))("w" + rnd.nextInt(40)).mkString(" "),
+        (rnd.nextInt(5) * 10).toLong)
+    }.toDF("id", "text", "score")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "score", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (share <- Seq(0, 137, 500, 803, 1000)) {
+      val fast = canon(Sampling.selectTopQualityShare(
+        docs, "id", "text", "score", share))
+      assert(fast == canon(Sampling.selectTopQualityShareNaive(
+        docs, "id", "text", "score", share)), s"share=$share")
+    }
+    // share=1000 keeps everything; share=0 keeps only the zero-token
+    // prefix of the top score band (cum <= 0)
+    assert(canon(Sampling.selectTopQualityShare(
+      docs, "id", "text", "score", 1000)).size == 500)
+  }
+
+  test("selectTopQualityShare: kept set is the greedy top-score token prefix") {
+    val docs = Seq(
+      (1L, "a b c d", 90L),  // 4 tokens, best score
+      (2L, "a b c", 50L),    // 3 tokens
+      (3L, "a b c d e", 50L),// 5 tokens, same bin as 2
+      (4L, "a b", 10L)       // worst score
+    ).toDF("id", "text", "score")
+    // total 14 tokens; share 500 -> budget 7: doc1 (4) kept whole-bin,
+    // bin 50 is the boundary with remainder 3 — within it the salted hash
+    // order decides whether doc2 (3 tokens, fits) leads or doc3 (5 tokens,
+    // overflows and stops the prefix) does; doc4 never reachable
+    val got = Sampling.selectTopQualityShare(docs, "id", "text", "score", 500)
+      .select("id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && !got.contains(4L))
+    assert(got.values.sum <= 7L)
+    assert(got.keySet == Set(1L, 2L) || got.keySet == Set(1L)) // greedy prefix, not knapsack
+  }
+
+  test("selectTopQualityShare: doc-level window is slice-partitioned, never global") {
+    val docs = Seq((1L, "a b c", 50L)).toDF("id", "text", "score")
+    val plan = Sampling.selectTopQualityShare(docs, "id", "text", "score", 500)
+      .queryExecution.optimizedPlan.toString()
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("graft_hh"))
+      .toList
+    assert(docWindows.nonEmpty, plan)
+    assert(docWindows.forall(_.contains("graft_bkt")),
+      s"doc-level window not slice-partitioned:\n${docWindows.mkString("\n")}")
+  }
+
   test("groupSample: preFilterFraction keeps the result exact when groups stay big enough") {
     // 200 rows per group, n=3: a 0.5 pre-filter keeps ~100 per group — far
     // more than 3, so the hash-ordered top-3 is unchanged

@@ -75,7 +75,8 @@ object ScaleProof {
     "ms01_mixsample" -> Bounds(15, 8),  // measured 9.4x (fixed cost only)
     "cu01_curate" -> Bounds(80, 8),     // measured 53x
     "dd05_resolve" -> Bounds(22, 8),    // measured 13.9x
-    "sp03_shards" -> Bounds(20, 8))     // measured 13.1x (fixed cost only)
+    "sp03_shards" -> Bounds(20, 8),     // measured 13.1x (fixed cost only)
+    "qs01_select" -> Bounds(25, 8))     // measured 17.6x of a ~0 base (0.2 MiB)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -320,6 +321,17 @@ object ScaleProof {
         // so CC has real multi-hop work at both scales
         Dedup.nearDupResolve(docs, "doc_id", "text", threshold = 0.8)
           .count())
+      measure("qs01_select", scale)(
+        // quality-threshold selection: score-bin prefix then hash-slice
+        // prefix — only subtotal frames and the one boundary slice
+        // shuffle beyond the base annotate; sum(n_tokens) keeps the
+        // window's input columns alive
+        Sampling.selectTopQualityShare(
+          docs.withColumn("graft_q",
+            graft.functions.TextFunctions.qualityScore(col("text"))),
+          "doc_id", "text", "graft_q", sharePermille = 500)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .head().getLong(0))
       measure("sp03_shards", scale)(
         // balanced-token sharding: the one unavoidable full-corpus
         // exchange (text rides the slice-window shuffle exactly once —
