@@ -1303,6 +1303,17 @@ object SparkEntry {
           col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))
     }),
+    // leakage-safe split: hashSplit keyed by near-dup cluster
+    // representative — near-duplicates can never straddle train/test;
+    // portable signatures so DuckDB replays clusters + split bit-for-bit
+    "sp04_leakage_safe_split" -> ((s, dir) => {
+      graft.operators.Sampling.leakageSafeSplit(t(s, dir, "documents"),
+          "doc_id", "text", "graft",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          threshold = 0.8, portable = true)
+        .select(col("doc_id"), col("rep_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     // FineWeb-style quality selection: top-scoring docs until half the
     // corpus token mass; hierarchical boundary refinement (score-bin
     // prefix, then hash-slice prefix inside the one boundary bin) — the
@@ -1373,6 +1384,62 @@ object SparkEntry {
         |  CAST(CASE WHEN tot <= 0 THEN 0
         |       ELSE LEAST(7, (cum * 8) // tot) END AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // dd05's portable cluster replay + sp01's split thresholds applied to
+    // the cluster representative (own id when unclustered)
+    "sp04_leakage_safe_split" ->
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
+        |  FROM tok),
+        |th AS (SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+        |      AS hs
+        |  FROM gr),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    coalesce(list_min(list_transform(hs, h ->
+        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+        |          * h +
+        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+        |        % 4294967291)),
+        |      4294967291)) AS s
+        |  FROM th),
+        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]),
+        |ex AS (SELECT doc_id, list_distinct(grams) AS gs FROM gr),
+        |conf AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+        |    JOIN ex eb ON eb.doc_id = c.id_b
+        |  WHERE len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)) > 0
+        |    AND CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |      >= 0.8),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM conf
+        |  UNION SELECT id_b, id_a FROM conf),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst),
+        |clus AS (SELECT id, MIN(lab) AS keep_id FROM reach GROUP BY id),
+        |rep AS (SELECT d.doc_id,
+        |    coalesce(c.keep_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN clus c ON c.id = d.doc_id)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN substr(md5(CAST(rep_id AS VARCHAR) || '-graft'), 1, 8)
+        |         < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(rep_id AS VARCHAR) || '-graft'), 1, 8)
+        |         < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep
+        |ORDER BY doc_id""".stripMargin,
     // naive replay of the hierarchical selection: integer quality score
     // (cu01's replay), salted hash, ONE global window in (quality desc,
     // hash, id) order, integer-exact half-token budget

@@ -68,6 +68,47 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe train/val/test split: a [[hashSplit]] keyed by each
+    * document's NEAR-DUP CLUSTER REPRESENTATIVE instead of its own id,
+    * so near-duplicates can never straddle train and test — the classic
+    * eval-contamination hole in hash-splitting a deduplicated-but-not-
+    * perfectly corpus (a doc and its 0.9-Jaccard variant land in
+    * different splits 2·p·(1−p) of the time under a plain id hash).
+    *
+    * Composition, not new machinery: [[graft.operators.Dedup.nearDupResolve]]
+    * (LSH candidates → exact-Jaccard confirm → transitive clusters)
+    * yields (id, keep_id); every clustered doc takes its cluster's min-id
+    * survivor as split key, unclustered docs their own id. The cluster
+    * map is bounded by confirmed pairs — tiny next to the corpus — so it
+    * broadcasts; the split itself stays map-side. Output: input columns +
+    * `rep_id` (the split key, for audit) + `splitCol`. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String,
+      weights: Seq[(String, Double)],
+      threshold: Double = 0.8,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false,
+      splitCol: String = "split"): DataFrame = {
+    val reserved = Seq("graft_rep", "keep_id", "rep_id", splitCol)
+    require(!reserved.exists(docs.columns.contains),
+      s"input already has one of ${reserved.mkString("/")}")
+    val reps = Dedup.nearDupResolve(docs, idCol, textCol, threshold,
+        nGram, numHashes, bands, maxBucketSize, portable)
+      .select(col("id").as(idCol), col("keep_id"))
+    val withRep = docs
+      .join(broadcast(reps), Seq(idCol), "left")
+      .withColumn("graft_rep", coalesce(col("keep_id"), col(idCol)))
+      .drop("keep_id")
+    hashSplit(withRep, "graft_rep", salt, weights, splitCol)
+      .withColumnRenamed("graft_rep", "rep_id")
+  }
+
   /** Keep a deterministic `fraction` of rows by salted id-hash. Same
     * content-addressed guarantee as `hashSplit`; a row's fate depends only
     * on (id, salt). Fractions compose: sampleFraction(0.5) of

@@ -258,6 +258,32 @@ class SamplingSpec extends AnyFunSuite {
       s"doc-level window not slice-partitioned:\n${docWindows.mkString("\n")}")
   }
 
+  test("leakageSafeSplit: near-dup clusters share a split; others match plain hashSplit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely unrelated content about databases and distributed query engines"),
+      (5L, "yet another separate document mentioning graphs vertices and edges")
+    ).toDF("doc_id", "text")
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", "text", "s", w,
+        threshold = 0.7)
+      .select("doc_id", "rep_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // 1,2,3 form one near-dup cluster -> same rep (min id 1), same split
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(Set(got(1L)._2, got(2L)._2, got(3L)._2).size == 1)
+    // unclustered docs keep their own id and match a plain hashSplit
+    assert(got(4L)._1 == 4L && got(5L)._1 == 5L)
+    val plain = Sampling.hashSplit(docs, "doc_id", "s", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(4L)._2 == plain(4L) && got(5L)._2 == plain(5L))
+    // and every row is present exactly once
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("groupSample: preFilterFraction keeps the result exact when groups stay big enough") {
     // 200 rows per group, n=3: a 0.5 pre-filter keeps ~100 per group — far
     // more than 3, so the hash-ordered top-3 is unchanged
