@@ -832,6 +832,19 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
         .limit(200)
     }),
+    // mixture with epoch repetition: per-source budget ABOVE the source's
+    // token mass upsamples by full passes + a residual hash prefix; the
+    // compact per-(source, epoch) rollup still pins residual membership
+    "ms02_mixture_epochs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("token_budget", lit(3000L))
+      graft.operators.Sampling.mixtureSampleWithRepetition(d,
+          "doc_id", "text", "source", budgets)
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"), col("epoch"))
+    }),
     // Gopher-style repetition signals as exact integer permille
     "tx02_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1042,6 +1055,34 @@ object SparkEntry {
         |WHERE cum <= token_budget
         |ORDER BY source, doc_id
         |LIMIT 200""".stripMargin,
+    // naive replay: per-source totals, e = budget // total full passes
+    // (row-per-epoch via unnest(range)), residual prefix in hash order
+    "ms02_mixture_epochs" ->
+      """WITH b AS (
+        |  SELECT DISTINCT source, CAST(3000 AS BIGINT) AS token_budget
+        |  FROM documents),
+        |t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-mix'), 1, 8) AS hh
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id)
+        |      AS cum,
+        |    SUM(n_tokens) OVER (PARTITION BY source) AS gt
+        |  FROM t),
+        |eb AS (SELECT c.*, token_budget,
+        |    CAST(CASE WHEN gt <= 0 THEN 0
+        |         ELSE GREATEST(0, token_budget // gt) END AS BIGINT) AS e
+        |  FROM c JOIN b USING (source)),
+        |r AS (SELECT *, token_budget - e * gt AS rem,
+        |    unnest(range(0, e + 1)) AS epoch
+        |  FROM eb)
+        |SELECT source, epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM r WHERE epoch < e OR cum <= rem
+        |GROUP BY source, epoch
+        |ORDER BY source, epoch""".stripMargin,
     "tx02_repetition" ->
       """WITH p AS (SELECT doc_id,
         |  list_filter(list_transform(regexp_split_to_array(text, '\r?\n'),

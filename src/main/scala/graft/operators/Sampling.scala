@@ -293,6 +293,88 @@ object Sampling {
       .drop("graft_hh", "graft_bkt")
   }
 
+  /** [[mixtureSample]] extended with EPOCH REPETITION — the regime where
+    * a source's token budget EXCEEDS its token mass, so the mixture
+    * upsamples by repeating the source (LLaMA/DoReMi-style "seen for 2.3
+    * epochs"). Per group with total tokens T and budget B:
+    * `e = div(B, T)` full passes (every document emitted with `epoch`
+    * 0..e−1) plus the greedy salted-hash prefix filling the residual
+    * `B − e·T` tokens at `epoch = e` — all integer arithmetic, so the
+    * cut is exact in any engine. `B <= T` degenerates to
+    * [[mixtureSample]] with an `epoch = 0` column; a zero-token group
+    * takes e = 0 and passes whole (same convention as mixtureSample).
+    *
+    * Scale shape: group totals are a tiny broadcast frame; full epochs
+    * are a map-side `explode(sequence)` — no shuffle; the residual
+    * prefix reuses mixtureSample's two-level slice plan. Output: input
+    * columns + `n_tokens` + `epoch`. Output token mass per group is
+    * within one document below B. */
+  def mixtureSampleWithRepetition(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: DataFrame,
+      salt: String = "mix"): DataFrame = {
+    val reserved = Seq("graft_gt", "graft_e", "graft_r", "epoch")
+    require(!reserved.exists(docs.columns.contains),
+      s"input already has one of ${reserved.mkString("/")}")
+    require(budgets.columns.toSeq.sorted == Seq(groupCol, "token_budget").sorted,
+      s"budgets must have exactly ($groupCol, token_budget) columns")
+    val nt = docs.withColumn("graft_nt", ntokens(col(textCol)))
+    val eb = nt
+      .groupBy(col(groupCol)).agg(sum(col("graft_nt")).as("graft_gt"))
+      .join(budgets, Seq(groupCol))
+      .withColumn("graft_e",
+        when(col("graft_gt") <= 0L, lit(0L))
+          .otherwise(greatest(lit(0L),
+            call_function("div", col("token_budget"), col("graft_gt")))))
+      .withColumn("graft_r",
+        col("token_budget") - col("graft_e") * col("graft_gt"))
+    val full = nt
+      .join(broadcast(eb.filter(col("graft_e") > 0L)
+        .select(col(groupCol), col("graft_e"))), Seq(groupCol))
+      .withColumn("epoch", explode(sequence(lit(0L), col("graft_e") - 1L)))
+      .drop("graft_e")
+      .withColumnRenamed("graft_nt", "n_tokens")
+    val resid = mixtureSample(docs, idCol, textCol, groupCol,
+        eb.select(col(groupCol), col("graft_r").as("token_budget")), salt)
+      .join(broadcast(eb.select(col(groupCol), col("graft_e"))), Seq(groupCol))
+      .withColumn("epoch", col("graft_e"))
+      .drop("graft_e")
+    full.unionByName(resid)
+  }
+
+  /** The naive formulation of [[mixtureSampleWithRepetition]] — one
+    * running-sum window per group, epochs via a row-count sequence;
+    * semantically identical (spec-pinned); the oracle-replay shape. */
+  private[graft] def mixtureSampleWithRepetitionNaive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: DataFrame,
+      salt: String = "mix"): DataFrame = {
+    val wc = Window.partitionBy(col(groupCol))
+      .orderBy(hashHex(col(idCol), salt).asc, col(idCol).asc)
+    val wg = Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("graft_nt", ntokens(col(textCol)))
+      .withColumn("graft_cum", sum(col("graft_nt")).over(wc))
+      .withColumn("graft_gt", sum(col("graft_nt")).over(wg))
+      .join(broadcast(budgets), Seq(groupCol))
+      .withColumn("graft_e",
+        when(col("graft_gt") <= 0L, lit(0L))
+          .otherwise(greatest(lit(0L),
+            call_function("div", col("token_budget"), col("graft_gt")))))
+      .withColumn("graft_r",
+        col("token_budget") - col("graft_e") * col("graft_gt"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("graft_e"))))
+      .filter(col("epoch") < col("graft_e") || col("graft_cum") <= col("graft_r"))
+      .withColumnRenamed("graft_nt", "n_tokens")
+      .drop("graft_cum", "graft_gt", "graft_e", "graft_r", "token_budget")
+  }
+
   /** The naive single-window formulation of [[mixtureSample]] — one
     * running sum per group, each group through one task. Semantically
     * identical (the spec pins it); here as the equivalence reference

@@ -204,6 +204,40 @@ class SamplingSpec extends AnyFunSuite {
       s"doc-level window not slice-partitioned:\n${docWindows.mkString("\n")}")
   }
 
+  test("mixtureSampleWithRepetition: two-level plan == naive, epochs + residual exact") {
+    val rnd = new scala.util.Random(19)
+    val docs = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20))("w" + rnd.nextInt(30)).mkString(" "),
+        "g" + (i % 3))
+    }.toDF("id", "text", "grp")
+    // g0 upsampled ~2.4 epochs, g1 ~exactly downsampled, g2 tiny budget
+    val budgets = Seq(("g0", 7000L), ("g1", 500L), ("g2", 60L))
+      .toDF("grp", "token_budget")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "grp", "n_tokens", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val fast = canon(Sampling.mixtureSampleWithRepetition(
+      docs, "id", "text", "grp", budgets))
+    assert(fast == canon(Sampling.mixtureSampleWithRepetitionNaive(
+      docs, "id", "text", "grp", budgets)))
+    // per-group emitted token mass is within one doc below the budget,
+    // and full epochs emit every doc exactly once each
+    val byGrp = fast.groupBy(_._2)
+    val bud = Map("g0" -> 7000L, "g1" -> 500L, "g2" -> 60L)
+    for ((g, rows) <- byGrp) {
+      val mass = rows.map(_._3).sum
+      assert(mass <= bud(g), s"$g over budget: $mass")
+      assert(mass > bud(g) - 20, s"$g under-filled: $mass")
+      val nDocs = docs.filter(col("grp") === g).count()
+      val epochs = rows.map(_._4).distinct.sorted
+      for (e <- epochs.init) // every epoch but the last is a full pass
+        assert(rows.count(_._4 == e) == nDocs, s"$g epoch $e not full")
+    }
+    // upsampling actually happened for g0
+    assert(fast.filter(_._2 == "g0").map(_._4).max >= 1L)
+  }
+
   test("selectTopQualityShare: hierarchical plan == naive global window, exactly") {
     val rnd = new scala.util.Random(17)
     // few distinct scores over many docs (some zero-token), so score BINS
