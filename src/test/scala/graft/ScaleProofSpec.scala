@@ -37,7 +37,11 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-5 substring-dedup lanes (SCALING.md round-5 addendum)
       pair("sd01_spans", 5.0, 78.1, 1.1),
       pair("sd02_rmspans", 5.8, 71.2, 1.1),
-      pair("ms01_mixsample", 0.1, 1.2, 1.0)).flatten
+      pair("ms01_mixsample", 0.1, 1.2, 1.0),
+      // second-half round-5 lanes (SCALING.md round-5 addendum)
+      pair("dd05_resolve", 2.9, 40.5, 1.3),
+      pair("sp03_shards", 0.2, 2.5, 1.1),
+      pair("qs01_select", 0.01, 0.2, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -47,7 +51,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "dd04_embdup", "dd04_embdup_q8", "ann01_lsh", "ann02_ivf",
       "ann03_knn", "ann03_knn_q8", "dc01_contain", "lm01_surprisal",
       "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "sd01_spans",
-      "sd02_rmspans", "ms01_mixsample", "cu01_curate")
+      "sd02_rmspans", "ms01_mixsample", "cu01_curate",
+      "dd05_resolve", "sp03_shards", "qs01_select")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
