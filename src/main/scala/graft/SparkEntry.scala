@@ -1857,6 +1857,72 @@ object SparkEntry {
         |  WHERE r.lab < s.dst)
         |SELECT id, MIN(lab) AS keep_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // dd05's cluster replay + integer quality + FIRST_VALUE election per
+    // cluster (quality desc, id asc) — NULLS LAST pinned to match Spark
+    "dd06_dedup_elect" ->
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
+        |  FROM tok),
+        |th AS (SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+        |      AS hs
+        |  FROM gr),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    coalesce(list_min(list_transform(hs, h ->
+        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+        |          * h +
+        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+        |        % 4294967291)),
+        |      4294967291)) AS s
+        |  FROM th),
+        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]),
+        |ex AS (SELECT doc_id, list_distinct(grams) AS gs FROM gr),
+        |conf AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+        |    JOIN ex eb ON eb.doc_id = c.id_b
+        |  WHERE len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)) > 0
+        |    AND CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |      >= 0.8),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM conf
+        |  UNION SELECT id_b, id_a FROM conf),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst),
+        |clus AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |    GREATEST(LEAST((sw*100)//tc + LEAST(cc//20, 30) + 40
+        |      - (dg*100)//cc - (pc*100)//cc, 100), 0) AS quality
+        |  FROM (SELECT doc_id,
+        |      GREATEST(CAST(len(string_split_regex(trim(lower(text)),
+        |        '[ \t\n\x0B\f\r]+')) AS BIGINT), 1) AS tc,
+        |      GREATEST(CAST(length(text) AS BIGINT), 1) AS cc,
+        |      CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |        '[ \t\n\x0B\f\r]+'), t -> t IN ('the','a','an','and','or',
+        |        'of','to','in','is','it','for','on','with','as','at','by',
+        |        'this','that'))) AS BIGINT) AS sw,
+        |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+        |        AS dg,
+        |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |        AS BIGINT) AS pc
+        |    FROM documents))
+        |SELECT c.id, c.cluster_id,
+        |  FIRST_VALUE(c.id) OVER (PARTITION BY c.cluster_id
+        |    ORDER BY q.quality DESC NULLS LAST, c.id ASC) AS keep_id
+        |FROM clus c JOIN q ON q.doc_id = c.id
+        |ORDER BY id""".stripMargin,
     // the ENTIRE curation pipeline replayed: integer quality score,
     // stopword-profile language argmax (tie-break = larger lang string,
     // mirroring Spark's greatest(struct(hits,lang))), exact dedup by
@@ -2259,6 +2325,16 @@ object SparkEntry {
     // a recursive-CTE connected components (g03's pattern)
     "dd05_dedup_resolve" -> ((s, dir) => {
       Dedup.nearDupResolve(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, portable = true)
+        .orderBy(col("id"))
+    }),
+    // priority-elected survivors: same clusters as dd05, but each keeps
+    // its highest-quality member (ties -> smaller id), the policy real
+    // pipelines want; integer quality score so the election replays
+    "dd06_dedup_elect" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("quality",
+        TextFunctions.qualityScore(col("text")))
+      Dedup.nearDupResolveBy(d, "doc_id", "text", "quality",
           threshold = 0.8, portable = true)
         .orderBy(col("id"))
     }),

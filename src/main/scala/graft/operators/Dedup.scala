@@ -417,6 +417,63 @@ object Dedup {
     docs.join(broadcast(drops), Seq(idCol), "left_anti")
   }
 
+  /** [[nearDupResolve]] with PRIORITY-BASED survivor election: real
+    * pipelines keep the best member of a near-dup cluster (highest
+    * quality score, longest, most recent…), not the smallest id. The
+    * cluster structure is exactly nearDupResolve's (its min-id label is
+    * kept as `cluster_id` — a stable cluster name); the survivor is
+    * re-elected per cluster as the member with the highest
+    * `priorityCol`, ties broken by smaller id. Output: (id, cluster_id,
+    * keep_id).
+    *
+    * The election window partitions by cluster over the CLUSTER MAP,
+    * not the corpus — the map is bounded by confirmed pairs, and
+    * cluster sizes are dup-chain lengths, so the window input is tiny
+    * and well-distributed at any corpus scale. `priorityCol` is looked
+    * up from `docs` via the map side of a broadcast join. */
+  def nearDupResolveBy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      threshold: Double = 0.8,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val clusters = nearDupResolve(docs, idCol, textCol, threshold, nGram,
+      numHashes, bands, maxBucketSize, portable)
+      .withColumnRenamed("keep_id", "cluster_id")
+    val pri = docs.select(col(idCol).as("id"), col(priorityCol).as("graft_pri"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("graft_pri").desc, col("id").asc)
+    broadcast(clusters).join(pri, Seq("id"))
+      .withColumn("keep_id", first(col("id")).over(w))
+      .select(col("id"), col("cluster_id"), col("keep_id"))
+  }
+
+  /** The corpus after priority-elected near-duplicate removal: every
+    * cluster keeps its highest-priority member ([[nearDupResolveBy]]),
+    * everything unclustered passes through. */
+  def dropNearDupsBy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      threshold: Double = 0.8,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val drops = nearDupResolveBy(docs, idCol, textCol, priorityCol,
+      threshold, nGram, numHashes, bands, maxBucketSize, portable)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicates: pairs with hamming(sig_a, sig_b) <= maxHamming.
     * Uses the 4×16-bit block pigeonhole for candidate generation, which is
     * complete for maxHamming <= 3. Output: (id_a, id_b, hamming). */

@@ -343,6 +343,25 @@ class DedupSpec extends AnyFunSuite {
     assert(spairs.contains((1L, 2L)))
   }
 
+  test("nearDupResolveBy: survivor is the highest-priority cluster member") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today", 90L),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight", 50L),
+      (4L, "completely unrelated content about databases and distributed query engines", 99L)
+    ).toDF("doc_id", "text", "pri")
+    val got = Dedup.nearDupResolveBy(d, "doc_id", "text", "pri",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster {1,2,3} keeps stable min-id label 1, elects doc 2 (pri 90);
+    // doc 4 is unclustered and absent
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L)))
+    val kept = Dedup.dropNearDupsBy(d, "doc_id", "text", "pri",
+        threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("portable signatures: codegen expression == HOF/SQL twin, bit-for-bit") {
     // the expression path (tight JVM loop) must reproduce the SQL-composed
     // formulation the DuckDB oracle replays — on real docs AND edge cases
