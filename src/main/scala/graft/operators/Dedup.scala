@@ -214,7 +214,7 @@ object Dedup {
     val banded = bandRows(sigs, numHashes, bands)
     val pairs = bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
 
-    pairs
+    withSigs(pairs, sigs)
       .withColumn("est_jaccard",
         estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
@@ -512,7 +512,7 @@ object Dedup {
       explode(array(blockStructs: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
-    bucketPairs(blocked, Seq("band", "bucket"), maxBucketSize)
+    withSigs(bucketPairs(blocked, Seq("band", "bucket"), maxBucketSize), sigs)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -830,16 +830,20 @@ object Dedup {
       cosThreshold: Double = 0.9,
       maxBucketSize: Int = 10000,
       quantized: Boolean = false): DataFrame = {
-    val hashed =
-      (if (quantized)
+    // (id, sig, lsh_buckets) once; the banding explode carries only ids
+    // and the vectors re-join per ID after the pair distinct (withSigs)
+    val sigFrame =
+      if (quantized)
         Similarity.quantizeI8(bucketed, vecCol)
           .select(col(idCol).as("id"),
             struct(col("q8"), col("q8_scale"), col("q8_norm")).as("sig"),
-            explode(col("lsh_buckets")).as("bb"))
+            col("lsh_buckets"))
       else
         bucketed.select(col(idCol).as("id"), col(vecCol).as("sig"),
-          explode(col("lsh_buckets")).as("bb")))
-        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+          col("lsh_buckets"))
+    val hashed = sigFrame
+      .select(col("id"), explode(col("lsh_buckets")).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     val score =
       if (quantized)
@@ -847,7 +851,9 @@ object Dedup {
           col("sig_a.q8"), col("sig_a.q8_scale"), col("sig_a.q8_norm"),
           col("sig_b.q8"), col("sig_b.q8_scale"), col("sig_b.q8_norm"))
       else cosineSim(col("sig_a"), col("sig_b"))
-    bucketPairs(hashed, Seq("band", "bucket"), maxBucketSize)
+    withSigs(
+      bucketPairs(hashed, Seq("band", "bucket"), maxBucketSize),
+      sigFrame.select(col("id"), col("sig")))
       .withColumn("cos", score)
       // NaN guard: cosineSim already defines zero-norm cosine as 0.0, so
       // NaN can only arise from NaN-valued embedding ELEMENTS (a corrupt
@@ -887,8 +893,14 @@ object Dedup {
       .drop("__xa", "__xb")
   }
 
-  /** Distinct within-bucket pairs (id_a < id_b) carrying each side's `sig`,
-    * with a per-bucket size cap to bound worst-case blowup. */
+  /** Distinct within-bucket pairs (id_a < id_b) as BARE ID PAIRS, with a
+    * per-bucket size cap to bound worst-case blowup. Payloads
+    * (signatures, vectors) attach afterwards via [[withSigs]]: a pair can
+    * match in up to `bands` buckets, so carrying payloads through the
+    * pair join + distinct moves each one once per BUCKET HIT (and sorts
+    * payload-fat rows in the join) — the ScaleProof 100× corpus OOM'd an
+    * 8 GiB heap on exactly that shape; bare 16-byte pair rows sort and
+    * spill trivially, and each payload then shuffles once per ID. */
   private def bucketPairs(
       banded: DataFrame,
       bucketCols: Seq[String],
@@ -906,16 +918,23 @@ object Dedup {
       .drop("bucket_n")
     val capped = banded.join(sizes, bucketCols, "left_semi")
 
-    val l = capped.select(
-      bucketCols.map(col) :+ col("id").as("id_a") :+ col("sig").as("sig_a"): _*)
-    val r = capped.select(
-      bucketCols.map(col) :+ col("id").as("id_b") :+ col("sig").as("sig_b"): _*)
+    val l = capped.select(bucketCols.map(col) :+ col("id").as("id_a"): _*)
+    val r = capped.select(bucketCols.map(col) :+ col("id").as("id_b"): _*)
 
     l.join(r, bucketCols)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Attach each side's `sig` to an (id_a, id_b) pair frame from an
+    * (id, sig) frame — the payload-rejoin half of [[bucketPairs]]. */
+  private def withSigs(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
 
   // ------------------------------------------------------------------
   // Substring-level dedup: duplicated token SPANS across documents
