@@ -56,11 +56,11 @@ object ScaleProof {
     * driver-head probe stages, measured 16). */
   final case class Bounds(ratioCeil: Double, skewCeil: Double, absCeilMiB: Double = 8.0)
   val bounds: Map[String, Bounds] = Map(
-    "dd01_minhash" -> Bounds(75, 8),    // measured 50x
-    "dd02_simhash" -> Bounds(30, 8),    // measured 19x
+    "dd01_minhash" -> Bounds(10, 8),    // measured 6.2x (id-pair refactor)
+    "dd02_simhash" -> Bounds(24, 8),    // measured 15x (id-pair refactor)
     "dd03_ngram" -> Bounds(12, 8),      // measured 7.6x (prefix-filtered)
-    "dd04_embdup" -> Bounds(100, 8),    // measured 67x (output grew 1400x)
-    "dd04_embdup_q8" -> Bounds(100, 8), // measured 67x
+    "dd04_embdup" -> Bounds(25, 8),     // measured 15x (was 67x pre-refactor)
+    "dd04_embdup_q8" -> Bounds(25, 8),  // measured 15x
     "ann01_lsh" -> Bounds(5, 8),        // zero-shuffle at any scale
     "ann02_ivf" -> Bounds(20, 24),      // measured 11x / skew 16
     "ann03_knn" -> Bounds(100, 8),      // measured 66x
@@ -73,7 +73,7 @@ object ScaleProof {
     "sd01_spans" -> Bounds(25, 8),      // measured 15.7x
     "sd02_rmspans" -> Bounds(20, 8),    // measured 12.3x
     "ms01_mixsample" -> Bounds(15, 8),  // measured 9.4x (fixed cost only)
-    "cu01_curate" -> Bounds(80, 8),     // measured 53x
+    "cu01_curate" -> Bounds(30, 8),     // measured 19x (id-pair refactor)
     "dd05_resolve" -> Bounds(22, 8),    // measured 13.9x
     "sp03_shards" -> Bounds(20, 8),     // measured 13.1x (fixed cost only)
     "qs01_select" -> Bounds(25, 8))     // measured 17.6x of a ~0 base (0.2 MiB)
@@ -112,7 +112,15 @@ object ScaleProof {
     // "--reuse" to keep an existing /tmp 10x corpus (isolating one lane
     // without paying the corpus write)
     val reuse = args.contains("--reuse")
-    val only = args.filterNot(_ == "--reuse").toSet
+    // "--x100" additionally measures a 100x corpus (550k docs) for a
+    // 3-point growth curve on TEXT lanes; pass a lane subset to keep the
+    // run bounded. Embedding lanes have no 100x corpus — rejected below.
+    val x100 = args.contains("--x100")
+    val only = args.filterNot(a => a == "--reuse" || a == "--x100").toSet
+    val embLanes = Set("dd04_embdup", "dd04_embdup_q8", "ann01_lsh",
+      "ann02_ivf", "ann03_knn", "ann03_knn_q8")
+    require(!x100 || (only.nonEmpty && only.intersect(embLanes).isEmpty),
+      "--x100 needs an explicit TEXT-lane subset (no 100x embedding corpus)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -147,13 +155,18 @@ object ScaleProof {
       .select("vec_id", "embedding")
 
     val boiler = " the standard disclaimer sentence appears in very many documents here"
-    val docs10x = docs1x
+    // same adversarial layout at any multiple: every doc gets `mult`
+    // variants, every 100th doc 11x that (the hot dup cluster)
+    def variantCorpus(mult: Int): DataFrame = docs1x
       .withColumn("variants",
-        when(col("doc_id") % 100 === 0, lit(110)).otherwise(lit(10)))
+        when(col("doc_id") % 100 === 0, lit(11 * mult)).otherwise(lit(mult)))
       .select(col("doc_id"), col("text"), explode(
         sequence(lit(0), col("variants") - 1)).as("variant"))
       .select(
-        (col("doc_id") * 1000L + col("variant")).as("doc_id"),
+        // id space scales with mult (10x keeps its historical *1000):
+        // hot docs carry 11*mult variants, so the multiplier must exceed
+        // that — mult*100 does at any mult >= 1
+        (col("doc_id") * lit(mult * 100L) + col("variant")).as("doc_id"),
         // newline separators instead of spaces: the token stream (split on
         // \s+) is IDENTICAL to the previous space-joined layout, so every
         // shingle-based measurement stays comparable — but the corpus now
@@ -191,9 +204,20 @@ object ScaleProof {
     if (!reuse || !markerOk || !Files.exists(Paths.get(s"$base/docs10x/_SUCCESS"))) {
       Files.createDirectories(Paths.get(base))
       Files.deleteIfExists(marker) // no marker while the corpus is mid-write
-      docs10x.write.mode("overwrite").parquet(s"$base/docs10x")
+      variantCorpus(10).write.mode("overwrite").parquet(s"$base/docs10x")
       emb10x.write.mode("overwrite").parquet(s"$base/emb10x")
       Files.write(marker, s"$CorpusLayoutVersion\n".getBytes("UTF-8")): Unit
+    }
+    val marker100 = Paths.get(s"$base/LAYOUT_VERSION_100X")
+    val marker100Ok = Files.exists(marker100) &&
+      new String(Files.readAllBytes(marker100), "UTF-8").trim ==
+        CorpusLayoutVersion.toString
+    if (x100 &&
+        (!reuse || !marker100Ok ||
+          !Files.exists(Paths.get(s"$base/docs100x/_SUCCESS")))) {
+      Files.deleteIfExists(marker100)
+      variantCorpus(100).write.mode("overwrite").parquet(s"$base/docs100x")
+      Files.write(marker100, s"$CorpusLayoutVersion\n".getBytes("UTF-8")): Unit
     }
     val d10 = spark.read.parquet(s"$base/docs10x")
     val e10 = spark.read.parquet(s"$base/emb10x")
@@ -344,19 +368,30 @@ object ScaleProof {
 
     runFamily("1x", docs1x, emb1x)
     runFamily("10x", d10, e10)
+    if (x100) {
+      val d100 = spark.read.parquet(s"$base/docs100x")
+      println(s"docs 100x=${d100.count()}")
+      runFamily("100x", d100, e10) // emb lanes rejected by the arg require
+    }
 
     // growth table: 10x/1x ratios (sub-quadratic = shuffle ratio well
     // under 100 for a 10x input)
-    println("\n| operator | rows 1x→10x | wall 1x→10x | shuffle MiB 1x→10x | ratio | maxStage 1x→10x | skew 1x→10x |")
-    println("|---|---|---|---|---|---|---|")
-    results.groupBy(_.name).toSeq.sortBy(_._1).foreach { case (n, rs) =>
-      val a = rs.find(_.scale == "1x").get
-      val b = rs.find(_.scale == "10x").get
-      val ratio = if (a.shuffleMiB > 0) b.shuffleMiB / a.shuffleMiB else 0.0
-      println(f"| $n | ${a.rows}→${b.rows} | ${a.wallSec}%.1f→${b.wallSec}%.1f s " +
-        f"| ${a.shuffleMiB}%.1f→${b.shuffleMiB}%.1f | ${ratio}%.1f× " +
-        f"| ${a.maxStageMiB}%.1f→${b.maxStageMiB}%.1f | ${a.taskSkew}%.1f→${b.taskSkew}%.1f |")
+    def growthTable(s1: String, s2: String): Unit = {
+      println(s"\n| operator | rows $s1→$s2 | wall $s1→$s2 | shuffle MiB $s1→$s2 | ratio | maxStage $s1→$s2 | skew $s1→$s2 |")
+      println("|---|---|---|---|---|---|---|")
+      results.groupBy(_.name).toSeq.sortBy(_._1).foreach { case (n, rs) =>
+        (rs.find(_.scale == s1), rs.find(_.scale == s2)) match {
+          case (Some(a), Some(b)) =>
+            val ratio = if (a.shuffleMiB > 0) b.shuffleMiB / a.shuffleMiB else 0.0
+            println(f"| $n | ${a.rows}→${b.rows} | ${a.wallSec}%.1f→${b.wallSec}%.1f s " +
+              f"| ${a.shuffleMiB}%.1f→${b.shuffleMiB}%.1f | ${ratio}%.1f× " +
+              f"| ${a.maxStageMiB}%.1f→${b.maxStageMiB}%.1f | ${a.taskSkew}%.1f→${b.taskSkew}%.1f |")
+          case _ => ()
+        }
+      }
     }
+    growthTable("1x", "10x")
+    if (x100) growthTable("10x", "100x")
     // enforce the committed ceilings: a refactor that quietly regresses a
     // lane's shuffle growth or skew fails the run, not just the reader
     val violations = checkBounds(results.toSeq)

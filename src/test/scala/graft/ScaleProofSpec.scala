@@ -19,17 +19,18 @@ class ScaleProofSpec extends AnyFunSuite {
   test("committed round-4 measured table passes every ceiling") {
     // shuffle MiB 1x -> 10x and 10x skew, transcribed from SCALING.md
     val committed = Seq(
-      pair("dd01_minhash", 2.9, 147, 1.2),
-      pair("dd02_simhash", 15, 281, 5.3),
+      // dd01/dd02/dd04/cu01 re-measured after the round-5 id-pair refactor
+      pair("dd01_minhash", 2.8, 17.4, 1.2),
+      pair("dd02_simhash", 7.7, 116.1, 1.1),
       pair("dd03_ngram", 14, 108, 1.9),
       pair("dc01_contain", 5.1, 14, 1.7),
-      pair("dd04_embdup", 17, 1132, 1.2),
-      pair("dd04_embdup_q8", 6.7, 450, 1.1),
+      pair("dd04_embdup", 2.1, 30.9, 1.0),
+      pair("dd04_embdup_q8", 2.1, 30.9, 1.0),
       pair("ann01_lsh", 0, 0, 1.0),
       pair("ann02_ivf", 0.5, 5.7, 16),
       pair("ann03_knn", 18, 1208, 1.6),
       pair("ann03_knn_q8", 7.6, 520, 1.5),
-      pair("cu01_curate", 3.6, 191, 1.1),
+      pair("cu01_curate", 3.6, 68.3, 1.1),
       pair("lm01_surprisal", 0.1, 0.5, 1.0),
       pair("ti01_tfidf", 2.9, 61, 1.4),
       pair("bp01_boiler", 3.8, 55, 1.2),
