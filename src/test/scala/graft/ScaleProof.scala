@@ -63,8 +63,8 @@ object ScaleProof {
     "dd04_embdup_q8" -> Bounds(25, 8),  // measured 15x
     "ann01_lsh" -> Bounds(5, 8),        // zero-shuffle at any scale
     "ann02_ivf" -> Bounds(20, 24),      // measured 11x / skew 16
-    "ann03_knn" -> Bounds(100, 8),      // measured 66x
-    "ann03_knn_q8" -> Bounds(100, 8),   // measured 68x
+    "ann03_knn" -> Bounds(50, 8),       // measured 33x (id-pair refactor)
+    "ann03_knn_q8" -> Bounds(50, 8),    // measured 33x
     "dc01_contain" -> Bounds(5, 8),     // measured 2.8x (prefix-filtered)
     "lm01_surprisal" -> Bounds(25, 8),  // measured 16x
     "ti01_tfidf" -> Bounds(32, 8),      // measured 21x

@@ -28,8 +28,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("dd04_embdup_q8", 2.1, 30.9, 1.0),
       pair("ann01_lsh", 0, 0, 1.0),
       pair("ann02_ivf", 0.5, 5.7, 16),
-      pair("ann03_knn", 18, 1208, 1.6),
-      pair("ann03_knn_q8", 7.6, 520, 1.5),
+      pair("ann03_knn", 2.3, 77.0, 1.1),
+      pair("ann03_knn_q8", 2.3, 77.0, 1.4),
       pair("cu01_curate", 3.6, 68.3, 1.1),
       pair("lm01_surprisal", 0.1, 0.5, 1.0),
       pair("ti01_tfidf", 2.9, 61, 1.4),
