@@ -78,18 +78,38 @@ object ScaleProof {
     "sp03_shards" -> Bounds(20, 8),     // measured 13.1x (fixed cost only)
     "qs01_select" -> Bounds(25, 8))     // measured 17.6x of a ~0 base (0.2 MiB)
 
+  /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
+    * ~1.6× margin over the committed SCALING.md third-point table). The
+    * pair lanes' growth is answer-bound on this corpus — every base doc
+    * gains ~100 confirmed near-dups at 100× — hence the large but
+    * committed ratios. */
+  val bounds100: Map[String, Bounds] = Map(
+    "dd01_minhash" -> Bounds(450, 8),   // measured 290x (answer grew ~100x)
+    "cu01_curate" -> Bounds(160, 8),    // measured 100x (pair-bound)
+    "sd01_spans" -> Bounds(20, 8),      // measured 12.9x
+    "qs01_select" -> Bounds(8, 8),      // measured 2.8x of a ~0 base
+    "sp03_shards" -> Bounds(10, 8))     // measured 6.4x
+
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
     * (filtered runs) are skipped. */
   def checkBounds(results: Seq[OpStats]): Seq[String] =
+    checkScalePair(results, "1x", "10x", bounds) ++
+      checkScalePair(results, "10x", "100x", bounds100)
+
+  private def checkScalePair(
+      results: Seq[OpStats],
+      s1: String,
+      s2: String,
+      ceilings: Map[String, Bounds]): Seq[String] =
     results.groupBy(_.name).toSeq.sortBy(_._1).flatMap { case (n, rs) =>
-      (rs.find(_.scale == "1x"), rs.find(_.scale == "10x"), bounds.get(n)) match {
+      (rs.find(_.scale == s1), rs.find(_.scale == s2), ceilings.get(n)) match {
         case (Some(a), Some(b), Some(bd)) =>
           val ratioViol =
             if (a.shuffleMiB < 0.05)
               if (b.shuffleMiB > bd.absCeilMiB)
-                Seq(f"$n: 10x shuffle ${b.shuffleMiB}%.1f MiB exceeds " +
-                  f"abs ceiling ${bd.absCeilMiB}%.1f (1x was ~zero-shuffle)")
+                Seq(f"$n: $s2 shuffle ${b.shuffleMiB}%.1f MiB exceeds " +
+                  f"abs ceiling ${bd.absCeilMiB}%.1f ($s1 was ~zero-shuffle)")
               else Nil
             else {
               val r = b.shuffleMiB / a.shuffleMiB
@@ -100,7 +120,7 @@ object ScaleProof {
             }
           val skewViol =
             if (b.taskSkew > bd.skewCeil)
-              Seq(f"$n: 10x task skew ${b.taskSkew}%.1f exceeds ceiling ${bd.skewCeil}%.1f")
+              Seq(f"$n: $s2 task skew ${b.taskSkew}%.1f exceeds ceiling ${bd.skewCeil}%.1f")
             else Nil
           ratioViol ++ skewViol
         case _ => Nil

@@ -73,6 +73,24 @@ class ScaleProofSpec extends AnyFunSuite {
     assert(ScaleProof.checkBounds(pair("unknown_lane", 1, 999, 99)).isEmpty)
   }
 
+  test("committed 100x third-point table passes its ceilings; regressions flagged") {
+    def pair100(name: String, s10: Double, s100: Double, skew: Double) = Seq(
+      OpStats(name, "10x", 0L, 0.0, s10, s10, 1.0, 1),
+      OpStats(name, "100x", 0L, 0.0, s100, s100, skew, 1))
+    val committed = Seq(
+      pair100("dd01_minhash", 17.4, 5045.1, 1.2),
+      pair100("cu01_curate", 68.3, 6856.1, 1.5),
+      pair100("sd01_spans", 78.1, 1007.7, 1.2),
+      pair100("qs01_select", 0.2, 0.5, 1.2),
+      pair100("sp03_shards", 2.5, 15.9, 1.3)).flatten
+    assert(ScaleProof.checkBounds(committed).isEmpty)
+    // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
+    val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
+    assert(ScaleProof.checkBounds(bad).exists(_.contains("shuffle growth")))
+    // every 100x ceiling refers to a lane that also has a 1x/10x ceiling
+    assert(ScaleProof.bounds100.keySet.subsetOf(ScaleProof.bounds.keySet))
+  }
+
   test("corpus layout-version marker is positive and bumps with the generator") {
     assert(ScaleProof.CorpusLayoutVersion >= 3)
   }
