@@ -854,6 +854,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .limit(200)
     }),
+    // C4-style line cleaning: word floor + terminal punctuation + marker
+    // lines + within-doc repeat collapse; documents are single-line, so
+    // the lane wraps each in a deterministic multi-line harness that
+    // exercises all four rules (both engines build the same harness)
+    "c401_clean_lines" -> ((s, dir) => {
+      val src = concat(col("text"), lit(".\n"), col("text"),
+        lit(".\nshort line\n" +
+          "we use javascript and cookie banners on this site today.\n" +
+          "this is a good long line that ends properly."))
+      val (kept, dropped) = TextFunctions.cleanLinesCounts(src)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextFunctions.cleanLines(src).cast("binary")).as("fp"),
+          kept.as("n_kept"), dropped.as("n_dropped"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
     "q19_doc_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1103,6 +1120,31 @@ object SparkEntry {
         |       ELSE (1000 * (len(gr) - len(list_distinct(gr)))) // len(gr)
         |  END AS dup_3gram_pm
         |FROM g ORDER BY doc_id LIMIT 200""".stripMargin,
+    // the same harness + the same four rules; (x, i) lambda gives the
+    // position for the first-occurrence test (both 1-based)
+    "c401_clean_lines" ->
+      """WITH src AS (SELECT doc_id,
+        |    text || '.' || chr(10) || text || '.' || chr(10) ||
+        |    'short line' || chr(10) ||
+        |    'we use javascript and cookie banners on this site today.' ||
+        |    chr(10) ||
+        |    'this is a good long line that ends properly.' AS s
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split_regex(s, '\r?\n') AS lines FROM src),
+        |k AS (SELECT doc_id, list_filter(lines, (x, i) ->
+        |    len(list_filter(string_split_regex(trim(x),
+        |      '[ \t\n\x0B\f\r]+'), w -> w <> '')) >= 3
+        |    AND right(trim(x), 1) IN ('.', '!', '?', '"')
+        |    AND NOT contains(lower(x), 'javascript')
+        |    AND NOT contains(lower(x), 'cookie')
+        |    AND NOT contains(lower(x), 'lorem ipsum')
+        |    AND list_position(lines, x) = i) AS kept,
+        |    len(lines) AS total
+        |  FROM l)
+        |SELECT doc_id, md5(array_to_string(kept, chr(10))) AS fp,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(total - len(kept) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
     "q19_doc_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,

@@ -163,6 +163,65 @@ object TextFunctions {
   def dupNgramPermille(text: Column, n: Int): Column =
     dupPermille(tokenNgrams(text, n))
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2's rule family,
+    * re-expressed as engine-portable Column logic): a line SURVIVES iff
+    *   1. it has at least `minWords` whitespace-separated words,
+    *   2. it ends in terminal punctuation (`.` `!` `?` `"`) — C4's
+    *      "terminal punctuation" rule (disable via `requireTerminal`),
+    *   3. its lowercase form contains none of `markers` (cookie/JS
+    *      boilerplate sentinels), and
+    *   4. it is the FIRST occurrence of its exact text in the document
+    *      (within-doc repeat collapse; a repeat whose first occurrence
+    *      was itself dropped is dropped with it).
+    * Survivors are re-joined with `\n`. Entirely map-side — per-line
+    * predicates + an `array_position` first-occurrence test over the
+    * doc's own lines (quadratic only in LINES PER DOC, which is small
+    * and bounded by doc length, not corpus size). Every predicate is
+    * chosen to replay byte-identically in SQL: Java `\s` is pinned to
+    * `[ \t\n\x0B\f\r]` (tx02's convention), the terminal test is a
+    * last-character IN list, markers use substring containment. */
+  private def keptCleanLines(
+      text: Column,
+      minWords: Int,
+      requireTerminal: Boolean,
+      markers: Seq[String]): Column = {
+    require(minWords >= 0, "minWords must be non-negative")
+    val lines = split(text, "\r?\n")
+    def wordCount(l: Column): Column =
+      size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+    def terminalOk(l: Column): Column =
+      if (requireTerminal)
+        substring(trim(l), -1, 1).isin(".", "!", "?", "\"")
+      else lit(true)
+    def markerFree(l: Column): Column =
+      markers.map(m => !lower(l).contains(m))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    filter(lines, (l, i) =>
+      wordCount(l) >= minWords && terminalOk(l) && markerFree(l) &&
+        array_position(lines, l) === (i + 1).cast("long"))
+  }
+
+  def cleanLines(
+      text: Column,
+      minWords: Int = 3,
+      requireTerminal: Boolean = true,
+      markers: Seq[String] = Seq("javascript", "cookie", "lorem ipsum")): Column =
+    concat_ws("\n", keptCleanLines(text, minWords, requireTerminal, markers))
+
+  /** Kept/dropped line counts for [[cleanLines]] under the same rules —
+    * audit counters: (n_kept, n_dropped). */
+  def cleanLinesCounts(
+      text: Column,
+      minWords: Int = 3,
+      requireTerminal: Boolean = true,
+      markers: Seq[String] = Seq("javascript", "cookie", "lorem ipsum"))
+      : (Column, Column) = {
+    val total = size(split(text, "\r?\n")).cast("long")
+    val keptN =
+      size(keptCleanLines(text, minWords, requireTerminal, markers)).cast("long")
+    (keptN, total - keptN)
+  }
+
   /** PII patterns, deliberately restricted to syntax that means the same
     * thing in Java regex and RE2 (no backreferences, no lookaround), so a
     * SQL oracle can run the identical pattern. Conservative by design:

@@ -160,4 +160,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(2L) == "end of page. Chapter 2")
     assert(got(3L) == "a b")
   }
+
+  test("cleanLines: C4 rules — word floor, terminal punct, markers, repeat collapse") {
+    val doc = Seq(
+      "a good first sentence that ends well.",
+      "short one.",                                   // < 3 words
+      "no terminal punctuation on this line",         // no . ! ? "
+      "we use cookie banners on this site today.",    // marker
+      "a good first sentence that ends well.",        // exact repeat
+      "another proper closing line stands here!"      // kept
+    ).mkString("\n")
+    val r = one(doc).select(
+      cleanLines(col("text")).as("c"),
+      cleanLinesCounts(col("text"))._1.as("k"),
+      cleanLinesCounts(col("text"))._2.as("d")).head()
+    assert(r.getString(0) ==
+      "a good first sentence that ends well.\nanother proper closing line stands here!")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L)
+    // repeat whose first occurrence was dropped is dropped with it
+    val doc2 = Seq("short.", "short.", "a perfectly fine long line here.").mkString("\n")
+    val r2 = one(doc2).select(cleanLines(col("text"))).head()
+    assert(r2.getString(0) == "a perfectly fine long line here.")
+    // requireTerminal = false keeps unpunctuated prose
+    val r3 = one("no terminal punctuation on this line")
+      .select(cleanLines(col("text"), requireTerminal = false)).head()
+    assert(r3.getString(0) == "no terminal punctuation on this line")
+    // empty text: the single empty line fails the word floor
+    assert(one("").select(cleanLines(col("text"))).head().getString(0) == "")
+  }
 }
