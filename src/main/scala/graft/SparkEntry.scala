@@ -756,6 +756,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
         .orderBy(col("doc_id"))
     }),
+    // conditional bigram surprisal (one rung up the perplexity ladder;
+    // same micro-bit rounding + libm caveat as lm01)
+    "lm02_bigram_surprisal" -> ((s, dir) => {
+      CorpusStats.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
+        .orderBy(col("doc_id"))
+    }),
     // tf-idf top-3 salient terms per document, integer micro-unit scores,
     // ties broken by token (term_rank makes the LIMIT-free sort total)
     "ti01_tfidf_terms" -> ((s, dir) => {
@@ -950,6 +957,35 @@ object SparkEntry {
         |  FROM tk CROSS JOIN tot LEFT JOIN vocab v USING (tok))
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll_micro_avg
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // conditional bigram replay: corpus bigram + context-unigram counts,
+    // both top-16 capped (ties by key), V = full distinct unigram count
+    "lm02_bigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |bgs AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []
+        |    ELSE list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i+1]) END) AS bg
+        |  FROM tk),
+        |uc AS (SELECT tok, COUNT(*) AS cu FROM (
+        |    SELECT unnest(ts) AS tok FROM tk) WHERE tok <> ''
+        |  GROUP BY tok),
+        |v AS (SELECT COUNT(*) AS vv FROM uc),
+        |uct AS (SELECT tok, cu FROM uc ORDER BY cu DESC, tok LIMIT 16),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY bg),
+        |bct AS (SELECT bg, cb FROM bc ORDER BY cb DESC, bg LIMIT 16),
+        |sc AS (SELECT b.doc_id,
+        |    CAST(round(-log2(
+        |      CAST(coalesce(t.cb, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(u.cu, 0) + v.vv AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS nm
+        |  FROM bgs b CROSS JOIN v
+        |  LEFT JOIN bct t USING (bg)
+        |  LEFT JOIN uct u ON u.tok = string_split(b.bg, ' ')[1])
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll2_micro_avg
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ti01_tfidf_terms" ->
       """WITH tk AS (

@@ -102,6 +102,55 @@ object CorpusStats {
     unigramSurprisalFromCounts(
       materialize(docTermCounts(docs, idCol, textCol)), idCol, vocabCap)
 
+  /** Per-document mean CONDITIONAL bigram surprisal in micro-bits — one
+    * rung up the CCNet perplexity ladder from [[unigramSurprisal]]:
+    * `nll(w_i | w_{i-1}) = -log2((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V))`
+    * with add-one smoothing, `c(·)` corpus counts and `V` the full
+    * (uncapped) distinct-unigram count. Both model tables are capped at
+    * the `vocabCap` most frequent entries (ties by key — deterministic),
+    * so the broadcasts stay bounded at any corpus size; out-of-vocab
+    * bigrams/contexts count 0. As in lm01, per-position surprisal is
+    * rounded to integer micro-bits BEFORE the exact long average, and
+    * the same log2-rounding-boundary caveat applies (see the lm01 lane
+    * note). Output: (idCol, n_bigrams: long, nll2_micro_avg: long);
+    * documents with fewer than 2 tokens have no bigrams and are absent.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabCap: Int = 65536): DataFrame = {
+    require(vocabCap > 0, "vocabCap must be positive")
+    // (id, "w1 w2", occ): distinct-bigram granularity, like docTermCounts
+    val bigramCounts = materialize(
+      docs.select(col(idCol),
+        explode(TextFunctions.tokenNgrams(col(textCol), 2)).as("bg"))
+        .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("occ")))
+    val uc = termCounts(docs, idCol, textCol)
+    val vTotal = uc.agg(count(lit(1))).head().getLong(0) // bounded scalar
+    val ucTop = uc.orderBy(desc("c"), asc("tok")).limit(vocabCap)
+      .select(col("tok").as("graft_ctx"), col("c").as("graft_cu"))
+    val bcTop = bigramCounts.groupBy("bg").agg(sum("occ").as("graft_cb"))
+      .orderBy(desc("graft_cb"), asc("bg")).limit(vocabCap)
+    bigramCounts
+      .join(broadcast(bcTop), Seq("bg"), "left_outer")
+      .withColumn("graft_ctx", split(col("bg"), " ", 2).getItem(0))
+      .join(broadcast(ucTop), Seq("graft_ctx"), "left_outer")
+      .withColumn(
+        "nll_micro",
+        round(-log2((coalesce(col("graft_cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("graft_cu"), lit(0L)) + lit(vTotal)).cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("occ").as("n_bigrams"),
+        sum(col("nll_micro") * col("occ")).as("nm"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        ldiv(col("nm"), col("n_bigrams")).as("nll2_micro_avg"))
+  }
+
   /** [[unigramSurprisal]] over a pre-computed [[docTermCounts]] frame —
     * the model pass and the scoring pass both read `termCounts`, so feed
     * it materialized (the convenience overload does) or pay the source

@@ -35,6 +35,34 @@ class CorpusStatsSpec extends AnyFunSuite {
       (4L, 1L, d)))
   }
 
+  test("bigramSurprisal: hand-computed conditional add-one model") {
+    // corpus bigrams: "a a":2, "a b":3, "b c":2; contexts a:5, b:3; V=4
+    val out = CorpusStats.bigramSurprisal(corpus, "doc_id", "text", vocabCap = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val aa = nllMicro(2, 9.0) // (2+1)/(5+4)
+    val ab = nllMicro(3, 9.0)
+    val bc = nllMicro(2, 7.0) // (2+1)/(3+4)
+    assert(out.toSeq == Seq(
+      (1L, 2L, (aa + ab) / 2),
+      (2L, 2L, (ab + bc) / 2),
+      (3L, 3L, (aa + ab + bc) / 3))) // doc4 has no bigrams: absent
+  }
+
+  test("bigramSurprisal: OOV bigrams and contexts score with count 0") {
+    // vocabCap=1 keeps only bigram "a b" (cb 3) and context "a" (cu 5)
+    val out = CorpusStats.bigramSurprisal(corpus, "doc_id", "text", vocabCap = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val aaOov = nllMicro(0, 9.0) // cb OOV, ctx a kept
+    val ab = nllMicro(3, 9.0)
+    val bcOov = nllMicro(0, 4.0) // both OOV: (0+1)/(0+4) = 2 bits exactly
+    assert(bcOov == 2000000L)
+    assert(out(1L) == (aaOov + ab) / 2)
+    assert(out(2L) == (ab + bcOov) / 2)
+    assert(out(3L) == (aaOov + ab + bcOov) / 3)
+  }
+
   test("unigramSurprisal: tokens beyond vocabCap score as OOV (count 0)") {
     // cap 2 keeps {a, b}; c and d become OOV but T and V stay corpus-wide
     val out = CorpusStats.unigramSurprisal(corpus, "doc_id", "text", vocabCap = 2)
