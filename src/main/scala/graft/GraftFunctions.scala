@@ -52,6 +52,8 @@ object GraftFunctions {
       ((es: Seq[Expression]) => MinHashPortable(es(0),
         intArg(es(1), "minhash_portable k"), intArg(es(2), "minhash_portable n"))),
     "simhash60_portable" -> ((es: Seq[Expression]) => SimHash60Portable(es(0))),
+    "token_ngrams" ->
+      ((es: Seq[Expression]) => TokenNgrams(es(0), intArg(es(1), "token_ngrams n"))),
     "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))),
     "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))),
     "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))))

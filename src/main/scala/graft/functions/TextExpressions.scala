@@ -35,6 +35,81 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Token n-gram ("shingle") strings over an `array<string>` of tokens:
+  * windows of `n` consecutive tokens joined by single spaces — output
+  * `array<string>` of length `max(0, tokens - n + 1)`. Byte-identical to
+  * the SQL/HOF formulation (`transform(sequence(...), i ->
+  * array_join(slice(toks, i, n), ' '))`, kept as
+  * TextFunctions.tokenNgramsHof for the equivalence spec) including
+  * array_join's null filtering, but one tight loop per row instead of an
+  * interpreted lambda + string copies per window (the shingle-string HOF
+  * was measured at ~2x the whole lm02 lane). */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n > 0, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.stringArrays(prettyName, child.dataType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val tb = new Array[Array[Byte]](cnt)
+      var i = 0
+      while (i < cnt) {
+        val s = arr.getUTF8String(i)
+        tb(i) = if (s == null) null else s.getBytes
+        i += 1
+      }
+      val out = new Array[Any](cnt - n + 1)
+      i = 0
+      while (i <= cnt - n) {
+        var len = 0
+        var wrote = false
+        var j = 0
+        while (j < n) { // size pass
+          val b = tb(i + j)
+          if (b != null) { // array_join filters nulls (delimiter too)
+            if (wrote) len += 1
+            len += b.length
+            wrote = true
+          }
+          j += 1
+        }
+        val bytes = new Array[Byte](len)
+        var pos = 0
+        wrote = false
+        j = 0
+        while (j < n) {
+          val b = tb(i + j)
+          if (b != null) {
+            if (wrote) { bytes(pos) = 0x20; pos += 1 }
+            System.arraycopy(b, 0, bytes, pos, b.length)
+            pos += b.length
+            wrote = true
+          }
+          j += 1
+        }
+        out(i) = UTF8String.fromBytes(bytes)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static helpers callable from generated code. */
 object TextOps {
   def nfc(s: UTF8String): UTF8String = {

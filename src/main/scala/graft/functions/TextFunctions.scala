@@ -123,8 +123,19 @@ object TextFunctions {
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Token n-grams ("shingles") of the lower-cased text, joined by single
-    * spaces: input to MinHash / Jaccard dedup. */
+    * spaces: input to MinHash / Jaccard dedup. Computed by the
+    * `token_ngrams` expression (functions/TextExpressions.scala) — one
+    * tight loop per row; [[tokenNgramsHof]] is the spec-pinned SQL/HOF
+    * twin. */
   def tokenNgrams(text: Column, n: Int): Column = {
+    require(n > 0)
+    org.apache.spark.sql.functions.call_function(
+      "token_ngrams", tokens(text), lit(n))
+  }
+
+  /** HOF twin of [[tokenNgrams]] — the executable statement of the SQL
+    * formulation every oracle replays; not used in production plans. */
+  private[graft] def tokenNgramsHof(text: Column, n: Int): Column = {
     require(n > 0)
     val toks = tokens(text)
     when(size(toks) < n, array())

@@ -188,4 +188,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     // empty text: the single empty line fails the word floor
     assert(one("").select(cleanLines(col("text"))).head().getString(0) == "")
   }
+
+  test("tokenNgrams: codegen expression == HOF/SQL twin, exactly") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200)
+    val edge = Seq("", "  spaced   out  ", "one", "two tokens",
+      "caf\u00e9 na\u00efve \u4e2d\u6587 \u00fcber mix",
+      "a b c d e f g").toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = real.unionByName(edge).select(
+        tokenNgrams(col("text"), n).as("fast"),
+        tokenNgramsHof(col("text"), n).as("hof")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+  }
 }
