@@ -151,7 +151,7 @@ object Dedup {
         lit((md5_32("a" + j) % 2147483647L) + 1L).as("a"),
         lit(md5_32("b" + j) % PortableP).as("b"))
     }: _*)
-    val th = transform(tokenNgrams(textCol, nGram), g => h32(g))
+    val th = transform(tokenNgramsHof(textCol, nGram), g => h32(g))
     val zero = array(Seq.fill(numHashes)(lit(PortableP)): _*)
     aggregate(th, zero, (acc, h) =>
       zip_with(acc, ab, (m, p) =>
