@@ -756,6 +756,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
         .orderBy(col("doc_id"))
     }),
+    // integer-id tokenization against the corpus top-64 vocab: the final
+    // prep step before packing/sharding; ids flattened to a csv string
+    // so the compare stays scalar
+    "tk01_tokenize_ids" -> ((s, dir) => {
+      CorpusStats.tokenizeToIds(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
+        .select(col("doc_id"),
+          concat_ws(",", col("token_ids")).as("ids"),
+          col("n_tokens"), col("n_oov"))
+        .orderBy(col("doc_id"))
+    }),
     // conditional bigram surprisal (one rung up the perplexity ladder;
     // same micro-bit rounding + libm caveat as lm01)
     "lm02_bigram_surprisal" -> ((s, dir) => {
@@ -958,6 +969,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll_micro_avg
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // vocab = top-64 (count desc, token) with row_number ids; lateral
+    // range unnest keeps 1-based positions for the order-restoring agg
+    "tk01_tokenize_ids" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT unnest(ts) AS tok FROM tk) WHERE tok <> ''
+        |  GROUP BY tok),
+        |vocab AS (SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS tid
+        |  FROM cnt ORDER BY c DESC, tok LIMIT 64),
+        |ex AS (SELECT doc_id, i AS pos, ts[i] AS tok
+        |  FROM tk, unnest(range(1, len(ts) + 1)) AS u(i)
+        |  WHERE ts[i] <> ''),
+        |m AS (SELECT e.doc_id, e.pos, coalesce(v.tid, 0) AS tid,
+        |    CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM ex e LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id,
+        |  array_to_string(array_agg(tid ORDER BY pos), ',') AS ids,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // conditional bigram replay: corpus bigram + context-unigram counts,
     // both top-16 capped (ties by key), V = full distinct unigram count
     "lm02_bigram_surprisal" ->

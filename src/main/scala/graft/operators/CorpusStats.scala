@@ -102,6 +102,46 @@ object CorpusStats {
     unigramSurprisalFromCounts(
       materialize(docTermCounts(docs, idCol, textCol)), idCol, vocabCap)
 
+  /** Integer-id tokenization against a corpus-derived vocabulary — the
+    * final prep step before sequence packing and sharding: the vocab is
+    * the `vocabSize` most frequent tokens (ties by token), assigned ids
+    * 1..K in that (count desc, token) order; out-of-vocabulary tokens
+    * map to 0. The vocab is a bounded broadcast whatever the corpus
+    * vocabulary grows to; the id mapping is one broadcast join over the
+    * positional token stream and an order-restoring array rebuild —
+    * no shuffle carries text beyond the per-doc regroup.
+    *
+    * Output: (idCol, token_ids: array<long> in document order,
+    * n_tokens: long, n_oov: long). Documents with zero (non-empty)
+    * tokens are absent — the token-model convention shared with
+    * [[unigramSurprisal]]. */
+  def tokenizeToIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 65536): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = termCounts(docs, idCol, textCol)
+      .orderBy(desc("c"), asc("tok")).limit(vocabSize)
+      .withColumn("graft_tid",
+        row_number().over(Window.orderBy(desc("c"), asc("tok"))).cast("long"))
+      .select(col("tok"), col("graft_tid"))
+    val stream = docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    stream
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("graft_tid"), lit(0L)).as("tid")))),
+          s => s("tid")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("graft_tid").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Per-document mean CONDITIONAL bigram surprisal in micro-bits — one
     * rung up the CCNet perplexity ladder from [[unigramSurprisal]]:
     * `nll(w_i | w_{i-1}) = -log2((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V))`

@@ -35,6 +35,22 @@ class CorpusStatsSpec extends AnyFunSuite {
       (4L, 1L, d)))
   }
 
+  test("tokenizeToIds: frequency-ranked ids in document order, OOV -> 0") {
+    // vocab order (count desc, tok): a=1, b=2, c=3; d beyond vocabSize=3
+    val out = CorpusStats.tokenizeToIds(corpus, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, Seq(1L, 1L, 2L), 3L, 0L),
+      (2L, Seq(1L, 2L, 3L), 3L, 0L),
+      (3L, Seq(1L, 1L, 2L, 3L), 4L, 0L),
+      (4L, Seq(0L), 1L, 1L)))
+    // full vocab: d gets id 4
+    val full = CorpusStats.tokenizeToIds(corpus, "doc_id", "text", vocabSize = 10)
+      .filter(col("doc_id") === 4L).head()
+    assert(full.getSeq[Long](1) == Seq(4L) && full.getLong(3) == 0L)
+  }
+
   test("bigramSurprisal: hand-computed conditional add-one model") {
     // corpus bigrams: "a a":2, "a b":3, "b c":2; contexts a:5, b:3; V=4
     val out = CorpusStats.bigramSurprisal(corpus, "doc_id", "text", vocabCap = 10)
