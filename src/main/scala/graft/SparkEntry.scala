@@ -28,16 +28,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4 only
-    * reads as long via the legacy conf. Exposes `ts` (micros timestamp,
-    * exact truncation via integer DIV — never a double round-trip, which
-    * would lose precision above 2^53 ns) plus raw `ts_ns` for ordering and
-    * second-exact arithmetic. */
+  /** The events table's stored `ts` type varies by fixture generation —
+    * TIMESTAMP(NANOS) (read as long via the legacy conf) or
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). `EventStreams.normalize`
+    * adapts either to the engine contract: `ts` micros TIMESTAMP plus
+    * `ts_ns` epoch-nanos for ordering and second-exact arithmetic. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts_ns DIV 1000 AS BIGINT)")))
+    graft.streaming.EventStreams.normalize(t(s, dir, "events"))
   }
 
   /** exact decimal view of a 2-dp double column */

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema for streaming reads (streams cannot infer). `ts` arrives as
-    * long nanos (the driver tables store TIMESTAMP(NANOS), which Spark 4
-    * reads via nanosAsLong) and is exposed as a micros timestamp. */
+  /** Schemas for streaming reads (streams cannot infer). The driver tables
+    * historically stored `ts` as TIMESTAMP(NANOS) (which Spark 4 reads as
+    * long nanos via the nanosAsLong conf); newer generations store
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * `normalize` accepts either. */
   val eventSchemaNanos: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,9 +29,38 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts_ns DIV 1000 AS BIGINT)")))
+  val eventSchemaMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Normalize the raw events table to the engine contract regardless of
+    * how the parquet encoded `ts`:
+    *   - `ts`    TIMESTAMP (micros precision) for windowing / calendar ops;
+    *   - `ts_ns` BIGINT epoch-nanos for ordering and second-exact integer
+    *     arithmetic (never a double round-trip, which loses precision
+    *     above 2^53 ns).
+    * Nanos-long input keeps full nanos in `ts_ns` and truncates to micros
+    * for `ts`; timestamp input derives `ts_ns = unix_micros * 1000`. The
+    * NTZ→TIMESTAMP cast is wall-clock under the session time zone, which
+    * the engine pins to UTC (GraftSession), so both paths agree with a
+    * reader that treats the stored value as UTC (e.g. DuckDB `epoch_ns`). */
+  def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("CAST(ts_ns DIV 1000 AS BIGINT)")))
+    case TimestampType =>
+      raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    case TimestampNTZType =>
+      raw.withColumn("ts", col("ts").cast(TimestampType))
+        .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts must be long-nanos or a timestamp type, got $other")
+  }
 
   /** Tumbling-window counts+sums per event type. Works on batch or stream. */
   def tumblingCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
@@ -160,7 +191,11 @@ object EventStreams {
       spark: SparkSession, dir: String, watermark: String = "10 minutes",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventSchemaNanos)
+    // streams cannot infer schemas, and the stored `ts` type varies by
+    // fixture generation — peek it with a batch read of the same path
+    val schema = scala.util.Try(spark.read.parquet(dir).schema)
+      .getOrElse(eventSchemaMicros)
+    val reader = spark.readStream.schema(schema)
     val withOpt = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     normalize(withOpt.parquet(dir))

@@ -104,7 +104,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful sessionize (mapGroupsWithState) matches the window-function result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(eventsDir).withColumnRenamed("ts", "ts_ns")
+    val raw = EventStreams.normalize(spark.read.parquet(eventsDir))
     val stateful = EventStreams.statefulSessionize(raw, gapSeconds = 1800L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // independent computation via the oracle-checked st01 query shape
