@@ -56,7 +56,27 @@ object GraftFunctions {
       ((es: Seq[Expression]) => TokenNgrams(es(0), intArg(es(1), "token_ngrams n"))),
     "asof_index" -> ((es: Seq[Expression]) => AsofIndex(es(0), es(1))),
     "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))),
-    "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))))
+    "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
+    "lsh_buckets" ->
+      ((es: Seq[Expression]) => LshBuckets(asFloatArray(es(0)), planesArg(es(1)))))
+
+  /** Decode the hyperplane tensor from its literal argument form (see
+    * [[lshBuckets]]): the planes are per-query driver-side constants, so
+    * they travel as one foldable `array<array<array<float>>>` literal and
+    * are unpacked once at expression-build time. */
+  private def planesArg(e: Expression): Seq[Seq[Seq[Float]]] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(ArrayType(ArrayType(FloatType, _), _), _)) =>
+      v.toObjectArray(ArrayType(ArrayType(FloatType)))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(FloatType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toFloatArray().toIndexedSeq)
+          .toIndexedSeq)
+        .toIndexedSeq
+    case other => throw new IllegalArgumentException(
+      s"lsh_buckets expects a literal array<array<array<float>>> plane tensor, got: $other")
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -107,4 +127,10 @@ object GraftFunctions {
 
   /** Unicode NFC normalization of a string column (DuckDB-parity). */
   def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
+
+  /** All signed-random-projection LSH buckets of an array<float> vector →
+    * array<struct<band:int, bucket:long>>, one entry per plane table. */
+  def lshBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
+    call_function("lsh_buckets", vec,
+      typedLit(planes.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 }

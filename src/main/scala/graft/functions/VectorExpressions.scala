@@ -261,3 +261,75 @@ object VectorOps {
     new GenericArrayData(out)
   }
 }
+
+/** All signed-random-projection LSH buckets of an `array<float>` vector in
+  * ONE expression: returns `array<struct<band:int, bucket:long>>`, one
+  * entry per hyperplane table, bit `b` of a bucket set iff the vector's
+  * sequential-double dot with plane (t, b) is >= 0 — bit-for-bit the same
+  * buckets as the previous `tables x bits` composition of `dot_product` /
+  * `shiftleft` / `bitwiseOR` Column expressions (so SQL-oracle replays are
+  * unchanged).
+  *
+  * Exists for CODEGEN COMPACTNESS, not semantics: Catalyst substitutes a
+  * projected array expression into every predicate that references it, so
+  * the inlined form (48 dot-product loops, duplicated 8x by an
+  * `array_contains` disjunction after predicate pushdown) generated a
+  * ~9.7k-line `processNext()` that janino refused to compile — the whole
+  * stage silently fell back to interpreted execution. Here the generated
+  * code is a single `compute()` call into compiled Scala regardless of how
+  * wide the plane tensor is, keeping every LSH stage inside
+  * WholeStageCodegen at any (tables, bits, dim).
+  */
+case class LshBuckets(child: Expression, planes: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  // compiled plane tensor; rebuilt once per deserialized instance
+  @transient private lazy val p: Array[Array[Array[Float]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.floatArrays(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_buckets"
+
+  def compute(a: ArrayData): ArrayData = {
+    val tables = p.length
+    val len = a.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      val tp = p(t)
+      var acc = 0L
+      var b = 0
+      while (b < tp.length) {
+        val pb = tp(b)
+        val n = math.min(pb.length, len)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += pb(i).toDouble * a.getFloat(i).toDouble; i += 1 }
+        if (dot >= 0) acc |= (1L << b)
+        b += 1
+      }
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](t, acc))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("lshPlanes", this, classOf[LshBuckets].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -142,25 +142,16 @@ object Similarity {
     withLshBucketsPlanes(df, vecCol, hyperplanes(dim, bits, tables, seed))
 
   /** [[withLshBuckets]] over explicit hyperplanes (seeded gaussian or
-    * [[portableHyperplanes]]). */
+    * [[portableHyperplanes]]). One compact Catalyst expression computes
+    * every table's bucket (see [[graft.functions.LshBuckets]] for why the
+    * previous tables×bits Column composition had to go: janino refused its
+    * generated code once a predicate duplicated it, dropping whole stages
+    * to interpreted execution). Buckets are bit-identical to the old form. */
   def withLshBucketsPlanes(
       df: DataFrame,
       vecCol: String,
-      planes: Array[Array[Array[Float]]]): DataFrame = {
-    val tables = planes.length
-    val bits = planes.head.length
-    val bucketStructs: Seq[Column] = (0 until tables).map { t =>
-      val bucket = (0 until bits)
-        .map { b =>
-          val sign = when(dotProduct(col(vecCol), typedLit(planes(t)(b).toSeq)) >= 0, 1L)
-            .otherwise(0L)
-          shiftleft(sign, b)
-        }
-        .reduce(_.bitwiseOR(_))
-      struct(lit(t).as("band"), bucket.cast("long").as("bucket"))
-    }
-    df.withColumn("lsh_buckets", array(bucketStructs: _*))
-  }
+      planes: Array[Array[Array[Float]]]): DataFrame =
+    df.withColumn("lsh_buckets", lshBuckets(col(vecCol), planes))
 
   /** Approximate top-k: score only corpus rows sharing an LSH bucket with
     * the query in any table. Recall rises with `tables`, cost falls with
@@ -206,14 +197,15 @@ object Similarity {
     val queryBuckets = (0 until tables).map(t => (t, bucketOf(query, t)))
 
     // ONE corpus scan: a row is a candidate if it collides with the query
-    // in ANY table (disjunction of array_contains, no per-table re-scan)
+    // in ANY table. A single arrays_overlap against the (foldable) query
+    // bucket set references lsh_buckets ONCE — a per-table array_contains
+    // disjunction made predicate pushdown substitute the whole bucket
+    // computation into each branch (tables× recompute per row)
     val bucketed = withLshBucketsPlanes(corpus, vecCol, planes)
-    val anyCollision = queryBuckets
-      .map { case (t, qb) =>
-        array_contains(col("lsh_buckets"),
-          struct(lit(t).as("band"), lit(qb).as("bucket")))
-      }
-      .reduce(_ || _)
+    val queryBucketSet = array(queryBuckets.map { case (t, qb) =>
+      struct(lit(t).as("band"), lit(qb).as("bucket"))
+    }: _*)
+    val anyCollision = arrays_overlap(col("lsh_buckets"), queryBucketSet)
 
     bucketed.filter(anyCollision)
       .withColumn("score", cosineSim(col(vecCol), typedLit(query)))
