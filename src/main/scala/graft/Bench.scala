@@ -18,13 +18,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Artifact durability (a timed-out run must still leave a parseable
   * record — an empty artifact is strictly worse than a 1-pass median):
-  *   - the complete JSON line is printed after EVERY round-robin pass,
-  *     tagged `"passes": n`; a consumer that tails stdout takes the LAST
-  *     line, so a kill mid-pass still leaves pass n-1's medians;
-  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 240 s of measured query
+  *   - after EVERY round-robin pass two JSON lines are printed: the
+  *     complete one (full lane names), then a COMPACT one (lane-id keys:
+  *     the unique prefix before the first '_', e.g. "q17" for
+  *     q17_events_hourly) tagged `"keys":"lane_prefix"`. A consumer that
+  *     tails stdout takes the LAST line — the compact one fits entirely
+  *     inside a 2,000-char tail capture at the full 91-lane catalog,
+  *     which the full line does not (a truncated tail is how round 6's
+  *     driver artifact ended up unparseable). Full names + raw samples
+  *     live in docs/BENCH_full_last_run.json;
+  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 360 s of measured query
   *     time) stops STARTING new passes once exceeded — on a slow host the
   *     run self-truncates to fewer passes instead of overrunning the
-  *     driver's wall limit; the emitted line carries `"budget_hit": true`.
+  *     driver's wall limit; the emitted line carries `"budget_hit": true`;
+  *   - docs/BENCH_full_latest.json is only overwritten by a CLEAN final
+  *     pass (no errors, no budget hit), so "latest" always points at a
+  *     valid bench baseline; docs/BENCH_full_last_run.json records every
+  *     run unconditionally.
   * The reported "total" is the sum of medians.
   */
 object Bench {
@@ -33,7 +43,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toDouble
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,30 +97,45 @@ object Bench {
     // Build + print the artifact from whatever samples exist so far. A
     // query that failed EVERY iteration has no median and no entry in
     // "queries" — its name in "errors" is the record.
+    // compact stdout keys: the lane-id prefix before the first '_' is
+    // unique across the catalog (q17, ann03, dd04, ...); fall back to the
+    // full name if a future lane ever collides
+    val laneIds: Map[String, String] = {
+      val pref = ordered.map { case (n, _) => n -> n.takeWhile(_ != '_') }
+      val counts = pref.groupBy(_._2).view.mapValues(_.size).toMap
+      pref.map { case (n, p) => n -> (if (counts(p) == 1) p else n) }.toMap
+    }
     def emit(passes: Int, budgetHit: Boolean): Unit = {
       val results = ordered.flatMap { case (name, _) =>
         val xs = samples(name)
         if (xs.nonEmpty) Some(name -> median(xs)) else None
       }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
       val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}"""
-      // full-precision copy (with every raw sample) written unconditionally
-      // to docs/ — the authoritative record if the driver's tail capture
-      // truncates the printed line
+      def line(key: String => String, tag: String): String = {
+        val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$tag,"queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}"""
+      }
+      // full-precision copy (with every raw sample) written to docs/ — the
+      // authoritative per-lane record; _latest only ever holds a CLEAN
+      // final capture so it stays a valid comparison baseline
       try {
         val full = results.map { case (k, v) =>
           "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
             samples(k).reverse.mkString(",") + "]}"
         }.mkString("{", ",", "}")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
+        val doc =
           s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}
-             |""".stripMargin.getBytes("UTF-8"))
+             |""".stripMargin.getBytes("UTF-8")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
+        if (passes == iters && errors.isEmpty && !budgetHit)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
       } catch { case _: Throwable => () }
-      println(line)
+      println(line(identity, ""))
+      println(line(laneIds, ",\"keys\":\"lane_prefix\""))
     }
     var measuredNanos = 0L
     var pass = 0

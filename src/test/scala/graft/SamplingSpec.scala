@@ -5,6 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Sampling
 
+/** NOTE on `WARN WindowExec: No Partition Defined` in the test log: the
+  * warnings come from the NAIVE-REPLAY twins these equivalence tests
+  * compare against (`mixtureSampleNaive` etc. — deliberate single-window
+  * reference implementations over tiny fixtures), not from the production
+  * operators, which are partition-bounded by construction and plan-pinned
+  * in PlanShapeSpec. */
 class SamplingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TemporalJoins
 
+/** NOTE on `WARN WindowExec: No Partition Defined` in the test log: emitted
+  * by the naive per-row REFERENCE computations these property tests compare
+  * against (tiny fixtures, deliberate), not by the production as-of/range
+  * joins, whose plan shapes are pinned in PlanShapeSpec. */
 class TemporalJoinsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
