@@ -503,19 +503,27 @@ object Sampling {
       "graft_st", "graft_spre", "graft_srem", "n_tokens")
     require(!reserved.exists(docs.columns.contains),
       s"input already has one of ${reserved.mkString("/")}")
-    val base = docs
+    // ONE corpus pass computes every text-derived stat (token count) plus
+    // the content-addressed hash, onto a NARROW materialized frame
+    // (id, score, nt, hash — ~40 bytes/doc): every refinement level and
+    // all three keep branches read these stats again, and without the
+    // lineage cut each reuse re-evaluated the expensive text expressions
+    // over the whole corpus (~5 passes; measured 2.7s -> this shape at
+    // sf0.1). Payload columns rejoin by id once at the end.
+    val stats = docs
+      .select(col(idCol), col(scoreCol), ntokens(col(textCol)).as("graft_nt"))
       .withColumn("graft_hh", hashHex(col(idCol), salt))
       .withColumn("graft_bkt", substring(col("graft_hh"), 1, 3))
-      .withColumn("graft_nt", ntokens(col(textCol)))
+      .localCheckpoint(false)
     // level 1: score-bin subtotals (tiny frame; the orderBy windows below
     // run on it, not the corpus). Exclusive prefix in score-desc order.
     val wb = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bins = base
+    val bins = stats
       .groupBy(col(scoreCol))
       .agg(sum(col("graft_nt")).as("graft_bt"))
       .withColumn("graft_pre", coalesce(sum(col("graft_bt")).over(wb), lit(0L)))
-      .crossJoin(broadcast(base.agg(sum(col("graft_nt")).as("graft_tot"))))
+      .crossJoin(broadcast(stats.agg(sum(col("graft_nt")).as("graft_tot"))))
       .withColumn("graft_budget",
         call_function("div",
           coalesce(col("graft_tot"), lit(0L)) * lit(sharePermille.toLong),
@@ -529,7 +537,7 @@ object Sampling {
       .select(col(scoreCol),
         (col("graft_budget") - col("graft_pre")).as("graft_rem"))
     // level 2: hash-slice refinement inside the (at most one) boundary bin
-    val bnd = base.join(broadcast(boundaryBin), Seq(scoreCol))
+    val bnd = stats.join(broadcast(boundaryBin), Seq(scoreCol))
     val ws = Window.orderBy(col("graft_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val slices = bnd
@@ -552,13 +560,15 @@ object Sampling {
       .withColumn("graft_cum", sum(col("graft_nt")).over(wf))
       .filter(col("graft_cum") <= col("graft_srem"))
       .drop("graft_rem", "graft_srem", "graft_cum")
-    base.join(broadcast(keepBins), Seq(scoreCol), "left_semi")
+    // the keep decision lives entirely on the narrow stats frame; payload
+    // columns come back with ONE id-keyed join against the input
+    val kept = stats.join(broadcast(keepBins), Seq(scoreCol), "left_semi")
       .unionByName(
         bnd.join(broadcast(keepSlices), Seq("graft_bkt"), "left_semi")
           .drop("graft_rem"))
       .unionByName(keptBoundary)
-      .withColumnRenamed("graft_nt", "n_tokens")
-      .drop("graft_hh", "graft_bkt")
+      .select(col(idCol), col("graft_nt").as("n_tokens"))
+    docs.join(kept, Seq(idCol))
   }
 
   /** The naive single-global-window formulation of
