@@ -1738,6 +1738,34 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey)
         |ORDER BY depth""".stripMargin,
+    // deterministic synchronous LPA replayed superstep by superstep: per
+    // iteration count each (vertex, neighbour-label), rank count-desc
+    // label-asc, keep rank 1 — exactly labelPropagationSync's
+    // min(struct(-count, label)) argmax. 5 unrolled CTE levels, then the
+    // canonical partition (min member id per final label).
+    "g04_communities" -> {
+      val step = (i: Int) =>
+        s"""it$i AS (
+           |  SELECT id, label FROM (
+           |    SELECT j.a AS id, l.label,
+           |      ROW_NUMBER() OVER (PARTITION BY j.a
+           |        ORDER BY COUNT(*) DESC, l.label) AS rn
+           |    FROM adj j JOIN it${i - 1} l ON j.b = l.id
+           |    GROUP BY j.a, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT src AS a, dst AS b FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |it0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT MIN(id) AS community, CAST(COUNT(*) AS BIGINT) AS csize
+         |FROM it5 GROUP BY label
+         |ORDER BY csize DESC, community""".stripMargin
+    },
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every
     // member; MIN(lab) per node = component id
@@ -2627,6 +2655,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .limit(100)
     }),
+    // FULL-oracle community detection (was no_oracle through round 6):
+    // deterministic synchronous LPA (ties -> smallest label; GraphX's
+    // hash-order tie-break could never replay cross-engine) over the g03
+    // co-purchase graph, emitted as the canonical partition — one row per
+    // community labeled by its smallest member id. The DuckDB oracle
+    // unrolls the 5 supersteps as CTEs and hash-matches the partition
+    // itself; modularity (the labeling-beats-random signal) stays gated in
+    // InvariantsSpec, which recomputes it from the same membership.
     "g04_communities" -> ((s, dir) => {
       // same grouped-pair co-purchase edge build as g03 (Joins.groupedPairs)
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
@@ -2635,20 +2671,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("src", "dst")
-        // both the LPA run and the modularity lane read the edge frame —
-        // cut the grouped-pairs lineage once instead of recomputing it
-        .localCheckpoint(false)
-      val membership = GraphOps.labelPropagation(edges, iters = 5)
-      // modularity rides on the summary row: near-zero means the labeling
-      // is no better than random — the semantic signal a row-count gate
-      // can't see (bound asserted in InvariantsSpec)
-      val mod = graft.operators.Louvain.modularityDF(
-        edges, membership.select(col("id"), col("label").as("community")))
-      membership
-        .groupBy(col("label")).agg(count(lit(1)).as("csize"))
-        .agg(count(lit(1)).as("n_communities"),
-          max(col("csize")).as("largest"))
-        .crossJoin(mod)
+      GraphOps.labelPropagationSync(edges, iters = 5)
+        .groupBy(col("label"))
+        .agg(min(col("id")).as("community"), count(lit(1)).as("csize"))
+        .select(col("community"), col("csize"))
+        .orderBy(desc("csize"), col("community"))
     })
   )
 

@@ -364,6 +364,48 @@ object GraphOps {
     LabelPropagation.run(toGraph(edges), iters).vertices.toDF("id", "label")
   }
 
+  /** Synchronous LPA with DETERMINISTIC tie-breaks → (id, label): each
+    * superstep every vertex adopts the most frequent label among its
+    * neighbours' previous-superstep labels, ties broken toward the
+    * SMALLEST label. GraphX's LabelPropagation breaks count ties by
+    * hash-map iteration order — stable only within one JVM, so its
+    * partition can never be replayed by another engine; this formulation
+    * is exactly reproducible in SQL (per superstep: count labels per
+    * (vertex, label), rank count-desc label-asc, take rank 1), which is
+    * what lets g04 carry a full DuckDB oracle.
+    *
+    * Scale shape: per superstep one neighbour equi-join plus two
+    * partial-aggregable groupBys, all keyed by vertex id — the same
+    * shuffle profile as a Pregel superstep. Lineage is cut per superstep
+    * (lazy localCheckpoint) so `iters` never compounds the plan; labels
+    * are one (id, label) row per vertex. Vertices are the edge endpoints
+    * (an isolated vertex has no row here, as in [[labelPropagation]]). */
+  def labelPropagationSync(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = simple
+      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      labels = adj
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // argmax as a partial-aggregable min(struct): highest count, then
+        // lowest label — never a per-vertex sort window
+        .groupBy(col("a"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("best"))
+        .select(col("a").as("id"), col("best.l").as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** PageRank → (id, rank). */
   def pageRank(edges: DataFrame, tol: Double = 0.001): DataFrame = {
     val spark = edges.sparkSession

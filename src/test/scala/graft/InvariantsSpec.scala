@@ -82,16 +82,30 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
-  test("g04: emitted modularity shows real community structure") {
+  test("g04: community partition is consistent and beats random (modularity)") {
+    import org.apache.spark.sql.functions._
     // sf0.01: the sf0.001 co-purchase graph is one dense blob (LPA
-    // correctly returns a single community, modularity exactly 0)
+    // correctly returns a single community, modularity exactly 0).
+    // The lane output (canonical min-member labels) is hash-gated by the
+    // DuckDB oracle since round 7; this test keeps the SEMANTIC signal the
+    // hash can't see — the labeling materially beats a random partition.
     val rows = q("g04_communities", sfSmall)
-    assert(rows.length == 1)
-    val m = rows.head.getAs[Double]("modularity")
-    val n = rows.head.getAs[Long]("n_communities")
-    info(s"modularity = $m over $n communities")
-    assert(n > 1L, "LPA collapsed to one community")
+    assert(rows.length > 1, "LPA collapsed to one community")
+    // rebuild the same membership and score it
+    val l = spark.read.parquet(s"$sfSmall/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = graft.operators.Joins.groupedPairs(l, "l_orderkey", "l_partkey")
+      .groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("src", "dst")
+    val membership = graft.operators.GraphOps.labelPropagationSync(edges, iters = 5)
+      .select(col("id"), col("label").as("community"))
+    val m = graft.operators.Louvain.modularity(edges, membership)
+    info(s"modularity = $m over ${rows.length} communities")
     assert(m > 0.005, s"labeling no better than random: modularity $m")
+    // the lane's canonical rows ARE that membership: sizes sum to |V|
+    assert(rows.map(_.getAs[Long]("csize")).sum == membership.count())
   }
 
   test("g05: half-sample estimates sum to the total and agree on top nodes") {
