@@ -63,8 +63,13 @@ object GraftFunctions {
   /** Decode the hyperplane tensor from its literal argument form (see
     * [[lshBuckets]]): the planes are per-query driver-side constants, so
     * they travel as one foldable `array<array<array<float>>>` literal and
-    * are unpacked once at expression-build time. */
+    * are unpacked once at expression-build time. SQL-text invocations
+    * resolve `array(array(array(...F)))` constructors to a foldable
+    * `CreateArray` tree, not a `Literal` — fold those first so the
+    * registered function works from SQL too, not only the Column API. */
   private def planesArg(e: Expression): Seq[Seq[Seq[Float]]] = e match {
+    case other if other.foldable && !other.isInstanceOf[Literal] =>
+      planesArg(Literal(other.eval(), other.dataType))
     case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
         ArrayType(ArrayType(ArrayType(FloatType, _), _), _)) =>
       v.toObjectArray(ArrayType(ArrayType(FloatType)))

@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // functions arrive via the extensions injection path — no manual
       // registration; externally built sessions use prepare() instead
@@ -52,6 +53,12 @@ object GraftSession {
       GraftFunctions.register(s)
       s.conf.set(RegisteredFlag, "true")
     }
+    // Driver fixtures have stored events.ts as TIMESTAMP(NANOS) in some
+    // generations; this session conf makes Spark read that as long nanos
+    // (EventStreams.normalize adapts either encoding). Set here — once,
+    // before any events read — not inside lane builders: a lane mutating
+    // session state is a footgun for every lane that runs after it.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s
   }
 }

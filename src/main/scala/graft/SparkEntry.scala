@@ -34,7 +34,7 @@ object SparkEntry {
     * adapts either to the engine contract: `ts` micros TIMESTAMP plus
     * `ts_ns` epoch-nanos for ordering and second-exact arithmetic. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.prepare(s) // sets the nanosAsLong read conf, idempotent
     graft.streaming.EventStreams.normalize(t(s, dir, "events"))
   }
 
@@ -1273,6 +1273,7 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
         .limit(10)
       top
+        // unpartitioned window over the limit(10) frame — tiny task
         .withColumn("rk",
           row_number().over(Window.orderBy(desc("score"), col("vec_id"))).cast("long"))
         .select(col("vec_id"), col("rk"))
@@ -2537,6 +2538,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0)
       val corpus = e.filter(col("vec_id") =!= 0L)
+      // the unpartitioned rank windows here run over top-k (10-row) frames
       val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
         .withColumn("exact_rank", row_number().over(
           Window.orderBy(desc("score"), col("vec_id"))))

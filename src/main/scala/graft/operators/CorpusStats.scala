@@ -121,6 +121,8 @@ object CorpusStats {
       textCol: String,
       vocabSize: Int = 65536): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
+    // unpartitioned window (WindowExec WARN) is fine here: the frame is
+    // already limit(vocabSize) — one bounded-size task by construction
     val vocab = termCounts(docs, idCol, textCol)
       .orderBy(desc("c"), asc("tok")).limit(vocabSize)
       .withColumn("graft_tid",

@@ -488,7 +488,13 @@ object Sampling {
     * The decomposition is exact because the slice key is a prefix of the
     * hash, so (score desc, slice, hash, id) order IS the naive order;
     * two-level ≡ naive is spec-pinned. Output: input columns +
-    * `n_tokens`. */
+    * `n_tokens` (with `idCol` moved to the first position by the final
+    * id-keyed payload rejoin).
+    *
+    * Precondition: `idCol` must be unique and non-null. The keep decision
+    * is computed on a narrow stats frame and payload columns come back via
+    * one equi-join on `idCol`, which silently drops NULL ids (NULL never
+    * equi-joins) and fans out duplicate ids multiplicatively. */
   def selectTopQualityShare(
       docs: DataFrame,
       idCol: String,
@@ -536,7 +542,9 @@ object Sampling {
         && col("graft_pre") + col("graft_bt") > col("graft_budget"))
       .select(col(scoreCol),
         (col("graft_budget") - col("graft_pre")).as("graft_rem"))
-    // level 2: hash-slice refinement inside the (at most one) boundary bin
+    // level 2: hash-slice refinement inside the (at most one) boundary bin.
+    // The unpartitioned window (WindowExec WARN) runs over ≤4096 slice
+    // subtotal rows, never the corpus — bounded by construction.
     val bnd = stats.join(broadcast(boundaryBin), Seq(scoreCol))
     val ws = Window.orderBy(col("graft_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -146,7 +146,11 @@ object Similarity {
     * every table's bucket (see [[graft.functions.LshBuckets]] for why the
     * previous tables×bits Column composition had to go: janino refused its
     * generated code once a predicate duplicated it, dropping whole stages
-    * to interpreted execution). Buckets are bit-identical to the old form. */
+    * to interpreted execution). Buckets are bit-identical to the old form
+    * FOR NON-NULL VECTORS; a NULL vector now yields a NULL bucket array
+    * (null-intolerant expression) where the old Column form produced a
+    * bucket of 0 bits, so null-vector rows drop out of candidate joins —
+    * the intended semantics (a row with no embedding has no neighbors). */
   def withLshBucketsPlanes(
       df: DataFrame,
       vecCol: String,
@@ -353,6 +357,7 @@ object Similarity {
         .select(col(idCol), col(vecCol))
         .orderBy(sampleKey, col(idCol))
         .limit(nCells)
+        // unpartitioned window over the limit(nCells) frame — tiny task
         .withColumn("cell", row_number().over(
           Window.orderBy(sampleKey, col(idCol))) - 1)
         .select(col("cell"), col(vecCol).as("centroid"))

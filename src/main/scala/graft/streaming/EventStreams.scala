@@ -16,6 +16,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True iff `dir` exists and holds at least one visible data file
+    * (top level or one partition-dir deep) — the schema peek in
+    * [[readEventStream]] may only fall back when this is false. */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      (st.isFile && visible(st.getPath.getName)) ||
+        (st.isDirectory && visible(st.getPath.getName) &&
+          fs.listStatus(st.getPath).exists(c => c.isFile && visible(c.getPath.getName)))
+    }
+  }
+
   /** Schemas for streaming reads (streams cannot infer). The driver tables
     * historically stored `ts` as TIMESTAMP(NANOS) (which Spark 4 reads as
     * long nanos via the nanosAsLong conf); newer generations store
@@ -189,12 +205,22 @@ object EventStreams {
     * window state is bounded and late data beyond the bound is dropped. */
   def readEventStream(
       spark: SparkSession, dir: String, watermark: String = "10 minutes",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      fallbackSchema: StructType = eventSchemaMicros): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // streams cannot infer schemas, and the stored `ts` type varies by
-    // fixture generation — peek it with a batch read of the same path
-    val schema = scala.util.Try(spark.read.parquet(dir).schema)
-      .getOrElse(eventSchemaMicros)
+    // Streams cannot infer schemas, and the stored `ts` type varies by
+    // fixture generation — peek it with a batch read of the same path.
+    // The fallback applies ONLY when there is nothing to peek yet (stream
+    // started before the first files landed); any other failure is a real
+    // IO/parse error and must surface, not silently pick a schema.
+    val schema = scala.util.Try(spark.read.parquet(dir).schema) match {
+      case scala.util.Success(s) => s
+      case scala.util.Failure(_) if !hasDataFiles(spark, dir) =>
+        log.warn(s"readEventStream: no data files under $dir yet; " +
+          s"assuming fallback schema $fallbackSchema")
+        fallbackSchema
+      case scala.util.Failure(e) => throw e
+    }
     val reader = spark.readStream.schema(schema)
     val withOpt = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))

@@ -76,9 +76,20 @@ class TestdataContractSpec extends AnyFunSuite {
   /** The two known `ts` encodings, as real parquet files round-tripped
     * through the loader: normalize must yield identical (ts, ts_ns) for
     * the same instant from either encoding. */
+  test("GraftSession.prepare sets the nanosAsLong read conf for events") {
+    // Lane builders must NOT mutate session conf; prepare() (which every
+    // lane runs first via withReg, and SparkEntry.events calls directly)
+    // is the single place the nanos read conf is established.
+    val fresh = spark.newSession()
+    GraftSession.prepare(fresh)
+    assert(fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
+      "prepare() must set the nanosAsLong conf before any events read")
+  }
+
   test("events loader normalizes both nanos-long and micros-timestamp ts") {
     val micros = 1700000123456789L // 2023-11-14T22:15:23.456789Z
     val dir = Files.createTempDirectory("graft-ts-fixtures")
+    try {
 
     val nanoSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -110,5 +121,11 @@ class TestdataContractSpec extends AnyFunSuite {
     assert(tsN == tsU, s"ts mismatch across encodings: $tsN vs $tsU")
     assert(nsN == nsU && nsN == micros * 1000L,
       s"ts_ns mismatch: nanos=$nsN micros=$nsU expected=${micros * 1000L}")
+    } finally {
+      // per-run fixtures; leave nothing behind in the temp dir
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 }

@@ -117,4 +117,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
       case c => assert(math.abs(c - 1.0) < 1e-12)
     }
   }
+
+  test("lsh_buckets works from SQL text (foldable CreateArray planes)") {
+    // SQL array(...) constructors resolve to foldable CreateArray, not a
+    // pre-folded Literal — the builder must fold them. One plane table,
+    // two hyperplanes: v=(1,2) → dot(e1)=1>=0, dot(e2)=2>=0 → bits 11 = 3.
+    val r = spark.sql(
+      "SELECT lsh_buckets(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(array(" +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))))) AS b")
+      .selectExpr("b[0].band AS band", "b[0].bucket AS bucket")
+      .head()
+    assert(r.getInt(0) == 0 && r.getLong(1) == 3L,
+      s"expected band 0 bucket 3, got $r")
+  }
 }
