@@ -240,6 +240,26 @@ object SparkEntry {
         .orderBy(col("hr"), col("event_type"))
     }),
 
+    // sk01's exact-column twin: the same observability shape (per-type
+    // event stats) restricted to what an external engine can value-match
+    // — exact distincts, min/max, and a decimal-routed sum (value is
+    // 2-dp by contract, so per-value DECIMAL(18,2) rounding is lossless
+    // and the sum replays bit-exactly; avg is ONE double division of
+    // exact inputs). Gives the sketch family a hash-green representative
+    // while sk01 keeps the 100 TB approximate path.
+    "sk02_exact_stats" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .withColumn("avg_value", col("sum_value") / col("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // JSON scalar extraction
     "q18_events_json" -> ((s, dir) => {
       events(s, dir)
@@ -585,6 +605,14 @@ object SparkEntry {
         | COUNT(DISTINCT user_id) AS n_users,
         | MIN(value) AS vmin, MAX(value) AS vmax
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+    "sk02_exact_stats" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | MIN(value) AS min_value, MAX(value) AS max_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |   AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q18_events_json" ->
       """SELECT event_type,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
@@ -1700,6 +1728,37 @@ object SparkEntry {
         .groupBy(col("component")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("csize"))
+    }),
+    // FULL-oracle Brandes forward phase (g05's sampled-Brandes backward
+    // half sums doubles and stays rows-only; the forward sigma recurrence
+    // is exact integer arithmetic and replays in DuckDB as unrolled BFS
+    // CTEs). Runs on the g06 multi-parent DIRECTED DAG so path counts
+    // genuinely multiply (sigma > 1 at the part level) — on the plain
+    // hierarchy tree sigma ≡ 1 and the recurrence would go unexercised.
+    // Roots: the 5 regions (deep reach) + 3 nations sampled by the same
+    // portable md5 order the sampling oracles replay (xxhash64, which
+    // `approx` uses, has no DuckDB twin).
+    "g05b_brandes_forward" -> ((s, dir) => {
+      val custOrder = t(s, dir, "orders").select(
+        (col("o_custkey") + 3000000L).as("src"),
+        (col("o_orderkey") + 10000000L).as("dst"))
+      val orderPart = t(s, dir, "lineitem").select(
+        (col("l_orderkey") + 10000000L).as("src"),
+        (col("l_partkey") + 100000000L).as("dst"))
+        .distinct()
+      val edges = hierarchyEdges(s, dir)
+        .unionByName(custOrder).unionByName(orderPart)
+      val regionRoots = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 1000000L).as("root"))
+      val nationRoots = t(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 2000000L).as("root"))
+        .orderBy(substring(md5(concat(col("root").cast("string"),
+          lit("-bc")).cast("binary")), 1, 8), col("root"))
+        .limit(3)
+      graft.operators.Betweenness.forwardCounts(
+          edges, regionRoots.unionByName(nationRoots),
+          maxDepth = 4, directed = true)
+        .orderBy(col("root"), col("id"))
     })
   )
 
@@ -1766,6 +1825,53 @@ object SparkEntry {
          |SELECT MIN(id) AS community, CAST(COUNT(*) AS BIGINT) AS csize
          |FROM it5 GROUP BY label
          |ORDER BY csize DESC, community""".stripMargin
+    },
+    // Brandes forward phase replayed as unrolled level-synchronous BFS
+    // CTEs over the directed multi-parent DAG: level i aggregates sigma
+    // over in-edges from level i-1 and anti-joins everything already
+    // visited — exactly forwardCounts' per-level join + sum + anti-join.
+    "g05b_brandes_forward" -> {
+      val step = (i: Int) => {
+        val visited = (0 until i)
+          .map(j => s"SELECT root, id FROM l$j").mkString(" UNION ALL ")
+        s"""l$i AS (
+           |  SELECT g.root, g.id, $i AS depth, g.sigma FROM (
+           |    SELECT f.root AS root, e.dst AS id,
+           |      CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |    FROM l${i - 1} f JOIN e ON f.id = e.src
+           |    GROUP BY 1, 2) g
+           |  WHERE NOT EXISTS (SELECT 1 FROM ($visited) v
+           |                    WHERE v.root = g.root AND v.id = g.id))""".stripMargin
+      }
+      s"""WITH e0 AS (
+         |  SELECT CAST(n_regionkey AS BIGINT) + 1000000 AS src,
+         |         CAST(n_nationkey AS BIGINT) + 2000000 AS dst FROM nation
+         |  UNION ALL
+         |  SELECT CAST(c_nationkey AS BIGINT) + 2000000, c_custkey + 3000000
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT o_custkey + 3000000, o_orderkey + 10000000 FROM orders
+         |  UNION ALL
+         |  SELECT DISTINCT l_orderkey + 10000000, l_partkey + 100000000
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |roots AS (
+         |  SELECT CAST(r_regionkey AS BIGINT) + 1000000 AS root FROM region
+         |  UNION ALL
+         |  SELECT root FROM (
+         |    SELECT CAST(n_nationkey AS BIGINT) + 2000000 AS root FROM nation
+         |    ORDER BY substring(md5(
+         |      CAST(CAST(n_nationkey AS BIGINT) + 2000000 AS VARCHAR)
+         |        || '-bc'), 1, 8), root
+         |    LIMIT 3) t),
+         |l0 AS (SELECT root, root AS id, 0 AS depth,
+         |       CAST(1 AS BIGINT) AS sigma FROM roots),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT root, id, depth, sigma FROM (
+         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+         |  UNION ALL SELECT * FROM l4)
+         |ORDER BY root, id""".stripMargin
     },
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every

@@ -23,41 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Betweenness {
 
-  /** @param edges (src, dst) long ids; treated per `directed`
-    * @param k number of sampled sources (all vertices if k >= |V|)
-    * @return (id, betweenness, scaled, bc_a, bc_b) — `scaled` multiplies
-    *         by |V|/k to estimate the full sum; directed-path convention
-    *         (an undirected pair contributes from both endpoints when both
-    *         are sampled). `bc_a`/`bc_b` split the same run's per-source
-    *         contributions into two disjoint seed-hash halves of the
-    *         source sample: two INDEPENDENT estimators computed for free
-    *         (bc_a + bc_b == betweenness exactly), whose rank agreement is
-    *         the self-check a rows-only gate can't do — a broken
-    *         sigma/delta recurrence decorrelates the halves. */
-  def approx(
+  /** Forward (path-counting) phase of Brandes as a standalone operator:
+    * level-synchronous BFS from explicit `sources`, returning one row per
+    * reached (root, id) with its BFS `depth` and exact shortest-path count
+    * `sigma` (the recurrence sigma(w) = Σ sigma(v) over w's shortest-path
+    * predecessors v). Unlike the backward dependency phase — whose double
+    * sums are fp-order-sensitive — this half is pure integer arithmetic
+    * and replays exactly in any engine, so it carries a full value oracle
+    * (lane g05b) where `approx` itself is rows-only by construction.
+    *
+    * @param sources one `root` column; caller controls the sampling (use a
+    *        portable hash order if an external oracle must re-derive it)
+    */
+  def forwardCounts(
       edges: DataFrame,
-      k: Int = 16,
-      seed: Long = 42L,
+      sources: DataFrame,
       maxDepth: Int = 20,
       directed: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val e = (if (directed) e0
       else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
       .distinct()
       .localCheckpoint()
+    forwardPhase(e, sources.select(col("root").cast("long").as("root")),
+      maxDepth)._1
+  }
 
-    val vertices = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val nV = vertices.count()
-
-    val sources = vertices
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(k)
-      .select(col("id").as("root"))
-
-    // ---- forward: level-synchronous BFS with path counting ----
+  /** Shared forward BFS: returns (visited frame, per-level (root,id,sigma)
+    * frames, levels present deepest-first). `e` must already be directed,
+    * distinct and checkpointed. */
+  private def forwardPhase(
+      e: DataFrame,
+      sources: DataFrame,
+      maxDepth: Int): (DataFrame, Map[Int, DataFrame], List[Int]) = {
     // visited: (root, id, depth, sigma); frontier: rows added at this level
     var visited = sources
       .select(col("root"), col("root").as("id"), lit(0).as("depth"),
@@ -95,6 +94,45 @@ object Betweenness {
         levelAcc(depth) = next.select(col("root"), col("id"), col("sigma"))
       } else frontier = next
     }
+    (visited, levelAcc.toMap, levels)
+  }
+
+  /** @param edges (src, dst) long ids; treated per `directed`
+    * @param k number of sampled sources (all vertices if k >= |V|)
+    * @return (id, betweenness, scaled, bc_a, bc_b) — `scaled` multiplies
+    *         by |V|/k to estimate the full sum; directed-path convention
+    *         (an undirected pair contributes from both endpoints when both
+    *         are sampled). `bc_a`/`bc_b` split the same run's per-source
+    *         contributions into two disjoint seed-hash halves of the
+    *         source sample: two INDEPENDENT estimators computed for free
+    *         (bc_a + bc_b == betweenness exactly), whose rank agreement is
+    *         the self-check a rows-only gate can't do — a broken
+    *         sigma/delta recurrence decorrelates the halves. */
+  def approx(
+      edges: DataFrame,
+      k: Int = 16,
+      seed: Long = 42L,
+      maxDepth: Int = 20,
+      directed: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = (if (directed) e0
+      else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+      .localCheckpoint()
+
+    val vertices = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val nV = vertices.count()
+
+    val sources = vertices
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(k)
+      .select(col("id").as("root"))
+
+    // ---- forward: level-synchronous BFS with path counting ----
+    val (_, levelFrames0, levels) = forwardPhase(e, sources, maxDepth)
 
     // ---- backward: dependency accumulation, deepest level first ----
     // In an unweighted BFS DAG every shortest-path edge crosses exactly one
@@ -103,7 +141,7 @@ object Betweenness {
     // only levels d and d-1 (O(level size) work), instead of rewriting and
     // re-checkpointing the whole k·V frame once per level — the difference
     // between O(k·V) and O(depth·k·V) total backward work on deep graphs.
-    val levelFrames: Map[Int, DataFrame] = levelAcc.toMap
+    val levelFrames: Map[Int, DataFrame] = levelFrames0
     val maxL = levels.max
     // finalized (id, delta) rows for intermediate nodes (depth > 0)
     var finals: List[DataFrame] = Nil
