@@ -336,10 +336,10 @@ object CorpusStats {
     * within-document repetition signals in
     * [[graft.functions.TextFunctions.dupNgramPermille]].
     *
-    * Only (id, 8-byte gram hash) pairs shuffle; the DF table is
-    * vocabulary-bounded and pre-aggregated. Documents shorter than `nGram`
-    * tokens have no grams and are absent from the output (by construction,
-    * not silently zeroed).
+    * Only (id, 8-byte gram hash) pairs shuffle; gram strings never leave
+    * their scan task. Documents shorter than `nGram` tokens have no grams
+    * and are absent from the output (by construction, not silently
+    * zeroed).
     *
     * Output: (idCol, n_grams, boiler_grams, boiler_permille, max_df), all
     * longs — exact integers, engine-portable.
@@ -349,9 +349,38 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       nGram: Int = 3,
-      minDf: Long = 5L): DataFrame =
-    boilerplateScoreFromCounts(
-      materialize(docGramCounts(docs, idCol, textCol, nGram)), idCol, minDf)
+      minDf: Long = 5L): DataFrame = {
+    require(minDf >= 2, "minDf below 2 marks every n-gram as boilerplate")
+    // df via ONE window over gh instead of materialize + groupBy + self-
+    // join: the pairs frame has a single consumer, so no checkpoint, no
+    // join, and two fewer exchanges — measured 0.93 s -> 0.26 s at sf0.1
+    // (profiled r8: the eager localCheckpoint write+read plus the gh join
+    // were ~70% of the lane; the gram counting itself is ~0.2 s).
+    // Skew bound: a window partition holds one row per DISTINCT document
+    // containing that gram (df rows, not occurrences), so the worst task
+    // is the corpus's hottest gram's df — acceptable up to mid scale,
+    // WindowExec spills rather than OOMs. At extreme scale (where even
+    // one task per ultra-hot gram straggles) materialize [[docGramCounts]]
+    // to a table and use [[boilerplateScoreFromCounts]], whose groupBy +
+    // join formulation is fully AQE-skew-splittable (equivalence is
+    // spec-pinned in CorpusStatsSpec).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    docGramCounts(docs, idCol, textCol, nGram)
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        sum("occ").as("n_grams"),
+        sum(when(col("df") >= minDf, col("occ")).otherwise(0L))
+          .as("boiler_grams"),
+        max("df").as("max_df"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("boiler_grams"),
+        ldiv(col("boiler_grams") * lit(1000L), col("n_grams"))
+          .as("boiler_permille"),
+        col("max_df"))
+  }
 
   /** One row per (document, word-`n`-gram hash) with its occurrence count —
     * the materializable intermediate of [[boilerplateScoreFromCounts]].

@@ -278,7 +278,8 @@ object GraphOps {
     * Fixpoint = forest of depth-1 stars rooted at each component's min id.
     * Output contract matches [[connectedComponents]]: (id, component). */
   def connectedComponentsStar(
-      edges: DataFrame, maxIter: Int = 40): DataFrame = {
+      edges: DataFrame, maxIter: Int = 40,
+      driverCutoff: Int = 100000): DataFrame = {
     val spark = edges.sparkSession
     // canonicalize ONCE including self-loops, checkpoint, and derive both
     // the id universe and the working set from the checkpoint — deriving
@@ -289,6 +290,36 @@ object GraphOps {
         least(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint()
+    // Size-gated driver union-find: each star round is ~5 jobs of pure
+    // fixed cost when the edge set is tiny, and the graphs this operator
+    // actually sees in the dedup pipelines — candidate pairs AFTER the
+    // confidence filter — are tiny relative to the corpus (239 pairs at
+    // sf0.1; profiled r8: the distributed loop cost 1.4 s of pure job
+    // overhead on them). ≤`driverCutoff` distinct edges is ≤~1.6 MB on
+    // the driver — an explicit, documented bound, not an unbounded
+    // collect; components are min-id labeled identically on both paths
+    // (spec-pinned in GraphOpsSpec), and bigger graphs take the star
+    // rounds unchanged.
+    if (canon.count() <= driverCutoff) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      canon.collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN root so the representative is the component min
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).sortBy(identity)
+        .toDF("id", "component")
+    }
     val allIds = canon.select(col("u").as("id"))
       .unionByName(canon.select(col("v").as("id")))
       .distinct()

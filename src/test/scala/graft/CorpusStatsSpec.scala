@@ -167,6 +167,28 @@ class CorpusStatsSpec extends AnyFunSuite {
       (2L, 2L, 1L, 500L, 2L)))
   }
 
+  test("boilerplateScore: window formulation ≡ FromCounts (relational) formulation") {
+    // the default path computes df with one window over gh; the extreme-
+    // skew path (pre-materialized counts + groupBy + join) must agree on
+    // every column — 60 docs with shared headers, repeats, and short docs
+    val docs = (1L to 60L).map { i =>
+      val body =
+        if (i % 3 == 0) s"shared site header text then unique tail $i"
+        else if (i % 3 == 1) s"shared site header text plus body $i repeated body $i"
+        else s"only unique words here ${i}a ${i}b ${i}c"
+      (i, body)
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fast = canon(
+      CorpusStats.boilerplateScore(docs, "doc_id", "text", nGram = 3, minDf = 5L))
+    val relational = canon(
+      CorpusStats.boilerplateScoreFromCounts(
+        CorpusStats.docGramCounts(docs, "doc_id", "text", 3)
+          .localCheckpoint(true), "doc_id", minDf = 5L))
+    assert(fast == relational)
+  }
+
   test("boilerplateScore: docs shorter than nGram are absent") {
     val docs = Seq((1L, "one two"), (2L, "one two three")).toDF("doc_id", "text")
     val out = CorpusStats.boilerplateScore(docs, "doc_id", "text", nGram = 3, minDf = 2L)

@@ -100,9 +100,11 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   test("star CC converges on a long chain where min-label propagation can't") {
-    // 80-node path: diameter 79 > the default 30 min-label rounds
+    // 80-node path: diameter 79 > the default 30 min-label rounds.
+    // driverCutoff=0 forces the DISTRIBUTED star rounds (the default
+    // would take the size-gated driver union-find on a fixture this small)
     val chain = (0L until 79L).map(i => (i, i + 1)).toDF("src", "dst")
-    val cc = GraphOps.connectedComponentsStar(chain)
+    val cc = GraphOps.connectedComponentsStar(chain, driverCutoff = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 80 && cc.values.forall(_ == 0L))
     // and min-label now FAILS LOUDLY instead of returning wrong labels
@@ -122,18 +124,25 @@ class GraphOpsSpec extends AnyFunSuite {
         .filter(e => e._1 != e._2).toDF("src", "dst")
       val viaGraphX = GraphOps.connectedComponents(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val viaStar = GraphOps.connectedComponentsStar(edges)
+      // both the size-gated driver union-find (default at this size) and
+      // the forced distributed star rounds must agree with GraphX
+      val viaDriver = GraphOps.connectedComponentsStar(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(viaStar == viaGraphX, s"seed=$seed n=$n m=$m")
+      val viaStar = GraphOps.connectedComponentsStar(edges, driverCutoff = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == viaGraphX, s"seed=$seed n=$n m=$m (driver)")
+      assert(viaStar == viaGraphX, s"seed=$seed n=$n m=$m (star)")
     }
   }
 
-  test("star CC: isolated-pair and self-referential inputs") {
-    val cc = GraphOps.connectedComponentsStar(
-      Seq((5L, 5L), (7L, 8L)).toDF("src", "dst"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // self-loop node keeps its own id; the pair maps to its min
-    assert(cc == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+  test("star CC: isolated-pair and self-referential inputs (both paths)") {
+    for (cutoff <- Seq(0, 100000)) {
+      val cc = GraphOps.connectedComponentsStar(
+        Seq((5L, 5L), (7L, 8L)).toDF("src", "dst"), driverCutoff = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // self-loop node keeps its own id; the pair maps to its min
+      assert(cc == Map(5L -> 5L, 7L -> 7L, 8L -> 7L), s"cutoff=$cutoff")
+    }
   }
 
   test("labelPropagation returns a label per vertex") {
