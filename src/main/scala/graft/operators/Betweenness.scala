@@ -34,18 +34,29 @@ object Betweenness {
     *
     * @param sources one `root` column; caller controls the sampling (use a
     *        portable hash order if an external oracle must re-derive it)
+    * @param edgesPrepared the caller vouches `edges` is ALREADY
+    *        direction-expanded as required, duplicate-free (duplicates
+    *        would inflate sigma) and materialized (persisted or
+    *        checkpointed) — e.g. one shared frame reused across several
+    *        graph operators in a bench process; skips the per-call
+    *        distinct + localCheckpoint. `directed` is ignored then.
     */
   def forwardCounts(
       edges: DataFrame,
       sources: DataFrame,
       maxDepth: Int = 20,
-      directed: Boolean = false): DataFrame = {
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val e = (if (directed) e0
-      else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
-      .distinct()
-      .localCheckpoint()
+      directed: Boolean = false,
+      edgesPrepared: Boolean = false): DataFrame = {
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else {
+        val e0 = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        (if (directed) e0
+          else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+          .distinct()
+          .localCheckpoint()
+      }
     forwardPhase(e, sources.select(col("root").cast("long").as("root")),
       maxDepth)._1
   }
@@ -113,14 +124,21 @@ object Betweenness {
       k: Int = 16,
       seed: Long = 42L,
       maxDepth: Int = 20,
-      directed: Boolean = false): DataFrame = {
+      directed: Boolean = false,
+      edgesPrepared: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val e = (if (directed) e0
-      else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
-      .distinct()
-      .localCheckpoint()
+    // edgesPrepared: see [[forwardCounts]] — caller-shared frame, already
+    // expanded/distinct/materialized; `directed` is ignored then
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else {
+        val e0 = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        (if (directed) e0
+          else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+          .distinct()
+          .localCheckpoint()
+      }
 
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()

@@ -71,15 +71,21 @@ object GraphOps {
   def varLengthPaths(
       edges: DataFrame,
       roots: DataFrame,
-      maxDepth: Int = 20): DataFrame = {
+      maxDepth: Int = 20,
+      sharedEdges: Boolean = false): DataFrame = {
     // pre-partition the edge side on the join key ONCE and persist: the
     // cached InMemoryTableScan reports hashpartitioning(src), so every
     // level's join re-shuffles only the (small, shrinking) frontier, not
     // the full edge set — O(1) edge shuffles for the whole traversal
-    // instead of O(depth)
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // instead of O(depth). `sharedEdges = true` says the caller already
+    // did exactly that (a repartition(src)-persisted frame reused across
+    // several traversals — the bench's graph lanes share one), so this
+    // call must neither re-persist nor unpersist it.
+    val e =
+      if (sharedEdges) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     var result: DataFrame = null
     var frontier = roots
@@ -103,7 +109,8 @@ object GraphOps {
       result = if (result == null) step else result.unionByName(step)
       frontier = next.select("root", "id", "n_paths")
     }
-    e.unpersist(blocking = false) // levels are checkpointed; lineage no longer needs e
+    if (!sharedEdges)
+      e.unpersist(blocking = false) // levels are checkpointed; lineage no longer needs e
     if (result == null)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
