@@ -20,6 +20,31 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("readEventStream: empty dir falls back to the declared schema; junk errors surface") {
+    // empty (no data files yet): the declared fallback schema is used and
+    // the stream is analyzable — a stream may legitimately start before
+    // its first files land
+    val empty = Files.createTempDirectory("graft-empty-stream")
+    try {
+      val s = EventStreams.readEventStream(spark, empty.toString)
+      assert(s.isStreaming && s.columns.contains("ts_ns"))
+    } finally Files.deleteIfExists(empty)
+
+    // a dir WITH data files that fail the batch peek is a real error and
+    // must throw, not silently pick a schema (the pre-r8 behavior)
+    val junk = Files.createTempDirectory("graft-junk-stream")
+    try {
+      Files.write(junk.resolve("part-0000.parquet"),
+        "this is not parquet".getBytes("UTF-8"))
+      intercept[Exception] {
+        EventStreams.readEventStream(spark, junk.toString)
+      }
+    } finally {
+      Files.deleteIfExists(junk.resolve("part-0000.parquet"))
+      Files.deleteIfExists(junk)
+    }
+  }
+
   test("streaming tumbling window equals the batch computation") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val streamed = EventStreams.runToMemory(
