@@ -1806,6 +1806,19 @@ object SparkEntry {
           dagPart(s, dir), regionRoots.unionByName(nationRoots),
           maxDepth = 4, edgesPrepared = true)
         .orderBy(col("root"), col("id"))
+    }),
+    // FULL-oracle PageRank: deterministic synchronous integer-micro-unit
+    // formulation (GraphOps.pageRankIntSync — GraphX's double-sum order
+    // could never replay cross-engine) over the symmetrized co-purchase
+    // graph; the DuckDB oracle unrolls the 5 supersteps as CTEs exactly
+    // like g04's LPA.
+    "g07_pagerank_int" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.pageRankIntSync(sym, iters = 5)
+        .orderBy(desc("pr"), col("id"))
+        .limit(100)
     })
   )
 
@@ -1919,6 +1932,37 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
          |  UNION ALL SELECT * FROM l4)
          |ORDER BY root, id""".stripMargin
+    },
+    // integer PageRank replayed superstep by superstep: each iteration
+    // joins shares ((pr*850) // (1000*outdeg), floor division both
+    // engines) onto the symmetric adjacency and re-aggregates by target —
+    // exactly pageRankIntSync's join + sum shape
+    "g07_pagerank_int" -> {
+      val step = (i: Int) =>
+        s"""p$i AS (
+           |  SELECT b.id, b.outdeg,
+           |    CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS pr
+           |  FROM base b LEFT JOIN (
+           |    SELECT a.v AS id,
+           |      CAST(SUM((p.pr * 850) // (1000 * p.outdeg)) AS BIGINT) AS c
+           |    FROM adj a JOIN p${i - 1} p ON a.u = p.id AND p.outdeg > 0
+           |    GROUP BY a.v) c ON b.id = c.id)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT src AS u, dst AS v FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |verts AS (SELECT DISTINCT u AS id FROM adj),
+         |outdeg AS (SELECT u AS id, COUNT(*) AS outdeg FROM adj GROUP BY u),
+         |base AS (
+         |  SELECT v.id, COALESCE(o.outdeg, 0) AS outdeg
+         |  FROM verts v LEFT JOIN outdeg o ON v.id = o.id),
+         |p0 AS (SELECT id, outdeg, CAST(1000000 AS BIGINT) AS pr FROM base),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT id, pr FROM p5
+         |ORDER BY pr DESC, id LIMIT 100""".stripMargin
     },
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every

@@ -451,6 +451,58 @@ object GraphOps {
     toGraph(edges).pageRank(tol).vertices.toDF("id", "rank")
   }
 
+  /** Deterministic synchronous PageRank in INTEGER micro-units — the
+    * engine-portable twin of [[pageRank]], the same replay trick that
+    * took g04's communities to a full external oracle: every step is
+    * exact integer arithmetic (`DIV` = floor division = DuckDB `//`), so
+    * a fixed iteration count replays bit-for-bit in any engine, where
+    * GraphX's double-accumulation order never could.
+    *
+    * pr_0(v) = 1,000,000; each iteration every vertex with out-edges
+    * sends share(u) = (pr(u) * dampingPermille) DIV (1000 * outdeg(u))
+    * along each out-edge, and pr_{i+1}(v) = teleport + Σ incoming shares,
+    * teleport = (1000 − dampingPermille) × 1000 micro-units. Mass lost to
+    * floor rounding and dangling vertices is NOT redistributed (exactness
+    * over mass conservation — documented divergence from textbook PR; the
+    * ranking signal is unaffected).
+    *
+    * Scale shape: per iteration ONE join of the (persistable) edge frame
+    * against the rank frame on src and one aggregation by dst — the same
+    * shuffle profile as [[labelPropagationSync]]; iteration count is
+    * fixed, not data-dependent. */
+  def pageRankIntSync(
+      edges: DataFrame,
+      iters: Int = 5,
+      dampingPermille: Int = 850): DataFrame = {
+    require(iters >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // (id, outdeg) reused by every iteration — one materialization
+    val base = verts.join(outdeg, Seq("id"), "left_outer")
+      .withColumn("outdeg", coalesce(col("outdeg"), lit(0L)))
+      .localCheckpoint(false)
+    val teleport = (1000L - dampingPermille) * 1000L
+    var pr = base.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val share = pr.filter(col("outdeg") > 0L)
+        .withColumn("share",
+          expr(s"(pr * $dampingPermille) DIV (1000 * outdeg)"))
+        .select(col("id").as("u"), col("share"))
+      val contrib = e.join(share, e("src") === col("u"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum(col("share")).as("c"))
+      pr = base.join(contrib, Seq("id"), "left_outer")
+        .withColumn("pr", lit(teleport) + coalesce(col("c"), lit(0L)))
+        .localCheckpoint(false)
+    }
+    pr.select(col("id"), col("pr"))
+  }
+
   /** In/out degree per vertex → (id, out_degree, in_degree). Pure
     * relational — two partial aggregations, no GraphX materialisation. */
   def degrees(edges: DataFrame): DataFrame = {

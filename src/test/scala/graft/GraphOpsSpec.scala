@@ -145,6 +145,33 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankIntSync: hand-computed star graph, exact integer values") {
+    // symmetric star 1–2, 1–3: outdeg 1→2, 2→1, 3→1; pr0 = 1,000,000.
+    // share(1) = (1e6*850) DIV 2000 = 425,000 to each leaf;
+    // share(leaf) = 850,000 to the center.
+    // p1: center 150,000 + 1,700,000 = 1,850,000; leaves 575,000 each.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val p1 = GraphOps.pageRankIntSync(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // deterministic across runs at depth 5, and the center stays on top
+    val a = GraphOps.pageRankIntSync(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRankIntSync(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a(1L) > a(2L) && a(2L) == a(3L))
+  }
+
+  test("pageRankIntSync: dangling vertices keep teleport mass only") {
+    // 1→2 directed: 2 has no out-edges, so after iter 1 vertex 1 holds
+    // only the teleport floor and 2 holds teleport + 1's full damped mass
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val p1 = GraphOps.pageRankIntSync(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
   test("labelPropagation returns a label per vertex") {
     val lp = GraphOps.labelPropagation(diamond, iters = 3).collect()
     assert(lp.length == 5)
