@@ -494,6 +494,28 @@ object EscoAnalytics {
       .limit(n)
   }
 
+  /** [[topPageRank]]'s deterministic twin: integer micro-unit PageRank
+    * ([[GraphOps.pageRankIntSync]]) — bit-reproducible across runs and
+    * engines where GraphX's double accumulation is not; the variant to
+    * reach for when centrality feeds a regression-tested pipeline. */
+  def topPageRankExact(wh: EscoWarehouse, n: Int = 20, iters: Int = 10): DataFrame = {
+    val dict = Vertices.dictionary(wh.allNodes.select(col("conceptUri").as("k")), "k")
+    val edges = wh.allEdges
+      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
+      .withColumnRenamed("id", "src")
+      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
+      .withColumnRenamed("id", "dst")
+      .select("src", "dst")
+    GraphOps.pageRankIntSync(edges, iters)
+      .join(dict, Seq("id"))
+      .join(wh.allNodes.select(col("conceptUri").as("key"),
+        col("preferredLabel")), Seq("key"))
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("pr").as("rank_micro"))
+      .orderBy(desc("rank_micro"), col("uri"))
+      .limit(n)
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

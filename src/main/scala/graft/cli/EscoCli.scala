@@ -118,6 +118,7 @@ object EscoCli {
         case "communities-louvain" => EscoAnalytics.skillCommunitiesLouvain(wh)
         case "betweenness" => EscoAnalytics.topBetweenness(wh)
         case "pagerank" => EscoAnalytics.topPageRank(wh)
+        case "pagerank-exact" => EscoAnalytics.topPageRankExact(wh)
         case "top-skills-by-relationships" =>
           EscoAnalytics.topSkillsByRelationships(wh)
         case "top-occupations-optional" =>

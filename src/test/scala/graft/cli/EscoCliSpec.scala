@@ -27,7 +27,7 @@ class EscoCliSpec extends AnyFunSuite {
     "skill-cooccurrence", "skill-depths",
     "top-skills-by-relationships", "top-occupations-optional",
     "transferable-skills", "skill-groups-most-skills",
-    "combined-connections")
+    "combined-connections", "pagerank-exact")
 
   analyses.foreach { name =>
     test(s"analyze $name runs") {
