@@ -115,6 +115,49 @@ class BetweennessSpec extends AnyFunSuite {
     assert(m(1L) == 0.0 && m(3L) == 0.0)
   }
 
+  test("forwardCounts equals a driver BFS path-counter on random directed graphs (3 seeds)") {
+    // reference: level-synchronous BFS with exact path counting — a node
+    // first reached at depth d accumulates sigma from EVERY depth-(d-1)
+    // predecessor; nodes reached earlier are excluded (cycles allowed)
+    def ref(edges: Seq[(Long, Long)], roots: Seq[Long], maxDepth: Int)
+        : Map[(Long, Long), (Int, Long)] = {
+      val adj = edges.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val out = scala.collection.mutable.Map.empty[(Long, Long), (Int, Long)]
+      for (r <- roots) {
+        val depthOf = scala.collection.mutable.Map[Long, Int](r -> 0)
+        var frontier = Map(r -> 1L)
+        out((r, r)) = (0, 1L)
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          val next = scala.collection.mutable.Map.empty[Long, Long]
+          for ((u, sig) <- frontier; v <- adj.getOrElse(u, Nil)) {
+            if (!depthOf.contains(v)) depthOf(v) = d
+            if (depthOf(v) == d) next(v) = next.getOrElse(v, 0L) + sig
+          }
+          frontier = next.toMap
+          frontier.foreach { case (v, s) => out((r, v)) = (d, s) }
+        }
+      }
+      out.toMap
+    }
+    for (seed <- Seq(3, 11, 27)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25 + rnd.nextInt(15)
+      val edges = (1 to 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val roots = rnd.shuffle((0L until n.toLong).toList).take(3)
+      val got = Betweenness.forwardCounts(
+          edges.toDF("src", "dst"), roots.toDF("root"),
+          maxDepth = 6, directed = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3))))
+        .toMap
+      assert(got == ref(edges, roots, 6), s"seed=$seed n=$n")
+    }
+  }
+
   test("sampling: k=2 of a path still ranks the middle highest, scaled") {
     val m = Betweenness.approx(
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), k = 2, seed = 7L)

@@ -163,6 +163,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a(1L) > a(2L) && a(2L) == a(3L))
   }
 
+  test("pageRankIntSync equals a driver integer-PR reference on random graphs (3 seeds)") {
+    // positive-long Scala `/` is floor division = the operator's DIV
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val e = edges.distinct
+      val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+      val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      var pr = verts.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((u, v) <- e)
+          contrib(v) += (pr(u) * 850L) / (1000L * outdeg(u))
+        pr = verts.map(v => v -> (150000L + contrib(v))).toMap
+      }
+      pr
+    }
+    for (seed <- Seq(5, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(20)
+      val edges = (1 to 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphOps.pageRankIntSync(edges.toDF("src", "dst"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ref(edges, 4)
+      assert(got == want, s"seed=$seed n=$n")
+      // mass bounds: teleport floor per vertex; flooring/dangling only
+      // ever LOSE mass vs the 1e6-per-vertex start
+      assert(got.values.forall(_ >= 150000L))
+      assert(got.values.sum <= 1000000L * got.size)
+    }
+  }
+
   test("pageRankIntSync: dangling vertices keep teleport mass only") {
     // 1→2 directed: 2 has no out-edges, so after iter 1 vertex 1 holds
     // only the teleport floor and 2 holds teleport + 1's full damped mass
