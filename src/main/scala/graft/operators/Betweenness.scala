@@ -32,6 +32,12 @@ object Betweenness {
     * and replays exactly in any engine, so it carries a full value oracle
     * (lane g05b) where `approx` itself is rows-only by construction.
     *
+    * Overflow: sigma is an EXACT long path count, which grows with the
+    * DAG's path multiplicity — a graph with ≥2^63 distinct shortest
+    * paths to one node overflows (ANSI mode throws rather than wraps).
+    * Keep `maxDepth` bounded on dense layered graphs; the sampled
+    * [[approx]] shares the recurrence and the same bound.
+    *
     * @param sources one `root` column; caller controls the sampling (use a
     *        portable hash order if an external oracle must re-derive it)
     * @param edgesPrepared the caller vouches `edges` is ALREADY

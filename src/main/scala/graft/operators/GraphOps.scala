@@ -469,7 +469,11 @@ object GraphOps {
     * Scale shape: per iteration ONE join of the (persistable) edge frame
     * against the rank frame on src and one aggregation by dst — the same
     * shuffle profile as [[labelPropagationSync]]; iteration count is
-    * fixed, not data-dependent. */
+    * fixed, not data-dependent. Overflow bound: total mass never exceeds
+    * |V| × 1e6 micro-units (flooring and dangling vertices only lose
+    * mass — spec-pinned), so the `pr * dampingPermille` product stays
+    * under Long.MaxValue up to |V| ≈ 1e10 even if one vertex held ALL
+    * mass; ANSI mode would throw, not wrap, beyond that. */
   def pageRankIntSync(
       edges: DataFrame,
       iters: Int = 5,
