@@ -167,6 +167,20 @@ object Betweenness {
     // between O(k·V) and O(depth·k·V) total backward work on deep graphs.
     val levelFrames: Map[Int, DataFrame] = levelFrames0
     val maxL = levels.max
+    // The backward phase traverses edges AGAINST their direction (the
+    // join keys on e.dst). At bench scale AQE broadcasts the small level
+    // frames, so the src-partitioned e is scanned, never shuffled — but
+    // once k·levelsize outgrows the broadcast threshold the join goes
+    // sort-merge, and a src-partitioned e would then re-shuffle the FULL
+    // edge set once per level. Re-partition on dst ONCE for the whole
+    // phase — O(1) edge shuffles in the non-broadcast regime, the
+    // forward-phase discipline in reverse. Lazy localCheckpoint (first
+    // backward action materializes it), not persist: blocks are
+    // context-cleaner-released when the result drops, with no
+    // CacheManager registration the caller would have to unpersist.
+    val eByDst = e.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .localCheckpoint(false)
     // finalized (id, delta) rows for intermediate nodes (depth > 0)
     var finals: List[DataFrame] = Nil
     // delta for the level currently deepest-unprocessed; nodes missing
@@ -179,11 +193,11 @@ object Betweenness {
         .withColumn("delta", coalesce(col("delta"), lit(0.0)))
       finals = w.select(col("root"), col("id"), col("delta")) :: finals
       // contributions flow along edges v(d-1) -> w(d)
-      val contrib = e
+      val contrib = eByDst
         .join(w.select(col("root").as("wr"), col("id").as("wid"),
           col("sigma").as("wsigma"), col("delta").as("wdelta")),
-          e("dst") === col("wid"))
-        .select(col("wr").as("root"), e("src").as("id"),
+          eByDst("dst") === col("wid"))
+        .select(col("wr").as("root"), eByDst("src").as("id"),
           col("wsigma"), col("wdelta"))
         .join(levelFrames(d - 1)
             .select(col("root").as("vr"), col("id").as("vi"),
