@@ -298,6 +298,37 @@ object SparkEntry {
           asc_nulls_first("o_orderpriority"))
     }),
 
+    // CUBE: all four grouping combinations in one pass (rollup q27's
+    // sibling — completes the grouping-set family); grouping_id
+    // disambiguates a NULL key from the all-rows stratum
+    "q50_status_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          // must live inside the agg: grouping_id is only resolvable
+          // under the Cube node
+          grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+            .cast("long").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // analytic-window trio over deterministic total order (unique
+    // tie-break key): ntile buckets, percent_rank, cume_dist — each a
+    // single exact integer ratio per row, so the doubles replay
+    // bit-identically
+    "q51_balance_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // INTERSECT: segments common to two nations' customer bases
     "q28_shared_segments" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -633,6 +664,23 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q50_status_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |   AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "q51_balance_quartiles" ->
+      """SELECT c_custkey, c_nationkey,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        | PERCENT_RANK() OVER w AS prank,
+        | CUME_DIST() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q28_shared_segments" ->
       """SELECT c_mktsegment FROM customer WHERE c_nationkey = 1
         |INTERSECT
