@@ -30,7 +30,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("ann02_ivf", 0.5, 5.7, 16),
       pair("ann03_knn", 2.3, 77.0, 1.1),
       pair("ann03_knn_q8", 2.3, 77.0, 1.4),
-      pair("cu01_curate", 3.6, 68.3, 1.1),
+      pair("cu01_curate", 2.6, 58.4, 1.1), // r8 narrow stats frame
       pair("lm01_surprisal", 0.1, 0.5, 1.0),
       pair("ti01_tfidf", 2.9, 61, 1.4),
       pair("bp01_boiler", 3.8, 55, 1.2),
@@ -79,7 +79,7 @@ class ScaleProofSpec extends AnyFunSuite {
       OpStats(name, "100x", 0L, 0.0, s100, s100, skew, 1))
     val committed = Seq(
       pair100("dd01_minhash", 17.4, 5045.1, 1.2),
-      pair100("cu01_curate", 68.3, 6856.1, 1.5),
+      pair100("cu01_curate", 58.4, 6726.5, 1.8), // r8 narrow stats frame
       pair100("sd01_spans", 78.1, 1007.7, 1.2),
       pair100("qs01_select", 0.2, 0.5, 1.2),
       pair100("sp03_shards", 2.5, 15.9, 1.3)).flatten
