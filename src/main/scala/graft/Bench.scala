@@ -135,7 +135,9 @@ object Bench {
              |""".stripMargin.getBytes("UTF-8")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
-        if (passes == iters && errors.isEmpty && !budgetHit)
+        // a lane-filtered profiling run must never replace the
+        // full-catalog baseline capture
+        if (passes == iters && errors.isEmpty && !budgetHit && only.isEmpty)
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
       } catch { case _: Throwable => () }
