@@ -1439,10 +1439,37 @@ object SparkEntry {
         .agg((lit(1) + sum(col("is_new"))).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+    // SLIDING windows (1 h window, 15 min slide) with exact aggregates —
+    // the native `window()` operator the streaming path uses
+    // (EventStreams.slidingUsers), here in its batch form with a full
+    // oracle: every event lands in exactly 4 epoch-aligned windows, which
+    // DuckDB replays by cross-joining slide offsets k = 0..3. The window
+    // start travels as epoch SECONDS (integer) so no timestamp-type
+    // mismatch can leak into the hash compare.
+    "st02_sliding_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(
+          expr("CAST(unix_micros(w.start) DIV 1000000 AS BIGINT)").as("ws_sec"),
+          col("event_type"), col("n"), col("n_users"))
+        .orderBy(col("ws_sec"), col("event_type"))
     })
   )
 
   private val sessionOracle: Map[String, String] = Map(
+    "st02_sliding_hourly" ->
+      """SELECT ws_sec, event_type, COUNT(*) AS n,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900 - k) * 900 AS ws_sec,
+        |    event_type, user_id
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+        |GROUP BY ws_sec, event_type
+        |ORDER BY ws_sec, event_type""".stripMargin,
     "st01_user_sessions" ->
       """SELECT user_id,
         | CAST(1 + SUM(CASE WHEN sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
