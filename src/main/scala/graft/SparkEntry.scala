@@ -1457,6 +1457,21 @@ object SparkEntry {
           expr("CAST(unix_micros(w.start) DIV 1000000 AS BIGINT)").as("ws_sec"),
           col("event_type"), col("n"), col("n_users"))
         .orderBy(col("ws_sec"), col("event_type"))
+    }),
+    // NATIVE session_window operator (st01 oracles the manual lag
+    // formulation; this oracles Spark's built-in interval-merge). The
+    // replay is gaps-and-islands in MICROSECONDS — the operator's own
+    // precision, where a new session starts iff the gap is >= 30 min
+    // (session end is exclusive); a seconds-floor oracle could mis-bucket
+    // boundary events. Session start emitted as epoch micros (exact long).
+    "st03_session_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(sw.start)").as("start_us"),
+          col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("start_us"))
     })
   )
 
@@ -1470,6 +1485,22 @@ object SparkEntry {
         |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
         |GROUP BY ws_sec, event_type
         |ORDER BY ws_sec, event_type""".stripMargin,
+    "st03_session_windows" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, us,
+        |    SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t)
+        |SELECT CAST(MIN(us) AS BIGINT) AS start_us, user_id, COUNT(*) AS n
+        |FROM m GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "st01_user_sessions" ->
       """SELECT user_id,
         | CAST(1 + SUM(CASE WHEN sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
