@@ -87,9 +87,12 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // optional lane filter for local profiling loops (comma-separated
-    // name prefixes, e.g. "bp01,cu01"); the driver never sets it
+    // name prefixes, e.g. "bp01,cu01"); the driver never sets it. An
+    // empty/whitespace value is treated as UNSET — Some(Seq()) would
+    // filter out every lane and "succeed" with an empty run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -125,7 +128,10 @@ object Bench {
       // full-precision copy (with every raw sample) written to docs/ — the
       // authoritative per-lane record; _latest only ever holds a CLEAN
       // final capture so it stays a valid comparison baseline
-      try {
+      // a lane-filtered profiling run must not touch EITHER committed
+      // docs artifact: last_run promises the full catalog just as the
+      // baseline does; filtered runs report via stdout only
+      try if (only.isEmpty) {
         val full = results.map { case (k, v) =>
           "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
             samples(k).reverse.mkString(",") + "]}"
@@ -135,9 +141,7 @@ object Bench {
              |""".stripMargin.getBytes("UTF-8")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
-        // a lane-filtered profiling run must never replace the
-        // full-catalog baseline capture
-        if (passes == iters && errors.isEmpty && !budgetHit && only.isEmpty)
+        if (passes == iters && errors.isEmpty && !budgetHit)
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
       } catch { case _: Throwable => () }

@@ -1485,9 +1485,12 @@ object SparkEntry {
         |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
         |GROUP BY ws_sec, event_type
         |ORDER BY ws_sec, event_type""".stripMargin,
+    // the running sum MUST order by (us, event_id) — the same tie-break
+    // as the LAG — or two identical-ts events at a session boundary could
+    // split the new-session flag across the tie nondeterministically
     "st03_session_windows" ->
       """WITH t AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
         |    LAG(epoch_us(ts)) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
@@ -1495,7 +1498,7 @@ object SparkEntry {
         |  SELECT user_id, us,
         |    SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000
         |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY us
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
         |            ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM t)
         |SELECT CAST(MIN(us) AS BIGINT) AS start_us, user_id, COUNT(*) AS n
@@ -1812,6 +1815,10 @@ object SparkEntry {
   private def sharedEdges(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
     sharedEdgeFrames.synchronized {
+      // entries of stopped sessions are dead weight (their cached blocks
+      // died with the context) — sweep them so a long-lived JVM cycling
+      // sessions can't grow the map or pin dead SparkSession objects
+      sharedEdgeFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       sharedEdgeFrames.getOrElseUpdate((s, dir, key), build)
     }
   private def hierPart(s: SparkSession, dir: String): DataFrame =

@@ -475,9 +475,11 @@ object EscoAnalytics {
       .orderBy(col("skill"))
   }
 
-  /** PageRank top-N over the full graph (companion centrality to G4;
-    * GraphX-native). */
-  def topPageRank(wh: EscoWarehouse, n: Int = 20, tol: Double = 0.001): DataFrame = {
+  /** Shared centrality scaffolding: the collision-checked URI dictionary,
+    * the long-id edge list over ALL node/edge types, and the label rejoin
+    * — one definition so the two PageRank variants can never diverge on
+    * the id mapping. */
+  private def centralityGraph(wh: EscoWarehouse): (DataFrame, DataFrame) = {
     val dict = Vertices.dictionary(wh.allNodes.select(col("conceptUri").as("k")), "k")
     val edges = wh.allEdges
       .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
@@ -485,10 +487,20 @@ object EscoAnalytics {
       .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
       .withColumnRenamed("id", "dst")
       .select("src", "dst")
-    GraphOps.pageRank(edges, tol)
+    (dict, edges)
+  }
+
+  private def withLabels(wh: EscoWarehouse, ranked: DataFrame, dict: DataFrame): DataFrame =
+    ranked
       .join(dict, Seq("id"))
       .join(wh.allNodes.select(col("conceptUri").as("key"),
         col("preferredLabel")), Seq("key"))
+
+  /** PageRank top-N over the full graph (companion centrality to G4;
+    * GraphX-native). */
+  def topPageRank(wh: EscoWarehouse, n: Int = 20, tol: Double = 0.001): DataFrame = {
+    val (dict, edges) = centralityGraph(wh)
+    withLabels(wh, GraphOps.pageRank(edges, tol), dict)
       .select(col("key").as("uri"), col("preferredLabel"), col("rank"))
       .orderBy(desc("rank"), col("uri"))
       .limit(n)
@@ -499,17 +511,8 @@ object EscoAnalytics {
     * engines where GraphX's double accumulation is not; the variant to
     * reach for when centrality feeds a regression-tested pipeline. */
   def topPageRankExact(wh: EscoWarehouse, n: Int = 20, iters: Int = 10): DataFrame = {
-    val dict = Vertices.dictionary(wh.allNodes.select(col("conceptUri").as("k")), "k")
-    val edges = wh.allEdges
-      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
-      .withColumnRenamed("id", "src")
-      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
-      .withColumnRenamed("id", "dst")
-      .select("src", "dst")
-    GraphOps.pageRankIntSync(edges, iters)
-      .join(dict, Seq("id"))
-      .join(wh.allNodes.select(col("conceptUri").as("key"),
-        col("preferredLabel")), Seq("key"))
+    val (dict, edges) = centralityGraph(wh)
+    withLabels(wh, GraphOps.pageRankIntSync(edges, iters), dict)
       .select(col("key").as("uri"), col("preferredLabel"),
         col("pr").as("rank_micro"))
       .orderBy(desc("rank_micro"), col("uri"))

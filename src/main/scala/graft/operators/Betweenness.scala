@@ -52,20 +52,25 @@ object Betweenness {
       sources: DataFrame,
       maxDepth: Int = 20,
       directed: Boolean = false,
-      edgesPrepared: Boolean = false): DataFrame = {
-    val e =
-      if (edgesPrepared) edges.select(col("src"), col("dst"))
-      else {
-        val e0 = edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"))
-        (if (directed) e0
-          else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
-          .distinct()
-          .localCheckpoint()
-      }
-    forwardPhase(e, sources.select(col("root").cast("long").as("root")),
-      maxDepth)._1
-  }
+      edgesPrepared: Boolean = false): DataFrame =
+    forwardPhase(prepareEdges(edges, directed, edgesPrepared),
+      sources.select(col("root").cast("long").as("root")), maxDepth)._1
+
+  /** The one definition of the traversal edge contract shared by
+    * [[forwardCounts]] and [[approx]]: long-cast, direction-expanded,
+    * duplicate-free, materialized — or taken as-is when the caller
+    * vouches for exactly that via `edgesPrepared`. */
+  private def prepareEdges(
+      edges: DataFrame, directed: Boolean, edgesPrepared: Boolean): DataFrame =
+    if (edgesPrepared) edges.select(col("src"), col("dst"))
+    else {
+      val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      (if (directed) e0
+        else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+        .distinct()
+        .localCheckpoint()
+    }
 
   /** Shared forward BFS: returns (visited frame, per-level (root,id,sigma)
     * frames, levels present deepest-first). `e` must already be directed,
@@ -135,16 +140,7 @@ object Betweenness {
     val spark = edges.sparkSession
     // edgesPrepared: see [[forwardCounts]] — caller-shared frame, already
     // expanded/distinct/materialized; `directed` is ignored then
-    val e =
-      if (edgesPrepared) edges.select(col("src"), col("dst"))
-      else {
-        val e0 = edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"))
-        (if (directed) e0
-          else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
-          .distinct()
-          .localCheckpoint()
-      }
+    val e = prepareEdges(edges, directed, edgesPrepared)
 
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
@@ -168,19 +164,22 @@ object Betweenness {
     val levelFrames: Map[Int, DataFrame] = levelFrames0
     val maxL = levels.max
     // The backward phase traverses edges AGAINST their direction (the
-    // join keys on e.dst). At bench scale AQE broadcasts the small level
-    // frames, so the src-partitioned e is scanned, never shuffled — but
-    // once k·levelsize outgrows the broadcast threshold the join goes
-    // sort-merge, and a src-partitioned e would then re-shuffle the FULL
-    // edge set once per level. Re-partition on dst ONCE for the whole
-    // phase — O(1) edge shuffles in the non-broadcast regime, the
-    // forward-phase discipline in reverse. Lazy localCheckpoint (first
-    // backward action materializes it), not persist: blocks are
-    // context-cleaner-released when the result drops, with no
-    // CacheManager registration the caller would have to unpersist.
-    val eByDst = e.select(col("src"), col("dst"))
-      .repartition(col("dst"))
-      .localCheckpoint(false)
+    // join keys on e.dst). While the level frames fit the broadcast
+    // threshold the src-partitioned e is scanned, never shuffled — so on
+    // small graphs reuse it as-is and skip the extra materialization.
+    // Once k·levelsize outgrows broadcast the join goes sort-merge, and a
+    // src-partitioned e would then re-shuffle the FULL edge set once per
+    // level: there, re-partition on dst ONCE for the whole phase — O(1)
+    // edge shuffles, the forward-phase discipline in reverse. Lazy
+    // localCheckpoint (first backward action materializes it), not
+    // persist: blocks are context-cleaner-released when the result drops,
+    // with no CacheManager registration the caller would have to
+    // unpersist.
+    val eByDst =
+      if (e.count() <= 4000000L) e
+      else e.select(col("src"), col("dst"))
+        .repartition(col("dst"))
+        .localCheckpoint(false)
     // finalized (id, delta) rows for intermediate nodes (depth > 0)
     var finals: List[DataFrame] = Nil
     // delta for the level currently deepest-unprocessed; nodes missing

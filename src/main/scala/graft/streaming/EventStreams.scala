@@ -18,18 +18,21 @@ object EventStreams {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** True iff `dir` exists and holds at least one visible data file
-    * (top level or one partition-dir deep) — the schema peek in
-    * [[readEventStream]] may only fall back when this is false. */
+  /** True iff `dir` exists and holds at least one visible data file at
+    * ANY partition depth — the schema peek in [[readEventStream]] may only
+    * fall back when this is false; a depth-limited probe would let a read
+    * error on a multi-level-partitioned layout masquerade as "empty" and
+    * silently pick the fallback schema. */
   private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
-    fs.exists(path) && fs.listStatus(path).exists { st =>
-      (st.isFile && visible(st.getPath.getName)) ||
-        (st.isDirectory && visible(st.getPath.getName) &&
-          fs.listStatus(st.getPath).exists(c => c.isFile && visible(c.getPath.getName)))
-    }
+    def probe(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        visible(st.getPath.getName) &&
+          (st.isFile || (st.isDirectory && probe(st.getPath)))
+      }
+    fs.exists(path) && probe(path)
   }
 
   /** Schemas for streaming reads (streams cannot infer). The driver tables
