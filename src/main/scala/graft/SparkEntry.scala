@@ -1920,6 +1920,20 @@ object SparkEntry {
           maxDepth = 4, edgesPrepared = true)
         .orderBy(col("root"), col("id"))
     }),
+    // degree table over the directed multi-parent DAG — GraphOps.degrees
+    // was implemented-but-spec-only; two partial aggregations + full
+    // outer join, no GraphX materialization. Aggregated per (out, in)
+    // shape so the lane output stays bounded at any scale.
+    "g08_degree_shape" -> ((s, dir) => {
+      GraphOps.degrees(dagPart(s, dir))
+        .withColumn("has_out", col("out_degree") > 0)
+        .withColumn("has_in", col("in_degree") > 0)
+        .groupBy(col("has_out"), col("has_in"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("out_degree")).as("total_out"),
+          sum(col("in_degree")).as("total_in"))
+        .orderBy(col("has_out"), col("has_in"))
+    }),
     // FULL-oracle PageRank: deterministic synchronous integer-micro-unit
     // formulation (GraphOps.pageRankIntSync — GraphX's double-sum order
     // could never replay cross-engine) over the symmetrized co-purchase
@@ -1998,6 +2012,34 @@ object SparkEntry {
          |SELECT MIN(id) AS community, CAST(COUNT(*) AS BIGINT) AS csize
          |FROM it5 GROUP BY label
          |ORDER BY csize DESC, community""".stripMargin
+    },
+    // degrees replayed as two grouped counts full-outer-joined, nulls to 0
+    "g08_degree_shape" -> {
+      s"""WITH e0 AS (
+         |  SELECT CAST(n_regionkey AS BIGINT) + 1000000 AS src,
+         |         CAST(n_nationkey AS BIGINT) + 2000000 AS dst FROM nation
+         |  UNION ALL
+         |  SELECT CAST(c_nationkey AS BIGINT) + 2000000, c_custkey + 3000000
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT o_custkey + 3000000, o_orderkey + 10000000 FROM orders
+         |  UNION ALL
+         |  SELECT DISTINCT l_orderkey + 10000000, l_partkey + 100000000
+         |  FROM lineitem),
+         |deg AS (
+         |  SELECT COALESCE(o.id, i.id) AS id,
+         |    COALESCE(o.od, 0) AS out_degree,
+         |    COALESCE(i.idg, 0) AS in_degree
+         |  FROM (SELECT src AS id, COUNT(*) AS od FROM e0 GROUP BY src) o
+         |  FULL OUTER JOIN
+         |    (SELECT dst AS id, COUNT(*) AS idg FROM e0 GROUP BY dst) i
+         |  ON o.id = i.id)
+         |SELECT out_degree > 0 AS has_out, in_degree > 0 AS has_in,
+         |  COUNT(*) AS n_nodes,
+         |  CAST(SUM(out_degree) AS BIGINT) AS total_out,
+         |  CAST(SUM(in_degree) AS BIGINT) AS total_in
+         |FROM deg GROUP BY 1, 2
+         |ORDER BY has_out, has_in""".stripMargin
     },
     // Brandes forward phase replayed as unrolled level-synchronous BFS
     // CTEs over the directed multi-parent DAG: level i aggregates sigma
