@@ -27,7 +27,10 @@ class EscoCliSpec extends AnyFunSuite {
     "skill-cooccurrence", "skill-depths",
     "top-skills-by-relationships", "top-occupations-optional",
     "transferable-skills", "skill-groups-most-skills",
-    "combined-connections", "pagerank-exact")
+    "combined-connections", "pagerank-exact",
+    // the graph-analytics verbs, on the mini warehouse: wiring smoke for
+    // the GraphX/iterative paths too
+    "isco-depths", "communities", "betweenness", "pagerank")
 
   analyses.foreach { name =>
     test(s"analyze $name runs") {
