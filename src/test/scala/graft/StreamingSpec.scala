@@ -45,6 +45,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window equals a driver islands reference on adversarial gaps (ties, exact 30-min boundaries)") {
+    // the st03 oracle's replay assumptions, pinned as a unit property:
+    // identical-ts events share a session; a gap of EXACTLY the window
+    // size starts a new session (session end is exclusive); micros
+    // precision decides boundary events
+    val gapUs = 1800000000L // 30 min
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 300).map { i =>
+      val user = rnd.nextInt(4).toLong
+      val base = 1700000000000000L + rnd.nextInt(5) * gapUs
+      val us = rnd.nextInt(6) match {
+        case 0 => base                      // duplicate-ts candidates
+        case 1 => base + gapUs              // exact boundary
+        case 2 => base + gapUs - 1L         // just inside
+        case 3 => base + gapUs + 1L         // just outside
+        case _ => base + math.abs(rnd.nextLong() % (3L * gapUs))
+      }
+      (i.toLong, user, us)
+    }
+    def refSessions(evs: Seq[(Long, Long, Long)]): Map[(Long, Long), Long] =
+      evs.groupBy(_._2).flatMap { case (user, rows) =>
+        val sorted = rows.map(_._3).sorted
+        val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+          case (Nil, us) => List(List(us))
+          case (cur :: done, us) =>
+            if (us - cur.head >= gapUs) List(us) :: cur :: done
+            else (us :: cur) :: done
+        }
+        sessions.map(s => (user, s.min) -> s.size.toLong)
+      }
+    val df = spark.createDataFrame(events).toDF("event_id", "user_id", "us")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
+    val got = df
+      .groupBy(org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"),
+        col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .selectExpr("user_id", "unix_micros(session_window.start) AS start_us", "n")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == refSessions(events), {
+      val want = refSessions(events)
+      s"diff: got-only=${got.toSet -- want.toSet} want-only=${want.toSet -- got.toSet}"
+    })
+  }
+
   test("streaming tumbling window equals the batch computation") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val streamed = EventStreams.runToMemory(
