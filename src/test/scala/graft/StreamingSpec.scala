@@ -91,6 +91,34 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("sliding window() assignment equals the 4-offset epoch arithmetic (st02's oracle replay)") {
+    // every event lands in exactly window/slide = 4 epoch-aligned
+    // windows with starts (floor(sec/900) - k) * 900, k = 0..3 — the
+    // arithmetic the st02 DuckDB oracle uses
+    val rnd = new scala.util.Random(29)
+    val events = (1 to 200).map { i =>
+      // arbitrary micros incl. sub-second parts and 900s-boundary hits
+      val us = 1700000000000000L + (rnd.nextInt(100000) * 900000L) +
+        (if (rnd.nextBoolean()) 0L else rnd.nextInt(900000000))
+      (i.toLong, us)
+    }
+    val want = events.flatMap { case (_, us) =>
+      val sec = us / 1000000L
+      (0 to 3).map(k => (sec / 900L - k) * 900L)
+    }.groupBy(identity).map { case (ws, xs) => ws -> xs.size.toLong }
+    val df = spark.createDataFrame(events).toDF("event_id", "us")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
+    val got = df
+      .groupBy(org.apache.spark.sql.functions.window(
+        col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .selectExpr("CAST(unix_micros(w.start) DIV 1000000 AS BIGINT) AS ws", "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"diff: got-only=${got.toSet -- want.toSet} want-only=${want.toSet -- got.toSet}")
+  }
+
   test("streaming tumbling window equals the batch computation") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val streamed = EventStreams.runToMemory(
