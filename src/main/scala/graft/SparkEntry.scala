@@ -1361,6 +1361,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           max(size(col("embedding"))).cast("long").as("dim"))
         .orderBy(col("label"))
+    }),
+    // FULL-oracle UDAF representative (SURVEY §2.10): per-label centroid
+    // via the VectorAvgExact typed Aggregator — ONE hash aggregation over
+    // integer micro-units (merge-order independent, so it replays
+    // cross-engine; the float VectorAvg twin's double sums cannot). The
+    // posexplode to (label, dim) rows happens AFTER the aggregation, on
+    // n_labels × dim rows, not on the corpus. n_vecs equals the oracle's
+    // per-(label, dim) count because the table's vectors are
+    // uniform-length (q24 pins dim); the aggregator itself zero-pads
+    // ragged input.
+    "va01_vector_avg" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          graft.functions.VectorAvgExact.vectorAvgExact(col("embedding"))
+            .as("avgq"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"), posexplode(col("avgq")))
+        .select(col("label"), col("pos").as("dim"),
+          col("col").as("avg_micros"), col("n_vecs"))
+        .orderBy(col("label"), col("dim"))
+    }),
+    // FULL-oracle M1/M2 representative: the portable-md5 hash embedder
+    // (PortableHashEmbedder.embed) over the first 50 documents at dim 16 —
+    // slot counts are exact integers and the normalize step is three
+    // correctly-rounded IEEE ops, so every float replays bit-for-bit in
+    // DuckDB (the murmur `hash_embed` twin stays the 100 TB default and
+    // stays spec-gated: no SQL engine computes Scala murmur3). Output
+    // doubles are the float values widened, roundtripped through REAL on
+    // the oracle side.
+    "me01_hash_embed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      graft.vector.PortableHashEmbedder.embed(docs, "doc_id", "text", dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").as("dim"),
+          col("col").cast("double").as("val"))
+        .orderBy(col("doc_id"), col("dim"))
     })
   )
 
@@ -1420,7 +1457,58 @@ object SparkEntry {
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q24_embed_label_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(MAX(len(embedding)) AS BIGINT) AS dim
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    // per-label centroid in integer micro-units: quantize each element on
+    // the exact float→double widening, sum as BIGINT (merge-order
+    // independent), floor-divide by the group count. The double floor() is
+    // exact here: |sum| ≤ 1e6·|x|·n ≪ 2^53 and the quotient sits ≥ 1/n
+    // from any other integer, far outside one ulp.
+    "va01_vector_avg" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, CAST(unnest(range(len(qv))) AS INTEGER) AS dim,
+        |    unnest(qv) AS q
+        |  FROM q)
+        |SELECT label, dim,
+        |  CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS avg_micros,
+        |  COUNT(*) AS n_vecs
+        |FROM x GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+    // PortableHashEmbedder.embed replayed relationally: token → md5-32 →
+    // (slot = (h>>1) % dim, sign = ±1) → per-(doc, slot) integer counts →
+    // dense 16-slot grid → L2 normalize in double, float-roundtripped
+    "me01_hash_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 50),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM tok),
+        |acc AS (
+        |  SELECT doc_id, CAST((h // 2) % 16 AS INTEGER) AS dim,
+        |    SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS acc
+        |  FROM hs GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, CAST(r.range AS INTEGER) AS dim
+        |  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 50) d,
+        |    range(16) r),
+        |dense AS (
+        |  SELECT g.doc_id, g.dim, COALESCE(a.acc, 0) AS acc
+        |  FROM grid g LEFT JOIN acc a
+        |    ON g.doc_id = a.doc_id AND g.dim = a.dim),
+        |nrm AS (
+        |  SELECT doc_id, SUM(acc * acc) AS norm FROM dense GROUP BY doc_id)
+        |SELECT d.doc_id, d.dim,
+        |  CAST(CAST(CASE WHEN nrm.norm = 0 THEN 0.0
+        |    ELSE d.acc * (1.0 / sqrt(CAST(nrm.norm AS DOUBLE))) END
+        |    AS REAL) AS DOUBLE) AS val
+        |FROM dense d JOIN nrm ON d.doc_id = nrm.doc_id
+        |ORDER BY d.doc_id, d.dim""".stripMargin
   )
 
   // ------------------------------------------------------------------
@@ -1946,6 +2034,23 @@ object SparkEntry {
       GraphOps.pageRankIntSync(sym, iters = 5)
         .orderBy(desc("pr"), col("id"))
         .limit(100)
+    }),
+    // FULL-oracle G2: shortestPath's node SEQUENCE (the Cypher semantics —
+    // a path, not a length; reference `analysis_queries.md:138-141`),
+    // previously spec-only. Undirected BFS over the multi-parent DAG from
+    // region 0 to the min part id: a part sits under many orders, so the
+    // min-parent tie-break does real work on the way back down. The
+    // endpoint lookup is a driver-sized scalar (MIN over one column).
+    "g09_shortest_path" -> ((s, dir) => {
+      val dst = 100000000L +
+        t(s, dir, "lineitem").agg(min(col("l_partkey"))).head().getLong(0)
+      // maxDepth 4 = the region→nation→customer→order→part radius; past
+      // it BFS floods the whole graph through shared parts (the oracle's
+      // unrolled level 5-6 CTEs measured 30x the 4-level cost). Both
+      // engines return an identical EMPTY frame if the part ever drifted
+      // out of radius, so the cap cannot desync the hash.
+      GraphOps.shortestPathFrame(dagPart(s, dir), 1000000L, dst, maxDepth = 4)
+        .orderBy(col("step"))
     })
   )
 
@@ -2118,6 +2223,51 @@ object SparkEntry {
          |${(1 to 5).map(step).mkString(",\n")}
          |SELECT id, pr FROM p5
          |ORDER BY pr DESC, id LIMIT 100""".stripMargin
+    },
+    // shortestPath replayed as unrolled level-synchronous BFS CTEs over
+    // the symmetrized multi-parent DAG — per level group the next
+    // frontier by target with MIN(parent) and anti-join all visited
+    // levels (exactly shortestPath's groupBy(id).min(parent) +
+    // left_anti) — then a recursive parent walk from dst. Spark stops at
+    // the level where dst appears; the oracle's extra levels can't touch
+    // the walk (chain nodes live at depths ≤ d(dst), fixed earlier).
+    "g09_shortest_path" -> {
+      val step = (i: Int) => {
+        val visited = (0 until i)
+          .map(j => s"SELECT id FROM l$j").mkString(" UNION ALL ")
+        s"""l$i AS (
+           |  SELECT g.id, $i AS depth, g.parent FROM (
+           |    SELECT s.dst AS id, MIN(f.id) AS parent
+           |    FROM l${i - 1} f JOIN sym s ON f.id = s.src
+           |    GROUP BY s.dst) g
+           |  WHERE NOT EXISTS (SELECT 1 FROM ($visited) v
+           |                    WHERE v.id = g.id))""".stripMargin
+      }
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT CAST(n_regionkey AS BIGINT) + 1000000 AS src,
+         |         CAST(n_nationkey AS BIGINT) + 2000000 AS dst FROM nation
+         |  UNION ALL
+         |  SELECT CAST(c_nationkey AS BIGINT) + 2000000, c_custkey + 3000000
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT o_custkey + 3000000, o_orderkey + 10000000 FROM orders
+         |  UNION ALL
+         |  SELECT DISTINCT l_orderkey + 10000000, l_partkey + 100000000
+         |  FROM lineitem),
+         |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |l0 AS (SELECT CAST(1000000 AS BIGINT) AS id, 0 AS depth,
+         |       CAST(-1 AS BIGINT) AS parent),
+         |${(1 to 4).map(step).mkString(",\n")},
+         |visited AS (
+         |  ${(0 to 4).map(j => s"SELECT * FROM l$j").mkString(" UNION ALL ")}),
+         |walk(id, depth, parent) AS (
+         |  SELECT v.id, v.depth, v.parent FROM visited v
+         |  WHERE v.id = (SELECT MIN(l_partkey) + 100000000 FROM lineitem)
+         |  UNION ALL
+         |  SELECT v.id, v.depth, v.parent
+         |  FROM walk w JOIN visited v ON v.id = w.parent)
+         |SELECT CAST(depth AS INTEGER) AS step, id FROM walk
+         |ORDER BY step""".stripMargin
     },
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every

@@ -201,6 +201,29 @@ object GraphOps {
     }
   }
 
+  /** [[shortestPath]] as a lane-able frame: the node sequence as
+    * (step, id) rows, empty if unreachable within maxDepth. The BFS's
+    * min-depth/min-parent tie-break makes the returned sequence fully
+    * deterministic, so it replays cross-engine as unrolled
+    * level-synchronous BFS CTEs (per level: group next frontier by
+    * target with MIN(parent), anti-join everything visited) followed by
+    * a recursive parent walk from dst — the walk only touches chain
+    * nodes at depths ≤ d(dst), which the oracle's extra (post-stop)
+    * levels can never alter. A path is ≤ maxDepth nodes, so the frame is
+    * driver-sized by construction. */
+  def shortestPathFrame(
+      edges: DataFrame,
+      srcId: Long,
+      dstId: Long,
+      maxDepth: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    shortestPath(edges, srcId, dstId, maxDepth)
+      .zipWithIndex
+      .map { case (id, i) => (i, id) }
+      .toDF("step", "id")
+  }
+
   // ---- GraphX analytics ----
 
   private def toGraph(edges: DataFrame): Graph[Int, Int] = {

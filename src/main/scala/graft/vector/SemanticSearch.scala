@@ -87,6 +87,47 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
   }
 }
 
+/** Engine-portable bulk embedding: the md5 verification twin of the
+  * murmur `hash_embed` expression (same pattern as graft.operators.Dedup's
+  * `*Portable` signature family). Same feature-hashing shape — token →
+  * (slot, ±1) → signed bag → L2 normalize — but the token hash is md5-32
+  * and the aggregation is relational, so a SQL oracle replays every float
+  * bit-for-bit: slot counts are exact integers, and the only float ops
+  * (1/√norm, one multiply, one float cast) are correctly-rounded IEEE
+  * steps identical in any engine. The murmur expression stays the 100 TB
+  * default (~2× cheaper hashing, zero shuffle); this path's shuffle is
+  * bounded at `dim` partial-aggregated rows per document after map-side
+  * combine — never the token stream.
+  */
+object PortableHashEmbedder {
+
+  /** (idCol, embedding array<float>) for every input row. */
+  def embed(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    // `('0x' || substr(md5(tok), 1, 8))::BIGINT` in SQL
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val slotted = toks.select(col(idCol),
+      (shiftright(h, 1) % dim).cast("int").as("slot"),
+      when(h % 2 === 0, 1L).otherwise(-1L).as("sign"))
+    val acc = slotted.groupBy(col(idCol), col("slot"))
+      .agg(sum(col("sign")).as("acc"))
+    val dense = acc.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("acc"))))
+        .as("m"))
+      .withColumn("accs", transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j), lit(0L))))
+    val norm = aggregate(col("accs"), lit(0L), (s, x) => s + x * x)
+    val inv = when(norm === 0L, lit(0.0))
+      .otherwise(lit(1.0) / sqrt(norm.cast("double")))
+    dense.select(col(idCol),
+      transform(col("accs"), x => (x.cast("double") * inv).cast("float"))
+        .as("embedding"))
+  }
+}
+
 /** Semantic search over the warehouse (SURVEY V1, `src/semantic_search.py`).
   *
   * Faithful to the reference's *actual* execution: a brute-force scored

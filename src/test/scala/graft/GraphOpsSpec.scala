@@ -48,6 +48,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.shortestPath(twoIslands, 1L, 4L).isEmpty)
   }
 
+  test("shortestPathFrame: (step, id) rows mirror shortestPath; empty when unreachable") {
+    val seq = GraphOps.shortestPath(diamond, 1L, 5L)
+    val frame = GraphOps.shortestPathFrame(diamond, 1L, 5L)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(frame.toSeq == seq.zipWithIndex.map { case (id, i) => (i, id) })
+    // min-parent tiebreak picks node 2 over 3 on the diamond
+    assert(frame(1) == (1, 2L))
+    val twoIslands = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.shortestPathFrame(twoIslands, 1L, 4L).count() == 0L)
+    // a maxDepth cap short of the target yields the same empty frame the
+    // oracle's capped unrolling produces
+    assert(GraphOps.shortestPathFrame(diamond, 1L, 5L, maxDepth = 2).count() == 0L)
+  }
+
   test("random DAGs: bfsDepths equals a local reference BFS (3 seeds)") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)

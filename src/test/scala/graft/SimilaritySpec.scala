@@ -177,6 +177,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out("b") == Seq(10f, 20f, 30f))
   }
 
+  test("VectorAvgExact: integer micro-units, floor semantics, ragged zero-pad") {
+    import graft.functions.VectorAvgExact
+    // -0.5 pins quantize's negative rounding: floor(-499999.5) = -500000
+    val df = Seq(
+      ("a", Seq(1.0f, -0.5f)), ("a", Seq(2.0f, -0.5f)),
+      ("a", Seq(0.000001f, -0.5f)),
+      ("b", Seq(1.0f, 1.0f, 3.0f)), ("b", Seq(1.0f))
+    ).toDF("g", "v").repartition(4) // force partial buffers + merge
+    val out = df.groupBy("g")
+      .agg(VectorAvgExact.vectorAvgExact(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // a: sums (3000001, -1500000)/3 → floorDiv: (1000000, -500000)
+    assert(out("a") == Seq(1000000L, -500000L))
+    // b: ragged second vector zero-pads dims 1-2: (2000000, 1000000,
+    // 3000000)/2 with floorDiv → (1000000, 500000, 1500000)
+    assert(out("b") == Seq(1000000L, 500000L, 1500000L))
+    // merge-order independence: single partition gives identical results
+    val one = Seq(("a", Seq(1.0f, -0.5f)), ("a", Seq(2.0f, -0.5f)),
+        ("a", Seq(0.000001f, -0.5f)))
+      .toDF("g", "v").coalesce(1)
+      .groupBy("g").agg(VectorAvgExact.vectorAvgExact(col("v")).as("m"))
+      .head().getSeq[Long](1)
+    assert(one == out("a"))
+  }
+
   test("IVF probe returns k rows including the self-match at full probe") {
     val cents = Similarity.Ivf.centroids(corpus, "id", "vec", nCells = 8)
     assert(cents.count() == 8)

@@ -78,6 +78,39 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(sameCos - 1.0) < 1e-6)
   }
 
+  test("PortableHashEmbedder: unit-norm, md5-slot replay, zero slots present") {
+    import graft.vector.PortableHashEmbedder
+    val dim = 8
+    val df = Seq(
+      (1L, "  The quick Brown fox  "),
+      (2L, "the quick brown fox"),
+      (3L, "zip")
+    ).toDF("id", "text")
+    val out = PortableHashEmbedder.embed(df, "id", "text", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // trim + lower + \s+ split: leading/trailing/case noise is invisible
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(_.length == dim))
+    val norm = math.sqrt(out(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // driver replay of the portable math: md5-32 slot/sign bag, L2 norm
+    def replay(text: String): Seq[Float] = {
+      val acc = new Array[Long](dim)
+      text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
+        val h = graft.functions.PortableHash.md5_32(t)
+        val slot = ((h >> 1) % dim).toInt
+        acc(slot) += (if (h % 2 == 0) 1L else -1L)
+      }
+      val n = acc.map(x => x * x).sum
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n.toDouble)
+      acc.map(x => (x.toDouble * inv).toFloat).toSeq
+    }
+    assert(out(1L) == replay("the quick brown fox"))
+    assert(out(3L) == replay("zip"))
+    // a single-token doc puts exactly one nonzero slot in the dense array
+    assert(out(3L).count(_ != 0f) == 1)
+  }
+
   test("CharNgramEmbedder: null text embeds to null, not the empty-string vector") {
     val emb = new graft.vector.CharNgramEmbedder(dim = 64)
     val df = Seq((1L, null: String), (2L, null: String), (3L, "real text"))
