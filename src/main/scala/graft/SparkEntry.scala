@@ -2051,6 +2051,16 @@ object SparkEntry {
       // out of radius, so the cap cannot desync the hash.
       GraphOps.shortestPathFrame(dagPart(s, dir), 1000000L, dst, maxDepth = 4)
         .orderBy(col("step"))
+    }),
+    // degree-ordered (compact-forward) triangle counting over the
+    // co-purchase graph — the wedge join is bounded by oriented
+    // out-degrees (O(m^1.5), skew-immune), but the triangle SET is
+    // orientation-independent, so the oracle replays it with a naive
+    // three-way join. Top-20 participants, count-desc then id.
+    "g10_triangles" -> ((s, dir) => {
+      GraphOps.triangleParticipation(coPurchaseEdges(s, dir))
+        .orderBy(desc("n_triangles"), col("id"))
+        .limit(20)
     })
   )
 
@@ -2269,6 +2279,26 @@ object SparkEntry {
          |SELECT CAST(depth AS INTEGER) AS step, id FROM walk
          |ORDER BY step""".stripMargin
     },
+    // naive three-way-join triangle enumeration (src<dst edges are
+    // already canonical) — the degree-ordered Spark plan finds the same
+    // triangle set; per-node counts via a 3-arm union
+    "g10_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |nodes AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY id
+        |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin,
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every
     // member; MIN(lab) per node = component id

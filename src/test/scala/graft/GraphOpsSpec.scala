@@ -63,6 +63,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.shortestPathFrame(diamond, 1L, 5L, maxDepth = 2).count() == 0L)
   }
 
+  test("triangles: compact-forward enumeration equals brute force (3 seeds)") {
+    // K4 has exactly 4 triangles; each vertex sits in 3
+    val k4 = (for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j))
+      .toDF("src", "dst")
+    val t4 = GraphOps.triangles(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t4 == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val p4 = GraphOps.triangleParticipation(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle-free graph (star) finds none; duplicate/reversed/self
+    // edges don't create phantom triangles
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 1L))
+      .toDF("src", "dst")
+    assert(GraphOps.triangles(star).count() == 0L)
+    // random graphs vs driver-side brute force over canonical edges
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15
+      val es = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val brute = (for {
+        (a, b) <- canon; c <- 0L until n.toLong
+        if b < c && canon((a, c)) && canon((b, c))
+      } yield (a, b, c)).toSet
+      val got = GraphOps.triangles(es.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute, s"seed $seed")
+    }
+  }
+
   test("random DAGs: bfsDepths equals a local reference BFS (3 seeds)") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
