@@ -539,20 +539,13 @@ object GraphOps {
       .na.fill(0, Seq("out_degree", "in_degree"))
   }
 
-  /** Canonical triangle enumeration over an undirected edge set, as
-    * (t1, t2, t3) with t1 < t2 < t3 — degree-ordered "compact-forward"
-    * wedge generation (Latapy 2008; the algorithm every distributed
-    * triangle counter uses). Each edge is oriented from its
-    * (degree, id)-lower endpoint to its higher one, and wedges are
-    * enumerated only at a vertex's oriented OUT-neighbors — the oriented
-    * out-degree is O(√m) on ANY graph, so the wedge join is O(m^1.5)
-    * worst-case instead of Σdeg² (a hub with degree d contributes d
-    * wedges, not d²: at 100 TB the difference between a skew-immune plan
-    * and an exploding one). The result SET is orientation-independent, so
-    * a naive three-way-join oracle replays it exactly. Shuffles carry
-    * only (long, long) edge/wedge keys.
-    */
-  def triangles(edges: DataFrame): DataFrame = {
+  /** Degree-ordered orientation of an undirected edge set: canonical
+    * (u < v) dedup'd edges, each emitted low-(deg, id)-rank →
+    * high-rank as (src, dst, dstRank). The oriented out-degree of any
+    * vertex is ≤ √(2m): its k out-neighbors all have degree ≥ its own,
+    * so k² ≤ Σdeg = 2m — the invariant that makes the wedge join
+    * hub-skew-immune (GraphOpsSpec pins it). */
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
     // canonical undirected edges (u < v), self-loops dropped
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),
@@ -562,13 +555,12 @@ object GraphOps {
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    // rank = (deg, id); orient low rank → high rank
     val withRanks = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
     val uRank = struct(col("du").as("d"), col("u").as("n"))
     val vRank = struct(col("dv").as("d"), col("v").as("n"))
-    val oriented = withRanks.select(
+    withRanks.select(
       when(uRank < vRank,
         struct(col("u").as("src"), col("v").as("dst"),
           vRank.as("dstRank")))
@@ -578,6 +570,21 @@ object GraphOps {
         .as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"),
         col("o.dstRank").as("dstRank"))
+  }
+
+  /** Canonical triangle enumeration over an undirected edge set, as
+    * (t1, t2, t3) with t1 < t2 < t3 — degree-ordered "compact-forward"
+    * wedge generation (Latapy 2008; the algorithm every distributed
+    * triangle counter uses). Wedges are enumerated only at a vertex's
+    * [[orientEdges oriented]] OUT-neighbors — O(m^1.5) worst-case
+    * instead of Σdeg² (a hub with degree d contributes d wedges, not d²:
+    * at 100 TB the difference between a skew-immune plan and an
+    * exploding one). The result SET is orientation-independent, so a
+    * naive three-way-join oracle replays it exactly. Shuffles carry only
+    * (long, long) edge/wedge keys.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val oriented = orientEdges(edges)
     // wedges at the lowest-rank vertex of each candidate triangle; the
     // closing edge, if it exists, is oriented b → c by construction
     val x = oriented.select(col("src").as("a"), col("dst").as("b"),

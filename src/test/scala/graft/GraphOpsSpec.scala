@@ -95,6 +95,30 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("orientEdges: oriented out-degree respects the √(2m) hub bound") {
+    // 1000-leaf star: naively the hub holds C(1000,2) ≈ 500k wedges; the
+    // degree orientation points every edge leaf → hub, so max oriented
+    // out-degree is 1 and the wedge join sees ZERO pairs
+    val star = (1L to 1000L).map(i => (0L, i)).toDF("src", "dst")
+    val starOut = GraphOps.orientEdges(star)
+      .groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(starOut == 1L)
+    assert(GraphOps.triangles(star).count() == 0L)
+    // random graphs: out-degree ≤ √(2m) for every vertex
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 400)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val m = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.size
+      val maxOut = GraphOps.orientEdges(es.toDF("src", "dst"))
+        .groupBy("src").count().agg(max("count")).head().getLong(0)
+      assert(maxOut.toDouble <= math.sqrt(2.0 * m) + 1e-9,
+        s"seed $seed: maxOut=$maxOut m=$m")
+    }
+  }
+
   test("random DAGs: bfsDepths equals a local reference BFS (3 seeds)") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)

@@ -76,7 +76,8 @@ object ScaleProof {
     "cu01_curate" -> Bounds(30, 8),     // measured 19x (id-pair refactor)
     "dd05_resolve" -> Bounds(22, 8),    // measured 13.9x
     "sp03_shards" -> Bounds(20, 8),     // measured 13.1x (fixed cost only)
-    "qs01_select" -> Bounds(25, 8))     // measured 17.6x of a ~0 base (0.2 MiB)
+    "qs01_select" -> Bounds(25, 8),     // measured 17.6x of a ~0 base (0.2 MiB)
+    "me01_embed" -> Bounds(25, 8))      // measured 16.6x of 1.6 MiB (slot bags)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -383,6 +384,14 @@ object ScaleProof {
         // column pruning of the window
         Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
           .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
+          .head().getLong(0))
+      measure("me01_embed", scale)(
+        // portable bulk embedding: the token explode is map-local; what
+        // shuffles is the (id, slot) partial-aggregated bag — ≤ dim rows
+        // per doc after map-side combine, never the token stream
+        graft.vector.PortableHashEmbedder
+          .embed(docs, "doc_id", "text", dim = 64)
+          .agg(coalesce(sum(size(col("embedding")).cast("long")), lit(0L)))
           .head().getLong(0))
     }
 

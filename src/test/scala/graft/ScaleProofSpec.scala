@@ -42,7 +42,9 @@ class ScaleProofSpec extends AnyFunSuite {
       // second-half round-5 lanes (SCALING.md round-5 addendum)
       pair("dd05_resolve", 2.9, 40.5, 1.3),
       pair("sp03_shards", 0.2, 2.5, 1.1),
-      pair("qs01_select", 0.01, 0.2, 1.1)).flatten
+      pair("qs01_select", 0.01, 0.2, 1.1),
+      // round-8 portable-embedder lane (SCALING.md round-8 addendum)
+      pair("me01_embed", 1.6, 26.7, 1.5)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -53,7 +55,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "ann03_knn", "ann03_knn_q8", "dc01_contain", "lm01_surprisal",
       "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "sd01_spans",
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
-      "dd05_resolve", "sp03_shards", "qs01_select")
+      "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
