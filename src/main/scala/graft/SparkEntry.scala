@@ -1372,7 +1372,12 @@ object SparkEntry {
     // uniform-length (q24 pins dim); the aggregator itself zero-pads
     // ragged input.
     "va01_vector_avg" -> ((s, dir) => {
+      // null/empty vectors are excluded up front so n_vecs, the
+      // aggregator's divisor, and the oracle's per-(label, dim) COUNT(*)
+      // are the same population by construction (a NULL would be counted
+      // by count(*) but skipped by the aggregator and unnest)
       t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .groupBy(col("label"))
         .agg(
           graft.functions.VectorAvgExact.vectorAvgExact(col("embedding"))

@@ -260,6 +260,15 @@ object PortableHash {
   /** md5-32 of a string's UTF-8 bytes. */
   def md5_32(s: String): Long = first32(md5.digest(s.getBytes("UTF-8")))
 
+  /** Column twin of [[md5_32]] — the ONE definition of the portable
+    * 32-bit column hash (`('0x' || substr(md5(c), 1, 8))::BIGINT` in
+    * SQL). The replay contract is load-bearing for every md5-family
+    * oracle, so the expression must not fork per call site. */
+  def h32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5 => md5c, substring}
+    conv(substring(md5c(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  }
+
   /** Permutation constants of the portable MinHash family: md5-derived
     * from the literal strings "a<j>"/"b<j>" — no RNG for an oracle to
     * replay. `a_j` stays below 2³¹ so `a_j·h + b_j` never exceeds 2⁶³. */

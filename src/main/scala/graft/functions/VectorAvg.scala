@@ -67,8 +67,14 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Float
   */
 object VectorAvgExact extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Long]] {
 
-  private def quantize(x: Float): Long =
+  private def quantize(x: Float): Long = {
+    // fail fast where the SQL twin would error: CAST(floor(x*1e6+0.5) AS
+    // BIGINT) raises on NaN/Inf/overflow, while toLong would silently
+    // saturate — the twin must diverge in NEITHER value nor kind
+    require(java.lang.Float.isFinite(x) && math.abs(x) <= 1e12f,
+      s"VectorAvgExact requires finite elements with |x| <= 1e12, got $x")
     math.floor(x.toDouble * 1e6 + 0.5).toLong
+  }
 
   override def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
 

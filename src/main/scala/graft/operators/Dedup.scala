@@ -114,9 +114,8 @@ object Dedup {
     graft.functions.PortableHash.md5_32(s)
 
   /** md5-derived 32-bit hash of a string column, exact in any engine
-    * (`conv(substr(md5(c), 1, 8), 16, 10)`). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    * (shared definition: [[graft.functions.PortableHash.h32]]). */
+  private def h32(c: Column): Column = graft.functions.PortableHash.h32(c)
 
   /** Engine-portable MinHash signature (array<long>, length `numHashes`).
     *

@@ -584,7 +584,13 @@ object GraphOps {
     * (long, long) edge/wedge keys.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val oriented = orientEdges(edges)
+    // lazy checkpoint: `oriented` feeds BOTH the wedge side (partitioned
+    // by src) and the closing-edge side (partitioned by (b, c)), and
+    // ReuseExchange can't unify the two partitionings — without this the
+    // canonicalize + degree + rank pipeline would execute twice per
+    // action (the repo-wide pattern: lazy localCheckpoint, not a
+    // CacheManager-registered persist)
+    val oriented = orientEdges(edges).localCheckpoint(false)
     // wedges at the lowest-rank vertex of each candidate triangle; the
     // closing edge, if it exists, is oriented b → c by construction
     val x = oriented.select(col("src").as("a"), col("dst").as("b"),

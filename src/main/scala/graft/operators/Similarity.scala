@@ -347,8 +347,7 @@ object Similarity {
     def portableCentroids(
         corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
       centroidsBy(corpus, idCol, vecCol, nCells,
-        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-          16, 10).cast("long"))
+        graft.functions.PortableHash.h32(col(idCol).cast("string")))
 
     private def centroidsBy(
         corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,

@@ -101,22 +101,28 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
   */
 object PortableHashEmbedder {
 
-  /** (idCol, embedding array<float>) for every input row. */
+  /** (idCol, embedding array<float>) for every distinct input id —
+    * ids must be unique non-null (the usual corpus contract); a NULL
+    * text embeds to the zero vector, exactly as the SQL replay's dense
+    * grid does (an explode-side drop would silently lose the row). */
   def embed(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
     val toks = df.select(col(idCol),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    // `('0x' || substr(md5(tok), 1, 8))::BIGINT` in SQL
-    val h = conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    val h = graft.functions.PortableHash.h32(col("tok"))
     val slotted = toks.select(col(idCol),
       (shiftright(h, 1) % dim).cast("int").as("slot"),
       when(h % 2 === 0, 1L).otherwise(-1L).as("sign"))
     val acc = slotted.groupBy(col(idCol), col("slot"))
       .agg(sum(col("sign")).as("acc"))
-    val dense = acc.groupBy(col(idCol))
+    val bags = acc.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("slot"), col("acc"))))
         .as("m"))
+    // dense grid over ALL input ids: a NULL-text row has no token rows
+    // (explode drops them), so it re-enters here with a null map and
+    // falls out as the zero vector — element_at(NULL, j) is null → 0
+    val dense = df.select(col(idCol)).distinct()
+      .join(bags, Seq(idCol), "left")
       .withColumn("accs", transform(sequence(lit(0), lit(dim - 1)),
         j => coalesce(element_at(col("m"), j), lit(0L))))
     val norm = aggregate(col("accs"), lit(0L), (s, x) => s + x * x)

@@ -176,4 +176,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.count(l => docIdOnly.findFirstIn(l).isDefined) == 1,
       s"span merge re-shuffled:\n${exchanges.mkString("\n")}")
   }
+
+  test("g10: wedge join is an equi-join — no cartesian/nested-loop anywhere") {
+    // the rb < rc rank filter must ride the src equi-join as a post-join
+    // condition, never degrade the join itself to a nested loop
+    val p = plan("g10_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("me01: token explode is map-local — exchanges carry slot bags, not tokens") {
+    val p = plan("me01_hash_embed")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("tok#")),
+      s"me01 shuffles text/tokens:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -44,7 +44,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("sp03_shards", 0.2, 2.5, 1.1),
       pair("qs01_select", 0.01, 0.2, 1.1),
       // round-8 portable-embedder lane (SCALING.md round-8 addendum)
-      pair("me01_embed", 1.6, 26.7, 1.5)).flatten
+      pair("me01_embed", 1.6, 27.0, 1.5)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }

@@ -200,6 +200,14 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("g").agg(VectorAvgExact.vectorAvgExact(col("v")).as("m"))
       .head().getSeq[Long](1)
     assert(one == out("a"))
+    // NaN fails fast (the SQL twin ERRORS on CAST(floor(NaN) AS BIGINT);
+    // a silent toLong saturation would diverge in kind)
+    val ex = intercept[Exception] {
+      Seq(("a", Seq(Float.NaN))).toDF("g", "v")
+        .groupBy("g").agg(VectorAvgExact.vectorAvgExact(col("v")).as("m"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("IVF probe returns k rows including the self-match at full probe") {

@@ -109,6 +109,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(out(3L) == replay("zip"))
     // a single-token doc puts exactly one nonzero slot in the dense array
     assert(out(3L).count(_ != 0f) == 1)
+    // NULL text keeps its row as the zero vector (the dense id grid, not
+    // an explode-side drop) — matching the SQL replay's LEFT JOIN grid
+    val withNull = Seq((1L, Some("hello world")), (2L, None))
+      .toDF("id", "text")
+    val nv = PortableHashEmbedder.embed(withNull, "id", "text", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(nv.keySet == Set(1L, 2L))
+    assert(nv(2L) == Seq.fill(dim)(0f))
   }
 
   test("CharNgramEmbedder: null text embeds to null, not the empty-string vector") {
