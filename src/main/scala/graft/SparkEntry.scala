@@ -2066,6 +2066,15 @@ object SparkEntry {
       GraphOps.triangleParticipation(coPurchaseEdges(s, dir))
         .orderBy(desc("n_triangles"), col("id"))
         .limit(20)
+    }),
+    // bounded-round k-core peeling (graph-cleaning op): 5 synchronous
+    // "drop degree < 3" rounds over the co-purchase graph — at sf0.01
+    // peeling is STILL SHRINKING at round 5 (1295→1065), so the lane
+    // genuinely pins the bounded-round semantics, not just a fixpoint
+    // both formulations would reach
+    "g11_kcore" -> ((s, dir) => {
+      GraphOps.kCorePeel(coPurchaseEdges(s, dir), k = 3, rounds = 5)
+        .orderBy(col("id"))
     })
   )
 
@@ -2304,6 +2313,29 @@ object SparkEntry {
         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY id
         |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin,
+    // k-core peeling unrolled round by round: each s_i keeps the vertices
+    // with >= 3 neighbors inside s_{i-1} — exactly kCorePeel's
+    // join-count-filter (its early exit only skips no-op rounds)
+    "g11_kcore" -> {
+      val round = (i: Int) =>
+        s"""s$i AS (SELECT a AS id FROM (
+           |  SELECT x.a, COUNT(*) AS c FROM sym x
+           |  JOIN s${i - 1} p ON x.a = p.id
+           |  JOIN s${i - 1} q ON x.b = q.id
+           |  GROUP BY x.a) WHERE c >= 3)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT src AS a, dst AS b FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |s0 AS (SELECT DISTINCT a AS id FROM sym),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT x.a AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM sym x JOIN s5 p ON x.a = p.id JOIN s5 q ON x.b = q.id
+         |GROUP BY x.a ORDER BY id""".stripMargin
+    },
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every
     // member; MIN(lab) per node = component id

@@ -612,6 +612,55 @@ object GraphOps {
     triangles(edges)
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Bounded-round k-core peeling over the undirected simple graph:
+    * `rounds` synchronous rounds of "drop every vertex with fewer than k
+    * surviving neighbors", then (id, core_degree) for the survivors.
+    * With `rounds` ≥ the peeling depth this IS the k-core (the loop
+    * early-exits once a round removes nothing — a no-op round changes
+    * nothing, so skipping the remainder is exact); with fewer rounds the
+    * result is the documented bounded-round over-approximation. The
+    * FIXED round cap is what makes the operator engine-portable — the
+    * same unrolled-CTE replay as [[labelPropagationSync]] /
+    * [[pageRankIntSync]]; a run-to-fixpoint loop's round count is
+    * data-dependent and an oracle could not know where to stop.
+    * Per round: two joins of the lazily-checkpointed adjacency against
+    * the id-only survivor set + one count — nothing wider than a long
+    * ever shuffles, and the adjacency is built once. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = simple
+      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+    def coreDegrees(survivors: DataFrame): DataFrame = adj
+      .join(survivors.select(col("id").as("a")), Seq("a"))
+      .join(survivors.select(col("id").as("b")), Seq("b"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("core_degree"))
+    var survivors = adj.select(col("a").as("id")).distinct()
+      .localCheckpoint(false)
+    var n = survivors.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged && n > 0) {
+      val next = coreDegrees(survivors)
+        .filter(col("core_degree") >= k)
+        .select(col("a").as("id"))
+        .localCheckpoint(false)
+      val m = next.count()
+      // peeling is monotone: an unchanged COUNT means an unchanged SET
+      converged = m == n
+      n = m
+      survivors = next
+      r += 1
+    }
+    coreDegrees(survivors).select(col("a").as("id"), col("core_degree"))
+  }
 }
 
 /** String-keyed vertex id assignment with collision detection. */

@@ -119,6 +119,23 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCorePeel: fixpoint equals true k-core; bounded rounds replay") {
+    // K4 plus a tail 4-5-6: the 3-core is exactly the K4 (5 and 6 both
+    // fall below 3 in round one; 4 keeps degree 3 inside the clique)
+    val g = ((for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core = GraphOps.kCorePeel(g, k = 3, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // bounded rounds: after ONE round only vertex 6 (degree 1) is gone;
+    // 5 survives with in-core degree 1 — the documented mid-peel state
+    val one = GraphOps.kCorePeel(g, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // a too-high k empties the graph
+    assert(GraphOps.kCorePeel(g, k = 10, rounds = 3).count() == 0L)
+  }
+
   test("random DAGs: bfsDepths equals a local reference BFS (3 seeds)") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
