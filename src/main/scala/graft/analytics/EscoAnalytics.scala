@@ -519,6 +519,30 @@ object EscoAnalytics {
       .limit(n)
   }
 
+  /** Triangle-participation top-N over the full graph — graph-cohesion
+    * centrality beyond the reference catalog ([[GraphOps.triangles]],
+    * degree-ordered wedge join, hub-skew-immune). */
+  def topTriangles(wh: EscoWarehouse, n: Int = 20): DataFrame = {
+    val (dict, edges) = centralityGraph(wh)
+    withLabels(wh, GraphOps.triangleParticipation(edges), dict)
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("n_triangles"))
+      .orderBy(desc("n_triangles"), col("uri"))
+      .limit(n)
+  }
+
+  /** k-core of the full graph ([[GraphOps.kCorePeel]]): the densely
+    * interconnected taxonomy backbone that survives iterative removal of
+    * weakly connected concepts — a graph-cleaning view the reference has
+    * no equivalent for. */
+  def conceptCore(wh: EscoWarehouse, k: Int = 3, rounds: Int = 10): DataFrame = {
+    val (dict, edges) = centralityGraph(wh)
+    withLabels(wh, GraphOps.kCorePeel(edges, k, rounds), dict)
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("core_degree"))
+      .orderBy(desc("core_degree"), col("uri"))
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

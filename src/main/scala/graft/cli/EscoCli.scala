@@ -119,6 +119,8 @@ object EscoCli {
         case "betweenness" => EscoAnalytics.topBetweenness(wh)
         case "pagerank" => EscoAnalytics.topPageRank(wh)
         case "pagerank-exact" => EscoAnalytics.topPageRankExact(wh)
+        case "triangles" => EscoAnalytics.topTriangles(wh)
+        case "concept-core" => EscoAnalytics.conceptCore(wh)
         case "top-skills-by-relationships" =>
           EscoAnalytics.topSkillsByRelationships(wh)
         case "top-occupations-optional" =>
