@@ -134,6 +134,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(one == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
     // a too-high k empties the graph
     assert(GraphOps.kCorePeel(g, k = 10, rounds = 3).count() == 0L)
+    // random graphs: generous rounds reach the fixpoint, which must
+    // equal a driver-side run-to-fixpoint peel (2 seeds, k = 2 and 3)
+    for (seed <- Seq(31, 32); kk <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 80)
+        .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // local peel to fixpoint
+      var nodes = canon.flatMap { case (a, b) => Seq(a, b) }.toSet
+      var changed = true
+      while (changed) {
+        val deg = canon.filter { case (a, b) => nodes(a) && nodes(b) }
+          .flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (x, xs) => x -> xs.size }
+        val keep = nodes.filter(x => deg.getOrElse(x, 0) >= kk)
+        changed = keep != nodes
+        nodes = keep
+      }
+      val expected = canon.filter { case (a, b) => nodes(a) && nodes(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+      val got = GraphOps.kCorePeel(es.toDF("src", "dst"), kk, rounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed k=$kk")
+    }
   }
 
   test("random DAGs: bfsDepths equals a local reference BFS (3 seeds)") {
