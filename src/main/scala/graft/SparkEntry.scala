@@ -2078,6 +2078,17 @@ object SparkEntry {
     })
   )
 
+  /** SQL twin of `coPurchaseEdges` — the ONE definition interpolated
+    * into every oracle that replays this graph (g03/g04/g07/g10/g11), so
+    * the Scala edge build and its five replays cannot drift apart. Lines
+    * carry no margin bars: outer stripMargin leaves them untouched. */
+  private val coPurchaseCteSql: String =
+    """e AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
   private val graphOracle: Map[String, String] = Map(
     // closed form of BFS over the region→nation→customer tree
     "g01_bfs_depths" ->
@@ -2129,11 +2140,7 @@ object SparkEntry {
            |    FROM adj j JOIN it${i - 1} l ON j.b = l.id
            |    GROUP BY j.a, l.label)
            |  WHERE rn = 1)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseCteSql,
          |adj AS (SELECT src AS a, dst AS b FROM e
          |        UNION ALL SELECT dst, src FROM e),
          |it0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
@@ -2231,11 +2238,7 @@ object SparkEntry {
            |      CAST(SUM((p.pr * 850) // (1000 * p.outdeg)) AS BIGINT) AS c
            |    FROM adj a JOIN p${i - 1} p ON a.u = p.id AND p.outdeg > 0
            |    GROUP BY a.v) c ON b.id = c.id)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseCteSql,
          |adj AS (SELECT src AS u, dst AS v FROM e
          |        UNION ALL SELECT dst, src FROM e),
          |verts AS (SELECT DISTINCT u AS id FROM adj),
@@ -2297,11 +2300,7 @@ object SparkEntry {
     // already canonical) — the degree-ordered Spark plan finds the same
     // triangle set; per-node counts via a 3-arm union
     "g10_triangles" ->
-      """WITH e AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseCteSql,
         |tri AS (
         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -2323,11 +2322,7 @@ object SparkEntry {
            |  JOIN s${i - 1} p ON x.a = p.id
            |  JOIN s${i - 1} q ON x.b = q.id
            |  GROUP BY x.a) WHERE c >= 3)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseCteSql,
          |sym AS (SELECT src AS a, dst AS b FROM e
          |        UNION ALL SELECT dst, src FROM e),
          |s0 AS (SELECT DISTINCT a AS id FROM sym),
@@ -2340,12 +2335,8 @@ object SparkEntry {
     // neighbor with a larger id, so each component's min reaches every
     // member; MIN(lab) per node = component id
     "g03_components" ->
-      """WITH RECURSIVE
-        |e AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH RECURSIVE
+        |$coPurchaseCteSql,
         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         |reach(id, lab) AS (
         |  SELECT DISTINCT src, src FROM sym

@@ -534,8 +534,11 @@ object EscoAnalytics {
   /** k-core of the full graph ([[GraphOps.kCorePeel]]): the densely
     * interconnected taxonomy backbone that survives iterative removal of
     * weakly connected concepts — a graph-cleaning view the reference has
-    * no equivalent for. */
-  def conceptCore(wh: EscoWarehouse, k: Int = 3, rounds: Int = 10): DataFrame = {
+    * no equivalent for. The generous default round cap is effectively
+    * run-to-fixpoint (kCorePeel early-exits the first no-op round, so a
+    * converged graph never pays for the headroom); pass a small `rounds`
+    * only when the bounded-round mid-peel view is wanted. */
+  def conceptCore(wh: EscoWarehouse, k: Int = 3, rounds: Int = 100): DataFrame = {
     val (dict, edges) = centralityGraph(wh)
     withLabels(wh, GraphOps.kCorePeel(edges, k, rounds), dict)
       .select(col("key").as("uri"), col("preferredLabel"),

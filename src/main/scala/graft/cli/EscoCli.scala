@@ -214,7 +214,8 @@ object EscoCli {
           |            top-essential-skills top-optional-skills top-occupations
           |            isco-most-occupations skill-cooccurrence isco-depths
           |            skill-depths communities communities-louvain betweenness
-          |            pagerank top-skills-by-relationships
+          |            pagerank pagerank-exact triangles concept-core
+          |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)
           |  analyze   <warehouseDir> related-occupations <occLabel> [--bridge]

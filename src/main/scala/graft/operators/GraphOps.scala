@@ -441,15 +441,24 @@ object GraphOps {
     * (lazy localCheckpoint) so `iters` never compounds the plan; labels
     * are one (id, label) row per vertex. Vertices are the edge endpoints
     * (an isolated vertex has no row here, as in [[labelPropagation]]). */
-  def labelPropagationSync(edges: DataFrame, iters: Int = 5): DataFrame = {
+  /** Canonical simple-graph symmetrized adjacency (a, b): self-loops and
+    * duplicate/reversed edges collapsed, both directions emitted, lazily
+    * checkpointed (every synchronous-round operator re-joins it per
+    * round). The ONE definition — labelPropagationSync and kCorePeel
+    * must not drift. */
+  private def symmetricAdjacency(edges: DataFrame): DataFrame = {
     val simple = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val adj = simple
+    simple
       .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(false)
+  }
+
+  def labelPropagationSync(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val adj = symmetricAdjacency(edges)
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     for (_ <- 1 to iters) {
@@ -616,6 +625,11 @@ object GraphOps {
   /** Bounded-round k-core peeling over the undirected simple graph:
     * `rounds` synchronous rounds of "drop every vertex with fewer than k
     * surviving neighbors", then (id, core_degree) for the survivors.
+    * In BOUNDED mode (cap hit before the fixpoint) the output can
+    * include survivors with core_degree < k (their neighbors were
+    * peeled in the final round) and omits survivors left with zero
+    * in-core neighbors — both by construction of the final inner-join
+    * degree count, and both replayed identically by the SQL oracle.
     * With `rounds` ≥ the peeling depth this IS the k-core (the loop
     * early-exits once a round removes nothing — a no-op round changes
     * nothing, so skipping the remainder is exact); with fewer rounds the
@@ -629,14 +643,7 @@ object GraphOps {
     * ever shuffles, and the adjacency is built once. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
-    val simple = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val adj = simple
-      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(false)
+    val adj = symmetricAdjacency(edges)
     def coreDegrees(survivors: DataFrame): DataFrame = adj
       .join(survivors.select(col("id").as("a")), Seq("a"))
       .join(survivors.select(col("id").as("b")), Seq("b"))
@@ -644,22 +651,38 @@ object GraphOps {
       .agg(count(lit(1)).as("core_degree"))
     var survivors = adj.select(col("a").as("id")).distinct()
       .localCheckpoint(false)
+    var lastDegrees: Option[DataFrame] = None
     var n = survivors.count()
     var r = 0
     var converged = false
     while (r < rounds && !converged && n > 0) {
       val next = coreDegrees(survivors)
         .filter(col("core_degree") >= k)
-        .select(col("a").as("id"))
+        .select(col("a").as("id"), col("core_degree"))
         .localCheckpoint(false)
       val m = next.count()
-      // peeling is monotone: an unchanged COUNT means an unchanged SET
+      // peeling is monotone: an unchanged COUNT means an unchanged SET —
+      // and then `next`'s degrees, computed against that same set, ARE
+      // the final answer; no recompute job needed
       converged = m == n
       n = m
-      survivors = next
+      lastDegrees = Some(next)
+      survivors = next.select(col("id"))
       r += 1
     }
-    coreDegrees(survivors).select(col("a").as("id"), col("core_degree"))
+    lastDegrees match {
+      case Some(d) if converged => d
+      case _ =>
+        // round cap hit (or empty graph): degrees must be recomputed
+        // against the FINAL survivor set — the last round's values still
+        // count neighbors that were peeled in that same round. NOTE
+        // (bounded mode only): a survivor whose remaining neighbors were
+        // all peeled in the final round emits no row here (degree-0 rows
+        // fall out of the inner joins) — the SQL replay behaves
+        // identically.
+        coreDegrees(survivors)
+          .select(col("a").as("id"), col("core_degree"))
+    }
   }
 }
 

@@ -89,7 +89,8 @@ object ScaleProof {
     "cu01_curate" -> Bounds(160, 8),    // measured 100x (pair-bound)
     "sd01_spans" -> Bounds(20, 8),      // measured 12.9x
     "qs01_select" -> Bounds(8, 8),      // measured 2.8x of a ~0 base
-    "sp03_shards" -> Bounds(10, 8))     // measured 6.4x
+    "sp03_shards" -> Bounds(10, 8),     // measured 6.4x
+    "me01_embed" -> Bounds(16, 8))      // measured 10.9x (dim-bounded bags)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale

@@ -84,7 +84,9 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("cu01_curate", 58.4, 6726.5, 1.8), // r8 narrow stats frame
       pair100("sd01_spans", 78.1, 1007.7, 1.2),
       pair100("qs01_select", 0.2, 0.5, 1.2),
-      pair100("sp03_shards", 2.5, 15.9, 1.3)).flatten
+      pair100("sp03_shards", 2.5, 15.9, 1.3),
+      // round-8 portable-embedder third point
+      pair100("me01_embed", 27.0, 293.6, 1.2)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
