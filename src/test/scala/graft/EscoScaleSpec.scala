@@ -121,4 +121,23 @@ class EscoScaleSpec extends AnyFunSuite {
     val partial = hits.count(_.getLong(1) != 10L)
     assert(partial <= 1, s"replica counts: ${hits.map(_.getLong(1)).toSeq}")
   }
+
+  test("10x graph analytics: triangle and k-core row counts scale exactly x10") {
+    // the replica copies are disjoint, so every graph statistic computed
+    // per node must replicate exactly — triangles and core membership
+    // can't leak across replicas
+    import graft.analytics.EscoAnalytics
+    val tri1 = EscoAnalytics.topTriangles(whBase, n = 1000000)
+    val tri10 = EscoAnalytics.topTriangles(wh10, n = 10000000)
+    assert(tri10.count() == 10L * tri1.count())
+    val core1 = EscoAnalytics.conceptCore(whBase, k = 2)
+    val core10 = EscoAnalytics.conceptCore(wh10, k = 2)
+    assert(core10.count() == 10L * core1.count())
+    // per-degree histogram of the core replicates exactly x10
+    val h1 = core1.groupBy("core_degree").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h10 = core10.groupBy("core_degree").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h10 == h1.map { case (d, c) => d -> c * 10 })
+  }
 }
