@@ -1565,6 +1565,21 @@ object SparkEntry {
         .select(expr("unix_micros(sw.start)").as("start_us"),
           col("user_id"), col("n"))
         .orderBy(col("user_id"), col("start_us"))
+    }),
+    // the stream-stream interval join's batch form (EventStreams
+    // .intervalJoin is one definition for both; StreamingSpec pins the
+    // streaming run equal to this batch run) — funnel shape: every event
+    // pair on the same user within [0, 30 min], aggregated per type pair
+    // with the exact integer-micros gap mass so the output stays 25 rows
+    // at any scale
+    "st04_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.EventStreams.intervalJoin(ev, ev, "30 minutes")
+        .groupBy(col("l_type"), col("r_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("unix_micros(r_ts) - unix_micros(l_ts)"))
+            .as("sum_gap_us"))
+        .orderBy(col("l_type"), col("r_type"))
     })
   )
 
@@ -1606,7 +1621,19 @@ object SparkEntry {
         |    LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // inequality self-join replay: DuckDB's IEJoin handles the interval
+    // predicate natively; gaps summed as exact integer micros
+    "st04_interval_join" ->
+      """WITH j AS (
+        |  SELECT l.event_type AS l_type, r.event_type AS r_type,
+        |    epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+        |  FROM events l JOIN events r ON l.user_id = r.user_id
+        |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+        |SELECT l_type, r_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM j GROUP BY l_type, r_type
+        |ORDER BY l_type, r_type""".stripMargin
   )
 
   // ------------------------------------------------------------------
