@@ -185,6 +185,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("st04: interval join is an equi-join on user with a range condition, never a nested loop") {
+    val p = plan("st04_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("me01: token explode is map-local — exchanges carry slot bags, not tokens") {
     val p = plan("me01_hash_embed")
     val exchanges = p.linesIterator
