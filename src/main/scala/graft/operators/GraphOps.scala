@@ -186,18 +186,26 @@ object GraphOps {
     }
     if (!found && srcId != dstId) Nil
     else {
-      // walk parents dst -> src; each step is a point lookup on `visited`
-      var path = List(dstId)
-      var cur = dstId
-      var steps = 0
-      while (cur != srcId && steps <= maxDepth) {
-        val p = visited.filter(col("id") === cur)
-          .select(col("parent")).head().getLong(0)
-        path = p :: path
-        cur = p
-        steps += 1
+      // walk parents dst -> src as ONE composed plan: each hop joins the
+      // (≤1-row, broadcast) previous link against the checkpointed
+      // visited frame, and the ≤depth-sized union collects in a single
+      // job — the per-hop point-lookup loop paid one driver job per step
+      var links = List(visited.filter(col("id") === dstId))
+      for (_ <- 1 to depth) {
+        val up = visited
+          .join(broadcast(links.head.select(col("parent").as("cid"))),
+            col("id") === col("cid"))
+          .drop("cid")
+        links = up :: links
       }
-      if (cur == srcId) path else Nil
+      val chain = links.reduce(_ unionByName _)
+        .collect()
+        .map(r => (r.getInt(1), r.getLong(0)))
+        .sortBy(_._1)
+      // valid only if the chain reaches the root (depth 0 == src)
+      if (chain.headOption.exists { case (d, id) => d == 0 && id == srcId })
+        chain.map(_._2).toList
+      else Nil
     }
   }
 
