@@ -2040,6 +2040,25 @@ object SparkEntry {
           maxDepth = 4, edgesPrepared = true)
         .orderBy(col("root"), col("id"))
     }),
+    // FULL-oracle Brandes BACKWARD phase — the half that was rows-only —
+    // in integer micro-units (Betweenness.betweennessIntSync): the
+    // floor-div dependency recurrence is exact integer arithmetic, so
+    // unlike the float backward phase it replays bit-for-bit as unrolled
+    // per-level CTEs on top of g05b's forward block. Same DAG, same 8
+    // deterministic roots.
+    "g05c_betweenness_int" -> ((s, dir) => {
+      val regionRoots = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 1000000L).as("root"))
+      val nationRoots = t(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 2000000L).as("root"))
+        .orderBy(substring(md5(concat(col("root").cast("string"),
+          lit("-bc")).cast("binary")), 1, 8), col("root"))
+        .limit(3)
+      graft.operators.Betweenness.betweennessIntSync(
+          dagPart(s, dir), regionRoots.unionByName(nationRoots),
+          maxDepth = 4, edgesPrepared = true)
+        .orderBy(col("id"))
+    }),
     // degree table over the directed multi-parent DAG — GraphOps.degrees
     // was implemented-but-spec-only; two partial aggregations + full
     // outer join, no GraphX materialization. Aggregated per (out, in)
@@ -2115,6 +2134,53 @@ object SparkEntry {
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** Shared forward-BFS CTE block of the Brandes oracles (g05b forward
+    * counts, g05c integer backward phase): the multi-parent DAG, the 8
+    * deterministic roots, and levels l0..l4 with per-level sigma
+    * aggregation + visited anti-join — one definition so the two
+    * replays cannot drift. Same no-margin-bar convention as
+    * [[coPurchaseCteSql]] — and no CONTENT line may begin with `|`
+    * either (a leading `||` concat would lose a bar to the consuming
+    * template's stripMargin). */
+  private val brandesForwardCteSql: String = {
+    val step = (i: Int) => {
+      val visited = (0 until i)
+        .map(j => s"SELECT root, id FROM l$j").mkString(" UNION ALL ")
+      s"""l$i AS (
+         |  SELECT g.root, g.id, $i AS depth, g.sigma FROM (
+         |    SELECT f.root AS root, e.dst AS id,
+         |      CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |    FROM l${i - 1} f JOIN e ON f.id = e.src
+         |    GROUP BY 1, 2) g
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($visited) v
+         |                    WHERE v.root = g.root AND v.id = g.id))""".stripMargin
+    }
+    s"""e0 AS (
+       |  SELECT CAST(n_regionkey AS BIGINT) + 1000000 AS src,
+       |         CAST(n_nationkey AS BIGINT) + 2000000 AS dst FROM nation
+       |  UNION ALL
+       |  SELECT CAST(c_nationkey AS BIGINT) + 2000000, c_custkey + 3000000
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT o_custkey + 3000000, o_orderkey + 10000000 FROM orders
+       |  UNION ALL
+       |  SELECT DISTINCT l_orderkey + 10000000, l_partkey + 100000000
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM e0),
+       |roots AS (
+       |  SELECT CAST(r_regionkey AS BIGINT) + 1000000 AS root FROM region
+       |  UNION ALL
+       |  SELECT root FROM (
+       |    SELECT CAST(n_nationkey AS BIGINT) + 2000000 AS root FROM nation
+       |    ORDER BY substring(md5(
+       |      CAST(CAST(n_nationkey AS BIGINT) + 2000000 AS VARCHAR) ||
+       |        '-bc'), 1, 8), root
+       |    LIMIT 3) t),
+       |l0 AS (SELECT root, root AS id, 0 AS depth,
+       |       CAST(1 AS BIGINT) AS sigma FROM roots),
+       |${(1 to 4).map(step).mkString(",\n")}""".stripMargin
+  }
 
   private val graphOracle: Map[String, String] = Map(
     // closed form of BFS over the region→nation→customer tree
@@ -2208,48 +2274,38 @@ object SparkEntry {
     // CTEs over the directed multi-parent DAG: level i aggregates sigma
     // over in-edges from level i-1 and anti-joins everything already
     // visited — exactly forwardCounts' per-level join + sum + anti-join.
-    "g05b_brandes_forward" -> {
-      val step = (i: Int) => {
-        val visited = (0 until i)
-          .map(j => s"SELECT root, id FROM l$j").mkString(" UNION ALL ")
-        s"""l$i AS (
-           |  SELECT g.root, g.id, $i AS depth, g.sigma FROM (
-           |    SELECT f.root AS root, e.dst AS id,
-           |      CAST(SUM(f.sigma) AS BIGINT) AS sigma
-           |    FROM l${i - 1} f JOIN e ON f.id = e.src
-           |    GROUP BY 1, 2) g
-           |  WHERE NOT EXISTS (SELECT 1 FROM ($visited) v
-           |                    WHERE v.root = g.root AND v.id = g.id))""".stripMargin
-      }
-      s"""WITH e0 AS (
-         |  SELECT CAST(n_regionkey AS BIGINT) + 1000000 AS src,
-         |         CAST(n_nationkey AS BIGINT) + 2000000 AS dst FROM nation
-         |  UNION ALL
-         |  SELECT CAST(c_nationkey AS BIGINT) + 2000000, c_custkey + 3000000
-         |  FROM customer
-         |  UNION ALL
-         |  SELECT o_custkey + 3000000, o_orderkey + 10000000 FROM orders
-         |  UNION ALL
-         |  SELECT DISTINCT l_orderkey + 10000000, l_partkey + 100000000
-         |  FROM lineitem),
-         |e AS (SELECT DISTINCT src, dst FROM e0),
-         |roots AS (
-         |  SELECT CAST(r_regionkey AS BIGINT) + 1000000 AS root FROM region
-         |  UNION ALL
-         |  SELECT root FROM (
-         |    SELECT CAST(n_nationkey AS BIGINT) + 2000000 AS root FROM nation
-         |    ORDER BY substring(md5(
-         |      CAST(CAST(n_nationkey AS BIGINT) + 2000000 AS VARCHAR)
-         |        || '-bc'), 1, 8), root
-         |    LIMIT 3) t),
-         |l0 AS (SELECT root, root AS id, 0 AS depth,
-         |       CAST(1 AS BIGINT) AS sigma FROM roots),
-         |${(1 to 4).map(step).mkString(",\n")}
+    "g05b_brandes_forward" ->
+      s"""WITH $brandesForwardCteSql
          |SELECT root, id, depth, sigma FROM (
          |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
          |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
          |  UNION ALL SELECT * FROM l4)
-         |ORDER BY root, id""".stripMargin
+         |ORDER BY root, id""".stripMargin,
+    // the backward phase in integer micro-units: per level d,
+    // delta_d(v) = SUM over DAG successors w of
+    // (sigma_v * (1000000 + delta_{d+1}(w))) // sigma_w — exactly
+    // Betweenness.betweennessIntSync's floor-div recurrence; depth-0
+    // roots excluded, zero rows filtered
+    "g05c_betweenness_int" -> {
+      val back = (d: Int) =>
+        s"""b$d AS (
+           |  SELECT v.root, v.id, COALESCE(s.d, CAST(0 AS BIGINT)) AS delta
+           |  FROM l$d v LEFT JOIN (
+           |    SELECT x.root, x.id,
+           |      CAST(SUM((x.sigma * (1000000 + b.delta)) // w.sigma)
+           |        AS BIGINT) AS d
+           |    FROM l$d x JOIN e ON x.id = e.src
+           |    JOIN l${d + 1} w ON w.root = x.root AND w.id = e.dst
+           |    JOIN b${d + 1} b ON b.root = w.root AND b.id = w.id
+           |    GROUP BY 1, 2) s ON s.root = v.root AND s.id = v.id)""".stripMargin
+      s"""WITH $brandesForwardCteSql,
+         |b4 AS (SELECT root, id, CAST(0 AS BIGINT) AS delta FROM l4),
+         |${(3 to 1 by -1).map(back).mkString(",\n")}
+         |SELECT id, CAST(SUM(delta) AS BIGINT) AS bc_micro
+         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+         |      UNION ALL SELECT * FROM b3)
+         |GROUP BY id HAVING SUM(delta) > 0
+         |ORDER BY id""".stripMargin
     },
     // integer PageRank replayed superstep by superstep: each iteration
     // joins shares ((pr*850) // (1000*outdeg), floor division both

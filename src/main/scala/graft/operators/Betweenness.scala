@@ -119,6 +119,69 @@ object Betweenness {
     (visited, levelAcc.toMap, levels)
   }
 
+  /** Integer-exact (micro-unit) Brandes dependency accumulation over the
+    * given roots — the engine-portable twin of [[approx]]'s backward
+    * phase, by the same fixed-point trick as `GraphOps.pageRankIntSync`:
+    * a predecessor's per-edge contribution is
+    * `(sigma_v * (1_000_000 + delta_w)) DIV sigma_w` — every operand a
+    * non-negative exact integer, `DIV` = floor = DuckDB `//` — so the
+    * whole backward recurrence replays bit-for-bit in SQL as unrolled
+    * per-level CTEs, where the float phase's double-sum order never
+    * could. Each floored term loses < 1 micro-unit vs the true rational;
+    * the contract is exact REPLAY, not the textbook real number (the
+    * float `approx` stays the statistical estimator).
+    *
+    * Returns (id, bc_micro), bc_micro > 0: per-root dependencies summed,
+    * endpoints excluded (a traversal's own root never accumulates).
+    * Overflow: sigma·(1e6 + delta) stays under 2^63 while
+    * sigma · paths-through-node ≲ 9e12 — far past what this depth cap
+    * admits on any realistic graph.
+    */
+  def betweennessIntSync(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxDepth: Int = 20,
+      directed: Boolean = false,
+      edgesPrepared: Boolean = false): DataFrame = {
+    val e = prepareEdges(edges, directed, edgesPrepared)
+    val (_, levels, order) =
+      forwardPhase(e, sources.select(col("root").cast("long").as("root")), maxDepth)
+    val spark = edges.sparkSession
+    val maxD = order.head
+    if (maxD == 0) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("id", "bc_micro")
+    }
+    var deltaAbove = levels(maxD)
+      .select(col("root"), col("id"), lit(0L).as("delta"))
+    var acc: DataFrame = null
+    for (d <- maxD - 1 to 0 by -1) {
+      val w = levels(d + 1)
+        .select(col("root").as("wroot"), col("id").as("wid"),
+          col("sigma").as("wsigma"))
+        .join(deltaAbove.select(col("root").as("wroot"),
+          col("id").as("wid"), col("delta").as("wdelta")),
+          Seq("wroot", "wid"))
+      val sums = levels(d)
+        .join(e, col("id") === col("src"))
+        .join(w, col("dst") === col("wid") && col("root") === col("wroot"))
+        .select(col("root"), col("id"),
+          expr("(sigma * (1000000 + wdelta)) DIV wsigma").as("term"))
+        .groupBy(col("root"), col("id"))
+        .agg(sum(col("term")).as("delta"))
+      // nodes with no successor at d+1 keep delta 0 (they still relay
+      // nothing, but must exist for the level above them)
+      val lvl = levels(d).select(col("root"), col("id"))
+        .join(sums, Seq("root", "id"), "left")
+        .na.fill(0L, Seq("delta"))
+        .localCheckpoint(false)
+      deltaAbove = lvl
+      if (d >= 1) acc = if (acc == null) lvl else acc.unionByName(lvl)
+    }
+    acc.groupBy(col("id")).agg(sum(col("delta")).as("bc_micro"))
+      .filter(col("bc_micro") > 0L)
+  }
+
   /** @param edges (src, dst) long ids; treated per `directed`
     * @param k number of sampled sources (all vertices if k >= |V|)
     * @return (id, betweenness, scaled, bc_a, bc_b) — `scaled` multiplies

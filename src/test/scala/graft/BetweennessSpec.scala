@@ -79,6 +79,32 @@ class BetweennessSpec extends AnyFunSuite {
     vertices.map(v => v -> bc(v)).toMap
   }
 
+  test("betweennessIntSync: closed forms in exact micro-units") {
+    // directed path 1->2->3, root 1: delta(2) = (1*(1e6+0)) div 1 = 1e6
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val m1 = Betweenness.betweennessIntSync(path, Seq(1L).toDF("root"),
+        directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == Map(2L -> 1000000L))
+    // diamond 1->{2,3}->4, root 1: sigma(4)=2, so each middle vertex
+    // carries (1*(1e6+0)) div 2 = 500000 — the equal split, floored
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val m2 = Betweenness.betweennessIntSync(diamond, Seq(1L).toDF("root"),
+        directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(2L -> 500000L, 3L -> 500000L))
+    // chain through the diamond 1->{2,3}->4->5: delta(4) = (2*(1e6+0))
+    // div 2 = 1e6 (relays 5, sigma ratio 2/2); the middles each get
+    // (1*(1e6+1e6)) div 2 = 1e6 — true Brandes (1/2)(1+1) = 1 exactly
+    val deep = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val m3 = Betweenness.betweennessIntSync(deep, Seq(1L).toDF("root"),
+        directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3 == Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+  }
+
   test("exact mode (k >= |V|) equals driver-side Brandes on 100 random graphs") {
     // 100 disjoint random graphs, id-offset so one batched approx() call
     // computes all of them at once (betweenness of a disjoint union is the
