@@ -1979,6 +1979,24 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The g05b/g05c lanes' shared forward-Brandes frame: one BFS from
+    * the 8 deterministic roots per (session, sf-dir), persisted —
+    * the forward counts ARE g05b's output and g05c's backward input. */
+  private def brandesForward(s: SparkSession, dir: String): DataFrame =
+    sharedEdges(s, dir, "brandes-forward") {
+      val regionRoots = t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 1000000L).as("root"))
+      val nationRoots = t(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 2000000L).as("root"))
+        .orderBy(substring(md5(concat(col("root").cast("string"),
+          lit("-bc")).cast("binary")), 1, 8), col("root"))
+        .limit(3)
+      graft.operators.Betweenness.forwardCounts(
+          dagPart(s, dir), regionRoots.unionByName(nationRoots),
+          maxDepth = 4, edgesPrepared = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val graphCatalog: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_bfs_depths" -> ((s, dir) => {
       val roots = t(s, dir, "region")
@@ -2027,38 +2045,19 @@ object SparkEntry {
     // Roots: the 5 regions (deep reach) + 3 nations sampled by the same
     // portable md5 order the sampling oracles replay (xxhash64, which
     // `approx` uses, has no DuckDB twin).
-    "g05b_brandes_forward" -> ((s, dir) => {
-      val regionRoots = t(s, dir, "region")
-        .select((col("r_regionkey").cast("long") + 1000000L).as("root"))
-      val nationRoots = t(s, dir, "nation")
-        .select((col("n_nationkey").cast("long") + 2000000L).as("root"))
-        .orderBy(substring(md5(concat(col("root").cast("string"),
-          lit("-bc")).cast("binary")), 1, 8), col("root"))
-        .limit(3)
-      graft.operators.Betweenness.forwardCounts(
-          dagPart(s, dir), regionRoots.unionByName(nationRoots),
-          maxDepth = 4, edgesPrepared = true)
-        .orderBy(col("root"), col("id"))
-    }),
+    "g05b_brandes_forward" -> ((s, dir) =>
+      brandesForward(s, dir).orderBy(col("root"), col("id"))),
     // FULL-oracle Brandes BACKWARD phase — the half that was rows-only —
-    // in integer micro-units (Betweenness.betweennessIntSync): the
-    // floor-div dependency recurrence is exact integer arithmetic, so
-    // unlike the float backward phase it replays bit-for-bit as unrolled
-    // per-level CTEs on top of g05b's forward block. Same DAG, same 8
-    // deterministic roots.
-    "g05c_betweenness_int" -> ((s, dir) => {
-      val regionRoots = t(s, dir, "region")
-        .select((col("r_regionkey").cast("long") + 1000000L).as("root"))
-      val nationRoots = t(s, dir, "nation")
-        .select((col("n_nationkey").cast("long") + 2000000L).as("root"))
-        .orderBy(substring(md5(concat(col("root").cast("string"),
-          lit("-bc")).cast("binary")), 1, 8), col("root"))
-        .limit(3)
-      graft.operators.Betweenness.betweennessIntSync(
-          dagPart(s, dir), regionRoots.unionByName(nationRoots),
-          maxDepth = 4, edgesPrepared = true)
-        .orderBy(col("id"))
-    }),
+    // in integer micro-units (Betweenness.betweennessIntFromForward):
+    // the floor-div dependency recurrence is exact integer arithmetic,
+    // so unlike the float backward phase it replays bit-for-bit as
+    // unrolled per-level CTEs on top of the forward block it SHARES
+    // with g05b (one BFS per process, not two — same DAG, same 8
+    // deterministic roots).
+    "g05c_betweenness_int" -> ((s, dir) =>
+      graft.operators.Betweenness.betweennessIntFromForward(
+          brandesForward(s, dir), dagPart(s, dir))
+        .orderBy(col("id"))),
     // degree table over the directed multi-parent DAG — GraphOps.degrees
     // was implemented-but-spec-only; two partial aggregations + full
     // outer join, no GraphX materialization. Aggregated per (out, in)

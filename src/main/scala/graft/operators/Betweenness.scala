@@ -144,25 +144,37 @@ object Betweenness {
       directed: Boolean = false,
       edgesPrepared: Boolean = false): DataFrame = {
     val e = prepareEdges(edges, directed, edgesPrepared)
-    val (_, levels, order) =
+    val (visited, _, _) =
       forwardPhase(e, sources.select(col("root").cast("long").as("root")), maxDepth)
-    val spark = edges.sparkSession
-    val maxD = order.head
+    betweennessIntFromForward(visited, e)
+  }
+
+  /** [[betweennessIntSync]]'s backward half over a PRECOMPUTED forward
+    * frame (root, id, depth, sigma) — lets a caller that also needs the
+    * forward counts (the g05b/g05c lane pair) run ONE forward BFS and
+    * feed both; `e` must satisfy the [[prepareEdges]] contract (the
+    * exact edge frame the forward ran on). */
+  def betweennessIntFromForward(forward: DataFrame, e: DataFrame): DataFrame = {
+    val spark = forward.sparkSession
+    val maxD = forward
+      .agg(coalesce(max(col("depth")), lit(0)).cast("int")).head().getInt(0)
     if (maxD == 0) {
       import spark.implicits._
       return Seq.empty[(Long, Long)].toDF("id", "bc_micro")
     }
-    var deltaAbove = levels(maxD)
+    def level(d: Int): DataFrame = forward.filter(col("depth") === d)
+      .select(col("root"), col("id"), col("sigma"))
+    var deltaAbove = level(maxD)
       .select(col("root"), col("id"), lit(0L).as("delta"))
     var acc: DataFrame = null
     for (d <- maxD - 1 to 0 by -1) {
-      val w = levels(d + 1)
+      val w = level(d + 1)
         .select(col("root").as("wroot"), col("id").as("wid"),
           col("sigma").as("wsigma"))
         .join(deltaAbove.select(col("root").as("wroot"),
           col("id").as("wid"), col("delta").as("wdelta")),
           Seq("wroot", "wid"))
-      val sums = levels(d)
+      val sums = level(d)
         .join(e, col("id") === col("src"))
         .join(w, col("dst") === col("wid") && col("root") === col("wroot"))
         .select(col("root"), col("id"),
@@ -171,7 +183,7 @@ object Betweenness {
         .agg(sum(col("term")).as("delta"))
       // nodes with no successor at d+1 keep delta 0 (they still relay
       // nothing, but must exist for the level above them)
-      val lvl = levels(d).select(col("root"), col("id"))
+      val lvl = level(d).select(col("root"), col("id"))
         .join(sums, Seq("root", "id"), "left")
         .na.fill(0L, Seq("delta"))
         .localCheckpoint(false)
