@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftFunctions._
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Dedup, GraphOps, Similarity}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, GraphOps, Similarity}
 
 /** Driver contract: the operator inventory of SURVEY.md §2 (plus the
   * training-data-pipeline extras) exercised as named queries over the
@@ -841,6 +841,14 @@ object SparkEntry {
           col("n_tokens"), col("n_oov"))
         .orderBy(col("doc_id"))
     }),
+    // exact heavy hitters at bounded shuffle: per-partition Misra–Gries
+    // candidate summaries + a CERTIFIED exact recount of candidates only
+    // (CorpusStats.heavyHitters fails fast when the certificate doesn't
+    // hold) — certified-exact means it equals the full-vocabulary
+    // wordcount top-k, which is exactly what the oracle runs
+    "hh01_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, capacity = 1024)),
     // conditional bigram surprisal (one rung up the perplexity ladder;
     // same micro-bit rounding + libm caveat as lm01)
     "lm02_bigram_surprisal" -> ((s, dir) => {
@@ -1067,6 +1075,19 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(oov) AS BIGINT) AS n_oov
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // heavy hitters: the Spark side certifies its Misra–Gries candidate
+    // recount equals the full wordcount top-k, so the oracle IS the full
+    // wordcount top-k
+    "hh01_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM tok WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 20""".stripMargin,
     // conditional bigram replay: corpus bigram + context-unigram counts,
     // both top-16 capped (ties by key), V = full distinct unigram count
     "lm02_bigram_surprisal" ->
@@ -2120,7 +2141,17 @@ object SparkEntry {
     "g11_kcore" -> ((s, dir) => {
       GraphOps.kCorePeel(coPurchaseEdges(s, dir), k = 3, rounds = 5)
         .orderBy(col("id"))
-    })
+    }),
+    // FULL-oracle HITS (hubs & authorities): deterministic synchronous
+    // integer-micro-unit formulation with floor-div max-normalization
+    // (GraphOps.hitsIntSync) over the DIRECTED (src<dst canonical)
+    // co-purchase graph — the same unrolled-CTE replay family as
+    // g04/g07; the directed edge orientation makes hub and auth
+    // genuinely different scores.
+    "g12_hits_int" -> ((s, dir) =>
+      GraphOps.hitsIntSync(coPurchaseEdges(s, dir), iters = 4)
+        .orderBy(desc("auth"), desc("hub"), col("id"))
+        .limit(100))
   )
 
   /** SQL twin of `coPurchaseEdges` — the ONE definition interpolated
@@ -2413,6 +2444,40 @@ object SparkEntry {
          |FROM sym x JOIN s5 p ON x.a = p.id JOIN s5 q ON x.b = q.id
          |GROUP BY x.a ORDER BY id""".stripMargin
     },
+    // integer HITS unrolled: per iteration auth = in-sum of hub then
+    // floor-div max-normalize, hub = out-sum of auth then normalize —
+    // exactly hitsIntSync's recurrence (// is floor division; every
+    // operand is non-negative, so it matches Spark's DIV)
+    "g12_hits_int" -> {
+      // every CTE is referenced exactly ONCE downstream (normalization
+      // via MAX() OVER (), not a scalar subquery): a double reference
+      // per unrolled level re-inlines the whole upstream chain and goes
+      // exponential across 4 iterations
+      val step = (i: Int) =>
+        s"""a$i AS (
+           |  SELECT id, (araw * 1000000) // (MAX(araw) OVER ()) AS auth
+           |  FROM (
+           |    SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS araw
+           |    FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst)),
+           |hn$i AS (
+           |  SELECT id, (hraw * 1000000) // (MAX(hraw) OVER ()) AS h
+           |  FROM (
+           |    SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS hraw
+           |    FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src)),
+           |h$i AS (
+           |  SELECT v.id, CAST(COALESCE(n.h, 0) AS BIGINT) AS h
+           |  FROM verts v LEFT JOIN hn$i n ON v.id = n.id)""".stripMargin
+      s"""WITH $coPurchaseCteSql,
+         |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM verts),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT v.id, h4.h AS hub,
+         |  CAST(COALESCE(a4.auth, 0) AS BIGINT) AS auth
+         |FROM verts v JOIN h4 ON v.id = h4.id
+         |LEFT JOIN a4 ON v.id = a4.id
+         |ORDER BY auth DESC, hub DESC, v.id
+         |LIMIT 100""".stripMargin
+    },
     // min-label fixpoint as a recursive CTE: a label spreads to any
     // neighbor with a larger id, so each component's min reaches every
     // member; MIN(lab) per node = component id
@@ -2450,6 +2515,30 @@ object SparkEntry {
         |  FROM test te JOIN train tr ON len(list_intersect(te.s, tr.s)) > 0)
         |ORDER BY containment DESC, test_id, train_id
         |LIMIT 20""".stripMargin,
+    // 13-gram decontamination: the bloom pre-filter is answer-invisible
+    // (no false negatives + exact confirm join), so the oracle replays
+    // the exact semi-join — per train doc, matching 13-gram OCCURRENCES
+    // against the test split's distinct gram set
+    "dc02_bloom_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 13 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 11),
+        |      i -> array_to_string(ts[i : i+12], ' ')) END AS gs
+        |  FROM tok),
+        |te AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id AS train_id, len(gs) AS n_grams, unnest(gs) AS g
+        |       FROM gr WHERE doc_id % 10 <> 0)
+        |SELECT train_id, n_hits, n_grams,
+        |  CAST(n_hits AS DOUBLE) / n_grams AS contamination
+        |FROM (
+        |  SELECT tr.train_id, tr.n_grams, COUNT(*) AS n_hits
+        |  FROM tr JOIN te ON tr.g = te.g
+        |  GROUP BY tr.train_id, tr.n_grams)
+        |ORDER BY contamination DESC, train_id
+        |LIMIT 50""".stripMargin,
     // exact jaccard over distinct word-3-gram shingle sets; matches the
     // posting-list implementation (hash collisions are 64-bit-improbable)
     // substring-span replay: positional 8-token window md5-32 hashes,
@@ -2591,6 +2680,44 @@ object SparkEntry {
         |JOIN ex ea ON ea.doc_id = c.id_a
         |JOIN ex eb ON eb.doc_id = c.id_b
         |ORDER BY est_jaccard DESC, c.id_a, c.id_b
+        |LIMIT 20""".stripMargin,
+    // dd01's candidate replay + Levenshtein verification: both engines
+    // implement the classic unit-cost edit distance, so the thresholded
+    // Spark form (-1 above 64, filtered) equals the <= 64 predicate here
+    "fz01_fuzzy_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
+        |  FROM tok),
+        |th AS (SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+        |      AS hs
+        |  FROM gr),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    coalesce(list_min(list_transform(hs, h ->
+        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+        |          * h +
+        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+        |        % 4294967291)),
+        |      4294967291)) AS s
+        |  FROM th),
+        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4])
+        |SELECT id_a, id_b, edit_distance FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    levenshtein(da.text, db.text) AS edit_distance
+        |  FROM cand c
+        |  JOIN documents da ON da.doc_id = c.id_a
+        |  JOIN documents db ON db.doc_id = c.id_b)
+        |WHERE edit_distance <= 64
+        |ORDER BY edit_distance, id_a, id_b
         |LIMIT 20""".stripMargin,
     // dd01's replay + exact-jaccard confirmation at 0.8 + recursive-CTE
     // connected components (g03's min-label pattern): the full
@@ -3080,6 +3207,22 @@ object SparkEntry {
         .orderBy(desc("est_jaccard"), col("id_a"), col("id_b"))
         .limit(20)
     }),
+    // fuzzy (edit-distance) dedup: Levenshtein verification over the SAME
+    // portable LSH candidate pairs as dd01 — thresholded levenshtein on
+    // candidates only, never all-pairs; full DuckDB oracle (both engines
+    // implement the classic unit-cost edit distance)
+    "fz01_fuzzy_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = docs.select(
+        col("doc_id").as("id"),
+        Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
+          .as("sig"))
+      Dedup.fuzzyPairs(
+        Dedup.minhashCandidatesFromSigs(sigs, numHashes = 64, bands = 16),
+        docs, "doc_id", "text", maxDist = 64)
+        .orderBy(col("edit_distance"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
     "dd02_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = docs.select(
@@ -3156,6 +3299,20 @@ object SparkEntry {
         nGram = 3, minContainment = 0.0)
         .orderBy(desc("containment"), col("test_id"), col("train_id"))
         .limit(20)
+    }),
+    // published 13-gram decontamination shape (which train docs share ANY
+    // 13-gram with the test split), corpus side guarded by a broadcast
+    // bloom pre-filter + exact confirm — the bloom has no false negatives
+    // and the confirm join removes false positives, so the oracle is a
+    // plain gram semi-join replay; the bloom is invisible in the answer
+    // and saves the corpus shuffle at scale
+    "dc02_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.bloomDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", nGram = 13)
+        .orderBy(desc("contamination"), col("train_id"))
+        .limit(50)
     }),
     // full LSH near-dup replay: md5-derived Rademacher hyperplanes (no
     // RNG), buckets from sequential-double signed sums (bit-exact in both

@@ -519,6 +519,21 @@ object EscoAnalytics {
       .limit(n)
   }
 
+  /** HITS hubs & authorities over the full concept graph in integer
+    * micro-units ([[GraphOps.hitsIntSync]]) — separates "skills many
+    * occupations require" (authorities on requirement edges) from
+    * "occupations that require many central skills" (hubs), where plain
+    * degree or PageRank conflates the two roles. Deterministic and
+    * engine-replayable like [[topPageRankExact]]. */
+  def topHitsExact(wh: EscoWarehouse, n: Int = 20, iters: Int = 4): DataFrame = {
+    val (dict, edges) = centralityGraph(wh)
+    withLabels(wh, GraphOps.hitsIntSync(edges, iters), dict)
+      .select(col("key").as("uri"), col("preferredLabel"),
+        col("hub").as("hub_micro"), col("auth").as("auth_micro"))
+      .orderBy(desc("auth_micro"), desc("hub_micro"), col("uri"))
+      .limit(n)
+  }
+
   /** Triangle-participation top-N over the full graph — graph-cohesion
     * centrality beyond the reference catalog ([[GraphOps.triangles]],
     * degree-ordered wedge join, hub-skew-immune). */

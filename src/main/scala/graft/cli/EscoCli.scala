@@ -119,6 +119,7 @@ object EscoCli {
         case "betweenness" => EscoAnalytics.topBetweenness(wh)
         case "pagerank" => EscoAnalytics.topPageRank(wh)
         case "pagerank-exact" => EscoAnalytics.topPageRankExact(wh)
+        case "hits-exact" => EscoAnalytics.topHitsExact(wh)
         case "triangles" => EscoAnalytics.topTriangles(wh)
         case "concept-core" => EscoAnalytics.conceptCore(wh)
         case "top-skills-by-relationships" =>
@@ -214,7 +215,7 @@ object EscoCli {
           |            top-essential-skills top-optional-skills top-occupations
           |            isco-most-occupations skill-cooccurrence isco-depths
           |            skill-depths communities communities-louvain betweenness
-          |            pagerank pagerank-exact triangles concept-core
+          |            pagerank pagerank-exact hits-exact triangles concept-core
           |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)

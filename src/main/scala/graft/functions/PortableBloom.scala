@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom filter with a pure-`Column` membership probe.
+  *
+  * The 100 TB decontamination shape (GPT-3 appendix C / PaLM style: drop
+  * training documents sharing a 13-gram with an eval set) filters a huge
+  * corpus against a SMALL key set. The wrong plan shuffles the corpus's
+  * n-grams into a join; the right plan broadcasts a bits-sized summary of
+  * the key set and drops ~everything BEFORE any join — the join then only
+  * confirms the bloom's survivors (the filter has no false negatives, so
+  * pre-filter + exact confirm ≡ exact semi-join, just without moving the
+  * corpus).
+  *
+  * Everything here is RNG-free and engine-portable, in the same spirit as
+  * [[PortableHash]]: the two probe hashes are the first and second 32-bit
+  * words of ONE md5 of the key, and probe j tests bit `(h1 + j*h2) mod m`
+  * (classic Kirsch–Mitzenmacher double hashing; h1 + j*h2 < 2^35, no
+  * overflow). The probe compiles to codegen'd `element_at`/bit-ops over a
+  * literal `array<bigint>` — no UDF, no shuffle, stays inside
+  * whole-stage codegen next to the scan it guards.
+  *
+  * Driver-side state is the bit array itself: `numWords*8` bytes (2 KiB
+  * words = 16 KiB for the default sizing), plus transiently the collected
+  * distinct bit positions during [[build]] (≤ numProbes × |keys|,
+  * `maxKeys`-guarded). The key SET being driver-bounded is inherent to
+  * the decontamination use case — the eval/benchmark suite is tiny
+  * relative to the corpus; the corpus side never leaves the executors.
+  */
+object PortableBloom {
+
+  /** First and second 32-bit words of md5(key) as two independent probe
+    * hashes — one digest, two halves. SQL twin:
+    * `('0x' || substr(md5(c), 1, 8))::BIGINT` and `substr(md5(c), 9, 8)`. */
+  def hashPair(c: Column): (Column, Column) = {
+    val hex = md5(c.cast("binary"))
+    (conv(substring(hex, 1, 8), 16, 10).cast("long"),
+      conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** An immutable built filter. `words` is little-endian within each
+    * 64-bit word: bit i of the filter is `(words(i/64) >> (i%64)) & 1`. */
+  final case class Filter(words: Array[Long], numProbes: Int) {
+    require(words.nonEmpty && numProbes >= 1)
+    val numBits: Long = words.length * 64L
+
+    /** Pure-Column membership test from the (h1, h2) probe-hash pair.
+      * False positives possible; false negatives impossible for any key
+      * whose positions were set by [[build]]. */
+    def mightContain(h1: Column, h2: Column): Column = {
+      val w = lit(words)
+      (0 until numProbes)
+        .map { j =>
+          val pos = (h1 + lit(j.toLong) * h2) % lit(numBits)
+          val word = element_at(w,
+            call_function("div", pos, lit(64L)).cast("int") + lit(1))
+          // functions.shiftright only takes a literal shift; the SQL
+          // function of the same name accepts a column operand
+          call_function("shiftright", word, (pos % lit(64L)).cast("int"))
+            .bitwiseAND(lit(1L)) === lit(1L)
+        }
+        .reduce(_ && _)
+    }
+
+    /** Driver twin of [[mightContain]] over a raw key string — the spec
+      * gate that pins the Column probe to this definition. */
+    def contains(key: String): Boolean = {
+      val d = PortableHash.md5.digest(key.getBytes("UTF-8"))
+      val h1 = PortableHash.first32(d)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      (0 until numProbes).forall { j =>
+        val pos = h1 + j.toLong * h2
+        val b = pos % numBits
+        ((words((b / 64L).toInt) >>> (b % 64L).toInt) & 1L) == 1L
+      }
+    }
+  }
+
+  /** Build a [[Filter]] over the distinct values of `key` in `keys`.
+    *
+    * The bit positions are computed distributedly (explode over the
+    * `numProbes` probes, distinct) and only the distinct POSITIONS are
+    * collected — bounded by `numBits`, and by `numProbes × |keys|` before
+    * saturation. `maxKeys` fails fast if the key set is not actually
+    * driver-small (the precondition of the whole pattern).
+    *
+    * Default sizing: 2048 words = 131,072 bits, 5 probes → for a 5k-key
+    * eval set, theoretical FPR ≈ 6e-6; and every false positive is
+    * removed by the confirm join anyway — FPR only costs confirm-join
+    * traffic, never correctness. */
+  def build(
+      keys: DataFrame,
+      key: Column,
+      numWords: Int = 2048,
+      numProbes: Int = 5,
+      maxKeys: Long = 10000000L): Filter = {
+    require(numWords >= 1 && numProbes >= 1)
+    val numBits = numWords * 64L
+    val distinctKeys = keys.select(key.as("__k")).distinct()
+    val n = distinctKeys.count()
+    require(n <= maxKeys,
+      s"bloom key set has $n keys > maxKeys=$maxKeys — the key side of a " +
+        "bloom decontamination must be the driver-small one")
+    val (h1, h2) = hashPair(col("__k"))
+    val positions = distinctKeys
+      .select(explode(sequence(lit(0L), lit(numProbes - 1L))).as("__j"),
+        h1.as("__h1"), h2.as("__h2"))
+      .select(((col("__h1") + col("__j") * col("__h2")) % lit(numBits)).as("__p"))
+      .distinct()
+      .collect()
+    val words = new Array[Long](numWords)
+    positions.foreach { r =>
+      val p = r.getLong(0)
+      words((p / 64L).toInt) |= (1L << (p % 64L).toInt)
+    }
+    Filter(words, numProbes)
+  }
+}

@@ -19,6 +19,19 @@ object TextFunctions {
   /** Raw (case-preserving) whitespace tokens. */
   def rawTokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Overlapping word n-grams of [[tokens]] as space-joined strings —
+    * `array<string>` of length `size(tokens) - n + 1` (empty below n
+    * tokens). SQL twin (DuckDB): `list_transform(range(1, len(ts)-n+2),
+    * i -> array_to_string(ts[i : i+n-1], ' '))`. */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram length must be >= 1")
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - lit(n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def charCount(text: Column): Column = length(text).cast("long")

@@ -51,6 +51,81 @@ object CorpusStats {
   def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenStream(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("c"))
 
+  /** EXACT top-k most frequent tokens at bounded shuffle — the heavy-
+    * hitter shape for corpora whose vocabulary is too large to groupBy
+    * whole (100 TB of web text shuffles billions of distinct tokens; the
+    * top-k needs only the few that matter).
+    *
+    * Two passes over the token stream:
+    *   1. a per-partition Misra–Gries summary of `capacity` counters
+    *      (genuinely imperative per-partition streaming state — the one
+    *      mapPartitions in this file). Each partition emits at most
+    *      `capacity` candidate tokens plus its token count; nothing else
+    *      shuffles.
+    *   2. an EXACT recount of the candidate union only (broadcast
+    *      semi-join, then a partial-aggregable count).
+    *
+    * Exactness is certified, not hoped for: Misra–Gries guarantees every
+    * token with global count > N/(capacity+1) survives some partition's
+    * summary (pigeonhole over partitions), so when the k-th recounted
+    * candidate strictly exceeds N/(capacity+1), no non-candidate can
+    * belong to the true top-k and the result equals the full-vocabulary
+    * groupBy. The operator REQUIRES that certificate and fails fast with
+    * a "raise capacity" message otherwise — it never silently returns an
+    * approximate answer. Output: (token, n_occurrences), count-desc then
+    * token-asc, exactly k rows (driver-sized by construction). */
+  def heavyHitters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      capacity: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(capacity >= k, "capacity below k cannot certify a top-k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokenStream(docs, idCol, textCol).select(col("tok"))
+    val summary = toks.as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      var np = 0L
+      while (it.hasNext) {
+        val t = it.next()
+        np += 1L
+        val cur = m.get(t)
+        if (cur != null) m.put(t, cur + 1L)
+        else if (m.size < capacity) m.put(t, 1L)
+        else {
+          val itr = m.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      // null-token sentinel row carries the partition's token total
+      m.keySet().iterator().asScala.map(t => (t, 0L)) ++
+        Iterator(((null: String), np))
+    }.toDF("tok", "np").localCheckpoint(false)
+    val total = summary.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
+    val candidates = summary.filter(col("tok").isNotNull)
+      .select("tok").distinct()
+    val top = toks
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("tok"))
+      .limit(k)
+      .collect()
+    val floor = total / (capacity + 1L)
+    require(top.length == k && top.last.getAs[Long]("n_occurrences") > floor,
+      s"cannot certify exact top-$k: k-th candidate count " +
+        s"${top.lastOption.map(_.getAs[Long]("n_occurrences")).getOrElse(0L)} " +
+        s"does not exceed N/(capacity+1) = $floor — raise capacity")
+    top.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("token", "n_occurrences")
+  }
+
   /** One row per (document, token) with its occurrence count — the shared
     * materializable intermediate of the token-level corpus models
     * ([[unigramSurprisalFromCounts]], [[tfidfTopTermsFromCounts]]). Distinct

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableBloom, TextFunctions}
+
+/** Benchmark decontamination at corpus scale: flag training documents
+  * sharing any word n-gram with an evaluation set (the published 13-gram
+  * filter shape), with the corpus-side work done by a broadcast Bloom
+  * filter instead of a shuffle.
+  *
+  * [[Dedup.ngramContainment]] (dc01) answers the symmetric question —
+  * per (test, train) pair, how MUCH overlaps — and pays an inverted-index
+  * join for it. This operator answers the production question — WHICH
+  * train docs are contaminated at all — and its plan never shuffles the
+  * corpus: n-gram explode (narrow) → codegen'd bloom bit-test (narrow,
+  * drops ~everything; false-positive rate is sizing-controlled and only
+  * ever costs confirm traffic, never correctness) → broadcast semi-join
+  * against the exact eval-gram set (removes the false positives) → one
+  * partial-aggregable count per doc. At 100 TB the only exchange is the
+  * final per-doc aggregation over contaminated docs — a vanishing
+  * fraction of the corpus by construction.
+  */
+object Decontaminate {
+
+  /** Per-train-doc contamination against `test`'s n-gram set.
+    *
+    * Output: (train_id, n_hits, n_grams, contamination) for train docs
+    * with ≥ 1 matching n-gram occurrence — n_hits counts OCCURRENCES
+    * (positions), n_grams is the doc's total n-gram count, contamination
+    * their ratio. Exactness does not depend on the bloom: the filter has
+    * no false negatives, so pre-filter + exact semi-join ≡ exact
+    * semi-join.
+    *
+    * The eval set must be driver-small (PortableBloom.build enforces
+    * `maxKeys`); that is the precondition of the whole broadcast pattern,
+    * and inherent to decontamination — eval suites are tiny relative to
+    * the corpus. */
+  def bloomDecontaminate(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      test: DataFrame,
+      testTextCol: String,
+      nGram: Int = 13,
+      numWords: Int = 2048,
+      numProbes: Int = 5): DataFrame = {
+    // no .distinct() here: a semi-join build side dedups in its hash
+    // table anyway, and PortableBloom.build dedups internally — an
+    // explicit distinct would add the lane's only gram-string exchange
+    // (PlanShapeSpec pins the plan gram-shuffle-free)
+    val testGrams = test
+      .select(explode(TextFunctions.wordGrams(col(testTextCol), nGram)).as("g"))
+    val bloom = PortableBloom.build(testGrams, col("g"), numWords, numProbes)
+    val trainGrams = Dedup.ensureParallelism(train)
+      .select(col(trainIdCol).as("train_id"),
+        TextFunctions.wordGrams(col(trainTextCol), nGram).as("gs"))
+      .select(col("train_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    val (h1, h2) = PortableBloom.hashPair(col("g"))
+    trainGrams
+      .filter(bloom.mightContain(h1, h2))
+      .join(broadcast(testGrams), Seq("g"), "left_semi")
+      .groupBy(col("train_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("train_id"), col("n_hits"), col("n_grams"),
+        (col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+  }
+}

@@ -892,6 +892,39 @@ object Dedup {
       .drop("__xa", "__xb")
   }
 
+  /** Edit-distance (Levenshtein) verification over candidate pairs —
+    * fuzzy dedup for OCR-noise / small-mutation duplicates that token-set
+    * measures under-score (a single-character typo changes every
+    * overlapping shingle it touches, but costs exactly 1 edit).
+    *
+    * Never all-pairs: `pairs` comes from a bucketed candidate generator
+    * ([[minhashCandidatesFromSigs]] et al.), and the distance runs on the
+    * candidate rows only, with Spark's THRESHOLDED levenshtein — the DP
+    * early-exits down a `2*maxDist+1` band instead of filling the full
+    * |a|×|b| matrix, so one degenerate long-text pair cannot stall a
+    * task. Pairs above `maxDist` are dropped (the thresholded form
+    * returns -1 for them).
+    *
+    * Output: (id_a, id_b, edit_distance). */
+  def fuzzyPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 64): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val txt = docs.select(col(idCol).as("__fid"), col(textCol).as("__ftx"))
+    pairs
+      .join(txt.select(col("__fid").as("id_a"), col("__ftx").as("__fa")),
+        Seq("id_a"))
+      .join(txt.select(col("__fid").as("id_b"), col("__ftx").as("__fb")),
+        Seq("id_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("__fa"), col("__fb"), maxDist).cast("long"))
+      .filter(col("edit_distance") >= 0L)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   /** Distinct within-bucket pairs (id_a < id_b) as BARE ID PAIRS, with a
     * per-bucket size cap to bound worst-case blowup. Payloads
     * (signatures, vectors) attach afterwards via [[withSigs]]: a pair can

@@ -547,6 +547,59 @@ object GraphOps {
     pr.select(col("id"), col("pr"))
   }
 
+  /** Deterministic synchronous HITS (hubs & authorities) in integer
+    * micro-units — same cross-engine replay trick as [[pageRankIntSync]]:
+    * floating-point mutual reinforcement sums in data-dependent order and
+    * can never hash-match across engines, but an integer formulation with
+    * floor-division max-normalization replays exactly as unrolled CTEs.
+    *
+    * Per iteration over the DIRECTED edge set:
+    *   araw(v) = Σ_{(u,v)} h(u);   a(v) = (araw·10⁶) DIV max(araw)
+    *   hraw(u) = Σ_{(u,v)} a(v);   h(u) = (hraw·10⁶) DIV max(hraw)
+    * h₀ ≡ 10⁶. Vertices without in-edges score auth 0; without out-edges
+    * hub 0. The max is always ≥ 1 (the argmax vertex normalizes to
+    * exactly 10⁶ each iteration), so the division is total; araw·10⁶ ≤
+    * 10¹²·indeg keeps longs safe to ~10⁶ in-degree.
+    *
+    * Scale shape: per iteration two key-partitioned aggregations plus two
+    * one-row broadcast scalars — no global sort, no driver data. Output:
+    * (id, hub, auth). */
+  def hitsIntSync(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    var hub = verts.withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("h")).as("araw"))
+      auth = araw.crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
+        .withColumn("auth", expr("(araw * 1000000) DIV amax"))
+        .select(col("id"), col("auth"))
+        .localCheckpoint(false)
+      val hraw = e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("auth")).as("hraw"))
+      val h = hraw.crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
+        .withColumn("h", expr("(hraw * 1000000) DIV hmax"))
+        .select(col("id"), col("h"))
+      hub = verts.join(h, Seq("id"), "left_outer")
+        .withColumn("h", coalesce(col("h"), lit(0L)))
+        .localCheckpoint(false)
+    }
+    verts
+      .join(hub.select(col("id"), col("h").as("hub")), Seq("id"))
+      .join(auth, Seq("id"), "left_outer")
+      .select(col("id"), col("hub"), coalesce(col("auth"), lit(0L)).as("auth"))
+  }
+
   /** In/out degree per vertex → (id, out_degree, in_degree). Pure
     * relational — two partial aggregations, no GraphX materialisation. */
   def degrees(edges: DataFrame): DataFrame = {

@@ -295,4 +295,48 @@ class CorpusStatsSpec extends AnyFunSuite {
       .select(TextFunctions.redactPii(col("text"))).head.getString(0)
     assert(red == txt)
   }
+
+  test("heavyHitters equals the full-vocabulary wordcount top-k") {
+    // zipf-ish fixture: "alpha" 12x, "beta" 8x, "gamma" 5x, tail 1x each
+    // (alpha 7+5, beta 3+5, gamma 1+2+2)
+    val docs = Seq(
+      (1L, ("alpha " * 7 + "beta " * 3 + "gamma rare1 rare2").trim),
+      (2L, ("alpha " * 5 + "beta " * 5 + "gamma gamma rare3 rare4").trim),
+      (3L, "gamma gamma rare5 rare6 rare7")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.heavyHitters(docs, "doc_id", "text",
+        k = 3, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = CorpusStats.termCounts(docs, "doc_id", "text")
+      .orderBy(desc("c"), asc("tok")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got == Seq(("alpha", 12L), ("beta", 8L), ("gamma", 5L)))
+  }
+
+  test("heavyHitters: result is exact even when partitions disagree") {
+    // many distinct tokens + a skewed head, spread over several
+    // partitions so Misra-Gries decrements actually fire (capacity 4)
+    val rows = (1 to 200).map { i =>
+      val head = if (i % 2 == 0) "hot " * 5 else "warm " * 3
+      (i.toLong, head + s"tail$i uniq${i}a uniq${i}b uniq${i}c")
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+      .repartition(8)
+    val got = CorpusStats.heavyHitters(docs, "doc_id", "text",
+        k = 2, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 500L), ("warm", 300L)))
+  }
+
+  test("heavyHitters refuses an uncertifiable top-k instead of guessing") {
+    // 50 distinct tokens but k = 60: fewer candidates than k can ever
+    // exist, so no certificate is possible — must throw, never return a
+    // short/approximate answer
+    val docs = Seq((1L, (1 to 50).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    intercept[IllegalArgumentException] {
+      CorpusStats.heavyHitters(docs, "doc_id", "text", k = 60, capacity = 60)
+    }
+  }
 }

@@ -42,6 +42,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((4L, 5L)))
   }
 
+  test("fuzzyPairs: thresholded Levenshtein over candidates, drops far pairs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, nGram = 3)
+      .select("id_a", "id_b")
+    val got = Dedup.fuzzyPairs(cands, docs, "doc_id", "text", maxDist = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact dup pair: distance 0; near dup differs by one word
+    // ("today" -> "tonight": levenshtein("today","tonight") edits)
+    assert(got.get((1L, 2L)).contains(0L), s"got $got")
+    val near = got.get((1L, 3L)).orElse(got.get((2L, 3L)))
+    assert(near.exists(d => d > 0L && d <= 10L), s"got $got")
+    // driver replay of the classic DP pins the distances exactly
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((a, b), dist) <- got)
+      assert(dist == lev(texts(a), texts(b)), s"pair ($a,$b)")
+    // a tight threshold drops the near pair but keeps the exact one
+    val tight = Dedup.fuzzyPairs(cands, docs, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)), s"got $tight")
+  }
+
   test("nearDupResolve collapses chains to one survivor; dropNearDups keeps it") {
     // 1~2 exact, 1~3/2~3 near: whichever pairs survive confirmation, CC
     // must put all three in one cluster with min id 1 as the keeper

@@ -311,6 +311,55 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hitsIntSync: hand-computed chain, exact integer values") {
+    // 1→2, 3→2, 2→4: only 2 and 4 have in-edges, only 1, 3, 2 have
+    // out-edges. Iter 1: araw(2)=2e6, araw(4)=1e6, amax=2e6 →
+    // auth(2)=1e6, auth(4)=500000; hraw(1)=hraw(3)=1e6, hraw(2)=500000,
+    // hmax=1e6 → hub(1)=hub(3)=1e6, hub(2)=500000, hub(4)=0.
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val r = GraphOps.hitsIntSync(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r == Map(
+      1L -> (1000000L, 0L), 3L -> (1000000L, 0L),
+      2L -> (500000L, 1000000L), 4L -> (0L, 500000L)))
+  }
+
+  test("hitsIntSync equals a driver integer-HITS reference on random graphs (3 seeds)") {
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+      val e = edges.distinct
+      val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+      var hub = verts.map(_ -> 1000000L).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val araw = e.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(x => hub(x._1)).sum
+        }
+        val amax = araw.values.max
+        auth = araw.map { case (v, x) => v -> (x * 1000000L) / amax }
+        val hraw = e.groupBy(_._1).map { case (u, es) =>
+          u -> es.map(x => auth.getOrElse(x._2, 0L)).sum
+        }
+        val hmax = hraw.values.max
+        val h = hraw.map { case (u, x) => u -> (x * 1000000L) / hmax }
+        hub = verts.map(v => v -> h.getOrElse(v, 0L)).toMap
+      }
+      verts.map(v => v -> (hub(v), auth.getOrElse(v, 0L))).toMap
+    }
+    for (seed <- Seq(7, 19, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val edges = (1 to 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphOps.hitsIntSync(edges.toDF("src", "dst"), iters = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == ref(edges, 4), s"seed=$seed n=$n")
+      // normalization invariant: each iteration's argmax lands on 1e6
+      assert(got.values.map(_._1).max == 1000000L)
+      assert(got.values.map(_._2).max == 1000000L)
+    }
+  }
+
   test("pageRankIntSync: dangling vertices keep teleport mass only") {
     // 1→2 directed: 2 has no out-edges, so after iter 1 vertex 1 holds
     // only the teleport floor and 2 holds teleport + 1's full damped mass

@@ -199,4 +199,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(l => l.contains("text#") || l.contains("tok#")),
       s"me01 shuffles text/tokens:\n${exchanges.mkString("\n")}")
   }
+
+  test("dc02: bloom bit-test is a pre-join Filter; the confirm join broadcasts — the corpus side never shuffle-joins") {
+    val p = plan("dc02_bloom_decontam")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the codegen'd probe (element_at over the literal word array +
+    // column-shift bit test) must be present as a plain Filter — if the
+    // bloom ever became a join or a UDF this disappears
+    assert(p.contains("shiftright"), p)
+    // exchanges carry only the per-doc aggregation, never gram strings
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(!exchanges.exists(_.contains("g#")),
+      s"dc02 shuffles gram strings:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -27,7 +27,7 @@ class EscoCliSpec extends AnyFunSuite {
     "skill-cooccurrence", "skill-depths",
     "top-skills-by-relationships", "top-occupations-optional",
     "transferable-skills", "skill-groups-most-skills",
-    "combined-connections", "pagerank-exact",
+    "combined-connections", "pagerank-exact", "hits-exact",
     "triangles", "concept-core",
     // the graph-analytics verbs, on the mini warehouse: wiring smoke for
     // the GraphX/iterative paths too
