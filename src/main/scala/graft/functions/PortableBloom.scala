@@ -22,12 +22,13 @@ import org.apache.spark.sql.functions._
   * literal `array<bigint>` — no UDF, no shuffle, stays inside
   * whole-stage codegen next to the scan it guards.
   *
-  * Driver-side state is the bit array itself: `numWords*8` bytes (2 KiB
-  * words = 16 KiB for the default sizing), plus transiently the collected
-  * distinct bit positions during [[build]] (≤ numProbes × |keys|,
-  * `maxKeys`-guarded). The key SET being driver-bounded is inherent to
-  * the decontamination use case — the eval/benchmark suite is tiny
-  * relative to the corpus; the corpus side never leaves the executors.
+  * Driver-side state is the bit array itself: `numWords*8` bytes (64 KiB
+  * at the default sizing), plus transiently the collected distinct bit
+  * positions during [[build]] — bounded by `numBits` regardless of key
+  * count, so the build collect can never be driver-large. The key SET
+  * being small is inherent to the decontamination use case — the
+  * eval/benchmark suite is tiny relative to the corpus; the corpus side
+  * never leaves the executors.
   */
 object PortableBloom {
 
@@ -81,36 +82,38 @@ object PortableBloom {
 
   /** Build a [[Filter]] over the distinct values of `key` in `keys`.
     *
-    * The bit positions are computed distributedly (explode over the
-    * `numProbes` probes, distinct) and only the distinct POSITIONS are
-    * collected — bounded by `numBits`, and by `numProbes × |keys|` before
-    * saturation. `maxKeys` fails fast if the key set is not actually
-    * driver-small (the precondition of the whole pattern).
+    * ONE job: the bit positions are computed distributedly (explode over
+    * the `numProbes` probes, distinct) and only the distinct POSITIONS
+    * are collected — inherently bounded by `numBits` (≈ 1 MB even at a
+    * 2²³-bit filter), so the collect can never be driver-large no matter
+    * how big the key side is. What CAN go wrong with an oversized key
+    * side is saturation — FPR → 1 and the pre-filter stops filtering —
+    * so the guard is on saturation: more than half the bits set (FPR ≳
+    * 3% at 5 probes) fails fast with a resize message. Correctness never
+    * depends on the FPR (the confirm join removes false positives); the
+    * guard protects the SPEED contract.
     *
-    * Default sizing: 2048 words = 131,072 bits, 5 probes → for a 5k-key
-    * eval set, theoretical FPR ≈ 6e-6; and every false positive is
-    * removed by the confirm join anyway — FPR only costs confirm-join
-    * traffic, never correctness. */
+    * Default sizing: 8192 words = 524,288 bits (64 KiB), 5 probes →
+    * FPR ≈ 5e-4 at a 26k-key eval set, ≈ 6e-6 at 5k keys. Rule of thumb
+    * when sizing up: keep bits ≥ 16× keys (the saturation guard trips at
+    * ~4.4× with 5 probes). */
   def build(
       keys: DataFrame,
       key: Column,
-      numWords: Int = 2048,
-      numProbes: Int = 5,
-      maxKeys: Long = 10000000L): Filter = {
+      numWords: Int = 8192,
+      numProbes: Int = 5): Filter = {
     require(numWords >= 1 && numProbes >= 1)
     val numBits = numWords * 64L
-    val distinctKeys = keys.select(key.as("__k")).distinct()
-    val n = distinctKeys.count()
-    require(n <= maxKeys,
-      s"bloom key set has $n keys > maxKeys=$maxKeys — the key side of a " +
-        "bloom decontamination must be the driver-small one")
     val (h1, h2) = hashPair(col("__k"))
-    val positions = distinctKeys
+    val positions = keys.select(key.as("__k")).distinct()
       .select(explode(sequence(lit(0L), lit(numProbes - 1L))).as("__j"),
         h1.as("__h1"), h2.as("__h2"))
       .select(((col("__h1") + col("__j") * col("__h2")) % lit(numBits)).as("__p"))
       .distinct()
       .collect()
+    require(positions.length * 2L <= numBits,
+      s"bloom saturated: ${positions.length} of $numBits bits set — the " +
+        "filter would pass ~everything; raise numWords or shrink the key side")
     val words = new Array[Long](numWords)
     positions.foreach { r =>
       val p = r.getLong(0)

@@ -44,7 +44,7 @@ object Decontaminate {
       test: DataFrame,
       testTextCol: String,
       nGram: Int = 13,
-      numWords: Int = 2048,
+      numWords: Int = 8192,
       numProbes: Int = 5): DataFrame = {
     // no .distinct() here: a semi-join build side dedups in its hash
     // table anyway, and PortableBloom.build dedups internally — an
@@ -53,17 +53,25 @@ object Decontaminate {
     val testGrams = test
       .select(explode(TextFunctions.wordGrams(col(testTextCol), nGram)).as("g"))
     val bloom = PortableBloom.build(testGrams, col("g"), numWords, numProbes)
-    val trainGrams = Dedup.ensureParallelism(train)
-      .select(col(trainIdCol).as("train_id"),
-        TextFunctions.wordGrams(col(trainTextCol), nGram).as("gs"))
-      .select(col("train_id"), size(col("gs")).cast("long").as("n_grams"),
-        explode(col("gs")).as("g"))
+    val base = Dedup.ensureParallelism(train)
+      .select(col(trainIdCol).as("train_id"), col(trainTextCol).as("__ttx"))
+    // the hot path carries ONLY (train_id, gram): putting size(gs) next
+    // to explode(gs) re-inlines the whole gram-array build into a
+    // per-gram-row projection (measured ~17x the explode itself) —
+    // per-doc totals rejoin below, over contaminated docs only
+    val grams = base.select(col("train_id"),
+      explode(TextFunctions.wordGrams(col("__ttx"), nGram)).as("g"))
     val (h1, h2) = PortableBloom.hashPair(col("g"))
-    trainGrams
+    val hits = grams
       .filter(bloom.mightContain(h1, h2))
       .join(broadcast(testGrams), Seq("g"), "left_semi")
-      .groupBy(col("train_id"), col("n_grams"))
+      .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_hits"))
+    base
+      .join(broadcast(hits), Seq("train_id"))
+      .select(col("train_id"), col("n_hits"),
+        size(TextFunctions.wordGrams(col("__ttx"), nGram)).cast("long")
+          .as("n_grams"))
       .select(col("train_id"), col("n_hits"), col("n_grams"),
         (col("n_hits").cast("double") / col("n_grams").cast("double"))
           .as("contamination"))

@@ -41,11 +41,11 @@ class DecontaminateSpec extends AnyFunSuite {
       assert(got(k), s"false negative on inserted key '$k'")
   }
 
-  test("build rejects a key set above maxKeys") {
+  test("build rejects a saturated filter (key side too large for numWords)") {
+    // 100 keys x 3 probes into 256 bits sets well over half of them
     val big = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
     intercept[IllegalArgumentException] {
-      PortableBloom.build(big, col("k"), numWords = 4, numProbes = 3,
-        maxKeys = 10L)
+      PortableBloom.build(big, col("k"), numWords = 4, numProbes = 3)
     }
   }
 

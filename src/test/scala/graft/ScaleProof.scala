@@ -317,6 +317,23 @@ object ScaleProof {
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           nGram = 3, minContainment = 0.5).count())
+      measure("dc02_bloom", scale) {
+        // the synthetic test split GROWS with the corpus (unlike a real
+        // fixed eval suite), so the filter is sized to the key side:
+        // ~16 bits/key keeps the saturation guard clear at every scale
+        val words = scale match {
+          case "1x" => 8192
+          case "10x" => 131072
+          case _ => 1048576
+        }
+        graft.operators.Decontaminate.bloomDecontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          nGram = 13, numWords = words).count()
+      }
+      measure("hh01_heavy", scale)(
+        CorpusStats.heavyHitters(docs, "doc_id", "text", k = 20,
+          capacity = 1024).count())
       measure("lm01_surprisal", scale)(
         CorpusStats.unigramSurprisal(docs, "doc_id", "text",
           vocabCap = 1024).count())
