@@ -66,6 +66,8 @@ object ScaleProof {
     "ann03_knn" -> Bounds(50, 8),       // measured 33x (id-pair refactor)
     "ann03_knn_q8" -> Bounds(50, 8),    // measured 33x
     "dc01_contain" -> Bounds(5, 8),     // measured 2.8x (prefix-filtered)
+    "dc02_bloom" -> Bounds(14, 8),      // measured 8.7x (answer grew 1000x)
+    "hh01_heavy" -> Bounds(10, 8),      // ~zero-shuffle: candidate recount only
     "lm01_surprisal" -> Bounds(25, 8),  // measured 16x
     "ti01_tfidf" -> Bounds(32, 8),      // measured 21x
     "bp01_boiler" -> Bounds(25, 8),     // measured 15x

@@ -44,7 +44,12 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("sp03_shards", 0.2, 2.5, 1.1),
       pair("qs01_select", 0.01, 0.2, 1.1),
       // round-8 portable-embedder lane (SCALING.md round-8 addendum)
-      pair("me01_embed", 1.6, 27.0, 1.5)).flatten
+      pair("me01_embed", 1.6, 27.0, 1.5),
+      // round-8 bloom decontamination + heavy hitters: dc02's answer
+      // grows 1000x on the adversarial corpus while shuffle grows 8.7x;
+      // hh01 shuffles only the certified candidate recount (~0 base)
+      pair("dc02_bloom", 2.1, 18.0, 1.2),
+      pair("hh01_heavy", 0.0, 0.2, 1.2)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -55,7 +60,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "ann03_knn", "ann03_knn_q8", "dc01_contain", "lm01_surprisal",
       "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "sd01_spans",
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
-      "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed")
+      "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
+      "dc02_bloom", "hh01_heavy")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
