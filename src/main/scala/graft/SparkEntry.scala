@@ -1724,6 +1724,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"))
     }),
+    // Duffield–Lund–Thorup priority sampling: fixed-count weighted
+    // without-replacement sample + the max(w, tau) subset-sum estimator.
+    // Priorities are ONE correctly-rounded IEEE division from md5-60bit
+    // content-addressed uniforms, so sample AND estimator replay
+    // bit-for-bit in DuckDB; plan is TakeOrderedAndProject(k+1), no
+    // global sort
+    "sp05_priority_sample" -> ((s, dir) => {
+      graft.operators.Sampling.prioritySample(t(s, dir, "documents"),
+          "doc_id", greatest(col("n_chars"), lit(1L)), k = 100, salt = "dlt")
+        .orderBy(desc("priority"), col("doc_id"))
+    }),
     // deterministic balanced-token sharding: content-addressed global
     // shuffle + equal token mass per shard to within one document;
     // two-level slice plan, naive-global-window oracle (integer-exact)
@@ -1799,6 +1810,22 @@ object SparkEntry {
         |                   n_chars
         |            FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+    // DLT replay: same 60-bit uniforms, same single division, same
+    // (k+1)-th-priority threshold
+    "sp05_priority_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id, GREATEST(n_chars, 1) AS weight,
+        |    CAST(GREATEST(n_chars, 1) AS DOUBLE) /
+        |      ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-dlt'),
+        |          1, 15))::BIGINT AS DOUBLE) + 1.0)
+        |        / 1152921504606846976.0) AS priority
+        |  FROM documents),
+        |t AS (SELECT * FROM q ORDER BY priority DESC, doc_id LIMIT 101),
+        |tau AS (SELECT MIN(priority) AS tau FROM t)
+        |SELECT doc_id, weight, priority,
+        |  GREATEST(CAST(weight AS DOUBLE), tau) AS w_hat
+        |FROM (SELECT * FROM t ORDER BY priority DESC, doc_id LIMIT 100), tau
+        |ORDER BY priority DESC, doc_id""".stripMargin,
     // naive replay of the two-level shard plan: one global window in
     // hash order, exclusive running token sum, integer floor division
     "sp03_token_shards" ->

@@ -37,6 +37,34 @@ object Decontaminate {
     * `maxKeys`); that is the precondition of the whole broadcast pattern,
     * and inherent to decontamination — eval suites are tiny relative to
     * the corpus. */
+  /** Streaming twin: flag incoming documents that share an n-gram with a
+    * PREBUILT eval-gram set — the same codegen bloom probe + broadcast
+    * semi-join as the batch path, completely stateless per micro-batch
+    * (stream-static join; no watermark, no state store). Build the
+    * filter once from the static eval set (`PortableBloom.build`) and
+    * reuse it across the stream's lifetime.
+    *
+    * Output: one row per matching (id, gram) OCCURRENCE; callers
+    * aggregate or dropDuplicates as their sink requires. Works on batch
+    * DataFrames too (one definition, both modes — same duality as
+    * `Curation.curateStream`). */
+  def flagContaminated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      testGrams: DataFrame,
+      gramCol: String,
+      bloom: PortableBloom.Filter,
+      nGram: Int = 13): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFunctions.wordGrams(col(textCol), nGram)).as("g"))
+    val (h1, h2) = PortableBloom.hashPair(col("g"))
+    grams
+      .filter(bloom.mightContain(h1, h2))
+      .join(broadcast(testGrams.select(col(gramCol).as("g"))),
+        Seq("g"), "left_semi")
+  }
+
   def bloomDecontaminate(
       train: DataFrame,
       trainIdCol: String,

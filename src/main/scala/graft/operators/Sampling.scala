@@ -629,4 +629,61 @@ object Sampling {
       .withColumnRenamed("graft_nt", "n_tokens")
       .drop("graft_cum", "graft_tot")
   }
+
+  /** Weighted sampling WITHOUT replacement by priority (Duffield–Lund–
+    * Thorup priority sampling, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): each row gets priority
+    * q = w / u with u a content-addressed uniform in (0, 1], the k
+    * largest-priority rows form the sample, and the (k+1)-th priority τ
+    * yields the unbiased subset-sum estimator ŵ = max(w, τ) — summing
+    * ŵ over any sampled subset estimates that subset's true total
+    * weight. The training-data use: pick a fixed-count, quality- or
+    * token-weighted subset of a corpus whose per-source token totals
+    * remain estimable from the sample alone.
+    *
+    * Deterministic and engine-portable like everything in this file:
+    * u = (md5-60bit(id || "-" || salt) + 1) / 2^60 — an exact
+    * power-of-two scale of an integer both engines cast identically —
+    * and q is ONE correctly-rounded IEEE division, so priorities (and
+    * the sample) replay bit-for-bit in DuckDB. Ties break by id.
+    *
+    * Plan shape: the corpus side is one narrow projection into a
+    * TakeOrderedAndProject(k+1) — per-partition top-(k+1) then one
+    * driver-sized merge, NO global sort, NO full-width shuffle at any
+    * scale; τ attaches via a one-row broadcast.
+    *
+    * Output: (idCol, weight, priority, w_hat), the k sampled rows.
+    * Weights must be positive (required: a zero weight would divide to
+    * priority 0 deterministically, but DLT is undefined there). */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h60 = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("-" + salt))
+          .cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h60.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    val scored = df
+      .select(col(idCol), weight.cast("long").as("weight"),
+        (weight.cast("double") / u).as("priority"))
+      .orderBy(desc("priority"), col(idCol))
+      .limit(k + 1)
+      .localCheckpoint(false)
+    // DLT threshold: the (k+1)-th priority. When the population itself is
+    // <= k there IS no threshold (every row is sampled) — τ = 0, so the
+    // estimator degrades to the exact weight, not an inflated one.
+    val tau = scored.agg(
+      when(count(lit(1)) > k, min(col("priority"))).otherwise(lit(0.0))
+        .as("tau"))
+    scored
+      .orderBy(desc("priority"), col(idCol))
+      .limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col("weight"), col("priority"),
+        greatest(col("weight").cast("double"), col("tau")).as("w_hat"))
+  }
 }

@@ -335,4 +335,57 @@ class SamplingSpec extends AnyFunSuite {
       .select("g", "id").as[(String, Long)].collect().toSet
     assert(full == pre)
   }
+
+  test("prioritySample matches a driver DLT replay exactly (sample, priorities, tau)") {
+    val docs = (1 to 300).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "w")
+    val k = 40
+    val got = Sampling.prioritySample(docs, "id", col("w"), k, "spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // driver replay of the exact arithmetic: md5-60bit -> (+1)/2^60 -> w/u
+    def prio(id: Long, w: Long): Double = {
+      val d = graft.functions.PortableHash.md5
+        .digest(s"$id-spec".getBytes("UTF-8"))
+      val h = graft.functions.PortableHash.first60(d)
+      w.toDouble / ((h.toDouble + 1.0) / 1152921504606846976.0)
+    }
+    val all = (1 to 300).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .map { case (id, w) => (id, w, prio(id, w)) }
+      .sortBy { case (id, _, q) => (-q, id) }
+    val tau = all(k)._3
+    val want = all.take(k).map { case (id, w, q) =>
+      (id, w, q, math.max(w.toDouble, tau))
+    }
+    assert(got.length == k)
+    assert(got.sortBy(t => (-t._3, t._1)).toSeq == want)
+  }
+
+  test("prioritySample: estimator behaves (w_hat >= w; totals in range; salt independence)") {
+    val docs = (1 to 500).map(i => (i.toLong, (i % 13 + 1).toLong * 10L))
+      .toDF("id", "w")
+    val s1 = Sampling.prioritySample(docs, "id", col("w"), 100, "a").collect()
+    assert(s1.forall(r => r.getDouble(3) >= r.getLong(1).toDouble))
+    // DLT unbiasedness: E[sum w_hat over the sample] = total weight; for
+    // this fixed seed the concentration is far tighter than the 2x band
+    val total = (1 to 500).map(i => (i % 13 + 1).toLong * 10L).sum.toDouble
+    val est = s1.map(_.getDouble(3)).sum
+    assert(est > total / 2 && est < total * 2, s"est=$est total=$total")
+    // a different salt draws a genuinely different sample
+    val s2 = Sampling.prioritySample(docs, "id", col("w"), 100, "b").collect()
+    assert(s1.map(_.getLong(0)).toSet != s2.map(_.getLong(0)).toSet)
+    // same salt reproduces exactly
+    val s3 = Sampling.prioritySample(docs, "id", col("w"), 100, "a").collect()
+    assert(s1.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      s3.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+  }
+
+  test("prioritySample: population <= k has no threshold — estimator is exact") {
+    val docs = (1 to 5).map(i => (i.toLong, i.toLong * 10L)).toDF("id", "w")
+    val got = Sampling.prioritySample(docs, "id", col("w"), 20, "a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == 5)
+    // tau = 0: w_hat degrades to the exact weight for every row
+    assert(got.forall { case (_, w, wh) => wh == w.toDouble })
+  }
 }

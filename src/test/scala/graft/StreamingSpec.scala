@@ -420,6 +420,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flagContaminated: bloom decontamination is stream-static and stateless") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.functions.{PortableBloom, TextFunctions}
+    import spark.implicits._
+    // static eval set; bloom built ONCE before the stream starts
+    val evalDocs = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven").toDF("text")
+    val testGrams = evalDocs
+      .select(explode(TextFunctions.wordGrams(col("text"), 5)).as("g"))
+      .localCheckpoint()
+    val bloom = PortableBloom.build(testGrams, col("g"), numWords = 64)
+    val dir = Files.createTempDirectory("graft-bloom-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def write(file: String, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }, 1),
+        schema).write.mode("overwrite").parquet(s"$dir/$file")
+    write("b1", Seq(
+      (1L, "prefix alpha beta gamma delta epsilon zeta suffix"), // shares a 5-gram
+      (2L, "wholly novel tokens with no overlap whatsoever here at all")))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val hits = graft.operators.Decontaminate.flagContaminated(
+      stream, "doc_id", "text", testGrams, "g", bloom, nGram = 5)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_decon")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("bloom_decon").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L), s"contaminated doc flagged, clean doc not: $ids")
+      // batch twin: same definition, same answer
+      val batch = graft.operators.Decontaminate.flagContaminated(
+        spark.read.schema(schema).parquet(s"$dir/*"),
+        "doc_id", "text", testGrams, "g", bloom, nGram = 5)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(batch == Set(1L))
+    } finally q.stop()
+  }
+
   test("foreachBatch nearDupMicroBatch: dups INSIDE one micro-batch are caught") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
