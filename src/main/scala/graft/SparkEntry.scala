@@ -1821,7 +1821,8 @@ object SparkEntry {
         |        / 1152921504606846976.0) AS priority
         |  FROM documents),
         |t AS (SELECT * FROM q ORDER BY priority DESC, doc_id LIMIT 101),
-        |tau AS (SELECT MIN(priority) AS tau FROM t)
+        |tau AS (SELECT CASE WHEN COUNT(*) > 100 THEN MIN(priority)
+        |               ELSE 0.0 END AS tau FROM t)
         |SELECT doc_id, weight, priority,
         |  GREATEST(CAST(weight AS DOUBLE), tau) AS w_hat
         |FROM (SELECT * FROM t ORDER BY priority DESC, doc_id LIMIT 100), tau
@@ -2192,6 +2193,37 @@ object SparkEntry {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
+  /** SQL twin of the portable MinHash signature/banding chain over
+    * `documents` — ONE definition interpolated into the dd01/fz01/dd05/
+    * dd06 oracles so the four replays cannot drift (same contract as
+    * [[coPurchaseCteSql]]: lines carry no margin bars, so the outer
+    * stripMargin leaves them untouched). sp04 and cu01 band DIFFERENT
+    * base frames (split-salted ids / curation-annotated text) and keep
+    * their own inlined chains. `tok` carries `text` through for dd06's
+    * survivor election; the other lanes never read it (pruned). */
+  private val minhashBandsCteSql: String =
+    """tok AS (
+      |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+      |    ELSE list_transform(range(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
+      |  FROM tok),
+      |th AS (SELECT doc_id,
+      |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
+      |      AS hs
+      |  FROM gr),
+      |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+      |    coalesce(list_min(list_transform(hs, h ->
+      |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
+      |          * h +
+      |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
+      |        % 4294967291)),
+      |      4294967291)) AS s
+      |  FROM th),
+      |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig)""".stripMargin
+
   /** Shared forward-BFS CTE block of the Brandes oracles (g05b forward
     * counts, g05c integer backward phase): the multi-parent DAG, the 8
     * deterministic roots, and levels l0..l4 with per-level sigma
@@ -2476,10 +2508,13 @@ object SparkEntry {
     // exactly hitsIntSync's recurrence (// is floor division; every
     // operand is non-negative, so it matches Spark's DIV)
     "g12_hits_int" -> {
-      // every CTE is referenced exactly ONCE downstream (normalization
-      // via MAX() OVER (), not a scalar subquery): a double reference
-      // per unrolled level re-inlines the whole upstream chain and goes
-      // exponential across 4 iterations
+      // each unrolled level references its predecessor exactly once
+      // (normalization via MAX() OVER (), not a scalar subquery): a
+      // double reference PER LEVEL re-inlines the upstream chain and
+      // goes exponential across 4 iterations. The one deliberate
+      // exception is a4 — consumed by both hn4 and the final select —
+      // which costs at most ONE extra chain evaluation, not 2^levels
+      // (measured ~1 s total at sf0.01)
       val step = (i: Int) =>
         s"""a$i AS (
            |  SELECT id, (araw * 1000000) // (MAX(araw) OVER ()) AS auth
@@ -2498,11 +2533,10 @@ object SparkEntry {
          |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
          |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM verts),
          |${(1 to 4).map(step).mkString(",\n")}
-         |SELECT v.id, h4.h AS hub,
+         |SELECT h4.id, h4.h AS hub,
          |  CAST(COALESCE(a4.auth, 0) AS BIGINT) AS auth
-         |FROM verts v JOIN h4 ON v.id = h4.id
-         |LEFT JOIN a4 ON v.id = a4.id
-         |ORDER BY auth DESC, hub DESC, v.id
+         |FROM h4 LEFT JOIN a4 ON h4.id = a4.id
+         |ORDER BY auth DESC, hub DESC, h4.id
          |LIMIT 100""".stripMargin
     },
     // min-label fixpoint as a recursive CTE: a label spreads to any
@@ -2669,27 +2703,7 @@ object SparkEntry {
     // candidate pairs, signature-overlap estimate, exact distinct-3-gram
     // jaccard — all bit-identical to the Spark lane
     "dd01_minhash_candidates" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
-        |    ELSE list_transform(range(1, len(ts) - 1),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
-        |  FROM tok),
-        |th AS (SELECT doc_id,
-        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
-        |      AS hs
-        |  FROM gr),
-        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |    coalesce(list_min(list_transform(hs, h ->
-        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
-        |          * h +
-        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
-        |        % 4294967291)),
-        |      4294967291)) AS s
-        |  FROM th),
-        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+      raw"""WITH $minhashBandsCteSql,
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    a.s AS sa, b.s AS sb
         |  FROM bands a JOIN bands b
@@ -2712,27 +2726,7 @@ object SparkEntry {
     // implement the classic unit-cost edit distance, so the thresholded
     // Spark form (-1 above 64, filtered) equals the <= 64 predicate here
     "fz01_fuzzy_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
-        |    ELSE list_transform(range(1, len(ts) - 1),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
-        |  FROM tok),
-        |th AS (SELECT doc_id,
-        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
-        |      AS hs
-        |  FROM gr),
-        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |    coalesce(list_min(list_transform(hs, h ->
-        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
-        |          * h +
-        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
-        |        % 4294967291)),
-        |      4294967291)) AS s
-        |  FROM th),
-        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+      raw"""WITH $minhashBandsCteSql,
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.doc_id < b.doc_id
@@ -2750,28 +2744,8 @@ object SparkEntry {
     // connected components (g03's min-label pattern): the full
     // resolution pipeline, bit-identical to the Spark lane
     "dd05_dedup_resolve" ->
-      """WITH RECURSIVE
-        |tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
-        |    ELSE list_transform(range(1, len(ts) - 1),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
-        |  FROM tok),
-        |th AS (SELECT doc_id,
-        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
-        |      AS hs
-        |  FROM gr),
-        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |    coalesce(list_min(list_transform(hs, h ->
-        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
-        |          * h +
-        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
-        |        % 4294967291)),
-        |      4294967291)) AS s
-        |  FROM th),
-        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+      raw"""WITH RECURSIVE
+        |$minhashBandsCteSql,
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.doc_id < b.doc_id
@@ -2796,28 +2770,8 @@ object SparkEntry {
     // dd05's cluster replay + integer quality + FIRST_VALUE election per
     // cluster (quality desc, id asc) — NULLS LAST pinned to match Spark
     "dd06_dedup_elect" ->
-      """WITH RECURSIVE
-        |tok AS (
-        |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
-        |    ELSE list_transform(range(1, len(ts) - 1),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
-        |  FROM tok),
-        |th AS (SELECT doc_id,
-        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
-        |      AS hs
-        |  FROM gr),
-        |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |    coalesce(list_min(list_transform(hs, h ->
-        |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
-        |          * h +
-        |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
-        |        % 4294967291)),
-        |      4294967291)) AS s
-        |  FROM th),
-        |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig),
+      raw"""WITH RECURSIVE
+        |$minhashBandsCteSql,
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.doc_id < b.doc_id

@@ -24,19 +24,6 @@ import graft.functions.{PortableBloom, TextFunctions}
   */
 object Decontaminate {
 
-  /** Per-train-doc contamination against `test`'s n-gram set.
-    *
-    * Output: (train_id, n_hits, n_grams, contamination) for train docs
-    * with ≥ 1 matching n-gram occurrence — n_hits counts OCCURRENCES
-    * (positions), n_grams is the doc's total n-gram count, contamination
-    * their ratio. Exactness does not depend on the bloom: the filter has
-    * no false negatives, so pre-filter + exact semi-join ≡ exact
-    * semi-join.
-    *
-    * The eval set must be driver-small (PortableBloom.build enforces
-    * `maxKeys`); that is the precondition of the whole broadcast pattern,
-    * and inherent to decontamination — eval suites are tiny relative to
-    * the corpus. */
   /** Streaming twin: flag incoming documents that share an n-gram with a
     * PREBUILT eval-gram set — the same codegen bloom probe + broadcast
     * semi-join as the batch path, completely stateless per micro-batch
@@ -65,6 +52,19 @@ object Decontaminate {
         Seq("g"), "left_semi")
   }
 
+  /** Per-train-doc contamination against `test`'s n-gram set.
+    *
+    * Output: (train_id, n_hits, n_grams, contamination) for train docs
+    * with ≥ 1 matching n-gram occurrence — n_hits counts OCCURRENCES
+    * (positions), n_grams is the doc's total n-gram count, contamination
+    * their ratio; clean docs are absent. Exactness does not depend on
+    * the bloom: the filter has no false negatives, so pre-filter + exact
+    * semi-join ≡ exact semi-join.
+    *
+    * The eval set must be small relative to the corpus — inherent to
+    * decontamination, and the precondition of the broadcast pattern
+    * (`PortableBloom.build` fails fast on a key side that saturates the
+    * filter). */
   def bloomDecontaminate(
       train: DataFrame,
       trainIdCol: String,
@@ -77,16 +77,21 @@ object Decontaminate {
     // no .distinct() here: a semi-join build side dedups in its hash
     // table anyway, and PortableBloom.build dedups internally — an
     // explicit distinct would add the lane's only gram-string exchange
-    // (PlanShapeSpec pins the plan gram-shuffle-free)
+    // (PlanShapeSpec pins the plan gram-shuffle-free). localCheckpoint:
+    // the frame feeds BOTH the bloom build and the confirm join's
+    // broadcast — without it the eval split is scanned and re-exploded
+    // twice.
     val testGrams = test
       .select(explode(TextFunctions.wordGrams(col(testTextCol), nGram)).as("g"))
+      .localCheckpoint(false)
     val bloom = PortableBloom.build(testGrams, col("g"), numWords, numProbes)
     val base = Dedup.ensureParallelism(train)
       .select(col(trainIdCol).as("train_id"), col(trainTextCol).as("__ttx"))
     // the hot path carries ONLY (train_id, gram): putting size(gs) next
     // to explode(gs) re-inlines the whole gram-array build into a
     // per-gram-row projection (measured ~17x the explode itself) —
-    // per-doc totals rejoin below, over contaminated docs only
+    // per-doc totals join the hits aggregate below as a separate narrow
+    // frame
     val grams = base.select(col("train_id"),
       explode(TextFunctions.wordGrams(col("__ttx"), nGram)).as("g"))
     val (h1, h2) = PortableBloom.hashPair(col("g"))
@@ -95,11 +100,18 @@ object Decontaminate {
       .join(broadcast(testGrams), Seq("g"), "left_semi")
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_hits"))
-    base
-      .join(broadcast(hits), Seq("train_id"))
-      .select(col("train_id"), col("n_hits"),
-        size(TextFunctions.wordGrams(col("__ttx"), nGram)).cast("long")
-          .as("n_grams"))
+    // (train_id, n_grams) for every train doc — its own projection, so
+    // the gram-array build runs once per doc, not once per gram row.
+    // NO broadcast hint on the hits join: hits has one row per
+    // CONTAMINATED doc, which is unbounded under heavy leakage (the 10x
+    // adversarial corpus grows it 1000x) — AQE broadcasts it when it is
+    // actually small, and the fallback shuffle moves only (id, long)
+    // rows, never text or grams.
+    val totals = base.select(col("train_id"),
+      size(TextFunctions.wordGrams(col("__ttx"), nGram)).cast("long")
+        .as("n_grams"))
+    totals
+      .join(hits, Seq("train_id"))
       .select(col("train_id"), col("n_hits"), col("n_grams"),
         (col("n_hits").cast("double") / col("n_grams").cast("double"))
           .as("contamination"))

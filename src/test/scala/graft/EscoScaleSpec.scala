@@ -140,4 +140,23 @@ class EscoScaleSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h10 == h1.map { case (d, c) => d -> c * 10 })
   }
+
+  test("10x HITS: per-label (hub, auth) score multisets replicate exactly x10") {
+    // replicas are disjoint AND identical, so the global max-normalizer
+    // equals every replica's local max — each score replays exactly, and
+    // each (label, hub, auth) row appears exactly 10x as often
+    import graft.analytics.EscoAnalytics
+    val n = 200
+    val s1 = EscoAnalytics.topHitsExact(whBase, n = n)
+      .groupBy("preferredLabel", "hub_micro", "auth_micro").count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val s10 = EscoAnalytics.topHitsExact(wh10, n = 10 * n)
+      .groupBy("preferredLabel", "hub_micro", "auth_micro").count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(s10 == s1.map { case (k, c) => k -> c * 10 })
+  }
 }
