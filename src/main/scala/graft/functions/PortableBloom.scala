@@ -49,7 +49,14 @@ object PortableBloom {
 
     /** Pure-Column membership test from the (h1, h2) probe-hash pair.
       * False positives possible; false negatives impossible for any key
-      * whose positions were set by [[build]]. */
+      * whose positions were set by [[build]].
+      *
+      * Sizing ceiling: the word array ships to executors as an
+      * `array<bigint>` LITERAL inside the task binary, which Java
+      * serialization boxes per element — fine through ~10⁵ words
+      * (≲ 1 MB filters), wasteful beyond. Filters that large mean an
+      * eval side in the millions of keys; size by the rule of thumb in
+      * [[build]] and keep the key side eval-suite-shaped. */
     def mightContain(h1: Column, h2: Column): Column = {
       val w = lit(words)
       (0 until numProbes)
@@ -82,16 +89,20 @@ object PortableBloom {
 
   /** Build a [[Filter]] over the distinct values of `key` in `keys`.
     *
-    * ONE job: the bit positions are computed distributedly (explode over
-    * the `numProbes` probes, distinct) and only the distinct POSITIONS
-    * are collected — inherently bounded by `numBits` (≈ 1 MB even at a
-    * 2²³-bit filter), so the collect can never be driver-large no matter
-    * how big the key side is. What CAN go wrong with an oversized key
-    * side is saturation — FPR → 1 and the pre-filter stops filtering —
-    * so the guard is on saturation: more than half the bits set (FPR ≳
-    * 3% at 5 probes) fails fast with a resize message. Correctness never
-    * depends on the FPR (the confirm join removes false positives); the
-    * guard protects the SPEED contract.
+    * ONE job, and the driver only ever receives the filter itself: probe
+    * positions fold into per-word OR masks DISTRIBUTEDLY (`bit_or` — a
+    * partial-aggregable reduction, so each task pre-ORs its masks before
+    * the exchange), and the collect is at most `numWords` (index, mask)
+    * pairs — 16 bytes per populated word, independent of key count. A
+    * 2²⁶-bit filter collects ≤ 1M pairs; the first cut collected
+    * distinct bit POSITIONS instead and OOM'd a 550k-doc build at
+    * exactly that sizing.
+    *
+    * The guard is on saturation — an oversized key side drives FPR → 1
+    * and the pre-filter stops filtering — more than half the bits set
+    * (FPR ≳ 3% at 5 probes) fails fast with a resize message.
+    * Correctness never depends on the FPR (the confirm join removes
+    * false positives); the guard protects the SPEED contract.
     *
     * Default sizing: 8192 words = 524,288 bits (64 KiB), 5 probes →
     * FPR ≈ 5e-4 at a 26k-key eval set, ≈ 6e-6 at 5k keys. Rule of thumb
@@ -105,20 +116,29 @@ object PortableBloom {
     require(numWords >= 1 && numProbes >= 1)
     val numBits = numWords * 64L
     val (h1, h2) = hashPair(col("__k"))
-    val positions = keys.select(key.as("__k")).distinct()
+    // no key-level distinct: bit_or is idempotent, so duplicate keys OR
+    // the same bits — and dropping it removes the build's only
+    // string-width exchange (what remains is (int, long) mask pairs with
+    // map-side partial aggregation, ≤ numWords rows per task)
+    val masks = keys.select(key.as("__k"))
       .select(explode(sequence(lit(0L), lit(numProbes - 1L))).as("__j"),
         h1.as("__h1"), h2.as("__h2"))
       .select(((col("__h1") + col("__j") * col("__h2")) % lit(numBits)).as("__p"))
-      .distinct()
+      .select(call_function("div", col("__p"), lit(64L)).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L), (col("__p") % lit(64L)).cast("int"))
+          .as("__m"))
+      .groupBy(col("__w"))
+      .agg(expr("bit_or(__m)").as("__mask"))
       .collect()
-    require(positions.length * 2L <= numBits,
-      s"bloom saturated: ${positions.length} of $numBits bits set — the " +
-        "filter would pass ~everything; raise numWords or shrink the key side")
     val words = new Array[Long](numWords)
-    positions.foreach { r =>
-      val p = r.getLong(0)
-      words((p / 64L).toInt) |= (1L << (p % 64L).toInt)
+    var setBits = 0L
+    masks.foreach { r =>
+      words(r.getInt(0)) = r.getLong(1)
+      setBits += java.lang.Long.bitCount(r.getLong(1))
     }
+    require(setBits * 2L <= numBits,
+      s"bloom saturated: $setBits of $numBits bits set — the " +
+        "filter would pass ~everything; raise numWords or shrink the key side")
     Filter(words, numProbes)
   }
 }

@@ -66,7 +66,7 @@ object ScaleProof {
     "ann03_knn" -> Bounds(50, 8),       // measured 33x (id-pair refactor)
     "ann03_knn_q8" -> Bounds(50, 8),    // measured 33x
     "dc01_contain" -> Bounds(5, 8),     // measured 2.8x (prefix-filtered)
-    "dc02_bloom" -> Bounds(14, 8),      // measured 8.7x (answer grew 1000x)
+    "dc02_bloom" -> Bounds(5, 8),       // fixed eval side: measured 0.2x (sub-linear)
     "hh01_heavy" -> Bounds(10, 8),      // ~zero-shuffle: candidate recount only
     "lm01_surprisal" -> Bounds(25, 8),  // measured 16x
     "ti01_tfidf" -> Bounds(32, 8),      // measured 21x
@@ -92,7 +92,9 @@ object ScaleProof {
     "sd01_spans" -> Bounds(20, 8),      // measured 12.9x
     "qs01_select" -> Bounds(8, 8),      // measured 2.8x of a ~0 base
     "sp03_shards" -> Bounds(10, 8),     // measured 6.4x
-    "me01_embed" -> Bounds(16, 8))      // measured 10.9x (dim-bounded bags)
+    "me01_embed" -> Bounds(16, 8),      // measured 10.9x (dim-bounded bags)
+    "dc02_bloom" -> Bounds(25, 8),      // measured 16.6x of 0.2 MiB (answer-bound)
+    "hh01_heavy" -> Bounds(8, 8))       // measured 3.1x of 0.2 MiB
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -319,20 +321,19 @@ object ScaleProof {
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           nGram = 3, minContainment = 0.5).count())
-      measure("dc02_bloom", scale) {
-        // the synthetic test split GROWS with the corpus (unlike a real
-        // fixed eval suite), so the filter is sized to the key side:
-        // ~16 bits/key keeps the saturation guard clear at every scale
-        val words = scale match {
-          case "1x" => 8192
-          case "10x" => 131072
-          case _ => 1048576
-        }
+      measure("dc02_bloom", scale)(
+        // eval side FIXED at the 1x corpus's %10 split across every
+        // scale: decontamination's contract is a fixed benchmark suite
+        // against a GROWING corpus — scaling the eval set with the
+        // corpus would measure a different (and explicitly
+        // out-of-contract) shape. The first cut did exactly that and
+        // OOM'd the 100x point on the eval-side broadcast; with the
+        // fixed eval side the default 8192-word filter serves all
+        // scales and only corpus-side work grows.
         graft.operators.Decontaminate.bloomDecontaminate(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 10 === 0), "text",
-          nGram = 13, numWords = words).count()
-      }
+          docs, "doc_id", "text",
+          docs1x.filter(col("doc_id") % 10 === 0), "text",
+          nGram = 13).count())
       measure("hh01_heavy", scale)(
         CorpusStats.heavyHitters(docs, "doc_id", "text", k = 20,
           capacity = 1024).count())

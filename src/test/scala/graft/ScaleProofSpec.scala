@@ -45,10 +45,10 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("qs01_select", 0.01, 0.2, 1.1),
       // round-8 portable-embedder lane (SCALING.md round-8 addendum)
       pair("me01_embed", 1.6, 27.0, 1.5),
-      // round-8 bloom decontamination + heavy hitters: dc02's answer
-      // grows 1000x on the adversarial corpus while shuffle grows 8.7x;
-      // hh01 shuffles only the certified candidate recount (~0 base)
-      pair("dc02_bloom", 2.1, 18.0, 1.2),
+      // round-8 bloom decontamination (FIXED 1x eval side — the
+      // operator's contract — corpus-only growth) + heavy hitters
+      // (shuffles only the certified candidate recount, ~0 base)
+      pair("dc02_bloom", 1.0, 0.2, 1.0),
       pair("hh01_heavy", 0.0, 0.2, 1.2)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
@@ -92,7 +92,10 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("qs01_select", 0.2, 0.5, 1.2),
       pair100("sp03_shards", 2.5, 15.9, 1.3),
       // round-8 portable-embedder third point
-      pair100("me01_embed", 27.0, 293.6, 1.2)).flatten
+      pair100("me01_embed", 27.0, 293.6, 1.2),
+      // round-8 bloom decontamination + heavy hitters third points
+      pair100("dc02_bloom", 0.2, 4.0, 1.1),
+      pair100("hh01_heavy", 0.2, 0.7, 1.1)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
