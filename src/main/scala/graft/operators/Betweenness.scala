@@ -183,10 +183,19 @@ object Betweenness {
         .agg(sum(col("term")).as("delta"))
       // nodes with no successor at d+1 keep delta 0 (they still relay
       // nothing, but must exist for the level above them)
+      // lazy persist, not localCheckpoint: each lvl has TWO consumers
+      // (the next level's join and the acc union) — the columnar cached
+      // fragment materializes ONCE inside the single final action
+      // (measured ~4x over the checkpoint's row-encoded RDD boundary).
+      // Safe HERE because this chain has no broadcast subqueries; in
+      // loops that broadcast a per-iteration aggregate (pageRankIntSync,
+      // hitsIntSync) the broadcast jobs execute child plans directly and
+      // a lazy persist measured ~12x SLOWER — those keep the hard
+      // checkpoint barrier
       val lvl = level(d).select(col("root"), col("id"))
         .join(sums, Seq("root", "id"), "left")
         .na.fill(0L, Seq("delta"))
-        .localCheckpoint(false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       deltaAbove = lvl
       if (d >= 1) acc = if (acc == null) lvl else acc.unionByName(lvl)
     }

@@ -582,6 +582,11 @@ object GraphOps {
         .agg(sum(col("h")).as("araw"))
       auth = araw.crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
         .withColumn("auth", expr("(araw * 1000000) DIV amax"))
+        // hard RDD barrier on purpose: araw appears both as the frame and
+        // inside the broadcast max subquery, and the NEXT iteration's
+        // broadcast jobs execute their child plans directly — a lazy
+        // persist leaves the double-referenced lineage live and measured
+        // ~12x slower (broadcast jobs re-deriving uncached chains)
         .select(col("id"), col("auth"))
         .localCheckpoint(false)
       val hraw = e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
