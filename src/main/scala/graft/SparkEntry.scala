@@ -2983,6 +2983,55 @@ object SparkEntry {
         |FROM cand
         |ORDER BY cos DESC, id_a, id_b
         |LIMIT 20""".stripMargin,
+    // SemDeDup replay: ann02's md5-ordered sampled centroids + argmax
+    // assignment (cscore DESC, cell ASC = Spark's min(struct(-score,
+    // cell))), then within-cell pairs with the dd04 exact-composition
+    // cosine
+    "sm01_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h AS (SELECT vec_id, v,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS hk
+        |  FROM e),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) - 1
+        |      AS cell,
+        |    v AS centroid
+        |  FROM h ORDER BY hk, vec_id LIMIT 16),
+        |sc AS (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * centroid[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * v[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |        centroid[i] * centroid[i])) AS ny)) AS cscore
+        |  FROM e CROSS JOIN cents),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC, cell) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.v AS va, b.v AS vb
+        |  FROM asg a JOIN asg b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT id_a, id_b,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(va) + 1), i ->
+        |        va[i] * vb[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(va) + 1), i ->
+        |        va[i] * va[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(vb) + 1), i ->
+        |        vb[i] * vb[i])) AS ny)) AS cos
+        |  FROM pr)
+        |WHERE cos >= 0.2
+        |ORDER BY cos DESC, id_a, id_b
+        |LIMIT 50""".stripMargin,
     // LSH top-k replay: query (vec 0) and corpus bucketed by the same
     // portable hyperplanes, candidates = bucket collisions in any table,
     // exact-composition cosine, exact global top-10 rank (0 = LSH miss)
@@ -3308,6 +3357,18 @@ object SparkEntry {
         "vec_id", "embedding", cosThreshold = -1.0)
         .orderBy(desc("cos"), col("id_a"), col("id_b"))
         .limit(20)
+    }),
+    // SemDeDup-shaped semantic dedup: md5-sampled centroids (the ann02
+    // replay), argmax-agg assignment, within-CELL exact-cosine pairs —
+    // one-assignment blocking instead of dd04's hyperplane LSH. The
+    // corpus has no true near-dup embedding pairs (max within-cell cos
+    // < 0.5 at sf0.01), so like dd04's threshold -1 the lane pins the
+    // mechanism at a low threshold, cos-desc
+    "sm01_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 16, cosThreshold = 0.2, portable = true)
+        .orderBy(desc("cos"), col("id_a"), col("id_b"))
+        .limit(50)
     }),
     // portable-hyperplane LSH top-k with a FULL oracle (same replay story
     // as dd04); exact_rank = position in the exact global top-10, 0 = a

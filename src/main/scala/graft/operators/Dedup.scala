@@ -817,6 +817,42 @@ object Dedup {
         ensureParallelism(df), vecCol, dim, bitsPerTable, tables, seed),
       idCol, vecCol, cosThreshold, maxBucketSize, quantized)
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space coarsely, then prune within-cluster
+    * pairs above a cosine threshold. Differs from [[embeddingNearDup]]
+    * (hyperplane LSH) in its blocking: cells are nearest-CENTROID
+    * regions, so near-dups that straddle a cell boundary are missed by
+    * design — the published recall trade for one-assignment blocking.
+    *
+    * Composition of existing audited pieces: deterministic sampled
+    * centroids ([[Similarity.Ivf.centroids]]; `portable = true` takes
+    * the md5-ordered variant an SQL oracle replays), argmax-aggregation
+    * assignment ([[Similarity.Ivf.assignCells]] — one row per id crosses
+    * the wire), then the cell id feeds the SAME bucket-pairing, hot-
+    * bucket-capping and full-precision scoring path as the LSH lanes
+    * ([[nearDupFromBuckets]] with a single (band=0, bucket=cell) entry).
+    * Output: (id_a, id_b, cos) within-cell pairs at or above the
+    * threshold; resolve to keepers with [[nearDupClusters]] /
+    * [[nearDupResolveBy]] as usual. */
+  def semanticNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      cosThreshold: Double = 0.9,
+      maxCellSize: Int = 10000,
+      portable: Boolean = false): DataFrame = {
+    val cents =
+      if (portable) Similarity.Ivf.portableCentroids(emb, idCol, vecCol, nCells)
+      else Similarity.Ivf.centroids(emb, idCol, vecCol, nCells)
+    val assigned = Similarity.Ivf.assignCells(
+      ensureParallelism(emb), idCol, vecCol, cents)
+    val bucketed = assigned.withColumn("lsh_buckets",
+      array(struct(lit(0).as("band"), col("cell").cast("long").as("bucket"))))
+    nearDupFromBuckets(bucketed, idCol, vecCol, cosThreshold, maxCellSize)
+  }
+
   /** Pairing + scoring half of [[embeddingNearDup]] over rows that already
     * carry `lsh_buckets` (from [[Similarity.withLshBuckets]] or the
     * portable-hyperplane variant) — exposed so a verification lane can

@@ -337,6 +337,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticNearDup: identical vectors pair within their cell; cross-cell pairs never emit") {
+    // two identical vectors (one cluster), one near-opposite direction:
+    // with 2 cells the opposite vector separates, so only (1,2) pairs
+    val vecs = Seq(
+      (1L, Seq.fill(16)(0.5f)),
+      (2L, Seq.fill(16)(0.5f)),
+      (3L, (0 until 16).map(i => if (i % 2 == 0) 1f else -1f)),
+      (4L, (0 until 16).map(i => if (i % 2 == 0) 0.9f else -1.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDup(vecs, "vec_id", "embedding",
+        nCells = 2, cosThreshold = 0.9, portable = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs.keySet.contains((1L, 2L)), s"got $pairs")
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    // 3 and 4 are cosine-similar to each other (~0.99) but if they land
+    // in the same cell they pair; if 1/2's cell differs they never pair
+    // with 1/2 (blocking is by cell, not by similarity)
+    assert(!pairs.keySet.exists { case (a, b) =>
+      Set(a, b).intersect(Set(1L, 2L)).size == 1
+    }, s"cross-cluster pair leaked: $pairs")
+    // sanity against the LSH route on the same fixture: the shared
+    // identical-vector pair is found by both blockings
+    val lsh = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        dim = 16, cosThreshold = 0.99, bitsPerTable = 4, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L)))
+  }
+
   test("portable signatures: md5-exact, duplicate-detecting, sentinel on short docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
