@@ -849,6 +849,16 @@ object SparkEntry {
     "hh01_heavy_hitters" -> ((s, dir) =>
       CorpusStats.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
         k = 20, capacity = 1024)),
+    // learned language classifier: multinomial Naive Bayes trained AND
+    // scored in one plan (fastText-langid shape; the learned counterpart
+    // of q21's heuristic). Integer micro-bit log-likelihoods, argmin
+    // ties by label — same rounding + libm caveat as lm01. vocabCap = 64
+    // keeps the OOV smoothing path exercised at this corpus size.
+    "nb01_nb_lang" -> ((s, dir) => {
+      CorpusStats.naiveBayesPredict(
+        t(s, dir, "documents"), "doc_id", "text", "lang", vocabCap = 64)
+        .orderBy(col("doc_id"))
+    }),
     // conditional bigram surprisal (one rung up the perplexity ladder;
     // same micro-bit rounding + libm caveat as lm01)
     "lm02_bigram_surprisal" -> ((s, dir) => {
@@ -1051,6 +1061,47 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll_micro_avg
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NB replay: class-conditional counts over the top-64 vocab,
+    // add-one smoothing, micro-bit rounding per token and prior, exact
+    // long sums, argmin by (nll, label) via row_number
+    "nb01_nb_lang" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        |vv AS (SELECT COUNT(*) AS v FROM cnt),
+        |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 64),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |classes AS (SELECT c.lbl, c.t_c,
+        |    CAST(round(-log2(CAST(p.n_docs AS DOUBLE) / nd.n) * 1000000)
+        |      AS BIGINT) AS prior_micro
+        |  FROM (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS t_c
+        |        FROM tk GROUP BY lang) c
+        |  JOIN (SELECT lang AS lbl, COUNT(*) AS n_docs
+        |        FROM documents GROUP BY lang) p USING (lbl)
+        |  CROSS JOIN nd),
+        |model AS (SELECT t.lang AS lbl, t.tok, CAST(COUNT(*) AS BIGINT) AS c_tc
+        |  FROM tk t JOIN vocab vb USING (tok) GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tk GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, cl.lbl,
+        |    CAST(cl.prior_micro + SUM(d.occ *
+        |      CAST(round(-log2(CAST(coalesce(m.c_tc, 0) + 1 AS DOUBLE) /
+        |        CAST(cl.t_c + vv.v AS DOUBLE)) * 1000000) AS BIGINT))
+        |      AS BIGINT) AS nll
+        |  FROM dt d CROSS JOIN classes cl CROSS JOIN vv
+        |  LEFT JOIN model m ON m.lbl = cl.lbl AND m.tok = d.tok
+        |  GROUP BY d.doc_id, cl.lbl, cl.prior_micro),
+        |best AS (SELECT doc_id, lbl AS pred, nll AS nll_micro,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, lbl) AS rn
+        |  FROM sc)
+        |SELECT b.doc_id, b.pred, b.nll_micro,
+        |  (b.pred = d.lang) AS is_correct
+        |FROM best b JOIN documents d USING (doc_id)
+        |WHERE b.rn = 1
+        |ORDER BY b.doc_id""".stripMargin,
     // vocab = top-64 (count desc, token) with row_number ids; lateral
     // range unnest keeps 1-based positions for the order-restoring agg
     "tk01_tokenize_ids" ->
@@ -2740,6 +2791,31 @@ object SparkEntry {
         |WHERE edit_distance <= 64
         |ORDER BY edit_distance, id_a, id_b
         |LIMIT 20""".stripMargin,
+    // incremental-index replay: the same banding chain split into corpus
+    // (doc_id % 5 != 0) and incoming; the index keeps a bucket's rows when
+    // under cap (1) else its min-id representative, then incoming joins on
+    // band-slice equality — bit-identical to minhashIndexFromSigs +
+    // nearDupAgainstIndexFromSigs over the portable signature family
+    "id01_incremental_neardup" ->
+      raw"""WITH $minhashBandsCteSql,
+        |bb AS (SELECT doc_id, s, band, s[band*4+1 : band*4+4] AS bk
+        |  FROM bands),
+        |corp AS (SELECT * FROM bb WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT * FROM bb WHERE doc_id % 5 = 0),
+        |sizes AS (SELECT band, bk, COUNT(*) AS n, MIN(doc_id) AS rep
+        |  FROM corp GROUP BY 1, 2),
+        |idx AS (SELECT c.doc_id, c.s, c.band, c.bk FROM corp c
+        |  JOIN sizes z ON c.band = z.band AND c.bk = z.bk
+        |  WHERE z.n <= 1 OR c.doc_id = z.rep),
+        |cand AS (SELECT DISTINCT i.doc_id AS id, x.doc_id AS corpus_id,
+        |    i.s AS sa, x.s AS sb
+        |  FROM inc i JOIN idx x ON i.band = x.band AND i.bk = x.bk)
+        |SELECT id, corpus_id,
+        |  CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i]))
+        |    AS DOUBLE) / 64 AS est_jaccard
+        |FROM cand
+        |ORDER BY est_jaccard DESC, id, corpus_id
+        |LIMIT 100""".stripMargin,
     // dd01's replay + exact-jaccard confirmation at 0.8 + recursive-CTE
     // connected components (g03's min-label pattern): the full
     // resolution pipeline, bit-identical to the Spark lane
@@ -3252,6 +3328,31 @@ object SparkEntry {
         docs, "doc_id", "text", maxDist = 64)
         .orderBy(col("edit_distance"), col("id_a"), col("id_b"))
         .limit(20)
+    }),
+    // incremental dedup vs a PREBUILT index — the stream-static shape
+    // that avoids re-running all-corpus dedup on every arrival batch
+    // (Dedup.minhashIndex + nearDupAgainstIndex, previously spec-only).
+    // Corpus = doc_id % 5 != 0, incoming = the rest; maxBucketSize = 1 so
+    // the hot-bucket representative-degrade path is actually exercised
+    // (155 corpus buckets hold 2 rows at sf0.01 and keep min-id only).
+    // Same no-xxhash64-collision assumption as dd01: the oracle equates
+    // bucket equality with band-slice equality.
+    "id01_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sigsOf(d: DataFrame) = d.select(
+        col("doc_id").as("id"),
+        Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
+          .as("sig"))
+      val index = Dedup.minhashIndexFromSigs(
+        sigsOf(docs.filter(col("doc_id") % 5 =!= 0)),
+        numHashes = 64, bands = 16, maxBucketSize = 1)
+      Dedup.nearDupAgainstIndexFromSigs(
+        sigsOf(docs.filter(col("doc_id") % 5 === 0)),
+        index, numHashes = 64, bands = 16)
+        .dropDuplicates("id", "corpus_id")
+        .select(col("id"), col("corpus_id"), col("est_jaccard"))
+        .orderBy(desc("est_jaccard"), col("id"), col("corpus_id"))
+        .limit(100)
     }),
     "dd02_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -301,6 +301,88 @@ object CorpusStats {
         ldiv(col("nm"), col("n_tokens")).as("nll_micro_avg"))
   }
 
+  /** Multinomial Naive Bayes over whitespace tokens, trained and scored
+    * in ONE plan — the learned counterpart of the heuristic language-ID
+    * lane and the shape of the fastText-style linear classifiers
+    * curation pipelines use for language/quality routing (reference:
+    * README.md:7 positions the corpus for LLM-pipeline use; the
+    * classifier itself is standard published NB).
+    *
+    * Model: per-class token counts with add-one smoothing over the
+    * `vocabCap` most frequent corpus tokens (count desc, token — the
+    * deterministic cap shared with [[unigramSurprisal]]); out-of-vocab
+    * tokens score `-log2(1 / (T_c + V))` per class, with `T_c` the
+    * class token total and `V` the full (uncapped) distinct-token
+    * count. Priors are document-share per class. Per-token and prior
+    * negative log-likelihoods are rounded to integer micro-bits BEFORE
+    * the per-document sum (exact long arithmetic after rounding), so
+    * prediction and score replay bit-for-bit in any engine; argmin
+    * ties break by label string.
+    *
+    * Scale: the model is a `classes x vocabCap` broadcast; the class
+    * totals + priors frame is `classes` rows broadcast into a scoring
+    * crossJoin, so the only large frames are the (doc, token, occ)
+    * stream (multiplied by the class count — the standard NB scoring
+    * cost, bounded by the label-domain size) and the final id-keyed
+    * rejoin for the actual label. Nothing wider than ids, tokens, and
+    * longs ever shuffles.
+    *
+    * Output: (idCol, pred: string, nll_micro: long, is_correct:
+    * boolean). Documents with zero (non-empty) tokens are absent —
+    * the token-model convention shared with [[unigramSurprisal]].
+    */
+  def naiveBayesPredict(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      vocabCap: Int = 64): DataFrame = {
+    require(vocabCap > 0, "vocabCap must be positive")
+    val toks = docs
+      .select(col(idCol), col(labelCol).as("lbl"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    // one (doc, token) granular frame feeds vocab, class totals, model
+    // AND scoring — materialized so its four consumers share one scan
+    val lt = materialize(
+      toks.groupBy(col(idCol), col("lbl"), col("tok"))
+        .agg(count(lit(1)).as("occ")))
+    // Bounded scalars (grand totals), not data rows.
+    val v = lt.select("tok").distinct().count()
+    val nDocs = docs.count()
+    val vocab = lt.groupBy("tok").agg(sum("occ").as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(vocabCap).select("tok")
+    val model = lt.join(broadcast(vocab), Seq("tok"), "left_semi")
+      .groupBy(col("lbl").as("m_lbl"), col("tok").as("m_tok"))
+      .agg(sum("occ").as("c_tc"))
+    val classes = lt.groupBy("lbl").agg(sum("occ").as("t_c"))
+      .join(docs.groupBy(col(labelCol).as("lbl"))
+        .agg(count(lit(1)).as("n_docs")), "lbl")
+      .select(col("lbl").as("c_lbl"), col("t_c"),
+        round(-log2(col("n_docs").cast("double") / lit(nDocs.toDouble)) *
+          lit(1000000.0)).cast("long").as("prior_micro"))
+    val scored = lt.select(col(idCol), col("tok"), col("occ"))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(model),
+        col("c_lbl") === col("m_lbl") && col("tok") === col("m_tok"),
+        "left_outer")
+      .withColumn("tok_micro",
+        round(-log2((coalesce(col("c_tc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_c") + lit(v)).cast("double")) * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol), col("c_lbl"), col("prior_micro"))
+      .agg(sum(col("occ") * col("tok_micro")).as("tok_nll"))
+      .select(col(idCol),
+        struct((col("prior_micro") + col("tok_nll")).as("nll"),
+          col("c_lbl").as("pred")).as("cand"))
+    scored
+      .groupBy(col(idCol))
+      .agg(min(col("cand")).as("best")) // (nll asc, label asc) argmin
+      .join(docs.select(col(idCol), col(labelCol).as("__actual")), idCol)
+      .select(col(idCol), col("best.pred").as("pred"),
+        col("best.nll").as("nll_micro"),
+        (col("best.pred") === col("__actual")).as("is_correct"))
+  }
+
   /** Top-`k` salient terms per document by tf-idf — the standard keyword /
     * topic-proxy extraction over a corpus.
     *

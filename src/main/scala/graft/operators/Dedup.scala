@@ -241,10 +241,21 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       nGram: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val banded = bandRows(
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashIndexFromSigs(
       minhashSignature(ensureParallelism(df), idCol, textCol, numHashes, nGram),
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
+
+  /** [[minhashIndex]] over precomputed (id, sig) rows — the FromSigs
+    * split shared with [[minhashCandidatesFromSigs]], so verification
+    * lanes can feed the engine-portable signature family while the
+    * murmur path stays the scale default. */
+  def minhashIndexFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val banded = bandRows(sigs, numHashes, bands)
     // ONE join + one filter: a row survives if its bucket is under cap,
     // or it is the bucket's min-id representative. Keeps `banded` (the
     // expensive shingle→minhash pipeline) at two plan references — a
@@ -278,11 +289,20 @@ object Dedup {
       index: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
-      nGram: Int = 3): DataFrame = {
-    val newBands = bandRows(
+      nGram: Int = 3): DataFrame =
+    nearDupAgainstIndexFromSigs(
       incoming.select(col(idCol).as("id"),
         minhashSigColumn(col(textCol), numHashes, nGram).as("sig")),
-      numHashes, bands)
+      index, numHashes, bands)
+
+  /** [[nearDupAgainstIndex]] over precomputed incoming (id, sig) rows —
+    * see [[minhashIndexFromSigs]] for why the FromSigs split exists. */
+  def nearDupAgainstIndexFromSigs(
+      incomingSigs: DataFrame,
+      index: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val newBands = bandRows(incomingSigs, numHashes, bands)
     newBands
       .join(index.select(col("band"), col("bucket"),
         col("id").as("corpus_id"), col("sig").as("corpus_sig")),

@@ -51,6 +51,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(full.getSeq[Long](1) == Seq(4L) && full.getLong(3) == 0L)
   }
 
+  test("naiveBayesPredict: hand-computed model, exact tie-break, tokenless absent") {
+    // symmetric 2-class corpus: en tokens a:3 b:1 c:1 (T=5), fr tokens
+    // c:3 d:1 a:1 (T=5), V=4; docs 5/6 share text "a c" so their class
+    // scores tie EXACTLY and the argmin must break by label ("en").
+    // docs 7/8 have no tokens -> absent (and keep priors symmetric).
+    val docs = Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (5L, "a c", "en"),
+      (3L, "c", "fr"), (4L, "c d", "fr"), (6L, "a c", "fr"),
+      (7L, " ", "en"), (8L, "", "fr")).toDF("doc_id", "text", "lang")
+    val out = CorpusStats.naiveBayesPredict(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val prior = nllMicro(3, 8.0) // 4 docs of 8 per class: -log2(1/2)
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq == Seq(
+      (1L, "en", true), (2L, "en", true), (3L, "fr", true),
+      (4L, "fr", true), (5L, "en", true), (6L, "en", false)))
+    // doc 1 "a" under en: prior + nll((3+1)/(5+4))
+    assert(out.head._3 == prior + nllMicro(3, 9.0))
+    // the tied pair carries the identical score on both rows
+    assert(out(4)._3 == out(5)._3)
+  }
+
   test("bigramSurprisal: hand-computed conditional add-one model") {
     // corpus bigrams: "a a":2, "a b":3, "b c":2; contexts a:5, b:3; V=4
     val out = CorpusStats.bigramSurprisal(corpus, "doc_id", "text", vocabCap = 10)
