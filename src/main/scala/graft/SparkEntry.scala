@@ -1520,7 +1520,57 @@ object SparkEntry {
         |  string_agg(doc_id || ':' || chunk_idx, '|' ORDER BY rn) AS chunk_keys
         |FROM r GROUP BY grp, bin ORDER BY "group", bin""".stripMargin)
 
+  /** km01's Lloyd replay, one CTE block per unrolled iteration:
+    * VectorAvgExact quantization (`floor(x·1e6 + 0.5)` on the exact
+    * float→double widening), md5-sampled init (ann02's portable sample),
+    * argmin assignment as a row_number window over (d2, cell), per-dim
+    * floor-div means (va01's exactness argument: |sum| ≪ 2^53 and the
+    * quotient sits ≥ 1/n from any integer, so the double floor() is
+    * exact), emptied cells carried via left join + coalesce. Dim 64 is
+    * the table's pinned vector width (q24). */
+  private val kmeansOracleSql: String = {
+    val d2 = (c: String) =>
+      s"""CAST(list_sum(list_transform(generate_series(1, 64),
+         |        j -> (e.v[j] - $c.centroid[j]) * (e.v[j] - $c.centroid[j])))
+         |        AS BIGINT)""".stripMargin
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${d2("c")}, c.cell) AS rn
+         |    FROM em e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |s$i AS (SELECT cell, g.j AS j, CAST(SUM(v[g.j]) AS BIGINT) AS s,
+         |    COUNT(*) AS n
+         |  FROM a$i, UNNEST(generate_series(1, 64)) AS g(j)
+         |  GROUP BY cell, g.j),
+         |m$i AS (SELECT cell,
+         |    array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+         |      ORDER BY j) AS centroid
+         |  FROM s$i GROUP BY cell),
+         |c$i AS (SELECT c${i - 1}.cell,
+         |    coalesce(m$i.centroid, c${i - 1}.centroid) AS centroid
+         |  FROM c${i - 1} LEFT JOIN m$i USING (cell))""".stripMargin
+    s"""WITH em AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+       |      vec_id) - 1 AS BIGINT) AS cell, v AS centroid
+       |  FROM em
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+       |    vec_id
+       |  LIMIT 8),
+       |${(1 to 2).map(iter).mkString(",\n")}
+       |SELECT vec_id, cell, d2 FROM (
+       |  SELECT e.vec_id, c.cell, ${d2("c")} AS d2,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${d2("c")}, c.cell) AS rn
+       |  FROM em e CROSS JOIN c2 c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val vectorOracle: Map[String, String] = Map(
+    "km01_kmeans_int" -> kmeansOracleSql,
     "q23_knn_of_vec0" ->
       """SELECT vec_id, rk FROM (
         |  SELECT e.vec_id,
@@ -3470,6 +3520,17 @@ object SparkEntry {
         nCells = 16, cosThreshold = 0.2, portable = true)
         .orderBy(desc("cos"), col("id_a"), col("id_b"))
         .limit(50)
+    }),
+    // Lloyd's k-means in exact integer micro-units (the clustering step
+    // of SemDeDup/cluster-balanced-sampling pipelines) — 2 full
+    // assign→update rounds plus a final assignment, replayed as unrolled
+    // CTEs: VectorAvgExact quantization + floor-div means, squared
+    // integer distances, argmin ties by cell, emptied cells carrying
+    // their previous centroid
+    "km01_kmeans_int" -> ((s, dir) => {
+      Similarity.Ivf.kMeansAssignInt(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("vec_id"))
     }),
     // portable-hyperplane LSH top-k with a FULL oracle (same replay story
     // as dd04); exact_rank = position in the exact global top-10, 0 = a

@@ -397,6 +397,69 @@ object Similarity {
       cents
     }
 
+    /** Lloyd's k-means in EXACT integer micro-units — the
+      * oracle-replayable twin of [[trainCentroids]], and the clustering
+      * step SemDeDup-style semantic dedup / cluster-balanced sampling
+      * pipelines run before their per-cell work. Elements quantize ONCE
+      * to `floor(x·1e6 + 0.5)` longs (the [[graft.functions.VectorAvgExact]]
+      * quantization); distance is squared Euclidean over those longs
+      * (exact: micro magnitudes ~1e6 over ≤ thousands of dims stay far
+      * below 2⁶³); centroid updates are the VectorAvgExact floor-div
+      * mean; argmin ties break by cell, emptied cells carry their
+      * previous centroid, and init is the md5-sampled portable rows —
+      * every step replays bit-for-bit in SQL.
+      *
+      * Scale: per iteration, one broadcast of k centroids + one
+      * partial-aggregable hash agg keyed by cell (k rows out) — the
+      * corpus never shuffles; the k-row centroid frame is checkpointed
+      * per iteration (tiny) to keep the loop's lineage flat. Final
+      * output is one more broadcast-assign pass: (idCol, cell, d2).
+      */
+    def kMeansAssignInt(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        k: Int,
+        iters: Int): DataFrame = {
+      require(k > 0, "k must be positive")
+      require(iters >= 0, "iters must be non-negative")
+      val sampleKey = graft.functions.PortableHash.h32(col(idCol).cast("string"))
+      val micro = corpus.select(col(idCol), col(vecCol),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("__v"))
+      def assign(cents: DataFrame): DataFrame =
+        micro.crossJoin(broadcast(cents))
+          .withColumn("__d2",
+            aggregate(zip_with(col("__v"), col("centroid"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .groupBy(col(idCol))
+          .agg(min(struct(col("__d2").as("d2"), col("cell").as("cell")))
+            .as("best"),
+            first(col(vecCol)).as(vecCol)) // constant per id
+      var cents = micro
+        .orderBy(sampleKey, col(idCol))
+        .limit(k)
+        // unpartitioned window over the limit(k) frame — tiny task
+        .withColumn("cell",
+          (row_number().over(Window.orderBy(sampleKey, col(idCol))) - 1)
+            .cast("long"))
+        .select(col("cell"), col("__v").as("centroid"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val updated = assign(cents)
+          .groupBy(col("best.cell").as("cell"))
+          .agg(graft.functions.VectorAvgExact.vectorAvgExact(col(vecCol))
+            .as("nc"))
+        cents = cents.select(col("cell"), col("centroid").as("prev"))
+          .join(updated, Seq("cell"), "left_outer")
+          .select(col("cell"), coalesce(col("nc"), col("prev")).as("centroid"))
+          .localCheckpoint()
+      }
+      assign(cents)
+        .select(col(idCol), col("best.cell").as("cell"), col("best.d2").as("d2"))
+    }
+
     /** Nearest-centroid assignment as an ARGMAX AGGREGATION: broadcast
       * the centroids, score corpus×cells map-side, then `min(struct(
       * -score, cell, vec))` per id — a partial-aggregable hash agg that

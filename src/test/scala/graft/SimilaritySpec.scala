@@ -245,6 +245,59 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kMeansAssignInt: exact driver replay of quantize/argmin/floor-div Lloyd") {
+    // 40 deterministic 3-dim vectors including negatives (so floorDiv vs
+    // truncation matters in the centroid means)
+    val data = (0L until 40L).map { i =>
+      (i, Seq.tabulate(3)(d => ((i * 7 + d * 13) % 19).toFloat / 19f - 0.4f))
+    }
+    val df = data.toDF("id", "vec")
+    val k = 4; val iters = 2
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val micro = data.map { case (id, v) => id -> v.map(q) }.toMap
+    var cents: Map[Int, Seq[Long]] = (0L until 40L)
+      .sortBy(i => (graft.functions.PortableHash.md5_32(i.toString), i))
+      .take(k).zipWithIndex.map { case (id, c) => c -> micro(id) }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(): Map[Long, Int] = micro.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, ct) => (d2(v, ct), c) }.min._2
+    }
+    for (_ <- 1 to iters) {
+      val as = assign()
+      val upd = as.groupBy(_._2).map { case (c, members) =>
+        val vs = members.keys.toSeq.map(micro)
+        c -> Seq.tabulate(3)(d =>
+          Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong))
+      }
+      cents = cents.map { case (c, prev) => c -> upd.getOrElse(c, prev) }
+    }
+    val fin = assign()
+    val expected = data.map(_._1).map(id =>
+      (id, fin(id).toLong, d2(micro(id), cents(fin(id)))))
+    val got = Similarity.Ivf.kMeansAssignInt(df, "id", "vec", k, iters)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
+
+  test("kMeansAssignInt: emptied cell carries its previous centroid") {
+    // the two ids FIRST in md5-sample order share one vector, so both
+    // init centroids are identical, every point ties to cell 0 in
+    // iteration 1 and cell 1 empties; the carried (0,0) centroid must
+    // then win the final assignment for the origin points
+    val order = (0L until 3L).sortBy(i =>
+      (graft.functions.PortableHash.md5_32(i.toString), i))
+    val df = Seq(
+      (order(0), Seq(0f, 0f)), (order(1), Seq(0f, 0f)),
+      (order(2), Seq(1f, 1f))).toDF("id", "vec")
+    val got = Similarity.Ivf.kMeansAssignInt(df, "id", "vec", k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val far = 2L * 666667L * 666667L // (1e6 - 333333)^2 per dim
+    assert(got == Set(
+      (order(0), 1L, 0L), (order(1), 1L, 0L), (order(2), 0L, far)))
+  }
+
   test("portableHyperplanes: +/-1 entries, deterministic across calls") {
     val a = Similarity.portableHyperplanes(8, 4, 2)
     val b = Similarity.portableHyperplanes(8, 4, 2)
