@@ -409,11 +409,16 @@ object Similarity {
       * previous centroid, and init is the md5-sampled portable rows —
       * every step replays bit-for-bit in SQL.
       *
-      * Scale: per iteration, one broadcast of k centroids + one
-      * partial-aggregable hash agg keyed by cell (k rows out) — the
-      * corpus never shuffles; the k-row centroid frame is checkpointed
-      * per iteration (tiny) to keep the loop's lineage flat. Final
-      * output is one more broadcast-assign pass: (idCol, cell, d2).
+      * Scale (the MLlib shape): centroids live on the DRIVER — k·dim
+      * longs, bounded by construction — and each iteration inlines them
+      * as literals, so assignment is a pure codegen projection (argmin
+      * over a k-struct array; no join, no corpus shuffle) and the
+      * centroid update is one partial-aggregable hash agg keyed by cell
+      * whose exchange carries only k×dim partial buffers per partition.
+      * The per-iteration k-row collect is the loop's only driver
+      * traffic. Keep k modest (≲ a few hundred): the assignment
+      * expression embeds k·dim literal constants. Output: one more
+      * literal-assign pass, (idCol, cell, d2).
       */
     def kMeansAssignInt(
         corpus: DataFrame,
@@ -428,36 +433,38 @@ object Similarity {
         transform(col(vecCol),
           x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
             .cast("long")).as("__v"))
-      def assign(cents: DataFrame): DataFrame =
-        micro.crossJoin(broadcast(cents))
-          .withColumn("__d2",
-            aggregate(zip_with(col("__v"), col("centroid"),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-          .groupBy(col(idCol))
-          .agg(min(struct(col("__d2").as("d2"), col("cell").as("cell")))
-            .as("best"),
-            first(col(vecCol)).as(vecCol)) // constant per id
-      var cents = micro
+      // argmin over the driver-held centroids as ONE array_min of
+      // (d2, cell) structs — ties to the lower cell by struct ordering
+      def best(cents: Seq[(Long, Seq[Long])]): Column =
+        array_min(array(cents.map { case (cell, c) =>
+          struct(
+            aggregate(zip_with(col("__v"), typedLit(c),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("d2"),
+            lit(cell).as("cell"))
+        }: _*))
+      var cents: Seq[(Long, Seq[Long])] = micro
         .orderBy(sampleKey, col(idCol))
-        .limit(k)
-        // unpartitioned window over the limit(k) frame — tiny task
-        .withColumn("cell",
-          (row_number().over(Window.orderBy(sampleKey, col(idCol))) - 1)
-            .cast("long"))
-        .select(col("cell"), col("__v").as("centroid"))
-        .localCheckpoint()
+        .limit(k) // k rows: driver-sized by construction
+        .select(col("__v"))
+        .collect().toSeq
+        .zipWithIndex.map { case (r, c) => (c.toLong, r.getSeq[Long](0)) }
       for (_ <- 1 to iters) {
-        val updated = assign(cents)
-          .groupBy(col("best.cell").as("cell"))
+        val updated = micro
+          .select(col(vecCol), best(cents).getField("cell").as("cell"))
+          .groupBy(col("cell"))
           .agg(graft.functions.VectorAvgExact.vectorAvgExact(col(vecCol))
             .as("nc"))
-        cents = cents.select(col("cell"), col("centroid").as("prev"))
-          .join(updated, Seq("cell"), "left_outer")
-          .select(col("cell"), coalesce(col("nc"), col("prev")).as("centroid"))
-          .localCheckpoint()
+          .collect() // k rows
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        cents = cents.map { case (cell, prev) =>
+          (cell, updated.getOrElse(cell, prev)) // emptied cells carry over
+        }
       }
-      assign(cents)
-        .select(col(idCol), col("best.cell").as("cell"), col("best.d2").as("d2"))
+      micro
+        .select(col(idCol), best(cents).as("__best"))
+        .select(col(idCol), col("__best.cell").as("cell"),
+          col("__best.d2").as("d2"))
     }
 
     /** Nearest-centroid assignment as an ARGMAX AGGREGATION: broadcast

@@ -79,7 +79,11 @@ object ScaleProof {
     "dd05_resolve" -> Bounds(22, 8),    // measured 13.9x
     "sp03_shards" -> Bounds(20, 8),     // measured 13.1x (fixed cost only)
     "qs01_select" -> Bounds(25, 8),     // measured 17.6x of a ~0 base (0.2 MiB)
-    "me01_embed" -> Bounds(25, 8))      // measured 16.6x of 1.6 MiB (slot bags)
+    "me01_embed" -> Bounds(25, 8),      // measured 16.6x of 1.6 MiB (slot bags)
+    // round-8 third-sitting lanes
+    "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
+    "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
+    "km01_kmeans" -> Bounds(10, 8))     // ~zero-shuffle: k x dim partial buffers only
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -406,6 +410,31 @@ object ScaleProof {
         Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
           .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
           .head().getLong(0))
+      measure("id01_incr", scale) {
+        // incremental dedup: the incoming micro-batch is FIXED at the 1x
+        // corpus's %10 split across every scale (dc02's contract — a
+        // batch is bounded by arrival rate, not corpus size); only the
+        // INDEX side grows, and its build is the measured cost. At 10x
+        // the incoming docs' variants ARE in the index — the realistic
+        // hit-heavy case.
+        val index = Dedup.minhashIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          numHashes = 64, bands = 16)
+        Dedup.nearDupAgainstIndex(
+          docs1x.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          index, numHashes = 64, bands = 16).count()
+      }
+      measure("nb01_nbayes", scale)(
+        // labels derived from doc_id (the variant corpus carries no
+        // label column); 5 classes = the scoring fan-out factor
+        CorpusStats.naiveBayesPredict(
+          docs.withColumn("graft_lbl", (col("doc_id") % 5).cast("string")),
+          "doc_id", "text", "graft_lbl", vocabCap = 1024).count())
+      measure("km01_kmeans", scale)(
+        // integer Lloyd: per iteration one k-row broadcast + one hash agg
+        // keyed by cell — the corpus-side shuffle should stay ~zero
+        Similarity.Ivf.kMeansAssignInt(emb, "vec_id", "embedding",
+          k = 16, iters = 2).count())
       measure("me01_embed", scale)(
         // portable bulk embedding: the token explode is map-local; what
         // shuffles is the (id, slot) partial-aggregated bag — ≤ dim rows

@@ -49,7 +49,11 @@ class ScaleProofSpec extends AnyFunSuite {
       // operator's contract — corpus-only growth) + heavy hitters
       // (shuffles only the certified candidate recount, ~0 base)
       pair("dc02_bloom", 1.0, 0.2, 1.0),
-      pair("hh01_heavy", 0.0, 0.2, 1.2)).flatten
+      pair("hh01_heavy", 0.0, 0.2, 1.2),
+      // round-8 third-sitting lanes (SCALING.md addendum)
+      pair("id01_incr", 2.2, 12.6, 1.1),
+      pair("nb01_nbayes", 2.1, 35.2, 1.4),
+      pair("km01_kmeans", 0.0, 0.4, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -61,7 +65,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "ti01_tfidf", "bp01_boiler", "bp02_rmlines", "sd01_spans",
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
       "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
-      "dc02_bloom", "hh01_heavy")
+      "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
+      "km01_kmeans")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
