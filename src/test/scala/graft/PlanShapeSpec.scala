@@ -73,6 +73,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")), exchanges.mkString("\n"))
   }
 
+  test("km01: assignment is a literal projection — no join, no hash exchange") {
+    // centroids are driver-held literals (the MLlib shape), so the final
+    // assignment plan must be scan -> project; the only exchange is the
+    // lane's output sort (rangepartitioning). A Join or hashpartitioning
+    // here means the corpus started shuffling again (the first cut's
+    // groupBy(id) argmin moved one (id, vec) row per corpus row).
+    val p = plan("km01_kmeans_int")
+    assert(!p.contains("Join"), p)
+    assert(!p.linesIterator.exists(_.contains("hashpartitioning(")), p)
+  }
+
+  test("id01: incremental probe exchanges carry signatures, never text") {
+    val p = plan("id01_incremental_neardup")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), exchanges.mkString("\n"))
+  }
+
   test("ivf assignCells: argmax is a partial hash agg, no window sort") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
