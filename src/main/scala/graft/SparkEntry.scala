@@ -2110,6 +2110,16 @@ object SparkEntry {
         .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+  /** Undirected multi-parent DAG for g09's shortest path (forward ∪
+    * reverse is duplicate-free: the DAG's level id-ranges are disjoint). */
+  private def dagUndirectedPart(s: SparkSession, dir: String): DataFrame =
+    sharedEdges(s, dir, "dag-undirected") {
+      val d = dagEdges(s, dir)
+      d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** g03/g04's co-purchase graph (grouped pair generation → weight ≥ 2),
     * built once per process: the pair-gen + aggregation is the expensive
     * half of both lanes and is identical between them. */
@@ -2249,7 +2259,8 @@ object SparkEntry {
       // unrolled level 5-6 CTEs measured 30x the 4-level cost). Both
       // engines return an identical EMPTY frame if the part ever drifted
       // out of radius, so the cap cannot desync the hash.
-      GraphOps.shortestPathFrame(dagPart(s, dir), 1000000L, dst, maxDepth = 4)
+      GraphOps.shortestPathFrame(dagUndirectedPart(s, dir), 1000000L, dst,
+          maxDepth = 4, edgesPrepared = true)
         .orderBy(col("step"))
     }),
     // degree-ordered (compact-forward) triangle counting over the

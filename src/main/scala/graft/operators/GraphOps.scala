@@ -150,11 +150,18 @@ object GraphOps {
       edges: DataFrame,
       srcId: Long,
       dstId: Long,
-      maxDepth: Int = 20): Seq[Long] = {
+      maxDepth: Int = 20,
+      edgesPrepared: Boolean = false): Seq[Long] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // edgesPrepared: the caller vouches `edges` is ALREADY symmetric
+    // (dst→src union done) and partitioned/persisted on src — the
+    // forwardCounts convention — so each level's join exchanges only
+    // the frontier side instead of re-symmetrizing the graph per call
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     var visited = Seq((srcId, 0, -1L)).toDF("id", "depth", "parent")
       .localCheckpoint()
     var frontier = visited
@@ -223,10 +230,11 @@ object GraphOps {
       edges: DataFrame,
       srcId: Long,
       dstId: Long,
-      maxDepth: Int = 20): DataFrame = {
+      maxDepth: Int = 20,
+      edgesPrepared: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    shortestPath(edges, srcId, dstId, maxDepth)
+    shortestPath(edges, srcId, dstId, maxDepth, edgesPrepared)
       .zipWithIndex
       .map { case (id, i) => (i, id) }
       .toDF("step", "id")
