@@ -2714,6 +2714,44 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
     // exact jaccard over distinct word-3-gram shingle sets; matches the
     // posting-list implementation (hash collisions are 64-bit-improbable)
+    // CDC replay: the same md5-32 window hashes cut boundaries at
+    // h % 16 = 0, chunks are the between-boundary token slices, md5-60
+    // fingerprints, duplicate counting over the fingerprint
+    "cd01_cdc_chunks" ->
+      raw"""WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |wh AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) >= 4 THEN
+        |      list_transform(range(1, len(ts) - 2),
+        |        p -> ('0x' || substr(md5(array_to_string(ts[p : p+3], ' ')),
+        |          1, 8))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM tk),
+        |b AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) >= 2 THEN
+        |      list_filter(range(1, len(ts)), p -> p + 1 <= len(hs)
+        |        AND hs[p + 1] % 16 = 0)
+        |    ELSE [] END AS bs
+        |  FROM wh),
+        |c AS (
+        |  SELECT doc_id, ts, list_prepend(0, bs) AS ss,
+        |    list_append(bs, len(ts)) AS es
+        |  FROM b WHERE len(ts) > 1 OR (len(ts) = 1 AND ts[1] <> '')),
+        |ch AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(ts[ss[i]+1 : es[i]], ' ')),
+        |      1, 15))::BIGINT AS chunk_h,
+        |    CAST(es[i] - ss[i] AS BIGINT) AS n_tokens
+        |  FROM c, UNNEST(generate_series(1, len(ss))) AS u(i))
+        |SELECT chunk_h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |FROM ch GROUP BY chunk_h HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_chunks DESC, chunk_h
+        |LIMIT 100""".stripMargin,
     // substring-span replay: positional 8-token window md5-32 hashes,
     // cross-doc duplicated set, gaps-and-islands merge — the SAME window
     // functions the Spark plan uses, so the whole lane hash-matches
@@ -3454,6 +3492,22 @@ object SparkEntry {
       Dedup.nearDupResolveBy(d, "doc_id", "text", "quality",
           threshold = 0.8, portable = true)
         .orderBy(col("id"))
+    }),
+    // content-defined chunking dedup (rsync/LBFS boundaries, relational):
+    // variable-length chunks cut where the 4-token window hash ≡ 0 mod 16,
+    // md5-60 chunk fingerprints, cross-document duplicate counting — the
+    // block-level dedup modality that survives token insertions (fixed
+    // windows shift; CDC boundaries re-synchronize)
+    "cd01_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, divisor = 16L)
+        .groupBy(col("chunk_h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          max(col("n_tokens")).as("max_tokens"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), desc("n_chunks"), col("chunk_h"))
+        .limit(100)
     }),
     // substring-level dedup (Lee et al. ACL'22 re-expressed relationally):
     // maximal cross-doc duplicated 8-token spans; fully oracle-replayable

@@ -269,6 +269,15 @@ object PortableHash {
     conv(substring(md5c(c.cast("binary")), 1, 8), 16, 10).cast("long")
   }
 
+  /** Column twin of [[first60]] — `('0x' || substr(md5(c), 1, 15))
+    * ::BIGINT` in SQL: the widest md5 prefix that stays a positive long
+    * in every engine. Use where 32 bits would birthday-collide at scale
+    * (e.g. chunk fingerprints); same one-definition contract as [[h32]]. */
+  def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5 => md5c, substring}
+    conv(substring(md5c(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  }
+
   /** Permutation constants of the portable MinHash family: md5-derived
     * from the literal strings "a<j>"/"b<j>" — no RNG for an oracle to
     * replay. `a_j` stays below 2³¹ so `a_j·h + b_j` never exceeds 2⁶³. */

@@ -1097,6 +1097,91 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Content-defined chunking (CDC): variable-length chunk boundaries
+    * wherever the k-token window hash ≡ 0 (mod `divisor`) — the
+    * rsync/LBFS technique re-expressed relationally. Unlike a
+    * fixed-stride chunker ([[graft.operators.Chunking]]), a token
+    * inserted early in a document shifts only its OWN chunk's
+    * fingerprint: every later boundary re-synchronizes, which is what
+    * makes CDC fingerprints usable for cross-snapshot/cross-crawl block
+    * dedup. Expected chunk length is `divisor` tokens.
+    *
+    * Boundary rule: 0-based token position p ≥ 1 starts a new chunk
+    * when `h32(window[p, p+k)) % divisor == 0` (positions within k of
+    * the end have no window and never start a chunk); position 0 is
+    * always a chunk start. A document shorter than 2 tokens is one
+    * chunk; an empty/whitespace document yields no rows. The chunk
+    * fingerprint is md5-60 of the space-joined lower-cased chunk
+    * tokens ([[graft.functions.PortableHash.h60]] — 32 bits would
+    * birthday-collide at corpus scale), so everything replays exactly
+    * in SQL.
+    *
+    * Scale shape: boundaries, slices, and fingerprints are pure Column
+    * array ops inside the scan task — chunk TEXT never leaves it; only
+    * (id, chunk_idx, chunk_start, n_tokens, chunk_h) rows emerge, and
+    * any downstream dedup is a partial-aggregated groupBy on the 8-byte
+    * fingerprint.
+    *
+    * Output: one row per chunk, (idCol, chunk_idx: long, chunk_start:
+    * long, n_tokens: long, chunk_h: long), chunk_start in token
+    * indices. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      divisor: Long = 16L): DataFrame = {
+    require(k >= 2, "window length below 2 degenerates to token counting")
+    require(divisor >= 2L, "divisor below 2 makes every position a boundary")
+    // HOF-eval discipline (the dc02 generator-inlining trap's interpreted
+    // cousin): a lambda that CAPTURES an array-building tree re-evaluates
+    // that whole tree per element — nesting three of those is O(n³) per
+    // document (measured: hung the sf0.1 ScaleProof 1× point). Arrays an
+    // element needs must arrive as HOF ARGUMENTS (evaluated once per
+    // row): boundaries come from zipping the window-hash array with its
+    // positions, chunks from zipping starts with ends; lambdas only ever
+    // touch their element structs — except the per-chunk token slice,
+    // which re-splits the text per chunk (O(n²/divisor), the same class
+    // as windowHashes itself and sd01's accepted pattern).
+    val toks = tokens(col(textCol))
+    val wh = windowHashes(col(textCol), k)
+    // boundary = window slot p >= 1 whose hash ≡ 0 (mod divisor); slots
+    // run 0..n-k so positions within k of the end never start a chunk
+    val bs = transform(
+      filter(
+        zip_with(wh, sequence(lit(0), greatest(size(wh), lit(1)) - 1),
+          (h, p) => struct(h.as("h"), p.as("p"))),
+        s => s.getField("p") >= 1 &&
+          s.getField("h") % lit(divisor) === 0L),
+      s => s.getField("p"))
+    val starts = concat(array(lit(0)), bs)
+    val ends = concat(bs, array(size(toks)))
+    val chunks =
+      transform(
+        zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+        (se, i) =>
+          struct(
+            i.cast("long").as("chunk_idx"),
+            se.getField("s").cast("long").as("chunk_start"),
+            (se.getField("e") - se.getField("s")).cast("long")
+              .as("n_tokens"),
+            graft.functions.PortableHash.h60(
+              concat_ws(" ", slice(toks, se.getField("s") + 1,
+                se.getField("e") - se.getField("s"))))
+              .as("chunk_h")))
+    // a blank document tokenizes to [""] (split of the empty string) in
+    // every engine — exclude it rather than emit a chunk of no tokens
+    val nonBlank =
+      size(toks) > 1 || (size(toks) === 1 && element_at(toks, 1) =!= "")
+    ensureParallelism(docs)
+      .select(col(idCol),
+        explode(when(nonBlank, chunks).otherwise(array().cast(
+          "array<struct<chunk_idx:bigint,chunk_start:bigint," +
+            "n_tokens:bigint,chunk_h:bigint>>"))).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_start"),
+        col("c.n_tokens"), col("c.chunk_h"))
+  }
+
   /** Rewrites each document with its [[dupSpans]] removed: tokens whose
     * index falls inside any duplicated span are dropped, the rest are
     * re-joined with single spaces. Matching is case-insensitive (the

@@ -500,4 +500,38 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(out.toSeq == Seq("", ""))
   }
+
+  test("cdcChunks: chunks partition each document; degenerate docs behave") {
+    val base = (0 until 60).map(i => s"tok${i % 23}x$i").mkString(" ")
+    val d = Seq((1L, base), (2L, "solo"), (3L, "  "), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.cdcChunks(d, "doc_id", "text", k = 4, divisor = 4L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // whitespace-only doc: no rows; 1- and 2-token docs: one whole chunk
+    assert(!rows.exists(_._1 == 3L))
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 1L)))
+    assert(rows.filter(_._1 == 4L).toSeq == Seq((4L, 0L, 0L, 2L)))
+    // chunks PARTITION the token stream: starts are the running sums of
+    // lengths, totals match the token count, and divisor 4 actually cut
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.length > 1, "divisor 4 over 57 windows should cut at least once")
+    assert(c1.map(_._4).sum == 60L)
+    assert(c1.scanLeft(0L)(_ + _._4).init.toSeq == c1.map(_._3).toSeq)
+  }
+
+  test("cdcChunks: boundaries re-synchronize after an insertion (the CDC point)") {
+    val base = (0 until 80).map(i => s"w${i * 7 % 31}n$i").mkString(" ")
+    val d = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d, "doc_id", "text", k = 4, divisor = 8L)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val aHashes = ch.filter(_._1 == 1L).map(_._3).toSet
+    val bTail = ch.filter(t => t._1 == 2L && t._2 >= 1L).map(_._3)
+    assert(bTail.nonEmpty, "the 80-token doc should cut more than one chunk")
+    // every chunk of the shifted doc except its first re-synchronizes to
+    // a chunk of the original — a fixed-stride chunker shares none
+    assert(bTail.forall(aHashes.contains),
+      s"unsynchronized chunks: ${bTail.filterNot(aHashes.contains).toSeq}")
+  }
 }

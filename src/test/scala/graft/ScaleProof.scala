@@ -81,6 +81,7 @@ object ScaleProof {
     "qs01_select" -> Bounds(25, 8),     // measured 17.6x of a ~0 base (0.2 MiB)
     "me01_embed" -> Bounds(25, 8),      // measured 16.6x of 1.6 MiB (slot bags)
     // round-8 third-sitting lanes
+    "cd01_cdc" -> Bounds(6, 8),         // measured 3.2x (8-byte-key agg only)
     "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
     "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
     "km01_kmeans" -> Bounds(10, 8))     // ~zero-shuffle: k x dim partial buffers only
@@ -410,6 +411,15 @@ object ScaleProof {
         Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
           .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
           .head().getLong(0))
+      measure("cd01_cdc", scale)(
+        // CDC block dedup: chunk text is hashed inside the scan task;
+        // only (id, idx, start, len, h) rows and the 8-byte-key agg move
+        Dedup.cdcChunks(docs, "doc_id", "text", k = 4, divisor = 16L)
+          .groupBy(col("chunk_h"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"))
+          .filter(col("n_docs") >= 2)
+          .count())
       measure("id01_incr", scale) {
         // incremental dedup: the incoming micro-batch is FIXED at the 1x
         // corpus's %10 split across every scale (dc02's contract — a

@@ -51,6 +51,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("dc02_bloom", 1.0, 0.2, 1.0),
       pair("hh01_heavy", 0.0, 0.2, 1.2),
       // round-8 third-sitting lanes (SCALING.md addendum)
+      pair("cd01_cdc", 1.4, 4.4, 1.1),
       pair("id01_incr", 2.2, 12.6, 1.1),
       pair("nb01_nbayes", 2.1, 35.2, 1.4),
       pair("km01_kmeans", 0.0, 0.4, 1.1)).flatten
@@ -66,7 +67,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
       "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
       "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
-      "km01_kmeans")
+      "km01_kmeans", "cd01_cdc")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
