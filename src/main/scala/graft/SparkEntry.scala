@@ -2714,6 +2714,39 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
     // exact jaccard over distinct word-3-gram shingle sets; matches the
     // posting-list implementation (hash collisions are 64-bit-improbable)
+    // winnowing replay: md5-32 k-token hashes, list_min per w-window
+    // (value-min — the positional tie-break cannot change the emitted
+    // SET), distinct per doc, capped inverted-index pair counts
+    "fp01_winnowing" ->
+      raw"""WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 4 THEN
+        |      list_transform(range(1, len(ts) - 2),
+        |        p -> ('0x' || substr(md5(array_to_string(ts[p : p+3], ' ')),
+        |          1, 8))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM tk),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      unnest(CASE WHEN len(hs) >= 4 THEN
+        |        list_transform(range(1, len(hs) - 2),
+        |          p -> list_min(hs[p : p+3]))
+        |      ELSE [] END) AS fp
+        |    FROM hs)),
+        |usable AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp)
+        |  WHERE n >= 2 AND n <= 1000),
+        |cf AS (SELECT f.doc_id, f.fp FROM fp f JOIN usable USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY n_shared DESC, id_a, id_b
+        |LIMIT 50""".stripMargin,
     // CDC replay: the same md5-32 window hashes cut boundaries at
     // h % 16 = 0, chunks are the between-boundary token slices, md5-60
     // fingerprints, duplicate counting over the fingerprint
@@ -3492,6 +3525,17 @@ object SparkEntry {
       Dedup.nearDupResolveBy(d, "doc_id", "text", "quality",
           threshold = 0.8, portable = true)
         .orderBy(col("id"))
+    }),
+    // winnowing document fingerprints (Schleimer et al. SIGMOD'03, the
+    // MOSS algorithm): min-hash of every w-window of k-token hashes →
+    // distinct fingerprint sets → inverted-index shared counts with the
+    // hot-posting cap. Any shared ≥(w+k-1)-token run guarantees a shared
+    // fingerprint — the published containment-detection contract
+    "fp01_winnowing" -> ((s, dir) => {
+      Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, minShared = 2L)
+        .orderBy(desc("n_shared"), col("id_a"), col("id_b"))
+        .limit(50)
     }),
     // content-defined chunking dedup (rsync/LBFS boundaries, relational):
     // variable-length chunks cut where the 4-token window hash ≡ 0 mod 16,

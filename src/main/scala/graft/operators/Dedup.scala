@@ -1097,6 +1097,74 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): in every window of `w` consecutive
+    * k-token window hashes, keep the window's MINIMUM hash; the distinct
+    * kept values are the document's fingerprint set, and any two
+    * documents sharing a token run of length ≥ w + k − 1 are guaranteed
+    * to share at least one fingerprint. Density is ~2/(w+1) of the
+    * hash stream — the published robustness/size dial.
+    *
+    * Selection is by VALUE minimum (position-free): equal minima within
+    * a window are the same fingerprint value anyway, so the positional
+    * tie-break of the paper changes nothing about the emitted SET, and
+    * the SQL replay stays a plain `list_min`. Only full windows select
+    * (documents with fewer than w window hashes emit nothing).
+    *
+    * Scale shape: one narrow (id, pos, hash) shuffle partitioned by id
+    * feeds the sliding-window minimum — the sd01 discipline; text never
+    * moves. Output: (idCol, fp: long), distinct per document. */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    require(k >= 2, "window length below 2 degenerates to token counting")
+    require(w >= 1, "winnowing window must be at least 1")
+    val hashes = ensureParallelism(docs).select(col(idCol),
+      posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy(col(idCol))
+    val winRows = byDoc.orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashes
+      .withColumn("__maxp", max(col("pos")).over(byDoc))
+      .withColumn("fp", min(col("h")).over(winRows))
+      .filter(col("pos") <= col("__maxp") - (w - 1)) // full windows only
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Cross-document shared-fingerprint counts over
+    * [[winnowingFingerprints]] — the MOSS similarity report. Pairing is
+    * an inverted-index join on the fingerprint value with the dc01 hot-
+    * posting discipline: a fingerprint shared by more than
+    * `maxPostingLength` documents is dropped from pairing (a corpus-wide
+    * boilerplate fingerprint would otherwise fan out quadratically);
+    * singleton postings are pruned before the join (they cannot pair).
+    * Output: (id_a, id_b, n_shared) with id_a < id_b and
+    * n_shared ≥ `minShared`. */
+  def winnowingPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxPostingLength: Int = 1000): DataFrame = {
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+    val usable = fp.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxPostingLength)
+      .select("fp")
+    val capped = fp.join(usable, Seq("fp"), "left_semi")
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Content-defined chunking (CDC): variable-length chunk boundaries
     * wherever the k-token window hash ≡ 0 (mod `divisor`) — the
     * rsync/LBFS technique re-expressed relationally. Unlike a

@@ -501,6 +501,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("", ""))
   }
 
+  test("winnowingFingerprints: exact driver replay of the MOSS selection") {
+    def h(s: String) = graft.functions.PortableHash.md5_32(s)
+    val text = (0 until 30).map(i => s"t${(i * 11) % 13}").mkString(" ")
+    val toks = text.split("\\s+")
+    val hashes = toks.sliding(4).map(g => h(g.mkString(" "))).toSeq
+    val expected = hashes.sliding(4).map(_.min).toSeq.distinct.sorted
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(d, "doc_id", "text", k = 4, w = 4)
+      .collect().map(_.getLong(1)).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("winnowingPairs: a shared w+k-1 token run guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 = w+k-1
+    val d = Seq(
+      (1L, s"one two three four five $shared"),
+      (2L, s"$shared six seven eight nine ten"),
+      (3L, "totally different words everywhere here now obviously"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(d, "doc_id", "text",
+        k = 4, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), pairs.toSeq.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cdcChunks: chunks partition each document; degenerate docs behave") {
     val base = (0 until 60).map(i => s"tok${i % 23}x$i").mkString(" ")
     val d = Seq((1L, base), (2L, "solo"), (3L, "  "), (4L, "a b"))

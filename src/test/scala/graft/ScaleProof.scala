@@ -82,6 +82,7 @@ object ScaleProof {
     "me01_embed" -> Bounds(25, 8),      // measured 16.6x of 1.6 MiB (slot bags)
     // round-8 third-sitting lanes
     "cd01_cdc" -> Bounds(6, 8),         // measured 3.2x (8-byte-key agg only)
+    "fp01_winnow" -> Bounds(16, 8),     // measured 9.8x (answer-bound: 308->572k pairs)
     "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
     "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
     "km01_kmeans" -> Bounds(10, 8))     // ~zero-shuffle: k x dim partial buffers only
@@ -411,6 +412,12 @@ object ScaleProof {
         Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
           .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
           .head().getLong(0))
+      measure("fp01_winnow", scale)(
+        // MOSS fingerprints: one narrow (id, pos, hash) shuffle for the
+        // sliding min, then capped inverted-index pair counts — the
+        // hot boilerplate fingerprint is dropped by the posting cap
+        Dedup.winnowingPairs(docs, "doc_id", "text", k = 4, w = 4,
+          minShared = 2L).count())
       measure("cd01_cdc", scale)(
         // CDC block dedup: chunk text is hashed inside the scan task;
         // only (id, idx, start, len, h) rows and the 8-byte-key agg move

@@ -52,6 +52,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("hh01_heavy", 0.0, 0.2, 1.2),
       // round-8 third-sitting lanes (SCALING.md addendum)
       pair("cd01_cdc", 1.4, 4.4, 1.1),
+      pair("fp01_winnow", 8.4, 81.6, 1.3),
       pair("id01_incr", 2.2, 12.6, 1.1),
       pair("nb01_nbayes", 2.1, 35.2, 1.4),
       pair("km01_kmeans", 0.0, 0.4, 1.1)).flatten
@@ -67,7 +68,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
       "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
       "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
-      "km01_kmeans", "cd01_cdc")
+      "km01_kmeans", "cd01_cdc", "fp01_winnow")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
