@@ -561,6 +561,28 @@ object EscoAnalytics {
       .orderBy(desc("core_degree"), col("uri"))
   }
 
+  /** Cluster the skill catalog by embedding — Lloyd's k-means in exact
+    * integer micro-units ([[graft.operators.Similarity.Ivf.kMeansAssignInt]]):
+    * the SemDeDup-style grouping step for near-duplicate skill discovery
+    * and per-cluster curation, deterministic and engine-replayable like
+    * [[topPageRankExact]]. Output: one row per embedded skill,
+    * (uri, preferredLabel, cluster, d2), cluster-then-distance ordered
+    * so each cluster reads nearest-first. */
+  def clusterSkills(wh: EscoWarehouse, k: Int = 16, iters: Int = 2): DataFrame = {
+    val base = new graft.vector.SemanticSearch(
+        wh, new graft.vector.HashingEmbedder())
+      .skillsIndexed
+      .filter(col("embedding").isNotNull)
+      .select(col("conceptUri"), col("preferredLabel"), col("embedding"))
+    graft.operators.Similarity.Ivf
+      .kMeansAssignInt(base, "conceptUri", "embedding", k, iters)
+      .join(base.select(col("conceptUri"), col("preferredLabel")),
+        Seq("conceptUri"))
+      .select(col("conceptUri").as("uri"), col("preferredLabel"),
+        col("cell").as("cluster"), col("d2"))
+      .orderBy(col("cluster"), col("d2"), col("uri"))
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

@@ -122,6 +122,7 @@ object EscoCli {
         case "hits-exact" => EscoAnalytics.topHitsExact(wh)
         case "triangles" => EscoAnalytics.topTriangles(wh)
         case "concept-core" => EscoAnalytics.conceptCore(wh)
+        case "cluster-skills" => EscoAnalytics.clusterSkills(wh)
         case "top-skills-by-relationships" =>
           EscoAnalytics.topSkillsByRelationships(wh)
         case "top-occupations-optional" =>
@@ -216,6 +217,7 @@ object EscoCli {
           |            isco-most-occupations skill-cooccurrence isco-depths
           |            skill-depths communities communities-louvain betweenness
           |            pagerank pagerank-exact hits-exact triangles concept-core
+          |            cluster-skills
           |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)

@@ -28,7 +28,7 @@ class EscoCliSpec extends AnyFunSuite {
     "top-skills-by-relationships", "top-occupations-optional",
     "transferable-skills", "skill-groups-most-skills",
     "combined-connections", "pagerank-exact", "hits-exact",
-    "triangles", "concept-core",
+    "triangles", "concept-core", "cluster-skills",
     // the graph-analytics verbs, on the mini warehouse: wiring smoke for
     // the GraphX/iterative paths too
     "isco-depths", "communities", "betweenness", "pagerank")
