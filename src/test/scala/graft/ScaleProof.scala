@@ -100,7 +100,12 @@ object ScaleProof {
     "sp03_shards" -> Bounds(10, 8),     // measured 6.4x
     "me01_embed" -> Bounds(16, 8),      // measured 10.9x (dim-bounded bags)
     "dc02_bloom" -> Bounds(25, 8),      // measured 16.6x of 0.2 MiB (answer-bound)
-    "hh01_heavy" -> Bounds(8, 8))       // measured 3.1x of 0.2 MiB
+    "hh01_heavy" -> Bounds(8, 8),       // measured 3.1x of 0.2 MiB
+    // round-8 third-sitting third points
+    "cd01_cdc" -> Bounds(16, 8),        // measured 10.3x (linear)
+    "id01_incr" -> Bounds(26, 8),       // measured 16.5x (answer-bound probe hits)
+    "nb01_nbayes" -> Bounds(17, 8),     // measured 10.9x (exactly linear)
+    "fp01_winnow" -> Bounds(90, 8))     // measured 56.9x (answer grew 50x: 572k->28.7M pairs)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale

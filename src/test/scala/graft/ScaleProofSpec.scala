@@ -102,7 +102,12 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("me01_embed", 27.0, 293.6, 1.2),
       // round-8 bloom decontamination + heavy hitters third points
       pair100("dc02_bloom", 0.2, 4.0, 1.1),
-      pair100("hh01_heavy", 0.2, 0.7, 1.1)).flatten
+      pair100("hh01_heavy", 0.2, 0.7, 1.1),
+      // round-8 third-sitting third points
+      pair100("cd01_cdc", 4.4, 44.7, 1.1),
+      pair100("id01_incr", 12.6, 207.9, 1.1),
+      pair100("nb01_nbayes", 35.2, 382.3, 1.6),
+      pair100("fp01_winnow", 81.6, 4642.9, 2.0)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
