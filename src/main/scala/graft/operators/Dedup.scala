@@ -1035,13 +1035,19 @@ object Dedup {
     * so span lanes can carry a full SQL oracle. Documents shorter than k
     * tokens get an empty array. Pure codegen'd Column — no explode of
     * text, no UDF. */
-  def windowHashes(textCol: Column, k: Int): Column = {
-    val toks = tokens(textCol)
+  def windowHashes(textCol: Column, k: Int): Column =
+    windowHashesFromTokens(tokens(textCol), k)
+
+  /** [[windowHashes]] over an already-computed token array column. Feed
+    * an ATTRIBUTE (an aliased column from a previous select) when the
+    * result participates in further per-element work: an inlined token
+    * tree re-splits the text per window element (see the cdcChunks
+    * HOF-eval note), an attribute is a row-field read. */
+  def windowHashesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => h32(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   /** Maximal duplicated token spans — the substring-level member of the
     * dedup family (the relational re-expression of suffix-array
@@ -1202,22 +1208,30 @@ object Dedup {
     require(k >= 2, "window length below 2 degenerates to token counting")
     require(divisor >= 2L, "divisor below 2 makes every position a boundary")
     // HOF-eval discipline (the dc02 generator-inlining trap's interpreted
-    // cousin): a lambda that CAPTURES an array-building tree re-evaluates
-    // that whole tree per element — nesting three of those is O(n³) per
-    // document (measured: hung the sf0.1 ScaleProof 1× point). Arrays an
-    // element needs must arrive as HOF ARGUMENTS (evaluated once per
-    // row): boundaries come from zipping the window-hash array with its
-    // positions, chunks from zipping starts with ends; lambdas only ever
-    // touch their element structs — except the per-chunk token slice,
-    // which re-splits the text per chunk (O(n²/divisor), the same class
-    // as windowHashes itself and sd01's accepted pattern).
-    val toks = tokens(col(textCol))
-    val wh = windowHashes(col(textCol), k)
+    // cousin), two rules learned the hard way here:
+    //   1. a lambda that CAPTURES an array-building tree re-evaluates
+    //      that whole tree per element (HOFs are interpreted, no CSE) —
+    //      nesting three of those was O(n³)/doc and hung the sf0.1
+    //      ScaleProof 1× point. Arrays an element needs arrive as HOF
+    //      ARGUMENTS (zip-with-positions), evaluated once.
+    //   2. even ONE captured non-trivial tree per element is O(n)×cost:
+    //      the per-chunk token slice over an inlined tokens(text) tree
+    //      re-split the text per chunk (152 s at the 100× point). So the
+    //      token and window-hash arrays are staged as ALIASED COLUMNS in
+    //      separate selects: CollapseProject keeps a non-cheap alias
+    //      referenced more than once in its own projection, making every
+    //      lambda reference a row-field read.
+    val staged = ensureParallelism(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        windowHashesFromTokens(col("__toks"), k).as("__wh"))
+    val toks = col("__toks")
     // boundary = window slot p >= 1 whose hash ≡ 0 (mod divisor); slots
     // run 0..n-k so positions within k of the end never start a chunk
     val bs = transform(
       filter(
-        zip_with(wh, sequence(lit(0), greatest(size(wh), lit(1)) - 1),
+        zip_with(col("__wh"),
+          sequence(lit(0), greatest(size(col("__wh")), lit(1)) - 1),
           (h, p) => struct(h.as("h"), p.as("p"))),
         s => s.getField("p") >= 1 &&
           s.getField("h") % lit(divisor) === 0L),
@@ -1241,7 +1255,7 @@ object Dedup {
     // every engine — exclude it rather than emit a chunk of no tokens
     val nonBlank =
       size(toks) > 1 || (size(toks) === 1 && element_at(toks, 1) =!= "")
-    ensureParallelism(docs)
+    staged
       .select(col(idCol),
         explode(when(nonBlank, chunks).otherwise(array().cast(
           "array<struct<chunk_idx:bigint,chunk_start:bigint," +
