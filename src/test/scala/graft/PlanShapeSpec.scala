@@ -91,6 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")), exchanges.mkString("\n"))
   }
 
+  test("nb01: model and class tables broadcast; exchanges never carry text") {
+    val p = plan("nb01_nb_lang")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n"))
+  }
+
+  test("fp01: winnowing exchanges carry hashes and ids, never text") {
+    val p = plan("fp01_winnowing")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n"))
+  }
+
   test("ivf assignCells: argmax is a partial hash agg, no window sort") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
