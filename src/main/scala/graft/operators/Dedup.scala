@@ -1117,9 +1117,12 @@ object Dedup {
     * the SQL replay stays a plain `list_min`. Only full windows select
     * (documents with fewer than w window hashes emit nothing).
     *
-    * Scale shape: one narrow (id, pos, hash) shuffle partitioned by id
-    * feeds the sliding-window minimum — the sd01 discipline; text never
-    * moves. Output: (idCol, fp: long), distinct per document. */
+    * Scale shape: selection is per-document, so it is ROW-LOCAL list
+    * work inside the scan task (the cdcChunks staging discipline —
+    * no (id, pos, hash) explode, no per-doc window sort, no distinct
+    * shuffle; the first cut paid all three); what leaves the task is
+    * the already-distinct (id, fp) rows. Output: (idCol, fp: long),
+    * distinct per document. */
   def winnowingFingerprints(
       docs: DataFrame,
       idCol: String,
@@ -1128,17 +1131,15 @@ object Dedup {
       w: Int = 4): DataFrame = {
     require(k >= 2, "window length below 2 degenerates to token counting")
     require(w >= 1, "winnowing window must be at least 1")
-    val hashes = ensureParallelism(docs).select(col(idCol),
-      posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "h")))
-    val byDoc = Window.partitionBy(col(idCol))
-    val winRows = byDoc.orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    hashes
-      .withColumn("__maxp", max(col("pos")).over(byDoc))
-      .withColumn("fp", min(col("h")).over(winRows))
-      .filter(col("pos") <= col("__maxp") - (w - 1)) // full windows only
-      .select(col(idCol), col("fp"))
-      .distinct()
+    val staged = ensureParallelism(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), windowHashesFromTokens(col("__toks"), k).as("__wh"))
+    val wh = col("__wh")
+    val fps = when(size(wh) >= w,
+      array_distinct(transform(sequence(lit(0), size(wh) - w),
+        p => array_min(slice(wh, p + 1, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+    staged.select(col(idCol), explode(fps).as("fp"))
   }
 
   /** Cross-document shared-fingerprint counts over

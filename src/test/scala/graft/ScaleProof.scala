@@ -82,7 +82,7 @@ object ScaleProof {
     "me01_embed" -> Bounds(25, 8),      // measured 16.6x of 1.6 MiB (slot bags)
     // round-8 third-sitting lanes
     "cd01_cdc" -> Bounds(6, 8),         // measured 3.2x (8-byte-key agg only)
-    "fp01_winnow" -> Bounds(16, 8),     // measured 9.8x (answer-bound: 308->572k pairs)
+    "fp01_winnow" -> Bounds(26, 8),     // measured 16.4x of 2.6 MiB (answer-bound: 308->572k pairs; row-local selection shrank the base)
     "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
     "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
     "km01_kmeans" -> Bounds(10, 8))     // ~zero-shuffle: k x dim partial buffers only
@@ -105,7 +105,7 @@ object ScaleProof {
     "cd01_cdc" -> Bounds(16, 8),        // measured 10.3x (linear)
     "id01_incr" -> Bounds(26, 8),       // measured 16.5x (answer-bound probe hits)
     "nb01_nbayes" -> Bounds(17, 8),     // measured 10.9x (exactly linear)
-    "fp01_winnow" -> Bounds(90, 8))     // measured 56.9x (answer grew 50x: 572k->28.7M pairs)
+    "fp01_winnow" -> Bounds(150, 8))    // measured 91.4x (answer grew 50x: 572k->28.7M pairs; pair join is ~all that shuffles now)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale

@@ -52,7 +52,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("hh01_heavy", 0.0, 0.2, 1.2),
       // round-8 third-sitting lanes (SCALING.md addendum)
       pair("cd01_cdc", 1.4, 4.4, 1.1),
-      pair("fp01_winnow", 8.4, 81.6, 1.3),
+      pair("fp01_winnow", 2.6, 42.9, 1.1),
       pair("id01_incr", 2.2, 12.6, 1.1),
       pair("nb01_nbayes", 2.1, 35.2, 1.4),
       pair("km01_kmeans", 0.0, 0.4, 1.1)).flatten
@@ -107,7 +107,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("cd01_cdc", 4.4, 44.7, 1.1),
       pair100("id01_incr", 12.6, 207.9, 1.1),
       pair100("nb01_nbayes", 35.2, 382.3, 1.6),
-      pair100("fp01_winnow", 81.6, 4642.9, 2.0)).flatten
+      pair100("fp01_winnow", 42.9, 3922.9, 1.2)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
