@@ -29,6 +29,10 @@ object Dedup {
     * (a single small parquet file = ONE partition = one core doing all the
     * hashing). No-op when the input is already parallel enough. */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    // a streaming frame cannot be plan-inspected (toRdd asserts batch);
+    // micro-batch parallelism is the source's concern — pass through,
+    // which also keeps every ensureParallelism caller streaming-legal
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd reads the partition count off the prepared physical plan
     // without the row-encoding layer df.rdd would add

@@ -420,6 +420,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("winnowing + CDC run on STREAMS: row-local selection is streaming-legal") {
+    // the first winnowing cut used a window function (illegal on
+    // streams); the row-local form and cdcChunks are stateless
+    // projections, so arriving docs can be checked against a static
+    // corpus fingerprint index — the incremental-dedup shape
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = graft.operators.Dedup
+      .winnowingFingerprints(corpus, "doc_id", "text")
+      .select(col("fp"), col("doc_id").as("corpus_id"))
+      .localCheckpoint()
+    val knownText = corpus.orderBy("doc_id").limit(1)
+      .select(col("text")).head().getString(0)
+    val dir = Files.createTempDirectory("graft-stream-fp").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(300000L, knownText),
+        org.apache.spark.sql.Row(300001L,
+          "fresh streaming words zanzibar quixotic vellum " +
+            "ytterbium numinous gossamer lambent")), 1),
+      schema).write.mode("overwrite").parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    // fingerprint the arriving docs and join the static index
+    val flagged = graft.operators.Dedup
+      .winnowingFingerprints(stream, "doc_id", "text")
+      .join(index, Seq("fp"))
+      .select(col("doc_id"), col("corpus_id"))
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("stream_fp")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("stream_fp").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(300000L),
+        s"known doc must share fingerprints, novel must not: $ids")
+    } finally q.stop()
+    // cdcChunks on the same stream: chunks flow statelessly
+    val chunks = graft.operators.Dedup.cdcChunks(stream, "doc_id", "text")
+    val q2 = chunks.writeStream.outputMode("append")
+      .format("memory").queryName("stream_cdc")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("stream_cdc").count() > 0)
+    } finally q2.stop()
+  }
+
   test("flagContaminated: bloom decontamination is stream-static and stateless") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
