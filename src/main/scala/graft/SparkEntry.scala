@@ -929,6 +929,15 @@ object SparkEntry {
       CorpusStats.mixtureWeights(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
     }),
+    // temperature-scaled mixture weights (the mBERT/XLM-R α-smoothing):
+    // α = 1/2 via ONE IEEE sqrt (correctly rounded in every engine,
+    // where pow is not), weights rounded to micro before the exact
+    // integer normalization
+    "mw02_temperature_mix" -> ((s, dir) => {
+      CorpusStats.temperatureWeights(
+        t(s, dir, "documents"), "source", "text", sqrtSteps = 1)
+        .orderBy(col("source"))
+    }),
     // the selection half of data mixing: per-source 500-token budgets,
     // greedy maximal prefix in salted-hash order (the two-level bucket
     // plan; the oracle replays the equivalent naive window prefix)
@@ -1268,6 +1277,24 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, n_chars,
         |  CAST((n_tokens * 1000) // t.tot AS BIGINT) AS token_permille
         |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
+    // temperature replay: same token counter, one sqrt (IEEE-exact both
+    // engines), floor to micro, integer floor-div normalization
+    "mw02_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w_micro
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt FROM w)
+        |SELECT source, n_tokens, w_micro,
+        |  CASE WHEN t.wt = 0 THEN 0
+        |    ELSE CAST((w_micro * 1000000) // t.wt AS BIGINT)
+        |  END AS share_micro
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
     // mixture-sample replay: the naive window prefix IS the semantics
     // (the Spark side's two-level bucket plan is spec-pinned equivalent);
     // token counter and salted md5-hex order match the engine exactly

@@ -470,6 +470,46 @@ object CorpusStats {
           .as("token_permille"))
   }
 
+  /** Temperature-scaled mixture weights — the exponent-smoothed sampling
+    * distribution multilingual corpora are drawn with (p_i ∝ share_i^α
+    * with α < 1 upweights low-resource sources; the mBERT/XLM-R
+    * recipe). The exponent is the α = 1/2^`sqrtSteps` family computed
+    * by NESTED IEEE SQUARE ROOTS: `sqrt` is correctly rounded in every
+    * IEEE-754 engine where `pow` is not, so the weights replay
+    * bit-for-bit cross-engine (an arbitrary-α variant would inherit
+    * each libm's pow). Each source's smoothed weight rounds to integer
+    * micro-units BEFORE the normalizing sum — exact long arithmetic
+    * from there, merge-order independent.
+    *
+    * Output: (groupCol, n_tokens, w_micro, share_micro) with
+    * `w_micro = floor(n_tokens^(1/2^steps) · 1e6)` and `share_micro =
+    * w_micro·1e6 DIV Σ w_micro` — floor shares, Σ ≤ 1e6 with the
+    * remainder implied (consumers sampling by share treat the residual
+    * as "no source", the conservative direction). */
+  def temperatureWeights(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      sqrtSteps: Int = 1): DataFrame = {
+    require(sqrtSteps >= 1 && sqrtSteps <= 4,
+      "sqrtSteps outside 1..4: α below 1/16 flattens to uniform — use that directly")
+    require(!docs.columns.contains("graft_wtot"),
+      "input already has a graft_wtot column")
+    val toks = TextFunctions.tokens(col(textCol))
+    val g = docs.groupBy(col(groupCol)).agg(
+      sum(size(filter(toks, t => length(t) > 0)).cast("long")).as("n_tokens"))
+    var w: Column = col("n_tokens").cast("double")
+    for (_ <- 1 to sqrtSteps) w = sqrt(w)
+    val gw = g.withColumn("w_micro",
+      floor(w * lit(1000000.0)).cast("long"))
+    val tot = gw.agg(sum("w_micro").as("graft_wtot"))
+    gw.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"), col("w_micro"),
+        when(col("graft_wtot") === 0L, lit(0L))
+          .otherwise(ldiv(col("w_micro") * lit(1000000L), col("graft_wtot")))
+          .as("share_micro"))
+  }
+
   /** Document frequency of word `n`-grams, keyed by 64-bit shingle hash
     * (gram strings never shuffle; collisions are 64-bit-improbable, the
     * same contract as [[Dedup.ngramJaccard]]). */

@@ -51,6 +51,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(full.getSeq[Long](1) == Seq(4L) && full.getLong(3) == 0L)
   }
 
+  test("temperatureWeights: hand-computed sqrt smoothing upweights the small source") {
+    // big: 16 tokens, small: 4 -> raw shares 800/200 permille, smoothed
+    // sqrt weights 4e6/2e6 -> shares 666666/333333 micro (exact floor)
+    val docs = Seq(
+      (1L, (1 to 16).map(_ => "a").mkString(" "), "big"),
+      (2L, "b b b b", "small")).toDF("doc_id", "text", "src")
+    val out = CorpusStats.temperatureWeights(docs, "src", "text")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("big", 16L, 4000000L, 666666L),
+      ("small", 4L, 2000000L, 333333L)))
+    // two sqrt steps: 16^(1/4)=2, 4^(1/4)=sqrt(2) -> weights 2e6 /
+    // floor(sqrt(2)*1e6)=1414213; the small share rises again
+    val out2 = CorpusStats.temperatureWeights(docs, "src", "text", sqrtSteps = 2)
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out2.toSeq == Seq(
+      ("big", 2000000L, 2000000L * 1000000L / 3414213L),
+      ("small", 1414213L, 1414213L * 1000000L / 3414213L)))
+    // empty corpus: zero weights, zero shares, no division error
+    val empty = Seq((1L, " ", "x")).toDF("doc_id", "text", "src")
+    val e = CorpusStats.temperatureWeights(empty, "src", "text").head()
+    assert(e.getLong(2) == 0L && e.getLong(3) == 0L)
+  }
+
   test("naiveBayesPredict: hand-computed model, exact tie-break, tokenless absent") {
     // symmetric 2-class corpus: en tokens a:3 b:1 c:1 (T=5), fr tokens
     // c:3 d:1 a:1 (T=5), V=4; docs 5/6 share text "a c" so their class
