@@ -929,6 +929,19 @@ object SparkEntry {
       CorpusStats.mixtureWeights(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
     }),
+    // BM25 keyword retrieval (Robertson/Spärck Jones) in exact integer
+    // micro-units: idf rounds to micro per query term (lm01's log2
+    // convention), everything else is fixed-order long floor division —
+    // ranking replays bit-for-bit. Query = corpus tokens ranked 5..7
+    // (count desc, token): deterministic mid-frequency keywords, a
+    // driver-sized lookup like ann01's query vector
+    "bm01_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = CorpusStats.termCounts(docs, "doc_id", "text")
+        .orderBy(desc("c"), col("tok")).limit(7)
+        .collect().drop(4).map(_.getString(0)).toSeq
+      CorpusStats.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+    }),
     // temperature-scaled mixture weights (the mBERT/XLM-R α-smoothing):
     // α = 1/2 via ONE IEEE sqrt (correctly rounded in every engine,
     // where pow is not), weights rounded to micro before the exact
@@ -1277,6 +1290,42 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, n_chars,
         |  CAST((n_tokens * 1000) // t.tot AS BIGINT) AS token_permille
         |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
+    // BM25 replay: same tokenization, ranks 5..7 query, idf micro
+    // rounding, and the exact fixed-order integer chain (k1 = 1.2 and
+    // b = 0.75 inlined as 2200000/1200000/750000/250000 micro constants)
+    "bm01_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tk GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS len
+        |  FROM dt GROUP BY 1),
+        |st AS (SELECT CAST(SUM(len) AS BIGINT) AS tt,
+        |  CAST(COUNT(*) AS BIGINT) AS nd FROM lens),
+        |q AS (SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
+        |    FROM (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok))
+        |  WHERE rn BETWEEN 5 AND 7),
+        |idf AS (SELECT d.tok,
+        |    CAST(round(log2((s.nd - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM dt d JOIN q USING (tok) CROSS JOIN st s
+        |  GROUP BY d.tok, s.nd),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(SUM((i.idf_micro *
+        |      ((d.occ * 2200000 * 1000000) // (d.occ * 1000000 +
+        |        (1200000 * (250000 +
+        |          (750000 * ((l.len * 1000000000000) //
+        |            ((s.tt * 1000000) // s.nd))) // 1000000)) // 1000000))
+        |    ) // 1000000) AS BIGINT) AS score_micro
+        |  FROM dt d JOIN q USING (tok) JOIN idf i USING (tok)
+        |    JOIN lens l USING (doc_id) CROSS JOIN st s
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, score_micro FROM sc
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
     // temperature replay: same token counter, one sqrt (IEEE-exact both
     // engines), floor to micro, integer floor-div normalization
     "mw02_temperature_mix" ->

@@ -470,6 +470,62 @@ object CorpusStats {
           .as("token_permille"))
   }
 
+  /** BM25 keyword retrieval over the corpus — the standard
+    * (Robertson/Spärck Jones) lexical ranking function, here in EXACT
+    * integer micro-units so ranking replays bit-for-bit cross-engine:
+    * idf rounds to micro once per query term (log2, the lm01 libm
+    * convention), every other step is long arithmetic with floor
+    * division in a fixed order. Defaults k1 = 1.2, b = 0.75 (micro
+    * units). Only documents containing at least one query term are
+    * scored/returned (BM25 scores the rest 0); `N` and avgdl follow the
+    * token-model convention (documents with ≥ 1 non-empty token).
+    *
+    * Scale: the query-term posting slice is a filter on the (doc,
+    * term, tf) frame; the idf table is |query| rows broadcast; the
+    * length join is id-keyed and narrow; top-k plans as
+    * TakeOrderedAndProject. Per-document length must stay below ~9e6
+    * tokens (the len·1e12 ratio intermediate) — chunk first beyond
+    * that.
+    *
+    * Output: (idCol, score_micro: long), top `k` by (score desc, id). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      k: Int = 10,
+      k1Micro: Long = 1200000L,
+      bMicro: Long = 750000L): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query")
+    require(k > 0, "k must be positive")
+    require(bMicro >= 0L && bMicro <= 1000000L, "b outside [0, 1]")
+    val dt = materialize(docTermCounts(docs, idCol, textCol))
+    val lens = dt.groupBy(col(idCol)).agg(sum("occ").as("len"))
+    // Two bounded scalars (grand totals), not data rows.
+    val r = lens.agg(coalesce(sum(col("len")), lit(0L)).as("tt"),
+      count(lit(1)).as("nd")).head()
+    val tt = r.getLong(0); val nd = r.getLong(1)
+    val avgMicro = if (nd == 0L) 1L else tt * 1000000L / nd
+    val qdt = dt.filter(col("tok").isin(queryTokens: _*))
+    val idf = qdt.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      .select(col("tok"),
+        round(log2((lit(nd.toDouble) - col("dfc") + lit(0.5)) /
+          (col("dfc") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long").as("idf_micro"))
+    val ratio = ldiv(col("len") * lit(1000000000000L), lit(avgMicro))
+    val norm = lit(1000000L - bMicro) + ldiv(lit(bMicro) * ratio, lit(1000000L))
+    val tfpart = ldiv(
+      col("occ") * lit(k1Micro + 1000000L) * lit(1000000L),
+      col("occ") * lit(1000000L) + ldiv(lit(k1Micro) * norm, lit(1000000L)))
+    qdt
+      .join(broadcast(idf), "tok")
+      .join(lens, idCol)
+      .withColumn("__term_score", ldiv(col("idf_micro") * tfpart, lit(1000000L)))
+      .groupBy(col(idCol)).agg(sum("__term_score").as("score_micro"))
+      .orderBy(desc("score_micro"), col(idCol))
+      .limit(k)
+  }
+
   /** Temperature-scaled mixture weights — the exponent-smoothed sampling
     * distribution multilingual corpora are drawn with (p_i ∝ share_i^α
     * with α < 1 upweights low-resource sources; the mBERT/XLM-R

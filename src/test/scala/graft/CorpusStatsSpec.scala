@@ -51,6 +51,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(full.getSeq[Long](1) == Seq(4L) && full.getLong(3) == 0L)
   }
 
+  test("bm25TopK: exact integer-chain driver replay; unmatched docs absent") {
+    val docs = Seq(
+      (1L, "x x x a b"), // tf(x)=3, len 5
+      (2L, "x a a a a a"), // tf(x)=1, long doc
+      (3L, "b b b b"), // no query term -> absent
+      (4L, "x y")).toDF("doc_id", "text") // tf(x)=1, short doc
+    val (n, t) = (4L, 17L)
+    val avgMicro = t * 1000000L / n
+    val dfx = 3L
+    val idf = math.round(math.log((n - dfx + 0.5) / (dfx + 0.5) + 1.0) /
+      math.log(2.0) * 1e6)
+    def score(tf: Long, len: Long): Long = {
+      val ratio = len * 1000000000000L / avgMicro
+      val norm = 250000L + 750000L * ratio / 1000000L
+      val tfpart = tf * 2200000L * 1000000L /
+        (tf * 1000000L + 1200000L * norm / 1000000L)
+      idf * tfpart / 1000000L
+    }
+    val expected = Seq(
+      (1L, score(3, 5)), (2L, score(1, 6)), (4L, score(1, 2)))
+      .sortBy(p => (-p._2, p._1))
+    val got = CorpusStats.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    // the short doc outranks the long one at equal tf (length norm),
+    // and high-tf doc 1 ranks first
+    assert(got.head._1 == 1L && got(1)._1 == 4L && got(2)._1 == 2L)
+  }
+
   test("temperatureWeights: hand-computed sqrt smoothing upweights the small source") {
     // big: 16 tokens, small: 4 -> raw shares 800/200 permille, smoothed
     // sqrt weights 4e6/2e6 -> shares 666666/333333 micro (exact floor)
