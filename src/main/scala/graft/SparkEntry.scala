@@ -2795,7 +2795,8 @@ object SparkEntry {
     // SET), distinct per doc, capped inverted-index pair counts
     "fp01_winnowing" ->
       raw"""WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
         |  FROM documents),
         |hs AS (
         |  SELECT doc_id,
@@ -2828,7 +2829,8 @@ object SparkEntry {
     // fingerprints, duplicate counting over the fingerprint
     "cd01_cdc_chunks" ->
       raw"""WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
         |  FROM documents),
         |wh AS (
         |  SELECT doc_id, ts,

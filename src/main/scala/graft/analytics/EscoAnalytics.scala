@@ -569,11 +569,16 @@ object EscoAnalytics {
     * (uri, preferredLabel, cluster, d2), cluster-then-distance ordered
     * so each cluster reads nearest-first. */
   def clusterSkills(wh: EscoWarehouse, k: Int = 16, iters: Int = 2): DataFrame = {
+    // localCheckpoint: kMeansAssignInt drives several actions (init
+    // collect + one per iteration + final assignment) and the label
+    // rejoin is one more — without it each re-runs the full embedding
+    // pipeline over the catalog
     val base = new graft.vector.SemanticSearch(
         wh, new graft.vector.HashingEmbedder())
       .skillsIndexed
       .filter(col("embedding").isNotNull)
       .select(col("conceptUri"), col("preferredLabel"), col("embedding"))
+      .localCheckpoint()
     graft.operators.Similarity.Ivf
       .kMeansAssignInt(base, "conceptUri", "embedding", k, iters)
       .join(base.select(col("conceptUri"), col("preferredLabel")),

@@ -492,8 +492,9 @@ object CorpusStats {
     * matching document in one projection and top-k plans as
     * TakeOrderedAndProject. The narrow (id, len, tfs) frame is
     * checkpointed so the two passes share one text scan. Per-document
-    * length must stay below ~9e6 tokens (the len·1e12 ratio
-    * intermediate) — chunk first beyond that.
+    * length must stay below ~4.1e6 tokens — the binding intermediate is
+    * the tf·(k1+1e6)·1e6 numerator (a term filling such a document),
+    * tighter than the len·1e12 ratio's ~9e6 — chunk first beyond that.
     *
     * Output: (idCol, score_micro: long), top `k` by (score desc, id). */
   def bm25TopK(
@@ -526,7 +527,11 @@ object CorpusStats {
     val r = base.agg(
       coalesce(sum(col("len")), lit(0L)).as("tt"), aggs: _*).head()
     val tt = r.getLong(0); val nd = r.getLong(1)
-    val avgMicro = if (nd == 0L) 1L else tt * 1000000L / nd
+    // all-empty corpus: no scored docs, and the per-term df sums are
+    // SQL NULL — return the empty result frame instead of reading them
+    if (nd == 0L)
+      return base.select(col(idCol), lit(0L).as("score_micro")).limit(0)
+    val avgMicro = tt * 1000000L / nd
     val idfMicro = (0 until qn).map { i =>
       val dfc = r.getLong(2 + i)
       math.round(math.log((nd - dfc + 0.5) / (dfc + 0.5) + 1.0) /

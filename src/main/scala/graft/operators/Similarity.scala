@@ -449,6 +449,11 @@ object Similarity {
         .select(col("__v"))
         .collect().toSeq
         .zipWithIndex.map { case (r, c) => (c.toLong, r.getSeq[Long](0)) }
+      // empty corpus: no centroids to argmin over (a zero-element struct
+      // array fails analysis) — the empty assignment frame is the answer
+      if (cents.isEmpty)
+        return micro.select(col(idCol), lit(0L).as("cell"), lit(0L).as("d2"))
+          .limit(0)
       for (_ <- 1 to iters) {
         val updated = micro
           .select(col(vecCol), best(cents).getField("cell").as("cell"))

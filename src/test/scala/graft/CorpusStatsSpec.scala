@@ -80,6 +80,13 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.head._1 == 1L && got(1)._1 == 4L && got(2)._1 == 2L)
   }
 
+  test("bm25TopK: all-blank corpus returns the empty frame, no NPE") {
+    val docs = Seq((1L, " "), (2L, "")).toDF("doc_id", "text")
+    val out = CorpusStats.bm25TopK(docs, "doc_id", "text", Seq("x"))
+    assert(out.columns.toSeq == Seq("doc_id", "score_micro"))
+    assert(out.count() == 0L)
+  }
+
   test("temperatureWeights: hand-computed sqrt smoothing upweights the small source") {
     // big: 16 tokens, small: 4 -> raw shares 800/200 permille, smoothed
     // sqrt weights 4e6/2e6 -> shares 666666/333333 micro (exact floor)

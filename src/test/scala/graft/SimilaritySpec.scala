@@ -281,6 +281,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("kMeansAssignInt: empty corpus returns the empty frame") {
+    val df = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val out = Similarity.Ivf.kMeansAssignInt(df, "id", "vec", k = 4, iters = 2)
+    assert(out.columns.toSeq == Seq("id", "cell", "d2") && out.count() == 0L)
+  }
+
   test("kMeansAssignInt: emptied cell carries its previous centroid") {
     // the two ids FIRST in md5-sample order share one vector, so both
     // init centroids are identical, every point ties to cell 0 in
