@@ -261,6 +261,42 @@ object SparkEntry {
     }),
 
     // JSON scalar extraction
+    // time-series gap-fill (resample): each type's hourly counts with
+    // MISSING hours materialized as zero rows between its min and max
+    // hour — the grid is bounded by time-span x types, never event count
+    "q52_hourly_gapfill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      grid.join(hourly, Seq("event_type", "hr"), "left_outer")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("filled"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+    // cohort retention: users cohorted by first-active day, distinct
+    // active users per (cohort_day, day_offset) — the classic product-
+    // analytics triangle; only (user_id, date) rows ever shuffle
+    "q53_cohort_retention" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val cohort = ud.groupBy("user_id").agg(min(col("d")).as("c0"))
+      ud.join(cohort, "user_id")
+        // cohort_day as its ISO string: Spark DATE and DuckDB DATE reach
+        // the compare as different object types (date vs Timestamp)
+        .select(col("c0").cast("string").as("cohort_day"),
+          datediff(col("d"), col("c0")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
     "q18_events_json" -> ((s, dir) => {
       events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -636,6 +672,32 @@ object SparkEntry {
         | COUNT(DISTINCT user_id) AS n_users,
         | MIN(value) AS vmin, MAX(value) AS vmax
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+    // gap-fill replay: generate_series over each type's hour span,
+    // left join the observed counts
+    "q52_hourly_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM sp)
+        |SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n,
+        |  (h.n IS NULL) AS filled
+        |FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+        |ORDER BY g.event_type, g.hr""".stripMargin,
+    // cohort replay: distinct user-days, first day per user, offset agg
+    "q53_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS c0 FROM ud GROUP BY user_id)
+        |SELECT CAST(c.c0 AS VARCHAR) AS cohort_day,
+        |  CAST(ud.d - c.c0 AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sk02_exact_stats" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users,
