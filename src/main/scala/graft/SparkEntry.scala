@@ -2852,6 +2852,36 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
     // exact jaccard over distinct word-3-gram shingle sets; matches the
     // posting-list implementation (hash collisions are 64-bit-improbable)
+    // SNM replay: normalized key prefix, per-block row_number ranking,
+    // rank-window pairs, dd01's exact-jaccard formulation
+    "sn01_sorted_neighborhood" ->
+      raw"""WITH k AS (
+        |  SELECT doc_id, substr(regexp_replace(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g'), 1, 24) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, key, substr(key, 1, 8) AS block,
+        |    row_number() OVER (PARTITION BY substr(key, 1, 8)
+        |      ORDER BY key, doc_id) AS rk
+        |  FROM k),
+        |p AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM r a JOIN r b
+        |    ON a.block = b.block AND b.rk - a.rk BETWEEN 1 AND 3),
+        |gr AS (SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN []
+        |      ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS gs
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+') AS ts FROM documents))
+        |SELECT p.id_a, p.id_b,
+        |  CASE WHEN len(ea.gs) + len(eb.gs) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |    END AS exact_jaccard
+        |FROM p JOIN gr ea ON ea.doc_id = p.id_a
+        |  JOIN gr eb ON eb.doc_id = p.id_b
+        |ORDER BY exact_jaccard DESC, p.id_a, p.id_b
+        |LIMIT 50""".stripMargin,
     // winnowing replay: md5-32 k-token hashes, list_min per w-window
     // (value-min — the positional tie-break cannot change the emitted
     // SET), distinct per doc, capped inverted-index pair counts
@@ -3665,6 +3695,20 @@ object SparkEntry {
       Dedup.nearDupResolveBy(d, "doc_id", "text", "quality",
           threshold = 0.8, portable = true)
         .orderBy(col("id"))
+    }),
+    // sorted-neighborhood dedup blocking (Hernández/Stolfo SIGMOD'95,
+    // blocked multi-pass variant): sort by the normalized 24-char key
+    // prefix within 8-char blocks, candidate pairs within a rank window
+    // of 4, exact-jaccard verification — the third classic blocking
+    // family next to LSH banding (dd01) and pigeonholing (dd02)
+    "sn01_sorted_neighborhood" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.withExactJaccard(
+        Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+          keyLen = 24, blockLen = 8, w = 4).drop("block"),
+        docs, "doc_id", "text", nGram = 3)
+        .orderBy(desc("exact_jaccard"), col("id_a"), col("id_b"))
+        .limit(50)
     }),
     // winnowing document fingerprints (Schleimer et al. SIGMOD'03, the
     // MOSS algorithm): min-hash of every w-window of k-token hashes →

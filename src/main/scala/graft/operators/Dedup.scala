@@ -1107,6 +1107,59 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández/Stolfo SIGMOD'95 —
+    * the classic record-linkage blocking method next to LSH banding and
+    * SimHash pigeonholing): records sort by a normalized key and every
+    * pair within a sliding window of `w` ranks becomes a candidate.
+    * This is the BLOCKED multi-pass variant: the sort key's first
+    * `blockLen` chars form a block, ranking and the window stay inside
+    * the block — the published recall trade (pairs straddling a block
+    * boundary are missed; cf. sm01's one-assignment blocking note) that
+    * makes the sort a partitioned window instead of a single-task
+    * global sort.
+    *
+    * Key: the whitespace-collapsed lower-cased text's first `keyLen`
+    * chars (explicit [ \t\n\x0B\f\r] class — Java and RE2 \s disagree
+    * on \x0B). Pairs are canonicalized to id_a < id_b.
+    *
+    * Scale: one narrow (block, key-prefix, id) shuffle for the
+    * partitioned ranking; the pair join exchanges (block, rank, id)
+    * rows ×(w−1) — never text. A degenerate corpus sharing one block
+    * serializes that block's sort: pick `blockLen` so blocks stay
+    * bounded (the blocking-key choice is THE tuning knob of SNM).
+    *
+    * Output: (id_a, id_b, block) distinct candidate pairs. */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyLen: Int = 24,
+      blockLen: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(w >= 2, "window below 2 yields no pairs")
+    require(blockLen >= 1 && blockLen <= keyLen,
+      "blockLen must be within the key")
+    val ranked = ensureParallelism(docs)
+      .select(col(idCol).as("id"),
+        substring(regexp_replace(trim(lower(col(textCol))),
+          "[ \\t\\n\\x0B\\f\\r]+", " "), 1, keyLen).as("__key"))
+      .withColumn("__block", substring(col("__key"), 1, blockLen))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("__block")).orderBy(col("__key"), col("id"))))
+    val left = ranked.select(col("__block"), col("__rank"), col("id"))
+      .withColumn("__off", explode(sequence(lit(1), lit(w - 1))))
+    val right = ranked.select(col("__block").as("__b2"),
+      col("__rank").as("__rr"), col("id").as("__other"))
+    left
+      .join(right, col("__block") === col("__b2") &&
+        col("__rank") + col("__off") === col("__rr"))
+      .select(
+        least(col("id"), col("__other")).as("id_a"),
+        greatest(col("id"), col("__other")).as("id_b"),
+        col("__block").as("block"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm): in every window of `w` consecutive
     * k-token window hashes, keep the window's MINIMUM hash; the distinct

@@ -501,6 +501,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("", ""))
   }
 
+  test("sortedNeighborhoodPairs: rank-window pairs within blocks only, w bound holds") {
+    // four docs share block "aaaaaaaa" and sort b < c < d < e; w = 3
+    // pairs ranks at distance <= 2, so (1,4) at distance 3 is excluded;
+    // doc 9 sits alone in block "zzzzzzzz" and never pairs
+    val d = Seq(
+      (1L, "aaaaaaaa b one"),
+      (2L, "aaaaaaaa c two"),
+      (3L, "aaaaaaaa d three"),
+      (4L, "aaaaaaaa e four"),
+      (9L, "zzzzzzzz lonely tail")).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        keyLen = 24, blockLen = 8, w = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L)))
+  }
+
   test("winnowingFingerprints: exact driver replay of the MOSS selection") {
     def h(s: String) = graft.functions.PortableHash.md5_32(s)
     val text = (0 until 30).map(i => s"t${(i * 11) % 13}").mkString(" ")

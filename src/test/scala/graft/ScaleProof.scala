@@ -86,7 +86,8 @@ object ScaleProof {
     "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
     "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
     "km01_kmeans" -> Bounds(10, 8),     // ~zero-shuffle: k x dim partial buffers only
-    "bm01_bm25" -> Bounds(5, 8))        // ZERO shuffle: row-local tf/len + scalar aggs
+    "bm01_bm25" -> Bounds(5, 8),        // ZERO shuffle: row-local tf/len + scalar aggs
+    "sn01_snm" -> Bounds(5, 8))         // measured 2.7x (narrow rank rows, window-bounded pairs)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -418,6 +419,11 @@ object ScaleProof {
         Sampling.shardByTokens(docs, "doc_id", "text", nShards = 16)
           .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
           .head().getLong(0))
+      measure("sn01_snm", scale)(
+        // sorted-neighborhood blocking: one narrow (block, key-prefix,
+        // id) ranking shuffle + the (block, rank, id) window pair join
+        Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+          keyLen = 24, blockLen = 8, w = 4).count())
       measure("bm01_bm25", scale) {
         // fixed 3-term keyword query (ranks 5..7 of the 1x corpus, the
         // lane's shape) scored over the growing corpus

@@ -56,7 +56,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("id01_incr", 2.2, 12.6, 1.1),
       pair("nb01_nbayes", 2.1, 35.2, 1.4),
       pair("km01_kmeans", 0.0, 0.4, 1.1),
-      pair("bm01_bm25", 0.0, 0.0, 1.1)).flatten
+      pair("bm01_bm25", 0.0, 0.0, 1.1),
+      pair("sn01_snm", 1.1, 3.0, 1.0)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -69,7 +70,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
       "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
       "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
-      "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25")
+      "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25", "sn01_snm")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
