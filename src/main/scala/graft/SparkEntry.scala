@@ -1213,10 +1213,11 @@ object SparkEntry {
     // heavy hitters: the Spark side certifies its Misra–Gries candidate
     // recount equals the full wordcount top-k, so the oracle IS the full
     // wordcount top-k
+    // explicit whitespace class, not \s: Java and RE2 \s disagree on \x0B
     "hh01_heavy_hitters" ->
       """WITH tok AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |    AS token
+        |  SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents)
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         |FROM tok WHERE token <> ''
@@ -2830,9 +2831,11 @@ object SparkEntry {
     // (no false negatives + exact confirm join), so the oracle replays
     // the exact semi-join — per train doc, matching 13-gram OCCURRENCES
     // against the test split's distinct gram set
+    // explicit whitespace class, not \s: Java and RE2 \s disagree on \x0B
     "dc02_bloom_decontam" ->
       """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
         |  FROM documents),
         |gr AS (
         |  SELECT doc_id, CASE WHEN len(ts) < 13 THEN []

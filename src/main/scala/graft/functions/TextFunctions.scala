@@ -23,9 +23,17 @@ object TextFunctions {
     * `array<string>` of length `size(tokens) - n + 1` (empty below n
     * tokens). SQL twin (DuckDB): `list_transform(range(1, len(ts)-n+2),
     * i -> array_to_string(ts[i : i+n-1], ' '))`. */
-  def wordGrams(text: Column, n: Int): Column = {
+  def wordGrams(text: Column, n: Int): Column =
+    wordGramsFromTokens(tokens(text), n)
+
+  /** [[wordGrams]] over an already-computed token array column. Feed an
+    * ATTRIBUTE (an aliased column from a previous select) on hot paths:
+    * HOF lambdas re-evaluate captured subtrees per element (no CSE), so
+    * an inlined `tokens(text)` tree re-splits the text once per gram —
+    * O(tokens²) per document. An attribute is a row-field read. Same
+    * staging discipline as `Dedup.windowHashesFromTokens`. */
+  def wordGramsFromTokens(ts: Column, n: Int): Column = {
     require(n >= 1, "n-gram length must be >= 1")
-    val ts = tokens(text)
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - lit(n - 1)),
         i => array_join(slice(ts, i, lit(n)), " ")))

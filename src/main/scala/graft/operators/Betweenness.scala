@@ -167,6 +167,7 @@ object Betweenness {
     var deltaAbove = level(maxD)
       .select(col("root"), col("id"), lit(0L).as("delta"))
     var acc: DataFrame = null
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- maxD - 1 to 0 by -1) {
       val w = level(d + 1)
         .select(col("root").as("wroot"), col("id").as("wid"),
@@ -196,11 +197,21 @@ object Betweenness {
         .join(sums, Seq("root", "id"), "left")
         .na.fill(0L, Seq("delta"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += lvl
       deltaAbove = lvl
       if (d >= 1) acc = if (acc == null) lvl else acc.unionByName(lvl)
     }
-    acc.groupBy(col("id")).agg(sum(col("delta")).as("bc_micro"))
+    // CacheManager holds strong references, so the per-level persists
+    // above would otherwise live for the whole session (the eByDst note
+    // in approx() avoids persist for exactly this reason). The result is
+    // node-bounded and the final aggregation is the chain's only action
+    // anyway: run it eagerly behind a localCheckpoint (safe here — no
+    // broadcast subqueries in this chain), then release every level.
+    val out = acc.groupBy(col("id")).agg(sum(col("delta")).as("bc_micro"))
       .filter(col("bc_micro") > 0L)
+      .localCheckpoint(true)
+    persisted.foreach(_.unpersist(false))
+    out
   }
 
   /** @param edges (src, dst) long ids; treated per `directed`

@@ -43,8 +43,10 @@ object Decontaminate {
       gramCol: String,
       bloom: PortableBloom.Filter,
       nGram: Int = 13): DataFrame = {
-    val grams = docs.select(col(idCol),
-      explode(TextFunctions.wordGrams(col(textCol), nGram)).as("g"))
+    val grams = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.wordGramsFromTokens(col("__toks"), nGram)).as("g"))
     val (h1, h2) = PortableBloom.hashPair(col("g"))
     grams
       .filter(bloom.mightContain(h1, h2))
@@ -82,18 +84,24 @@ object Decontaminate {
     // broadcast — without it the eval split is scanned and re-exploded
     // twice.
     val testGrams = test
-      .select(explode(TextFunctions.wordGrams(col(testTextCol), nGram)).as("g"))
+      .select(TextFunctions.tokens(col(testTextCol)).as("__toks"))
+      .select(explode(
+        TextFunctions.wordGramsFromTokens(col("__toks"), nGram)).as("g"))
       .localCheckpoint(false)
     val bloom = PortableBloom.build(testGrams, col("g"), numWords, numProbes)
+    // tokens staged as an aliased column so the gram lambda reads a
+    // row field — an inlined tokens(text) tree re-splits the text per
+    // gram element (the cdcChunks HOF-eval rule, O(tokens²)/doc)
     val base = Dedup.ensureParallelism(train)
       .select(col(trainIdCol).as("train_id"), col(trainTextCol).as("__ttx"))
+      .select(col("train_id"), TextFunctions.tokens(col("__ttx")).as("__toks"))
     // the hot path carries ONLY (train_id, gram): putting size(gs) next
     // to explode(gs) re-inlines the whole gram-array build into a
     // per-gram-row projection (measured ~17x the explode itself) —
     // per-doc totals join the hits aggregate below as a separate narrow
     // frame
     val grams = base.select(col("train_id"),
-      explode(TextFunctions.wordGrams(col("__ttx"), nGram)).as("g"))
+      explode(TextFunctions.wordGramsFromTokens(col("__toks"), nGram)).as("g"))
     val (h1, h2) = PortableBloom.hashPair(col("g"))
     val hits = grams
       .filter(bloom.mightContain(h1, h2))
@@ -107,9 +115,12 @@ object Decontaminate {
     // adversarial corpus grows it 1000x) — AQE broadcasts it when it is
     // actually small, and the fallback shuffle moves only (id, long)
     // rows, never text or grams.
+    // size() never enters a lambda, so the gram-array build runs once per
+    // doc here; counting grams ≡ max(0, n_toks - n + 1) but the array
+    // form keeps ONE gram definition for both frames
     val totals = base.select(col("train_id"),
-      size(TextFunctions.wordGrams(col("__ttx"), nGram)).cast("long")
-        .as("n_grams"))
+      size(TextFunctions.wordGramsFromTokens(col("__toks"), nGram))
+        .cast("long").as("n_grams"))
     totals
       .join(hits, Seq("train_id"))
       .select(col("train_id"), col("n_hits"), col("n_grams"),

@@ -653,8 +653,14 @@ object Sampling {
     * scale; τ attaches via a one-row broadcast.
     *
     * Output: (idCol, weight, priority, w_hat), the k sampled rows.
-    * Weights must be positive (required: a zero weight would divide to
-    * priority 0 deterministically, but DLT is undefined there). */
+    * Weights are LONG-INTEGER by contract: the weight is cast to long
+    * once and that long drives BOTH the priority and the ŵ estimator (a
+    * fractional weight in one and its truncation in the other would bias
+    * ŵ relative to the sampled priorities — scale fractional weights to
+    * integer micro-units first). Non-positive weights are filtered out
+    * before scoring: DLT is undefined at w ≤ 0 (a zero weight yields
+    * priority 0 and a negative one a negative priority, both of which
+    * would silently corrupt τ and the subset-sum estimate). */
   def prioritySample(
       df: DataFrame,
       idCol: String,
@@ -668,8 +674,10 @@ object Sampling {
       .cast("long")
     val u = (h60.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
     val scored = df
-      .select(col(idCol), weight.cast("long").as("weight"),
-        (weight.cast("double") / u).as("priority"))
+      .select(col(idCol), weight.cast("long").as("weight"))
+      .filter(col("weight") > 0L)
+      .select(col(idCol), col("weight"),
+        (col("weight").cast("double") / u).as("priority"))
       .orderBy(desc("priority"), col(idCol))
       .limit(k + 1)
       .localCheckpoint(false)
