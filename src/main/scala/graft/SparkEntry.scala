@@ -1118,6 +1118,47 @@ object SparkEntry {
     })
   )
 
+  /** Shared Naive-Bayes prediction CTE block (nb01's model + scoring
+    * through `best`, the per-doc argmin frame) — reused by the cm01
+    * classifier-eval oracle so the two replays cannot drift. Same
+    * embedding contract as the other shared CTE vals: the val is already
+    * stripMargin'd, consumers interpolate with the `raw` interpolator
+    * (the body carries regex backslashes), and no content line begins
+    * with `|`. */
+  private val nbPredictCteSql: String =
+    """tk AS (
+      |  SELECT doc_id, lang, tok FROM (
+      |    SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)),
+      |      '[ \t\n\x0B\f\r]+')) AS tok
+      |    FROM documents) WHERE tok <> ''),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+      |vv AS (SELECT COUNT(*) AS v FROM cnt),
+      |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 64),
+      |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |classes AS (SELECT c.lbl, c.t_c,
+      |    CAST(round(-log2(CAST(p.n_docs AS DOUBLE) / nd.n) * 1000000)
+      |      AS BIGINT) AS prior_micro
+      |  FROM (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS t_c
+      |        FROM tk GROUP BY lang) c
+      |  JOIN (SELECT lang AS lbl, COUNT(*) AS n_docs
+      |        FROM documents GROUP BY lang) p USING (lbl)
+      |  CROSS JOIN nd),
+      |model AS (SELECT t.lang AS lbl, t.tok, CAST(COUNT(*) AS BIGINT) AS c_tc
+      |  FROM tk t JOIN vocab vb USING (tok) GROUP BY 1, 2),
+      |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+      |  FROM tk GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, cl.lbl,
+      |    CAST(cl.prior_micro + SUM(d.occ *
+      |      CAST(round(-log2(CAST(coalesce(m.c_tc, 0) + 1 AS DOUBLE) /
+      |        CAST(cl.t_c + vv.v AS DOUBLE)) * 1000000) AS BIGINT))
+      |      AS BIGINT) AS nll
+      |  FROM dt d CROSS JOIN classes cl CROSS JOIN vv
+      |  LEFT JOIN model m ON m.lbl = cl.lbl AND m.tok = d.tok
+      |  GROUP BY d.doc_id, cl.lbl, cl.prior_micro),
+      |best AS (SELECT doc_id, lbl AS pred, nll AS nll_micro,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, lbl) AS rn
+      |  FROM sc)""".stripMargin
+
   private val textOracle: Map[String, String] = Map(
     "tx01_normalize_text" ->
       """SELECT doc_id,
@@ -1149,38 +1190,7 @@ object SparkEntry {
     // add-one smoothing, micro-bit rounding per token and prior, exact
     // long sums, argmin by (nll, label) via row_number
     "nb01_nb_lang" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, tok FROM (
-        |    SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)),
-        |      '[ \t\n\x0B\f\r]+')) AS tok
-        |    FROM documents) WHERE tok <> ''),
-        |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
-        |vv AS (SELECT COUNT(*) AS v FROM cnt),
-        |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 64),
-        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-        |classes AS (SELECT c.lbl, c.t_c,
-        |    CAST(round(-log2(CAST(p.n_docs AS DOUBLE) / nd.n) * 1000000)
-        |      AS BIGINT) AS prior_micro
-        |  FROM (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS t_c
-        |        FROM tk GROUP BY lang) c
-        |  JOIN (SELECT lang AS lbl, COUNT(*) AS n_docs
-        |        FROM documents GROUP BY lang) p USING (lbl)
-        |  CROSS JOIN nd),
-        |model AS (SELECT t.lang AS lbl, t.tok, CAST(COUNT(*) AS BIGINT) AS c_tc
-        |  FROM tk t JOIN vocab vb USING (tok) GROUP BY 1, 2),
-        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
-        |  FROM tk GROUP BY 1, 2),
-        |sc AS (SELECT d.doc_id, cl.lbl,
-        |    CAST(cl.prior_micro + SUM(d.occ *
-        |      CAST(round(-log2(CAST(coalesce(m.c_tc, 0) + 1 AS DOUBLE) /
-        |        CAST(cl.t_c + vv.v AS DOUBLE)) * 1000000) AS BIGINT))
-        |      AS BIGINT) AS nll
-        |  FROM dt d CROSS JOIN classes cl CROSS JOIN vv
-        |  LEFT JOIN model m ON m.lbl = cl.lbl AND m.tok = d.tok
-        |  GROUP BY d.doc_id, cl.lbl, cl.prior_micro),
-        |best AS (SELECT doc_id, lbl AS pred, nll AS nll_micro,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, lbl) AS rn
-        |  FROM sc)
+      raw"""WITH $nbPredictCteSql
         |SELECT b.doc_id, b.pred, b.nll_micro,
         |  (b.pred = d.lang) AS is_correct
         |FROM best b JOIN documents d USING (doc_id)
@@ -3586,7 +3596,198 @@ object SparkEntry {
         |FROM scq s
         |LEFT JOIN (SELECT * FROM ex WHERE exact_rank <= 10) x USING (vec_id)
         |ORDER BY s.score DESC, s.vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    // keep-first line dedup: same synthesized dups as the Spark lane;
+    // ownership = min (doc_id, pos) per line string among >= 10-char
+    // lines, only affected docs are rebuilt (bp02's rebuild pattern)
+    "pd01_paragraph_dedup" ->
+      raw"""WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || string_split_regex(text, '\r?\n')[1]
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1
+        |         THEN chr(10) || 'Shared disclaimer: sample text corpus.'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 2 THEN chr(10) || '--' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(text, '\r?\n'), 1) AS pos,
+        |    unnest(string_split_regex(text, '\r?\n')) AS line
+        |  FROM aug),
+        |mk AS (
+        |  SELECT doc_id, pos, line,
+        |    length(line) >= 10 AS eligible,
+        |    COUNT(*) OVER (PARTITION BY line) AS cnt,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |      AS rn
+        |  FROM lines),
+        |affected AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |      FILTER (WHERE NOT (eligible AND cnt > 1 AND rn > 1)), '')
+        |      AS new_text
+        |  FROM mk GROUP BY doc_id
+        |  HAVING COUNT(CASE WHEN eligible AND cnt > 1 AND rn > 1
+        |               THEN 1 END) > 0)
+        |SELECT a.doc_id, CAST(length(x.t2) AS BIGINT) AS n_chars_clean,
+        |  md5(x.t2) AS clean_md5
+        |FROM (SELECT aug.doc_id, coalesce(af.new_text, aug.text) AS t2
+        |      FROM aug LEFT JOIN affected af USING (doc_id)) x
+        |JOIN aug a USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+    // dd05's portable cluster replay + inverse-cluster-size weights over
+    // the dense doc grid (unclustered docs weigh 1,000,000)
+    "sw01_soft_dedup" ->
+      raw"""WITH RECURSIVE
+        |$minhashBandsCteSql,
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]),
+        |ex AS (SELECT doc_id, list_distinct(grams) AS gs FROM gr),
+        |conf AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+        |    JOIN ex eb ON eb.doc_id = c.id_b
+        |  WHERE len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)) > 0
+        |    AND CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |      >= 0.8),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM conf
+        |  UNION SELECT id_b, id_a FROM conf),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst),
+        |clus AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY id),
+        |sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM clus GROUP BY rep)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // coalesce(s.n, 1) AS BIGINT) AS weight_micro
+        |FROM documents d
+        |LEFT JOIN clus c ON c.id = d.doc_id
+        |LEFT JOIN sz s ON s.rep = c.rep
+        |ORDER BY d.doc_id""".stripMargin,
+    // DSIR replay: hashed unigram+bigram buckets (portable md5-32 mod
+    // 256), add-one smoothed target/raw bucket models, ratio-of-ratios
+    // divided in EXACTLY the Spark shape (two IEEE divisions, one
+    // division of the quotients, one libm log2, one micro rounding)
+    "ds01_dsir_select" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id, doc_id % 10 = 0 AS targ, f
+        |  FROM (SELECT doc_id, unnest(list_concat(ts,
+        |      CASE WHEN len(ts) < 2 THEN []
+        |        ELSE list_transform(range(1, len(ts)),
+        |          i -> ts[i] || ' ' || ts[i+1]) END)) AS f
+        |    FROM tok)
+        |  WHERE f <> ''),
+        |fb AS (SELECT doc_id, targ,
+        |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b
+        |  FROM fe),
+        |tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM fb WHERE targ GROUP BY b),
+        |g AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM fb WHERE NOT targ GROUP BY doc_id, b),
+        |rb AS (SELECT b, CAST(SUM(occ) AS BIGINT) AS rc FROM g GROUP BY b),
+        |tt AS (SELECT (SELECT coalesce(SUM(tc), 0) FROM tb) AS t,
+        |              (SELECT coalesce(SUM(rc), 0) FROM rb) AS r),
+        |llr AS (SELECT coalesce(tb.b, rb.b) AS b,
+        |    CAST(round(log2(
+        |      (CAST(coalesce(tb.tc, 0) + 1 AS DOUBLE) /
+        |        CAST(tt.t + 256 AS DOUBLE)) /
+        |      (CAST(coalesce(rb.rc, 0) + 1 AS DOUBLE) /
+        |        CAST(tt.r + 256 AS DOUBLE))) * 1000000) AS BIGINT)
+        |      AS llr_b
+        |  FROM tb FULL OUTER JOIN rb ON tb.b = rb.b CROSS JOIN tt)
+        |SELECT g.doc_id, CAST(SUM(g.occ) AS BIGINT) AS n_feats,
+        |  CAST(SUM(g.occ * l.llr_b) AS BIGINT) AS llr_micro
+        |FROM g JOIN llr l USING (b)
+        |GROUP BY g.doc_id
+        |ORDER BY llr_micro DESC, g.doc_id
+        |LIMIT 100""".stripMargin,
+    // novelty replay: 3-gram first-occurrence by min doc_id, occurrence-
+    // weighted permille (gram strings group directly — the 60-bit
+    // fingerprint is answer-invisible absent collisions, the dedup-family
+    // stance)
+    "ng01_novel_ngrams" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS gs
+        |  FROM tok),
+        |pd AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM gr) GROUP BY 1, 2),
+        |fst AS (SELECT g, MIN(doc_id) AS fid FROM pd GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(SUM(occ) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN doc_id = fid THEN occ ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  CAST((SUM(CASE WHEN doc_id = fid THEN occ ELSE 0 END) * 1000)
+        |    // SUM(occ) AS BIGINT) AS novel_permille
+        |FROM pd JOIN fst USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // nb01's shared prediction block -> confusion matrix -> per-class
+    // integer-permille precision/recall/F1 (F1 = harmonic mean of the
+    // permille values, the Spark side's exact convention)
+    "cm01_classifier_eval" ->
+      raw"""WITH $nbPredictCteSql,
+        |sc2 AS (SELECT d.lang AS t, b.pred AS p
+        |  FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1),
+        |cm AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sc2 GROUP BY 1, 2),
+        |tru AS (SELECT t AS label, CAST(SUM(n) AS BIGINT) AS n_true
+        |  FROM cm GROUP BY 1),
+        |prd AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM cm GROUP BY 1),
+        |tpf AS (SELECT t AS label, n AS tp FROM cm WHERE t = p),
+        |j AS (SELECT coalesce(tru.label, prd.label) AS label,
+        |    coalesce(tru.n_true, 0) AS n_true,
+        |    coalesce(prd.n_pred, 0) AS n_pred,
+        |    coalesce(tpf.tp, 0) AS tp
+        |  FROM tru FULL OUTER JOIN prd ON tru.label = prd.label
+        |  LEFT JOIN tpf ON tpf.label = coalesce(tru.label, prd.label)),
+        |pr AS (SELECT label, n_true, n_pred, tp,
+        |    CASE WHEN n_pred = 0 THEN 0
+        |         ELSE (tp * 1000) // n_pred END AS precision_permille,
+        |    CASE WHEN n_true = 0 THEN 0
+        |         ELSE (tp * 1000) // n_true END AS recall_permille
+        |  FROM j)
+        |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+        |  CAST(precision_permille AS BIGINT) AS precision_permille,
+        |  CAST(recall_permille AS BIGINT) AS recall_permille,
+        |  CAST(CASE WHEN precision_permille + recall_permille = 0 THEN 0
+        |       ELSE (2 * precision_permille * recall_permille)
+        |         // (precision_permille + recall_permille) END AS BIGINT)
+        |    AS f1_permille
+        |FROM pr
+        |ORDER BY label""".stripMargin,
+    // stratified fixed-k replay: the naive single per-stratum window the
+    // two-level Spark plan is provably equal to
+    "sp06_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-strat'), 1, 8) AS hh
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM h)
+        |SELECT lang, doc_id, sample_rank FROM r
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin
   )
 
   // ------------------------------------------------------------------
@@ -3712,6 +3913,81 @@ object SparkEntry {
         docs, "doc_id", "text", nGram = 3)
         .orderBy(desc("exact_jaccard"), col("id_a"), col("id_b"))
         .limit(50)
+    }),
+    // CCNet-style keep-first paragraph dedup: every repeated line keeps
+    // only its globally first (min doc_id, pos) occurrence; lines under
+    // 10 chars are exempt. The corpus has no repeated lines (the bp02
+    // finding), so both engines append the same deterministic dups —
+    // a shared disclaimer (cross-doc dups, owner = doc 1), each %5 doc's
+    // own first line (intra-doc dup, owner = pos 0), and a short "--"
+    // separator that must SURVIVE everywhere (the exemption proof)
+    "pd01_paragraph_dedup" -> ((s, dir) => {
+      val firstLine = element_at(split(col("text"), "\r?\n"), 1)
+      val aug = t(s, dir, "documents").withColumn(
+        "text",
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit("\n"), firstLine))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            lit("\nShared disclaimer: sample text corpus."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 2, lit("\n--")).otherwise(lit(""))))
+      Dedup.dedupLinesKeepFirst(aug, "doc_id", "text", minChars = 10)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // soft dedup: inverse-cluster-size document weights over dd05's
+    // portable near-dup clusters — keep every copy, weight content once
+    // in expectation (the reweight-don't-drop dedup policy)
+    "sw01_soft_dedup" -> ((s, dir) => {
+      Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, portable = true)
+        .orderBy(col("doc_id"))
+    }),
+    // DSIR data selection (Xie et al. NeurIPS 2023): hashed
+    // unigram+bigram importance weights of the %10 target split's
+    // distribution over the raw rest, integer micro-bit log-ratios
+    // (lm01's rounding convention), top-100 selection as
+    // TakeOrderedAndProject
+    "ds01_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusStats.dsirWeights(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", buckets = 256)
+        .orderBy(desc("llr_micro"), col("doc_id"))
+        .limit(100)
+    }),
+    // per-document novel-3-gram rate under corpus (doc_id) order — the
+    // "how much new text does each doc add" novelty curve; first
+    // occurrence at document granularity, 60-bit gram fingerprints
+    "ng01_novel_ngrams" -> ((s, dir) => {
+      CorpusStats.novelGramRate(t(s, dir, "documents"), "doc_id", "text",
+          nGram = 3)
+        .orderBy(col("doc_id"))
+    }),
+    // classifier evaluation: per-class precision/recall/F1 permilles of
+    // nb01's Naive Bayes over the true lang — ONE confusion-matrix pass,
+    // label-domain-bounded output
+    "cm01_classifier_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = CorpusStats.naiveBayesPredict(
+          docs, "doc_id", "text", "lang", vocabCap = 64)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      CorpusStats.classifierReport(scored, "lang", "pred")
+        .orderBy(col("label"))
+    }),
+    // deterministic fixed-count sample per stratum: 20 docs per lang by
+    // salted content-hash order — exact min-k via the two-level bucket
+    // ranking (no per-stratum global sort); oracle is the naive single
+    // window
+    "sp06_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedFixedSample(
+          t(s, dir, "documents"), "doc_id", "lang", k = 20, salt = "strat")
+        .orderBy(col("lang"), col("sample_rank"))
     }),
     // winnowing document fingerprints (Schleimer et al. SIGMOD'03, the
     // MOSS algorithm): min-hash of every w-window of k-token hashes →

@@ -755,4 +755,183 @@ object CorpusStats {
           .otherwise(concat_ws("\n", kept)))
       .drop("graft_bad_pos")
   }
+
+  /** Hashed unigram+bigram feature stream — the DSIR feature map (Xie et
+    * al. NeurIPS 2023, "Data Selection for Language Models via Importance
+    * Resampling" §3: hashed n-gram features into a fixed bucket space).
+    * One row per feature OCCURRENCE: the given columns plus `b`, the
+    * bucket = portable md5-32 of the gram string mod `buckets`. Tokens
+    * are staged as an aliased column (the HOF-capture rule), and the
+    * empty-text sentinel gram is filtered like [[tokenStream]]. */
+  private def hashedGramFeatures(
+      df: DataFrame, keep: Seq[Column], textCol: String, buckets: Int)
+      : DataFrame =
+    df.select(keep :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+      .select(keep :+ explode(concat(
+        TextFunctions.wordGramsFromTokens(col("__toks"), 1),
+        TextFunctions.wordGramsFromTokens(col("__toks"), 2))).as("f"): _*)
+      .filter(length(col("f")) > 0)
+      .select(keep :+
+        (graft.functions.PortableHash.h32(col("f")) % buckets).as("b"): _*)
+
+  /** DSIR importance weights (Xie et al. NeurIPS 2023): per raw-corpus
+    * document, the log-likelihood ratio of a hashed-n-gram bag-of-words
+    * model of the TARGET distribution over one of the RAW distribution —
+    * the score whose top slice selects raw data that "looks like" the
+    * target domain. Features are hashed unigrams+bigrams in `buckets`
+    * buckets; both bucket models are add-one smoothed.
+    *
+    * Exactness contract: per-bucket log-ratios round to integer
+    * micro-bits BEFORE the per-document sum (exact long arithmetic
+    * after), under the lm01 convention — each bucket costs one libm
+    * `log2` of a quotient of two IEEE-exact divisions, so scores replay
+    * bit-for-bit in any engine with a correctly-rounded divide and the
+    * shared-libm caveat documented at [[unigramSurprisal]].
+    *
+    * Scale: both models are `buckets`-row aggregates (map-side combined
+    * from the feature stream) that BROADCAST into scoring; the raw side
+    * collapses to one (doc, bucket, occ) row per distinct pair — staged
+    * once behind a lazy checkpoint so model fitting and scoring share
+    * the single text scan. Nothing wider than ids, ints and longs ever
+    * shuffles, and per-doc sums partial-aggregate.
+    *
+    * Output: (rawIdCol, n_feats, llr_micro) for every raw doc with ≥ 1
+    * feature; select by `ORDER BY llr_micro DESC LIMIT k` (plans as
+    * TakeOrderedAndProject — no global sort). */
+  def dsirWeights(
+      raw: DataFrame,
+      rawIdCol: String,
+      rawTextCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val tb = hashedGramFeatures(target, Seq.empty, targetTextCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    // one (doc, bucket, occ) frame feeds BOTH the raw model and scoring
+    val g = hashedGramFeatures(
+        Dedup.ensureParallelism(raw), Seq(col(rawIdCol)), rawTextCol, buckets)
+      .groupBy(col(rawIdCol), col("b")).agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
+    val rb = g.groupBy("b").agg(sum("occ").as("rc"))
+    val model = tb.join(rb, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+      .localCheckpoint(false) // <= buckets rows; feeds totals AND llr
+    val totals = model.agg(
+      coalesce(sum("tc"), lit(0L)), coalesce(sum("rc"), lit(0L))).head()
+    val (tTot, rTot) = (totals.getLong(0), totals.getLong(1))
+    // ratio-of-ratios in doubles: each division is IEEE-correctly rounded
+    // in every engine, totals stay exact below 2^53, ONE libm log2 at the
+    // end, ONE micro rounding — the order of operations is the replay
+    // contract, so the oracle must divide in exactly this shape
+    val llr = model.select(col("b"),
+      round(log2(
+        ((col("tc") + lit(1L)).cast("double") /
+          lit((tTot + buckets).toDouble)) /
+        ((col("rc") + lit(1L)).cast("double") /
+          lit((rTot + buckets).toDouble))) * lit(1000000.0))
+        .cast("long").as("llr_b"))
+    g.join(broadcast(llr), "b")
+      .groupBy(col(rawIdCol))
+      .agg(sum("occ").as("n_feats"),
+        sum(col("occ") * col("llr_b")).as("llr_micro"))
+  }
+
+  /** Per-document novel-n-gram rate under corpus order: the permille of
+    * a document's n-gram OCCURRENCES whose n-gram first appears (by
+    * minimum `idCol`) in that document — the "how much genuinely new
+    * text does each document add" curve dataset reports publish
+    * (RefinedWeb-style novelty analysis; complements [[boilerplateScore]],
+    * which is order-free document frequency).
+    *
+    * First-occurrence is at DOCUMENT granularity: every occurrence
+    * inside the first document counts as novel, including its internal
+    * repeats. `idCol` must be orderable — it IS the corpus order.
+    *
+    * Scale: n-grams hash to 60-bit fingerprints in the scan (text never
+    * shuffles); the (doc, hash, occ) frame collapses map-side, first
+    * owners are ONE partial-aggregable min per hash, and the rejoin
+    * moves only (hash, id, long) rows. Same collision stance as the
+    * dedup family: md5-60 across corpus-scale gram counts.
+    *
+    * Output: (idCol, n_grams, novel_grams, novel_permille) for docs
+    * with >= nGram tokens. */
+  def novelGramRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3): DataFrame = {
+    val grams = Dedup.ensureParallelism(docs)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(
+        TextFunctions.wordGramsFromTokens(col("__toks"), nGram)).as("g"))
+      .select(col(idCol), graft.functions.PortableHash.h60(col("g")).as("gh"))
+    // (doc, gram, occ) feeds both the ownership min and the rejoin
+    val perDoc = grams.groupBy(col(idCol), col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
+    val firstDoc = perDoc.groupBy("gh").agg(min(col(idCol)).as("first_id"))
+    perDoc.join(firstDoc, "gh")
+      .groupBy(col(idCol))
+      .agg(sum("occ").as("n_grams"),
+        sum(when(col(idCol) === col("first_id"), col("occ")).otherwise(0L))
+          .as("novel_grams"))
+      .select(col(idCol), col("n_grams"), col("novel_grams"),
+        ldiv(col("novel_grams") * lit(1000L), col("n_grams"))
+          .as("novel_permille"))
+  }
+
+  /** Per-class evaluation report of a classifier output frame — the
+    * measurement half of the curation classifiers ([[naiveBayesPredict]],
+    * the quality/language routers): per label, support, predicted count,
+    * true positives, and integer-permille precision / recall / F1.
+    *
+    * ONE pass over the scored frame: everything reduces to the
+    * (truth, pred) confusion matrix first — label-domain² rows, staged
+    * behind a lazy checkpoint — so the three marginals never rescan (or
+    * re-run) the upstream pipeline. Permilles are exact floor divisions;
+    * F1 is the harmonic mean computed ON the permille values
+    * (`2·p·r DIV (p+r)`), 0 where undefined — deterministic in any
+    * engine.
+    *
+    * Output: (label, n_true, n_pred, tp, precision_permille,
+    * recall_permille, f1_permille), one row per label observed in either
+    * column. */
+  def classifierReport(
+      scored: DataFrame,
+      truthCol: String,
+      predCol: String): DataFrame = {
+    // EAGER checkpoint, deliberately: the three marginals below become
+    // concurrent AQE query stages in the caller's single action, and a
+    // lazy checkpoint materializes on first compute — two stages racing
+    // to it each run the full upstream pipeline (measured: the NB scoring
+    // exchange executed twice, 27.7 MiB duplicated at the 10x point).
+    // The frame is label-domain² rows, so the eager action is ~free.
+    val cm = scored
+      .groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tru = cm.groupBy(col("t").as("label")).agg(sum("n").as("n_true"))
+    val prd = cm.groupBy(col("p").as("label")).agg(sum("n").as("n_pred"))
+    val tp = cm.filter(col("t") === col("p"))
+      .select(col("t").as("label"), col("n").as("tp"))
+    val p = col("precision_permille")
+    val r = col("recall_permille")
+    tru.join(prd, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_permille",
+        when(col("n_pred") === 0L, lit(0L))
+          .otherwise(ldiv(col("tp") * lit(1000L), col("n_pred"))))
+      .withColumn("recall_permille",
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(ldiv(col("tp") * lit(1000L), col("n_true"))))
+      .withColumn("f1_permille",
+        when(p + r === 0L, lit(0L)).otherwise(ldiv(lit(2L) * p * r, p + r)))
+  }
 }

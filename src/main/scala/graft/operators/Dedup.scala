@@ -1356,4 +1356,100 @@ object Dedup {
           .otherwise(concat_ws(" ", kept)))
       .drop("graft_spans")
   }
+
+  /** Remove every repeated line occurrence except the globally FIRST one
+    * (min (id, pos) across the corpus) — the CCNet-style paragraph-level
+    * exact dedup (Wenzek et al. LREC 2020 dedups paragraphs by hash
+    * keeping one copy), the keep-first counterpart of
+    * [[CorpusStats.removeBoilerplateLines]]'s remove-everywhere rule.
+    * Returns the input with `textCol` rewritten; other columns pass
+    * through. `idCol` must be orderable (the ownership tie-break).
+    *
+    * Lines shorter than `minChars` are exempt (pass through untouched):
+    * without the floor, structural short lines — blanks, separators,
+    * "Introduction" — would collapse to their first corpus occurrence.
+    *
+    * Shape (the [[CorpusStats.removeBoilerplateLines]] discipline): only
+    * (id, pos, 8-byte line hash) tuples shuffle; ownership is ONE
+    * partial-aggregable min per hash; the duplicated-hash set is small
+    * whenever dup rate is low, so the per-doc removal lists broadcast
+    * under AQE, and document text moves once, through the final
+    * doc-granular left join against ONLY the affected docs. Line
+    * splitting accepts CRLF; rejoining normalizes endings to `\n`. */
+  def dedupLinesKeepFirst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minChars: Int = 10): DataFrame = {
+    require(minChars >= 1, "minChars must be >= 1")
+    require(!docs.columns.contains("graft_drop_pos"),
+      "input already has a graft_drop_pos column")
+    val lineHashes = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
+      .filter(length(col("line")) >= minChars)
+      .select(col(idCol), col("pos"), xxhash64(col("line")).as("lh"))
+    // owner = lexicographic-min (id, pos); n > 1 keeps only hashes that
+    // actually repeat, so `owners` is duplicate-bounded, not corpus-bounded
+    val owners = lineHashes
+      .groupBy(col("lh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("owner"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("lh"), col("owner"))
+    val dropPos = lineHashes.join(owners, "lh")
+      .filter(!(col(idCol) === col("owner")(idCol) &&
+        col("pos") === col("owner")("pos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("graft_drop_pos"))
+    val lines = split(col(textCol), "\r?\n")
+    val kept = filter(lines, (_, i) => !array_contains(col("graft_drop_pos"), i))
+    docs
+      .join(dropPos, Seq(idCol), "left_outer")
+      .withColumn(
+        textCol,
+        when(col("graft_drop_pos").isNull, col(textCol))
+          .otherwise(concat_ws("\n", kept)))
+      .drop("graft_drop_pos")
+  }
+
+  /** Soft deduplication: instead of DROPPING near-duplicates, weight
+    * every document by the inverse of its near-dup cluster size (the
+    * "soft dedup" sampling correction — e.g. SoftDeDup, She et al. 2024;
+    * D4, Tirumala et al. 2023 reweight rather than discard) so a
+    * down-stream sampler sees each duplicated CONTENT once in
+    * expectation while keeping all copies available.
+    *
+    * Output: (idCol, cluster_size, weight_micro) for EVERY input
+    * document — unclustered docs get size 1 / weight 1,000,000; members
+    * of a k-cluster get `1000000 DIV k` (exact integer floor, replayable
+    * anywhere). Clusters come from [[nearDupResolve]] (LSH candidates →
+    * exact-Jaccard confirm → transitive star CC), so this adds NO
+    * shuffle beyond that pipeline's: sizes aggregate over the id-keyed
+    * cluster frame (duplicate-bounded), and the corpus-side join moves
+    * only ids — the weights attach to whatever payload the caller keeps
+    * by `idCol`. */
+  def softDedupWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val clusters = nearDupResolve(docs, idCol, textCol, threshold, nGram,
+      numHashes, bands, maxBucketSize, portable)
+    val sizes = clusters.groupBy(col("keep_id"))
+      .agg(count(lit(1)).cast("long").as("graft_csize"))
+    val membership = clusters.join(sizes, "keep_id")
+      .select(col("id").as(idCol), col("graft_csize"))
+    docs.select(col(idCol))
+      .join(membership, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("graft_csize"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro",
+        call_function("div", lit(1000000L), col("cluster_size")))
+  }
 }

@@ -694,4 +694,47 @@ object Sampling {
       .select(col(idCol), col("weight"), col("priority"),
         greatest(col("weight").cast("double"), col("tau")).as("w_hat"))
   }
+
+  /** Deterministic fixed-count sample per stratum: each group keeps its
+    * `k` rows with the smallest salted content hash (ties by id) — the
+    * balanced-eval-set / per-class-quota op ([[hashSplit]] fixes a
+    * FRACTION per row; this fixes a COUNT per group). Content-addressed
+    * like the rest of the file: membership is a pure function of
+    * (id, salt), stable under reruns, insertions elsewhere in the
+    * stratum never evict more than the hash order implies.
+    *
+    * Exact min-k without a per-stratum global sort: rows are first
+    * ranked inside (stratum, one of 32 salted sub-buckets) — windows
+    * over ~1/32 of each stratum — and only the per-bucket top-k
+    * survivors (≤ 32·k rows per stratum, k-bounded not data-bounded)
+    * enter the final per-stratum ranking. Min-k over a union of bucket
+    * min-k's is the global min-k, so the two-level plan is exact; only
+    * (stratum, id, 8-hex hash) rows ever shuffle. The same hierarchical
+    * trick as `selectTopQualityShare`'s boundary refinement.
+    *
+    * Output: (strataCol, idCol, sample_rank), sample_rank in 1..k per
+    * stratum (hash asc, id asc); strata with fewer than k rows keep all. */
+  def stratifiedFixedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = hashHex(col(idCol), salt)
+    val sub = graft.functions.PortableHash.h32(
+      concat(col(idCol).cast("string"), lit("-sub-" + salt))) % 32
+    val level1 = Window.partitionBy(col(strataCol), col("__sub"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val survivors = df
+      .select(col(strataCol), col(idCol), h.as("__h"), sub.as("__sub"))
+      .withColumn("__r1", row_number().over(level1))
+      .filter(col("__r1") <= k)
+    val level2 = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    survivors
+      .withColumn("sample_rank", row_number().over(level2).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col(strataCol), col(idCol), col("sample_rank"))
+  }
 }

@@ -422,4 +422,89 @@ class CorpusStatsSpec extends AnyFunSuite {
       CorpusStats.heavyHitters(docs, "doc_id", "text", k = 60, capacity = 60)
     }
   }
+
+  test("dsirWeights matches a driver-side replay of the hashed-ngram LLR") {
+    import graft.functions.PortableHash
+    val raw = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "gamma delta epsilon"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val target = Seq("alpha beta", "alpha beta alpha zeta")
+      .toDF("text")
+    val buckets = 16
+    def feats(text: String): Seq[Int] = {
+      val ts = text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      val uni = ts
+      val bi = if (ts.length < 2) Seq.empty
+               else ts.sliding(2).map(_.mkString(" ")).toSeq
+      (uni ++ bi).map(f => (PortableHash.md5_32(f) % buckets).toInt)
+    }
+    val rawDocs = Map(
+      1L -> "alpha beta alpha", 2L -> "gamma delta epsilon",
+      3L -> "alpha beta gamma")
+    val tCnt = Seq("alpha beta", "alpha beta alpha zeta")
+      .flatMap(feats).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rCnt = rawDocs.values.flatMap(feats)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = tCnt.values.sum; val rTot = rCnt.values.sum
+    def llr(b: Int): Long = math.round(
+      (math.log(
+        ((tCnt.getOrElse(b, 0L) + 1).toDouble / (tTot + buckets)) /
+        ((rCnt.getOrElse(b, 0L) + 1).toDouble / (rTot + buckets))) /
+        math.log(2.0)) * 1e6)
+    val expected = rawDocs.map { case (id, text) =>
+      val fs = feats(text)
+      (id, fs.size.toLong, fs.map(llr).sum)
+    }.toSeq.sortBy(_._1)
+    val got = CorpusStats.dsirWeights(raw, "doc_id", "text", target, "text",
+        buckets = buckets)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("dsirWeights ranks target-like raw docs above off-target ones") {
+    val raw = (1 to 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "spark shuffle partition broadcast join")
+      else (i.toLong, "cooking pasta tomato basil dinner")
+    }.toDF("doc_id", "text")
+    val target = Seq("spark broadcast join", "spark shuffle partition")
+      .toDF("text")
+    val w = CorpusStats.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val evens = (2 to 20 by 2).map(i => w(i.toLong))
+    val odds = (1 to 19 by 2).map(i => w(i.toLong))
+    assert(evens.min > odds.max,
+      s"target-like docs must outscore off-target: $w")
+  }
+
+  test("novelGramRate: first doc owns its grams, repeats inside it still count novel") {
+    val d = Seq(
+      (1L, "a b c a b c"),     // grams: abc bca cab abc — all owned by doc 1
+      (2L, "a b c x y z"),     // abc seen; bcx cxy xyz novel
+      (3L, "a b c")            // abc only — nothing novel
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.novelGramRate(d, "doc_id", "text", nGram = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 1000L),
+      (2L, 4L, 3L, 750L),
+      (3L, 1L, 0L, 0L)))
+  }
+
+  test("classifierReport: exact marginals, permilles, and a pred-only label") {
+    val scored = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), ("de", "xx")).toDF("truth", "pred")
+    val got = CorpusStats.classifierReport(scored, "truth", "pred")
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // de: n_true 2, n_pred 2, tp 1 -> p 500, r 500, f1 500
+    // en: n_true 3, n_pred 2, tp 2 -> p 1000, r 666, f1 (2*1000*666)//1666 = 799
+    // xx: pred-only -> n_true 0, tp 0, everything 0
+    assert(got == Seq(
+      ("de", 2L, 2L, 1L, 500L, 500L, 500L),
+      ("en", 3L, 2L, 2L, 1000L, 666L, 799L),
+      ("xx", 0L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -577,4 +577,56 @@ class DedupSpec extends AnyFunSuite {
     assert(bTail.forall(aHashes.contains),
       s"unsynchronized chunks: ${bTail.filterNot(aHashes.contains).toSeq}")
   }
+
+  test("dedupLinesKeepFirst: global first occurrence survives, later ones drop") {
+    val d = Seq(
+      (1L, "unique alpha line one\nshared sentence across documents\nunique alpha line two"),
+      (2L, "shared sentence across documents\nunique beta line"),
+      (3L, "unique gamma line\nshared sentence across documents")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(d, "doc_id", "text", minChars = 10)
+      .orderBy("doc_id").select("text").as[String].collect()
+    // doc 1 owns the shared line ((1, pos 1) is the min) — untouched
+    assert(out(0) ==
+      "unique alpha line one\nshared sentence across documents\nunique alpha line two")
+    assert(out(1) == "unique beta line")
+    assert(out(2) == "unique gamma line")
+  }
+
+  test("dedupLinesKeepFirst: intra-doc repeats keep the earliest position") {
+    val d = Seq(
+      (7L, "repeated inside document\nmiddle content line here\nrepeated inside document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(d, "doc_id", "text")
+      .select("text").as[String].head()
+    assert(out == "repeated inside document\nmiddle content line here")
+  }
+
+  test("dedupLinesKeepFirst: short lines are exempt; CRLF normalizes on rewrite only") {
+    val d = Seq(
+      (1L, "--\nlong enough duplicated line\n--"),
+      (2L, "--\nlong enough duplicated line"),
+      // no duplicated >=minChars line: passes through BYTE-identical,
+      // CRLF intact (only affected docs are rebuilt)
+      (3L, "crlf untouched line\r\nsecond untouched line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(d, "doc_id", "text", minChars = 10)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(out(0) == "--\nlong enough duplicated line\n--") // owner + exempt shorts
+    assert(out(1) == "--")                                  // dup dropped, short kept
+    assert(out(2) == "crlf untouched line\r\nsecond untouched line")
+  }
+
+  test("softDedupWeights: inverse cluster size over every doc, floor micro") {
+    // docs 1,2,3 form one near-dup cluster (chain via 2); 4,5 unclustered
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(w.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val bySize = w.map(t => t._1 -> t._2).toMap
+    assert(bySize(1L) == 3L && bySize(2L) == 3L && bySize(3L) == 3L, w.toSeq)
+    assert(bySize(4L) == 1L && bySize(5L) == 1L)
+    val byW = w.map(t => t._1 -> t._3).toMap
+    assert(byW(1L) == 333333L && byW(4L) == 1000000L)
+  }
 }

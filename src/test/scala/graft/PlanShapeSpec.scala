@@ -248,4 +248,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("g#")),
       s"dc02 shuffles gram strings:\n${exchanges.mkString("\n")}")
   }
+
+  test("ds01: both bucket models broadcast into scoring — no shuffle join, no gram strings in exchanges") {
+    val p = plan("ds01_dsir_select")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-100 selection
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(!exchanges.exists(l => l.contains("f#") || l.contains("text#")),
+      s"ds01 shuffles feature/gram strings:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ng01: exchanges carry gram hashes and ids, never text or gram strings") {
+    val p = plan("ng01_novel_ngrams")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("g#")),
+      s"ng01 shuffles text/grams:\n${exchanges.mkString("\n")}")
+  }
+
+  test("pd01: line-hash exchanges only; document text moves once, through the affected-docs join") {
+    val p = plan("pd01_paragraph_dedup")
+    // ownership + removal-list aggregation shuffle (id, pos, hash) only
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(!exchanges.exists(_.contains("line#")),
+      s"pd01 shuffles raw line strings:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sp06: stratified sample is two window rankings — no join anywhere") {
+    val p = plan("sp06_stratified_sample")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }

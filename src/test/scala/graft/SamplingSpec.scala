@@ -388,4 +388,45 @@ class SamplingSpec extends AnyFunSuite {
     // tau = 0: w_hat degrades to the exact weight for every row
     assert(got.forall { case (_, w, wh) => wh == w.toDouble })
   }
+
+  test("prioritySample filters non-positive weights before scoring") {
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 7L))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(docs, "id", col("w"), 10, "a")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("stratifiedFixedSample: two-level plan equals the naive per-stratum window") {
+    val df = (1 to 900)
+      .map(i => (i.toLong, s"s${i % 3}")).toDF("id", "stratum")
+    val k = 25
+    val got = Sampling.stratifiedFixedSample(df, "id", "stratum", k, "t1")
+      .orderBy("stratum", "sample_rank")
+      .as[(String, Long, Long)].collect().toSeq
+    // naive reference: one global window per stratum (tiny fixture only —
+    // the unpartitioned-window warning, if any, is this twin, not the op)
+    import org.apache.spark.sql.expressions.Window
+    val h = substring(md5(concat(col("id").cast("string"), lit("-t1"))
+      .cast("binary")), 1, 8)
+    val naive = df
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(h.asc, col("id").asc))
+        .cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("stratum"), col("id"), col("sample_rank"))
+      .orderBy("stratum", "sample_rank")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == naive)
+    assert(got.count(_._1 == "s0") == k)
+  }
+
+  test("stratifiedFixedSample: strata smaller than k keep every row, ranked") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "stratum")
+    val got = Sampling.stratifiedFixedSample(df, "id", "stratum", 10, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 3)
+    assert(got.filter(_._1 == "a").map(_._3).sorted.toSeq == Seq(1L, 2L))
+    assert(got.filter(_._1 == "b").map(_._3).toSeq == Seq(1L))
+  }
 }

@@ -84,10 +84,17 @@ object ScaleProof {
     "cd01_cdc" -> Bounds(6, 8),         // measured 3.2x (8-byte-key agg only)
     "fp01_winnow" -> Bounds(26, 8),     // measured 16.4x of 2.6 MiB (answer-bound: 308->572k pairs; row-local selection shrank the base)
     "id01_incr" -> Bounds(10, 8),       // measured 5.8x (fixed incoming batch)
-    "nb01_nbayes" -> Bounds(28, 8),     // measured 17.0x of 2.1 MiB (doc-term x classes)
+    "nb01_nbayes" -> Bounds(52, 8),     // measured 34.9x of 2.8 MiB CONSUMED (r9: action sums nll_micro; byte ratio is compression-dominated — rows grow 11x, see PLANS.md r9)
     "km01_kmeans" -> Bounds(10, 8),     // ~zero-shuffle: k x dim partial buffers only
     "bm01_bm25" -> Bounds(5, 8),        // ZERO shuffle: row-local tf/len + scalar aggs
-    "sn01_snm" -> Bounds(5, 8))         // measured 2.7x (narrow rank rows, window-bounded pairs)
+    "sn01_snm" -> Bounds(5, 8),         // measured 2.7x (narrow rank rows, window-bounded pairs)
+    // round-9 lanes (SCALING.md round-9 addendum)
+    "pd01_keepfirst" -> Bounds(31, 8),  // measured 20.6x of 0.1 MiB (dup-bounded owner frames)
+    "sw01_softdedup" -> Bounds(22, 8),  // measured 14.6x (dd05's pipeline + id-only joins)
+    "ds01_dsir" -> Bounds(20, 8),       // measured 13.3x (fixed target side; (doc,bucket,occ) rows)
+    "ng01_novelty" -> Bounds(16, 8),    // measured 10.7x (60-bit hash rows, map-side combined)
+    "cm01_confusion" -> Bounds(52, 8),  // measured 34.9x ≡ consumed nb01 (report adds ~0)
+    "sp06_strat" -> Bounds(19, 8))      // measured 12.7x of 0.1 MiB (narrow rank rows)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -106,8 +113,13 @@ object ScaleProof {
     // round-8 third-sitting third points
     "cd01_cdc" -> Bounds(16, 8),        // measured 10.3x (linear)
     "id01_incr" -> Bounds(26, 8),       // measured 16.5x (answer-bound probe hits)
-    "nb01_nbayes" -> Bounds(17, 8),     // measured 10.9x (exactly linear)
-    "fp01_winnow" -> Bounds(150, 8))    // measured 91.4x (answer grew 50x: 572k->28.7M pairs; pair join is ~all that shuffles now)
+    "nb01_nbayes" -> Bounds(16, 8),     // measured 10.4x CONSUMED (r9 action; exactly linear)
+    "fp01_winnow" -> Bounds(150, 8),    // measured 91.4x (answer grew 50x: 572k->28.7M pairs; pair join is ~all that shuffles now)
+    // round-9 third points
+    "cm01_confusion" -> Bounds(16, 8),  // measured 10.4x (linear; ≡ consumed nb01)
+    "ds01_dsir" -> Bounds(15, 8),       // measured 9.8x (linear)
+    "ng01_novelty" -> Bounds(25, 8),    // measured 16.2x (hash-frame + answer growth)
+    "pd01_keepfirst" -> Bounds(100, 8)) // measured 65.1x of 1.8 MiB (answer-bound: 100x variants repeat base docs' lines wholesale, so the dup-owner and removal frames approach corpus size — the worst case the operator is shaped for)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -463,10 +475,15 @@ object ScaleProof {
       }
       measure("nb01_nbayes", scale)(
         // labels derived from doc_id (the variant corpus carries no
-        // label column); 5 classes = the scoring fan-out factor
+        // label column); 5 classes = the scoring fan-out factor.
+        // sum(nll_micro) — NOT count(): rows are one-per-doc regardless
+        // of scores, so count() lets the optimizer prune the argmin
+        // aggregate and the classes fan-out exchange with it — the r9
+        // probe measured the count() form at HALF the consumed bytes
         CorpusStats.naiveBayesPredict(
           docs.withColumn("graft_lbl", (col("doc_id") % 5).cast("string")),
-          "doc_id", "text", "graft_lbl", vocabCap = 1024).count())
+          "doc_id", "text", "graft_lbl", vocabCap = 1024)
+          .agg(coalesce(sum(col("nll_micro")), lit(0L))).head().getLong(0))
       measure("km01_kmeans", scale)(
         // integer Lloyd: per iteration one k-row broadcast + one hash agg
         // keyed by cell — the corpus-side shuffle should stay ~zero
@@ -480,6 +497,55 @@ object ScaleProof {
           .embed(docs, "doc_id", "text", dim = 64)
           .agg(coalesce(sum(size(col("embedding")).cast("long")), lit(0L)))
           .head().getLong(0))
+      measure("pd01_keepfirst", scale)(
+        // keep-first line dedup: (id, pos, 8-byte hash) tuples + the
+        // duplicate-bounded owner/removal frames; text moves only through
+        // the affected-docs join. The variant corpus repeats base docs'
+        // lines wholesale, so the dup set is large here — worst case.
+        Dedup.dedupLinesKeepFirst(docs, "doc_id", "text", minChars = 10)
+          .agg(coalesce(sum(length(col("text")).cast("long")), lit(0L)))
+          .head().getLong(0))
+      measure("sw01_softdedup", scale)(
+        // soft dedup = dd05's cluster pipeline + a size agg over the
+        // id-keyed cluster frame + an id-only corpus join
+        Dedup.softDedupWeights(docs, "doc_id", "text", threshold = 0.8)
+          .agg(coalesce(sum(col("weight_micro")), lit(0L)))
+          .head().getLong(0))
+      measure("ds01_dsir", scale) {
+        // DSIR selection: the TARGET is FIXED at the 1x %10 split across
+        // every scale (a target domain is bounded by definition — the
+        // dc02/id01 fixed-side contract); the raw side grows. Both
+        // models are 256-row broadcasts; what scales is the (doc,
+        // bucket, occ) partial-aggregated frame.
+        CorpusStats.dsirWeights(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs1x.filter(col("doc_id") % 10 === 0), "text",
+          buckets = 256)
+          .agg(coalesce(sum(col("llr_micro")), lit(0L))).head().getLong(0)
+      }
+      measure("ng01_novelty", scale)(
+        // novelty: (id, 60-bit gram hash, occ) map-side-combined rows,
+        // one min per hash, one hash-keyed rejoin — no text movement
+        CorpusStats.novelGramRate(docs, "doc_id", "text", nGram = 3)
+          .agg(coalesce(sum(col("novel_grams")), lit(0L)))
+          .head().getLong(0))
+      measure("cm01_confusion", scale) {
+        // classifier eval: nb01's pipeline + ONE confusion-matrix pass
+        // (label-domain² rows); the report itself is driver-scale
+        val labeled = docs.withColumn("graft_lbl",
+          (col("doc_id") % 5).cast("string"))
+        val scored = CorpusStats.naiveBayesPredict(
+            labeled, "doc_id", "text", "graft_lbl", vocabCap = 1024)
+          .join(labeled.select(col("doc_id"), col("graft_lbl")), "doc_id")
+        CorpusStats.classifierReport(scored, "graft_lbl", "pred").count()
+      }
+      measure("sp06_strat", scale)(
+        // stratified fixed-k: two-level bucket ranking over narrow
+        // (stratum, id, 8-hex hash) rows; level 2 sees ≤ 32k rows/stratum
+        Sampling.stratifiedFixedSample(
+          docs.withColumn("graft_strat", (col("doc_id") % 16).cast("string")),
+          "doc_id", "graft_strat", k = 20, salt = "sp")
+          .count())
     }
 
     runFamily("1x", docs1x, emb1x)

@@ -54,10 +54,20 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("cd01_cdc", 1.4, 4.4, 1.1),
       pair("fp01_winnow", 2.6, 42.9, 1.1),
       pair("id01_incr", 2.2, 12.6, 1.1),
-      pair("nb01_nbayes", 2.1, 35.2, 1.4),
+      // nb01 re-measured in r9 with the CONSUMED action (sum nll_micro):
+      // count() had let the optimizer prune the argmin aggregate and the
+      // classes fan-out exchange (PLANS.md r9)
+      pair("nb01_nbayes", 2.8, 98.1, 1.6),
       pair("km01_kmeans", 0.0, 0.4, 1.1),
       pair("bm01_bm25", 0.0, 0.0, 1.1),
-      pair("sn01_snm", 1.1, 3.0, 1.0)).flatten
+      pair("sn01_snm", 1.1, 3.0, 1.0),
+      // round-9 lanes (SCALING.md round-9 addendum)
+      pair("pd01_keepfirst", 0.1, 1.8, 1.2),
+      pair("sw01_softdedup", 2.9, 42.4, 1.3),
+      pair("ds01_dsir", 3.7, 49.8, 1.1),
+      pair("ng01_novelty", 5.5, 59.0, 1.1),
+      pair("cm01_confusion", 2.8, 98.1, 2.1),
+      pair("sp06_strat", 0.1, 1.3, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -70,7 +80,9 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd02_rmspans", "ms01_mixsample", "cu01_curate",
       "dd05_resolve", "sp03_shards", "qs01_select", "me01_embed",
       "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
-      "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25", "sn01_snm")
+      "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25", "sn01_snm",
+      "pd01_keepfirst", "sw01_softdedup", "ds01_dsir", "ng01_novelty",
+      "cm01_confusion", "sp06_strat")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
