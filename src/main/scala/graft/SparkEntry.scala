@@ -1004,6 +1004,38 @@ object SparkEntry {
         .collect().drop(4).map(_.getString(0)).toSeq
       CorpusStats.bm25TopK(docs, "doc_id", "text", terms, k = 10)
     }),
+    // PSI drift between the %3 split and the rest over capped n_chars
+    // centile buckets — the production data-drift monitor; log2 micro-
+    // bits (the lm01/ds01 rounding convention)
+    "dr01_drift_psi" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("bucket",
+        least(call_function("div", col("n_chars"), lit(100L)), lit(20L)))
+      CorpusStats.psiDrift(
+          d.filter(col("doc_id") % 3 === 0),
+          d.filter(col("doc_id") % 3 =!= 0), "bucket")
+        .orderBy(col("bucket"))
+    }),
+    // per-language tokenizer fertility (subword pieces per word, the
+    // multilingual token-budget table); BPE-proxy subword counter
+    "tf01_fertility" -> ((s, dir) => {
+      CorpusStats.tokenizerFertility(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))
+    }),
+    // two-sample KS drift over n_chars between the %3 split and the
+    // rest — the nonparametric complement of dr01; micro-quantized
+    // ECDFs, row 1's gap IS the KS statistic
+    "ks01_ks_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.ksDrift(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0), "n_chars", k = 10)
+    }),
+    // per-source plug-in token entropy (bits/token, micro): the corpus-
+    // diversity table behind mixture upweighting; lm01's rounding chain
+    "en01_source_entropy" -> ((s, dir) => {
+      CorpusStats.groupTokenEntropy(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
     // temperature-scaled mixture weights (the mBERT/XLM-R α-smoothing):
     // α = 1/2 via ONE IEEE sqrt (correctly rounded in every engine,
     // where pow is not), weights rounded to micro before the exact
@@ -1223,6 +1255,94 @@ object SparkEntry {
     // heavy hitters: the Spark side certifies its Misra–Gries candidate
     // recount equals the full wordcount top-k, so the oracle IS the full
     // wordcount top-k
+    // PSI replay: same smoothing, same fixed-shape double expression
+    // (two IEEE divisions per share, subtraction, quotient, libm log2,
+    // one micro rounding)
+    "dr01_drift_psi" ->
+      """WITH d AS (SELECT doc_id, LEAST(n_chars // 100, 20) AS bucket
+        |  FROM documents),
+        |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+        |  FROM d WHERE doc_id % 3 = 0 GROUP BY bucket),
+        |cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+        |  FROM d WHERE doc_id % 3 <> 0 GROUP BY bucket),
+        |j AS (SELECT coalesce(cr.bucket, cc.bucket) AS bucket,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM cr FULL OUTER JOIN cc ON cr.bucket = cc.bucket),
+        |tt AS (SELECT (SELECT coalesce(SUM(n_ref), 0) FROM j) AS tr,
+        |              (SELECT coalesce(SUM(n_cur), 0) FROM j) AS tc,
+        |              (SELECT COUNT(*) FROM j) AS b)
+        |SELECT bucket, n_ref, n_cur,
+        |  CAST(round((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + b AS DOUBLE)
+        |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + b AS DOUBLE))
+        |    * log2((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + b AS DOUBLE))
+        |      / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + b AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS psi_micro
+        |FROM j CROSS JOIN tt
+        |ORDER BY bucket""".stripMargin,
+    // fertility replay: token count via the explicit whitespace class
+    // (the Java-\s convention), subwords via the same explicit class in
+    // the negated character set
+    "tf01_fertility" ->
+      raw"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(sub) AS BIGINT) AS n_subwords,
+        |  CAST((SUM(sub) * 1000) // GREATEST(SUM(tok), 1) AS BIGINT)
+        |    AS fertility_permille
+        |FROM (SELECT lang,
+        |    CAST(len(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tok,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
+        |      AS sub
+        |  FROM documents)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // KS replay: same micro-floored ECDFs; SUM OVER (ORDER BY value) is
+    // ROWS-equivalent here because values are grouped-distinct
+    "ks01_ks_drift" ->
+      """WITH ca AS (SELECT n_chars AS value, CAST(COUNT(*) AS BIGINT) AS c_a
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        |cb AS (SELECT n_chars AS value, CAST(COUNT(*) AS BIGINT) AS c_b
+        |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |j AS (SELECT coalesce(ca.value, cb.value) AS value,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+        |tt AS (SELECT
+        |    GREATEST((SELECT coalesce(SUM(c_a), 0) FROM j), 1) AS na,
+        |    GREATEST((SELECT coalesce(SUM(c_b), 0) FROM j), 1) AS nb),
+        |c AS (SELECT value,
+        |    SUM(c_a) OVER (ORDER BY value) AS cum_a,
+        |    SUM(c_b) OVER (ORDER BY value) AS cum_b
+        |  FROM j)
+        |SELECT value, CAST(cum_a AS BIGINT) AS cum_a,
+        |  CAST(cum_b AS BIGINT) AS cum_b,
+        |  CAST((cum_a * 1000000) // na AS BIGINT) AS ecdf_a_micro,
+        |  CAST((cum_b * 1000000) // nb AS BIGINT) AS ecdf_b_micro,
+        |  CAST(abs((cum_a * 1000000) // na - (cum_b * 1000000) // nb)
+        |    AS BIGINT) AS gap_micro
+        |FROM c CROSS JOIN tt
+        |ORDER BY gap_micro DESC, value
+        |LIMIT 10""".stripMargin,
+    // entropy replay: per-token micro rounding before the exact
+    // occurrence-weighted sum (the lm01 chain grouped by source)
+    "en01_source_entropy" ->
+      """WITH tk AS (SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(occ) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.source, CAST(MAX(t) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(n_distinct) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(occ * CAST(round(-log2(CAST(occ AS DOUBLE) /
+        |      CAST(t AS DOUBLE)) * 1000000) AS BIGINT)) // MAX(t)
+        |    AS BIGINT) AS entropy_mbits
+        |FROM cnt c JOIN tot USING (source)
+        |GROUP BY c.source
+        |ORDER BY c.source""".stripMargin,
     // explicit whitespace class, not \s: Java and RE2 \s disagree on \x0B
     "hh01_heavy_hitters" ->
       """WITH tok AS (
@@ -1677,49 +1797,139 @@ object SparkEntry {
     * quotient sits ≥ 1/n from any integer, so the double floor() is
     * exact), emptied cells carried via left join + coalesce. Dim 64 is
     * the table's pinned vector width (q24). */
-  private val kmeansOracleSql: String = {
+  /** One integer-Lloyd CTE chain over `embedding[lo .. lo+dims-1]` with
+    * table prefix `p` — defines `${p}em` (micro-quantized vectors),
+    * `${p}c0..c$iters` (codebook states) and `${p}f`, the final
+    * (vec_id, cell, d2) assignment. Shared by the km01 oracle (one
+    * full-width chain) and the pq01 oracle (m sliced chains), so the
+    * k-means replay has ONE definition. */
+  private def kmeansChainSql(
+      p: String, lo: Int, dims: Int, k: Int, iters: Int,
+      where: String = ""): String = {
+    val sliceExpr =
+      if (lo == 1 && dims == 64) "embedding"
+      else s"embedding[$lo:${lo + dims - 1}]"
     val d2 = (c: String) =>
-      s"""CAST(list_sum(list_transform(generate_series(1, 64),
+      s"""CAST(list_sum(list_transform(generate_series(1, $dims),
          |        j -> (e.v[j] - $c.centroid[j]) * (e.v[j] - $c.centroid[j])))
          |        AS BIGINT)""".stripMargin
     val iter = (i: Int) =>
-      s"""a$i AS (SELECT vec_id, v, cell FROM (
+      s"""${p}a$i AS (SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${d2("c")}, c.cell) AS rn
-         |    FROM em e CROSS JOIN c${i - 1} c) WHERE rn = 1),
-         |s$i AS (SELECT cell, g.j AS j, CAST(SUM(v[g.j]) AS BIGINT) AS s,
+         |    FROM ${p}em e CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1),
+         |${p}s$i AS (SELECT cell, g.j AS j, CAST(SUM(v[g.j]) AS BIGINT) AS s,
          |    COUNT(*) AS n
-         |  FROM a$i, UNNEST(generate_series(1, 64)) AS g(j)
+         |  FROM ${p}a$i, UNNEST(generate_series(1, $dims)) AS g(j)
          |  GROUP BY cell, g.j),
-         |m$i AS (SELECT cell,
+         |${p}m$i AS (SELECT cell,
          |    array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
          |      ORDER BY j) AS centroid
-         |  FROM s$i GROUP BY cell),
-         |c$i AS (SELECT c${i - 1}.cell,
-         |    coalesce(m$i.centroid, c${i - 1}.centroid) AS centroid
-         |  FROM c${i - 1} LEFT JOIN m$i USING (cell))""".stripMargin
-    s"""WITH em AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |  FROM ${p}s$i GROUP BY cell),
+         |${p}c$i AS (SELECT ${p}c${i - 1}.cell,
+         |    coalesce(${p}m$i.centroid, ${p}c${i - 1}.centroid) AS centroid
+         |  FROM ${p}c${i - 1} LEFT JOIN ${p}m$i USING (cell))""".stripMargin
+    s"""${p}em AS (SELECT vec_id, list_transform(CAST($sliceExpr AS DOUBLE[]),
        |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
-       |  FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+       |  FROM embeddings$where),
+       |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY
        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
        |      vec_id) - 1 AS BIGINT) AS cell, v AS centroid
-       |  FROM em
+       |  FROM ${p}em
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
        |    vec_id
-       |  LIMIT 8),
-       |${(1 to 2).map(iter).mkString(",\n")}
-       |SELECT vec_id, cell, d2 FROM (
+       |  LIMIT $k),
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |${p}f AS (SELECT vec_id, cell, d2 FROM (
        |  SELECT e.vec_id, c.cell, ${d2("c")} AS d2,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      ${d2("c")}, c.cell) AS rn
-       |  FROM em e CROSS JOIN c2 c) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       |  FROM ${p}em e CROSS JOIN ${p}c$iters c) WHERE rn = 1)""".stripMargin
   }
+
+  private val kmeansOracleSql: String =
+    s"""WITH ${kmeansChainSql("", 1, 64, 8, 2)}
+       |SELECT vec_id, cell, d2 FROM f
+       |ORDER BY vec_id""".stripMargin
 
   private val vectorOracle: Map[String, String] = Map(
     "km01_kmeans_int" -> kmeansOracleSql,
+    // PQ encode: four 16-dim integer-Lloyd chains (the km01 chain builder
+    // with sliced inputs), codes = per-subspace argmin cells, d2_total =
+    // exact integer reconstruction error
+    "pq01_product_quant" -> {
+      val chains = (0 until 4)
+        .map(s => kmeansChainSql(s"p$s", s * 16 + 1, 16, 8, 2))
+        .mkString(",\n")
+      s"""WITH $chains
+         |SELECT a.vec_id, a.cell AS code0, b.cell AS code1,
+         |  c.cell AS code2, d.cell AS code3,
+         |  CAST(a.d2 + b.d2 + c.d2 + d.d2 AS BIGINT) AS d2_total
+         |FROM p0f a JOIN p1f b USING (vec_id)
+         |  JOIN p2f c USING (vec_id) JOIN p3f d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin
+    },
+    // PQ ADC replay: the same four sliced chains trained WITHOUT vec 0,
+    // per-subspace query-to-centroid lookup tables, code joins, exact
+    // full-width distance in-row
+    "pq02_adc_topk" -> {
+      val chains = (0 until 4)
+        .map(s => kmeansChainSql(s"p$s", s * 16 + 1, 16, 8, 2,
+          where = " WHERE vec_id <> 0"))
+        .mkString(",\n")
+      val dts = (0 until 4).map { s =>
+        s"""dt$s AS (SELECT c.cell,
+           |    CAST(list_sum(list_transform(generate_series(1, 16),
+           |      j -> (qv.v[${s * 16} + j] - c.centroid[j]) *
+           |           (qv.v[${s * 16} + j] - c.centroid[j])))
+           |      AS BIGINT) AS d2q
+           |  FROM p${s}c2 c CROSS JOIN qv)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $chains,
+         |qv AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings WHERE vec_id = 0),
+         |$dts,
+         |fe AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings WHERE vec_id <> 0),
+         |ex AS (SELECT fe.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      j -> (fe.v[j] - qv.v[j]) * (fe.v[j] - qv.v[j])))
+         |      AS BIGINT) AS exact_d2
+         |  FROM fe CROSS JOIN qv)
+         |SELECT f0.vec_id,
+         |  CAST(d0.d2q + d1.d2q + d2x.d2q + d3.d2q AS BIGINT) AS adc_d2,
+         |  ex.exact_d2
+         |FROM p0f f0 JOIN p1f f1 USING (vec_id)
+         |  JOIN p2f f2 USING (vec_id) JOIN p3f f3 USING (vec_id)
+         |  JOIN dt0 d0 ON d0.cell = f0.cell
+         |  JOIN dt1 d1 ON d1.cell = f1.cell
+         |  JOIN dt2 d2x ON d2x.cell = f2.cell
+         |  JOIN dt3 d3 ON d3.cell = f3.cell
+         |  JOIN ex ON ex.vec_id = f0.vec_id
+         |ORDER BY adc_d2, f0.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    // JL ±1 projection: exact long dot products of the micro-quantized
+    // vector with md5-sign rows — merge-order independent by construction
+    "jl01_random_projection" ->
+      """WITH em AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |px AS (SELECT vec_id, a.j AS j, b.i AS i, v[b.i + 1] AS x
+        |  FROM em,
+        |    UNNEST(generate_series(0, 15)) AS a(j),
+        |    UNNEST(generate_series(0, 63)) AS b(i))
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  CAST(SUM(x * (CASE WHEN ('0x' || substr(md5(
+        |      'jl-' || CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)),
+        |      1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+        |    AS y_micro
+        |FROM px GROUP BY vec_id, j
+        |ORDER BY vec_id, dim""".stripMargin,
     "q23_knn_of_vec0" ->
       """SELECT vec_id, rk FROM (
         |  SELECT e.vec_id,
@@ -4103,6 +4313,36 @@ object SparkEntry {
       Similarity.Ivf.kMeansAssignInt(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("vec_id"))
+    }),
+    // product quantization encode (Jégou et al. TPAMI 2011): 4×16-dim
+    // integer-Lloyd codebooks (km01's trainer per subspace, one shared
+    // SQL chain builder), encode = ONE codegen projection with all 4
+    // codebooks as driver literals — zero corpus shuffle; d2_total is
+    // the exact reconstruction error
+    "pq01_product_quant" -> ((s, dir) => {
+      Similarity.Ivf.pqEncodeInt(t(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 4, subDim = 16, k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+    // JL ±1 random projection (Achlioptas 2003): 64→16 dims in exact
+    // micro-unit longs via md5-derived sign rows — a literal-matrix
+    // codegen projection, zero shuffle; the dim-reduction front of the
+    // ANN/clustering family
+    "jl01_random_projection" -> ((s, dir) => {
+      Similarity.Ivf.randomProjectInt(t(s, dir, "embeddings"),
+          "vec_id", "embedding", inDim = 64, outDim = 16, salt = "jl")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+    // PQ ADC search (the query half of pq01): score vec 0 against the
+    // corpus through codes + an m×k driver lookup table, exact longs;
+    // exact_d2 rides in-row so the ADC error is readable off the output
+    "pq02_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.Ivf.pqTopK(e.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", q, k = 10, m = 4, subDim = 16,
+        kCode = 8, iters = 2)
     }),
     // portable-hyperplane LSH top-k with a FULL oracle (same replay story
     // as dd04); exact_rank = position in the exact global top-10, 0 = a

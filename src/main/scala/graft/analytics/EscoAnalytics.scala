@@ -588,6 +588,50 @@ object EscoAnalytics {
       .orderBy(col("cluster"), col("d2"), col("uri"))
   }
 
+  /** Least-novel skill descriptions ([[graft.operators.CorpusStats
+    * .novelGramRate]] over the catalog in conceptUri order): descriptions
+    * whose 3-grams mostly first appeared in EARLIER descriptions — the
+    * template/boilerplate-description detector, the catalog-curation twin
+    * of the corpus novelty lane. Output: (uri, preferredLabel, n_grams,
+    * novel_grams, novel_permille), least novel first. */
+  def descriptionNovelty(wh: EscoWarehouse, n: Int = 20): DataFrame = {
+    val described = wh.skills
+      .filter(col("description").isNotNull && length(col("description")) > 0)
+      .select(col("conceptUri"), col("preferredLabel"), col("description"))
+      .localCheckpoint() // feeds the gram pipeline AND the label rejoin
+    graft.operators.CorpusStats
+      .novelGramRate(described, "conceptUri", "description", nGram = 3)
+      .join(described.select(col("conceptUri"), col("preferredLabel")),
+        Seq("conceptUri"))
+      .select(col("conceptUri").as("uri"), col("preferredLabel"),
+        col("n_grams"), col("novel_grams"), col("novel_permille"))
+      .orderBy(col("novel_permille"), col("uri"))
+      .limit(n)
+  }
+
+  /** Deterministic fixed-count sample per catalog kind (skill vs skill
+    * group — the Q1 dual-label axis, present in every warehouse
+    * generation; `skillType` is not persisted)
+    * ([[graft.operators.Sampling.stratifiedFixedSample]]): the balanced
+    * review/eval subset a curation pass pulls from the catalog —
+    * content-addressed, so reruns and catalog growth elsewhere never
+    * reshuffle a stratum's picks beyond the hash order. */
+  def sampleSkills(wh: EscoWarehouse, k: Int = 5): DataFrame = {
+    val typed = wh.skills
+      .select(col("conceptUri"), col("preferredLabel"),
+        when(col("isSkillGroup"), lit("skill-group")).otherwise(lit("skill"))
+          .as("kind"))
+      .localCheckpoint() // sample + label rejoin
+    graft.operators.Sampling
+      .stratifiedFixedSample(typed, "conceptUri", "kind", k,
+        salt = "esco-sample")
+      .join(typed.select(col("conceptUri"), col("preferredLabel")),
+        Seq("conceptUri"))
+      .select(col("kind"), col("sample_rank"),
+        col("conceptUri").as("uri"), col("preferredLabel"))
+      .orderBy(col("kind"), col("sample_rank"))
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

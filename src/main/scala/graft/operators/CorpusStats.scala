@@ -883,6 +883,149 @@ object CorpusStats {
           .as("novel_permille"))
   }
 
+  /** Population Stability Index between two corpus splits over a shared
+    * bucket column — THE production drift detector for data pipelines
+    * (credit-scoring lineage, standard in ML monitoring): per bucket,
+    * `psi_b = (p_b − q_b) · log2(p_b / q_b)` with p/q the add-one-
+    * smoothed bucket shares of the reference and current splits (log2,
+    * not ln — the house micro-bit convention of lm01/ds01; smoothing
+    * plays the role of the usual zero-bucket epsilon). Σ psi_b ≳ 0.2·ln2
+    * bits is the classic "investigate" threshold.
+    *
+    * Exactness: per-bucket rounding to integer micro-bits AFTER one
+    * fixed-shape double expression (two IEEE divisions per share, one
+    * subtraction, one quotient, one libm log2, one multiply) — the ds01
+    * replay contract; totals stay exact below 2^53.
+    *
+    * Scale: both sides reduce to bucket-domain-sized count aggregates
+    * (map-side combined); everything after is bounded by the bucket
+    * domain, staged behind one lazy checkpoint whose materializing
+    * action is the totals read.
+    *
+    * Output: (bucketCol, n_ref, n_cur, psi_micro), one row per bucket
+    * observed in either split. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, bucketCol: String): DataFrame = {
+    val cr = ref.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_ref"))
+    val cc = cur.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_cur"))
+    val joined = cr.join(cc, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint(false) // bucket-domain rows; totals read materializes
+    val t = joined.agg(
+      coalesce(sum("n_ref"), lit(0L)),
+      coalesce(sum("n_cur"), lit(0L)),
+      count(lit(1))).head()
+    val (tRef, tCur, b) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val p = (col("n_ref") + lit(1L)).cast("double") / lit((tRef + b).toDouble)
+    val q = (col("n_cur") + lit(1L)).cast("double") / lit((tCur + b).toDouble)
+    joined.select(col(bucketCol), col("n_ref"), col("n_cur"),
+      round((p - q) * log2(p / q) * lit(1000000.0)).cast("long")
+        .as("psi_micro"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift over an integer-valued column —
+    * the nonparametric complement of [[psiDrift]] (PSI needs chosen
+    * buckets; KS reads the whole empirical CDF). Per distinct value,
+    * both splits' ECDFs quantize to integer micro (floor — avoiding the
+    * cumA·nB cross products that overflow 2^63 at corpus scale), and
+    * the statistic is the max |ecdfA − ecdfB| over values; the output
+    * carries the `k` largest-gap values (row 1 IS the KS statistic),
+    * the self-verifying-columns convention.
+    *
+    * Scale: everything reduces to value-domain-sized count aggregates
+    * (map-side combined); the one ordered window runs over that bounded
+    * domain (distinct lengths/scores — bounded by the value range, not
+    * the corpus), the same bounded-domain stance as the vocabulary
+    * models.
+    *
+    * Output: (value, cum_a, cum_b, ecdf_a_micro, ecdf_b_micro,
+    * gap_micro), top `k` by (gap desc, value). */
+  def ksDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ca = a.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("c_a"))
+    val cb = b.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("c_b"))
+    val joined = ca.join(cb, Seq("value"), "full_outer")
+      .select(col("value"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint(false) // value-domain rows; totals read materializes
+    val t = joined.agg(
+      coalesce(sum("c_a"), lit(0L)), coalesce(sum("c_b"), lit(0L))).head()
+    val (nA, nB) = (math.max(t.getLong(0), 1L), math.max(t.getLong(1), 1L))
+    // bounded-domain window (distinct values, not corpus rows) — the
+    // deliberate exception the scaladoc documents
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("cum_a", sum(col("c_a")).over(w))
+      .withColumn("cum_b", sum(col("c_b")).over(w))
+      .select(col("value"), col("cum_a"), col("cum_b"),
+        ldiv(col("cum_a") * lit(1000000L), lit(nA)).as("ecdf_a_micro"),
+        ldiv(col("cum_b") * lit(1000000L), lit(nB)).as("ecdf_b_micro"))
+      .withColumn("gap_micro",
+        abs(col("ecdf_a_micro") - col("ecdf_b_micro")))
+      .orderBy(desc("gap_micro"), col("value"))
+      .limit(k)
+  }
+
+  /** Per-group plug-in token entropy (Shannon, bits/token): the corpus-
+    * diversity table — a low-entropy source is templated/boilerplate
+    * text, a high-entropy one diverse language; the measurement behind
+    * mixture upweighting of diverse sources. Same micro-bit exactness
+    * chain as [[unigramSurprisal]]: per distinct token one rounded
+    * `-log2(c/T)` micro value, occurrence-weighted exact long sum,
+    * one floor division by T.
+    *
+    * Scale: one (group, token) count aggregate (vocab-bounded per
+    * group, map-side combined), group totals join, group-domain output.
+    *
+    * Output: (groupCol, n_tokens, n_distinct, entropy_mbits). */
+  def groupTokenEntropy(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum("occ").as("t"), count(lit(1)).as("n_distinct"))
+    cnt.join(totals, Seq(groupCol))
+      .select(col(groupCol), col("t"), col("n_distinct"), col("occ"),
+        round(-log2(col("occ").cast("double") / col("t").cast("double")) *
+          lit(1000000.0)).cast("long").as("nll_micro"))
+      .groupBy(col(groupCol))
+      .agg(max(col("t")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        ldiv(sum(col("occ") * col("nll_micro")), max(col("t")))
+          .as("entropy_mbits"))
+  }
+
+  /** Per-language tokenizer fertility: subword pieces per whitespace
+    * word, the multilingual-pipeline table that decides token budgets
+    * and mixture weights per language (high fertility = the tokenizer
+    * fragments that language). Uses the BPE-proxy subword counter of
+    * [[graft.functions.TextFunctions.subwordCount]]; integer permille.
+    * One scan, language-domain-sized output, map-side combined. */
+  def tokenizerFertility(
+      docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"),
+        sum(TextFunctions.subwordCount(col(textCol))).as("n_subwords"))
+      .select(col(langCol), col("n_docs"), col("n_tokens"), col("n_subwords"),
+        ldiv(col("n_subwords") * lit(1000L), greatest(col("n_tokens"), lit(1L)))
+          .as("fertility_permille"))
+
   /** Per-class evaluation report of a classifier output frame — the
     * measurement half of the curation classifiers ([[naiveBayesPredict]],
     * the quality/language routers): per label, support, predicted count,

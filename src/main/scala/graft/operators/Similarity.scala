@@ -420,43 +420,51 @@ object Similarity {
       * expression embeds k·dim literal constants. Output: one more
       * literal-assign pass, (idCol, cell, d2).
       */
-    def kMeansAssignInt(
-        corpus: DataFrame,
+    /** `floor(x·1e6 + 0.5)` long quantization of a float-array column —
+      * the ONE integer-vector quantization shared by the exact k-means /
+      * PQ / projection family (the [[graft.functions.VectorAvgExact]]
+      * convention; `CAST(floor(x*1000000+0.5) AS BIGINT)` in SQL). */
+    private[graft] def microVec(vecCol: Column): Column =
+      transform(vecCol,
+        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+
+    /** Argmin over driver-held integer centroids as ONE array_min of
+      * (d2, cell) structs — ties to the lower cell by struct ordering.
+      * `vMicro` must be an ATTRIBUTE (aliased micro-vector column). */
+    private def bestCell(
+        vMicro: Column, cents: Seq[(Long, Seq[Long])]): Column =
+      array_min(array(cents.map { case (cell, c) =>
+        struct(
+          aggregate(zip_with(vMicro, typedLit(c),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("d2"),
+          lit(cell).as("cell"))
+      }: _*))
+
+    /** The integer-Lloyd training loop of [[kMeansAssignInt]], shared
+      * with [[pqEncodeInt]]: md5-sampled init, `iters` argmin-assign /
+      * VectorAvgExact-update rounds, emptied cells carrying over.
+      * `micro` must provide (idCol, vecCol float array, "__v" micro
+      * longs). Empty corpus → empty Seq. */
+    private def trainKMeansInt(
+        micro: DataFrame,
         idCol: String,
         vecCol: String,
         k: Int,
-        iters: Int): DataFrame = {
-      require(k > 0, "k must be positive")
-      require(iters >= 0, "iters must be non-negative")
+        iters: Int): Seq[(Long, Seq[Long])] = {
       val sampleKey = graft.functions.PortableHash.h32(col(idCol).cast("string"))
-      val micro = corpus.select(col(idCol), col(vecCol),
-        transform(col(vecCol),
-          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
-            .cast("long")).as("__v"))
-      // argmin over the driver-held centroids as ONE array_min of
-      // (d2, cell) structs — ties to the lower cell by struct ordering
-      def best(cents: Seq[(Long, Seq[Long])]): Column =
-        array_min(array(cents.map { case (cell, c) =>
-          struct(
-            aggregate(zip_with(col("__v"), typedLit(c),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-              .as("d2"),
-            lit(cell).as("cell"))
-        }: _*))
       var cents: Seq[(Long, Seq[Long])] = micro
         .orderBy(sampleKey, col(idCol))
         .limit(k) // k rows: driver-sized by construction
         .select(col("__v"))
         .collect().toSeq
         .zipWithIndex.map { case (r, c) => (c.toLong, r.getSeq[Long](0)) }
-      // empty corpus: no centroids to argmin over (a zero-element struct
-      // array fails analysis) — the empty assignment frame is the answer
-      if (cents.isEmpty)
-        return micro.select(col(idCol), lit(0L).as("cell"), lit(0L).as("d2"))
-          .limit(0)
+      if (cents.isEmpty) return Seq.empty
       for (_ <- 1 to iters) {
         val updated = micro
-          .select(col(vecCol), best(cents).getField("cell").as("cell"))
+          .select(col(vecCol), bestCell(col("__v"), cents)
+            .getField("cell").as("cell"))
           .groupBy(col("cell"))
           .agg(graft.functions.VectorAvgExact.vectorAvgExact(col(vecCol))
             .as("nc"))
@@ -466,10 +474,202 @@ object Similarity {
           (cell, updated.getOrElse(cell, prev)) // emptied cells carry over
         }
       }
+      cents
+    }
+
+    def kMeansAssignInt(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        k: Int,
+        iters: Int): DataFrame = {
+      require(k > 0, "k must be positive")
+      require(iters >= 0, "iters must be non-negative")
+      val micro = corpus.select(col(idCol), col(vecCol),
+        microVec(col(vecCol)).as("__v"))
+      val cents = trainKMeansInt(micro, idCol, vecCol, k, iters)
+      // empty corpus: no centroids to argmin over (a zero-element struct
+      // array fails analysis) — the empty assignment frame is the answer
+      if (cents.isEmpty)
+        return micro.select(col(idCol), lit(0L).as("cell"), lit(0L).as("d2"))
+          .limit(0)
       micro
-        .select(col(idCol), best(cents).as("__best"))
+        .select(col(idCol), bestCell(col("__v"), cents).as("__best"))
         .select(col(idCol), col("__best.cell").as("cell"),
           col("__best.d2").as("d2"))
+    }
+
+    /** Product quantization encode (Jégou/Douze/Schmid TPAMI 2011,
+      * "Product quantization for nearest neighbor search"): the vector
+      * splits into `m` contiguous `subDim`-dim subspaces, each trained
+      * with its own integer-Lloyd codebook ([[trainKMeansInt]] — same
+      * md5-sampled init, exact micro-unit arithmetic, so the whole
+      * encode replays bit-for-bit in SQL), and the code word is the
+      * per-subspace argmin cell. `m·log2(k)` bits replace `dim` floats —
+      * THE memory path for billion-vector ANN: an ADC scan reads codes
+      * plus an `m·k` lookup table instead of raw vectors.
+      *
+      * Scale (the km01 story, ×m): all m codebooks are driver-held
+      * literals, so the encode is ONE pure codegen projection — no join,
+      * no corpus shuffle at any scale; training costs m·(iters+1)
+      * bounded-size aggregations over the lazily-checkpointed input.
+      *
+      * Output: (idCol, code0..code{m-1}, d2_total) — d2_total the exact
+      * integer reconstruction error (sum of subspace argmin distances),
+      * the quantization-quality metric PQ papers report. */
+    /** Train the `m` per-subspace integer codebooks of the PQ family
+      * over an (eagerly) checkpointed (idCol, vecCol) frame — shared by
+      * [[pqEncodeInt]] and [[pqTopK]]. Cells are 0..k-1 in sample order
+      * within each subspace. */
+    private def trainSubCodebooks(
+        base: DataFrame,
+        idCol: String,
+        vecCol: String,
+        m: Int,
+        subDim: Int,
+        k: Int,
+        iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
+      def subRaw(s: Int) = slice(col(vecCol), s * subDim + 1, subDim)
+      (0 until m).map { s =>
+        trainKMeansInt(
+          base.select(col(idCol), subRaw(s).as("__sub"),
+            microVec(subRaw(s)).as("__v")),
+          idCol, "__sub", k, iters)
+      }
+    }
+
+    def pqEncodeInt(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        m: Int = 4,
+        subDim: Int = 16,
+        k: Int = 8,
+        iters: Int = 2): DataFrame = {
+      require(m >= 1, "need at least one subspace")
+      require(subDim >= 1, "subspaces must be non-empty")
+      require(k > 0, "k must be positive")
+      require(iters >= 0, "iters must be non-negative")
+      // eager: training drives m·(iters+1) driver actions over this frame
+      val base = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+      def subRaw(s: Int) = slice(col(vecCol), s * subDim + 1, subDim)
+      val codebooks = trainSubCodebooks(base, idCol, vecCol, m, subDim, k, iters)
+      if (codebooks.exists(_.isEmpty))
+        return base.select(
+          col(idCol) +:
+            (0 until m).map(s => lit(0L).as(s"code$s")) :+
+            lit(0L).as("d2_total"): _*)
+          .limit(0)
+      val staged = base.select(col(idCol) +:
+        (0 until m).map(s => microVec(subRaw(s)).as(s"__v$s")): _*)
+      val scored = staged.select(col(idCol) +:
+        (0 until m).map(s =>
+          bestCell(col(s"__v$s"), codebooks(s)).as(s"__b$s")): _*)
+      scored.select(col(idCol) +:
+        (0 until m).map(s => col(s"__b$s")("cell").as(s"code$s")) :+
+        (0 until m).map(s => col(s"__b$s")("d2")).reduce(_ + _)
+          .as("d2_total"): _*)
+    }
+
+    /** PQ asymmetric-distance top-k (ADC — Jégou et al. TPAMI 2011 §4.3):
+      * score every corpus vector against `query` through its PQ codes —
+      * `adc_d2 = Σ_s table_s[code_s]` where `table_s[c]` is the exact
+      * integer distance from the query's s-th subvector to codebook cell
+      * c. THE query path PQ exists for: at 100 TB the scan reads codes
+      * (m·log2(k) bits/vector) plus an m·k driver-built lookup table —
+      * never the raw vectors.
+      *
+      * Everything is exact micro-unit long arithmetic over the
+      * [[trainSubCodebooks]] codebooks, so the ranking replays
+      * bit-for-bit in SQL. `exact_d2` (the true full-width distance)
+      * rides in the same row — the ADC approximation error is readable
+      * off the output, the self-verifying-column convention of the ANN
+      * family.
+      *
+      * Plan: codebooks AND the lookup tables are driver literals, so
+      * scoring is one codegen projection and the top-k plans as
+      * TakeOrderedAndProject — no join, no corpus shuffle. */
+    def pqTopK(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        query: Seq[Float],
+        k: Int = 10,
+        m: Int = 4,
+        subDim: Int = 16,
+        kCode: Int = 8,
+        iters: Int = 2): DataFrame = {
+      require(m >= 1 && subDim >= 1, "subspaces must be non-empty")
+      require(query.length == m * subDim, "query/codebook dims disagree")
+      require(k >= 1 && kCode >= 1, "k and kCode must be positive")
+      require(iters >= 0, "iters must be non-negative")
+      val base = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+      def subRaw(s: Int) = slice(col(vecCol), s * subDim + 1, subDim)
+      val codebooks =
+        trainSubCodebooks(base, idCol, vecCol, m, subDim, kCode, iters)
+      if (codebooks.exists(_.isEmpty))
+        return base.select(col(idCol), lit(0L).as("adc_d2"),
+          lit(0L).as("exact_d2")).limit(0)
+      val qm = query.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      // ADC lookup tables: m·kCode exact longs, cells 0..kCode-1 in order
+      val tables: Seq[Seq[Long]] = (0 until m).map { s =>
+        codebooks(s).sortBy(_._1).map { case (_, cent) =>
+          cent.zipWithIndex.map { case (cv, i) =>
+            val d = qm(s * subDim + i) - cv; d * d
+          }.sum
+        }
+      }
+      val staged = base.select(
+        col(idCol) +: microVec(col(vecCol)).as("__vq") +:
+          (0 until m).map(s => microVec(subRaw(s)).as(s"__v$s")): _*)
+      val adc = (0 until m).map { s =>
+        element_at(typedLit(tables(s)),
+          bestCell(col(s"__v$s"), codebooks(s))("cell").cast("int") + 1)
+      }.reduce(_ + _)
+      val exact = aggregate(zip_with(col("__vq"), typedLit(qm),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      staged
+        .select(col(idCol), adc.as("adc_d2"), exact.as("exact_d2"))
+        .orderBy(col("adc_d2"), col(idCol))
+        .limit(k)
+    }
+
+    /** Johnson–Lindenstrauss random projection with ±1 signs (Achlioptas
+      * JCSS 2003, "Database-friendly random projections"): project the
+      * micro-quantized vector onto `outDim` md5-derived sign rows —
+      * `y_j = Σ_i sign(md5("salt-j-i")) · round(x_i·1e6)` — EXACT long
+      * arithmetic, so the projection is merge-order independent and
+      * replays bit-for-bit in SQL (the dimensionality-reduction front of
+      * the ANN family: cut 64 dims to 16 before clustering/LSH at a
+      * √(outDim/inDim)-factor distance distortion).
+      *
+      * Scale: the sign matrix is an `outDim×inDim` literal — the whole
+      * projection is one codegen projection + posexplode, zero shuffle.
+      *
+      * Output: (idCol, dim 0..outDim-1, y_micro), `outDim` rows per
+      * input row. */
+    def randomProjectInt(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        inDim: Int,
+        outDim: Int,
+        salt: String): DataFrame = {
+      require(inDim >= 1 && outDim >= 1, "dimensions must be positive")
+      val signs: Seq[Seq[Long]] = (0 until outDim).map { j =>
+        (0 until inDim).map { i =>
+          if (graft.functions.PortableHash.md5_32(s"$salt-$j-$i") % 2 == 0) 1L
+          else -1L
+        }
+      }
+      val staged = corpus.select(col(idCol), microVec(col(vecCol)).as("__v"))
+      val ys = (0 until outDim).map { j =>
+        aggregate(zip_with(col("__v"), typedLit(signs(j)), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+      }
+      staged
+        .select(col(idCol), posexplode(array(ys: _*)).as(Seq("dim", "y_micro")))
+        .select(col(idCol), col("dim").cast("long").as("dim"), col("y_micro"))
     }
 
     /** Nearest-centroid assignment as an ARGMAX AGGREGATION: broadcast

@@ -492,6 +492,82 @@ class CorpusStatsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("psiDrift: zero on identical distributions, exact on a known shift") {
+    val ref = Seq.tabulate(60)(i => (i.toLong, (i % 3).toLong))
+      .toDF("id", "bucket")
+    // identical shares (and equal totals): p == q exactly -> psi 0
+    val same = CorpusStats.psiDrift(ref, ref, "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(same.length == 3 && same.forall(_._2 == 0L), same.toSeq)
+    // shifted: driver replay of the exact smoothing + log2 + rounding
+    val cur = Seq.tabulate(40)(i => (i.toLong, (i % 2).toLong))
+      .toDF("id", "bucket") // bucket 2 empty on the cur side
+    val got = CorpusStats.psiDrift(ref, cur, "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    def psi(nr: Long, nc: Long): Long = {
+      val p = (nr + 1).toDouble / 63.0 // tRef 60 + 3 buckets
+      val q = (nc + 1).toDouble / 43.0 // tCur 40 + 3 buckets
+      math.round((p - q) * (math.log(p / q) / math.log(2.0)) * 1e6)
+    }
+    assert(got == Seq(
+      (0L, 20L, 20L, psi(20, 20)),
+      (1L, 20L, 20L, psi(20, 20)),
+      (2L, 20L, 0L, psi(20, 0))))
+    assert(got(2)._4 > 0L, "a vanished bucket must contribute positive PSI")
+  }
+
+  test("ksDrift: identical samples gap 0; a shifted sample yields the exact max gap") {
+    val a = Seq.tabulate(40)(i => (i.toLong, (i % 4 + 1).toLong))
+      .toDF("id", "v") // values 1..4, 10 each
+    val same = CorpusStats.ksDrift(a, a, "v").collect()
+    assert(same.forall(_.getLong(5) == 0L))
+    // b shifted up by 2: values 3..6, 10 each. ECDFs (micro):
+    // value 1: A 250000, B 0        -> gap 250000
+    // value 2: A 500000, B 0        -> gap 500000
+    // value 3: A 750000, B 250000   -> gap 500000
+    // value 4: A 1000000, B 500000  -> gap 500000  (KS = 0.5)
+    val b = Seq.tabulate(40)(i => (i.toLong, (i % 4 + 3).toLong))
+      .toDF("id", "v")
+    val got = CorpusStats.ksDrift(a, b, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toSeq
+    assert(got.head == (2L, 500000L), got) // max gap, smallest value first
+    assert(got.take(3).map(_._2).forall(_ == 500000L))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("groupTokenEntropy: uniform vs degenerate sources, exact micro-bits") {
+    val d = Seq(
+      (1L, "u", "a b c d"),   // uniform over 4 tokens: H = 2 bits exactly
+      (2L, "k", "x x x x")    // degenerate: H = 0
+    ).toDF("doc_id", "src", "text")
+    val got = CorpusStats.groupTokenEntropy(d, "src", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("k", 4L, 1L, 0L),
+      ("u", 4L, 4L, 2000000L)))
+  }
+
+  test("tokenizerFertility: exact counts and permille per language") {
+    val d = Seq(
+      (1L, "en", "hello world"),        // 2 tokens, 2 subwords
+      (2L, "en", "foo42 bar!"),         // 2 tokens, 5 subwords (foo,42,bar,!)
+      (3L, "de", "übermäßig gut")       // 2 tokens; non-ASCII letters are
+                                        // single-char subwords under the
+                                        // [A-Za-z] proxy: 2+4+1+3 chars..
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.tokenizerFertility(d, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // de: "übermäßig gut" -> letters runs split at non-ASCII chars:
+    // ü|berm|ä|ß|ig|gut = subwords: ü,berm,ä,ß,ig,gut = 6
+    // en: hello,world + foo,42,bar,! = 6 subwords over 4 tokens
+    assert(got == Seq(
+      ("de", 1L, 2L, 6L, 3000L),
+      ("en", 2L, 4L, 6L, 1500L)))
+  }
+
   test("classifierReport: exact marginals, permilles, and a pred-only label") {
     val scored = Seq(
       ("en", "en"), ("en", "en"), ("en", "de"),

@@ -284,4 +284,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("pq01: encode is a literal projection — no join, no hash exchange") {
+    val p = plan("pq01_product_quant")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning("), p)
+  }
+
+  test("jl01: projection is map-local — no join, no exchange at all") {
+    val p = plan("jl01_random_projection")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning("), p)
+  }
 }

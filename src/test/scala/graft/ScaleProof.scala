@@ -94,7 +94,14 @@ object ScaleProof {
     "ds01_dsir" -> Bounds(20, 8),       // measured 13.3x (fixed target side; (doc,bucket,occ) rows)
     "ng01_novelty" -> Bounds(16, 8),    // measured 10.7x (60-bit hash rows, map-side combined)
     "cm01_confusion" -> Bounds(52, 8),  // measured 34.9x ≡ consumed nb01 (report adds ~0)
-    "sp06_strat" -> Bounds(19, 8))      // measured 12.7x of 0.1 MiB (narrow rank rows)
+    "sp06_strat" -> Bounds(19, 8),      // measured 12.7x of 0.1 MiB (narrow rank rows)
+    "pq01_pq_encode" -> Bounds(10, 8),  // ~zero-shuffle: m cell-keyed codebook aggs only
+    "jl01_project" -> Bounds(5, 8),     // ZERO shuffle: literal-matrix projection
+    "pq02_adc" -> Bounds(10, 8),        // ~zero-shuffle: training aggs + TakeOrdered
+    "dr01_psi" -> Bounds(10, 8),        // bucket-domain count aggs only
+    "tf01_fertility" -> Bounds(10, 8),  // lang-domain agg only
+    "ks01_ks" -> Bounds(10, 8),         // value-domain aggs + bounded window
+    "en01_entropy" -> Bounds(40, 8))    // vocab-bounded (group, token) counts
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -486,9 +493,69 @@ object ScaleProof {
           .agg(coalesce(sum(col("nll_micro")), lit(0L))).head().getLong(0))
       measure("km01_kmeans", scale)(
         // integer Lloyd: per iteration one k-row broadcast + one hash agg
-        // keyed by cell — the corpus-side shuffle should stay ~zero
+        // keyed by cell — the corpus-side shuffle should stay ~zero.
+        // sum(d2) — cardinality is corpus rows regardless of assignment,
+        // so count() would prune the argmin (the nb01/PLANS.md r9 rule);
+        // here the assignment is a literal projection, so the honest
+        // number is still ~zero shuffle
         Similarity.Ivf.kMeansAssignInt(emb, "vec_id", "embedding",
-          k = 16, iters = 2).count())
+          k = 16, iters = 2)
+          .agg(coalesce(sum(col("d2")), lit(0L))).head().getLong(0))
+      measure("pq01_pq_encode", scale)(
+        // PQ: m codebook trainings (cell-keyed k×subDim partial buffers)
+        // + ONE literal-matrix encode projection — ~zero corpus shuffle
+        Similarity.Ivf.pqEncodeInt(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 8, iters = 2)
+          .agg(coalesce(sum(col("d2_total")), lit(0L))).head().getLong(0))
+      measure("jl01_project", scale)(
+        // JL projection: pure literal-sign-matrix projection, no exchange
+        Similarity.Ivf.randomProjectInt(emb, "vec_id", "embedding",
+          inDim = 64, outDim = 16, salt = "jl")
+          .agg(coalesce(sum(col("y_micro")), lit(0L))).head().getLong(0))
+      measure("pq02_adc", scale) {
+        // ADC search: codes + driver lookup tables; the scan is a
+        // literal projection into TakeOrderedAndProject — the top-k is
+        // the action, so nothing here is count()-prunable
+        val q = emb.orderBy(col("vec_id")).select(col("embedding"))
+          .head().getSeq[Float](0)
+        Similarity.Ivf.pqTopK(emb, "vec_id", "embedding", q,
+          k = 10, m = 4, subDim = 16, kCode = 8, iters = 2)
+          .agg(coalesce(sum(col("adc_d2")), lit(0L))).head().getLong(0)
+      }
+      measure("dr01_psi", scale)(
+        // PSI: two bucket-domain count aggs (map-side combined) + a
+        // bucket-domain join — ~zero shuffle at any corpus size
+        CorpusStats.psiDrift(
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("bucket", least(length(col("text")) / 100, lit(20))),
+          docs.filter(col("doc_id") % 3 =!= 0)
+            .withColumn("bucket", least(length(col("text")) / 100, lit(20))),
+          "bucket")
+          .agg(coalesce(sum(col("psi_micro")), lit(0L))).head().getLong(0))
+      measure("tf01_fertility", scale)(
+        // fertility: one lang-domain agg, counters computed in the scan
+        CorpusStats.tokenizerFertility(
+          docs.withColumn("graft_lang", (col("doc_id") % 7).cast("string")),
+          "graft_lang", "text")
+          .agg(coalesce(sum(col("fertility_permille")), lit(0L)))
+          .head().getLong(0))
+      measure("ks01_ks", scale)(
+        // KS: value-domain count aggs; the ordered window runs over the
+        // bounded length domain, never corpus rows
+        CorpusStats.ksDrift(
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("v", length(col("text")).cast("long")),
+          docs.filter(col("doc_id") % 3 =!= 0)
+            .withColumn("v", length(col("text")).cast("long")), "v")
+          .agg(coalesce(sum(col("gap_micro")), lit(0L))).head().getLong(0))
+      measure("en01_entropy", scale)(
+        // entropy: (group, token) counts (vocab-bounded, map-side
+        // combined) + a group-domain totals join
+        CorpusStats.groupTokenEntropy(
+          docs.withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+          "graft_src", "text")
+          .agg(coalesce(sum(col("entropy_mbits")), lit(0L)))
+          .head().getLong(0))
       measure("me01_embed", scale)(
         // portable bulk embedding: the token explode is map-local; what
         // shuffles is the (id, slot) partial-aggregated bag — ≤ dim rows

@@ -67,7 +67,14 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("ds01_dsir", 3.7, 49.8, 1.1),
       pair("ng01_novelty", 5.5, 59.0, 1.1),
       pair("cm01_confusion", 2.8, 98.1, 2.1),
-      pair("sp06_strat", 0.1, 1.3, 1.1)).flatten
+      pair("sp06_strat", 0.1, 1.3, 1.1),
+      pair("pq01_pq_encode", 0.0, 0.3, 1.1),
+      pair("jl01_project", 0.0, 0.0, 1.0),
+      pair("pq02_adc", 0.0, 0.3, 1.1),
+      pair("dr01_psi", 0.0, 0.4, 2.1),
+      pair("tf01_fertility", 0.0, 0.0, 1.0),
+      pair("ks01_ks", 0.0, 0.4, 1.4),
+      pair("en01_entropy", 0.0, 0.4, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -82,7 +89,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "dc02_bloom", "hh01_heavy", "id01_incr", "nb01_nbayes",
       "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25", "sn01_snm",
       "pd01_keepfirst", "sw01_softdedup", "ds01_dsir", "ng01_novelty",
-      "cm01_confusion", "sp06_strat")
+      "cm01_confusion", "sp06_strat", "pq01_pq_encode", "jl01_project",
+      "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

@@ -312,4 +312,90 @@ class SimilaritySpec extends AnyFunSuite {
     // not degenerate: both signs appear
     assert(a.flatten.flatten.distinct.length == 2)
   }
+
+  test("pqEncodeInt: codes equal per-subspace kMeansAssignInt, d2_total sums") {
+    val vecs = (1 to 30).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 7 + d * 3) % 11) / 10f))
+    }
+    val df = vecs.toDF("id", "vec")
+    val pq = Similarity.Ivf.pqEncodeInt(df, "id", "vec",
+        m = 2, subDim = 4, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    // reference: run the single-space trainer on each slice independently
+    val sub0 = Similarity.Ivf.kMeansAssignInt(
+      df.select(col("id"), slice(col("vec"), 1, 4).as("vec")),
+      "id", "vec", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sub1 = Similarity.Ivf.kMeansAssignInt(
+      df.select(col("id"), slice(col("vec"), 5, 4).as("vec")),
+      "id", "vec", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pq.keySet == vecs.map(_._1).toSet)
+    vecs.map(_._1).foreach { id =>
+      assert(pq(id)._1 == (sub0(id)._1, sub1(id)._1), s"codes of $id")
+      assert(pq(id)._2 == sub0(id)._2 + sub1(id)._2, s"d2_total of $id")
+    }
+  }
+
+  test("pqEncodeInt: empty corpus returns the empty frame with full schema") {
+    val df = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val out = Similarity.Ivf.pqEncodeInt(df, "id", "vec", m = 2, subDim = 4)
+    assert(out.columns.toSeq == Seq("id", "code0", "code1", "d2_total"))
+    assert(out.count() == 0L)
+  }
+
+  test("pqTopK: ADC scores match a driver replay through codes and tables") {
+    val dim = 8
+    val vecs = (1 to 25).map { i =>
+      (i.toLong, (0 until dim).map(d => ((i * 5 + d * 7) % 13) / 12f))
+    }
+    val query = (0 until dim).map(d => (d % 3) / 2f)
+    val k = 25 // full ranking, so the whole ADC order is checked
+    val got = Similarity.Ivf.pqTopK(vecs.toDF("id", "vec"), "id", "vec",
+        query, k = k, m = 2, subDim = 4, kCode = 3, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver replay: encode via pqEncodeInt (spec'd against the trainer
+    // above), rebuild the codebooks' ADC tables from per-code distances
+    val codes = Similarity.Ivf.pqEncodeInt(vecs.toDF("id", "vec"),
+        "id", "vec", m = 2, subDim = 4, k = 3, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def micro(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val qm = query.map(micro)
+    // exact_d2 must be the true full-width distance
+    got.foreach { case (id, _, exact) =>
+      val v = vecs.find(_._1 == id).get._2.map(micro)
+      val expected = v.zip(qm).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(exact == expected, s"exact_d2 of $id")
+    }
+    // ADC is constant within a code pair and the output is adc-ordered
+    val adcByCode = got.map { case (id, adc, _) => codes(id) -> adc }.toMap
+    got.foreach { case (id, adc, _) =>
+      assert(adcByCode(codes(id)) == adc, s"adc of $id not code-determined")
+    }
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, "not adc-ordered")
+    assert(got.length == k)
+  }
+
+  test("randomProjectInt matches a driver-side replay and is distance-faithful-ish") {
+    import graft.functions.PortableHash
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.0f, 0.0f)),
+      (2L, Seq(0.5f, -0.25f, 1.0f, 0.0f)), // identical to 1
+      (3L, Seq(-1.0f, 0.75f, 0.1f, 0.9f)))
+    val got = Similarity.Ivf.randomProjectInt(
+        vecs.toDF("id", "vec"), "id", "vec", inDim = 4, outDim = 3, "t")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def sign(j: Int, i: Int): Long =
+      if (PortableHash.md5_32(s"t-$j-$i") % 2 == 0) 1L else -1L
+    for ((id, v) <- vecs; j <- 0 until 3) {
+      val expected = v.zipWithIndex.map { case (x, i) =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong * sign(j, i)
+      }.sum
+      assert(got((id, j.toLong)) == expected, s"y($id, $j)")
+    }
+    // identical inputs project identically (exact integers, no noise)
+    assert((0 until 3).forall(j =>
+      got((1L, j.toLong)) == got((2L, j.toLong))))
+  }
 }

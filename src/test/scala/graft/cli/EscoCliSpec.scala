@@ -29,6 +29,7 @@ class EscoCliSpec extends AnyFunSuite {
     "transferable-skills", "skill-groups-most-skills",
     "combined-connections", "pagerank-exact", "hits-exact",
     "triangles", "concept-core", "cluster-skills",
+    "description-novelty", "sample-skills",
     // the graph-analytics verbs, on the mini warehouse: wiring smoke for
     // the GraphX/iterative paths too
     "isco-depths", "communities", "betweenness", "pagerank")
