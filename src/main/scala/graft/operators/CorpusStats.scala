@@ -789,11 +789,15 @@ object CorpusStats {
     * shared-libm caveat documented at [[unigramSurprisal]].
     *
     * Scale: both models are `buckets`-row aggregates (map-side combined
-    * from the feature stream) that BROADCAST into scoring; the raw side
-    * collapses to one (doc, bucket, occ) row per distinct pair — staged
-    * once behind a lazy checkpoint so model fitting and scoring share
-    * the single text scan. Nothing wider than ids, ints and longs ever
-    * shuffles, and per-doc sums partial-aggregate.
+    * from the feature stream), and the finished per-bucket LLR table —
+    * `buckets` longs, driver-bounded by construction — becomes a
+    * LITERAL array in the scoring pass: each feature occurrence looks
+    * its log-ratio up map-side (one codegen `element_at`), so scoring's
+    * ONLY exchange is the docs-bounded per-doc partial aggregation.
+    * No join, no docs×buckets intermediate; the raw corpus is scanned
+    * twice (model fit + scoring) — two narrow scans buy a join-free,
+    * exchange-minimal scoring pass, the same literal-model shape as the
+    * integer k-means family.
     *
     * Output: (rawIdCol, n_feats, llr_micro) for every raw doc with ≥ 1
     * feature; select by `ORDER BY llr_micro DESC LIMIT k` (plans as
@@ -808,12 +812,9 @@ object CorpusStats {
     require(buckets >= 2, "need at least 2 hash buckets")
     val tb = hashedGramFeatures(target, Seq.empty, targetTextCol, buckets)
       .groupBy("b").agg(count(lit(1)).as("tc"))
-    // one (doc, bucket, occ) frame feeds BOTH the raw model and scoring
-    val g = hashedGramFeatures(
-        Dedup.ensureParallelism(raw), Seq(col(rawIdCol)), rawTextCol, buckets)
-      .groupBy(col(rawIdCol), col("b")).agg(count(lit(1)).as("occ"))
-      .localCheckpoint(false)
-    val rb = g.groupBy("b").agg(sum("occ").as("rc"))
+    val rawFeats = hashedGramFeatures(
+      Dedup.ensureParallelism(raw), Seq(col(rawIdCol)), rawTextCol, buckets)
+    val rb = rawFeats.groupBy("b").agg(count(lit(1)).as("rc"))
     val model = tb.join(rb, Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("tc"), lit(0L)).as("tc"),
@@ -825,18 +826,25 @@ object CorpusStats {
     // ratio-of-ratios in doubles: each division is IEEE-correctly rounded
     // in every engine, totals stay exact below 2^53, ONE libm log2 at the
     // end, ONE micro rounding — the order of operations is the replay
-    // contract, so the oracle must divide in exactly this shape
-    val llr = model.select(col("b"),
+    // contract, so the oracle must divide in exactly this shape. The
+    // expression stays IN SPARK (over the buckets-row model frame) so the
+    // collected table carries the engine's own log2/rounding bits.
+    val llrRows = model.select(col("b"),
       round(log2(
         ((col("tc") + lit(1L)).cast("double") /
           lit((tTot + buckets).toDouble)) /
         ((col("rc") + lit(1L)).cast("double") /
           lit((rTot + buckets).toDouble))) * lit(1000000.0))
         .cast("long").as("llr_b"))
-    g.join(broadcast(llr), "b")
+      .collect() // <= buckets rows, driver-bounded by construction
+    val lut = Array.fill(buckets)(0L) // absent buckets never score (rc>=1)
+    llrRows.foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+    rawFeats
+      .select(col(rawIdCol),
+        element_at(typedLit(lut.toSeq), col("b").cast("int") + 1)
+          .as("llr_b"))
       .groupBy(col(rawIdCol))
-      .agg(sum("occ").as("n_feats"),
-        sum(col("occ") * col("llr_b")).as("llr_micro"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr_b")).as("llr_micro"))
   }
 
   /** Per-document novel-n-gram rate under corpus order: the permille of

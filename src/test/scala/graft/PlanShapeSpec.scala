@@ -249,16 +249,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dc02 shuffles gram strings:\n${exchanges.mkString("\n")}")
   }
 
-  test("ds01: both bucket models broadcast into scoring — no shuffle join, no gram strings in exchanges") {
+  test("ds01: literal-LUT scoring — no join at all; only the docs-bounded per-doc agg exchanges") {
     val p = plan("ds01_dsir_select")
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("ShuffledHashJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), p)
     assert(p.contains("TakeOrderedAndProject"), p) // top-100 selection
     val exchanges = p.linesIterator
       .filter(_.contains("hashpartitioning(")).toList
-    assert(!exchanges.exists(l => l.contains("f#") || l.contains("text#")),
-      s"ds01 shuffles feature/gram strings:\n${exchanges.mkString("\n")}")
+    assert(exchanges.nonEmpty, p) // the one per-doc partial agg
+    assert(!exchanges.exists(l => l.contains("f#") || l.contains("text#") ||
+      l.contains("b#")),
+      s"ds01 shuffles features/buckets:\n${exchanges.mkString("\n")}")
   }
 
   test("ng01: exchanges carry gram hashes and ids, never text or gram strings") {

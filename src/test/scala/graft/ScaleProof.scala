@@ -91,7 +91,7 @@ object ScaleProof {
     // round-9 lanes (SCALING.md round-9 addendum)
     "pd01_keepfirst" -> Bounds(31, 8),  // measured 20.6x of 0.1 MiB (dup-bounded owner frames)
     "sw01_softdedup" -> Bounds(22, 8),  // measured 14.6x (dd05's pipeline + id-only joins)
-    "ds01_dsir" -> Bounds(20, 8),       // measured 13.3x (fixed target side; (doc,bucket,occ) rows)
+    "ds01_dsir" -> Bounds(3, 8),        // measured 0.5x SUB-linear (r9 literal-LUT scoring: docs-bounded agg + 256-key model aggs)
     "ng01_novelty" -> Bounds(16, 8),    // measured 10.7x (60-bit hash rows, map-side combined)
     "cm01_confusion" -> Bounds(52, 8),  // measured 34.9x ≡ consumed nb01 (report adds ~0)
     "sp06_strat" -> Bounds(19, 8),      // measured 12.7x of 0.1 MiB (narrow rank rows)
@@ -124,7 +124,7 @@ object ScaleProof {
     "fp01_winnow" -> Bounds(150, 8),    // measured 91.4x (answer grew 50x: 572k->28.7M pairs; pair join is ~all that shuffles now)
     // round-9 third points
     "cm01_confusion" -> Bounds(16, 8),  // measured 10.4x (linear; ≡ consumed nb01)
-    "ds01_dsir" -> Bounds(15, 8),       // measured 9.8x (linear)
+    "ds01_dsir" -> Bounds(12, 8),       // measured 7.3x of 0.8 MiB (literal-LUT scoring)
     "ng01_novelty" -> Bounds(25, 8),    // measured 16.2x (hash-frame + answer growth)
     "pd01_keepfirst" -> Bounds(100, 8)) // measured 65.1x of 1.8 MiB (answer-bound: 100x variants repeat base docs' lines wholesale, so the dup-owner and removal frames approach corpus size — the worst case the operator is shaped for)
 
@@ -581,9 +581,9 @@ object ScaleProof {
       measure("ds01_dsir", scale) {
         // DSIR selection: the TARGET is FIXED at the 1x %10 split across
         // every scale (a target domain is bounded by definition — the
-        // dc02/id01 fixed-side contract); the raw side grows. Both
-        // models are 256-row broadcasts; what scales is the (doc,
-        // bucket, occ) partial-aggregated frame.
+        // dc02/id01 fixed-side contract); the raw side grows. The LLR
+        // table is a driver literal, so the only scaling exchanges are
+        // the 256-key model aggs + the docs-bounded per-doc agg.
         CorpusStats.dsirWeights(
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           docs1x.filter(col("doc_id") % 10 === 0), "text",

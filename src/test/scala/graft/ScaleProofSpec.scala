@@ -64,7 +64,7 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-9 lanes (SCALING.md round-9 addendum)
       pair("pd01_keepfirst", 0.1, 1.8, 1.2),
       pair("sw01_softdedup", 2.9, 42.4, 1.3),
-      pair("ds01_dsir", 3.7, 49.8, 1.1),
+      pair("ds01_dsir", 1.7, 0.8, 1.0),
       pair("ng01_novelty", 5.5, 59.0, 1.1),
       pair("cm01_confusion", 2.8, 98.1, 2.1),
       pair("sp06_strat", 0.1, 1.3, 1.1),
@@ -128,8 +128,14 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-8 third-sitting third points
       pair100("cd01_cdc", 4.4, 44.7, 1.1),
       pair100("id01_incr", 12.6, 207.9, 1.1),
-      pair100("nb01_nbayes", 35.2, 382.3, 1.6),
-      pair100("fp01_winnow", 42.9, 3922.9, 1.2)).flatten
+      // nb01 third point re-measured with the r9 CONSUMED action
+      pair100("nb01_nbayes", 98.1, 1015.7, 1.4),
+      pair100("fp01_winnow", 42.9, 3922.9, 1.2),
+      // round-9 third points (SCALING.md round-9 addendum)
+      pair100("cm01_confusion", 98.1, 1020.7, 1.8),
+      pair100("ds01_dsir", 0.8, 5.9, 1.0), // literal-LUT scoring
+      pair100("ng01_novelty", 59.0, 958.9, 2.1),
+      pair100("pd01_keepfirst", 1.8, 117.3, 1.8)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
