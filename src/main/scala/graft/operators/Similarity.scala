@@ -538,29 +538,44 @@ object Similarity {
       }
     }
 
-    def pqEncodeInt(
+    /** Train PQ codebooks over a (batch) corpus and return them as
+      * driver values — the training half of [[pqEncodeInt]], exposed so
+      * a STREAM of arriving vectors can be encoded against a static
+      * corpus's codebooks (`[[pqEncodeWith]]` is a pure projection,
+      * streaming-legal). Any empty subspace codebook (empty corpus)
+      * comes back as an empty Seq in its slot. */
+    def pqTrain(
         corpus: DataFrame,
         idCol: String,
         vecCol: String,
         m: Int = 4,
         subDim: Int = 16,
         k: Int = 8,
-        iters: Int = 2): DataFrame = {
+        iters: Int = 2): Seq[Seq[(Long, Seq[Long])]] = {
       require(m >= 1, "need at least one subspace")
       require(subDim >= 1, "subspaces must be non-empty")
       require(k > 0, "k must be positive")
       require(iters >= 0, "iters must be non-negative")
       // eager: training drives m·(iters+1) driver actions over this frame
       val base = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+      trainSubCodebooks(base, idCol, vecCol, m, subDim, k, iters)
+    }
+
+    /** Encode against PRECOMPUTED codebooks: one literal-codebook codegen
+      * projection — no action, no shuffle, legal on batch AND streaming
+      * frames (the stream-static shape: train on the static corpus via
+      * [[pqTrain]], encode arrivals forever). Output as [[pqEncodeInt]]. */
+    def pqEncodeWith(
+        df: DataFrame,
+        idCol: String,
+        vecCol: String,
+        codebooks: Seq[Seq[(Long, Seq[Long])]],
+        subDim: Int): DataFrame = {
+      require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+        "codebooks must be non-empty for every subspace")
+      val m = codebooks.length
       def subRaw(s: Int) = slice(col(vecCol), s * subDim + 1, subDim)
-      val codebooks = trainSubCodebooks(base, idCol, vecCol, m, subDim, k, iters)
-      if (codebooks.exists(_.isEmpty))
-        return base.select(
-          col(idCol) +:
-            (0 until m).map(s => lit(0L).as(s"code$s")) :+
-            lit(0L).as("d2_total"): _*)
-          .limit(0)
-      val staged = base.select(col(idCol) +:
+      val staged = df.select(col(idCol) +:
         (0 until m).map(s => microVec(subRaw(s)).as(s"__v$s")): _*)
       val scored = staged.select(col(idCol) +:
         (0 until m).map(s =>
@@ -569,6 +584,24 @@ object Similarity {
         (0 until m).map(s => col(s"__b$s")("cell").as(s"code$s")) :+
         (0 until m).map(s => col(s"__b$s")("d2")).reduce(_ + _)
           .as("d2_total"): _*)
+    }
+
+    def pqEncodeInt(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        m: Int = 4,
+        subDim: Int = 16,
+        k: Int = 8,
+        iters: Int = 2): DataFrame = {
+      val codebooks = pqTrain(corpus, idCol, vecCol, m, subDim, k, iters)
+      if (codebooks.exists(_.isEmpty))
+        return corpus.select(
+          col(idCol) +:
+            (0 until m).map(s => lit(0L).as(s"code$s")) :+
+            lit(0L).as("d2_total"): _*)
+          .limit(0)
+      pqEncodeWith(corpus, idCol, vecCol, codebooks, subDim)
     }
 
     /** PQ asymmetric-distance top-k (ADC — Jégou et al. TPAMI 2011 §4.3):

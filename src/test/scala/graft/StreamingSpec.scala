@@ -471,6 +471,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("PQ encode + JL projection run on STREAMS: literal-model projections are streaming-legal") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.Similarity
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // train once on the static corpus; encode arrivals forever
+    val books = Similarity.Ivf.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, subDim = 32, k = 4, iters = 1)
+    val batchRef = Similarity.Ivf.pqEncodeWith(corpus, "vec_id", "embedding",
+        books, subDim = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val jlRef = Similarity.Ivf.randomProjectInt(corpus, "vec_id",
+        "embedding", inDim = 64, outDim = 4, salt = "st")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dir = Files.createTempDirectory("graft-pq-stream").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    corpus.orderBy("vec_id").limit(3).write.mode("overwrite")
+      .parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val out = Similarity.Ivf.pqEncodeWith(stream, "vec_id", "embedding",
+        books, subDim = 32)
+      .join(Similarity.Ivf.randomProjectInt(stream, "vec_id", "embedding",
+          inDim = 64, outDim = 4, salt = "st")
+        .filter(col("dim") === 0L)
+        .select(col("vec_id"), col("y_micro")),
+        Seq("vec_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pq_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("pq_stream").collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        assert((r.getLong(1), r.getLong(2), r.getLong(3)) == batchRef(id),
+          s"streamed PQ codes of $id diverge from batch")
+        assert(r.getLong(4) == jlRef((id, 0L)),
+          s"streamed JL projection of $id diverges from batch")
+      }
+    } finally q.stop()
+  }
+
   test("flagContaminated: bloom decontamination is stream-static and stateless") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
