@@ -158,7 +158,12 @@ object Betweenness {
     val spark = forward.sparkSession
     val maxD = forward
       .agg(coalesce(max(col("depth")), lit(0)).cast("int")).head().getInt(0)
-    if (maxD == 0) {
+    // maxD <= 1: no interior nodes exist — depth-1 leaves have no
+    // successors (delta 0) and roots (depth 0) are excluded from acc by
+    // the Brandes convention, so the result is the empty frame. The
+    // accumulator below is only ever populated at d >= 1, so entering
+    // the loop with maxD == 1 would leave it null.
+    if (maxD <= 1) {
       import spark.implicits._
       return Seq.empty[(Long, Long)].toDF("id", "bc_micro")
     }

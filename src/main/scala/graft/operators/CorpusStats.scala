@@ -876,10 +876,12 @@ object CorpusStats {
       .select(col(idCol), explode(
         TextFunctions.wordGramsFromTokens(col("__toks"), nGram)).as("g"))
       .select(col(idCol), graft.functions.PortableHash.h60(col("g")).as("gh"))
-    // (doc, gram, occ) feeds both the ownership min and the rejoin
+    // (doc, gram, occ) feeds both the ownership min and the rejoin;
+    // EAGER checkpoint — two downstream stages race to a lazy one and
+    // each re-runs the full gram explode (the classifierReport rule)
     val perDoc = grams.groupBy(col(idCol), col("gh"))
       .agg(count(lit(1)).as("occ"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val firstDoc = perDoc.groupBy("gh").agg(min(col(idCol)).as("first_id"))
     perDoc.join(firstDoc, "gh")
       .groupBy(col(idCol))
@@ -1012,8 +1014,13 @@ object CorpusStats {
       .groupBy(col(groupCol))
       .agg(max(col("t")).as("n_tokens"),
         max(col("n_distinct")).as("n_distinct"),
-        ldiv(sum(col("occ") * col("nll_micro")), max(col("t")))
-          .as("entropy_mbits"))
+        // the occurrence-weighted sum is GROUP-bounded (~n_tokens x
+        // entropy_micro), which crosses 2^63 near 1e12 tokens per
+        // group — widen to decimal(38,0) so the sum stays exact at
+        // any corpus scale (DuckDB's BIGINT SUM widens to HUGEINT on
+        // its own); `div` on the decimal still floors to BIGINT
+        ldiv(sum(col("occ").cast("decimal(38,0)") * col("nll_micro")),
+          max(col("t"))).as("entropy_mbits"))
   }
 
   /** Per-language tokenizer fertility: subword pieces per whitespace

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Engine-portable streaming sketches whose INTERNALS replay exactly in
+  * any SQL engine: HyperLogLog register tables (Flajolet et al. 2007),
+  * KMV / bottom-k distinct estimation (Bar-Yossef et al. 2002), and
+  * Count-Min frequency cells (Cormode & Muthukrishnan 2005).
+  *
+  * Spark's own `approx_count_distinct` / `count_min_sketch` are the
+  * 100 TB defaults (densely-coded HLL++ registers, partial-mergeable) —
+  * this family exists because their binary internals cannot be
+  * value-checked across engines. Here every register/cell is a plain
+  * integer derived from the portable md5 hash family, so a DuckDB oracle
+  * can rebuild the sketch bit-for-bit; the estimates use only IEEE steps
+  * that are correctly rounded everywhere (divisions by powers of two,
+  * one libm log2 under the house micro-rounding convention).
+  *
+  * Scale design: every sketch is a bounded-domain aggregation over the
+  * token scan — 2^p HLL buckets, d·w Count-Min cells, k bottom hashes —
+  * so partial (map-side) aggregation collapses per-task volume to the
+  * sketch size before the exchange and the shuffle is O(sketch), never
+  * O(corpus). Nothing here moves text: only 8-byte hashes and counters.
+  */
+object Sketches {
+
+  private def ldiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** Non-empty whitespace tokens, one row per occurrence. */
+  private def tokenStream(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** HyperLogLog register table over the distinct tokens of `textCol`:
+    * the top `p` bits of the portable 32-bit hash pick one of m = 2^p
+    * buckets, and the register is the maximum rank (position of the
+    * first set bit, counted from the left) of the remaining 32-p bits.
+    * `rho = (32-p) + 1 - length(bin(w))` needs no bit-twiddling
+    * builtins — `bin()` (binary string without leading zeros) exists
+    * identically in Spark and DuckDB; the all-zero remainder takes the
+    * conventional maximal rank 32-p+1.
+    *
+    * Duplicates need no pre-distinct: max() over repeated tokens is the
+    * set semantics for free, so this is ONE m-domain aggregation over
+    * the scan (map-side combined, ~zero shuffle at any corpus size).
+    * Only non-empty buckets appear; [[hllEstimate]] re-adds the zeros.
+    *
+    * Output: (bucket, register) longs, at most 2^p rows. */
+  def hllRegisters(docs: DataFrame, textCol: String, p: Int = 4): DataFrame = {
+    require(p >= 1 && p <= 16, s"p=$p out of range")
+    val wBits = 32 - p
+    val mod = 1L << wBits
+    tokenStream(docs, textCol)
+      .select(PortableHash.h32(col("tok")).as("h"))
+      .select(ldiv(col("h"), lit(mod)).as("bucket"),
+        (col("h") % mod).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1).cast("long"))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** The published HLL estimator over a [[hllRegisters]] frame, in
+    * micro-units: raw = alpha_m · m² / Σ 2^(−register) (empty buckets
+    * contribute 2^0 = 1), with the small-range linear-counting
+    * correction m·ln(m/V) when raw ≤ 2.5·m and V (zero buckets) > 0.
+    *
+    * Every floating step replays across engines: 2^(−r) is an exact
+    * IEEE division of 1.0 by an exact power of two, the sum of those
+    * binary fractions is exact (exponent span < 53 bits at p ≤ 16), the
+    * alpha_m·m² product and final division are single correctly-rounded
+    * operations, and ln(m/V) routes through libm log2 (the lm01/psi
+    * convention) times a literal ln 2 — each rounded to micro at the
+    * end only. `p` is restricted to the published small-m alpha table
+    * so alpha_m stays a literal, not a pow().
+    *
+    * Output: one row (m, v_zero, raw_est_micro, lc_est_micro,
+    * est_micro); lc_est_micro is null outside the correction branch. */
+  def hllEstimate(registers: DataFrame, p: Int = 4): DataFrame = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => throw new IllegalArgumentException(
+        s"p=$p: keep p in 4..6 so alpha_m is a published literal")
+    }
+    registers
+      .agg(count(lit(1)).as("nb"),
+        sum(lit(1.0) / shiftleft(lit(1L), col("register").cast("int"))
+          .cast("double")).as("s_nonzero"))
+      .select(lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("nb")).as("v_zero"),
+        (coalesce(col("s_nonzero"), lit(0.0)) +
+          (lit(m.toLong) - col("nb")).cast("double")).as("s"))
+      .select(col("m"), col("v_zero"),
+        ((lit(alpha) * lit(m.toDouble * m.toDouble)) / col("s")).as("raw"))
+      .select(col("m"), col("v_zero"),
+        round(col("raw") * lit(1000000.0)).cast("long").as("raw_est_micro"),
+        when(col("v_zero") > 0L,
+          round(((lit(m.toDouble) *
+            log2(lit(m.toDouble) / col("v_zero").cast("double"))) *
+            lit(0.6931471805599453)) * lit(1000000.0)).cast("long"))
+          .as("lc_est_micro"),
+        col("raw").as("__raw"))
+      .select(col("m"), col("v_zero"), col("raw_est_micro"),
+        col("lc_est_micro"),
+        when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0L,
+          col("lc_est_micro")).otherwise(col("raw_est_micro"))
+          .as("est_micro"))
+  }
+
+  /** KMV (bottom-k) distinct-count sketch over the tokens of `textCol`:
+    * keep the k smallest DISTINCT portable 60-bit hashes; the k-th
+    * smallest order statistic estimates distinct = (k−1) · 2^60 / h_k
+    * — exact integer arithmetic end to end (the product is widened to
+    * decimal(38,0) / HUGEINT before the floor division, since
+    * (k−1)·2^60 overflows a long for k ≥ 9). Fewer than k distinct
+    * hashes means the sketch holds the whole set and IS the exact
+    * count.
+    *
+    * The distinct is a vocabulary-domain aggregation (map-side
+    * combined) and the bottom-k is a TakeOrdered — no corpus-sized
+    * shuffle, no sort.
+    *
+    * Output: one row (n_kept, kth_min, est_distinct). */
+  def kmvDistinct(docs: DataFrame, textCol: String, k: Int = 16): DataFrame = {
+    require(k >= 2, s"k=$k too small")
+    tokenStream(docs, textCol)
+      .select(PortableHash.h60(col("tok")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__n")).drop("__n")
+      .orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .select(col("n_kept"), col("kth_min"),
+        when(col("n_kept") < lit(k.toLong), col("n_kept"))
+          .otherwise(ldiv(lit(k - 1).cast("decimal(38,0)") *
+            lit(1152921504606846976L), col("kth_min")))
+          .as("est_distinct"))
+  }
+
+  /** Count-Min sketch cell table over token occurrences: d independent
+    * rows, each hashing a token to one of w columns via the portable
+    * 32-bit hash of a row-salted token ("cm<r>|" ++ tok — the md5
+    * double-hash convention of the Bloom/LSH families); a cell is the
+    * exact sum of occurrences hashing into it. The d·w-domain
+    * aggregation map-side combines, so the shuffle is O(d·w) at any
+    * corpus size.
+    *
+    * Output: (r, c, cnt), at most d·w rows. */
+  def countMinCells(
+      docs: DataFrame, textCol: String, d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"d=$d w=$w out of range")
+    val cells = array((0 until d).map { r =>
+      struct(lit(r.toLong).as("r"),
+        (PortableHash.h32(concat(lit(s"cm$r|"), col("tok"))) % w).as("c"))
+    }: _*)
+    tokenStream(docs, textCol)
+      .select(explode(cells).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point queries against a [[countMinCells]] table: the estimate for
+    * a token is the MIN over its d cells (the classic one-sided
+    * overestimate), next to the exact count for calibration. The probe
+    * cell coordinates are computed DRIVER-SIDE from the same md5 family
+    * (PortableHash.md5_32 is the literal twin of the column hash), so
+    * the lookup is a broadcast of |probes|·d literal rows — no corpus
+    * scan beyond the exact-count aggregation, no shuffle join.
+    *
+    * Output: (tok, est, exact), one row per probe; absent tokens keep
+    * est >= 0 (whatever collides into their cells) and exact = 0. */
+  def countMinPoint(
+      docs: DataFrame,
+      textCol: String,
+      probes: Seq[String],
+      d: Int = 4,
+      w: Int = 64): DataFrame = {
+    require(probes.nonEmpty, "no probe tokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cells = countMinCells(docs, textCol, d, w)
+    val probeCells = probes.flatMap { t =>
+      (0 until d).map(r => (t, r.toLong, PortableHash.md5_32(s"cm$r|$t") % w))
+    }.toDF("tok", "r", "c")
+    val est = probeCells
+      .join(cells, Seq("r", "c"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col("tok")).agg(min(col("cnt")).as("est"))
+    val exact = tokenStream(docs, textCol)
+      .filter(col("tok").isin(probes: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("tok"), "left").na.fill(0L, Seq("exact"))
+  }
+}

@@ -103,6 +103,15 @@ class BetweennessSpec extends AnyFunSuite {
         directed = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m3 == Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+    // single edge 1->2, root 1: max BFS depth is exactly 1 — no interior
+    // nodes, so the exact-int backward phase must return the EMPTY frame
+    // (regression: the accumulator is only populated at depth >= 1 and a
+    // maxD == 1 run used to dereference it null)
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    val m4 = Betweenness.betweennessIntSync(edge, Seq(1L).toDF("root"),
+        directed = true)
+      .collect()
+    assert(m4.isEmpty)
   }
 
   test("exact mode (k >= |V|) equals driver-side Brandes on 100 random graphs") {

@@ -527,9 +527,11 @@ object ScaleProof {
         // bucket-domain join — ~zero shuffle at any corpus size
         CorpusStats.psiDrift(
           docs.filter(col("doc_id") % 3 === 0)
-            .withColumn("bucket", least(length(col("text")) / 100, lit(20))),
+            .withColumn("bucket", least(call_function("div",
+              length(col("text")).cast("long"), lit(100L)), lit(20L))),
           docs.filter(col("doc_id") % 3 =!= 0)
-            .withColumn("bucket", least(length(col("text")) / 100, lit(20))),
+            .withColumn("bucket", least(call_function("div",
+              length(col("text")).cast("long"), lit(100L)), lit(20L))),
           "bucket")
           .agg(coalesce(sum(col("psi_micro")), lit(0L))).head().getLong(0))
       measure("tf01_fertility", scale)(
