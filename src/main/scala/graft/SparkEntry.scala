@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftFunctions._
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Decontaminate, Dedup, GraphOps, Similarity}
+import graft.operators.{CorpusStats, Curation, Decontaminate, Dedup, GraphOps, Similarity, Sketches}
 
 /** Driver contract: the operator inventory of SURVEY.md §2 (plus the
   * training-data-pipeline extras) exercised as named queries over the
@@ -1147,6 +1147,63 @@ object SparkEntry {
         .select(col("fingerprint"), col("n"), col("keep_id"))
         .orderBy(col("fingerprint"))
         .limit(100)
+    }),
+    // HyperLogLog register table with exact-replay internals (the
+    // portable twin of sk01's approx_count_distinct): md5-32 bucket +
+    // leading-rank registers via bin(), one m-domain agg (~zero shuffle)
+    "hl01_hll_registers" -> ((s, dir) => {
+      Sketches.hllRegisters(t(s, dir, "documents"), "text", p = 4)
+        .orderBy(col("bucket"))
+    }),
+    // the published HLL estimator over hl01's registers — raw
+    // harmonic-mean estimate + small-range linear counting, every IEEE
+    // step correctly rounded in both engines, micro-quantized
+    "hl02_hll_estimate" -> ((s, dir) => {
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(t(s, dir, "documents"), "text", p = 4), p = 4)
+        .orderBy(col("m"))
+    }),
+    // KMV / bottom-k distinct sketch: k smallest distinct md5-60 hashes,
+    // estimate in exact integer arithmetic (decimal-widened product)
+    "kv01_kmv_distinct" -> ((s, dir) => {
+      Sketches.kmvDistinct(t(s, dir, "documents"), "text", k = 16)
+        .orderBy(col("n_kept"))
+    }),
+    // Count-Min cell table: d row-salted md5 hashes x w columns, exact
+    // occurrence sums per cell (d*w-domain agg, map-side combined)
+    "cs01_countmin_cells" -> ((s, dir) => {
+      Sketches.countMinCells(t(s, dir, "documents"), "text", d = 4, w = 64)
+        .orderBy(col("r"), col("c"))
+    }),
+    // Count-Min point queries: min over the d cells per probe (driver-
+    // computed literal coordinates — no join against the corpus) next to
+    // the exact count; 'graftabsent' pins the one-sided overestimate
+    "cs02_countmin_point" -> ((s, dir) => {
+      Sketches.countMinPoint(t(s, dir, "documents"), "text",
+        Seq("table", "spark", "merge", "graftabsent"), d = 4, w = 64)
+        .orderBy(col("tok"))
+    }),
+    // the Gopher quality-rule battery (Rae et al. 2021): integer
+    // counters + exact cross-multiplied thresholds, row-local (zero
+    // shuffle at any corpus size)
+    "gq01_gopher_rules" -> ((s, dir) => {
+      Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // BPE tokenizer training's counting pass (Sennrich et al. 2016):
+    // vocabulary-domain word counts, pair explode over the VOCAB only;
+    // the merge loop itself is bpeTrain (driver-held merges, spec-gated
+    // — the greedy fold can't replay in SQL)
+    "pc01_bpe_pairs" -> ((s, dir) => {
+      CorpusStats.bpePairCounts(t(s, dir, "documents"), "text", topK = 20)
+    }),
+    // vocabulary-growth (Heaps-law) curve: first-occurrence doc per
+    // token (vocab-domain min-agg) bucketed by arrival; cumulative sums
+    // run over the BUCKET domain, never corpus rows
+    "vg01_vocab_growth" -> ((s, dir) => {
+      CorpusStats.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 50L)
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1670,7 +1727,200 @@ object SparkEntry {
         |   for i in range(1, len(lst) - 1)])) AS BIGINT) AS n_shingles
         |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS lst
         |      FROM documents)
-        |ORDER BY n_shingles DESC, doc_id LIMIT 50""".stripMargin
+        |ORDER BY n_shingles DESC, doc_id LIMIT 50""".stripMargin,
+    // HLL register replay: md5-32 buckets (top 4 bits), rank of the
+    // 28-bit remainder via bin() length (identical builtin both engines)
+    "hl01_hll_registers" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |h AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk)
+        |SELECT h // 268435456 AS bucket,
+        |  CAST(MAX(CASE WHEN h % 268435456 = 0 THEN 29
+        |    ELSE 29 - length(bin(h % 268435456)) END) AS BIGINT) AS register
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // estimator replay: 2^-r terms are exact binary fractions (exact
+    // sum in any order), one alpha*m^2 product + one division, linear
+    // counting through libm log2 x literal ln2, micro rounding last
+    "hl02_hll_estimate" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |h AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+        |reg AS (SELECT h // 268435456 AS bucket,
+        |    MAX(CASE WHEN h % 268435456 = 0 THEN 29
+        |      ELSE 29 - length(bin(h % 268435456)) END) AS register
+        |  FROM h GROUP BY 1),
+        |agg AS (SELECT COUNT(*) AS nb,
+        |    SUM(1.0 / CAST(1::BIGINT << CAST(register AS INT) AS DOUBLE))
+        |      AS s_nonzero
+        |  FROM reg),
+        |est AS (SELECT 16 - nb AS v_zero,
+        |    (coalesce(s_nonzero, 0.0) + CAST(16 - nb AS DOUBLE)) AS s
+        |  FROM agg),
+        |r AS (SELECT v_zero, ((0.673 * 256.0) / s) AS raw FROM est)
+        |SELECT CAST(16 AS BIGINT) AS m, CAST(v_zero AS BIGINT) AS v_zero,
+        |  CAST(round(raw * 1000000.0) AS BIGINT) AS raw_est_micro,
+        |  CASE WHEN v_zero > 0 THEN
+        |    CAST(round(((16.0 * log2(16.0 / CAST(v_zero AS DOUBLE)))
+        |      * 0.6931471805599453) * 1000000.0) AS BIGINT) END
+        |    AS lc_est_micro,
+        |  CASE WHEN raw <= 40.0 AND v_zero > 0 THEN
+        |      CAST(round(((16.0 * log2(16.0 / CAST(v_zero AS DOUBLE)))
+        |        * 0.6931471805599453) * 1000000.0) AS BIGINT)
+        |    ELSE CAST(round(raw * 1000000.0) AS BIGINT) END AS est_micro
+        |FROM r ORDER BY m""".stripMargin,
+    // KMV replay: bottom-16 distinct md5-60 hashes; the estimate widens
+    // (k-1)*2^60 to HUGEINT before the floor division (Spark: decimal)
+    "kv01_kmv_distinct" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |hs AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |bk AS (SELECT h FROM hs ORDER BY h LIMIT 16)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_min,
+        |  CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS BIGINT)
+        |    ELSE CAST(CAST(15 AS HUGEINT) * 1152921504606846976 // MAX(h)
+        |      AS BIGINT) END AS est_distinct
+        |FROM bk ORDER BY n_kept""".stripMargin,
+    // Count-Min cell replay: the same row-salted md5 family
+    // ('cm<r>|' || tok), exact per-cell occurrence sums
+    "cs01_countmin_cells" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cells AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || '|' || tok),
+        |      1, 8))::BIGINT % 64 AS c
+        |  FROM tk CROSS JOIN (SELECT unnest(range(4)) AS r) rr)
+        |SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM cells GROUP BY 1, 2 ORDER BY r, c""".stripMargin,
+    // point-query replay: min over the probe's d cells (0 when empty),
+    // exact counts joined back (0 for the absent probe)
+    "cs02_countmin_point" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cells AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || '|' || tok),
+        |      1, 8))::BIGINT % 64 AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk CROSS JOIN (SELECT unnest(range(4)) AS r) rr
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT unnest(
+        |    ['graftabsent', 'merge', 'spark', 'table']) AS tok),
+        |pc AS (SELECT p.tok, rr.r,
+        |    ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || '|' ||
+        |      p.tok), 1, 8))::BIGINT % 64 AS c
+        |  FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+        |est AS (SELECT pc.tok, MIN(coalesce(cl.cnt, 0)) AS est
+        |  FROM pc LEFT JOIN cells cl ON cl.r = pc.r AND cl.c = pc.c
+        |  GROUP BY 1),
+        |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+        |  FROM tk GROUP BY tok)
+        |SELECT e.tok, CAST(e.est AS BIGINT) AS est,
+        |  coalesce(x.exact, 0) AS exact
+        |FROM est e LEFT JOIN ex x USING (tok)
+        |ORDER BY e.tok""".stripMargin,
+    // Gopher battery replay: identical counters (length-difference
+    // substring counts, list lambdas, chr(10) line split) and the same
+    // exact cross-multiplied thresholds — no float ratio anywhere
+    "gq01_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+') AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(list_filter(ts, t -> length(t) > 0)) AS BIGINT)
+        |      AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+        |      AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...'
+        |      OR right(rtrim(l), 1) = '…')) AS BIGINT) AS n_ellipsis_lines
+        |  FROM d)
+        |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop,
+        |  n_hash, n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+        |    AS r_mean_word_len,
+        |  (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol_ratio,
+        |  (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+        |  (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+        |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+        |  (n_stop >= 2) AS r_stopwords,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (n_word_chars >= 3 * n_words AND
+        |         n_word_chars <= 10 * n_words)
+        |    AND (10 * (n_hash + n_ellipsis) <= n_words)
+        |    AND (10 * n_bullet_lines <= 9 * n_lines)
+        |    AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        |    AND (5 * n_alpha_words >= 4 * n_words)
+        |    AND (n_stop >= 2)) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // BPE pair-count replay: vocabulary word counts, adjacent char
+    // pairs via substr over a range list, frequency-weighted sums
+    "pc01_bpe_pairs" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |w AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wcnt
+        |  FROM tk GROUP BY tok ORDER BY wcnt DESC, tok LIMIT 100000),
+        |p AS (SELECT unnest(list_transform(range(1, length(tok)),
+        |    i -> substr(tok, CAST(i AS INT), 2))) AS pair, wcnt
+        |  FROM w WHERE length(tok) >= 2)
+        |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    // Heaps-curve replay: first-doc per token, bucket counts, window
+    // cumulative sums over the bounded bucket domain
+    "vg01_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |f AS (SELECT tok, MIN(doc_id) AS first_id FROM tk GROUP BY tok),
+        |nb AS (SELECT first_id // 50 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS new_tokens FROM f GROUP BY 1),
+        |tb AS (SELECT doc_id // 50 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+        |j AS (SELECT coalesce(tb.bucket, nb.bucket) AS bucket,
+        |    coalesce(n_tokens, 0) AS n_tokens,
+        |    coalesce(new_tokens, 0) AS new_tokens
+        |  FROM tb FULL OUTER JOIN nb ON tb.bucket = nb.bucket)
+        |SELECT bucket, n_tokens, new_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS tokens_seen,
+        |  CAST(SUM(new_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size
+        |FROM j ORDER BY bucket""".stripMargin
   )
 
   // ------------------------------------------------------------------

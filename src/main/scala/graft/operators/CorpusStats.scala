@@ -1092,4 +1092,137 @@ object CorpusStats {
       .withColumn("f1_permille",
         when(p + r === 0L, lit(0L)).otherwise(ldiv(lit(2L) * p * r, p + r)))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
+    * count as the corpus is consumed in `idCol` order, next to the
+    * cumulative token count — the (tokens_seen, vocab_size) table that
+    * decides tokenizer vocab budgets and detects template/boilerplate
+    * corpora (sub-Heaps growth) before training.
+    *
+    * One pass: each token's FIRST document (one vocabulary-domain
+    * min-agg, map-side combined) buckets the vocabulary by arrival;
+    * token totals bucket the same way. The cumulative sums then run
+    * over the BUCKET domain — `span/bucketWidth` rows, never corpus
+    * rows — so the single-partition window is bounded by construction
+    * (the WindowExec warning is expected and harmless here, same as
+    * the other bucket-domain windows).
+    *
+    * Output: (bucket, n_tokens, new_tokens, tokens_seen, vocab_size),
+    * one row per id bucket that contains tokens. */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketWidth: Long = 50L): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth=$bucketWidth")
+    val ts = tokenStream(docs, idCol, textCol)
+    val firsts = ts.groupBy(col("tok")).agg(min(col(idCol)).as("first_id"))
+      .groupBy(ldiv(col("first_id"), lit(bucketWidth)).as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val totals = ts
+      .groupBy(ldiv(col(idCol), lit(bucketWidth)).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals.join(firsts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_tokens", "new_tokens"))
+      .withColumn("tokens_seen", sum(col("n_tokens")).over(w))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+  }
+
+  /** The counting pass of BPE tokenizer training (Sennrich et al. 2016):
+    * adjacent character-pair frequencies over the corpus, weighted by
+    * word frequency. This is the table the merge loop argmaxes over —
+    * at corpus scale it is THE expensive part of training a tokenizer,
+    * and it reduces to two bounded aggregations: the corpus pass is one
+    * vocabulary-domain word count (map-side combined; capped at the
+    * `maxVocab` most frequent words, ties by word, like tk01's bounded
+    * vocabulary), and the pair explode then runs over the VOCABULARY,
+    * never the corpus — 31 words or 31 million, the token stream is
+    * scanned exactly once.
+    *
+    * Output: the `topK` (pair, pair_count) rows, count desc / pair asc
+    * — deterministic total order. */
+  def bpePairCounts(
+      docs: DataFrame,
+      textCol: String,
+      topK: Int = 20,
+      maxVocab: Int = 100000): DataFrame =
+    tokenStream(docs.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wcnt"))
+      .orderBy(col("wcnt").desc, col("tok")).limit(maxVocab)
+      .filter(length(col("tok")) >= 2)
+      .select(col("wcnt"), explode(
+        transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(topK)
+
+  /** Greedy left-to-right merge of one BPE pair inside a symbol array —
+    * the non-overlapping semantics of the published algorithm: a symbol
+    * consumed by a merge can't start the next one ('a a a' under
+    * ('a','a') yields ['aa','a']). A sequential fold, but over ONE
+    * word's symbols — the distributed axis stays the vocabulary. */
+  def bpeMergeOne(
+      symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** BPE tokenizer training: `steps` merge rounds over the corpus
+    * vocabulary. Each round counts adjacent symbol pairs across the
+    * (word, frequency) table, collects the single most frequent pair
+    * (ties by pair string — deterministic), and folds the merge into
+    * every word's symbol array. The driver holds only the merge table
+    * (like km01's centroid literals); per-round work is vocabulary-
+    * bounded, and the corpus is scanned once for the word counts.
+    * Sequential BY NATURE — each merge changes what the next round
+    * counts — so the rounds are a driver loop, not a lineage chain:
+    * each round's vocabulary frame is eagerly checkpointed (vocab-sized)
+    * to keep the plan flat.
+    *
+    * Output: (step, left, right, pair_count), one row per merge,
+    * `step` starting at 1. */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      steps: Int = 3,
+      maxVocab: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = tokenStream(docs.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wcnt"))
+      .orderBy(col("wcnt").desc, col("tok")).limit(maxVocab)
+      .select(split(col("tok"), "").as("sym"), col("wcnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = vocab
+        .filter(size(col("sym")) >= 2)
+        .select(col("wcnt"), explode(
+          transform(sequence(lit(1), size(col("sym")) - 1),
+            i => concat(element_at(col("sym"), i), lit(" "),
+              element_at(col("sym"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((step, a, b, top(0).getLong(1)))
+        vocab = vocab
+          .select(bpeMergeOne(col("sym"), a, b).as("sym"), col("wcnt"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
 }

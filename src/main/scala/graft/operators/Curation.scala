@@ -178,4 +178,77 @@ object Curation {
       .drop("__drop")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, appendix A —
+    * the published heuristic filter every later corpus inherits):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * ('#' and '...'), bullet-start / ellipsis-end line fractions,
+    * alphabetic-word fraction, and the stopword-presence check.
+    *
+    * Every threshold is evaluated by exact integer CROSS-MULTIPLICATION
+    * (mean_len >= 3  ⟺  n_chars >= 3·n_words), never a float ratio —
+    * so the booleans are engine-exact at any magnitude and replay in
+    * plain SQL. Counters that need substring occurrences use the
+    * length-difference idiom (leftmost non-overlapping, identical in
+    * Spark and DuckDB). The alphabetic check is the ASCII class [a-z]
+    * over the lower-cased tokens (this corpus' contract); lines split
+    * on '\n', a newline-free document being one line.
+    *
+    * Row-local: one projection over the scan, no shuffle at any corpus
+    * size — the filter composes in front of [[curate]] as a free
+    * pre-pass.
+    *
+    * Output: (idCol, counters..., rule booleans..., keep). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"),
+        split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col("__text"), col("__lines"),
+        size(filter(col("__toks"), t => length(t) > 0)).cast("long")
+          .as("n_words"),
+        aggregate(col("__toks"), lit(0L), (a, x) => a + length(x))
+          .as("n_word_chars"),
+        size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        stops.map(s => when(array_contains(col("__toks"), s), 1L)
+          .otherwise(0L)).reduce(_ + _).as("n_stop"))
+      .select(col(idCol), col("n_words"), col("n_word_chars"),
+        col("n_alpha_words"), col("n_stop"),
+        (length(col("__text")) -
+          length(regexp_replace(col("__text"), "#", ""))).cast("long")
+          .as("n_hash"),
+        call_function("div",
+          (length(col("__text")) -
+            length(regexp_replace(col("__text"), "\\.\\.\\.", "")))
+            .cast("long"), lit(3L)).as("n_ellipsis"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(filter(col("__lines"),
+          l => substring(ltrim(l), 1, 1).isin("•", "-", "*")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(col("__lines"),
+          l => right(rtrim(l), lit(3)) === "..." ||
+            right(rtrim(l), lit(1)) === "…"))
+          .cast("long").as("n_ellipsis_lines"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("n_word_chars") >= lit(3L) * col("n_words") &&
+          col("n_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("r_symbol_ratio",
+        lit(10L) * (col("n_hash") + col("n_ellipsis")) <= col("n_words"))
+      .withColumn("r_bullet_lines",
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+      .withColumn("r_ellipsis_lines",
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("r_alpha_words",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("r_stopwords", col("n_stop") >= 2L)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
 }

@@ -92,8 +92,8 @@ object Sketches {
     }
     registers
       .agg(count(lit(1)).as("nb"),
-        sum(lit(1.0) / shiftleft(lit(1L), col("register").cast("int"))
-          .cast("double")).as("s_nonzero"))
+        sum(lit(1.0) / call_function("shiftleft", lit(1L),
+          col("register").cast("int")).cast("double")).as("s_nonzero"))
       .select(lit(m.toLong).as("m"),
         (lit(m.toLong) - col("nb")).as("v_zero"),
         (coalesce(col("s_nonzero"), lit(0.0)) +

@@ -583,4 +583,21 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("en", 3L, 2L, 2L, 1000L, 666L, 799L),
       ("xx", 0L, 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("vocabGrowth: hand-computed Heaps curve, sparse buckets included") {
+    // bucketWidth 2: docs {0,1} -> bucket 0, {2} -> 1, {7} -> 3
+    // tokens: b0 = 5 (a b a | b c), b1 = 3 (c d d), b3 = 1 (e)
+    // first ids: a,b -> 0; c -> 1; d -> 2; e -> 7
+    //   -> new_tokens: b0 = 3 (a,b,c), b1 = 1 (d), b3 = 1 (e)
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "c d d"), (7L, "e"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.vocabGrowth(docs, "doc_id", "text", bucketWidth = 2L)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 5L, 3L, 5L, 3L),
+      (1L, 3L, 1L, 8L, 4L),
+      (3L, 1L, 1L, 9L, 5L)))
+  }
 }

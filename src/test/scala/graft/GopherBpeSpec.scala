@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusStats, Curation}
+
+/** Gopher rule battery: each rule must fire on a document crafted to
+  * violate exactly it; BPE training must reproduce the hand-computed
+  * merge sequence of the classic Sennrich example. */
+class GopherBpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val fiftyGood = // 50 words, mean len 3, two stopword types
+    (1 to 25).map(_ => "the and").mkString(" ")
+
+  test("gopherRules: each violation fires its own rule") {
+    val docs = Seq(
+      (1L, fiftyGood), // passes everything
+      (2L, "the data short"), // < 50 words
+      (3L, (1 to 50).map(_ => "a the").mkString(" ")), // mean len < 3
+      (4L, (1 to 25).map(_ => "the hyperlongwordforms").mkString(" ")), // mean len > 10
+      (5L, fiftyGood + " " + (1 to 6).map(_ => "#").mkString(" ")), // symbols > 10%
+      (6L, (1 to 25).map(_ => "the 123").mkString(" ")), // alpha words < 80%
+      (7L, (1 to 25).map(_ => "data rows").mkString(" ")), // < 2 stopwords
+      (8L, (1 to 30).map(_ => "- the data point\n").mkString), // all lines bullets
+      (9L, (1 to 30).map(_ => "the data trails ...\n").mkString) // all lines ellipsis
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_word_count"))
+    assert(!out(3L).getAs[Boolean]("r_mean_word_len"))
+    assert(!out(4L).getAs[Boolean]("r_mean_word_len"))
+    assert(!out(5L).getAs[Boolean]("r_symbol_ratio"))
+    assert(!out(6L).getAs[Boolean]("r_alpha_words"))
+    assert(!out(7L).getAs[Boolean]("r_stopwords"))
+    assert(!out(8L).getAs[Boolean]("r_bullet_lines"))
+    assert(!out(9L).getAs[Boolean]("r_ellipsis_lines"))
+    for (id <- 2L to 9L) assert(!out(id).getAs[Boolean]("keep"))
+    // counters sanity on the bullet doc: every line starts with '-'
+    assert(out(8L).getAs[Long]("n_bullet_lines") >=
+      out(8L).getAs[Long]("n_lines") - 1) // trailing '\n' adds an empty line
+  }
+
+  test("gopherRules: exact-integer thresholds at the boundary") {
+    // exactly 50 words of exactly mean length 3 passes both rules
+    val doc = Seq((1L, (1 to 25).map(_ => "the abc").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRules(doc, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_words") == 50L)
+    assert(r.getAs[Long]("n_word_chars") == 150L)
+    assert(r.getAs[Boolean]("r_word_count"))
+    assert(r.getAs[Boolean]("r_mean_word_len"))
+  }
+
+  test("bpePairCounts matches a driver pair count") {
+    val docs = Seq((1L, "low low low lower lower newest newest widest"))
+      .toDF("doc_id", "text")
+    val words = Map("low" -> 3L, "lower" -> 2L, "newest" -> 2L, "widest" -> 1L)
+    val expected = words.toSeq
+      .flatMap { case (w, n) => w.sliding(2).map(_ -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = CorpusStats.bpePairCounts(docs, "text", topK = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("bpeTrain reproduces hand-computed merges") {
+    // step 1: 'l o' and 'o w' tie at 5 -> 'l o' (pair asc)
+    // step 2: 'lo w' 5 (low x3 + lower x2) -> merge ('lo','w')
+    // step 3: 'e s' and 's t' tie at 3 (newest x2 + widest) -> 'e s'
+    val docs = Seq((1L, "low low low lower lower newest newest widest"))
+      .toDF("doc_id", "text")
+    val merges = CorpusStats.bpeTrain(docs, "text", steps = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges(0) == ((1, "l", "o", 5L)))
+    assert(merges(1) == ((2, "lo", "w", 5L)))
+    assert(merges(2) == ((3, "e", "s", 3L)))
+  }
+
+  test("bpeMergeOne: greedy non-overlap on a self-pair") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b"))
+      .toDF("sym")
+    val out = df.select(CorpusStats.bpeMergeOne(col("sym"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("aa", "a"))
+    assert(out(1) == Seq("aa", "aa"))
+    assert(out(2) == Seq("b"))
+  }
+}

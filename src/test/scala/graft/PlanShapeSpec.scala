@@ -296,4 +296,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(!p.contains("hashpartitioning("), p)
   }
+
+  test("gq01: Gopher battery is row-local — no join, no hash exchange") {
+    // the only exchange allowed is the final orderBy's range partitioning
+    val p = plan("gq01_gopher_rules")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning("), p)
+  }
+
+  test("hl01/cs01: sketch aggs are partial (map-side combined) on the scan side") {
+    for (lane <- Seq("hl01_hll_registers", "cs01_countmin_cells")) {
+      val p = plan(lane)
+      // partial HashAggregate BEFORE the exchange: the shuffle carries
+      // the sketch domain, not the token stream
+      assert("HashAggregate[\\s\\S]*Exchange[\\s\\S]*HashAggregate".r
+        .findFirstIn(p).isDefined, p)
+      assert(!p.contains("Join"), p)
+    }
+  }
+
+  test("pc01: pair explode sits ABOVE the vocab top-k, not on the corpus scan") {
+    val p = optimized("pc01_bpe_pairs")
+    // GlobalLimit(vocab cap) must appear below the generate (explode):
+    // the pair stage runs over the capped vocabulary only
+    val gen = p.indexOf("Generate")
+    val lim = p.indexOf("GlobalLimit", gen)
+    assert(gen >= 0 && lim > gen, p)
+  }
 }

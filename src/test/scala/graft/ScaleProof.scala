@@ -101,7 +101,16 @@ object ScaleProof {
     "dr01_psi" -> Bounds(10, 8),        // bucket-domain count aggs only
     "tf01_fertility" -> Bounds(10, 8),  // lang-domain agg only
     "ks01_ks" -> Bounds(10, 8),         // value-domain aggs + bounded window
-    "en01_entropy" -> Bounds(40, 8))    // vocab-bounded (group, token) counts
+    "en01_entropy" -> Bounds(40, 8),    // vocab-bounded (group, token) counts
+    // round-9 portable-sketch / filter / tokenizer lanes: all sketch- or
+    // vocab-domain aggregations — measured ~ZERO shuffle at 1x AND 10x
+    // (abs ceiling binds; the ratio is 0/0)
+    "hl01_hll" -> Bounds(5, 8),         // 2^p-domain register max-agg
+    "kv01_kmv" -> Bounds(5, 8),         // vocab-domain distinct + TakeOrdered(k)
+    "cs01_countmin" -> Bounds(5, 8),    // d*w-domain cell counts
+    "gq01_gopher" -> Bounds(5, 8),      // row-local: zero shuffle by construction
+    "pc01_bpe" -> Bounds(5, 8),         // vocab-domain counts; pairs over vocab only
+    "vg01_heaps" -> Bounds(5, 8))       // vocab + bucket domain aggs only
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -557,6 +566,37 @@ object ScaleProof {
           docs.withColumn("graft_src", (col("doc_id") % 7).cast("string")),
           "graft_src", "text")
           .agg(coalesce(sum(col("entropy_mbits")), lit(0L)))
+          .head().getLong(0))
+      measure("hl01_hll", scale)(
+        // HLL registers: ONE 2^p-domain max-agg over the token scan —
+        // the map-side combine collapses every task to <= 16 rows
+        graft.operators.Sketches.hllRegisters(docs, "text", p = 4)
+          .agg(coalesce(sum(col("register")), lit(0L))).head().getLong(0))
+      measure("kv01_kmv", scale)(
+        // KMV: vocab-domain distinct hash agg + TakeOrdered(k)
+        graft.operators.Sketches.kmvDistinct(docs, "text", k = 16)
+          .agg(coalesce(sum(col("est_distinct")), lit(0L)))
+          .head().getLong(0))
+      measure("cs01_countmin", scale)(
+        // Count-Min: d*w-domain count agg (map-side combined)
+        graft.operators.Sketches.countMinCells(docs, "text", d = 4, w = 64)
+          .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0))
+      measure("gq01_gopher", scale)(
+        // Gopher battery: row-local projection — ZERO shuffle; the only
+        // exchange is the scalar count below
+        graft.operators.Curation.gopherRules(docs, "doc_id", "text")
+          .filter(col("keep")).agg(count(lit(1))).head().getLong(0))
+      measure("pc01_bpe", scale)(
+        // BPE pair counts: vocab-domain word counts; the pair explode
+        // runs over the VOCABULARY, never the corpus
+        CorpusStats.bpePairCounts(docs, "text", topK = 20)
+          .agg(coalesce(sum(col("pair_count")), lit(0L)))
+          .head().getLong(0))
+      measure("vg01_heaps", scale)(
+        // Heaps curve: vocab-domain first-doc min-agg + bucket-domain
+        // totals; the cumulative window runs over buckets only
+        CorpusStats.vocabGrowth(docs, "doc_id", "text", bucketWidth = 500L)
+          .agg(coalesce(sum(col("vocab_size")), lit(0L)))
           .head().getLong(0))
       measure("me01_embed", scale)(
         // portable bulk embedding: the token explode is map-local; what

@@ -74,7 +74,14 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("dr01_psi", 0.0, 0.4, 2.1),
       pair("tf01_fertility", 0.0, 0.0, 1.0),
       pair("ks01_ks", 0.0, 0.4, 1.4),
-      pair("en01_entropy", 0.0, 0.4, 1.1)).flatten
+      pair("en01_entropy", 0.0, 0.4, 1.1),
+      // round-9 sketch/filter/tokenizer lanes (all ~zero-shuffle)
+      pair("hl01_hll", 0.0, 0.0, 1.0),
+      pair("kv01_kmv", 0.0, 0.1, 1.1),
+      pair("cs01_countmin", 0.0, 0.2, 1.0),
+      pair("gq01_gopher", 0.0, 0.0, 1.1),
+      pair("pc01_bpe", 0.0, 0.1, 1.0),
+      pair("vg01_heaps", 0.0, 0.6, 1.5)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -90,7 +97,9 @@ class ScaleProofSpec extends AnyFunSuite {
       "km01_kmeans", "cd01_cdc", "fp01_winnow", "bm01_bm25", "sn01_snm",
       "pd01_keepfirst", "sw01_softdedup", "ds01_dsir", "ng01_novelty",
       "cm01_confusion", "sp06_strat", "pq01_pq_encode", "jl01_project",
-      "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy")
+      "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy",
+      "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
+      "vg01_heaps")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PortableHash
+import graft.operators.Sketches
+
+/** Driver-side exact replays of the portable sketch family: every
+  * register/cell must equal a from-scratch Scala computation of the
+  * same md5 hashes, and the estimate chain must reproduce the
+  * published HLL/KMV formulas step for step. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toks(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta alpha"),
+    (2L, "beta epsilon zeta eta theta iota"),
+    (3L, "alpha kappa lambda mu nu xi omicron pi"),
+    (4L, "rho sigma tau upsilon phi chi psi omega beta")
+  ).toDF("doc_id", "text")
+
+  private lazy val allToks: Seq[String] =
+    docs.collect().flatMap(r => toks(r.getString(1))).toSeq
+
+  test("hllRegisters equals a driver replay of bucket/rho per token") {
+    val p = 4
+    val wBits = 32 - p
+    val mod = 1L << wBits
+    val expected = allToks.distinct
+      .map(PortableHash.md5_32)
+      .map(h => (h / mod, { val w = h % mod
+        if (w == 0L) (wBits + 1).toLong
+        else (wBits + 1).toLong - java.lang.Long.toBinaryString(w).length }))
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val got = Sketches.hllRegisters(docs, "text", p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("hllEstimate reproduces the published estimator, small-range branch") {
+    val p = 4
+    val m = 1 << p
+    val regs = Sketches.hllRegisters(docs, "text", p)
+    val rmap = regs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vZero = m - rmap.size
+    val s = vZero.toDouble + rmap.values.map(r => 1.0 / (1L << r)).sum
+    val raw = 0.673 * (m.toDouble * m.toDouble) / s
+    val row = Sketches.hllEstimate(regs, p).head()
+    assert(row.getAs[Long]("m") == m.toLong)
+    assert(row.getAs[Long]("v_zero") == vZero.toLong)
+    assert(row.getAs[Long]("raw_est_micro") == math.round(raw * 1e6))
+    // 30 distinct tokens over 16 buckets: raw <= 2.5m only if vZero > 0;
+    // whichever branch fires, est must equal the replayed choice
+    val lc =
+      if (vZero > 0)
+        Some(math.round(m.toDouble * (math.log(m.toDouble / vZero) /
+          math.log(2.0)) * 0.6931471805599453 * 1e6))
+      else None
+    val want =
+      if (raw <= 2.5 * m && vZero > 0) lc.get
+      else math.round(raw * 1e6)
+    assert(row.getAs[Long]("est_micro") == want)
+  }
+
+  test("hllEstimate raw branch when every bucket is occupied") {
+    // registers covering all 16 buckets -> v_zero = 0, lc null, est = raw
+    val regs = (0 until 16).map(b => (b.toLong, 1L)).toDF("bucket", "register")
+    val row = Sketches.hllEstimate(regs, 4).head()
+    assert(row.getAs[Long]("v_zero") == 0L)
+    assert(row.isNullAt(row.fieldIndex("lc_est_micro")))
+    val raw = 0.673 * 256.0 / (16.0 * 0.5)
+    assert(row.getAs[Long]("est_micro") == math.round(raw * 1e6))
+  }
+
+  test("kmvDistinct equals the driver bottom-k replay") {
+    val k = 8
+    val hs = allToks.distinct.map(t => PortableHash.first60(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")))).sorted
+    val bottom = hs.take(k)
+    val kth = bottom.last
+    val est = (BigInt(k - 1) * BigInt(2).pow(60) / BigInt(kth)).toLong
+    val row = Sketches.kmvDistinct(docs, "text", k).head()
+    assert(row.getAs[Long]("n_kept") == k.toLong)
+    assert(row.getAs[Long]("kth_min") == kth)
+    assert(row.getAs[Long]("est_distinct") == est)
+  }
+
+  test("kmvDistinct is exact below k") {
+    val tiny = Seq((1L, "one two three")).toDF("doc_id", "text")
+    val row = Sketches.kmvDistinct(tiny, "text", 16).head()
+    assert(row.getAs[Long]("n_kept") == 3L)
+    assert(row.getAs[Long]("est_distinct") == 3L)
+  }
+
+  test("countMinCells equals a driver replay and point estimates bound exact") {
+    val d = 4
+    val w = 64
+    val expected = allToks
+      .flatMap(t => (0 until d).map(r =>
+        (r.toLong, PortableHash.md5_32(s"cm$r|$t") % w)))
+      .groupBy(identity).map { case (cell, xs) => cell -> xs.size.toLong }
+    val got = Sketches.countMinCells(docs, "text", d, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+
+    val probes = Seq("alpha", "beta", "nosuchtoken")
+    val pts = Sketches.countMinPoint(docs, "text", probes, d, w).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (t <- probes) {
+      val (est, ex) = pts(t)
+      assert(ex == exact.getOrElse(t, 0L))
+      assert(est >= ex, s"CM underestimated $t")
+      val cells = (0 until d).map(r =>
+        expected.getOrElse((r.toLong, PortableHash.md5_32(s"cm$r|$t") % w), 0L))
+      assert(est == cells.min)
+    }
+  }
+}

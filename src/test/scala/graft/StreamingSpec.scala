@@ -619,4 +619,50 @@ class StreamingSpec extends AnyFunSuite {
       new FakeDecoder).orderBy(col("doc_id")).head()
     assert(r.getAs[Long]("checksum") == again.getAs[Long]("checksum"))
   }
+
+  test("HLL registers and Count-Min cells aggregate on a stream (complete mode) equal to batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.Sketches
+    val dir = Files.createTempDirectory("graft-sketch-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def write(file: String, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }, 1),
+        schema).write.mode("overwrite").parquet(s"$dir/$file")
+    val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "beta epsilon zeta"))
+    val b2 = Seq((3L, "alpha eta theta iota kappa"), (4L, "lambda mu nu"))
+    write("b1", b1)
+    write("b2", b2)
+    val batch = spark.read.schema(schema).parquet(s"$dir/*")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    // both sketches are plain bounded-domain aggregations, so the SAME
+    // definition runs as a streaming query in complete mode — the
+    // incremental-sketch shape (registers/cells maintained as rows
+    // arrive) with no operator changes
+    val qh = Sketches.hllRegisters(stream, "text", p = 4)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    val qc = Sketches.countMinCells(stream, "text", d = 2, w = 16)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cm_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      qh.processAllAvailable()
+      qc.processAllAvailable()
+      val hllStream = spark.table("hll_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hllBatch = Sketches.hllRegisters(batch, "text", p = 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hllStream == hllBatch && hllBatch.nonEmpty)
+      val cmStream = spark.table("cm_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cmBatch = Sketches.countMinCells(batch, "text", d = 2, w = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(cmStream == cmBatch && cmBatch.nonEmpty)
+    } finally { qh.stop(); qc.stop() }
+  }
 }
