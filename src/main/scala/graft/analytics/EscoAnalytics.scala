@@ -632,6 +632,39 @@ object EscoAnalytics {
       .orderBy(col("kind"), col("sample_rank"))
   }
 
+  /** BPE merge table trained on the skill labels
+    * ([[graft.operators.CorpusStats.bpeTrain]]): the catalog-local
+    * tokenizer a search/embedding layer would train over its own label
+    * vocabulary — subword merges concentrate on the catalog's
+    * morphology ("-ing", "-tion", domain stems). Driver-held merge
+    * table, vocabulary-bounded rounds. Output: (step, left, right,
+    * pair_count). */
+  def labelBpeMerges(wh: EscoWarehouse, steps: Int = 8): DataFrame =
+    graft.operators.CorpusStats.bpeTrain(
+      wh.skills.select(col("preferredLabel").as("text")), "text", steps)
+
+  /** Label-vocabulary cardinality, sketch vs exact — the observability
+    * row a catalog-refresh pipeline logs each run: the KMV bottom-k
+    * estimate and the HLL micro-estimate ([[graft.operators.Sketches]])
+    * NEXT TO the exact distinct token count, self-verifying in the
+    * rows-only-lane convention (the estimates must bracket the truth,
+    * pinned in EscoCliSpec). One row. */
+  def labelCardinality(wh: EscoWarehouse): DataFrame = {
+    val labels = wh.skills.select(col("preferredLabel").as("text"))
+      .localCheckpoint() // three scans below
+    val exact = labels
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    val kmv = graft.operators.Sketches.kmvDistinct(labels, "text", k = 64)
+      .select(col("est_distinct").as("kmv_est"))
+    val hll = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(labels, "text", p = 6), p = 6)
+      .select(col("est_micro").as("hll_est_micro"))
+    exact.crossJoin(kmv).crossJoin(hll) // three one-row frames
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

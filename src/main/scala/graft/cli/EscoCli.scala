@@ -123,6 +123,8 @@ object EscoCli {
         case "triangles" => EscoAnalytics.topTriangles(wh)
         case "concept-core" => EscoAnalytics.conceptCore(wh)
         case "cluster-skills" => EscoAnalytics.clusterSkills(wh)
+        case "label-bpe" => EscoAnalytics.labelBpeMerges(wh)
+        case "label-cardinality" => EscoAnalytics.labelCardinality(wh)
         case "description-novelty" => EscoAnalytics.descriptionNovelty(wh)
         case "sample-skills" => EscoAnalytics.sampleSkills(wh)
         case "top-skills-by-relationships" =>
@@ -219,7 +221,8 @@ object EscoCli {
           |            isco-most-occupations skill-cooccurrence isco-depths
           |            skill-depths communities communities-louvain betweenness
           |            pagerank pagerank-exact hits-exact triangles concept-core
-          |            cluster-skills description-novelty sample-skills
+          |            cluster-skills label-bpe label-cardinality
+          |            description-novelty sample-skills
           |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)

@@ -29,6 +29,7 @@ class EscoCliSpec extends AnyFunSuite {
     "transferable-skills", "skill-groups-most-skills",
     "combined-connections", "pagerank-exact", "hits-exact",
     "triangles", "concept-core", "cluster-skills",
+    "label-bpe", "label-cardinality",
     "description-novelty", "sample-skills",
     // the graph-analytics verbs, on the mini warehouse: wiring smoke for
     // the GraphX/iterative paths too
@@ -97,5 +98,19 @@ class EscoCliSpec extends AnyFunSuite {
       .select("preferredLabel").head().getString(0)
     EscoCli.run(spark, List("analyze", dir, "viz-graph", occLabel))
     EscoCli.run(spark, List("analyze", dir, "combined-connections"))
+  }
+
+  test("label-cardinality: sketch estimates track the exact distinct") {
+    val wh = EscoWarehouse.load(spark, whDir)
+    val r = graft.analytics.EscoAnalytics.labelCardinality(wh).head()
+    val exact = r.getAs[Long]("exact_distinct")
+    assert(exact > 0L)
+    // below k = 64 distinct hashes the KMV sketch IS the exact count
+    assert(r.getAs[Long]("kmv_est") == exact)
+    // the HLL small-range (linear-counting) estimate lands within 2x on
+    // a tiny vocabulary — a broken register/rank chain lands far away
+    val hll = r.getAs[Long]("hll_est_micro").toDouble / 1e6
+    assert(hll > 0.5 * exact && hll < 2.0 * exact,
+      s"hll=$hll exact=$exact")
   }
 }
