@@ -1204,6 +1204,18 @@ object SparkEntry {
       CorpusStats.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
         bucketWidth = 50L)
         .orderBy(col("bucket"))
+    }),
+    // per-document character entropy (gibberish/encoding-noise
+    // detector): en01's exact rounding chain per doc
+    "ce01_char_entropy" -> ((s, dir) => {
+      CorpusStats.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // cross-source n-gram overlap matrix (which corpora bleed into
+    // which): per-gram source sets, |sources|^2-bounded output
+    "xs01_cross_source_grams" -> ((s, dir) => {
+      Decontaminate.crossSourceGramOverlap(
+        t(s, dir, "documents"), "source", "text", nGram = 5)
     })
   )
 
@@ -1920,7 +1932,50 @@ object SparkEntry {
         |  CAST(SUM(new_tokens) OVER (ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS vocab_size
-        |FROM j ORDER BY bucket""".stripMargin
+        |FROM j ORDER BY bucket""".stripMargin,
+    // char-entropy replay: explicit substr position list (no
+    // empty-pattern split — its edge semantics differ across engines),
+    // then the per-(doc,char) counts rebuilt relationally — the
+    // occurrence counts and en01 rounding chain are identical to the
+    // Spark side's row-local HOF form, and integer sums are
+    // order-independent, so the two formulations hash-match
+    "ce01_char_entropy" ->
+      """WITH s AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', '', 'g') AS s
+        |  FROM documents),
+        |ch AS (SELECT doc_id, length(s) AS t, unnest(list_transform(
+        |    range(1, length(s) + 1), i -> substr(s, CAST(i AS INT), 1)))
+        |    AS ch
+        |  FROM s WHERE length(s) > 0),
+        |cnt AS (SELECT doc_id, MAX(t) AS t, ch,
+        |    CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(occ * CAST(round(-log2(CAST(occ AS DOUBLE) /
+        |      CAST(t AS DOUBLE)) * 1000000) AS BIGINT)) // MAX(t)
+        |    AS BIGINT) AS entropy_mbits
+        |FROM cnt
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // cross-source overlap replay: distinct (gram-hash, source) pairs
+    // self-joined within the hash — identical counts to the source-set
+    // pair explode
+    "xs01_cross_source_grams" ->
+      """WITH tok AS (SELECT source,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |g AS (SELECT source, unnest(CASE WHEN len(ts) < 5 THEN []
+        |    ELSE list_transform(range(1, len(ts) - 3),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |        ts[i+3] || ' ' || ts[i+4]) END) AS gram
+        |  FROM tok),
+        |m AS (SELECT DISTINCT gram, source FROM g)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM m a JOIN m b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY n_shared_grams DESC, source_a, source_b""".stripMargin
   )
 
   // ------------------------------------------------------------------

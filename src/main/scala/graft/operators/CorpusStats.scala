@@ -1023,6 +1023,48 @@ object CorpusStats {
           max(col("t"))).as("entropy_mbits"))
   }
 
+  /** Per-document character entropy in micro-bits — the classic
+    * gibberish/encoding-noise detector (keyboard mash and base64 blobs
+    * sit far from natural-language char entropy; a production quality
+    * battery runs it next to the word-level signals of q20/tx02).
+    * Plug-in Shannon entropy over the non-whitespace characters of the
+    * lower-cased text, the en01 per-symbol micro-bit rounding chain.
+    *
+    * ROW-LOCAL by design: a per-document score needs no cross-document
+    * information, so the whole computation is Column work inside the
+    * scan task — ZERO shuffle at any corpus size (the first cut's
+    * (doc, char) groupBy + totals join measured 26x shuffle growth at
+    * 10x once the doc-domain join side outgrew broadcast). Per-row cost
+    * is O(charset x len): the distinct-char list is alphabet-bounded.
+    * Characters come from an explicit position list (substr over
+    * sequence) — no empty-pattern split, whose edge semantics differ
+    * across engines; each HOF input is a staged aliased column (the
+    * PLANS.md r9 capture rule).
+    *
+    * Output: (idCol, n_chars, n_distinct, entropy_mbits) for docs with
+    * at least one non-whitespace char. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        regexp_replace(lower(col(textCol)), "\\s+", "").as("__s"))
+      .filter(length(col("__s")) > 0)
+      .select(col(idCol), col("__s"),
+        transform(sequence(lit(1), length(col("__s"))),
+          i => col("__s").substr(i, lit(1))).as("__cs"))
+      .select(col(idCol), col("__cs"),
+        length(col("__s")).cast("long").as("n_chars"),
+        array_distinct(col("__cs")).as("__dc"))
+      .select(col(idCol), col("n_chars"),
+        size(col("__dc")).cast("long").as("n_distinct"),
+        transform(col("__dc"),
+          c => size(filter(col("__cs"), x => x === c)).cast("long"))
+          .as("__occs"))
+      .select(col(idCol), col("n_chars"), col("n_distinct"),
+        ldiv(aggregate(col("__occs"), lit(0L), (a, o) =>
+          a + o * round(-log2(o.cast("double") /
+            col("n_chars").cast("double")) * lit(1000000.0)).cast("long")),
+          col("n_chars")).as("entropy_mbits"))
+
   /** Per-language tokenizer fertility: subword pieces per whitespace
     * word, the multilingual-pipeline table that decides token budgets
     * and mixture weights per language (high fertility = the tokenizer

@@ -127,4 +127,46 @@ object Decontaminate {
         (col("n_hits").cast("double") / col("n_grams").cast("double"))
           .as("contamination"))
   }
+
+  /** Cross-source n-gram overlap matrix: for every pair of sources, how
+    * many DISTINCT word n-grams they share — the leak-observability
+    * table a multi-source pipeline logs to see which corpora bleed into
+    * which (the pairwise aggregate view of dc01's per-document
+    * containment). Published-shape companion to the 13-gram filters:
+    * the same gram stream, aggregated by provenance instead of by doc.
+    *
+    * Plan: one text scan -> (gram-hash, source) DISTINCT (gram-domain
+    * agg, map-side combined; only 8-byte hashes + source keys move) ->
+    * per-gram source set (bounded by the SOURCE DOMAIN, never corpus
+    * size) -> pair explode (<= |sources|^2/2 per gram) -> source-pair
+    * counts. Output rows are |sources|^2-bounded at any corpus size.
+    *
+    * Output: (source_a, source_b, n_shared_grams), source_a < source_b,
+    * count desc / pair asc. */
+  def crossSourceGramOverlap(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String,
+      nGram: Int = 5): DataFrame = {
+    val grams = Dedup.ensureParallelism(docs)
+      .select(col(srcCol).as("src"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("src"), explode(
+        TextFunctions.wordGramsFromTokens(col("__toks"), nGram)).as("g"))
+      .select(col("src"), graft.functions.PortableHash.h60(col("g")).as("gh"))
+      .groupBy(col("gh"), col("src")).agg(count(lit(1)).as("__n")).drop("__n")
+    val sets = grams.groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    sets
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1),
+          |    b -> struct(a AS source_a, b AS source_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(desc("n_shared_grams"), col("source_a"), col("source_b"))
+  }
 }

@@ -584,6 +584,20 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("xx", 0L, 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("charEntropy: exact micro-bits on closed-form distributions") {
+    // "A a B b" lowers+strips to "aabb": p(a)=p(b)=1/2 -> exactly 1 bit;
+    // "abcd": uniform over 4 -> exactly 2 bits; "aaaa": 0 bits
+    val docs = Seq((1L, "A a B b"), (2L, "abcd"), (3L, "aaaa"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.charEntropy(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 1000000L),
+      (2L, 4L, 4L, 2000000L),
+      (3L, 4L, 1L, 0L))) // doc 4 is whitespace-only: no row
+  }
+
   test("vocabGrowth: hand-computed Heaps curve, sparse buckets included") {
     // bucketWidth 2: docs {0,1} -> bucket 0, {2} -> 1, {7} -> 3
     // tokens: b0 = 5 (a b a | b c), b1 = 3 (c d d), b3 = 1 (e)

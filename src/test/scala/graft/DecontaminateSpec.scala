@@ -89,4 +89,30 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(gs(1L).last == "zeta eta theta iota kappa")
     assert(gs(4L).isEmpty) // 2 tokens < n
   }
+
+  test("crossSourceGramOverlap: hand-computed pair matrix") {
+    // s1 and s2 share exactly one 5-gram; the 'a b c d e' gram also
+    // appears verbatim in s3, so all three pairs see it; s4 is disjoint
+    val docs = Seq(
+      ("s1", "a b c d e f"), // grams: 'a b c d e', 'b c d e f'
+      ("s2", "a b c d e x"), // grams: 'a b c d e', 'b c d e x'
+      ("s3", "a b c d e"), // gram: 'a b c d e'
+      ("s4", "q r s t u") // gram: 'q r s t u' (shared with nobody)
+    ).toDF("source", "text")
+    val got = graft.operators.Decontaminate
+      .crossSourceGramOverlap(docs, "source", "text", nGram = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("s1", "s2") -> 1L, ("s1", "s3") -> 1L, ("s2", "s3") -> 1L))
+    // duplicate grams within one source count ONCE (distinct semantics)
+    val dup = Seq(
+      ("s1", "a b c d e a b c d e a b c d e"), // 'a b c d e' many times
+      ("s2", "a b c d e")).toDF("source", "text")
+    val got2 = graft.operators.Decontaminate
+      .crossSourceGramOverlap(dup, "source", "text", nGram = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got2 == Map(("s1", "s2") -> 1L))
+  }
 }

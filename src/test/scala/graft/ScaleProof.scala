@@ -110,7 +110,9 @@ object ScaleProof {
     "cs01_countmin" -> Bounds(5, 8),    // d*w-domain cell counts
     "gq01_gopher" -> Bounds(5, 8),      // row-local: zero shuffle by construction
     "pc01_bpe" -> Bounds(5, 8),         // vocab-domain counts; pairs over vocab only
-    "vg01_heaps" -> Bounds(5, 8))       // vocab + bucket domain aggs only
+    "vg01_heaps" -> Bounds(5, 8),       // vocab + bucket domain aggs only
+    "ce01_charent" -> Bounds(5, 8),     // row-local: ZERO shuffle by construction
+    "xs01_xsource" -> Bounds(25, 8))    // (gram, source) distinct rows: 8.2x
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -597,6 +599,20 @@ object ScaleProof {
         // totals; the cumulative window runs over buckets only
         CorpusStats.vocabGrowth(docs, "doc_id", "text", bucketWidth = 500L)
           .agg(coalesce(sum(col("vocab_size")), lit(0L)))
+          .head().getLong(0))
+      measure("ce01_charent", scale)(
+        // char entropy: (doc, char) counts — docs x charset bounded,
+        // map-side combined — + a doc-domain totals join
+        CorpusStats.charEntropy(docs, "doc_id", "text")
+          .agg(coalesce(sum(col("entropy_mbits")), lit(0L)))
+          .head().getLong(0))
+      measure("xs01_xsource", scale)(
+        // cross-source overlap: (gram-hash, source) distinct agg; the
+        // pair explode runs over per-gram source SETS (domain-bounded)
+        graft.operators.Decontaminate.crossSourceGramOverlap(
+          docs.withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+          "graft_src", "text", nGram = 5)
+          .agg(coalesce(sum(col("n_shared_grams")), lit(0L)))
           .head().getLong(0))
       measure("me01_embed", scale)(
         // portable bulk embedding: the token explode is map-local; what

@@ -81,7 +81,9 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("cs01_countmin", 0.0, 0.2, 1.0),
       pair("gq01_gopher", 0.0, 0.0, 1.1),
       pair("pc01_bpe", 0.0, 0.1, 1.0),
-      pair("vg01_heaps", 0.0, 0.6, 1.5)).flatten
+      pair("vg01_heaps", 0.0, 0.6, 1.5),
+      pair("ce01_charent", 0.0, 0.0, 1.1),
+      pair("xs01_xsource", 4.5, 37.0, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -99,7 +101,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "cm01_confusion", "sp06_strat", "pq01_pq_encode", "jl01_project",
       "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy",
       "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
-      "vg01_heaps")
+      "vg01_heaps", "ce01_charent", "xs01_xsource")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
