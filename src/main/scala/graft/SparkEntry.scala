@@ -2882,6 +2882,13 @@ object SparkEntry {
       graft.operators.Betweenness.betweennessIntFromForward(
           brandesForward(s, dir), dagPart(s, dir))
         .orderBy(col("id"))),
+    // bounded-horizon closeness + harmonic centrality of the sampled
+    // roots — ONE root-domain agg over the same shared forward frame
+    // (third consumer of the one BFS); exact integer floor-div terms
+    "g13_closeness" -> ((s, dir) =>
+      graft.operators.Betweenness.closenessFromForward(
+          brandesForward(s, dir))
+        .orderBy(col("root"))),
     // degree table over the directed multi-parent DAG — GraphOps.degrees
     // was implemented-but-spec-only; two partial aggregations + full
     // outer join, no GraphX materialization. Aggregated per (out, in)
@@ -3146,6 +3153,24 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
          |  UNION ALL SELECT * FROM l4)
          |ORDER BY root, id""".stripMargin,
+    // truncated closeness/harmonic replay over the same forward block:
+    // exact integer floor-div terms, order-independent sums
+    "g13_closeness" ->
+      s"""WITH $brandesForwardCteSql,
+         |fw AS (SELECT root, id, depth FROM (
+         |  SELECT root, id, depth FROM l0 UNION ALL
+         |  SELECT root, id, depth FROM l1 UNION ALL
+         |  SELECT root, id, depth FROM l2 UNION ALL
+         |  SELECT root, id, depth FROM l3 UNION ALL
+         |  SELECT root, id, depth FROM l4))
+         |SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(depth) AS BIGINT) AS sum_depth,
+         |  CASE WHEN SUM(depth) > 0 THEN
+         |      CAST((COUNT(*) - 1) * 1000000 // SUM(depth) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS closeness_micro,
+         |  CAST(SUM(CASE WHEN depth >= 1 THEN 1000000 // depth
+         |    ELSE 0 END) AS BIGINT) AS harmonic_micro
+         |FROM fw GROUP BY root ORDER BY root""".stripMargin,
     // the backward phase in integer micro-units: per level d,
     // delta_d(v) = SUM over DAG successors w of
     // (sigma_v * (1000000 + delta_{d+1}(w))) // sigma_w — exactly

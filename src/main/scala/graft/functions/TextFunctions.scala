@@ -61,9 +61,13 @@ object TextFunctions {
   def nonAsciiCount(text: Column): Column =
     length(regexp_replace(text, "[\\x00-\\x7F]", "")).cast("long")
 
-  /** Integer division on long columns (Column./ is double division). */
-  private def ldiv(a: Column, b: Column): Column =
-    floor(a.cast("double") / b.cast("double")).cast("long")
+  /** Integer division on non-negative long columns — THE one shared
+    * definition (CorpusStats/Sketches/Curation delegate here). Spark's
+    * `div` is integral divide: exact at any magnitude and engine-
+    * portable (mirrors DuckDB's `//` for non-negative inputs), with no
+    * double round-trip and hence no 2^53 precision cliff. */
+  private[graft] def ldiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
 
   /** Words per 1000 chars, integer (deterministic across engines). */
   def wordDensityPermille(text: Column): Column =

@@ -219,6 +219,31 @@ object Betweenness {
     out
   }
 
+  /** Bounded-horizon closeness + harmonic centrality of the sampled
+    * roots, off a PRECOMPUTED forward frame (root, id, depth, sigma) —
+    * the standard truncated variants (distances past the BFS horizon
+    * contribute nothing), exact integers: closeness = (reached−1)·10⁶
+    * floor-div Σdepth, harmonic = Σ (10⁶ floor-div depth) over depth ≥ 1
+    * (each term exact, sum order-independent). ONE root-domain
+    * aggregation over the forward frame — free next to the Brandes
+    * lanes that already share it.
+    *
+    * Output: (root, n_reached, sum_depth, closeness_micro,
+    * harmonic_micro); an isolated root keeps closeness 0. */
+  def closenessFromForward(forward: DataFrame): DataFrame =
+    forward
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("depth").cast("long")).as("sum_depth"),
+        sum(when(col("depth") >= 1,
+          call_function("div", lit(1000000L), col("depth").cast("long")))
+          .otherwise(0L)).as("harmonic_micro"))
+      .select(col("root"), col("n_reached"), col("sum_depth"),
+        when(col("sum_depth") > 0L,
+          call_function("div", (col("n_reached") - 1L) * lit(1000000L),
+            col("sum_depth"))).otherwise(0L).as("closeness_micro"),
+        col("harmonic_micro"))
+
   /** @param edges (src, dst) long ids; treated per `directed`
     * @param k number of sampled sources (all vertices if k >= |V|)
     * @return (id, betweenness, scaled, bc_a, bc_b) — `scaled` multiplies

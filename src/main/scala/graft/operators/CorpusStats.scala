@@ -32,12 +32,10 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
-  /** Integer division on non-negative long columns (exact at any
-    * magnitude and engine-portable; mirrors DuckDB's `//` for the
-    * non-negative inputs used here). Spark's `div` is integral divide —
-    * no double round-trip, so no 2^53 precision cliff. */
+  /** Integer division on non-negative long columns — delegates to the
+    * ONE shared definition ([[TextFunctions.ldiv]]). */
   private def ldiv(a: Column, b: Column): Column =
-    call_function("div", a, b)
+    TextFunctions.ldiv(a, b)
 
   /** Non-empty whitespace tokens of lower-cased text, one row per
     * occurrence: the shared first stage of the corpus models. */
@@ -1235,12 +1233,25 @@ object CorpusStats {
       maxVocab: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = tokenStream(docs.select(lit(0L).as("__id"), col(textCol)),
-        "__id", textCol)
-      .groupBy(col("tok")).agg(count(lit(1)).as("wcnt"))
-      .orderBy(col("wcnt").desc, col("tok")).limit(maxVocab)
-      .select(split(col("tok"), "").as("sym"), col("wcnt"))
-      .localCheckpoint(true)
+    // persist (not localCheckpoint): each round's frame is superseded by
+    // the next, and persist is CacheManager-registered so the stale
+    // round can be RELEASED eagerly — otherwise steps+1 vocabulary-sized
+    // copies pile up for the life of the call. Each round materializes
+    // (count) BEFORE its predecessor unpersists, so the ≤steps-deep
+    // projection lineage never recomputes; the loop's actions are
+    // sequential driver calls with no broadcast subqueries, so the lazy
+    // persist is race-free (the PLANS.md r8 rule).
+    def materializeRound(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    var vocab = materializeRound(
+      tokenStream(docs.select(lit(0L).as("__id"), col(textCol)),
+          "__id", textCol)
+        .groupBy(col("tok")).agg(count(lit(1)).as("wcnt"))
+        .orderBy(col("wcnt").desc, col("tok")).limit(maxVocab)
+        .select(split(col("tok"), "").as("sym"), col("wcnt")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var step = 1
@@ -1259,12 +1270,14 @@ object CorpusStats {
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         merges += ((step, a, b, top(0).getLong(1)))
-        vocab = vocab
-          .select(bpeMergeOne(col("sym"), a, b).as("sym"), col("wcnt"))
-          .localCheckpoint(true)
+        val next = materializeRound(vocab
+          .select(bpeMergeOne(col("sym"), a, b).as("sym"), col("wcnt")))
+        vocab.unpersist(false)
+        vocab = next
         step += 1
       }
     }
+    vocab.unpersist(false)
     merges.toSeq.toDF("step", "left", "right", "pair_count")
   }
 }

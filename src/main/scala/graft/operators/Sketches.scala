@@ -28,7 +28,7 @@ import graft.functions.{PortableHash, TextFunctions}
 object Sketches {
 
   private def ldiv(a: Column, b: Column): Column =
-    call_function("div", a, b)
+    TextFunctions.ldiv(a, b)
 
   /** Non-empty whitespace tokens, one row per occurrence. */
   private def tokenStream(docs: DataFrame, textCol: String): DataFrame =
@@ -94,8 +94,14 @@ object Sketches {
       .agg(count(lit(1)).as("nb"),
         sum(lit(1.0) / call_function("shiftleft", lit(1L),
           col("register").cast("int")).cast("double")).as("s_nonzero"))
+      // loud failure on a p mismatch with the registers frame: more
+      // buckets than 2^p would otherwise yield a silently negative
+      // v_zero and a garbage estimate
       .select(lit(m.toLong).as("m"),
-        (lit(m.toLong) - col("nb")).as("v_zero"),
+        when(col("nb") > m.toLong, raise_error(lit(
+          s"hllEstimate: registers frame has more than 2^p = $m buckets" +
+            " — p does not match the frame")))
+          .otherwise(lit(m.toLong) - col("nb")).as("v_zero"),
         (coalesce(col("s_nonzero"), lit(0.0)) +
           (lit(m.toLong) - col("nb")).cast("double")).as("s"))
       .select(col("m"), col("v_zero"),

@@ -114,6 +114,23 @@ class BetweennessSpec extends AnyFunSuite {
     assert(m4.isEmpty)
   }
 
+  test("closenessFromForward: closed forms on a path") {
+    // path 1->2->3 from root 1: reached {1@0, 2@1, 3@2}
+    //   closeness = (3-1)*1e6 div (0+1+2) = 666666
+    //   harmonic  = 1e6 div 1 + 1e6 div 2 = 1500000
+    // root 9 isolated: n_reached 1, sums 0, closeness 0
+    val fwd = Seq(
+      (1L, 1L, 0, 1L), (1L, 2L, 1, 1L), (1L, 3L, 2, 1L),
+      (9L, 9L, 0, 1L)).toDF("root", "id", "depth", "sigma")
+    val got = Betweenness.closenessFromForward(fwd)
+      .orderBy(col("root")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 666666L, 1500000L),
+      (9L, 1L, 0L, 0L, 0L)))
+  }
+
   test("exact mode (k >= |V|) equals driver-side Brandes on 100 random graphs") {
     // 100 disjoint random graphs, id-offset so one batched approx() call
     // computes all of them at once (betweenness of a disjoint union is the

@@ -601,8 +601,9 @@ object ScaleProof {
           .agg(coalesce(sum(col("vocab_size")), lit(0L)))
           .head().getLong(0))
       measure("ce01_charent", scale)(
-        // char entropy: (doc, char) counts — docs x charset bounded,
-        // map-side combined — + a doc-domain totals join
+        // char entropy: ROW-LOCAL (the whole chain is Column work in
+        // the scan task) — zero shuffle by construction; only the
+        // scalar agg below exchanges
         CorpusStats.charEntropy(docs, "doc_id", "text")
           .agg(coalesce(sum(col("entropy_mbits")), lit(0L)))
           .head().getLong(0))
