@@ -159,4 +159,25 @@ class EscoScaleSpec extends AnyFunSuite {
       .toMap
     assert(s10 == s1.map { case (k, c) => k -> c * 10 })
   }
+
+  test("10x label sketches: the cardinality row is scale-INVARIANT and BPE merges replicate") {
+    import graft.analytics.EscoAnalytics
+    // labels replicate verbatim (only URIs are suffixed), so the label
+    // VOCABULARY is identical at 10x — the whole sketch row (exact
+    // distinct, KMV estimate, HLL estimate) must be bit-identical:
+    // cardinality sketches see sets, not multisets
+    val c1 = EscoAnalytics.labelCardinality(whBase).head()
+    val c10 = EscoAnalytics.labelCardinality(wh10).head()
+    assert(c1.getLong(0) == c10.getLong(0))
+    assert(c1.getLong(1) == c10.getLong(1))
+    assert(c1.getLong(2) == c10.getLong(2))
+    // BPE training sees word COUNTS x10: the merge sequence is identical
+    // (argmax and ties are scale-free) with every pair_count x10
+    val m1 = EscoAnalytics.labelBpeMerges(whBase, steps = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m10 = EscoAnalytics.labelBpeMerges(wh10, steps = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m1.nonEmpty)
+    assert(m10.toSeq == m1.map { case (s, a, b, c) => (s, a, b, c * 10) }.toSeq)
+  }
 }
