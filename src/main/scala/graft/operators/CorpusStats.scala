@@ -1133,6 +1133,39 @@ object CorpusStats {
         when(p + r === 0L, lit(0L)).otherwise(ldiv(lit(2L) * p * r, p + r)))
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]'s output order) to
+    * encode text into subword pieces — the other half of the tokenizer:
+    * train once, encode the corpus. Merges fold in TRAINING ORDER (the
+    * published semantics; later merges see earlier merges' symbols),
+    * each application the same greedy non-overlapping [[bpeMergeOne]]
+    * pass.
+    *
+    * Encoding is a pure Column composition over the token column — the
+    * merge table arrives as DRIVER-HELD literals (km01's centroid
+    * pattern), so the corpus scan stays row-local: no join, no shuffle,
+    * whatever the corpus size. Per-row cost is O(merges × len); for
+    * large merge tables, pre-encode the VOCABULARY instead and
+    * broadcast-join the word→pieces map.
+    *
+    * Output: docs plus `pieces` (array<string>) and `n_pieces`. */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(filter(col("__toks"), t => length(t) > 0),
+          t => split(t, "")).as("__symLists"))
+      .select(col(idCol),
+        flatten(transform(col("__symLists"), syms =>
+          merges.foldLeft(syms) { case (s, (a, b)) => bpeMergeOne(s, a, b) }))
+          .as("pieces"))
+      .select(col(idCol), col("pieces"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
     * count as the corpus is consumed in `idCol` order, next to the
     * cumulative token count — the (tokens_seen, vocab_size) table that
