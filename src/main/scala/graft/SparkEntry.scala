@@ -2889,6 +2889,13 @@ object SparkEntry {
       graft.operators.Betweenness.closenessFromForward(
           brandesForward(s, dir))
         .orderBy(col("root"))),
+    // link prediction over the co-purchase graph: capped common-neighbor
+    // pairs + engine-exact Adamic–Adar (micro-rounded 1/log2 deg terms)
+    "g14_link_prediction" -> ((s, dir) =>
+      GraphOps.linkPrediction(coPurchaseEdges(s, dir), maxNeighbors = 64)
+        .orderBy(desc("common_neighbors"), desc("aa_micro"),
+          col("node_a"), col("node_b"))
+        .limit(20)),
     // degree table over the directed multi-parent DAG — GraphOps.degrees
     // was implemented-but-spec-only; two partial aggregations + full
     // outer join, no GraphX materialization. Aggregated per (out, in)
@@ -3171,6 +3178,27 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN depth >= 1 THEN 1000000 // depth
          |    ELSE 0 END) AS BIGINT) AS harmonic_micro
          |FROM fw GROUP BY root ORDER BY root""".stripMargin,
+    // link-prediction replay: the same capped wedge self-join (smallest-
+    // id neighbor cap via row_number), full-degree Adamic–Adar weights
+    "g14_link_prediction" ->
+      s"""WITH $coPurchaseCteSql,
+         |adj AS (SELECT src AS u, dst AS v FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY u),
+         |cap AS (SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v)
+         |      AS rn FROM adj) WHERE rn <= 64),
+         |p AS (SELECT x.v AS node_a, y.v AS node_b, d.deg
+         |  FROM cap x JOIN cap y ON x.u = y.u AND x.v < y.v
+         |  JOIN deg d ON d.u = x.u)
+         |SELECT node_a, node_b,
+         |  CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |  CAST(SUM(CAST(round(1000000.0 / log2(CAST(deg AS DOUBLE)))
+         |    AS BIGINT)) AS BIGINT) AS aa_micro
+         |FROM p GROUP BY 1, 2
+         |ORDER BY common_neighbors DESC, aa_micro DESC, node_a, node_b
+         |LIMIT 20""".stripMargin,
     // the backward phase in integer micro-units: per level d,
     // delta_d(v) = SUM over DAG successors w of
     // (sigma_v * (1000000 + delta_{d+1}(w))) // sigma_w — exactly

@@ -665,6 +665,35 @@ object EscoAnalytics {
     exact.crossJoin(kmv).crossJoin(hll) // three one-row frames
   }
 
+  /** Suggest MISSING related-skill edges by link prediction over the
+    * RELATED_SKILL graph ([[graft.operators.GraphOps.linkPrediction]]):
+    * skill pairs that share many related skills but are not themselves
+    * related — the classic common-neighbor / Adamic–Adar recommender,
+    * here proposing catalog-curation candidates. Already-related pairs
+    * are anti-joined away. Output: (uri_a, label_a, uri_b, label_b,
+    * common_neighbors, aa_micro), strongest first. */
+  def suggestedRelations(wh: EscoWarehouse, n: Int = 20): DataFrame = {
+    val edges = wh.relatedSkill
+      .select(col("srcUri").as("src"), col("dstUri").as("dst"))
+    val existing = edges
+      .select(least(col("src"), col("dst")).as("node_a"),
+        greatest(col("src"), col("dst")).as("node_b"))
+      .distinct()
+    val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
+    graft.operators.GraphOps.linkPrediction(edges, maxNeighbors = 64)
+      .join(existing, Seq("node_a", "node_b"), "left_anti")
+      .join(labels.select(col("conceptUri").as("node_a"),
+        col("preferredLabel").as("label_a")), Seq("node_a"))
+      .join(labels.select(col("conceptUri").as("node_b"),
+        col("preferredLabel").as("label_b")), Seq("node_b"))
+      .select(col("node_a").as("uri_a"), col("label_a"),
+        col("node_b").as("uri_b"), col("label_b"),
+        col("common_neighbors"), col("aa_micro"))
+      .orderBy(desc("common_neighbors"), desc("aa_micro"),
+        col("uri_a"), col("uri_b"))
+      .limit(n)
+  }
+
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */

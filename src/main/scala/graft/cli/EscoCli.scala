@@ -125,6 +125,7 @@ object EscoCli {
         case "cluster-skills" => EscoAnalytics.clusterSkills(wh)
         case "label-bpe" => EscoAnalytics.labelBpeMerges(wh)
         case "label-cardinality" => EscoAnalytics.labelCardinality(wh)
+        case "suggest-relations" => EscoAnalytics.suggestedRelations(wh)
         case "description-novelty" => EscoAnalytics.descriptionNovelty(wh)
         case "sample-skills" => EscoAnalytics.sampleSkills(wh)
         case "top-skills-by-relationships" =>
@@ -222,7 +223,7 @@ object EscoCli {
           |            skill-depths communities communities-louvain betweenness
           |            pagerank pagerank-exact hits-exact triangles concept-core
           |            cluster-skills label-bpe label-cardinality
-          |            description-novelty sample-skills
+          |            suggest-relations description-novelty sample-skills
           |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)

@@ -758,6 +758,54 @@ object GraphOps {
           .select(col("a").as("id"), col("core_degree"))
     }
   }
+
+  /** Link-prediction features over the undirected graph: for every
+    * candidate pair (two non-adjacent-or-adjacent nodes sharing ≥ 1
+    * common neighbor), the common-neighbor count and the Adamic–Adar
+    * score (Σ over shared neighbors w of 1/log2 deg(w) — log2, the
+    * house engine-exact logarithm, rather than ln; each term micro-
+    * rounded then exactly summed, so the score replays in any engine).
+    *
+    * Scale: wedge enumeration is the classic quadratic hazard — a hub
+    * with a million neighbors would emit 10¹² pairs — so each center's
+    * ENUMERATED neighbor list is capped at `maxNeighbors` (smallest
+    * ids, deterministic; the same hot-cap discipline as the LSH bucket
+    * and posting-list caps). The Adamic–Adar WEIGHT always uses the
+    * full degree, so capping only bounds which pairs are emitted, not
+    * their scores. Shuffles carry only (id, id) pairs and degrees.
+    *
+    * Output: (node_a, node_b, common_neighbors, aa_micro),
+    * node_a < node_b. */
+  def linkPrediction(edges: DataFrame, maxNeighbors: Int = 64): DataFrame = {
+    require(maxNeighbors >= 2, s"maxNeighbors=$maxNeighbors")
+    // (u, v) both directions, self-loops dropped; EAGER checkpoint —
+    // three consumers below (degrees + both self-join sides)
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = simple
+      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("u"))
+      .agg(count(lit(1)).as("deg"))
+    val capped = adj
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("v"))))
+      .filter(col("rn") <= maxNeighbors)
+      .select(col("u"), col("v"))
+    capped.as("x")
+      .join(capped.select(col("u"), col("v").as("v2")).as("y"), Seq("u"))
+      .filter(col("v") < col("v2"))
+      .join(deg, Seq("u"))
+      .groupBy(col("v").as("node_a"), col("v2").as("node_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1000000.0) / log2(col("deg").cast("double")))
+          .cast("long")).as("aa_micro"))
+  }
 }
 
 /** String-keyed vertex id assignment with collision detection. */

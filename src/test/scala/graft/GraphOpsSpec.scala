@@ -389,4 +389,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.map(_.getLong(1)).distinct.length == 3)
   }
+
+  test("linkPrediction: square closed forms; hub cap bounds pairs, not weights") {
+    import org.apache.spark.sql.functions.col
+    // square 1-2-3-4-1: the two diagonals each have 2 common neighbors
+    // of degree 2 (log2 2 = 1 -> aa term exactly 1e6 each)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.operators.GraphOps.linkPrediction(square)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      (1L, 3L) -> ((2L, 2000000L)),
+      (2L, 4L) -> ((2L, 2000000L))))
+    // star 0-{1..5} with cap 3: only the 3 smallest leaves pair up
+    // (3 pairs), but each Adamic-Adar term uses the FULL degree 5
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val capped = graft.operators.GraphOps.linkPrediction(star, maxNeighbors = 3)
+      .orderBy(col("node_a"), col("node_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val term = math.round(1000000.0 / (math.log(5.0) / math.log(2.0)))
+    assert(capped.toSeq == Seq(
+      (1L, 2L, 1L, term), (1L, 3L, 1L, term), (2L, 3L, 1L, term)))
+  }
 }

@@ -112,7 +112,8 @@ object ScaleProof {
     "pc01_bpe" -> Bounds(5, 8),         // vocab-domain counts; pairs over vocab only
     "vg01_heaps" -> Bounds(5, 8),       // vocab + bucket domain aggs only
     "ce01_charent" -> Bounds(5, 8),     // row-local: ZERO shuffle by construction
-    "xs01_xsource" -> Bounds(25, 8))    // (gram, source) distinct rows: 8.2x
+    "xs01_xsource" -> Bounds(25, 8),    // (gram, source) distinct rows: 8.2x
+    "g14_linkpred" -> Bounds(40, 8))    // measured 26.8x — ANSWER-bound: the 10x hot dup clusters are near-cliques, so the link-prediction answer itself grows ~cluster_size^2 (rows 39 -> 15.8M); the 64-neighbor cap bounds per-center work
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -606,6 +607,16 @@ object ScaleProof {
         // scalar agg below exchanges
         CorpusStats.charEntropy(docs, "doc_id", "text")
           .agg(coalesce(sum(col("entropy_mbits")), lit(0L)))
+          .head().getLong(0))
+      measure("g14_linkpred", scale)(
+        // link prediction over the near-dup candidate pair graph: the
+        // capped wedge self-join moves only (id, id) pairs and degrees
+        graft.operators.GraphOps.linkPrediction(
+          Dedup.minhashCandidates(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, nGram = 3)
+            .select(col("id_a").as("src"), col("id_b").as("dst")),
+          maxNeighbors = 64)
+          .agg(coalesce(sum(col("common_neighbors")), lit(0L)))
           .head().getLong(0))
       measure("xs01_xsource", scale)(
         // cross-source overlap: (gram-hash, source) distinct agg; the

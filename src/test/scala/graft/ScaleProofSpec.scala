@@ -83,7 +83,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("pc01_bpe", 0.0, 0.1, 1.0),
       pair("vg01_heaps", 0.0, 0.6, 1.5),
       pair("ce01_charent", 0.0, 0.0, 1.1),
-      pair("xs01_xsource", 4.5, 37.0, 1.1)).flatten
+      pair("xs01_xsource", 4.5, 37.0, 1.1),
+      pair("g14_linkpred", 2.9, 77.6, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -101,7 +102,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "cm01_confusion", "sp06_strat", "pq01_pq_encode", "jl01_project",
       "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy",
       "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
-      "vg01_heaps", "ce01_charent", "xs01_xsource")
+      "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

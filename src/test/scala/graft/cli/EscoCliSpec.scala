@@ -29,7 +29,7 @@ class EscoCliSpec extends AnyFunSuite {
     "transferable-skills", "skill-groups-most-skills",
     "combined-connections", "pagerank-exact", "hits-exact",
     "triangles", "concept-core", "cluster-skills",
-    "label-bpe", "label-cardinality",
+    "label-bpe", "label-cardinality", "suggest-relations",
     "description-novelty", "sample-skills",
     // the graph-analytics verbs, on the mini warehouse: wiring smoke for
     // the GraphX/iterative paths too
