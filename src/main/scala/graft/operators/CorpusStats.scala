@@ -1154,16 +1154,18 @@ object CorpusStats {
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
+      // NULL text encodes like empty text ([] / 0) — the null-safe
+      // convention of the tokenStream operators, without dropping rows
+      .withColumn("__toks",
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("__symLists",
         transform(filter(col("__toks"), t => length(t) > 0),
-          t => split(t, "")).as("__symLists"))
-      .select(col(idCol),
+          t => split(t, "")))
+      .withColumn("pieces",
         flatten(transform(col("__symLists"), syms =>
-          merges.foldLeft(syms) { case (s, (a, b)) => bpeMergeOne(s, a, b) }))
-          .as("pieces"))
-      .select(col(idCol), col("pieces"),
-        size(col("pieces")).cast("long").as("n_pieces"))
+          merges.foldLeft(syms) { case (s, (a, b)) => bpeMergeOne(s, a, b) })))
+      .drop("__toks", "__symLists")
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token

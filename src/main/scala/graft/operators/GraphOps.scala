@@ -460,9 +460,11 @@ object GraphOps {
   /** Canonical simple-graph symmetrized adjacency (a, b): self-loops and
     * duplicate/reversed edges collapsed, both directions emitted, lazily
     * checkpointed (every synchronous-round operator re-joins it per
-    * round). The ONE definition — labelPropagationSync and kCorePeel
-    * must not drift. */
-  private def symmetricAdjacency(edges: DataFrame): DataFrame = {
+    * round). The ONE definition — labelPropagationSync, kCorePeel and
+    * linkPrediction must not drift; `eager` for callers with several
+    * immediate consumers. */
+  private def symmetricAdjacency(
+      edges: DataFrame, eager: Boolean = false): DataFrame = {
     val simple = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -470,7 +472,7 @@ object GraphOps {
       .distinct()
     simple
       .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(false)
+      .localCheckpoint(eager)
   }
 
   def labelPropagationSync(edges: DataFrame, iters: Int = 5): DataFrame = {
@@ -778,25 +780,22 @@ object GraphOps {
     * node_a < node_b. */
   def linkPrediction(edges: DataFrame, maxNeighbors: Int = 64): DataFrame = {
     require(maxNeighbors >= 2, s"maxNeighbors=$maxNeighbors")
-    // (u, v) both directions, self-loops dropped; EAGER checkpoint —
+    // the ONE undirected-simple-graph definition, eagerly materialized:
     // three consumers below (degrees + both self-join sides)
-    val simple = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val adj = simple
-      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
+    val adj = symmetricAdjacency(edges, eager = true)
       .select(col("a").as("u"), col("b").as("v"))
-      .localCheckpoint(true)
     val deg = adj.groupBy(col("u"))
       .agg(count(lit(1)).as("deg"))
+    // lazily checkpointed like triangles()' oriented frame: it feeds
+    // both (differently-aliased) sides of the wedge self-join — without
+    // the boundary the window sort over the full adjacency runs twice
     val capped = adj
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("u")).orderBy(col("v"))))
       .filter(col("rn") <= maxNeighbors)
       .select(col("u"), col("v"))
+      .localCheckpoint(false)
     capped.as("x")
       .join(capped.select(col("u"), col("v").as("v2")).as("y"), Seq("u"))
       .filter(col("v") < col("v2"))

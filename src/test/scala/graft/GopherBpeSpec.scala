@@ -87,19 +87,23 @@ class GopherBpeSpec extends AnyFunSuite {
     val merges = CorpusStats.bpeTrain(docs, "text", steps = 3).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "s")))
-    val enc = Seq((1L, "low lowest es tes"), (2L, ""))
+    val enc = Seq((1L, "low lowest es tes"), (2L, ""), (3L, null))
       .toDF("doc_id", "text")
-    val got = CorpusStats.bpeEncode(enc, "doc_id", "text", merges)
-      .orderBy(col("doc_id")).collect()
-      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
-    // low -> [low]; lowest -> lo w + es (l,o -> lo; lo,w -> low? NO:
-    // merge 2 is (lo, w) so lowest = l o w e s t -> lo w e s t ->
-    // low e s t -> low es t; es -> [es]; tes -> t es.
+    val out = CorpusStats.bpeEncode(enc, "doc_id", "text", merges)
+    // contract: docs PLUS pieces/n_pieces — input columns survive
+    assert(out.columns.toSeq == Seq("doc_id", "text", "pieces", "n_pieces"))
+    val got = out.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[String](r.fieldIndex("pieces")).toSeq,
+        r.getAs[Long]("n_pieces")))
+    // low -> [low]; lowest = l o w e s t -> lo w e s t -> low e s t ->
+    // low es t; es -> [es]; tes -> t es.
     // merges never cross word boundaries: "es tes" stays 2 words.
     assert(got(0)._2 == Seq("low", "low", "es", "t", "es", "t", "es"))
     assert(got(0)._3 == 7L)
-    assert(got(1)._2 == Seq())
-    assert(got(1)._3 == 0L)
+    // empty AND null text both encode to [] / 0, rows kept
+    assert(got(1)._2 == Seq() && got(1)._3 == 0L)
+    assert(got(2)._2 == Seq() && got(2)._3 == 0L)
   }
 
   test("bpeMergeOne: greedy non-overlap on a self-pair") {
