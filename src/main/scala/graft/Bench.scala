@@ -32,18 +32,74 @@ import org.apache.spark.sql.SparkSession
   *     run self-truncates to fewer passes instead of overrunning the
   *     driver's wall limit; the emitted line carries `"budget_hit": true`;
   *   - docs/BENCH_full_latest.json is only overwritten by a CLEAN final
-  *     pass (no errors, no budget hit), so "latest" always points at a
-  *     valid bench baseline; docs/BENCH_full_last_run.json records every
-  *     run unconditionally.
+  *     pass (no errors, no budget hit, not contaminated, >= 2 passes), so
+  *     "latest" always points at a valid bench baseline;
+  *     docs/BENCH_full_last_run.json records every run unconditionally.
+  *
+  * Contamination guard (round 9's artifact was a single pass taken under
+  * co-tenant load, with lanes at up to 67x their clean medians — a run
+  * like that must stamp itself unusable instead of posing as a baseline):
+  *   - a fixed CPU-bound probe (xxhash64 over a 2^24 range — zero I/O,
+  *     zero shuffle, so its runtime tracks only available CPU) is timed
+  *     once before the sweep and once after every pass;
+  *   - the capture carries `"probe_s"` (all samples) and
+  *     `"contaminated": true` when the probe MEDIAN exceeds 1.5x the
+  *     committed quiet-box reference (`PROBE_REF_S`, overridable via
+  *     SPARK_GRAFT_BENCH_PROBE_REF_S for other hardware) — median, not
+  *     max, so one transient burst in a clean 3-pass run doesn't
+  *     false-flag medians that round-robin already absorbed;
+  *   - a contaminated or single-pass capture never overwrites
+  *     docs/BENCH_full_latest.json ([[certifiable]]).
   * The reported "total" is the sum of medians.
   */
 object Bench {
+  /** Quiet-box seconds for [[probeSeconds]]' fixed op, measured on the
+    * reference 32-thread box (local[32], warm codegen). */
+  val ProbeRefS = 0.30
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Load-spiked box? The probe is pure CPU, so a median meaningfully
+    * above the quiet-box reference means co-tenant load ate the cores
+    * the lane timings ran on. */
+  private[graft] def contaminated(
+      probes: Seq[Double], refS: Double, factor: Double = 1.5): Boolean =
+    probes.nonEmpty && median(probes) > refS * factor
+
+  /** May this capture become docs/BENCH_full_latest.json? Only a full,
+    * error-free, budget-clean, uncontaminated, multi-pass run — a
+    * single-pass median is one sample wearing a median's name. */
+  private[graft] def certifiable(
+      passes: Int, iters: Int, nErrors: Int, budgetHit: Boolean,
+      isContaminated: Boolean): Boolean =
+    passes == iters && passes >= 2 && nErrors == 0 && !budgetHit &&
+      !isContaminated
+
+  /** One timed run of the fixed CPU probe (call once untimed to warm its
+    * codegen before trusting the clock). */
+  private def probeSeconds(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 24)
+      .selectExpr("max(xxhash64(concat(cast(id AS string), '-probe')))")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
+    // 480 s of measured query time fits 3 clean passes of the 147-lane
+    // catalog (~144 s each) with ~10% drift headroom; round 9's budget of
+    // 360 would have cut a marginally-slow clean run to 2 passes
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    val probeRefS = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_REF_S",
+      ProbeRefS.toString).toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,11 +137,10 @@ object Bench {
       graft.operators.Curation.Config(
         minTokens = 1L, minQuality = -100L, keepLangs = Seq("en", "und")))
     wc.count(); wd.count()
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    // warm the probe's codegen so the first TIMED probe measures CPU, not
+    // the janino compile; then take the pre-sweep sample
+    probeSeconds(spark)
+    val probes = scala.collection.mutable.ListBuffer(probeSeconds(spark))
     // optional lane filter for local profiling loops (comma-separated
     // name prefixes, e.g. "bp01,cu01"); the driver never sets it. An
     // empty/whitespace value is treated as UNSET — Some(Seq()) would
@@ -120,10 +175,13 @@ object Bench {
       }
       val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val dirty = contaminated(probes.toSeq, probeRefS)
+      val probeJson = probes.map(r3).mkString("[", ",", "]")
+      val guardTag = s""","probe_s":$probeJson,"probe_ref_s":${r3(probeRefS)},"contaminated":$dirty"""
       def line(key: String => String, tag: String): String = {
         val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$tag,"queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$tag,"queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit$guardTag}"""
       }
       // full-precision copy (with every raw sample) written to docs/ — the
       // authoritative per-lane record; _latest only ever holds a CLEAN
@@ -137,11 +195,11 @@ object Bench {
             samples(k).reverse.mkString(",") + "]}"
         }.mkString("{", ",", "}")
         val doc =
-          s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit}
+          s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit$guardTag}
              |""".stripMargin.getBytes("UTF-8")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
-        if (passes == iters && errors.isEmpty && !budgetHit)
+        if (certifiable(passes, iters, errors.size, budgetHit, dirty))
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
       } catch { case _: Throwable => () }
@@ -165,6 +223,8 @@ object Bench {
       // budget check AFTER a completed pass: never truncate mid-pass (that
       // would bias the pass's medians toward alphabetically-early queries)
       budgetHit = pass < iters && measuredNanos / 1e9 > budgetS
+      // post-pass probe: was the box still quiet while this pass ran?
+      probes += probeSeconds(spark)
       emit(pass, budgetHit)
     }
     spark.stop()
