@@ -457,23 +457,30 @@ object GraphOps {
     * (lazy localCheckpoint) so `iters` never compounds the plan; labels
     * are one (id, label) row per vertex. Vertices are the edge endpoints
     * (an isolated vertex has no row here, as in [[labelPropagation]]). */
-  /** Canonical simple-graph symmetrized adjacency (a, b): self-loops and
-    * duplicate/reversed edges collapsed, both directions emitted, lazily
-    * checkpointed (every synchronous-round operator re-joins it per
-    * round). The ONE definition — labelPropagationSync, kCorePeel and
-    * linkPrediction must not drift; `eager` for callers with several
-    * immediate consumers. */
-  private def symmetricAdjacency(
-      edges: DataFrame, eager: Boolean = false): DataFrame = {
+  /** Canonical simple-graph symmetrized adjacency (a, b) as a PLAN —
+    * self-loops and duplicate/reversed edges collapsed, both directions
+    * emitted, NOT materialized. The ONE undirected-simple-graph
+    * definition: labelPropagationSync, kCorePeel and linkPrediction must
+    * not drift. Public so a caller running several undirected operators
+    * over the same graph can persist this once and pass it back in via
+    * the prepared-adjacency contract ([[linkPrediction]]'s
+    * `adjPrepared` — the same build-once discipline as
+    * [[graft.operators.Betweenness.forwardCounts]]'s `edgesPrepared`). */
+  def undirectedAdjacency(edges: DataFrame): DataFrame = {
     val simple = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    simple
-      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(eager)
+    simple.unionByName(simple.select(col("b").as("a"), col("a").as("b")))
   }
+
+  /** [[undirectedAdjacency]] behind a lazy localCheckpoint (every
+    * synchronous-round operator re-joins it per round); `eager` for
+    * callers with several immediate consumers. */
+  private def symmetricAdjacency(
+      edges: DataFrame, eager: Boolean = false): DataFrame =
+    undirectedAdjacency(edges).localCheckpoint(eager)
 
   def labelPropagationSync(edges: DataFrame, iters: Int = 5): DataFrame = {
     val adj = symmetricAdjacency(edges)
@@ -776,23 +783,46 @@ object GraphOps {
     * full degree, so capping only bounds which pairs are emitted, not
     * their scores. Shuffles carry only (id, id) pairs and degrees.
     *
+    * The cap itself is skew-bounded: an exact two-level salted min-k
+    * (the [[graft.operators.Sampling.stratifiedFixedSample]] trick) —
+    * rows rank first inside (center, one of 32 salted sub-buckets), so
+    * a 10⁸-degree hub sorts 32 lists of deg/32 in 32 parallel tasks
+    * instead of its FULL adjacency in one; only the ≤ 32·k per-bucket
+    * survivors enter the exact per-center ranking. Min-k over a union
+    * of bucket min-k's is the global min-k, so the result is identical
+    * to the single-window plan.
+    *
+    * `adjPrepared`: the caller vouches `edges` is ALREADY the
+    * symmetrized simple adjacency in [[undirectedAdjacency]]'s (a, b)
+    * shape — build it once, persist it, and share it across
+    * linkPrediction / triangles-style consumers instead of paying the
+    * distinct + union per call.
+    *
     * Output: (node_a, node_b, common_neighbors, aa_micro),
     * node_a < node_b. */
-  def linkPrediction(edges: DataFrame, maxNeighbors: Int = 64): DataFrame = {
+  def linkPrediction(
+      edges: DataFrame,
+      maxNeighbors: Int = 64,
+      adjPrepared: Boolean = false): DataFrame = {
     require(maxNeighbors >= 2, s"maxNeighbors=$maxNeighbors")
-    // the ONE undirected-simple-graph definition, eagerly materialized:
-    // three consumers below (degrees + both self-join sides)
-    val adj = symmetricAdjacency(edges, eager = true)
+    // the ONE undirected-simple-graph definition; eagerly materialized
+    // when built here (three consumers below: degrees + both self-join
+    // sides) — a prepared caller already persisted its copy
+    val adj = (if (adjPrepared) edges else symmetricAdjacency(edges, eager = true))
       .select(col("a").as("u"), col("b").as("v"))
     val deg = adj.groupBy(col("u"))
       .agg(count(lit(1)).as("deg"))
+    import org.apache.spark.sql.expressions.Window
+    val level1 = Window.partitionBy(col("u"), col("__sub")).orderBy(col("v"))
+    val level2 = Window.partitionBy(col("u")).orderBy(col("v"))
     // lazily checkpointed like triangles()' oriented frame: it feeds
     // both (differently-aliased) sides of the wedge self-join — without
-    // the boundary the window sort over the full adjacency runs twice
+    // the boundary the two-level ranking would run twice
     val capped = adj
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("u")).orderBy(col("v"))))
+      .withColumn("__sub", pmod(xxhash64(col("v")), lit(32L)))
+      .withColumn("__r1", row_number().over(level1))
+      .filter(col("__r1") <= maxNeighbors)
+      .withColumn("rn", row_number().over(level2))
       .filter(col("rn") <= maxNeighbors)
       .select(col("u"), col("v"))
       .localCheckpoint(false)

@@ -412,4 +412,57 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped.toSeq == Seq(
       (1L, 2L, 1L, term), (1L, 3L, 1L, term), (2L, 3L, 1L, term)))
   }
+
+  test("linkPrediction: prepared adjacency is plan reuse, not a semantics fork") {
+    import org.apache.spark.sql.functions.col
+    // pseudo-random multigraph with dup/reversed edges and self-loops —
+    // exactly what undirectedAdjacency must collapse either way
+    val edges = (1 to 400).map { i =>
+      val a = (i * 2654435761L) % 37
+      val b = (i * 40503L + 7) % 37
+      (a, b)
+    }.toDF("src", "dst")
+    val cold = graft.operators.GraphOps.linkPrediction(edges, maxNeighbors = 5)
+      .orderBy(col("node_a"), col("node_b")).collect().toSeq
+    val adj = graft.operators.GraphOps.undirectedAdjacency(edges)
+    val warm = graft.operators.GraphOps
+      .linkPrediction(adj, maxNeighbors = 5, adjPrepared = true)
+      .orderBy(col("node_a"), col("node_b")).collect().toSeq
+    assert(cold.nonEmpty && cold == warm)
+  }
+
+  test("linkPrediction: two-level salted cap equals the naive smallest-k cap") {
+    import org.apache.spark.sql.functions.col
+    // a 200-neighbor hub plus random chaff: the hub's neighbor list
+    // spreads over many salt sub-buckets, so the per-bucket survivors >>
+    // the final k and the level-2 ranking must pick exactly the k
+    // globally-smallest ids
+    val hub = (1L to 200L).map(l => (0L, 1000L + l))
+    val chaff = (1 to 300).map { i =>
+      ((i * 48271L) % 23 + 2000L, (i * 16807L + 3) % 29 + 2000L)
+    }
+    val edges = (hub ++ chaff).toDF("src", "dst")
+    val k = 4
+    val got = graft.operators.GraphOps.linkPrediction(edges, maxNeighbors = k)
+      .orderBy(col("node_a"), col("node_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // naive reference: smallest-k neighbor lists per center via plain
+    // Scala, then wedge pairs + full-degree Adamic-Adar terms
+    val simple = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val nbrs = (simple ++ simple.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = nbrs.toSeq.flatMap { case (u, vs) =>
+      val deg = vs.size
+      val aaTerm = math.round(1000000.0 / (math.log(deg.toDouble) / math.log(2.0)))
+      vs.take(k).combinations(2).map(p => ((p(0), p(1)), aaTerm))
+    }.groupBy(_._1).view
+      .mapValues(ts => (ts.size.toLong, ts.map(_._2).sum)).toSeq
+      .map { case ((a, b), (cn, aa)) => (a, b, cn, aa) }
+      .sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
 }
