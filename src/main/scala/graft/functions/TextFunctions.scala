@@ -42,6 +42,12 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** [[tokenCount]] excluding empty tokens: split("") yields [""], so
+    * the raw size counts 1 phantom token for an empty/whitespace-only
+    * document — use this wherever a zero-word document must count 0. */
+  def tokenCountNonEmpty(text: Column): Column =
+    size(filter(tokens(text), t => length(t) > 0)).cast("long")
+
   def charCount(text: Column): Column = length(text).cast("long")
 
   /** BPE-ish subword count: runs of letters, runs of digits, or single

@@ -1033,11 +1033,17 @@ object CorpusStats {
     * scan task — ZERO shuffle at any corpus size (the first cut's
     * (doc, char) groupBy + totals join measured 26x shuffle growth at
     * 10x once the doc-domain join side outgrew broadcast). Per-row cost
-    * is O(charset x len): the distinct-char list is alphabet-bounded.
-    * Characters come from an explicit position list (substr over
-    * sequence) — no empty-pattern split, whose edge semantics differ
-    * across engines; each HOF input is a staged aliased column (the
-    * PLANS.md r9 capture rule).
+    * is O(len log len) regardless of alphabet size: the histogram comes
+    * from run lengths over the SORTED char list, not a per-distinct-char
+    * rescan (the first cut's transform-over-array_distinct was
+    * O(charset × len) — ~10⁸ comparisons for one multi-MB CJK document
+    * in a single task). Characters come from an explicit position list
+    * (substr over sequence) — no empty-pattern split, whose edge
+    * semantics differ across engines; each HOF input is a staged aliased
+    * column (the PLANS.md r9 capture rule). The entropy fold is over the
+    * same occurrence-count multiset as before (sorted-run lengths ≡
+    * per-distinct-char counts; integer addition commutes), so results
+    * are bit-identical to the rescan formulation.
     *
     * Output: (idCol, n_chars, n_distinct, entropy_mbits) for docs with
     * at least one non-whitespace char. */
@@ -1046,17 +1052,26 @@ object CorpusStats {
       .select(col(idCol),
         regexp_replace(lower(col(textCol)), "\\s+", "").as("__s"))
       .filter(length(col("__s")) > 0)
-      .select(col(idCol), col("__s"),
-        transform(sequence(lit(1), length(col("__s"))),
-          i => col("__s").substr(i, lit(1))).as("__cs"))
-      .select(col(idCol), col("__cs"),
+      .select(col(idCol),
         length(col("__s")).cast("long").as("n_chars"),
-        array_distinct(col("__cs")).as("__dc"))
+        array_sort(transform(sequence(lit(1), length(col("__s"))),
+          i => col("__s").substr(i, lit(1)))).as("__sc"))
+      // run boundaries: 1-based positions where the sorted stream starts
+      // a new character (greatest() keeps the i=1 probe in bounds under
+      // ANSI; the first disjunct decides that row anyway)
       .select(col(idCol), col("n_chars"),
-        size(col("__dc")).cast("long").as("n_distinct"),
-        transform(col("__dc"),
-          c => size(filter(col("__cs"), x => x === c)).cast("long"))
-          .as("__occs"))
+        filter(sequence(lit(1L), col("n_chars")), i =>
+          i === 1L ||
+            element_at(col("__sc"), i.cast("int")) =!=
+              element_at(col("__sc"),
+                greatest(i - 1L, lit(1L)).cast("int"))).as("__b"))
+      // occurrence counts are boundary gaps; the last run ends at len+1
+      .select(col(idCol), col("n_chars"),
+        size(col("__b")).cast("long").as("n_distinct"),
+        transform(sequence(lit(1), size(col("__b"))), j =>
+          when(j === size(col("__b")), col("n_chars") + 1L)
+            .otherwise(element_at(col("__b"), (j + 1).cast("int"))) -
+            element_at(col("__b"), j.cast("int"))).as("__occs"))
       .select(col(idCol), col("n_chars"), col("n_distinct"),
         ldiv(aggregate(col("__occs"), lit(0L), (a, o) =>
           a + o * round(-log2(o.cast("double") /
@@ -1068,14 +1083,17 @@ object CorpusStats {
     * and mixture weights per language (high fertility = the tokenizer
     * fragments that language). Uses the BPE-proxy subword counter of
     * [[graft.functions.TextFunctions.subwordCount]]; integer permille.
-    * One scan, language-domain-sized output, map-side combined. */
+    * Words are NON-EMPTY whitespace tokens (an empty document counts 0
+    * words, not split("")'s phantom [""] token — the same filter as
+    * every other token-counting lane). One scan, language-domain-sized
+    * output, map-side combined. */
   def tokenizerFertility(
       docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs
       .groupBy(col(langCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"),
+        sum(TextFunctions.tokenCountNonEmpty(col(textCol))).as("n_tokens"),
         sum(TextFunctions.subwordCount(col(textCol))).as("n_subwords"))
       .select(col(langCol), col("n_docs"), col("n_tokens"), col("n_subwords"),
         ldiv(col("n_subwords") * lit(1000L), greatest(col("n_tokens"), lit(1L)))

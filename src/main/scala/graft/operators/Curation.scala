@@ -182,8 +182,9 @@ object Curation {
   /** The Gopher quality-rule battery (Rae et al. 2021, appendix A —
     * the published heuristic filter every later corpus inherits):
     * word-count bounds, mean-word-length bounds, symbol-to-word ratio
-    * ('#' and '...'), bullet-start / ellipsis-end line fractions,
-    * alphabetic-word fraction, and the stopword-presence check.
+    * (applied to '#' and '...' each SEPARATELY, as published), bullet-
+    * start / ellipsis-end line fractions, alphabetic-word fraction, and
+    * the stopword-presence check.
     *
     * Every threshold is evaluated by exact integer CROSS-MULTIPLICATION
     * (mean_len >= 3  ⟺  n_chars >= 3·n_words), never a float ratio —
@@ -236,8 +237,12 @@ object Curation {
       .withColumn("r_mean_word_len",
         col("n_word_chars") >= lit(3L) * col("n_words") &&
           col("n_word_chars") <= lit(10L) * col("n_words"))
+      // per-symbol thresholds, as published (Rae et al. 2021 apply the
+      // 0.1 symbol-to-word ratio to '#' and '...' SEPARATELY — a doc
+      // with 6% hash + 6% ellipsis passes; a summed ratio would fail it)
       .withColumn("r_symbol_ratio",
-        lit(10L) * (col("n_hash") + col("n_ellipsis")) <= col("n_words"))
+        lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words"))
       .withColumn("r_bullet_lines",
         lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
       .withColumn("r_ellipsis_lines",

@@ -660,7 +660,11 @@ object Sampling {
     * integer micro-units first). Non-positive weights are filtered out
     * before scoring: DLT is undefined at w ≤ 0 (a zero weight yields
     * priority 0 and a negative one a negative priority, both of which
-    * would silently corrupt τ and the subset-sum estimate). */
+    * would silently corrupt τ and the subset-sum estimate). A POSITIVE
+    * weight that truncates to 0 (fractional, in (0, 1)) is a contract
+    * violation and raises loudly — silently excluding a row the caller
+    * weighted above zero is the one failure mode worse than a crash
+    * (same loud-raise convention as [[hashHex]]'s null-id check). */
   def prioritySample(
       df: DataFrame,
       idCol: String,
@@ -674,7 +678,13 @@ object Sampling {
       .cast("long")
     val u = (h60.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
     val scored = df
-      .select(col(idCol), weight.cast("long").as("weight"))
+      .select(col(idCol),
+        when(weight > lit(0) && weight.cast("long") === 0L,
+          raise_error(concat(
+            lit("prioritySample: positive weight truncates to 0 at id="),
+            col(idCol).cast("string"),
+            lit(" — scale fractional weights to integer micro-units"))))
+          .otherwise(weight.cast("long")).as("weight"))
       .filter(col("weight") > 0L)
       .select(col(idCol), col("weight"),
         (col("weight").cast("double") / u).as("priority"))

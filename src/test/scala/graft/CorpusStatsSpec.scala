@@ -553,9 +553,12 @@ class CorpusStatsSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "en", "hello world"),        // 2 tokens, 2 subwords
       (2L, "en", "foo42 bar!"),         // 2 tokens, 5 subwords (foo,42,bar,!)
-      (3L, "de", "übermäßig gut")       // 2 tokens; non-ASCII letters are
+      (3L, "de", "übermäßig gut"),      // 2 tokens; non-ASCII letters are
                                         // single-char subwords under the
                                         // [A-Za-z] proxy: 2+4+1+3 chars..
+      (4L, "xx", ""), (5L, "xx", "  ")  // empty/whitespace-only: 0 tokens
+                                        // (not split("")'s phantom [""]),
+                                        // 0 subwords — fertility 0/max(0,1)
     ).toDF("doc_id", "lang", "text")
     val got = CorpusStats.tokenizerFertility(d, "lang", "text")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -565,7 +568,8 @@ class CorpusStatsSpec extends AnyFunSuite {
     // en: hello,world + foo,42,bar,! = 6 subwords over 4 tokens
     assert(got == Seq(
       ("de", 1L, 2L, 6L, 3000L),
-      ("en", 2L, 4L, 6L, 1500L)))
+      ("en", 2L, 4L, 6L, 1500L),
+      ("xx", 2L, 0L, 0L, 0L)))
   }
 
   test("classifierReport: exact marginals, permilles, and a pred-only label") {
@@ -596,6 +600,27 @@ class CorpusStatsSpec extends AnyFunSuite {
       (1L, 4L, 2L, 1000000L),
       (2L, 4L, 4L, 2000000L),
       (3L, 4L, 1L, 0L))) // doc 4 is whitespace-only: no row
+  }
+
+  test("charEntropy: wide-alphabet 100 kB document in one task") {
+    // the round-9 cut rescanned the char list once per distinct char —
+    // O(charset × len); this fixture (1,000-symbol alphabet × 100
+    // copies + a skew head) would have cost ~10⁸ comparisons and now
+    // costs one sort. Closed form: 'z' appears 4,000 times of 104,000
+    // (p = 1/26), the other 1,000 symbols 100 times each (p = 1/1040).
+    // CJK ideographs: caseless (lower() is identity) and non-whitespace
+    val alphabet = (0 until 1000).map(i => (0x4E00 + i).toChar.toString)
+    val body = (alphabet.mkString * 100) + ("z" * 4000)
+    val docs = Seq((1L, body)).toDF("doc_id", "text")
+    val r = CorpusStats.charEntropy(docs, "doc_id", "text").head()
+    assert(r.getLong(1) == 104000L)
+    assert(r.getLong(2) == 1001L)
+    // exact integer replay of the operator's micro-bit fold
+    val t1 = 100L * Math.round(-(Math.log(100.0 / 104000.0) /
+      Math.log(2.0)) * 1e6)
+    val t2 = 4000L * Math.round(-(Math.log(4000.0 / 104000.0) /
+      Math.log(2.0)) * 1e6)
+    assert(r.getLong(3) == Math.floorDiv(1000L * t1 + t2, 104000L))
   }
 
   test("vocabGrowth: hand-computed Heaps curve, sparse buckets included") {

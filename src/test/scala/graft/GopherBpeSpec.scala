@@ -45,6 +45,19 @@ class GopherBpeSpec extends AnyFunSuite {
       out(8L).getAs[Long]("n_lines") - 1) // trailing '\n' adds an empty line
   }
 
+  test("gopherRules: symbol thresholds are per-symbol, as published") {
+    // 3 hashes + 3 ellipses over 56 words: each symbol is under its own
+    // 10% fence (30 <= 56) but their SUM is not (60 > 56) — Rae et al.
+    // apply the ratio per symbol, so this document must pass
+    val doc = Seq((1L, fiftyGood + " # # # ... ... ..."))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRules(doc, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_words") == 56L)
+    assert(r.getAs[Long]("n_hash") == 3L)
+    assert(r.getAs[Long]("n_ellipsis") == 3L)
+    assert(r.getAs[Boolean]("r_symbol_ratio"))
+  }
+
   test("gopherRules: exact-integer thresholds at the boundary") {
     // exactly 50 words of exactly mean length 3 passes both rules
     val doc = Seq((1L, (1 to 25).map(_ => "the abc").mkString(" ")))

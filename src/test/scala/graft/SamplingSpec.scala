@@ -397,6 +397,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Set(1L, 4L))
   }
 
+  test("prioritySample raises on positive weights that truncate to 0") {
+    // a weight in (0,1) is positive to the caller but 0 after the long
+    // cast — silently excluding that row would corrupt the estimate, so
+    // the contract violation must be LOUD
+    val docs = Seq((1L, 10.0), (2L, 0.4)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.prioritySample(docs, "id", col("w"), 10, "a").collect()
+    }
+    assert(ex.getMessage.contains("truncates to 0") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncates to 0")))
+    // fractional weights >= 1 still truncate-and-sample (documented)
+    val ok = Sampling.prioritySample(
+      Seq((1L, 10.5), (2L, 1.2)).toDF("id", "w"), "id", col("w"), 10, "a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 10L, 2L -> 1L))
+  }
+
   test("stratifiedFixedSample: two-level plan equals the naive per-stratum window") {
     val df = (1 to 900)
       .map(i => (i.toLong, s"s${i % 3}")).toDF("id", "stratum")
