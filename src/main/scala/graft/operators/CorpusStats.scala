@@ -1162,8 +1162,8 @@ object CorpusStats {
     * merge table arrives as DRIVER-HELD literals (km01's centroid
     * pattern), so the corpus scan stays row-local: no join, no shuffle,
     * whatever the corpus size. Per-row cost is O(merges × len); for
-    * large merge tables, pre-encode the VOCABULARY instead and
-    * broadcast-join the word→pieces map.
+    * large merge tables use [[bpeEncodeViaVocab]], which pays the fold
+    * once per DISTINCT word instead of once per occurrence.
     *
     * Output: docs plus `pieces` (array<string>) and `n_pieces`. */
   def bpeEncode(
@@ -1183,6 +1183,54 @@ object CorpusStats {
         flatten(transform(col("__symLists"), syms =>
           merges.foldLeft(syms) { case (s, (a, b)) => bpeMergeOne(s, a, b) })))
       .drop("__toks", "__symLists")
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
+  /** [[bpeEncode]] through a pre-encoded vocabulary — the large-merge-
+    * table scale path the row-local encoder's docstring promises. The
+    * O(merges × len) fold runs once per DISTINCT word (the vocabulary
+    * frame); the corpus side broadcast-joins the word→pieces map onto
+    * its token stream and reassembles each document in token order —
+    * a 50k-merge tokenizer then costs |vocab| folds, not |corpus|.
+    *
+    * The trade (documented, measured in ScaleProof): unlike the
+    * row-local path's zero shuffle, reassembly exchanges one
+    * (id, pos, pieces) frame ≈ corpus token volume. The vocabulary map
+    * is explicitly broadcast — Zipf keeps real-corpus vocabularies in
+    * broadcast range, and a broadcast join means hot words never skew
+    * a shuffled join key. Output and row set are IDENTICAL to
+    * [[bpeEncode]] (spec-pinned equivalence): docs plus `pieces` and
+    * `n_pieces`, null/empty text encoding to [] / 0. */
+  def bpeEncodeViaVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col(idCol).as("__did"),
+      filter(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        t => length(t) > 0).as("__toks"))
+    val vocab = toks
+      .select(explode(col("__toks")).as("__w")).distinct()
+      .select(col("__w"), split(col("__w"), "").as("__syms"))
+      .select(col("__w"),
+        merges.foldLeft(col("__syms")) { case (s, (a, b)) =>
+          bpeMergeOne(s, a, b)
+        }.as("__wp"))
+    val perDoc = toks
+      .select(col("__did"), posexplode(col("__toks")).as(Seq("__pos", "__w")))
+      .join(broadcast(vocab), "__w")
+      .groupBy(col("__did"))
+      // token order restored by sorting (pos, pieces) structs — __pos is
+      // unique per doc, so the array field never decides the order
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__wp")))),
+        s => s.getField("__wp"))).as("__pieces"))
+    docs
+      .join(perDoc, col(idCol) === col("__did"), "left_outer")
+      .drop("__did")
+      .withColumn("pieces",
+        coalesce(col("__pieces"), array().cast("array<string>")))
+      .drop("__pieces")
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 

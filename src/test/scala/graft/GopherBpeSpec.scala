@@ -119,6 +119,32 @@ class GopherBpeSpec extends AnyFunSuite {
     assert(got(2)._2 == Seq() && got(2)._3 == 0L)
   }
 
+  test("bpeEncodeViaVocab is output-identical to the row-local encoder") {
+    // merges chosen so order matters (later merges see earlier symbols)
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"))
+    val docs = Seq(
+      (1L, "low lowest es tes"),
+      (2L, "lowest lowest low"), // repeated words: one vocab fold each
+      (3L, ""), (4L, null), (5L, "   "), // empty/null/whitespace-only
+      (6L, "zq unseen estest")  // words sharing no merge at all
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[String](r.fieldIndex("pieces")).toSeq,
+          r.getAs[Long]("n_pieces"))).toSeq
+    val rowLocal = rows(CorpusStats.bpeEncode(docs, "doc_id", "text", merges))
+    val viaVocab = rows(
+      CorpusStats.bpeEncodeViaVocab(docs, "doc_id", "text", merges))
+    assert(viaVocab == rowLocal)
+    // contract pin: input columns survive, in order, plus the two outputs
+    assert(CorpusStats.bpeEncodeViaVocab(docs, "doc_id", "text", merges)
+      .columns.toSeq == Seq("doc_id", "text", "pieces", "n_pieces"))
+    // and the empty rows really encode to []/0 (not dropped by the join)
+    assert(rowLocal.filter(r => r._1 >= 3L && r._1 <= 5L)
+      .forall(r => r._2 == Seq() && r._3 == 0L))
+  }
+
   test("bpeMergeOne: greedy non-overlap on a self-pair") {
     val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b"))
       .toDF("sym")
