@@ -1413,6 +1413,57 @@ object Dedup {
       .drop("graft_drop_pos")
   }
 
+  /** Streaming twin of [[dedupLinesKeepFirst]]: first-owner = first
+    * ARRIVAL over watermarked state. Lines explode with their document's
+    * event time; dedup-eligible lines (≥ minChars) key on a content hash
+    * and pass `dropDuplicatesWithinWatermark` — the first arrival owns
+    * the hash, later occurrences drop; short lines carry an
+    * occurrence-unique, domain-separated key so they always survive.
+    * Surviving lines reassemble per (doc, tumbling window) in position
+    * order.
+    *
+    * State bound (documented): one row per DISTINCT line hash inside the
+    * watermark horizon (8-byte key + event time — duplicate-domain, not
+    * corpus-domain) plus one open group per (doc, window) until the
+    * watermark closes it.
+    *
+    * Semantics vs batch: batch ownership is lexicographic-min (id, pos);
+    * streaming ownership is arrival order — identical when docs arrive
+    * in id order across micro-batches. Duplicates WITHIN one micro-batch
+    * keep one arbitrary occurrence (same content, possibly a different
+    * position than batch would keep), and a document whose EVERY line
+    * was owned earlier emits no row at all (batch emits it with empty
+    * text) — the documented stream/batch divergences, same class as
+    * `curateStream`'s.
+    *
+    * Output (append mode): (idCol, window, textCol) — one row per doc
+    * once its window expires. */
+  def dedupLinesKeepFirstStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour",
+      windowDur: String = "10 minutes",
+      minChars: Int = 10): DataFrame = {
+    require(minChars >= 1, "minChars must be >= 1")
+    val lines = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
+      .select(col(idCol), col(tsCol), col("pos"), col("line"),
+        when(length(col("line")) >= minChars,
+          xxhash64(lit("c"), col("line")))
+          .otherwise(xxhash64(lit("u"), col(idCol).cast("string"),
+            col("pos"), col("line"))).as("__lh"))
+    lines
+      .dropDuplicatesWithinWatermark("__lh")
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line"))).as(textCol))
+  }
+
   /** Soft deduplication: instead of DROPPING near-duplicates, weight
     * every document by the inverse of its near-dup cluster size (the
     * "soft dedup" sampling correction — e.g. SoftDeDup, She et al. 2024;

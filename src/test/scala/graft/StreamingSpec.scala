@@ -386,6 +386,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupLinesKeepFirstStream: watermarked first-owner equals batch keep-first") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-linedup-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def write(file: String, rows: Seq[(Long, String, String)]): Unit = {
+      val data = rows.map { case (id, t, txt) =>
+        org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), txt) }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    // docs arrive ONE PER MICRO-BATCH in id order (the documented contract
+    // under which stream ownership == batch's min-(id,pos) ownership); no
+    // intra-doc duplicate lines (the documented arbitrary-occurrence case)
+    val d1 = "alpha alpha alpha one\nshort\nbeta beta beta two"
+    val d2 = "alpha alpha alpha one\ngamma gamma gamma three"
+    val d3 = "beta beta beta two\ndelta delta delta four"
+    val d4 = "alpha alpha alpha one\nbeta beta beta two" // fully owned
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val out = graft.operators.Dedup.dedupLinesKeepFirstStream(
+      stream, "doc_id", "text", "ts",
+      watermark = "10 seconds", windowDur = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("linedup_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      write("b1", Seq((1L, "2024-01-01 10:00:00", d1)))
+      q.processAllAvailable()
+      write("b2", Seq((2L, "2024-01-01 10:00:05", d2)))
+      q.processAllAvailable()
+      write("b3", Seq((3L, "2024-01-01 10:00:10", d3)))
+      q.processAllAvailable()
+      write("b4", Seq((4L, "2024-01-01 10:00:15", d4)))
+      q.processAllAvailable()
+      // flush: advance the watermark far past the 10:00-10:01 window so
+      // the append-mode groups close and emit
+      write("b5", Seq((99L, "2024-01-01 10:30:00", "flush marker line xyz")))
+      q.processAllAvailable()
+      val got = spark.table("linedup_stream")
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch reference over the same docs (same ownership: id order)
+      import spark.implicits._
+      val batchDocs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+        .toDF("doc_id", "text")
+      val want = graft.operators.Dedup
+        .dedupLinesKeepFirst(batchDocs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.contains(1L) && got.contains(2L) && got.contains(3L))
+      for (id <- Seq(1L, 2L, 3L)) assert(got(id) == want(id),
+        s"doc $id: stream='${got(id)}' batch='${want(id)}'")
+      // doc 4 is fully owned elsewhere: batch emits it with empty text,
+      // the stream emits NO row — the documented divergence, pinned
+      assert(want(4L) == "" && !got.contains(4L))
+    } finally q.stop()
+  }
+
   test("nearDupAgainstIndex works as a stream-static join (stateless per batch)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
