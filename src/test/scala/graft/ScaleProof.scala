@@ -113,7 +113,10 @@ object ScaleProof {
     "vg01_heaps" -> Bounds(5, 8),       // vocab + bucket domain aggs only
     "ce01_charent" -> Bounds(5, 8),     // row-local: ZERO shuffle by construction
     "xs01_xsource" -> Bounds(25, 8),    // (gram, source) distinct rows: 8.2x
-    "g14_linkpred" -> Bounds(40, 8))    // measured 26.8x — ANSWER-bound: the 10x hot dup clusters are near-cliques, so the link-prediction answer itself grows ~cluster_size^2 (rows 39 -> 15.8M); the 64-neighbor cap bounds per-center work
+    "g14_linkpred" -> Bounds(40, 8),    // measured 26.8x — ANSWER-bound: the 10x hot dup clusters are near-cliques, so the link-prediction answer itself grows ~cluster_size^2 (rows 39 -> 15.8M); the 64-neighbor cap bounds per-center work
+    // round-10 lanes
+    "g13_closeness" -> Bounds(25, 8),   // measured 15.4x (2.9 -> 44.7): candidate graph + per-level forward-BFS join frames
+    "pc02_bpe_encode" -> Bounds(21, 8)) // measured 13.2x (7.3 -> 96.5): the (id, pos, pieces) reassembly frame ~ corpus token volume — the documented trade vs the zero-shuffle row-local encoder
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -138,7 +141,26 @@ object ScaleProof {
     "cm01_confusion" -> Bounds(16, 8),  // measured 10.4x (linear; ≡ consumed nb01)
     "ds01_dsir" -> Bounds(12, 8),       // measured 7.3x of 0.8 MiB (literal-LUT scoring)
     "ng01_novelty" -> Bounds(25, 8),    // measured 16.2x (hash-frame + answer growth)
-    "pd01_keepfirst" -> Bounds(100, 8)) // measured 65.1x of 1.8 MiB (answer-bound: 100x variants repeat base docs' lines wholesale, so the dup-owner and removal frames approach corpus size — the worst case the operator is shaped for)
+    "pd01_keepfirst" -> Bounds(100, 8), // measured 65.1x of 1.8 MiB (answer-bound: 100x variants repeat base docs' lines wholesale, so the dup-owner and removal frames approach corpus size — the worst case the operator is shaped for)
+    // round-10 third points: the sketch/stat family stays ~zero-shuffle
+    // at 550k docs (abs ceiling binds where the 10x base is ~0)
+    "dr01_psi" -> Bounds(5, 8),         // 0.0 -> 0.0 MiB
+    "tf01_fertility" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB
+    "ks01_ks" -> Bounds(4, 8),          // measured 1.5x (0.4 -> 0.6)
+    "en01_entropy" -> Bounds(5, 8),     // measured 3.0x (0.4 -> 1.2)
+    "hl01_hll" -> Bounds(5, 8),         // 0.0 -> 0.0 MiB
+    "kv01_kmv" -> Bounds(6, 8),         // measured 3.0x of 0.1 MiB
+    "cs01_countmin" -> Bounds(3, 8),    // measured 1.0x (0.2 -> 0.2)
+    "gq01_gopher" -> Bounds(5, 8),      // 0.0 -> 0.0 MiB (row-local)
+    "pc01_bpe" -> Bounds(8, 8),         // measured 4.0x of 0.1 MiB
+    "vg01_heaps" -> Bounds(5, 8),       // measured 2.7x (0.6 -> 1.6)
+    "ce01_charent" -> Bounds(5, 8),     // 0.0 -> 0.0 MiB (row-local)
+    "xs01_xsource" -> Bounds(8, 8),     // measured 4.3x (37 -> 160): SUB-linear
+    "sp06_strat" -> Bounds(8, 8),       // measured 4.9x (1.3 -> 6.4): SUB-linear
+    "pc02_bpe_encode" -> Bounds(16, 8), // measured 9.6x (96.5 -> 927.8): ~linear reassembly frame
+    "g14_linkpred" -> Bounds(130, 8),   // measured 82.1x (95.9 -> 7875) — ANSWER-bound: 100x near-cliques are 1100 nodes, answer rows 15.8M -> ~1.1B; skew 3.6 (cap keeps per-center work bounded)
+    "g13_closeness" -> Bounds(230, 8),  // measured 142x (44.7 -> 6355) — REACH-bound: the 8 roots' BFS neighborhoods are 1100-cliques at 100x, so per-level (root,id,sigma) frames grow with reachable-set size; skew 1.5
+    "sw01_softdedup" -> Bounds(300, 8)) // measured 186x (42.4 -> 7887) — ANSWER-bound like dd01's 290x: the exact-Jaccard confirm join over near-clique candidate pairs IS the answer; skew 3.4
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -618,6 +640,33 @@ object ScaleProof {
           maxNeighbors = 64)
           .agg(coalesce(sum(col("common_neighbors")), lit(0L)))
           .head().getLong(0))
+      measure("g13_closeness", scale) {
+        // closeness/harmonic centrality off ONE forward-Brandes BFS over
+        // the near-dup candidate graph: per-level (root,id,sigma) joins
+        // + a single root-domain aggregation
+        val edges = Dedup.minhashCandidates(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, nGram = 3)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val roots = docs.select(col("doc_id").as("root"))
+          .orderBy(col("root")).limit(8)
+        graft.operators.Betweenness.closenessFromForward(
+          graft.operators.Betweenness.forwardCounts(
+            edges, roots, maxDepth = 4))
+          .agg(coalesce(sum(col("harmonic_micro")), lit(0L)))
+          .head().getLong(0)
+      }
+      measure("pc02_bpe_encode", scale) {
+        // BPE encode via the pre-encoded vocabulary: the merge fold runs
+        // once per DISTINCT word; the corpus side broadcast-joins the
+        // word->pieces map and exchanges one (id, pos, pieces)
+        // reassembly frame — the measured trade vs the zero-shuffle
+        // row-local encoder
+        val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"), ("a", "n"),
+          ("i", "n"), ("o", "n"), ("e", "s"), ("o", "r"))
+        CorpusStats.bpeEncodeViaVocab(docs, "doc_id", "text", merges)
+          .agg(coalesce(sum(col("n_pieces")), lit(0L)))
+          .head().getLong(0)
+      }
       measure("xs01_xsource", scale)(
         // cross-source overlap: (gram-hash, source) distinct agg; the
         // pair explode runs over per-gram source SETS (domain-bounded)

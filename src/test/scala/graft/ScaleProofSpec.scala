@@ -84,7 +84,10 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("vg01_heaps", 0.0, 0.6, 1.5),
       pair("ce01_charent", 0.0, 0.0, 1.1),
       pair("xs01_xsource", 4.5, 37.0, 1.1),
-      pair("g14_linkpred", 2.9, 77.6, 1.1)).flatten
+      pair("g14_linkpred", 2.9, 77.6, 1.1),
+      // round-10 lanes (SCALING.md round-10 addendum)
+      pair("g13_closeness", 2.9, 44.7, 1.1),
+      pair("pc02_bpe_encode", 7.3, 96.5, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -102,7 +105,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "cm01_confusion", "sp06_strat", "pq01_pq_encode", "jl01_project",
       "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy",
       "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
-      "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred")
+      "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
+      "g13_closeness", "pc02_bpe_encode")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -147,7 +151,25 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("cm01_confusion", 98.1, 1020.7, 1.8),
       pair100("ds01_dsir", 0.8, 5.9, 1.0), // literal-LUT scoring
       pair100("ng01_novelty", 59.0, 958.9, 2.1),
-      pair100("pd01_keepfirst", 1.8, 117.3, 1.8)).flatten
+      pair100("pd01_keepfirst", 1.8, 117.3, 1.8),
+      // round-10 third points (SCALING.md round-10 addendum)
+      pair100("dr01_psi", 0.0, 0.0, 1.2),
+      pair100("tf01_fertility", 0.0, 0.0, 1.0),
+      pair100("ks01_ks", 0.4, 0.6, 1.1),
+      pair100("en01_entropy", 0.4, 1.2, 1.0),
+      pair100("hl01_hll", 0.0, 0.0, 1.1),
+      pair100("kv01_kmv", 0.1, 0.3, 1.0),
+      pair100("cs01_countmin", 0.2, 0.2, 1.1),
+      pair100("gq01_gopher", 0.0, 0.0, 1.1),
+      pair100("pc01_bpe", 0.1, 0.4, 1.1),
+      pair100("vg01_heaps", 0.6, 1.6, 1.3),
+      pair100("ce01_charent", 0.0, 0.0, 1.1),
+      pair100("xs01_xsource", 37.0, 160.0, 1.0),
+      pair100("sp06_strat", 1.3, 6.4, 1.0),
+      pair100("pc02_bpe_encode", 96.5, 927.8, 1.2),
+      pair100("g14_linkpred", 95.9, 7875.2, 3.6),
+      pair100("g13_closeness", 44.7, 6354.8, 1.5),
+      pair100("sw01_softdedup", 42.4, 7887.3, 3.4)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
