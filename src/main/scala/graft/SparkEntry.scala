@@ -1183,6 +1183,16 @@ object SparkEntry {
         Seq("table", "spark", "merge", "graftabsent"), d = 4, w = 64)
         .orderBy(col("tok"))
     }),
+    // pairwise source vocabulary similarity from bottom-k sketches
+    // (Broder/Bar-Yossef resemblance): all pair work on k-bounded
+    // sketches, |sources|²-bounded output — the mixture-design table
+    "ss01_source_jaccard" -> ((s, dir) => {
+      Sketches.sourceJaccard(
+        t(s, dir, "documents")
+          .withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+        "graft_src", "text", k = 64)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
     // counters + exact cross-multiplied thresholds, row-local (zero
     // shuffle at any corpus size)
@@ -1842,6 +1852,43 @@ object SparkEntry {
     // Gopher battery replay: identical counters (length-difference
     // substring counts, list lambdas, chr(10) line split) and the same
     // exact cross-multiplied thresholds — no float ratio anywhere
+    // bottom-k source-similarity replay: same md5-60 hash family as
+    // kv01; the naive per-source ORDER BY h LIMIT-k window replays the
+    // engine's exact two-level salted min-k (min-k over bucket min-k's
+    // is the global min-k)
+    "ss01_source_jaccard" ->
+      """WITH tk AS (SELECT src, tok FROM (
+        |    SELECT CAST(doc_id % 7 AS VARCHAR) AS src,
+        |      unnest(string_split_regex(trim(lower(text)),
+        |        '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |hs AS (SELECT DISTINCT src,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |sig AS (SELECT src, h FROM (
+        |    SELECT src, h,
+        |      row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+        |    FROM hs) WHERE rk <= 64),
+        |srcs AS (SELECT DISTINCT src FROM sig),
+        |prs AS (SELECT a.src AS src_a, b.src AS src_b
+        |  FROM srcs a, srcs b WHERE a.src < b.src),
+        |m AS (SELECT src_a, src_b, h,
+        |    MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM prs p JOIN sig s ON s.src = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+        |    FROM prs p JOIN sig s ON s.src = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT src_a, src_b, h, in_a, in_b,
+        |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+        |  FROM m)
+        |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS union_kept,
+        |  CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS inter_k,
+        |  CAST((SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS est_jaccard_micro
+        |FROM r WHERE rk <= 64
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "gq01_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)),

@@ -260,6 +260,9 @@ object PortableHash {
   /** md5-32 of a string's UTF-8 bytes. */
   def md5_32(s: String): Long = first32(md5.digest(s.getBytes("UTF-8")))
 
+  /** md5-60 of a string's UTF-8 bytes — driver twin of [[h60]]. */
+  def md5_60(s: String): Long = first60(md5.digest(s.getBytes("UTF-8")))
+
   /** Column twin of [[md5_32]] — the ONE definition of the portable
     * 32-bit column hash (`('0x' || substr(md5(c), 1, 8))::BIGINT` in
     * SQL). The replay contract is load-bearing for every md5-family

@@ -149,6 +149,78 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Pairwise source-similarity matrix via bottom-k (KMV) vocabulary
+    * sketches — the corpus-mixture-design table: which sources share
+    * vocabulary, estimated from k-sized sketches instead of a full
+    * |vocab_a ∩ vocab_b| join. Standard bottom-k union estimator
+    * (Bar-Yossef et al. 2002; Broder's min-wise resemblance): for each
+    * pair, J ≈ |bottomK(S_a ∪ S_b) ∩ S_a ∩ S_b| / k — an element of A
+    * in the union's bottom-k is necessarily in A's own bottom-k, so the
+    * sketches suffice. When the merged sketch holds fewer than k hashes
+    * both vocabularies were kept whole and the estimate IS the exact
+    * Jaccard (denominator = union size).
+    *
+    * Scale: the vocabulary pass is a distinct (source, 60-bit hash)
+    * aggregation (map-side combined); per-source bottom-k is the exact
+    * two-level salted min-k (the stratifiedFixedSample / linkPrediction
+    * discipline — no source's vocabulary ever sorts in one task); all
+    * pair work happens on k-bounded sketches, |sources|²·2k rows total.
+    * Only hashes move. Sources with an empty vocabulary have no sketch
+    * and appear in no pair.
+    *
+    * Output: (src_a, src_b, union_kept, inter_k, est_jaccard_micro),
+    * src_a < src_b, one row per source pair. */
+  def sourceJaccard(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k=$k too small")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(col(srcCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("src"), PortableHash.h60(col("tok")).as("h"))
+      .distinct()
+    val level1 = Window.partitionBy(col("src"), col("__sub")).orderBy(col("h"))
+    val level2 = Window.partitionBy(col("src")).orderBy(col("h"))
+    val sig = vocab
+      .withColumn("__sub", pmod(col("h"), lit(32L)))
+      .withColumn("__r1", row_number().over(level1))
+      .filter(col("__r1") <= k)
+      .withColumn("__rk", row_number().over(level2))
+      .filter(col("__rk") <= k)
+      .select(col("src"), col("h"))
+      // feeds the source list and both sides of the pair union
+      .localCheckpoint(false)
+    val srcs = sig.select(col("src")).distinct()
+    val pairsDom = srcs.select(col("src").as("src_a"))
+      .join(srcs.select(col("src").as("src_b")), col("src_a") < col("src_b"))
+    val ea = pairsDom
+      .join(sig.select(col("src").as("src_a"), col("h")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val eb = pairsDom
+      .join(sig.select(col("src").as("src_b"), col("h")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val merged = ea.unionByName(eb)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    merged
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("union_kept"),
+        sum(when(col("in_a") + col("in_b") === 2L, 1L).otherwise(0L))
+          .as("inter_k"))
+      .select(col("src_a"), col("src_b"), col("union_kept"), col("inter_k"),
+        ldiv(col("inter_k") * lit(1000000L), col("union_kept"))
+          .as("est_jaccard_micro"))
+  }
+
   /** Count-Min sketch cell table over token occurrences: d independent
     * rows, each hashing a token to one of w columns via the portable
     * 32-bit hash of a row-salted token ("cm<r>|" ++ tok — the md5

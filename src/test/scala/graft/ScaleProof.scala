@@ -116,7 +116,8 @@ object ScaleProof {
     "g14_linkpred" -> Bounds(40, 8),    // measured 26.8x — ANSWER-bound: the 10x hot dup clusters are near-cliques, so the link-prediction answer itself grows ~cluster_size^2 (rows 39 -> 15.8M); the 64-neighbor cap bounds per-center work
     // round-10 lanes
     "g13_closeness" -> Bounds(25, 8),   // measured 15.4x (2.9 -> 44.7): candidate graph + per-level forward-BFS join frames
-    "pc02_bpe_encode" -> Bounds(21, 8)) // measured 13.2x (7.3 -> 96.5): the (id, pos, pieces) reassembly frame ~ corpus token volume — the documented trade vs the zero-shuffle row-local encoder
+    "pc02_bpe_encode" -> Bounds(21, 8), // measured 13.2x (7.3 -> 96.5): the (id, pos, pieces) reassembly frame ~ corpus token volume — the documented trade vs the zero-shuffle row-local encoder
+    "ss01_srcjaccard" -> Bounds(5, 8))  // ~zero-shuffle: vocab-domain distinct + k-bounded pair frames (0.0 -> 0.3 MiB)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -160,7 +161,8 @@ object ScaleProof {
     "pc02_bpe_encode" -> Bounds(16, 8), // measured 9.6x (96.5 -> 927.8): ~linear reassembly frame
     "g14_linkpred" -> Bounds(130, 8),   // measured 82.1x (95.9 -> 7875) — ANSWER-bound: 100x near-cliques are 1100 nodes, answer rows 15.8M -> ~1.1B; skew 3.6 (cap keeps per-center work bounded)
     "g13_closeness" -> Bounds(230, 8),  // measured 142x (44.7 -> 6355) — REACH-bound: the 8 roots' BFS neighborhoods are 1100-cliques at 100x, so per-level (root,id,sigma) frames grow with reachable-set size; skew 1.5
-    "sw01_softdedup" -> Bounds(300, 8)) // measured 186x (42.4 -> 7887) — ANSWER-bound like dd01's 290x: the exact-Jaccard confirm join over near-clique candidate pairs IS the answer; skew 3.4
+    "sw01_softdedup" -> Bounds(300, 8), // measured 186x (42.4 -> 7887) — ANSWER-bound like dd01's 290x: the exact-Jaccard confirm join over near-clique candidate pairs IS the answer; skew 3.4
+    "ss01_srcjaccard" -> Bounds(6, 8))  // measured 3.7x of 0.3 MiB (k-bounded pair frames)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -667,6 +669,15 @@ object ScaleProof {
           .agg(coalesce(sum(col("n_pieces")), lit(0L)))
           .head().getLong(0)
       }
+      measure("ss01_srcjaccard", scale)(
+        // source-pair bottom-k Jaccard: distinct (src, hash) vocabulary
+        // agg, two-level salted min-k per source, all pair work on
+        // k-bounded sketches (|sources|^2 * 2k rows)
+        graft.operators.Sketches.sourceJaccard(
+          docs.withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+          "graft_src", "text", k = 64)
+          .agg(coalesce(sum(col("est_jaccard_micro")), lit(0L)))
+          .head().getLong(0))
       measure("xs01_xsource", scale)(
         // cross-source overlap: (gram-hash, source) distinct agg; the
         // pair explode runs over per-gram source SETS (domain-bounded)

@@ -122,4 +122,46 @@ class SketchesSpec extends AnyFunSuite {
       assert(est == cells.min)
     }
   }
+
+  test("sourceJaccard: complete sketches give the exact Jaccard") {
+    // k >> vocab: every sketch holds its whole set, so union_kept is
+    // the true union size and the estimate IS exact Jaccard
+    val d = Seq(
+      (1L, "a", "x y z"),
+      (2L, "b", "y z w"),
+      (3L, "c", "p q rq"),
+      (4L, "d", "   ") // empty vocabulary: appears in no pair
+    ).toDF("doc_id", "src", "text")
+    val got = Sketches.sourceJaccard(d, "src", "text", k = 64)
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 4L, 2L, 500000L), // {x,y,z}∪{y,z,w}=4, ∩={y,z}
+      ("a", "c", 6L, 0L, 0L),
+      ("b", "c", 6L, 0L, 0L)))
+  }
+
+  test("sourceJaccard: small-k estimator endpoints and driver replay") {
+    // identical vocabularies estimate exactly 1.0 at ANY k; disjoint
+    // ones exactly 0.0
+    val text = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 100).map(i => s"alt$i").mkString(" ")
+    val d = Seq((1L, "a", text), (2L, "b", text), (3L, "c", other))
+      .toDF("doc_id", "src", "text")
+    val got = Sketches.sourceJaccard(d, "src", "text", k = 8)
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq.map(t => (t._1, t._2, t._5)) == Seq(
+      ("a", "b", 1000000L), ("a", "c", 0L), ("b", "c", 0L)))
+    // driver replay of the a/c pair at k=8: merge the two 8-sketches,
+    // rank, count dual membership among the merged bottom-8
+    val sa = (1 to 100).map(i => PortableHash.md5_60(s"tok$i")).sorted.take(8)
+    val sc = (1 to 100).map(i => PortableHash.md5_60(s"alt$i")).sorted.take(8)
+    val mergedK = (sa ++ sc).distinct.sorted.take(8)
+    val inter = mergedK.count(h => sa.contains(h) && sc.contains(h))
+    val ac = got.find(t => t._1 == "a" && t._2 == "c").get
+    assert(ac._3 == 8L && ac._4 == inter.toLong)
+  }
 }
