@@ -1021,6 +1021,14 @@ object SparkEntry {
       CorpusStats.tokenizerFertility(t(s, dir, "documents"), "lang", "text")
         .orderBy(col("lang"))
     }),
+    // equi-width-histogram quantiles of doc length: bin-domain count
+    // agg + bounded cumulative window + inverse-ECDF reads — P50/P90/
+    // P99 without a global sort
+    "qd01_quantile_bins" -> ((s, dir) => {
+      CorpusStats.quantileBins(t(s, dir, "documents"), "n_chars",
+          binWidth = 100L, qs = Seq(250, 500, 750, 900, 990))
+        .orderBy(col("q_permille"))
+    }),
     // two-sample KS drift over n_chars between the %3 split and the
     // rest — the nonparametric complement of dr01; micro-quantized
     // ECDFs, row 1's gap IS the KS statistic
@@ -1376,6 +1384,23 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // histogram-quantile replay: bin counts, cumulative sum over the
+    // distinct bin domain (RANGE≡ROWS on grouped-distinct bins), exact
+    // integer ceil threshold, min qualifying bin per quantile
+    "qd01_quantile_bins" ->
+      """WITH b AS (SELECT CAST(n_chars // 100 AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM b),
+        |q AS (SELECT CAST(unnest([250, 500, 750, 900, 990]) AS BIGINT)
+        |    AS q_permille)
+        |SELECT q.q_permille, t.n_total, CAST(MIN(c.bin) AS BIGINT) AS bin,
+        |  CAST(MIN(c.bin) * 100 AS BIGINT) AS est_value
+        |FROM q CROSS JOIN t JOIN c
+        |  ON c.cum >= (q.q_permille * t.n_total + 999) // 1000
+        |GROUP BY 1, 2 ORDER BY q_permille""".stripMargin,
     // KS replay: same micro-floored ECDFs; SUM OVER (ORDER BY value) is
     // ROWS-equivalent here because values are grouped-distinct
     "ks01_ks_drift" ->

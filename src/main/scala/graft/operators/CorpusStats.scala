@@ -1234,6 +1234,54 @@ object CorpusStats {
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 
+  /** Approximate quantiles from an equi-width histogram — P50/P90/P99
+    * of a numeric column (doc length, token count, quality score)
+    * WITHOUT a global sort: the per-source length-distribution table
+    * every curation dashboard needs at corpus scale. One bin-domain
+    * count aggregation (map-side combined, ~zero shuffle — the
+    * dr01/ks01 family), one cumulative window over the BOUNDED bin
+    * domain, then each requested quantile reads the smallest bin whose
+    * cumulative count reaches ceil(q·N/1000) — the inverse-ECDF
+    * (type-1) quantile of the binned distribution, exact integer
+    * arithmetic end to end. With binWidth = 1 this IS the exact type-1
+    * quantile (spec-pinned); wider bins floor to the bin's lower edge
+    * — the documented resolution trade.
+    *
+    * Output: (q_permille, n_total, bin, est_value) — est_value is the
+    * bin lower edge, one row per requested quantile; empty input
+    * yields no rows. */
+  def quantileBins(
+      df: DataFrame,
+      valueCol: String,
+      binWidth: Long = 1L,
+      qs: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(binWidth >= 1L, s"binWidth=$binWidth")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 1000),
+      s"quantile permilles out of (0, 1000]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df
+      .select(ldiv(col(valueCol).cast("long"), lit(binWidth)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // bin-domain window — span/binWidth rows, never corpus rows, so the
+    // single-partition WindowExec is bounded by construction (the
+    // vocabGrowth convention)
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(bins.agg(sum(col("cnt")).as("n_total"))))
+    val qdf = qs.map(_.toLong).toDF("q_permille")
+    cum
+      .crossJoin(broadcast(qdf))
+      // ceil(q*N/1000) as exact integers: (q*N + 999) div 1000
+      .filter(col("cum") >=
+        ldiv(col("q_permille") * col("n_total") + lit(999L), lit(1000L)))
+      .groupBy(col("q_permille"), col("n_total"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q_permille"), col("n_total"), col("bin"),
+        (col("bin") * lit(binWidth)).as("est_value"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
     * count as the corpus is consumed in `idCol` order, next to the
     * cumulative token count — the (tokens_seen, vocab_size) table that

@@ -623,6 +623,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.getLong(3) == Math.floorDiv(1000L * t1 + t2, 104000L))
   }
 
+  test("quantileBins: binWidth=1 equals the exact type-1 quantile") {
+    // values 1..100 (as n_chars stand-in): type-1 quantile at permille q
+    // is the ceil(q*N/1000)-th smallest value
+    val vals = (1 to 100).map(_.toLong)
+    val df = vals.map(v => (v, v)).toDF("doc_id", "v")
+    val qs = Seq(1, 250, 500, 750, 990, 1000)
+    val got = CorpusStats.quantileBins(df, "v", binWidth = 1L, qs = qs)
+      .orderBy(col("q_permille")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val want = qs.map { q =>
+      val k = (q.toLong * 100L + 999L) / 1000L
+      (q.toLong, 100L, vals.sorted.apply((k - 1).toInt))
+    }
+    assert(got == want)
+  }
+
+  test("quantileBins: wider bins floor to the bin lower edge") {
+    // 10 docs of length 5..95 step 10; binWidth 20 -> bins 0,1,2,3,4
+    // (2 docs each); P50 threshold ceil(0.5*10)=5 -> bin 2 -> edge 40
+    val df = (0 until 10).map(i => (i.toLong, 5L + 10L * i)).toDF("doc_id", "v")
+    val got = CorpusStats.quantileBins(df, "v", binWidth = 20L,
+        qs = Seq(500, 1000))
+      .orderBy(col("q_permille")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((500L, 2L, 40L), (1000L, 4L, 80L)))
+  }
+
   test("vocabGrowth: hand-computed Heaps curve, sparse buckets included") {
     // bucketWidth 2: docs {0,1} -> bucket 0, {2} -> 1, {7} -> 3
     // tokens: b0 = 5 (a b a | b c), b1 = 3 (c d d), b3 = 1 (e)

@@ -117,7 +117,8 @@ object ScaleProof {
     // round-10 lanes
     "g13_closeness" -> Bounds(25, 8),   // measured 15.4x (2.9 -> 44.7): candidate graph + per-level forward-BFS join frames
     "pc02_bpe_encode" -> Bounds(21, 8), // measured 13.2x (7.3 -> 96.5): the (id, pos, pieces) reassembly frame ~ corpus token volume — the documented trade vs the zero-shuffle row-local encoder
-    "ss01_srcjaccard" -> Bounds(5, 8))  // ~zero-shuffle: vocab-domain distinct + k-bounded pair frames (0.0 -> 0.3 MiB)
+    "ss01_srcjaccard" -> Bounds(5, 8),  // ~zero-shuffle: vocab-domain distinct + k-bounded pair frames (0.0 -> 0.3 MiB)
+    "qd01_quantiles" -> Bounds(5, 8))   // ZERO shuffle: bin-domain count agg + bounded cumulative window
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -162,7 +163,8 @@ object ScaleProof {
     "g14_linkpred" -> Bounds(130, 8),   // measured 82.1x (95.9 -> 7875) — ANSWER-bound: 100x near-cliques are 1100 nodes, answer rows 15.8M -> ~1.1B; skew 3.6 (cap keeps per-center work bounded)
     "g13_closeness" -> Bounds(230, 8),  // measured 142x (44.7 -> 6355) — REACH-bound: the 8 roots' BFS neighborhoods are 1100-cliques at 100x, so per-level (root,id,sigma) frames grow with reachable-set size; skew 1.5
     "sw01_softdedup" -> Bounds(300, 8), // measured 186x (42.4 -> 7887) — ANSWER-bound like dd01's 290x: the exact-Jaccard confirm join over near-clique candidate pairs IS the answer; skew 3.4
-    "ss01_srcjaccard" -> Bounds(6, 8))  // measured 3.7x of 0.3 MiB (k-bounded pair frames)
+    "ss01_srcjaccard" -> Bounds(6, 8),  // measured 3.7x of 0.3 MiB (k-bounded pair frames)
+    "qd01_quantiles" -> Bounds(5, 8))   // 0.0 -> 0.0 MiB (bin-domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -669,6 +671,14 @@ object ScaleProof {
           .agg(coalesce(sum(col("n_pieces")), lit(0L)))
           .head().getLong(0)
       }
+      measure("qd01_quantiles", scale)(
+        // histogram quantiles: ONE bin-domain count agg + a bounded
+        // cumulative window — ~zero shuffle at any corpus size
+        CorpusStats.quantileBins(
+          docs.withColumn("graft_len", length(col("text")).cast("long")),
+          "graft_len", binWidth = 100L, qs = Seq(250, 500, 900, 990))
+          .agg(coalesce(sum(col("est_value")), lit(0L)))
+          .head().getLong(0))
       measure("ss01_srcjaccard", scale)(
         // source-pair bottom-k Jaccard: distinct (src, hash) vocabulary
         // agg, two-level salted min-k per source, all pair work on

@@ -88,7 +88,8 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-10 lanes (SCALING.md round-10 addendum)
       pair("g13_closeness", 2.9, 44.7, 1.1),
       pair("pc02_bpe_encode", 7.3, 96.5, 1.1),
-      pair("ss01_srcjaccard", 0.0, 0.3, 1.0)).flatten
+      pair("ss01_srcjaccard", 0.0, 0.3, 1.0),
+      pair("qd01_quantiles", 0.0, 0.0, 1.0)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -107,7 +108,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "pq02_adc", "dr01_psi", "tf01_fertility", "ks01_ks", "en01_entropy",
       "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
       "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
-      "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard")
+      "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard",
+      "qd01_quantiles")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -171,7 +173,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("g14_linkpred", 95.9, 7875.2, 3.6),
       pair100("g13_closeness", 44.7, 6354.8, 1.5),
       pair100("sw01_softdedup", 42.4, 7887.3, 3.4),
-      pair100("ss01_srcjaccard", 0.3, 1.1, 1.1)).flatten
+      pair100("ss01_srcjaccard", 0.3, 1.1, 1.1),
+      pair100("qd01_quantiles", 0.0, 0.0, 1.1)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
