@@ -665,6 +665,27 @@ object EscoAnalytics {
     exact.crossJoin(kmv).crossJoin(hll) // three one-row frames
   }
 
+  /** Vocabulary similarity between the catalog's text domains — skill,
+    * skill-group and occupation label+description vocabularies — via
+    * [[graft.operators.Sketches.sourceJaccard]] bottom-k sketches: the
+    * "are these text domains interchangeable for a shared
+    * tokenizer/embedder?" table a catalog-curation pass logs (low
+    * skill↔occupation overlap argues for domain-specific models).
+    * All pair work on k-bounded sketches; one catalog scan.
+    * Output: (src_a, src_b, union_kept, inter_k, est_jaccard_micro). */
+  def kindVocabularySimilarity(wh: EscoWarehouse, k: Int = 64): DataFrame = {
+    val skillTexts = wh.skills.select(
+      when(col("isSkillGroup"), lit("skill-group")).otherwise(lit("skill"))
+        .as("kind"),
+      concat_ws(" ", col("preferredLabel"), col("description")).as("text"))
+    val occTexts = wh.occupations.select(
+      lit("occupation").as("kind"),
+      concat_ws(" ", col("preferredLabel"), col("description")).as("text"))
+    graft.operators.Sketches.sourceJaccard(
+        skillTexts.unionByName(occTexts), "kind", "text", k)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Suggest MISSING related-skill edges by link prediction over the
     * RELATED_SKILL graph ([[graft.operators.GraphOps.linkPrediction]]):
     * skill pairs that share many related skills but are not themselves

@@ -128,6 +128,8 @@ object EscoCli {
         case "suggest-relations" => EscoAnalytics.suggestedRelations(wh)
         case "description-novelty" => EscoAnalytics.descriptionNovelty(wh)
         case "sample-skills" => EscoAnalytics.sampleSkills(wh)
+        case "kind-vocab-similarity" =>
+          EscoAnalytics.kindVocabularySimilarity(wh)
         case "top-skills-by-relationships" =>
           EscoAnalytics.topSkillsByRelationships(wh)
         case "top-occupations-optional" =>
@@ -224,6 +226,7 @@ object EscoCli {
           |            pagerank pagerank-exact hits-exact triangles concept-core
           |            cluster-skills label-bpe label-cardinality
           |            suggest-relations description-novelty sample-skills
+          |            kind-vocab-similarity
           |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)

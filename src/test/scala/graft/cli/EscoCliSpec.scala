@@ -30,7 +30,7 @@ class EscoCliSpec extends AnyFunSuite {
     "combined-connections", "pagerank-exact", "hits-exact",
     "triangles", "concept-core", "cluster-skills",
     "label-bpe", "label-cardinality", "suggest-relations",
-    "description-novelty", "sample-skills",
+    "description-novelty", "sample-skills", "kind-vocab-similarity",
     // the graph-analytics verbs, on the mini warehouse: wiring smoke for
     // the GraphX/iterative paths too
     "isco-depths", "communities", "betweenness", "pagerank")
@@ -98,6 +98,19 @@ class EscoCliSpec extends AnyFunSuite {
       .select("preferredLabel").head().getString(0)
     EscoCli.run(spark, List("analyze", dir, "viz-graph", occLabel))
     EscoCli.run(spark, List("analyze", dir, "combined-connections"))
+  }
+
+  test("kind-vocab-similarity: estimates stay in [0, 1] and pairs are ordered") {
+    val wh = EscoWarehouse.load(spark, whDir)
+    val rows = graft.analytics.EscoAnalytics.kindVocabularySimilarity(wh)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1))
+      val est = r.getAs[Long]("est_jaccard_micro")
+      assert(est >= 0L && est <= 1000000L)
+      assert(r.getAs[Long]("inter_k") <= r.getAs[Long]("union_kept"))
+    }
   }
 
   test("label-cardinality: sketch estimates track the exact distinct") {
