@@ -1201,6 +1201,15 @@ object SparkEntry {
         "graft_src", "text", k = 64)
         .orderBy(col("src_a"), col("src_b"))
     }),
+    // directional vocabulary containment from the same merged bottom-k
+    // frame: the "B holds 90% of A -> fold A into B" dedup-policy table
+    "ct01_source_containment" -> ((s, dir) => {
+      Sketches.sourceContainment(
+        t(s, dir, "documents")
+          .withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+        "graft_src", "text", k = 64)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
     // counters + exact cross-multiplied thresholds, row-local (zero
     // shuffle at any corpus size)
@@ -1912,6 +1921,47 @@ object SparkEntry {
         |    AS inter_k,
         |  CAST((SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) * 1000000)
         |    // COUNT(*) AS BIGINT) AS est_jaccard_micro
+        |FROM r WHERE rk <= 64
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+    // containment replay: identical merged-bottom-k CTE chain as ss01,
+    // directional ratio aggregates instead of the symmetric one
+    "ct01_source_containment" ->
+      """WITH tk AS (SELECT src, tok FROM (
+        |    SELECT CAST(doc_id % 7 AS VARCHAR) AS src,
+        |      unnest(string_split_regex(trim(lower(text)),
+        |        '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |hs AS (SELECT DISTINCT src,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |sig AS (SELECT src, h FROM (
+        |    SELECT src, h,
+        |      row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+        |    FROM hs) WHERE rk <= 64),
+        |srcs AS (SELECT DISTINCT src FROM sig),
+        |prs AS (SELECT a.src AS src_a, b.src AS src_b
+        |  FROM srcs a, srcs b WHERE a.src < b.src),
+        |m AS (SELECT src_a, src_b, h,
+        |    MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM prs p JOIN sig s ON s.src = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+        |    FROM prs p JOIN sig s ON s.src = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT src_a, src_b, h, in_a, in_b,
+        |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+        |  FROM m)
+        |SELECT src_a, src_b,
+        |  CAST(SUM(in_a) AS BIGINT) AS a_kept,
+        |  CAST(SUM(in_b) AS BIGINT) AS b_kept,
+        |  CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS inter_k,
+        |  CAST(CASE WHEN SUM(in_a) = 0 THEN 0 ELSE
+        |    (SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) * 1000000)
+        |      // SUM(in_a) END AS BIGINT) AS containment_a_micro,
+        |  CAST(CASE WHEN SUM(in_b) = 0 THEN 0 ELSE
+        |    (SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) * 1000000)
+        |      // SUM(in_b) END AS BIGINT) AS containment_b_micro
         |FROM r WHERE rk <= 64
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "gq01_gopher_rules" ->

@@ -174,7 +174,62 @@ object Sketches {
       docs: DataFrame,
       srcCol: String,
       textCol: String,
+      k: Int = 64): DataFrame =
+    mergedBottomK(docs, srcCol, textCol, k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("union_kept"),
+        sum(when(col("in_a") + col("in_b") === 2L, 1L).otherwise(0L))
+          .as("inter_k"))
+      .select(col("src_a"), col("src_b"), col("union_kept"), col("inter_k"),
+        ldiv(col("inter_k") * lit(1000000L), col("union_kept"))
+          .as("est_jaccard_micro"))
+
+  /** Directional containment estimates from the SAME merged-bottom-k
+    * frame as [[sourceJaccard]] — the dedup-policy table ("B contains
+    * 90% of A's vocabulary → fold A into B") that symmetric Jaccard
+    * cannot answer. The union's bottom-k is a uniform hash-order
+    * sample of A ∪ B, so among it the fraction of A-side elements also
+    * present in B is a ratio estimator of |A∩B| / |A|. Exact when the
+    * merged sketch holds the whole union. A side that contributed
+    * nothing to the union's bottom-k (a_kept = 0 — its smallest hashes
+    * all rank past k) reports containment 0 rather than dividing by
+    * zero.
+    *
+    * Output: (src_a, src_b, a_kept, b_kept, inter_k,
+    * containment_a_micro, containment_b_micro), src_a < src_b;
+    * containment_a is the A-in-B direction. */
+  def sourceContainment(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String,
       k: Int = 64): DataFrame = {
+    val inter =
+      sum(when(col("in_a") + col("in_b") === 2L, 1L).otherwise(0L))
+    mergedBottomK(docs, srcCol, textCol, k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("in_a")).as("a_kept"),
+        sum(col("in_b")).as("b_kept"),
+        inter.as("inter_k"))
+      .select(col("src_a"), col("src_b"), col("a_kept"), col("b_kept"),
+        col("inter_k"),
+        when(col("a_kept") === 0L, lit(0L))
+          .otherwise(ldiv(col("inter_k") * lit(1000000L), col("a_kept")))
+          .as("containment_a_micro"),
+        when(col("b_kept") === 0L, lit(0L))
+          .otherwise(ldiv(col("inter_k") * lit(1000000L), col("b_kept")))
+          .as("containment_b_micro"))
+  }
+
+  /** The shared pair frame of [[sourceJaccard]] / [[sourceContainment]]:
+    * per-source bottom-k sketches (exact two-level salted min-k — no
+    * source's vocabulary ever sorts in one task), exploded over the
+    * source-pair domain, merged per (pair, hash) with membership flags,
+    * and cut to each pair's union bottom-k. ≤ |sources|²·k rows out. */
+  private def mergedBottomK(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
     require(k >= 2, s"k=$k too small")
     import org.apache.spark.sql.expressions.Window
     val vocab = docs
@@ -212,13 +267,6 @@ object Sketches {
     merged
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("union_kept"),
-        sum(when(col("in_a") + col("in_b") === 2L, 1L).otherwise(0L))
-          .as("inter_k"))
-      .select(col("src_a"), col("src_b"), col("union_kept"), col("inter_k"),
-        ldiv(col("inter_k") * lit(1000000L), col("union_kept"))
-          .as("est_jaccard_micro"))
   }
 
   /** Count-Min sketch cell table over token occurrences: d independent

@@ -185,6 +185,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ss01: sketch exchanges carry sources and 60-bit hashes, never text or tokens") {
+    val exchanges = plan("ss01_source_jaccard").linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("text#") || e.contains("tok#")),
+      s"ss01 shuffles text/tokens:\n${exchanges.mkString("\n")}")
+  }
+
+  test("qd01: quantile exchanges carry bin counts only — the value column never shuffles") {
+    val p = plan("qd01_quantile_bins")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("n_chars#") || e.contains("text#")),
+      s"qd01 shuffles raw values:\n${exchanges.mkString("\n")}")
+    // the bin agg map-side combines before its exchange
+    assert("partial_count".r.findFirstIn(p).isDefined, p)
+  }
+
   test("pii01: redaction is scan-local — distributed top-k, zero exchanges") {
     val p = plan("pii01_redact")
     assert(p.contains("TakeOrderedAndProject"), p)

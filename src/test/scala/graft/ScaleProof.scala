@@ -118,6 +118,7 @@ object ScaleProof {
     "g13_closeness" -> Bounds(25, 8),   // measured 15.4x (2.9 -> 44.7): candidate graph + per-level forward-BFS join frames
     "pc02_bpe_encode" -> Bounds(21, 8), // measured 13.2x (7.3 -> 96.5): the (id, pos, pieces) reassembly frame ~ corpus token volume — the documented trade vs the zero-shuffle row-local encoder
     "ss01_srcjaccard" -> Bounds(5, 8),  // ~zero-shuffle: vocab-domain distinct + k-bounded pair frames (0.0 -> 0.3 MiB)
+    "ct01_containment" -> Bounds(5, 8), // identical frames to ss01 (0.0 -> 0.3 MiB)
     "qd01_quantiles" -> Bounds(5, 8))   // ZERO shuffle: bin-domain count agg + bounded cumulative window
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
@@ -164,6 +165,7 @@ object ScaleProof {
     "g13_closeness" -> Bounds(230, 8),  // measured 142x (44.7 -> 6355) — REACH-bound: the 8 roots' BFS neighborhoods are 1100-cliques at 100x, so per-level (root,id,sigma) frames grow with reachable-set size; skew 1.5
     "sw01_softdedup" -> Bounds(300, 8), // measured 186x (42.4 -> 7887) — ANSWER-bound like dd01's 290x: the exact-Jaccard confirm join over near-clique candidate pairs IS the answer; skew 3.4
     "ss01_srcjaccard" -> Bounds(6, 8),  // measured 3.7x of 0.3 MiB (k-bounded pair frames)
+    "ct01_containment" -> Bounds(6, 8), // measured 3.7x of 0.3 MiB (= ss01's frames)
     "qd01_quantiles" -> Bounds(5, 8))   // 0.0 -> 0.0 MiB (bin-domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -671,6 +673,14 @@ object ScaleProof {
           .agg(coalesce(sum(col("n_pieces")), lit(0L)))
           .head().getLong(0)
       }
+      measure("ct01_containment", scale)(
+        // directional containment off the SAME merged-bottom-k frame as
+        // ss01 — identical exchanges, different final aggregate
+        graft.operators.Sketches.sourceContainment(
+          docs.withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+          "graft_src", "text", k = 64)
+          .agg(coalesce(sum(col("containment_a_micro")), lit(0L)))
+          .head().getLong(0))
       measure("qd01_quantiles", scale)(
         // histogram quantiles: ONE bin-domain count agg + a bounded
         // cumulative window — ~zero shuffle at any corpus size

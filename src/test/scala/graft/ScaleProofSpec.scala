@@ -89,6 +89,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("g13_closeness", 2.9, 44.7, 1.1),
       pair("pc02_bpe_encode", 7.3, 96.5, 1.1),
       pair("ss01_srcjaccard", 0.0, 0.3, 1.0),
+      pair("ct01_containment", 0.0, 0.3, 1.1),
       pair("qd01_quantiles", 0.0, 0.0, 1.0)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
@@ -109,7 +110,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
       "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
       "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard",
-      "qd01_quantiles")
+      "ct01_containment", "qd01_quantiles")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -174,6 +175,7 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("g13_closeness", 44.7, 6354.8, 1.5),
       pair100("sw01_softdedup", 42.4, 7887.3, 3.4),
       pair100("ss01_srcjaccard", 0.3, 1.1, 1.1),
+      pair100("ct01_containment", 0.3, 1.1, 1.0),
       pair100("qd01_quantiles", 0.0, 0.0, 1.1)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged

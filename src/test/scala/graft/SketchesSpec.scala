@@ -142,6 +142,22 @@ class SketchesSpec extends AnyFunSuite {
       ("b", "c", 6L, 0L, 0L)))
   }
 
+  test("sourceContainment: complete sketches give exact directional ratios") {
+    // A = {x y z} fully inside B = {x y z w v}: containment_a = 1.0,
+    // containment_b = 3/5; the symmetric Jaccard (3/5... = 600000) can't
+    // tell which side is the subset
+    val d = Seq(
+      (1L, "a", "x y z"),
+      (2L, "b", "x y z w v")
+    ).toDF("doc_id", "src", "text")
+    val r = Sketches.sourceContainment(d, "src", "text", k = 64).head()
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert(r.getAs[Long]("a_kept") == 3L && r.getAs[Long]("b_kept") == 5L)
+    assert(r.getAs[Long]("inter_k") == 3L)
+    assert(r.getAs[Long]("containment_a_micro") == 1000000L)
+    assert(r.getAs[Long]("containment_b_micro") == 600000L)
+  }
+
   test("sourceJaccard: small-k estimator endpoints and driver replay") {
     // identical vocabularies estimate exactly 1.0 at ANY k; disjoint
     // ones exactly 0.0
