@@ -1200,13 +1200,23 @@ object CorpusStats {
     * broadcast range, and a broadcast join means hot words never skew
     * a shuffled join key. Output and row set are IDENTICAL to
     * [[bpeEncode]] (spec-pinned equivalence): docs plus `pieces` and
-    * `n_pieces`, null/empty text encoding to [] / 0. */
+    * `n_pieces`, null/empty text encoding to [] / 0.
+    *
+    * Contract (the keyed-reassembly price the row-local path doesn't
+    * pay): `idCol` must be UNIQUE and NON-NULL — a null id can never
+    * rejoin its pieces (loud raise, the hashHex convention) and
+    * duplicate ids would merge two documents' piece streams; use
+    * [[bpeEncode]] when ids can repeat. */
   def bpeEncodeViaVocab(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val toks = docs.select(col(idCol).as("__did"),
+    val toks = docs.select(
+      when(col(idCol).isNull, raise_error(lit(
+        s"bpeEncodeViaVocab: null $idCol — the reassembly join needs " +
+          "unique non-null ids; use bpeEncode for keyless encoding")))
+        .otherwise(col(idCol)).as("__did"),
       filter(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
         t => length(t) > 0).as("__toks"))
     val vocab = toks
@@ -1245,7 +1255,11 @@ object CorpusStats {
     * (type-1) quantile of the binned distribution, exact integer
     * arithmetic end to end. With binWidth = 1 this IS the exact type-1
     * quantile (spec-pinned); wider bins floor to the bin's lower edge
-    * — the documented resolution trade.
+    * — the documented resolution trade. Negative values bin by FLOOR
+    * division (the truncating `div` would merge (-bw, bw) into bin 0
+    * and mislabel negative bins' edges — spec-pinned against DuckDB's
+    * flooring `//`); NULL values are excluded from the distribution
+    * (they have no magnitude to rank — n_total counts non-null rows).
     *
     * Output: (q_permille, n_total, bin, est_value) — est_value is the
     * bin lower edge, one row per requested quantile; empty input
@@ -1260,8 +1274,12 @@ object CorpusStats {
       s"quantile permilles out of (0, 1000]: $qs")
     val spark = df.sparkSession
     import spark.implicits._
+    val v = col(valueCol).cast("long")
     val bins = df
-      .select(ldiv(col(valueCol).cast("long"), lit(binWidth)).as("bin"))
+      .filter(v.isNotNull)
+      .select(when(v >= 0L, ldiv(v, lit(binWidth)))
+        .otherwise(-ldiv(-v + lit(binWidth - 1L), lit(binWidth)))
+        .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     // bin-domain window — span/binWidth rows, never corpus rows, so the
     // single-partition WindowExec is bounded by construction (the

@@ -1431,9 +1431,11 @@ object Dedup {
     * streaming ownership is arrival order — identical when docs arrive
     * in id order across micro-batches. Duplicates WITHIN one micro-batch
     * keep one arbitrary occurrence (same content, possibly a different
-    * position than batch would keep), and a document whose EVERY line
-    * was owned earlier emits no row at all (batch emits it with empty
-    * text) — the documented stream/batch divergences, same class as
+    * position than batch would keep); a document whose EVERY line was
+    * owned earlier emits no row at all (batch emits it with empty
+    * text); and NULL text emits as empty text (nulls coalesce to ""
+    * before the line explode — batch preserves the null) — the
+    * documented stream/batch divergences, same class as
     * `curateStream`'s.
     *
     * Output (append mode): (idCol, window, textCol) — one row per doc
@@ -1449,8 +1451,12 @@ object Dedup {
     require(minChars >= 1, "minChars must be >= 1")
     val lines = docs
       .withWatermark(tsCol, watermark)
+      // coalesce: posexplode(split(null)) would emit zero rows and
+      // silently DROP the document; "" explodes to one short (always
+      // kept) empty line, so the doc still emits when its window closes
       .select(col(idCol), col(tsCol),
-        posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
+          .as(Seq("pos", "line")))
       .select(col(idCol), col(tsCol), col("pos"), col("line"),
         when(length(col("line")) >= minChars,
           xxhash64(lit("c"), col("line")))

@@ -441,22 +441,6 @@ object GraphOps {
     LabelPropagation.run(toGraph(edges), iters).vertices.toDF("id", "label")
   }
 
-  /** Synchronous LPA with DETERMINISTIC tie-breaks → (id, label): each
-    * superstep every vertex adopts the most frequent label among its
-    * neighbours' previous-superstep labels, ties broken toward the
-    * SMALLEST label. GraphX's LabelPropagation breaks count ties by
-    * hash-map iteration order — stable only within one JVM, so its
-    * partition can never be replayed by another engine; this formulation
-    * is exactly reproducible in SQL (per superstep: count labels per
-    * (vertex, label), rank count-desc label-asc, take rank 1), which is
-    * what lets g04 carry a full DuckDB oracle.
-    *
-    * Scale shape: per superstep one neighbour equi-join plus two
-    * partial-aggregable groupBys, all keyed by vertex id — the same
-    * shuffle profile as a Pregel superstep. Lineage is cut per superstep
-    * (lazy localCheckpoint) so `iters` never compounds the plan; labels
-    * are one (id, label) row per vertex. Vertices are the edge endpoints
-    * (an isolated vertex has no row here, as in [[labelPropagation]]). */
   /** Canonical simple-graph symmetrized adjacency (a, b) as a PLAN —
     * self-loops and duplicate/reversed edges collapsed, both directions
     * emitted, NOT materialized. The ONE undirected-simple-graph
@@ -482,6 +466,22 @@ object GraphOps {
       edges: DataFrame, eager: Boolean = false): DataFrame =
     undirectedAdjacency(edges).localCheckpoint(eager)
 
+  /** Synchronous LPA with DETERMINISTIC tie-breaks → (id, label): each
+    * superstep every vertex adopts the most frequent label among its
+    * neighbours' previous-superstep labels, ties broken toward the
+    * SMALLEST label. GraphX's LabelPropagation breaks count ties by
+    * hash-map iteration order — stable only within one JVM, so its
+    * partition can never be replayed by another engine; this formulation
+    * is exactly reproducible in SQL (per superstep: count labels per
+    * (vertex, label), rank count-desc label-asc, take rank 1), which is
+    * what lets g04 carry a full DuckDB oracle.
+    *
+    * Scale shape: per superstep one neighbour equi-join plus two
+    * partial-aggregable groupBys, all keyed by vertex id — the same
+    * shuffle profile as a Pregel superstep. Lineage is cut per superstep
+    * (lazy localCheckpoint) so `iters` never compounds the plan; labels
+    * are one (id, label) row per vertex. Vertices are the edge endpoints
+    * (an isolated vertex has no row here, as in [[labelPropagation]]). */
   def labelPropagationSync(edges: DataFrame, iters: Int = 5): DataFrame = {
     val adj = symmetricAdjacency(edges)
     var labels = adj.select(col("a").as("id")).distinct()

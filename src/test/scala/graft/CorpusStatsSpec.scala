@@ -639,6 +639,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("quantileBins: nulls are excluded; negative values bin by FLOOR division") {
+    // nulls must not form a first-sorting phantom bin that inflates
+    // n_total and drags every quantile down
+    val withNulls = Seq[(Long, Option[Long])](
+      (1L, Some(10L)), (2L, None), (3L, Some(20L)), (4L, None))
+      .toDF("doc_id", "v")
+    val n = CorpusStats.quantileBins(withNulls, "v", binWidth = 1L,
+        qs = Seq(500, 1000))
+      .orderBy(col("q_permille")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(n == Seq((500L, 2L, 10L), (1000L, 2L, 20L)))
+    // signed values: -150..-100 belong to floor bin -2 (edge -200 would
+    // be wrong; truncation would merge (-bw, bw) into bin 0)
+    val signed = Seq((1L, -150L), (2L, -50L), (3L, 50L), (4L, 150L))
+      .toDF("doc_id", "v")
+    val s = CorpusStats.quantileBins(signed, "v", binWidth = 100L,
+        qs = Seq(250, 500, 750, 1000))
+      .orderBy(col("q_permille")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(s == Seq((250L, -2L, -200L), (500L, -1L, -100L),
+      (750L, 0L, 0L), (1000L, 1L, 100L)))
+  }
+
   test("quantileBins: wider bins floor to the bin lower edge") {
     // 10 docs of length 5..95 step 10; binWidth 20 -> bins 0,1,2,3,4
     // (2 docs each); P50 threshold ceil(0.5*10)=5 -> bin 2 -> edge 40

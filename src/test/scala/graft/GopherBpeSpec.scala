@@ -145,6 +145,21 @@ class GopherBpeSpec extends AnyFunSuite {
       .forall(r => r._2 == Seq() && r._3 == 0L))
   }
 
+  test("bpeEncodeViaVocab raises loudly on a null id (reassembly contract)") {
+    // a null id can never rejoin its pieces — silent [] output would
+    // masquerade as an empty document
+    val docs = Seq((java.lang.Long.valueOf(1L), "low"),
+      (null.asInstanceOf[java.lang.Long], "low"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      CorpusStats.bpeEncodeViaVocab(docs, "doc_id", "text",
+        Seq(("l", "o"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("null doc_id")), msgs(ex).mkString("|"))
+  }
+
   test("bpeMergeOne: greedy non-overlap on a self-pair") {
     val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b"))
       .toDF("sym")
