@@ -79,6 +79,33 @@ object Bench {
     passes == iters && passes >= 2 && nErrors == 0 && !budgetHit &&
       !isContaminated
 
+  /** Pre-sweep quiet-window wait: probe until the box is quiet or the
+    * attempt budget runs out, so a sweep isn't burned into a capture the
+    * guard will refuse anyway (round 10's round-end artifact was exactly
+    * that — a 480 s budget spent on a load-spiked run the guard then
+    * rejected). Pure decision loop over injected `probe`/`sleep` (spec-
+    * testable); returns (last probe sample, attempts used). The LAST
+    * sample is the one that enters the capture's probe record — it
+    * describes the box the sweep actually starts on. */
+  private[graft] def awaitQuietWindow(
+      probe: () => Double,
+      refS: Double,
+      maxTries: Int,
+      sleep: () => Unit,
+      log: String => Unit = System.err.println): (Double, Int) = {
+    var tries = 1
+    var last = probe()
+    while (contaminated(Seq(last), refS) && tries < maxTries) {
+      log(f"[bench] pre-sweep probe $last%.3f s > 1.5x ref $refS%.3f s — " +
+        f"box busy; waiting before retry (attempt $tries%d/$maxTries%d). " +
+        "On slower hardware set SPARK_GRAFT_BENCH_PROBE_REF_S.")
+      sleep()
+      last = probe()
+      tries += 1
+    }
+    (last, tries)
+  }
+
   /** One timed run of the fixed CPU probe (call once untimed to warm its
     * codegen before trusting the clock). */
   private def probeSeconds(spark: SparkSession): Double = {
@@ -138,9 +165,18 @@ object Bench {
         minTokens = 1L, minQuality = -100L, keepLangs = Seq("en", "und")))
     wc.count(); wd.count()
     // warm the probe's codegen so the first TIMED probe measures CPU, not
-    // the janino compile; then take the pre-sweep sample
+    // the janino compile; then take the pre-sweep sample — waiting out a
+    // bounded number of busy-box windows first so the sweep isn't spent
+    // on a capture the certification guard will refuse
     probeSeconds(spark)
-    val probes = scala.collection.mutable.ListBuffer(probeSeconds(spark))
+    val quietTries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_TRIES", "8")
+      .toInt.max(1)
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "30")
+      .toDouble.max(0.0)
+    val (preProbe, _) = awaitQuietWindow(
+      () => probeSeconds(spark), probeRefS, quietTries,
+      () => Thread.sleep((quietWaitS * 1000).toLong))
+    val probes = scala.collection.mutable.ListBuffer(preProbe)
     // optional lane filter for local profiling loops (comma-separated
     // name prefixes, e.g. "bp01,cu01"); the driver never sets it. An
     // empty/whitespace value is treated as UNSET — Some(Seq()) would
@@ -202,6 +238,17 @@ object Bench {
         if (certifiable(passes, iters, errors.size, budgetHit, dirty))
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
+        else if (passes == iters && dirty &&
+            certifiable(passes, iters, errors.size, budgetHit,
+              isContaminated = false))
+          // rejected SOLELY for contamination: say so explicitly — on a
+          // slower box than the 0.30 s reference this reads as a permanent
+          // load problem unless the override knob is surfaced
+          System.err.println(
+            f"[bench] capture NOT certified: probe median " +
+              f"${median(probes.toSeq)}%.3f s vs ref $probeRefS%.3f s " +
+              "(1.5x fence). If this box is simply slower than the " +
+              "reference, set SPARK_GRAFT_BENCH_PROBE_REF_S.")
       } catch { case _: Throwable => () }
       println(line(identity, ""))
       println(line(laneIds, ",\"keys\":\"lane_prefix\""))

@@ -1920,7 +1920,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS inter_k,
         |  CAST((SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) * 1000000)
-        |    // COUNT(*) AS BIGINT) AS est_jaccard_micro
+        |    // COUNT(*) AS BIGINT) AS est_jaccard_micro,
+        |  COUNT(*) < 64 AS exact
         |FROM r WHERE rk <= 64
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     // containment replay: identical merged-bottom-k CTE chain as ss01,
@@ -1961,7 +1962,8 @@ object SparkEntry {
         |      // SUM(in_a) END AS BIGINT) AS containment_a_micro,
         |  CAST(CASE WHEN SUM(in_b) = 0 THEN 0 ELSE
         |    (SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) * 1000000)
-        |      // SUM(in_b) END AS BIGINT) AS containment_b_micro
+        |      // SUM(in_b) END AS BIGINT) AS containment_b_micro,
+        |  COUNT(*) < 64 AS exact
         |FROM r WHERE rk <= 64
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "gq01_gopher_rules" ->

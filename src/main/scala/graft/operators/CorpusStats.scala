@@ -1205,20 +1205,36 @@ object CorpusStats {
     * Contract (the keyed-reassembly price the row-local path doesn't
     * pay): `idCol` must be UNIQUE and NON-NULL — a null id can never
     * rejoin its pieces (loud raise, the hashHex convention) and
-    * duplicate ids would merge two documents' piece streams; use
-    * [[bpeEncode]] when ids can repeat. */
+    * duplicate ids would SILENTLY merge two documents' piece streams;
+    * use [[bpeEncode]] when ids can repeat. `checkUniqueIds = true`
+    * enforces the uniqueness half loudly too, at the price of one
+    * doc-domain window shuffle (one row per document, never token
+    * volume) — turn it on when the id source is untrusted. */
   def bpeEncodeViaVocab(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val toks = docs.select(
+      merges: Seq[(String, String)],
+      checkUniqueIds: Boolean = false): DataFrame = {
+    val raw = docs.select(
       when(col(idCol).isNull, raise_error(lit(
         s"bpeEncodeViaVocab: null $idCol — the reassembly join needs " +
           "unique non-null ids; use bpeEncode for keyless encoding")))
         .otherwise(col(idCol)).as("__did"),
       filter(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
         t => length(t) > 0).as("__toks"))
+    val toks =
+      if (!checkUniqueIds) raw
+      else raw
+        .withColumn("__idn",
+          count(lit(1)).over(Window.partitionBy(col("__did"))))
+        .select(
+          when(col("__idn") > 1L, raise_error(concat(lit(
+            s"bpeEncodeViaVocab: duplicate $idCol="), col("__did")
+            .cast("string"),
+            lit(" — reassembly would merge two documents' pieces"))))
+            .otherwise(col("__did")).as("__did"),
+          col("__toks"))
     val vocab = toks
       .select(explode(col("__toks")).as("__w")).distinct()
       .select(col("__w"), split(col("__w"), "").as("__syms"))
@@ -1274,7 +1290,12 @@ object CorpusStats {
       s"quantile permilles out of (0, 1000]: $qs")
     val spark = df.sparkSession
     import spark.implicits._
-    val v = col(valueCol).cast("long")
+    // floor BEFORE the long cast: a bare cast truncates toward zero, so a
+    // fractional negative (-0.5 at binWidth 1) would land in bin 0 — the
+    // exact (-bw, bw) merge the floor-division branch below exists to
+    // avoid. floor() is identity on integral columns (no double
+    // round-trip, no 2^53 cliff) and floors double/decimal exactly.
+    val v = floor(col(valueCol)).cast("long")
     val bins = df
       .filter(v.isNotNull)
       .select(when(v >= 0L, ldiv(v, lit(binWidth)))

@@ -1438,6 +1438,16 @@ object Dedup {
     * documented stream/batch divergences, same class as
     * `curateStream`'s.
     *
+    * Input contract (pinned like the divergences above): each document
+    * must arrive EXACTLY ONCE — i.e. feed an exactly-once source or
+    * pre-dedup on a unique (id, ts). Under at-least-once re-delivery a
+    * re-delivered doc's short lines hash to the SAME occurrence keys
+    * (id, pos, line) and its long lines to the same content keys, so
+    * `dropDuplicatesWithinWatermark` swallows the whole second copy —
+    * its (doc, window) group then silently merges into (or, if every
+    * line was swallowed, vanishes from) the first delivery's output
+    * rather than surfacing the duplicate delivery.
+    *
     * Output (append mode): (idCol, window, textCol) — one row per doc
     * once its window expires. */
   def dedupLinesKeepFirstStream(

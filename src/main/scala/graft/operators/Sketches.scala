@@ -166,10 +166,18 @@ object Sketches {
     * discipline — no source's vocabulary ever sorts in one task); all
     * pair work happens on k-bounded sketches, |sources|²·2k rows total.
     * Only hashes move. Sources with an empty vocabulary have no sketch
-    * and appear in no pair.
+    * and appear in no pair. The PAIR DOMAIN itself is quadratic in the
+    * number of distinct sources (a deliberate all-pairs over sources,
+    * not rows) — fine for the handfuls-to-hundreds of sources a mixture
+    * table describes; at thousands of sources the |sources|²·2k merged
+    * frame dominates and callers should pre-filter to the sources under
+    * comparison.
     *
-    * Output: (src_a, src_b, union_kept, inter_k, est_jaccard_micro),
-    * src_a < src_b, one row per source pair. */
+    * Output: (src_a, src_b, union_kept, inter_k, est_jaccard_micro,
+    * exact), src_a < src_b, one row per source pair; `exact` marks pairs
+    * whose merged sketch held the whole union (union_kept < k), where
+    * the estimate IS the true Jaccard — it makes the policy table
+    * self-describing. */
   def sourceJaccard(
       docs: DataFrame,
       srcCol: String,
@@ -182,7 +190,8 @@ object Sketches {
           .as("inter_k"))
       .select(col("src_a"), col("src_b"), col("union_kept"), col("inter_k"),
         ldiv(col("inter_k") * lit(1000000L), col("union_kept"))
-          .as("est_jaccard_micro"))
+          .as("est_jaccard_micro"),
+        (col("union_kept") < lit(k.toLong)).as("exact"))
 
   /** Directional containment estimates from the SAME merged-bottom-k
     * frame as [[sourceJaccard]] — the dedup-policy table ("B contains
@@ -193,11 +202,15 @@ object Sketches {
     * merged sketch holds the whole union. A side that contributed
     * nothing to the union's bottom-k (a_kept = 0 — its smallest hashes
     * all rank past k) reports containment 0 rather than dividing by
-    * zero.
+    * zero. Same |sources|² pair-domain note as [[sourceJaccard]]: the
+    * cost is quadratic in DISTINCT SOURCES (k-bounded per pair), so
+    * pre-filter at thousands of sources.
     *
     * Output: (src_a, src_b, a_kept, b_kept, inter_k,
-    * containment_a_micro, containment_b_micro), src_a < src_b;
-    * containment_a is the A-in-B direction. */
+    * containment_a_micro, containment_b_micro, exact), src_a < src_b;
+    * containment_a is the A-in-B direction; `exact` marks pairs whose
+    * merged sketch held the whole union (union kept < k) — there both
+    * ratios are true containments, not estimates. */
   def sourceContainment(
       docs: DataFrame,
       srcCol: String,
@@ -209,7 +222,8 @@ object Sketches {
       .groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("in_a")).as("a_kept"),
         sum(col("in_b")).as("b_kept"),
-        inter.as("inter_k"))
+        inter.as("inter_k"),
+        count(lit(1)).as("__union_kept"))
       .select(col("src_a"), col("src_b"), col("a_kept"), col("b_kept"),
         col("inter_k"),
         when(col("a_kept") === 0L, lit(0L))
@@ -217,7 +231,8 @@ object Sketches {
           .as("containment_a_micro"),
         when(col("b_kept") === 0L, lit(0L))
           .otherwise(ldiv(col("inter_k") * lit(1000000L), col("b_kept")))
-          .as("containment_b_micro"))
+          .as("containment_b_micro"),
+        (col("__union_kept") < lit(k.toLong)).as("exact"))
   }
 
   /** The shared pair frame of [[sourceJaccard]] / [[sourceContainment]]:

@@ -51,6 +51,35 @@ class BenchGuardSpec extends AnyFunSuite {
       isContaminated = true))
   }
 
+  test("awaitQuietWindow: quiet box needs exactly one probe, no sleep") {
+    var sleeps = 0
+    val (p, tries) = Bench.awaitQuietWindow(
+      () => 0.29, refS = 0.3, maxTries = 8,
+      sleep = () => sleeps += 1, log = _ => ())
+    assert(p == 0.29 && tries == 1 && sleeps == 0)
+  }
+
+  test("awaitQuietWindow: busy box waits until a quiet probe appears") {
+    // busy, busy, quiet — two sleeps, three probes, returns the quiet one
+    val samples = Iterator(2.0, 1.8, 0.31)
+    var sleeps = 0
+    val (p, tries) = Bench.awaitQuietWindow(
+      () => samples.next(), refS = 0.3, maxTries = 8,
+      sleep = () => sleeps += 1, log = _ => ())
+    assert(p == 0.31 && tries == 3 && sleeps == 2)
+  }
+
+  test("awaitQuietWindow: attempt budget bounds the wait on a loaded box") {
+    // never goes quiet: exactly maxTries probes, then give up and return
+    // the (still dirty) last sample — the sweep proceeds and the
+    // contamination stamp downstream does the refusing
+    var probes = 0
+    val (p, tries) = Bench.awaitQuietWindow(
+      () => { probes += 1; 5.0 }, refS = 0.3, maxTries = 4,
+      sleep = () => (), log = _ => ())
+    assert(p == 5.0 && tries == 4 && probes == 4)
+  }
+
   test("median: odd, even, and single-sample inputs") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)

@@ -660,6 +660,15 @@ class CorpusStatsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
     assert(s == Seq((250L, -2L, -200L), (500L, -1L, -100L),
       (750L, 0L, 0L), (1000L, 1L, 100L)))
+    // fractional negatives: a bare long cast truncates -0.5 to 0 and
+    // reintroduces the (-bw, bw) merge — the operator must FLOOR doubles
+    // before binning, so -0.5 lands in bin -1 and 0.5 in bin 0
+    val frac = Seq((1L, -0.5), (2L, 0.5)).toDF("doc_id", "v")
+    val f = CorpusStats.quantileBins(frac, "v", binWidth = 1L,
+        qs = Seq(500, 1000))
+      .orderBy(col("q_permille")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(f == Seq((500L, -1L, -1L), (1000L, 0L, 0L)))
   }
 
   test("quantileBins: wider bins floor to the bin lower edge") {

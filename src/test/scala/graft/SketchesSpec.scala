@@ -135,11 +135,11 @@ class SketchesSpec extends AnyFunSuite {
     val got = Sketches.sourceJaccard(d, "src", "text", k = 64)
       .orderBy(col("src_a"), col("src_b")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
     assert(got.toSeq == Seq(
-      ("a", "b", 4L, 2L, 500000L), // {x,y,z}∪{y,z,w}=4, ∩={y,z}
-      ("a", "c", 6L, 0L, 0L),
-      ("b", "c", 6L, 0L, 0L)))
+      ("a", "b", 4L, 2L, 500000L, true), // {x,y,z}∪{y,z,w}=4, ∩={y,z}
+      ("a", "c", 6L, 0L, 0L, true),
+      ("b", "c", 6L, 0L, 0L, true)))
   }
 
   test("sourceContainment: complete sketches give exact directional ratios") {
@@ -156,6 +156,8 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("inter_k") == 3L)
     assert(r.getAs[Long]("containment_a_micro") == 1000000L)
     assert(r.getAs[Long]("containment_b_micro") == 600000L)
+    // complete sketch (union 5 < k=64): the row declares itself exact
+    assert(r.getAs[Boolean]("exact"))
   }
 
   test("sourceJaccard: small-k estimator endpoints and driver replay") {
@@ -168,9 +170,12 @@ class SketchesSpec extends AnyFunSuite {
     val got = Sketches.sourceJaccard(d, "src", "text", k = 8)
       .orderBy(col("src_a"), col("src_b")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
     assert(got.toSeq.map(t => (t._1, t._2, t._5)) == Seq(
       ("a", "b", 1000000L), ("a", "c", 0L), ("b", "c", 0L)))
+    // 100-token vocabularies at k=8: every merged sketch saturates
+    // (union_kept = k), so no row may claim exactness
+    assert(got.forall(!_._6))
     // driver replay of the a/c pair at k=8: merge the two 8-sketches,
     // rank, count dual membership among the merged bottom-8
     val sa = (1 to 100).map(i => PortableHash.md5_60(s"tok$i")).sorted.take(8)
