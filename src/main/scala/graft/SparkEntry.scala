@@ -41,6 +41,38 @@ object SparkEntry {
   /** exact decimal view of a 2-dp double column */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Deterministic URL synthesized from doc_id for the url* lanes (the
+    * driver tables carry no URL column — same convention as pii01's
+    * synthesized PII): residues of doc_id pick scheme case, userinfo,
+    * subdomain, site, TLD, port, path, tracking-bearing query and
+    * fragment, so canonicalization has every contract clause to fold and
+    * collisions (same canonical from different raw forms) occur by
+    * construction; every 17th row is deliberately not a URL at all. The
+    * DuckDB oracles rebuild the identical string. */
+  private def synthUrl: Column =
+    when(col("doc_id") % 17 === 0,
+      concat(lit("not a url "), col("doc_id").cast("string")))
+      .otherwise(concat(
+        when(col("doc_id") % 4 === 0, lit("HTTPS")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 13 === 0, lit("user:pw@")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("cdn.")),
+        lit("Site"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+        when(col("doc_id") % 6 === 0, lit(":80"))
+          .when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/Articles/Item"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?id="), (col("doc_id") % 20).cast("string"),
+            lit("&utm_source=news&b=2")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("?fbclid=x"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit(""))))
+
   private def withReg(
       f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { GraftSession.prepare(s); f(s, dir) }
@@ -1210,6 +1242,35 @@ object SparkEntry {
         "graft_src", "text", k = 64)
         .orderBy(col("src_a"), col("src_b"))
     }),
+    // URL canonicalization front door (RFC 3986 §6 normalizations +
+    // tracking-param policy): scan-local regexp chain, every clause of
+    // the UrlFunctions contract exercised by the synthesized residues
+    "url01_canonical_urls" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+        .select(col("doc_id"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("url_canon"),
+          UrlFunctions.urlHost(col("url")).as("host"),
+          UrlFunctions.urlDomain(col("url")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+    // C4-style URL-level exact dedup, keep-first by id: distinct-URL-
+    // domain shuffle only (min/count partials), unparseable rows kept
+    "url02_url_dedup" -> ((s, dir) => {
+      Dedup.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher/RefinedWeb per-domain cap: registered-domain strata, exact
+    // two-level salted min-k (k-bounded windows, no per-domain sort)
+    "url03_domain_cap" -> ((s, dir) => {
+      graft.operators.Sampling.domainCap(
+        t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url", k = 5, salt = "url03")
+        .orderBy(col("domain"), col("sample_rank"))
+    }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
     // counters + exact cross-multiplied thresholds, row-local (zero
     // shuffle at any corpus size)
@@ -1966,6 +2027,186 @@ object SparkEntry {
         |  COUNT(*) < 64 AS exact
         |FROM r WHERE rk <= 64
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+    // URL-lane replay: identical synthesized URL (residue CASEs), then
+    // the canonicalization chain clause by clause. All regexes are
+    // RE2/Java-identical and every regexp_replace is ^/$-anchored
+    // single-match, so DuckDB's replace-first equals Spark's
+    // replace-all. regexp_extract returns '' on no match in BOTH
+    // engines (probed), so '' is the absent-part sentinel throughout.
+    "url01_canonical_urls" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
+        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
+        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+        |          || '&utm_source=news&b=2'
+        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+        |        ELSE '' END)
+        |  END AS url FROM documents),
+        |p1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u),
+        |p2 AS (SELECT doc_id, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pq
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  regexp_extract(pq, '^([^?]*)', 1) AS rawpath,
+        |  regexp_extract(pq, '\?(.*)$', 1) AS rawq
+        |  FROM p2),
+        |p4 AS (SELECT doc_id, scheme, host, port,
+        |  CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |  array_to_string(list_filter(string_split(rawq, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(lower(p),
+        |      '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')),
+        |    '&') AS q
+        |  FROM p3)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |  ELSE scheme || '://' || host
+        |    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |         AND NOT (scheme = 'https' AND port = '443')
+        |        THEN ':' || port ELSE '' END)
+        |    || path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+        |  END AS url_canon,
+        |  host,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    WHEN regexp_matches(host, '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN host
+        |    WHEN regexp_matches(host, '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
+        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    ELSE host END AS domain
+        |FROM p4 ORDER BY doc_id""".stripMargin,
+    // keep-first-by-id per canonical URL; null canonicals never group
+    "url02_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
+        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
+        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+        |          || '&utm_source=news&b=2'
+        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+        |        ELSE '' END)
+        |  END AS url FROM documents),
+        |p1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u),
+        |p2 AS (SELECT doc_id, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pq
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  regexp_extract(pq, '^([^?]*)', 1) AS rawpath,
+        |  regexp_extract(pq, '\?(.*)$', 1) AS rawq
+        |  FROM p2),
+        |p4 AS (SELECT doc_id, scheme, host, port,
+        |  CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |  array_to_string(list_filter(string_split(rawq, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(lower(p),
+        |      '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')),
+        |    '&') AS q
+        |  FROM p3),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |  ELSE scheme || '://' || host
+        |    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |         AND NOT (scheme = 'https' AND port = '443')
+        |        THEN ':' || port ELSE '' END)
+        |    || path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+        |  END AS url_canon
+        |  FROM p4)
+        |SELECT * FROM (
+        |  SELECT min(doc_id) AS doc_id, url_canon,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM c WHERE url_canon IS NOT NULL GROUP BY url_canon
+        |  UNION ALL
+        |  SELECT doc_id, url_canon, CAST(1 AS BIGINT)
+        |  FROM c WHERE url_canon IS NULL)
+        |ORDER BY doc_id""".stripMargin,
+    // per-domain min-k replay: the naive PARTITION BY domain ORDER BY
+    // hash window replays the engine's exact two-level salted min-k
+    // (min-k over bucket min-k's is the global min-k — sp06's argument)
+    "url03_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
+        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
+        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+        |          || '&utm_source=news&b=2'
+        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+        |        ELSE '' END)
+        |  END AS url FROM documents),
+        |p1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u),
+        |p2 AS (SELECT doc_id, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host
+        |  FROM p2),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    WHEN regexp_matches(host, '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN host
+        |    WHEN regexp_matches(host, '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
+        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    ELSE host END AS domain
+        |  FROM p3),
+        |h AS (SELECT domain, doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-url03'), 1, 8) AS hh
+        |  FROM d WHERE domain IS NOT NULL),
+        |r AS (SELECT domain, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM h)
+        |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
+        |ORDER BY domain, sample_rank""".stripMargin,
     "gq01_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)),

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL/domain primitives for corpus front doors — the acquire-side stage
+  * every production pipeline runs before any text ever reaches cleaning:
+  * C4 deduplicates at URL level (Raffel et al. 2020 §2.2), and Gopher /
+  * RefinedWeb cap and mix per registered domain (Rae et al. 2021;
+  * Penedo et al. 2023).
+  *
+  * Everything here is composed built-in Column work (regexp chains + one
+  * array filter) — codegen'd, scan-local, zero shuffle — and every regex
+  * is restricted to syntax that means the same thing in Java regex and
+  * RE2 (no lookaround, no backreferences, no ordered-alternation
+  * dependence), so a DuckDB oracle can replay the identical surgery.
+  *
+  * Canonicalization contract (each choice documented because URL
+  * canonicalization IS a policy, not a fact — RFC 3986 §6 defines the
+  * normalizations; which to apply is the pipeline's call):
+  *   1. scheme is required (`scheme://`); anything else canonicalizes to
+  *      NULL — the front door rejects it rather than guessing;
+  *   2. scheme and host lowercase (RFC 3986 §6.2.2.1); path/query keep
+  *      their case (paths are case-sensitive on most origins);
+  *   3. userinfo (`user:pw@`) is stripped — it never identifies content;
+  *   4. default ports drop (http:80, https:443 — RFC 3986 §6.2.3);
+  *      any other explicit port is kept;
+  *   5. the fragment drops entirely (never sent to the server);
+  *   6. tracking query parameters drop by KEY (utm_*, fbclid, gclid,
+  *      msclkid, mc_eid, igshid, ref, ref_src — the C4/CCNet-era core
+  *      set), matched case-insensitively, with or without a value;
+  *      surviving parameters keep their original ORDER (sorting would
+  *      merge order-sensitive endpoints) and an emptied query drops its
+  *      `?`;
+  *   7. trailing slashes strip from the path; an empty path becomes `/`
+  *      (so `http://a.com`, `http://a.com/` and `http://a.com//` all
+  *      canonicalize identically);
+  *   8. `www.` is NOT stripped from the host — `www.x.com` and `x.com`
+  *      can serve different content; [[registeredDomain]] is the level
+  *      that groups them.
+  */
+object UrlFunctions {
+
+  /** Parsed-out pieces, each `""` when absent (regexp_extract's no-match
+    * value in BOTH engines — null never enters the chain until the final
+    * validity gate). */
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** authority+path+query with scheme and fragment removed. */
+  private def afterScheme(url: Column): Column =
+    regexp_replace(
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "#.*$", "")
+
+  /** lowercase host:port with userinfo stripped (split on the LAST `@`
+    * of the authority — RFC 3986 allows `@` only percent-encoded after
+    * the authority, but a greedy `^.*@` would eat into the path on
+    * malformed input, so the strip runs on the authority alone). */
+  private def hostPortOf(url: Column): Column =
+    lower(regexp_replace(
+      regexp_extract(afterScheme(url), "^([^/?]*)", 1), "^.*@", ""))
+
+  /** Lowercased host of a URL: no scheme, userinfo, port, path. Empty
+    * string when the URL has no `scheme://` prefix (gated explicitly —
+    * without it a bare non-URL string would parse as its own "host"). */
+  def urlHost(url: Column): Column =
+    when(schemeOf(url) === "", lit(""))
+      .otherwise(regexp_replace(hostPortOf(url), ":[0-9]*$", ""))
+
+  private def portOf(url: Column): Column =
+    regexp_extract(hostPortOf(url), ":([0-9]+)$", 1)
+
+  private def pathQueryOf(url: Column): Column =
+    regexp_replace(afterScheme(url), "^[^/?]*", "")
+
+  /** Tracking-parameter keys dropped by [[canonicalizeUrl]]: one
+    * RE2/Java-identical pattern over the lowercased `key[=value]` pair. */
+  private[graft] val trackingParamRe =
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
+
+  /** Canonical form of a URL under the contract in the object scaladoc;
+    * NULL for anything without a `scheme://host` shape. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val host = urlHost(url)
+    val port = portOf(url)
+    val keepPort = (port =!= "") &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(pathQueryOf(url), "^([^?]*)", 1)
+    val path = {
+      val stripped = regexp_replace(rawPath, "/+$", "")
+      when(stripped === "", lit("/")).otherwise(stripped)
+    }
+    val rawQuery = regexp_extract(pathQueryOf(url), "\\?(.*)$", 1)
+    val query = array_join(
+      filter(split(rawQuery, "&"),
+        p => p =!= "" && !lower(p).rlike(trackingParamRe)),
+      "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(query =!= "", concat(lit("?"), query)).otherwise(lit(""))))
+  }
+
+  /** Registered domain (eTLD+1) of a HOST string, by a documented
+    * heuristic rather than the full public-suffix list (which is a
+    * 10k-line moving target; the heuristic covers the dominant shapes
+    * and is engine-replayable):
+    *   - a dotted-quad IPv4 literal is its own "domain";
+    *   - a dot-less host (localhost, intranet names) is its own domain;
+    *   - `x.<ps2>.<cc>` where ps2 ∈ {co, com, org, net, ac, gov, edu}
+    *     and cc is a two-letter TLD keeps THREE labels (bbc.co.uk);
+    *   - anything else keeps the last TWO labels (sub.example.com →
+    *     example.com).
+    * The multi-label branch is an explicit `when`, not a regex
+    * alternation, so no engine's alternation-preference semantics can
+    * change the answer. */
+  def registeredDomain(host: Column): Column =
+    when(host.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), host)
+      .when(host.rlike("\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$"),
+        regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .when(host.contains("."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(host)
+
+  /** [[registeredDomain]] of a URL's host; NULL when the URL doesn't
+    * parse (no `scheme://` or empty host → the front-door reject,
+    * mirroring [[canonicalizeUrl]]'s validity gate — without the scheme
+    * check a bare string would leak through as its own "host"). */
+  def urlDomain(url: Column): Column = {
+    val h = urlHost(url)
+    when(schemeOf(url) === "" || h === "", lit(null).cast("string"))
+      .otherwise(registeredDomain(h))
+  }
+}

@@ -57,6 +57,36 @@ object Dedup {
       .select(col(idCol), col("keep_id"))
   }
 
+  /** URL-level exact dedup, keep-first by id — the C4 front door (Raffel
+    * et al. 2020 §2.2 deduplicate pages by URL before any text-level
+    * pass): rows whose `urlCol` canonicalizes identically
+    * (`UrlFunctions.canonicalizeUrl` — case, default ports, fragments,
+    * tracking params, trailing slashes all folded) form one group; the
+    * minimum id survives. Rows whose URL does NOT parse (null canonical)
+    * carry no URL evidence of duplication and are all KEPT, each with
+    * `n_copies = 1` and a null `url_canon` — dropping them is a CONTENT
+    * policy, downstream of this operator.
+    *
+    * Scale: one (url_canon, id)-pair aggregation — min/count partials
+    * map-side combine, so the shuffle is distinct-URL-domain; the corpus
+    * payload never moves (id-only discipline: survivors re-attach to
+    * whatever the caller keeps by `idCol`).
+    *
+    * Output: (idCol, url_canon, n_copies), one row per SURVIVOR. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withCanon = df.select(col(idCol),
+      graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol))
+        .as("url_canon"))
+    val groups = withCanon
+      .filter(col("url_canon").isNotNull)
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("url_canon"), col("n_copies"))
+    groups.unionByName(
+      withCanon.filter(col("url_canon").isNull)
+        .select(col(idCol), col("url_canon"), lit(1L).as("n_copies")))
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
     *
     * shingle(nGram) → k-permutation MinHash → split signature into `bands`

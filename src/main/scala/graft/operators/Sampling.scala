@@ -747,4 +747,34 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .select(col(strataCol), col(idCol), col("sample_rank"))
   }
+
+  /** Per-domain document cap — the Gopher/RefinedWeb domain-mixing stage
+    * (Rae et al. 2021; Penedo et al. 2023 cap how much any one
+    * registered domain contributes): each registered domain
+    * (`UrlFunctions.urlDomain` — eTLD+1 of the URL's host) keeps its `k`
+    * rows with the smallest salted content hash, via the same exact
+    * two-level salted min-k as [[stratifiedFixedSample]] (no domain's
+    * rows ever sort in one task — a 10M-page domain costs 32 bounded
+    * windows, not one giant one). Membership is content-addressed:
+    * stable under reruns and insertions elsewhere in the domain.
+    *
+    * Rows whose URL does not parse (null domain) are EXCLUDED — the
+    * front door rejects what it cannot attribute to a domain; route
+    * them to a separate policy if they matter (grouping them as one
+    * giant pseudo-domain would cap all of them at k, silently).
+    *
+    * Output: (domain, idCol, sample_rank), sample_rank in 1..k per
+    * domain (hash asc, id asc); domains with fewer than k rows keep
+    * all. */
+  def domainCap(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    val doms = df.select(col(idCol),
+      graft.functions.UrlFunctions.urlDomain(col(urlCol)).as("domain"))
+      .filter(col("domain").isNotNull)
+    stratifiedFixedSample(doms, idCol, "domain", k, salt)
+  }
 }

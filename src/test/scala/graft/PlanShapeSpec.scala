@@ -204,6 +204,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("partial_count".r.findFirstIn(p).isDefined, p)
   }
 
+  test("url01: canonicalization is scan-local — zero exchanges before the output sort") {
+    // the whole regexp chain must stay inside the scan task; the lane's
+    // only exchange is its ORDER BY doc_id rangepartitioning
+    val exchanges = plan("url01_canonical_urls").linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.isEmpty,
+      s"url01 shuffles before the sort:\n${exchanges.mkString("\n")}")
+  }
+
+  test("url02: dedup agg map-side combines; the raw url never shuffles") {
+    val p = plan("url02_url_dedup")
+    // partial min/count collapse per-task duplicates to the distinct-URL
+    // domain before the exchange
+    assert("partial_(min|count)".r.findFirstIn(p).isDefined, p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("url#")),
+      s"url02 shuffles the raw url:\n${exchanges.mkString("\n")}")
+  }
+
+  test("url03: domain-cap exchanges carry (domain, id, hash) rank rows, never the url") {
+    val exchanges = plan("url03_domain_cap").linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("url#")),
+      s"url03 shuffles the raw url:\n${exchanges.mkString("\n")}")
+  }
+
   test("pii01: redaction is scan-local — distributed top-k, zero exchanges") {
     val p = plan("pii01_redact")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -119,7 +119,11 @@ object ScaleProof {
     "pc02_bpe_encode" -> Bounds(21, 8), // measured 13.2x (7.3 -> 96.5): the (id, pos, pieces) reassembly frame ~ corpus token volume — the documented trade vs the zero-shuffle row-local encoder
     "ss01_srcjaccard" -> Bounds(5, 8),  // ~zero-shuffle: vocab-domain distinct + k-bounded pair frames (0.0 -> 0.3 MiB)
     "ct01_containment" -> Bounds(5, 8), // identical frames to ss01 (0.0 -> 0.3 MiB)
-    "qd01_quantiles" -> Bounds(5, 8))   // ZERO shuffle: bin-domain count agg + bounded cumulative window
+    "qd01_quantiles" -> Bounds(5, 8),   // ZERO shuffle: bin-domain count agg + bounded cumulative window
+    // round-11 URL front-door lanes: both ~zero-shuffle — map-side
+    // min/count partials collapse to the bounded URL/domain key domain
+    "url02_urldedup" -> Bounds(5, 8),   // measured 0.0 -> 0.1 MiB
+    "url03_domaincap" -> Bounds(8, 8))  // measured 0.0 -> 0.4 MiB (narrow rank rows)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -166,7 +170,12 @@ object ScaleProof {
     "sw01_softdedup" -> Bounds(300, 8), // measured 186x (42.4 -> 7887) — ANSWER-bound like dd01's 290x: the exact-Jaccard confirm join over near-clique candidate pairs IS the answer; skew 3.4
     "ss01_srcjaccard" -> Bounds(6, 8),  // measured 3.7x of 0.3 MiB (k-bounded pair frames)
     "ct01_containment" -> Bounds(6, 8), // measured 3.7x of 0.3 MiB (= ss01's frames)
-    "qd01_quantiles" -> Bounds(5, 8))   // 0.0 -> 0.0 MiB (bin-domain)
+    "qd01_quantiles" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (bin-domain)
+    // round-11 third points: the URL key domain is CONSTANT across
+    // scales (51 registered domains / ~51k canonicals), so shuffle
+    // stays sketch-sized at 550k docs
+    "url02_urldedup" -> Bounds(10, 8),  // measured 6.0x of 0.1 MiB
+    "url03_domaincap" -> Bounds(3, 8))  // measured 1.0x (0.4 -> 0.4)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -698,6 +707,30 @@ object ScaleProof {
           "graft_src", "text", k = 64)
           .agg(coalesce(sum(col("est_jaccard_micro")), lit(0L)))
           .head().getLong(0))
+      // deterministic URL per doc for the url lanes: one HOT registered
+      // domain (a third of the corpus) + 50 long-tail domains; path
+      // residues create duplicate groups whose sizes grow linearly
+      def scaleUrl = concat(lit("http://"),
+        when(col("doc_id") % 3 === 0, lit("hot"))
+          .otherwise(concat(lit("site"), (col("doc_id") % 50).cast("string"))),
+        lit(".example.com/p"), (col("doc_id") % 1000).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=x")).otherwise(lit("")))
+      measure("url02_urldedup", scale)(
+        // URL-level exact dedup: (url_canon, id) agg with map-side
+        // min/count partials — the shuffle is distinct-URL-domain
+        // (bounded at ~51k canonicals here regardless of corpus size);
+        // the payload never moves (id-only discipline)
+        Dedup.urlDedup(
+          docs.select(col("doc_id"), scaleUrl.as("url")), "doc_id", "url")
+          .agg(coalesce(sum(col("n_copies")), lit(0L))).head().getLong(0))
+      measure("url03_domaincap", scale)(
+        // per-registered-domain min-k with a deliberate hot domain: the
+        // two-level salted windows keep per-task work k-bounded even
+        // when one domain holds a third of the corpus
+        Sampling.domainCap(
+          docs.select(col("doc_id"), scaleUrl.as("url")), "doc_id", "url",
+          k = 20, salt = "sp")
+          .agg(coalesce(sum(col("sample_rank")), lit(0L))).head().getLong(0))
       measure("xs01_xsource", scale)(
         // cross-source overlap: (gram-hash, source) distinct agg; the
         // pair explode runs over per-gram source SETS (domain-bounded)

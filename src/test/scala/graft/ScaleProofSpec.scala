@@ -90,7 +90,10 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("pc02_bpe_encode", 7.3, 96.5, 1.1),
       pair("ss01_srcjaccard", 0.0, 0.3, 1.0),
       pair("ct01_containment", 0.0, 0.3, 1.1),
-      pair("qd01_quantiles", 0.0, 0.0, 1.0)).flatten
+      pair("qd01_quantiles", 0.0, 0.0, 1.0),
+      // round-11 URL front-door lanes (SCALING.md round-11 addendum)
+      pair("url02_urldedup", 0.0, 0.1, 1.2),
+      pair("url03_domaincap", 0.0, 0.4, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -110,7 +113,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "hl01_hll", "kv01_kmv", "cs01_countmin", "gq01_gopher", "pc01_bpe",
       "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
       "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard",
-      "ct01_containment", "qd01_quantiles")
+      "ct01_containment", "qd01_quantiles", "url02_urldedup",
+      "url03_domaincap")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -176,7 +180,10 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("sw01_softdedup", 42.4, 7887.3, 3.4),
       pair100("ss01_srcjaccard", 0.3, 1.1, 1.1),
       pair100("ct01_containment", 0.3, 1.1, 1.0),
-      pair100("qd01_quantiles", 0.0, 0.0, 1.1)).flatten
+      pair100("qd01_quantiles", 0.0, 0.0, 1.1),
+      // round-11 third points (SCALING.md round-11 addendum)
+      pair100("url02_urldedup", 0.1, 0.6, 1.2),
+      pair100("url03_domaincap", 0.4, 0.4, 1.0)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UrlFunctions._
+
+/** The URL front door: every canonicalization choice in the
+  * UrlFunctions contract pinned on hand-built URLs, plus the dedup /
+  * domain-cap operators over them. */
+class UrlFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(url: String): Option[String] =
+    Option(Seq(url).toDF("u")
+      .select(canonicalizeUrl(col("u"))).head().getString(0))
+
+  test("canonicalizeUrl: scheme/host lowercase, path case preserved") {
+    assert(canon("HTTP://WWW.Example.COM/Path/File") ==
+      Some("http://www.example.com/Path/File"))
+  }
+
+  test("canonicalizeUrl: default ports drop, explicit ports survive") {
+    assert(canon("http://a.com:80/x") == Some("http://a.com/x"))
+    assert(canon("https://a.com:443/x") == Some("https://a.com/x"))
+    // :80 is NOT the default for https — it must survive
+    assert(canon("https://a.com:80/x") == Some("https://a.com:80/x"))
+    assert(canon("http://a.com:8080/x") == Some("http://a.com:8080/x"))
+  }
+
+  test("canonicalizeUrl: userinfo and fragment strip") {
+    assert(canon("http://user:pw@a.com/x#frag") == Some("http://a.com/x"))
+    // an @ in the PATH must not trigger the userinfo strip
+    assert(canon("http://a.com/x@y") == Some("http://a.com/x@y"))
+  }
+
+  test("canonicalizeUrl: tracking params drop, order preserved, case-insensitive keys") {
+    assert(canon("http://a.com/x?b=2&utm_source=nl&a=1&fbclid=z") ==
+      Some("http://a.com/x?b=2&a=1"))
+    assert(canon("http://a.com/x?UTM_CAMPAIGN=c&gclid") ==
+      Some("http://a.com/x"))
+    // a key that merely CONTAINS a tracking key is not a tracking key
+    assert(canon("http://a.com/x?xref=1&refresh=2") ==
+      Some("http://a.com/x?xref=1&refresh=2"))
+  }
+
+  test("canonicalizeUrl: trailing slashes and empty path fold to one form") {
+    assert(canon("http://a.com") == Some("http://a.com/"))
+    assert(canon("http://a.com/") == Some("http://a.com/"))
+    assert(canon("http://a.com//") == Some("http://a.com/"))
+    assert(canon("http://a.com/p/") == Some("http://a.com/p"))
+    // query survives path-slash folding
+    assert(canon("http://a.com/?q=1") == Some("http://a.com/?q=1"))
+  }
+
+  test("canonicalizeUrl: non-URLs reject to null, www is kept") {
+    assert(canon("not a url at all").isEmpty)
+    assert(canon("a.com/no-scheme").isEmpty)
+    assert(canon("http://WWW.a.com/x") == Some("http://www.a.com/x"))
+  }
+
+  test("urlHost / urlDomain: gated on the scheme, eTLD+1 heuristic") {
+    val rows = Seq(
+      "https://News.BBC.co.uk:443/story",
+      "http://cdn.static.example.com/a",
+      "http://localhost:9000/x",
+      "http://10.0.0.1/x",
+      "garbage string").toDF("u")
+      .select(urlHost(col("u")).as("h"), urlDomain(col("u")).as("d"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows(0) == (("news.bbc.co.uk", Some("bbc.co.uk"))))
+    assert(rows(1) == (("cdn.static.example.com", Some("example.com"))))
+    assert(rows(2) == (("localhost", Some("localhost"))))
+    assert(rows(3) == (("10.0.0.1", Some("10.0.0.1"))))
+    // no scheme: host is empty, domain is null — garbage never parses
+    // as its own host
+    assert(rows(4) == (("", None)))
+  }
+
+  test("urlDedup: keep-first by id per canonical URL; unparseable rows all survive") {
+    val df = Seq(
+      (1L, "http://a.com/x?utm_source=nl"),
+      (2L, "HTTP://A.COM:80/x"),   // same canonical as id 1
+      (3L, "http://a.com/x/"),     // same again (trailing slash)
+      (4L, "http://a.com/y"),
+      (5L, "junk"),
+      (6L, "junk")                 // unparseable rows never group
+    ).toDF("id", "url")
+    val got = operators.Dedup.urlDedup(df, "id", "url")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, Some("http://a.com/x"), 3L),
+      (4L, Some("http://a.com/y"), 1L),
+      (5L, None, 1L),
+      (6L, None, 1L)))
+  }
+
+  test("domainCap: per-registered-domain min-k, unparseable rows excluded") {
+    // 10 docs on example.com (via two different hosts), 2 on b.org, 1 junk
+    val rows = (1L to 10L).map(i =>
+      (i, s"http://${if (i % 2 == 0) "www" else "cdn"}.example.com/p$i")) ++
+      Seq((11L, "http://b.org/x"), (12L, "http://b.org/y"), (13L, "nope"))
+    val df = rows.toDF("id", "url")
+    val got = operators.Sampling.domainCap(df, "id", "url", k = 3,
+      salt = "t")
+    val byDom = got.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byDom == Map("example.com" -> 3, "b.org" -> 2))
+    // ranks are 1..k dense per domain
+    val ranks = got.filter(col("domain") === "example.com")
+      .orderBy(col("sample_rank")).collect().map(_.getLong(2)).toSeq
+    assert(ranks == Seq(1L, 2L, 3L))
+    // content-addressed: same answer on re-run and under reordering
+    val again = operators.Sampling.domainCap(
+      df.orderBy(desc("id")), "id", "url", k = 3, salt = "t")
+    assert(again.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      got.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+}
