@@ -475,6 +475,43 @@ object EscoAnalytics {
       .orderBy(col("skill"))
   }
 
+  /** Build-once scaffolding for running SEVERAL graph analyses in one
+    * process (the CLI's multi-verb `analyze` invocation): the
+    * collision-checked dictionary + long-id edge list, THE one
+    * symmetrized simple adjacency over it, and the related-skill
+    * adjacency are each materialized AT MOST once (eager localCheckpoint
+    * — every frame has several downstream consumers) and shared by every
+    * verb that needs them, instead of each verb rebuilding its own per
+    * process — the `adjPrepared` discipline `GraphOps.linkPrediction` /
+    * `kCorePeel` already honor, now wired end to end. The `*Builds`
+    * counters exist so EscoCliSpec can pin the build-once contract. */
+  final class GraphSession(wh: EscoWarehouse) {
+    private[graft] var graphBuilds = 0
+    private[graft] var adjacencyBuilds = 0
+    private[graft] var relatedBuilds = 0
+    /** (dict, long-id edges), built once, eagerly materialized. */
+    lazy val graph: (DataFrame, DataFrame) = {
+      graphBuilds += 1
+      val (d, e) = centralityGraph(wh)
+      (d.localCheckpoint(true), e.localCheckpoint(true))
+    }
+    /** `undirectedAdjacency` over the long-id edges — the
+      * linkPrediction/kCorePeel `adjPrepared` shape, shared by
+      * triangles + concept-core (+ any future undirected verb). */
+    lazy val adjacency: DataFrame = {
+      adjacencyBuilds += 1
+      GraphOps.undirectedAdjacency(graph._2).localCheckpoint(true)
+    }
+    /** RELATED_SKILL adjacency (string URIs) for suggest-relations. */
+    lazy val relatedSkillAdjacency: DataFrame = {
+      relatedBuilds += 1
+      GraphOps.undirectedAdjacency(
+        wh.relatedSkill.select(col("srcUri").as("src"),
+          col("dstUri").as("dst")))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Shared centrality scaffolding: the collision-checked URI dictionary,
     * the long-id edge list over ALL node/edge types, and the label rejoin
     * — one definition so the two PageRank variants can never diverge on
@@ -510,8 +547,12 @@ object EscoAnalytics {
     * ([[GraphOps.pageRankIntSync]]) — bit-reproducible across runs and
     * engines where GraphX's double accumulation is not; the variant to
     * reach for when centrality feeds a regression-tested pipeline. */
-  def topPageRankExact(wh: EscoWarehouse, n: Int = 20, iters: Int = 10): DataFrame = {
-    val (dict, edges) = centralityGraph(wh)
+  def topPageRankExact(
+      wh: EscoWarehouse,
+      n: Int = 20,
+      iters: Int = 10,
+      session: Option[GraphSession] = None): DataFrame = {
+    val (dict, edges) = session.map(_.graph).getOrElse(centralityGraph(wh))
     withLabels(wh, GraphOps.pageRankIntSync(edges, iters), dict)
       .select(col("key").as("uri"), col("preferredLabel"),
         col("pr").as("rank_micro"))
@@ -525,8 +566,12 @@ object EscoAnalytics {
     * "occupations that require many central skills" (hubs), where plain
     * degree or PageRank conflates the two roles. Deterministic and
     * engine-replayable like [[topPageRankExact]]. */
-  def topHitsExact(wh: EscoWarehouse, n: Int = 20, iters: Int = 4): DataFrame = {
-    val (dict, edges) = centralityGraph(wh)
+  def topHitsExact(
+      wh: EscoWarehouse,
+      n: Int = 20,
+      iters: Int = 4,
+      session: Option[GraphSession] = None): DataFrame = {
+    val (dict, edges) = session.map(_.graph).getOrElse(centralityGraph(wh))
     withLabels(wh, GraphOps.hitsIntSync(edges, iters), dict)
       .select(col("key").as("uri"), col("preferredLabel"),
         col("hub").as("hub_micro"), col("auth").as("auth_micro"))
@@ -537,9 +582,18 @@ object EscoAnalytics {
   /** Triangle-participation top-N over the full graph — graph-cohesion
     * centrality beyond the reference catalog ([[GraphOps.triangles]],
     * degree-ordered wedge join, hub-skew-immune). */
-  def topTriangles(wh: EscoWarehouse, n: Int = 20): DataFrame = {
-    val (dict, edges) = centralityGraph(wh)
-    withLabels(wh, GraphOps.triangleParticipation(edges), dict)
+  def topTriangles(
+      wh: EscoWarehouse,
+      n: Int = 20,
+      session: Option[GraphSession] = None): DataFrame = {
+    val (dict, edges) = session.map(_.graph).getOrElse(centralityGraph(wh))
+    // with a session, feed the SHARED symmetric adjacency — orientEdges
+    // canonicalizes either shape to the same simple edge set, so the
+    // triangle set is identical; what's saved is the per-verb rebuild
+    val tri = session
+      .map(_.adjacency.select(col("a").as("src"), col("b").as("dst")))
+      .getOrElse(edges)
+    withLabels(wh, GraphOps.triangleParticipation(tri), dict)
       .select(col("key").as("uri"), col("preferredLabel"),
         col("n_triangles"))
       .orderBy(desc("n_triangles"), col("uri"))
@@ -553,9 +607,18 @@ object EscoAnalytics {
     * run-to-fixpoint (kCorePeel early-exits the first no-op round, so a
     * converged graph never pays for the headroom); pass a small `rounds`
     * only when the bounded-round mid-peel view is wanted. */
-  def conceptCore(wh: EscoWarehouse, k: Int = 3, rounds: Int = 100): DataFrame = {
-    val (dict, edges) = centralityGraph(wh)
-    withLabels(wh, GraphOps.kCorePeel(edges, k, rounds), dict)
+  def conceptCore(
+      wh: EscoWarehouse,
+      k: Int = 3,
+      rounds: Int = 100,
+      session: Option[GraphSession] = None): DataFrame = {
+    val (dict, edges) = session.map(_.graph).getOrElse(centralityGraph(wh))
+    val peeled = session match {
+      case Some(s) => GraphOps.kCorePeel(s.adjacency, k, rounds,
+        adjPrepared = true)
+      case None => GraphOps.kCorePeel(edges, k, rounds)
+    }
+    withLabels(wh, peeled, dict)
       .select(col("key").as("uri"), col("preferredLabel"),
         col("core_degree"))
       .orderBy(desc("core_degree"), col("uri"))
@@ -693,7 +756,10 @@ object EscoAnalytics {
     * here proposing catalog-curation candidates. Already-related pairs
     * are anti-joined away. Output: (uri_a, label_a, uri_b, label_b,
     * common_neighbors, aa_micro), strongest first. */
-  def suggestedRelations(wh: EscoWarehouse, n: Int = 20): DataFrame = {
+  def suggestedRelations(
+      wh: EscoWarehouse,
+      n: Int = 20,
+      session: Option[GraphSession] = None): DataFrame = {
     val edges = wh.relatedSkill
       .select(col("srcUri").as("src"), col("dstUri").as("dst"))
     val existing = edges
@@ -701,7 +767,13 @@ object EscoAnalytics {
         greatest(col("src"), col("dst")).as("node_b"))
       .distinct()
     val labels = wh.skills.select(col("conceptUri"), col("preferredLabel"))
-    graft.operators.GraphOps.linkPrediction(edges, maxNeighbors = 64)
+    val predicted = session match {
+      case Some(s) => graft.operators.GraphOps.linkPrediction(
+        s.relatedSkillAdjacency, maxNeighbors = 64, adjPrepared = true)
+      case None =>
+        graft.operators.GraphOps.linkPrediction(edges, maxNeighbors = 64)
+    }
+    predicted
       .join(existing, Seq("node_a", "node_b"), "left_anti")
       .join(labels.select(col("conceptUri").as("node_a"),
         col("preferredLabel").as("label_a")), Seq("node_a"))
@@ -718,14 +790,12 @@ object EscoAnalytics {
   /** Betweenness centrality top-N over the full graph (G4,
     * `analysis_queries.md:221-227`) — sampled Brandes; the reference's GDS
     * call is exact, divergence documented (SURVEY §7.5). */
-  def topBetweenness(wh: EscoWarehouse, n: Int = 20, sampleK: Int = 16): DataFrame = {
-    val dict = Vertices.dictionary(wh.allNodes.select(col("conceptUri").as("k")), "k")
-    val edges = wh.allEdges
-      .join(dict.withColumnRenamed("key", "srcUri"), Seq("srcUri"))
-      .withColumnRenamed("id", "src")
-      .join(dict.withColumnRenamed("key", "dstUri"), Seq("dstUri"))
-      .withColumnRenamed("id", "dst")
-      .select("src", "dst")
+  def topBetweenness(
+      wh: EscoWarehouse,
+      n: Int = 20,
+      sampleK: Int = 16,
+      session: Option[GraphSession] = None): DataFrame = {
+    val (dict, edges) = session.map(_.graph).getOrElse(centralityGraph(wh))
     graft.operators.Betweenness.approx(edges, k = sampleK)
       .join(dict, Seq("id"))
       .join(wh.allNodes.select(col("conceptUri").as("key"),

@@ -105,44 +105,22 @@ object EscoCli {
 
     case "analyze" :: whDir :: queryName :: Nil =>
       val wh = EscoWarehouse.load(spark, whDir)
-      val df = queryName match {
-        case "node-counts" => EscoAnalytics.nodeCounts(wh)
-        case "rel-counts" => EscoAnalytics.relationshipCounts(wh)
-        case "top-essential-skills" => EscoAnalytics.topEssentialSkills(wh)
-        case "top-optional-skills" => EscoAnalytics.topOptionalSkills(wh)
-        case "top-occupations" => EscoAnalytics.topOccupationsByEssentialSkills(wh)
-        case "isco-most-occupations" => EscoAnalytics.iscoGroupsWithMostOccupations(wh)
-        case "skill-cooccurrence" => EscoAnalytics.skillCooccurrence(wh)
-        case "isco-depths" => EscoAnalytics.iscoHierarchyDepths(wh)
-        case "communities" => EscoAnalytics.skillCommunities(wh)
-        case "communities-louvain" => EscoAnalytics.skillCommunitiesLouvain(wh)
-        case "betweenness" => EscoAnalytics.topBetweenness(wh)
-        case "pagerank" => EscoAnalytics.topPageRank(wh)
-        case "pagerank-exact" => EscoAnalytics.topPageRankExact(wh)
-        case "hits-exact" => EscoAnalytics.topHitsExact(wh)
-        case "triangles" => EscoAnalytics.topTriangles(wh)
-        case "concept-core" => EscoAnalytics.conceptCore(wh)
-        case "cluster-skills" => EscoAnalytics.clusterSkills(wh)
-        case "label-bpe" => EscoAnalytics.labelBpeMerges(wh)
-        case "label-cardinality" => EscoAnalytics.labelCardinality(wh)
-        case "suggest-relations" => EscoAnalytics.suggestedRelations(wh)
-        case "description-novelty" => EscoAnalytics.descriptionNovelty(wh)
-        case "sample-skills" => EscoAnalytics.sampleSkills(wh)
-        case "kind-vocab-similarity" =>
-          EscoAnalytics.kindVocabularySimilarity(wh)
-        case "top-skills-by-relationships" =>
-          EscoAnalytics.topSkillsByRelationships(wh)
-        case "top-occupations-optional" =>
-          EscoAnalytics.topOccupationsByOptionalSkills(wh)
-        case "transferable-skills" => EscoAnalytics.transferableSkills(wh)
-        case "skill-groups-most-skills" =>
-          EscoAnalytics.skillGroupsWithMostSkills(wh)
-        case "skill-depths" => EscoAnalytics.skillHierarchyDepths(wh)
-        case "combined-connections" => EscoAnalytics.combinedConnections(wh)
-        case other => sys.error(
-          s"unknown analysis '$other'; see EscoAnalytics for the catalog")
+      printTable(analyzeOne(wh, queryName, None))
+
+    // several catalog analyses in ONE invocation share one GraphSession:
+    // the dictionary/edge scaffolding and THE one symmetric adjacency
+    // materialize once instead of once per verb (`esco analyze <wh>
+    // triangles suggest-relations pagerank-exact ...`). Guarded on every
+    // name being a catalog verb so the anchored label-argument forms
+    // below (related-occupations <label> etc.) are never swallowed.
+    case "analyze" :: whDir :: names
+        if names.size >= 2 && names.forall(catalogNames.contains) =>
+      val wh = EscoWarehouse.load(spark, whDir)
+      val session = Some(new EscoAnalytics.GraphSession(wh))
+      for (name <- names) {
+        println(s"== $name ==")
+        printTable(analyzeOne(wh, name, session))
       }
-      printTable(df)
 
     // anchored analyses that need a label argument
     case "analyze" :: whDir :: "related-occupations" :: occLabel :: rest =>
@@ -230,6 +208,8 @@ object EscoCli {
           |            top-skills-by-relationships
           |            top-occupations-optional transferable-skills
           |            skill-groups-most-skills combined-connections)
+          |  analyze   <warehouseDir> <q1> <q2> ...   (several catalog verbs
+          |            share ONE graph build per invocation)
           |  analyze   <warehouseDir> related-occupations <occLabel> [--bridge]
           |  analyze   <warehouseDir> skill-profile <skillLabel>
           |  analyze   <warehouseDir> shortest-path <label1> <label2>
@@ -239,6 +219,65 @@ object EscoCli {
           |  translate <warehouseDir> <property>""".stripMargin)
       sys.exit(2)
   }
+
+  /** One catalog analysis by name; graph-family verbs route through the
+    * shared [[EscoAnalytics.GraphSession]] when one is supplied (the
+    * multi-verb invocation), and build their own scaffolding when not. */
+  private[cli] def analyzeOne(
+      wh: EscoWarehouse,
+      queryName: String,
+      session: Option[EscoAnalytics.GraphSession]): DataFrame = queryName match {
+    case "node-counts" => EscoAnalytics.nodeCounts(wh)
+    case "rel-counts" => EscoAnalytics.relationshipCounts(wh)
+    case "top-essential-skills" => EscoAnalytics.topEssentialSkills(wh)
+    case "top-optional-skills" => EscoAnalytics.topOptionalSkills(wh)
+    case "top-occupations" => EscoAnalytics.topOccupationsByEssentialSkills(wh)
+    case "isco-most-occupations" => EscoAnalytics.iscoGroupsWithMostOccupations(wh)
+    case "skill-cooccurrence" => EscoAnalytics.skillCooccurrence(wh)
+    case "isco-depths" => EscoAnalytics.iscoHierarchyDepths(wh)
+    case "communities" => EscoAnalytics.skillCommunities(wh)
+    case "communities-louvain" => EscoAnalytics.skillCommunitiesLouvain(wh)
+    case "betweenness" => EscoAnalytics.topBetweenness(wh, session = session)
+    case "pagerank" => EscoAnalytics.topPageRank(wh)
+    case "pagerank-exact" =>
+      EscoAnalytics.topPageRankExact(wh, session = session)
+    case "hits-exact" => EscoAnalytics.topHitsExact(wh, session = session)
+    case "triangles" => EscoAnalytics.topTriangles(wh, session = session)
+    case "concept-core" => EscoAnalytics.conceptCore(wh, session = session)
+    case "cluster-skills" => EscoAnalytics.clusterSkills(wh)
+    case "label-bpe" => EscoAnalytics.labelBpeMerges(wh)
+    case "label-cardinality" => EscoAnalytics.labelCardinality(wh)
+    case "suggest-relations" =>
+      EscoAnalytics.suggestedRelations(wh, session = session)
+    case "description-novelty" => EscoAnalytics.descriptionNovelty(wh)
+    case "sample-skills" => EscoAnalytics.sampleSkills(wh)
+    case "kind-vocab-similarity" =>
+      EscoAnalytics.kindVocabularySimilarity(wh)
+    case "top-skills-by-relationships" =>
+      EscoAnalytics.topSkillsByRelationships(wh)
+    case "top-occupations-optional" =>
+      EscoAnalytics.topOccupationsByOptionalSkills(wh)
+    case "transferable-skills" => EscoAnalytics.transferableSkills(wh)
+    case "skill-groups-most-skills" =>
+      EscoAnalytics.skillGroupsWithMostSkills(wh)
+    case "skill-depths" => EscoAnalytics.skillHierarchyDepths(wh)
+    case "combined-connections" => EscoAnalytics.combinedConnections(wh)
+    case other => sys.error(
+      s"unknown analysis '$other'; see EscoAnalytics for the catalog")
+  }
+
+  /** Names [[analyzeOne]] accepts — the multi-verb guard. */
+  private[cli] val catalogNames: Set[String] = Set(
+    "node-counts", "rel-counts", "top-essential-skills",
+    "top-optional-skills", "top-occupations", "isco-most-occupations",
+    "skill-cooccurrence", "isco-depths", "communities",
+    "communities-louvain", "betweenness", "pagerank", "pagerank-exact",
+    "hits-exact", "triangles", "concept-core", "cluster-skills",
+    "label-bpe", "label-cardinality", "suggest-relations",
+    "description-novelty", "sample-skills", "kind-vocab-similarity",
+    "top-skills-by-relationships", "top-occupations-optional",
+    "transferable-skills", "skill-groups-most-skills", "skill-depths",
+    "combined-connections")
 
   private def parseOpts(rest: List[String]): Map[String, String] = {
     def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {

@@ -723,10 +723,19 @@ object GraphOps {
     * data-dependent and an oracle could not know where to stop.
     * Per round: two joins of the lazily-checkpointed adjacency against
     * the id-only survivor set + one count — nothing wider than a long
-    * ever shuffles, and the adjacency is built once. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+    * ever shuffles, and the adjacency is built once.
+    *
+    * `adjPrepared`: the caller vouches `edges` is ALREADY the
+    * symmetrized simple adjacency in [[undirectedAdjacency]]'s (a, b)
+    * shape and persisted — the same share-one-adjacency contract as
+    * [[linkPrediction]]. */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int = 5,
+      adjPrepared: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
-    val adj = symmetricAdjacency(edges)
+    val adj = if (adjPrepared) edges else symmetricAdjacency(edges)
     def coreDegrees(survivors: DataFrame): DataFrame = adj
       .join(survivors.select(col("id").as("a")), Seq("a"))
       .join(survivors.select(col("id").as("b")), Seq("b"))

@@ -41,6 +41,45 @@ class EscoCliSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-verb analyze shares ONE graph build and ONE adjacency") {
+    val wh = EscoWarehouse.load(spark, whDir)
+    val session = new graft.analytics.EscoAnalytics.GraphSession(wh)
+    // the four shared-scaffolding verbs, driven the way the multi-verb
+    // CLI case drives them
+    val triangles = EscoCli.analyzeOne(wh, "triangles", Some(session))
+    val core = EscoCli.analyzeOne(wh, "concept-core", Some(session))
+    val pr = EscoCli.analyzeOne(wh, "pagerank-exact", Some(session))
+    val hits = EscoCli.analyzeOne(wh, "hits-exact", Some(session))
+    val suggest = EscoCli.analyzeOne(wh, "suggest-relations", Some(session))
+    Seq(triangles, core, pr, hits, suggest).foreach(_.collect(): Unit)
+    // the build-once pin: dictionary+edges and the symmetric adjacency
+    // each materialized exactly once across all five verbs
+    assert(session.graphBuilds == 1, "dict/edges rebuilt across verbs")
+    assert(session.adjacencyBuilds == 1, "adjacency rebuilt across verbs")
+    assert(session.relatedBuilds == 1)
+    // session answers are the sessionless answers (rows compared as sets;
+    // both sides carry total ORDER BYs but collect-order is still plan
+    // dependent for ties)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(pr) ==
+      rows(EscoCli.analyzeOne(wh, "pagerank-exact", None)))
+    assert(rows(triangles) ==
+      rows(EscoCli.analyzeOne(wh, "triangles", None)))
+    assert(rows(core) ==
+      rows(EscoCli.analyzeOne(wh, "concept-core", None)))
+    assert(rows(suggest) ==
+      rows(EscoCli.analyzeOne(wh, "suggest-relations", None)))
+  }
+
+  test("multi-verb analyze invocation runs end-to-end") {
+    EscoCli.run(spark, List("analyze", whDir,
+      "triangles", "suggest-relations", "pagerank-exact", "hits-exact"))
+  }
+
+  test("every smoke-tested analysis name is in the multi-verb catalog guard") {
+    analyses.foreach(n => assert(EscoCli.catalogNames.contains(n), n))
+  }
+
   test("analyze related-occupations (direct and --bridge) runs") {
     EscoCli.run(spark,
       List("analyze", whDir, "related-occupations", "data engineer"))
