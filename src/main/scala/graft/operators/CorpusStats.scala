@@ -1165,12 +1165,21 @@ object CorpusStats {
     * large merge tables use [[bpeEncodeViaVocab]], which pays the fold
     * once per DISTINCT word instead of once per occurrence.
     *
-    * Output: docs plus `pieces` (array<string>) and `n_pieces`. */
+    * Output: docs plus `pieces` (array<string>) and `n_pieces`.
+    *
+    * `markEnd = true` appends [[BpeWordEnd]] to each word's LAST piece
+    * AFTER the fold (merges never see the marker, so the piece
+    * boundaries are identical to the unmarked encoding) — the Sennrich
+    * end-of-word convention that makes the encoding INVERTIBLE:
+    * [[bpeDecode]] recovers the whitespace-normalized lowercased token
+    * text exactly. Off by default (the counting/fertility consumers
+    * don't want marked vocabulary). */
   def bpeEncode(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      markEnd: Boolean = false): DataFrame = {
     docs
       // NULL text encodes like empty text ([] / 0) — the null-safe
       // convention of the tokenStream operators, without dropping rows
@@ -1181,10 +1190,37 @@ object CorpusStats {
           t => split(t, "")))
       .withColumn("pieces",
         flatten(transform(col("__symLists"), syms =>
-          merges.foldLeft(syms) { case (s, (a, b)) => bpeMergeOne(s, a, b) })))
+          markWordEnd(
+            merges.foldLeft(syms) { case (s, (a, b)) => bpeMergeOne(s, a, b) },
+            markEnd))))
       .drop("__toks", "__symLists")
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
+
+  /** The end-of-word marker `markEnd` encodings append to each word's
+    * last piece (Sennrich et al. 2016's `</w>`). Contract: the corpus
+    * must not itself contain this literal inside a token — the standard
+    * BPE marker-collision caveat; [[bpeDecode]] would split such a token
+    * at the embedded marker. */
+  val BpeWordEnd = "</w>"
+
+  /** Append [[BpeWordEnd]] to the last element of a piece list (no-op
+    * list pass-through when `enabled` is false). */
+  private def markWordEnd(pieces: Column, enabled: Boolean): Column =
+    if (!enabled) pieces
+    else transform(pieces, (p, i) =>
+      when(i === size(pieces) - 1, concat(p, lit(BpeWordEnd))).otherwise(p))
+
+  /** Inverse of a `markEnd = true` encoding: concatenate the pieces and
+    * turn each end-of-word marker back into a single space. Round-trip
+    * contract (GopherBpeSpec property): for any text,
+    * `bpeDecode(pieces) == whitespace-normalized lowercased tokens
+    * joined by single spaces` — i.e. decode∘encode is the identity on
+    * already-normalized text. Pure Column work, row-local. */
+  def bpeDecode(pieces: Column): Column =
+    trim(regexp_replace(
+      array_join(pieces, ""),
+      java.util.regex.Pattern.quote(BpeWordEnd), " "))
 
   /** [[bpeEncode]] through a pre-encoded vocabulary — the large-merge-
     * table scale path the row-local encoder's docstring promises. The
@@ -1215,7 +1251,8 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)],
-      checkUniqueIds: Boolean = false): DataFrame = {
+      checkUniqueIds: Boolean = false,
+      markEnd: Boolean = false): DataFrame = {
     val raw = docs.select(
       when(col(idCol).isNull, raise_error(lit(
         s"bpeEncodeViaVocab: null $idCol — the reassembly join needs " +
@@ -1239,9 +1276,10 @@ object CorpusStats {
       .select(explode(col("__toks")).as("__w")).distinct()
       .select(col("__w"), split(col("__w"), "").as("__syms"))
       .select(col("__w"),
-        merges.foldLeft(col("__syms")) { case (s, (a, b)) =>
-          bpeMergeOne(s, a, b)
-        }.as("__wp"))
+        markWordEnd(
+          merges.foldLeft(col("__syms")) { case (s, (a, b)) =>
+            bpeMergeOne(s, a, b)
+          }, markEnd).as("__wp"))
     val perDoc = toks
       .select(col("__did"), posexplode(col("__toks")).as(Seq("__pos", "__w")))
       .join(broadcast(vocab), "__w")

@@ -304,6 +304,79 @@ object Dedup {
       .drop("__n", "__rep")
   }
 
+  /** Schema version written by [[saveMinhashIndex]]; bump on any change
+    * to the index row layout (band, bucket, id, sig). */
+  private[graft] val MinhashIndexVersion = 1
+
+  /** Persist a [[minhashIndex]] frame under `dir` (Parquet + a
+    * `_GRAFT_INDEX_META.json` sidecar pinning the schema version and the
+    * (numHashes, bands, nGram, portable) parameters the index was built
+    * with) so cross-run incremental corpus building is code, not caller
+    * convention: build once, save, and every later ingest loads +
+    * [[nearDupAgainstIndex]]s its batch. The parameters are part of the
+    * artifact because an incoming batch signed with DIFFERENT parameters
+    * would silently miss every duplicate (different band boundaries or
+    * hash family) — [[loadMinhashIndex]] fails fast instead. */
+  def saveMinhashIndex(
+      index: DataFrame,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3,
+      portable: Boolean = false): Unit = {
+    index.write.mode("overwrite").parquet(s"$dir/index")
+    val meta =
+      s"""{"version":$MinhashIndexVersion,"numHashes":$numHashes,""" +
+        s""""bands":$bands,"nGram":$nGram,"portable":$portable}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_GRAFT_INDEX_META.json"),
+      (meta + "\n").getBytes("UTF-8")): Unit
+  }
+
+  /** Load a [[saveMinhashIndex]] artifact, failing fast unless the
+    * sidecar's version AND build parameters match what the caller is
+    * about to query with — the mismatch failure mode is SILENT (an index
+    * banded differently simply never collides with the incoming batch),
+    * which is the one class of error this pair exists to convert into a
+    * crash. Values are extracted with anchored regexes over the one-line
+    * sidecar (no JSON dependency in the library). */
+  def loadMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val metaPath = java.nio.file.Paths.get(s"$dir/_GRAFT_INDEX_META.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"loadMinhashIndex: no _GRAFT_INDEX_META.json under $dir — not a " +
+        "saveMinhashIndex artifact")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    def field(name: String): String =
+      s""""$name":([a-z0-9]+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1))
+        .getOrElse(sys.error(
+          s"loadMinhashIndex: sidecar missing field '$name': $meta"))
+    val mismatches = Seq(
+      ("version", MinhashIndexVersion.toString),
+      ("numHashes", numHashes.toString),
+      ("bands", bands.toString),
+      ("nGram", nGram.toString),
+      ("portable", portable.toString))
+      .filter { case (k, want) => field(k) != want }
+      .map { case (k, want) => s"$k: index has ${field(k)}, caller wants $want" }
+    require(mismatches.isEmpty,
+      s"loadMinhashIndex: parameter mismatch under $dir — querying this " +
+        s"index with these settings would silently miss duplicates: " +
+        mismatches.mkString("; "))
+    val idx = spark.read.parquet(s"$dir/index")
+    val want = Set("band", "bucket", "id", "sig")
+    require(want.subsetOf(idx.columns.toSet),
+      s"loadMinhashIndex: index under $dir has columns " +
+        s"${idx.columns.mkString(",")}, expected $want")
+    idx
+  }
+
   /** Near-dup candidates of INCOMING documents against a prebuilt
     * [[minhashIndex]]: one equi-join on (band, bucket) — stateless per
     * batch, so `incoming` may be a STREAMING DataFrame (stream-static

@@ -247,6 +247,46 @@ class DedupSpec extends AnyFunSuite {
       s"novel doc false-matched: ${byId.get(100001L).mkString(",")}")
   }
 
+  test("saveMinhashIndex/loadMinhashIndex round-trip: same answers, mismatches fail fast") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val known = corpus.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).head()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mhidx").toString
+    Dedup.saveMinhashIndex(index, dir)
+    val reloaded = Dedup.loadMinhashIndex(spark, dir)
+    val incoming = Seq(
+      (100000L, known.getString(1)),
+      (100001L, "a completely novel document about nothing indexed xyzzy " +
+        "plugh quux flibber jabber wocky snark boojum vorpal")
+    ).toDF("doc_id", "text")
+    def hits(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupAgainstIndex(incoming, "doc_id", "text", idx)
+        .dropDuplicates("id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // id01-equivalent answers through the reloaded artifact
+    assert(hits(reloaded) == hits(index))
+    assert(hits(reloaded).contains((100000L, known.getLong(0), 1.0)))
+    // querying with different parameters would SILENTLY miss dups —
+    // the load must crash instead, naming the mismatched field
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.loadMinhashIndex(spark, dir, bands = 8)
+    }
+    assert(ex.getMessage.contains("bands"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.loadMinhashIndex(spark, dir, portable = true)
+    }
+    assert(ex2.getMessage.contains("portable"), ex2.getMessage)
+    // a directory that is not an artifact at all
+    val ex3 = intercept[IllegalArgumentException] {
+      Dedup.loadMinhashIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft-empty").toString)
+    }
+    assert(ex3.getMessage.contains("_GRAFT_INDEX_META"), ex3.getMessage)
+  }
+
   test("minhashIndex caps hot buckets to ONE representative (fan-out bounded, detection kept)") {
     // 30 identical docs: every (band, bucket) they share holds 30 rows.
     // With maxBucketSize=10 those buckets must degrade to the min-id

@@ -145,6 +145,46 @@ class GopherBpeSpec extends AnyFunSuite {
       .forall(r => r._2 == Seq() && r._3 == 0L))
   }
 
+  test("bpeDecode round-trips a markEnd encoding (decode∘encode = identity)") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"))
+    val docs = Seq(
+      (1L, "low lowest es tes"),
+      (2L, "already normal text"),
+      (3L, "  Mixed   CASE  and \t spacing  "), // decode recovers the
+      // NORMALIZED form: lowercased, single-spaced, trimmed
+      (4L, ""), (5L, null)
+    ).toDF("doc_id", "text")
+    val normalized = trim(regexp_replace(
+      lower(coalesce(col("text"), lit(""))), "\\s+", " "))
+    val out = CorpusStats.bpeEncode(docs, "doc_id", "text", merges,
+        markEnd = true)
+      .select(col("doc_id"),
+        CorpusStats.bpeDecode(col("pieces")).as("decoded"),
+        normalized.as("want"))
+    // the property: decode(encode(x)) == whitespace-normalized lower(x),
+    // for every row including empty/null
+    assert(out.filter(col("decoded") =!= col("want")).isEmpty)
+    // marked and unmarked encodings have IDENTICAL piece boundaries —
+    // the marker rides on the last piece, merges never see it
+    val marked = CorpusStats.bpeEncode(docs, "doc_id", "text", merges,
+        markEnd = true)
+      .select(col("doc_id"), transform(col("pieces"),
+        p => regexp_replace(p, "</w>", "")).as("pieces"))
+    val unmarked = CorpusStats.bpeEncode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("pieces"))
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+    assert(rows2(marked) == rows2(unmarked))
+    // the vocab-path encoder round-trips identically
+    val viaVocab = CorpusStats.bpeEncodeViaVocab(docs, "doc_id", "text",
+        merges, markEnd = true)
+      .select(col("doc_id"),
+        CorpusStats.bpeDecode(col("pieces")).as("decoded"),
+        normalized.as("want"))
+    assert(viaVocab.filter(col("decoded") =!= col("want")).isEmpty)
+  }
+
   test("bpeEncodeViaVocab raises loudly on a null id (reassembly contract)") {
     // a null id can never rejoin its pieces — silent [] output would
     // masquerade as an empty document
