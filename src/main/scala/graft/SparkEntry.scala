@@ -1271,6 +1271,15 @@ object SparkEntry {
         "doc_id", "url", k = 5, salt = "url03")
         .orderBy(col("domain"), col("sample_rank"))
     }),
+    // per-language quality dashboard: langIdNgram x gopherRules x
+    // binned quantiles composed in ONE text scan (the language rides
+    // through the battery inside the id struct); lang x bin domain aggs
+    "lq01_language_quality" -> ((s, dir) => {
+      CorpusStats.languageQualityReport(
+        t(s, dir, "documents"), "doc_id", "text",
+        binWidth = 100L, qs = Seq(500, 900))
+        .orderBy(col("lang"))
+    }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
     // counters + exact cross-multiplied thresholds, row-local (zero
     // shuffle at any corpus size)
@@ -2207,6 +2216,94 @@ object SparkEntry {
         |  FROM h)
         |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
         |ORDER BY domain, sample_rank""".stripMargin,
+    // language-quality replay: cu01's langIdNgram CASE (max hits, ties
+    // to the lexicographically LARGEST language — Spark's greatest over
+    // (hits, lang) structs), gq01's keep expression, then lang x bin
+    // aggregates with the qd01 inverse-ECDF quantile reads
+    "lq01_language_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+') AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |lg AS (SELECT doc_id,
+        |    CASE WHEN GREATEST(h_en,h_fr,h_es,h_de) = 0 THEN 'und'
+        |         WHEN h_fr = GREATEST(h_en,h_fr,h_es,h_de) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_en,h_fr,h_es,h_de) THEN 'es'
+        |         WHEN h_en = GREATEST(h_en,h_fr,h_es,h_de) THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM (SELECT doc_id,
+        |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is',
+        |      'that','it','for','was'))) AS h_en,
+        |    len(list_filter(ts, t -> t IN ('le','la','les','de','des','et',
+        |      'un','une','est','que'))) AS h_fr,
+        |    len(list_filter(ts, t -> t IN ('el','la','los','las','de','y',
+        |      'un','una','es','que'))) AS h_es,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ein',
+        |      'eine','ist','nicht','mit','von'))) AS h_de
+        |  FROM d)),
+        |c AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(ts, t -> length(t) > 0)) AS BIGINT)
+        |      AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+        |      AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...'
+        |      OR right(rtrim(l), 1) = '…')) AS BIGINT) AS n_ellipsis_lines
+        |  FROM d),
+        |m AS (SELECT l.lang, c.n_chars, c.n_words,
+        |    ((c.n_words >= 50 AND c.n_words <= 100000)
+        |      AND (c.n_word_chars >= 3 * c.n_words AND
+        |           c.n_word_chars <= 10 * c.n_words)
+        |      AND (10 * c.n_hash <= c.n_words AND
+        |           10 * c.n_ellipsis <= c.n_words)
+        |      AND (10 * c.n_bullet_lines <= 9 * c.n_lines)
+        |      AND (10 * c.n_ellipsis_lines <= 3 * c.n_lines)
+        |      AND (5 * c.n_alpha_words >= 4 * c.n_words)
+        |      AND (c.n_stop >= 2)) AS keep
+        |  FROM lg l JOIN c USING (doc_id)),
+        |shares AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+        |    CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000)
+        |      // COUNT(*) AS BIGINT) AS gopher_pass_permille
+        |  FROM m GROUP BY lang),
+        |bins AS (SELECT lang, n_chars // 100 AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2),
+        |cum AS (SELECT lang, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM bins),
+        |qu AS (SELECT lang,
+        |    CAST(MIN(CASE WHEN cum >= (500 * n + 999) // 1000
+        |      THEN bin * 100 END) AS BIGINT) AS p500_chars,
+        |    CAST(MIN(CASE WHEN cum >= (900 * n + 999) // 1000
+        |      THEN bin * 100 END) AS BIGINT) AS p900_chars
+        |  FROM cum GROUP BY lang)
+        |SELECT s.lang, s.n_docs, s.n_tokens, s.gopher_pass_permille,
+        |  q.p500_chars, q.p900_chars
+        |FROM shares s JOIN qu q USING (lang)
+        |ORDER BY s.lang""".stripMargin,
     "gq01_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)),

@@ -1359,6 +1359,73 @@ object CorpusStats {
         (col("bin") * lit(binWidth)).as("est_value"))
   }
 
+  /** Per-language curation dashboard — the report every multilingual
+    * pipeline maintains, composed from existing primitives: one row per
+    * detected language (`TextFunctions.langIdNgram`) with corpus share,
+    * token volume, Gopher-battery pass rate (`Curation.gopherRules`) and
+    * binned length quantiles (the [[quantileBins]] machinery partitioned
+    * by language).
+    *
+    * ONE text scan: the language and char counter ride through
+    * gopherRules INSIDE the id struct (so the battery's row-local
+    * projection computes everything in one pass — no corpus-side join
+    * anywhere), and the narrow (lang, chars, words, keep) frame is
+    * checkpointed once for its two consumers. Everything downstream
+    * aggregates over the LANGUAGE × BIN domain — map-side combined,
+    * ~zero shuffle at any corpus size; the cumulative window partitions
+    * by language over the bounded bin domain.
+    *
+    * Quantiles are the inverse-ECDF (type-1) reads of the binWidth-wide
+    * char-count histogram per language — same semantics and exact
+    * integer thresholds as [[quantileBins]]; estimates floor to the
+    * bin's lower edge.
+    *
+    * Output: (lang, n_docs, n_tokens, gopher_pass_permille, and one
+    * `p<q>_chars` column per requested q). */
+  def languageQualityReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      binWidth: Long = 100L,
+      qs: Seq[Int] = Seq(500, 900)): DataFrame = {
+    require(binWidth >= 1L, s"binWidth=$binWidth")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 1000),
+      s"quantile permilles out of (0, 1000]: $qs")
+    val keyed = docs.select(
+      struct(col(idCol).as("__id"),
+        TextFunctions.langIdNgram(col(textCol)).as("__lang"),
+        TextFunctions.charCount(col(textCol)).as("__nchar")).as("__key"),
+      col(textCol))
+    val scored = Curation.gopherRules(keyed, "__key", textCol)
+      .select(col("__key.__lang").as("lang"),
+        col("__key.__nchar").as("__nchar"),
+        col("n_words"), col("keep"))
+      .localCheckpoint(false) // feeds the share agg AND the histogram
+    val shares = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("__npass"))
+      .withColumn("gopher_pass_permille",
+        ldiv(col("__npass") * lit(1000L), col("n_docs")))
+      .drop("__npass")
+    val bins = scored
+      .groupBy(col("lang"), ldiv(col("__nchar"), lit(binWidth)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+      .join(bins.groupBy(col("lang")).agg(sum(col("cnt")).as("__n")),
+        Seq("lang"))
+    val qExprs = qs.map { q =>
+      min(when(col("cum") >=
+        ldiv(lit(q.toLong) * col("__n") + lit(999L), lit(1000L)),
+        col("bin") * lit(binWidth))).as(s"p${q}_chars")
+    }
+    shares.join(
+      cum.groupBy(col("lang")).agg(qExprs.head, qExprs.tail: _*),
+      Seq("lang"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
     * count as the corpus is consumed in `idCol` order, next to the
     * cumulative token count — the (tokens_seen, vocab_size) table that

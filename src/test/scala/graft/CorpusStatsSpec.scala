@@ -671,6 +671,47 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(f == Seq((500L, -1L, -1L), (1000L, 0L, 0L)))
   }
 
+  test("languageQualityReport: hand-computed per-language shares, pass rates, quantiles") {
+    // en: 3 docs — one Gopher-passing (60 words with stopwords), two
+    // short failures; fr: 2 short docs. Lengths chosen so the binned
+    // quantiles are hand-checkable at binWidth = 10.
+    val passing = ("the cat and the dog went to the house of a friend " +
+      "that they have known for years and they sat with tea ") +
+      ("and talked about the weather and the garden and the books " +
+        "that they have read with joy over the long winter evenings ") +
+      "and the cat sat on the mat with the dog by the fire at night"
+    val enShort = Seq("the cat and that it was", "the dog and that it is")
+    val frDocs = Seq("le chat est sur la table", "la porte est une des grandes")
+    val docs = (Seq((1L, passing)) ++
+      enShort.zipWithIndex.map { case (t, i) => (2L + i, t) } ++
+      frDocs.zipWithIndex.map { case (t, i) => (4L + i, t) })
+      .toDF("doc_id", "text")
+    // driver replay of the expectations from the strings themselves
+    def words(s: String) = s.trim.split("\\s+").count(_.nonEmpty)
+    assert(words(passing) >= 50, s"fixture must pass r_word_count: ${words(passing)}")
+    val enTokens = (words(passing) + enShort.map(words).sum).toLong
+    val enLens = (Seq(passing) ++ enShort).map(_.length.toLong)
+    def q(lens: Seq[Long], permille: Long): Long = {
+      val bins = lens.map(_ / 10L).sorted
+      val k = ((permille * bins.size + 999L) / 1000L).toInt
+      bins(k - 1) * 10L
+    }
+    val got = CorpusStats.languageQualityReport(
+        docs, "doc_id", "text", binWidth = 10L, qs = Seq(500, 1000))
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 2)
+    val (en, fr) = (got(0), got(1))
+    assert(en._1 == "en" && en._2 == 3L)
+    assert(en._3 == enTokens)
+    // exactly one of three passes -> 333 permille (floor)
+    assert(en._4 == 333L)
+    assert(en._5 == q(enLens, 500) && en._6 == q(enLens, 1000))
+    assert(fr._1 == "fr" && fr._2 == 2L && fr._4 == 0L)
+    assert(fr._5 == q(frDocs.map(_.length.toLong), 500))
+  }
+
   test("quantileBins: wider bins floor to the bin lower edge") {
     // 10 docs of length 5..95 step 10; binWidth 20 -> bins 0,1,2,3,4
     // (2 docs each); P50 threshold ceil(0.5*10)=5 -> bin 2 -> edge 40

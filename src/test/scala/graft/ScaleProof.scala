@@ -123,7 +123,8 @@ object ScaleProof {
     // round-11 URL front-door lanes: both ~zero-shuffle — map-side
     // min/count partials collapse to the bounded URL/domain key domain
     "url02_urldedup" -> Bounds(5, 8),   // measured 0.0 -> 0.1 MiB
-    "url03_domaincap" -> Bounds(8, 8))  // measured 0.0 -> 0.4 MiB (narrow rank rows)
+    "url03_domaincap" -> Bounds(8, 8),  // measured 0.0 -> 0.4 MiB (narrow rank rows)
+    "lq01_langquality" -> Bounds(5, 8)) // ZERO shuffle: lang x bin domain aggs
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -175,7 +176,8 @@ object ScaleProof {
     // scales (51 registered domains / ~51k canonicals), so shuffle
     // stays sketch-sized at 550k docs
     "url02_urldedup" -> Bounds(10, 8),  // measured 6.0x of 0.1 MiB
-    "url03_domaincap" -> Bounds(3, 8))  // measured 1.0x (0.4 -> 0.4)
+    "url03_domaincap" -> Bounds(3, 8),  // measured 1.0x (0.4 -> 0.4)
+    "lq01_langquality" -> Bounds(5, 8)) // 0.0 -> 0.0 MiB (lang x bin domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -697,6 +699,13 @@ object ScaleProof {
           docs.withColumn("graft_len", length(col("text")).cast("long")),
           "graft_len", binWidth = 100L, qs = Seq(250, 500, 900, 990))
           .agg(coalesce(sum(col("est_value")), lit(0L)))
+          .head().getLong(0))
+      measure("lq01_langquality", scale)(
+        // per-language quality report: one row-local scan (language +
+        // battery inside one projection), then lang x bin domain aggs
+        CorpusStats.languageQualityReport(docs, "doc_id", "text",
+          binWidth = 100L, qs = Seq(500, 900))
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
           .head().getLong(0))
       measure("ss01_srcjaccard", scale)(
         // source-pair bottom-k Jaccard: distinct (src, hash) vocabulary

@@ -93,7 +93,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("qd01_quantiles", 0.0, 0.0, 1.0),
       // round-11 URL front-door lanes (SCALING.md round-11 addendum)
       pair("url02_urldedup", 0.0, 0.1, 1.2),
-      pair("url03_domaincap", 0.0, 0.4, 1.1)).flatten
+      pair("url03_domaincap", 0.0, 0.4, 1.1),
+      pair("lq01_langquality", 0.0, 0.0, 1.9)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -114,7 +115,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
       "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard",
       "ct01_containment", "qd01_quantiles", "url02_urldedup",
-      "url03_domaincap")
+      "url03_domaincap", "lq01_langquality")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -183,7 +184,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("qd01_quantiles", 0.0, 0.0, 1.1),
       // round-11 third points (SCALING.md round-11 addendum)
       pair100("url02_urldedup", 0.1, 0.6, 1.2),
-      pair100("url03_domaincap", 0.4, 0.4, 1.0)).flatten
+      pair100("url03_domaincap", 0.4, 0.4, 1.0),
+      pair100("lq01_langquality", 0.0, 0.0, 1.0)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
