@@ -1271,6 +1271,48 @@ object SparkEntry {
         "doc_id", "url", k = 5, salt = "url03")
         .orderBy(col("domain"), col("sample_rank"))
     }),
+    // per-registered-domain mixture table: the domain-mixing report
+    // (which domains dominate token volume) composed from urlDomain +
+    // mixtureWeights — the table domainCap's k gets tuned against
+    "url04_domain_mixture" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      CorpusStats.mixtureWeights(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), synthUrl.as("url"))
+          .withColumn("domain", UrlFunctions.urlDomain(col("url")))
+          .filter(col("domain").isNotNull),
+        "domain", "text")
+        .orderBy(col("domain"))
+    }),
+    // HTML -> visible text (the WARC->WET / C4 extraction tier):
+    // script/style/comment drop, block tags -> newlines, inline tags ->
+    // spaces, entity decode (&amp; last), whitespace discipline — all
+    // scan-local regexp in the Java∩RE2 intersection. HTML synthesized
+    // around each doc's text (the pii01 convention); output hashes the
+    // extracted text + the markup-share diagnostic
+    "ht01_html_extract" -> ((s, dir) => {
+      import graft.functions.HtmlFunctions
+      val html = concat(
+        lit("<html><!-- id "), col("doc_id").cast("string"),
+        lit(" --><head><style>p{color:red}</style>" +
+          "<script>var x=1; if (x<2) { x = 3; }</script></head><body>" +
+          "<h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
+          "&quot;quotes&quot; it&#39;s done</div></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          HtmlFunctions.stripHtml(col("__html")).as("__clean"),
+          HtmlFunctions.markupPermille(col("__html"))
+            .as("markup_permille"))
+        .select(col("doc_id"),
+          length(col("__clean")).cast("long").as("n_chars_clean"),
+          md5(col("__clean").cast("binary")).as("clean_md5"),
+          col("markup_permille"))
+        .orderBy(col("doc_id"))
+    }),
     // per-language quality dashboard: langIdNgram x gopherRules x
     // binned quantiles composed in ONE text scan (the language rides
     // through the battery inside the id struct); lang x bin domain aggs
@@ -2216,6 +2258,99 @@ object SparkEntry {
         |  FROM h)
         |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
         |ORDER BY domain, sample_rank""".stripMargin,
+    // domain-mixture replay: url03's domain CTE + mw01's share table
+    "url04_domain_mixture" ->
+      """WITH u AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
+        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
+        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+        |          || '&utm_source=news&b=2'
+        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+        |        ELSE '' END)
+        |  END AS url FROM documents),
+        |p1 AS (SELECT doc_id, text,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u),
+        |p2 AS (SELECT doc_id, text, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, text, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host
+        |  FROM p2),
+        |dm AS (SELECT doc_id, text,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    WHEN regexp_matches(host, '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN host
+        |    WHEN regexp_matches(host, '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
+        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    ELSE host END AS domain
+        |  FROM p3),
+        |g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM dm WHERE domain IS NOT NULL GROUP BY domain),
+        |t AS (SELECT SUM(n_tokens) AS tot FROM g)
+        |SELECT domain, n_docs, n_tokens, n_chars,
+        |  CAST(CASE WHEN t.tot = 0 THEN 0
+        |    ELSE (n_tokens * 1000) // t.tot END AS BIGINT) AS token_permille
+        |FROM g CROSS JOIN t ORDER BY domain""".stripMargin,
+    // HTML-extraction replay: identical synthesized markup, then the
+    // six contract clauses in order; every regexp_replace carries 'g'
+    // (Spark's replace is always global) and the block-tag whitespace
+    // class is explicit (Java/RE2 \s disagree on \x0B)
+    "ht01_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><!-- id ' || CAST(doc_id AS VARCHAR)
+        |    || ' --><head><style>p{color:red}</style>'
+        |    || '<script>var x=1; if (x<2) { x = 3; }</script></head><body>'
+        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and '
+        |    || '&quot;quotes&quot; it&#39;s done</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, html, regexp_replace(t,
+        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br)([ \t\n\x0B\f\r][^>]*)?/?>',
+        |    chr(10), 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '[ \t\x0B\f\r]+', ' ', 'g'),
+        |      ' ?\n ?', chr(10), 'g'),
+        |      '\n+', chr(10), 'g'),
+        |      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+        |  FROM s5)
+        |SELECT doc_id,
+        |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+        |  md5(clean) AS clean_md5,
+        |  CAST(CASE WHEN length(html) <= 0 THEN 0 ELSE
+        |    ((length(html) - length(clean)) * 1000) // length(html) END
+        |    AS BIGINT) AS markup_permille
+        |FROM s6 ORDER BY doc_id""".stripMargin,
     // language-quality replay: cu01's langIdNgram CASE (max hits, ties
     // to the lexicographically LARGEST language — Spark's greatest over
     // (hits, lang) structs), gq01's keep expression, then lang x bin

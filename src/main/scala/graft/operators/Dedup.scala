@@ -87,6 +87,45 @@ object Dedup {
         .select(col(idCol), col("url_canon"), lit(1L).as("n_copies")))
   }
 
+  /** Streaming twin of [[urlDedup]]: first-owner = first ARRIVAL within
+    * the watermark horizon, via `dropDuplicatesWithinWatermark` on the
+    * canonical URL — the ingest-time URL gate (each fetched page passes
+    * or drops the moment it arrives; batch [[urlDedup]] remains the
+    * compaction-time pass). Unparseable rows key on an occurrence-
+    * unique surrogate (domain-separated `u|` hash of (id, ts) — the
+    * [[dedupLinesKeepFirstStream]] convention), so they always survive
+    * and two junk rows never collapse into one.
+    *
+    * State bound: one row per DISTINCT canonical URL inside the
+    * watermark horizon (plus one per unparseable row until its
+    * watermark expiry). Divergences vs batch, pinned: ownership is
+    * arrival order, not min id (identical when rows arrive in id
+    * order); no `n_copies` count (a keep-first gate doesn't hold the
+    * group open to count late copies); and the same exactly-once input
+    * contract as the line-dedup stream (a re-delivered row's canonical
+    * key collides with its first delivery and is swallowed).
+    *
+    * Output: the surviving input rows plus `url_canon`. */
+  def urlDedupStream(
+      docs: DataFrame,
+      idCol: String,
+      urlCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    require(!docs.columns.contains("graft_url_key"),
+      "input already has a graft_url_key column")
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("url_canon",
+        graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)))
+      .withColumn("graft_url_key", coalesce(
+        concat(lit("c|"), col("url_canon")),
+        concat(lit("u|"),
+          xxhash64(col(idCol).cast("string"), col(tsCol)).cast("string"))))
+      .dropDuplicatesWithinWatermark("graft_url_key")
+      .drop("graft_url_key")
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
     *
     * shingle(nGram) → k-permutation MinHash → split signature into `bands`
@@ -288,13 +327,14 @@ object Dedup {
       sigs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val banded = bandRows(sigs, numHashes, bands)
-    // ONE join + one filter: a row survives if its bucket is under cap,
-    // or it is the bucket's min-id representative. Keeps `banded` (the
-    // expensive shingle→minhash pipeline) at two plan references — a
-    // cold/hot two-join union held four, and Spark does not dedupe
-    // common subtrees across DataFrame references.
+      maxBucketSize: Int = 1000): DataFrame =
+    capBuckets(bandRows(sigs, numHashes, bands), maxBucketSize)
+
+  /** The index bucket cap: a banded row survives if its bucket is under
+    * cap, or it is the bucket's min-id representative (degrade, never
+    * drop — see [[minhashIndex]]). ONE join + one filter, keeping the
+    * expensive upstream pipeline at two plan references. */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val sizes = banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
@@ -302,6 +342,50 @@ object Dedup {
       .join(sizes, Seq("band", "bucket"))
       .filter(col("__n") <= maxBucketSize || col("id") === col("__rep"))
       .drop("__n", "__rep")
+  }
+
+  /** Merge a batch of NEW documents into a [[saveMinhashIndex]] artifact
+    * in place — the compaction step of cross-run incremental corpus
+    * building (ingest loop: load → [[nearDupAgainstIndex]] the batch →
+    * drop dups → merge survivors back). Signs the batch with the
+    * artifact's own pinned parameters (load fails fast on a mismatch),
+    * unions, RE-CAPS buckets (two under-cap inputs can exceed the cap
+    * merged; the cap degrades crowds to their min-id representative,
+    * same as build time), and rewrites the artifact. Re-ingesting an id
+    * already indexed is a no-op for its unchanged rows (exact-duplicate
+    * (band, bucket, id) rows collapse before the cap).
+    *
+    * The merged frame is eagerly materialized BEFORE the overwrite —
+    * never read and overwrite the same parquet in one plan.
+    *
+    * Returns the merged index row count. */
+  def mergeIntoMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nGram: Int = 3,
+      maxBucketSize: Int = 1000,
+      portable: Boolean = false): Long = {
+    val existing = loadMinhashIndex(spark, dir, numHashes, bands, nGram,
+      portable)
+    val sigCol =
+      if (portable) minhashSigColumnPortable(col(textCol), numHashes, nGram)
+      else minhashSigColumn(col(textCol), numHashes, nGram)
+    val newBanded = bandRows(
+      ensureParallelism(newDocs).select(col(idCol).as("id"),
+        sigCol.as("sig")),
+      numHashes, bands)
+    val merged = capBuckets(
+      existing.unionByName(newBanded)
+        .dropDuplicates("band", "bucket", "id"),
+      maxBucketSize)
+      .localCheckpoint(true)
+    saveMinhashIndex(merged, dir, numHashes, bands, nGram, portable)
+    merged.count()
   }
 
   /** Schema version written by [[saveMinhashIndex]]; bump on any change

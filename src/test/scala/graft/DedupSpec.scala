@@ -287,6 +287,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("_GRAFT_INDEX_META"), ex3.getMessage)
   }
 
+  test("mergeIntoMinhashIndex: incremental build equals from-scratch; re-ingest is a no-op") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mhmerge").toString
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(half1, "doc_id", "text"), dir)
+    val n = Dedup.mergeIntoMinhashIndex(spark, dir, half2, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("band", "bucket", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // merged artifact == the index built from the whole corpus at once
+    val scratch = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val merged = Dedup.loadMinhashIndex(spark, dir)
+    assert(rows(merged) == rows(scratch))
+    assert(n == merged.count())
+    // re-ingesting an already-indexed batch changes nothing
+    val n2 = Dedup.mergeIntoMinhashIndex(spark, dir, half2, "doc_id", "text")
+    assert(n2 == n)
+    assert(rows(Dedup.loadMinhashIndex(spark, dir)) == rows(scratch))
+  }
+
   test("minhashIndex caps hot buckets to ONE representative (fan-out bounded, detection kept)") {
     // 30 identical docs: every (band, bucket) they share holds 30 rows.
     // With maxBucketSize=10 those buckets must degrade to the min-id

@@ -445,6 +445,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("urlDedupStream: first arrival owns each canonical URL; junk rows all survive") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-urldup-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("url", StringType)))
+    def write(file: String, rows: Seq[(Long, String, String)]): Unit = {
+      val data = rows.map { case (id, t, u) =>
+        org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), u) }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val out = graft.operators.Dedup.urlDedupStream(
+      stream, "doc_id", "url", "ts", watermark = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("urldup_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      write("b1", Seq(
+        (1L, "2024-01-01 10:00:00", "http://a.com/x?utm_source=nl"),
+        (2L, "2024-01-01 10:00:00", "junk one")))
+      q.processAllAvailable()
+      write("b2", Seq(
+        (3L, "2024-01-01 10:00:05", "HTTP://A.COM:80/x"), // dup of id 1
+        (4L, "2024-01-01 10:00:05", "http://a.com/y"),
+        (5L, "2024-01-01 10:00:05", "junk two")))
+      q.processAllAvailable()
+      val got = spark.table("urldup_stream")
+        .select(col("doc_id"), col("url_canon"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      // first arrival owns http://a.com/x; the re-canonicalized copy
+      // (id 3) drops; both unparseable rows survive with null canonical
+      assert(got.keySet == Set(1L, 2L, 4L, 5L), s"got $got")
+      assert(got(1L) == Some("http://a.com/x"))
+      assert(got(4L) == Some("http://a.com/y"))
+      assert(got(2L).isEmpty && got(5L).isEmpty)
+    } finally q.stop()
+  }
+
   test("nearDupAgainstIndex works as a stream-static join (stateless per batch)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
