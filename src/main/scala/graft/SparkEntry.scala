@@ -1271,6 +1271,37 @@ object SparkEntry {
         "doc_id", "url", k = 5, salt = "url03")
         .orderBy(col("domain"), col("sample_rank"))
     }),
+    // RefinedWeb/C4-style URL filter battery on a synth that exercises
+    // every rule: static-asset extensions, deep paths, digit-heavy
+    // (calendar/session) paths, param-heavy app views, a blocklist hit,
+    // and unparseable rows (all rules false). The synth is ALREADY
+    // canonical (lowercase, no tracking keys, no trailing slash), so
+    // the oracle's canon CASE is the unparseable gate alone — the
+    // canonicalization chain itself is url01's job
+    "url05_url_filters" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      val url = when(col("doc_id") % 17 === 0,
+        concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("http://site"), (col("doc_id") % 5).cast("string"),
+          lit(".example.com/docs"),
+          when(col("doc_id") % 11 === 0, lit("/a/b/c/d/e/f/g/h"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("/2024010199887766"))
+            .otherwise(lit("")),
+          lit("/page"), (col("doc_id") % 30).cast("string"),
+          when(col("doc_id") % 9 === 0, lit(".jpg"))
+            .when(col("doc_id") % 8 === 0, lit(".html"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit("?q=casino"))
+            .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
+            .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
+      val sigs = UrlFunctions.urlFilterSignals(col("url"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     // per-registered-domain mixture table: the domain-mixing report
     // (which domains dominate token volume) composed from urlDomain +
     // mixtureWeights — the table domainCap's k gets tuned against
@@ -2258,6 +2289,64 @@ object SparkEntry {
         |  FROM h)
         |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
         |ORDER BY domain, sample_rank""".stripMargin,
+    // URL-filter replay: the synth is already canonical, so canon is
+    // the unparseable CASE; counters/rules recompute with the same
+    // path/query regexes and exact integer comparisons
+    "url05_url_filters" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/docs'
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN '/2024010199887766' ELSE '' END)
+        |    || '/page' || CAST(doc_id % 30 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '.jpg'
+        |        WHEN doc_id % 8 = 0 THEN '.html' ELSE '' END)
+        |    || (CASE WHEN doc_id % 19 = 0 THEN '?q=casino'
+        |        WHEN doc_id % 7 = 0 THEN '?x=1&y=2&z=3&w=4&v=5'
+        |        ELSE '?q=' || CAST(doc_id % 6 AS VARCHAR) END)
+        |  END AS url FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE url END AS url_canon
+        |  FROM u),
+        |p AS (SELECT doc_id, url_canon,
+        |  regexp_extract(regexp_replace(url_canon,
+        |    '^[a-z0-9+.-]+://[^/?]*', ''), '^([^?]*)', 1) AS path,
+        |  regexp_extract(regexp_replace(url_canon,
+        |    '^[a-z0-9+.-]+://[^/?]*', ''), '\?(.*)$', 1) AS q
+        |  FROM c),
+        |s AS (SELECT doc_id, url_canon, path,
+        |  CAST(CASE WHEN url_canon IS NULL THEN 0
+        |    WHEN path IN ('/', '') THEN 0
+        |    ELSE length(path) - length(replace(path, '/', '')) END
+        |    AS BIGINT) AS n_path_segments,
+        |  CAST(CASE WHEN url_canon IS NULL THEN 0 WHEN q = '' THEN 0
+        |    ELSE length(q) - length(replace(q, '&', '')) + 1 END
+        |    AS BIGINT) AS n_params,
+        |  CAST(CASE WHEN url_canon IS NULL THEN 0
+        |    ELSE length(regexp_replace(path, '[^0-9]', '', 'g')) END
+        |    AS BIGINT) AS n_path_digits,
+        |  CAST(CASE WHEN url_canon IS NULL THEN 0 ELSE length(path) END
+        |    AS BIGINT) AS n_path_chars
+        |  FROM p),
+        |r AS (SELECT doc_id, url_canon, n_path_segments, n_params,
+        |  n_path_digits, n_path_chars,
+        |  (url_canon IS NOT NULL AND NOT regexp_matches(path,
+        |    '\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$'))
+        |    AS r_extension,
+        |  (url_canon IS NOT NULL AND length(url_canon) <= 200) AS r_length,
+        |  (url_canon IS NOT NULL AND n_path_segments <= 8) AS r_path_depth,
+        |  (url_canon IS NOT NULL AND n_params <= 4) AS r_params,
+        |  (url_canon IS NOT NULL AND n_path_digits * 2 <= n_path_chars)
+        |    AS r_digits,
+        |  (url_canon IS NOT NULL AND NOT regexp_matches(url_canon,
+        |    '(porn|xxx|casino|viagra|escort)')) AS r_blocklist
+        |  FROM s)
+        |SELECT doc_id, url_canon, n_path_segments, n_params,
+        |  n_path_digits, n_path_chars, r_extension, r_length,
+        |  r_path_depth, r_params, r_digits, r_blocklist,
+        |  (r_extension AND r_length AND r_path_depth AND r_params
+        |    AND r_digits AND r_blocklist) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // domain-mixture replay: url03's domain CTE + mw01's share table
     "url04_domain_mixture" ->
       """WITH u AS (SELECT doc_id, text,

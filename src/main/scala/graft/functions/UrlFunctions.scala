@@ -126,6 +126,74 @@ object UrlFunctions {
       .when(host.contains("."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
       .otherwise(host)
 
+  /** RefinedWeb/C4-style URL filter signals (Penedo et al. 2023 §3.1
+    * filter URLs before fetch; C4 drops non-prose resources) — the
+    * content policies that run ON the URL, downstream of
+    * [[canonicalizeUrl]]'s syntax normalization. Integer counters +
+    * rule booleans in the gopherRules style (exact comparisons, no
+    * floats), all scan-local:
+    *   - `r_extension`: the canonical PATH does not end in a non-prose
+    *     resource extension (image/style/script/archive/binary — the
+    *     published static-asset list every crawler skips);
+    *   - `r_length`: canonical URL ≤ 200 chars (egregiously long URLs
+    *     are tracking/session artifacts);
+    *   - `r_path_depth`: ≤ 8 path segments;
+    *   - `r_params`: ≤ 4 surviving query parameters (tracking keys are
+    *     already gone — what remains at 5+ is a stateful app view, not
+    *     a document);
+    *   - `r_digits`: digits are ≤ half of the path's characters
+    *     (calendar/session/hash paths);
+    *   - `r_blocklist`: no blocklisted token anywhere in the lowercase
+    *     canonical URL (the standard adult/gambling seed list — a real
+    *     deployment swaps in its curated list);
+    *   - `keep` = every rule passes. NULL canonical (unparseable) rows
+    *     report every rule false and keep = false — the front door
+    *     rejects what it cannot read.
+    *
+    * Output columns: (url_canon, n_path_segments, n_params,
+    * n_path_digits, n_path_chars, r_extension, r_length, r_path_depth,
+    * r_params, r_digits, r_blocklist, keep) appended by the caller via
+    * select — this returns the struct-free column list. */
+  def urlFilterSignals(url: Column): Seq[(String, Column)] = {
+    val canon = canonicalizeUrl(url)
+    // path/query of the CANONICAL form (tracking params already gone)
+    val afterHost = regexp_replace(canon, "^[a-z0-9+.-]+://[^/?]*", "")
+    val path = regexp_extract(afterHost, "^([^?]*)", 1)
+    val query = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val nSegments = when(path === "/" || path === "", lit(0L))
+      .otherwise((length(path) -
+        length(regexp_replace(path, "/", ""))).cast("long"))
+    val nParams = when(query === "", lit(0L))
+      .otherwise((length(query) -
+        length(regexp_replace(query, "&", ""))).cast("long") + 1L)
+    val nPathDigits =
+      length(regexp_replace(path, "[^0-9]", "")).cast("long")
+    val nPathChars = length(path).cast("long")
+    val extRe = "\\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?" +
+      "|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$"
+    val blockRe = "(porn|xxx|casino|viagra|escort)"
+    val rExtension = canon.isNotNull && !path.rlike(extRe)
+    val rLength = canon.isNotNull && length(canon) <= 200
+    val rPathDepth = canon.isNotNull && nSegments <= 8L
+    val rParams = canon.isNotNull && nParams <= 4L
+    val rDigits = canon.isNotNull && nPathDigits * 2L <= nPathChars
+    val rBlocklist = canon.isNotNull && !canon.rlike(blockRe)
+    Seq(
+      "url_canon" -> canon,
+      "n_path_segments" -> when(canon.isNull, lit(0L)).otherwise(nSegments),
+      "n_params" -> when(canon.isNull, lit(0L)).otherwise(nParams),
+      "n_path_digits" -> when(canon.isNull, lit(0L)).otherwise(nPathDigits),
+      "n_path_chars" -> when(canon.isNull, lit(0L)).otherwise(nPathChars),
+      "r_extension" -> rExtension,
+      "r_length" -> rLength,
+      "r_path_depth" -> rPathDepth,
+      "r_params" -> rParams,
+      "r_digits" -> rDigits,
+      "r_blocklist" -> rBlocklist,
+      "keep" -> (rExtension && rLength && rPathDepth && rParams &&
+        rDigits && rBlocklist))
+  }
+
   /** [[registeredDomain]] of a URL's host; NULL when the URL doesn't
     * parse (no `scheme://` or empty host → the front-door reject,
     * mirroring [[canonicalizeUrl]]'s validity gate — without the scheme

@@ -78,6 +78,39 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(rows(4) == (("", None)))
   }
 
+  test("urlFilterSignals: each rule fires on its own trigger, null canon fails all") {
+    val cases = Seq(
+      (1L, "http://a.com/docs/page1?q=1"),                    // keeps
+      (2L, "http://a.com/img/logo.png"),                      // extension
+      (3L, "http://a.com/a/b/c/d/e/f/g/h/i/page"),            // depth (10)
+      (4L, "http://a.com/x?a=1&b=2&c=3&d=4&e=5"),             // params (5)
+      (5L, "http://a.com/20240101/9988776655"),               // digits
+      (6L, "http://a.com/best-casino-bonuses"),               // blocklist
+      (7L, "http://a.com/" + "p" * 200),                      // length
+      (8L, "no scheme here")                                  // unparseable
+    ).toDF("id", "url")
+    val sigs = graft.functions.UrlFunctions.urlFilterSignals(col("url"))
+    val got = cases
+      .select(col("id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String) = got(id).getAs[Boolean](name)
+    assert(rule(1L, "keep"))
+    assert(!rule(2L, "r_extension") && !rule(2L, "keep") &&
+      rule(2L, "r_length"))
+    assert(!rule(3L, "r_path_depth") &&
+      got(3L).getAs[Long]("n_path_segments") == 10L)
+    assert(!rule(4L, "r_params") && got(4L).getAs[Long]("n_params") == 5L)
+    assert(!rule(5L, "r_digits"))
+    assert(!rule(6L, "r_blocklist"))
+    assert(!rule(7L, "r_length"))
+    // unparseable: null canonical, every rule false, zero counters
+    assert(got(8L).isNullAt(got(8L).fieldIndex("url_canon")))
+    for (n <- Seq("r_extension", "r_length", "r_path_depth", "r_params",
+        "r_digits", "r_blocklist", "keep"))
+      assert(!rule(8L, n), n)
+  }
+
   test("urlDedup: keep-first by id per canonical URL; unparseable rows all survive") {
     val df = Seq(
       (1L, "http://a.com/x?utm_source=nl"),
