@@ -2146,7 +2146,8 @@ object SparkEntry {
         |  FROM p1),
         |p3 AS (SELECT doc_id, scheme,
         |  CASE WHEN scheme = '' THEN ''
-        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host,
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$', ''), '\.+$', '') END AS host,
         |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         |  regexp_extract(pq, '^([^?]*)', 1) AS rawpath,
         |  regexp_extract(pq, '\?(.*)$', 1) AS rawq
@@ -2162,9 +2163,11 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
         |  ELSE scheme || '://' || host
-        |    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |         AND NOT (scheme = 'https' AND port = '443')
-        |        THEN ':' || port ELSE '' END)
+        |    || (CASE WHEN TRY_CAST(port AS INTEGER) IS NOT NULL
+        |         AND NOT (scheme = 'http' AND TRY_CAST(port AS INTEGER) = 80)
+        |         AND NOT (scheme = 'https' AND TRY_CAST(port AS INTEGER) = 443)
+        |        THEN ':' || CAST(TRY_CAST(port AS INTEGER) AS VARCHAR)
+        |        ELSE '' END)
         |    || path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
         |  END AS url_canon,
         |  host,
@@ -2207,7 +2210,8 @@ object SparkEntry {
         |  FROM p1),
         |p3 AS (SELECT doc_id, scheme,
         |  CASE WHEN scheme = '' THEN ''
-        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host,
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$', ''), '\.+$', '') END AS host,
         |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         |  regexp_extract(pq, '^([^?]*)', 1) AS rawpath,
         |  regexp_extract(pq, '\?(.*)$', 1) AS rawq
@@ -2223,9 +2227,11 @@ object SparkEntry {
         |c AS (SELECT doc_id,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
         |  ELSE scheme || '://' || host
-        |    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |         AND NOT (scheme = 'https' AND port = '443')
-        |        THEN ':' || port ELSE '' END)
+        |    || (CASE WHEN TRY_CAST(port AS INTEGER) IS NOT NULL
+        |         AND NOT (scheme = 'http' AND TRY_CAST(port AS INTEGER) = 80)
+        |         AND NOT (scheme = 'https' AND TRY_CAST(port AS INTEGER) = 443)
+        |        THEN ':' || CAST(TRY_CAST(port AS INTEGER) AS VARCHAR)
+        |        ELSE '' END)
         |    || path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
         |  END AS url_canon
         |  FROM p4)
@@ -2270,7 +2276,8 @@ object SparkEntry {
         |  FROM p1),
         |p3 AS (SELECT doc_id, scheme,
         |  CASE WHEN scheme = '' THEN ''
-        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$', ''), '\.+$', '') END AS host
         |  FROM p2),
         |d AS (SELECT doc_id,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
@@ -2330,7 +2337,7 @@ object SparkEntry {
         |  FROM p),
         |r AS (SELECT doc_id, url_canon, n_path_segments, n_params,
         |  n_path_digits, n_path_chars,
-        |  (url_canon IS NOT NULL AND NOT regexp_matches(path,
+        |  (url_canon IS NOT NULL AND NOT regexp_matches(lower(path),
         |    '\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$'))
         |    AS r_extension,
         |  (url_canon IS NOT NULL AND length(url_canon) <= 200) AS r_length,
@@ -2338,7 +2345,7 @@ object SparkEntry {
         |  (url_canon IS NOT NULL AND n_params <= 4) AS r_params,
         |  (url_canon IS NOT NULL AND n_path_digits * 2 <= n_path_chars)
         |    AS r_digits,
-        |  (url_canon IS NOT NULL AND NOT regexp_matches(url_canon,
+        |  (url_canon IS NOT NULL AND NOT regexp_matches(lower(url_canon),
         |    '(porn|xxx|casino|viagra|escort)')) AS r_blocklist
         |  FROM s)
         |SELECT doc_id, url_canon, n_path_segments, n_params,
@@ -2378,7 +2385,8 @@ object SparkEntry {
         |  FROM p1),
         |p3 AS (SELECT doc_id, text, scheme,
         |  CASE WHEN scheme = '' THEN ''
-        |       ELSE regexp_replace(hostport, ':[0-9]*$', '') END AS host
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$', ''), '\.+$', '') END AS host
         |  FROM p2),
         |dm AS (SELECT doc_id, text,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL

@@ -61,12 +61,18 @@ object UrlFunctions {
     lower(regexp_replace(
       regexp_extract(afterScheme(url), "^([^/?]*)", 1), "^.*@", ""))
 
-  /** Lowercased host of a URL: no scheme, userinfo, port, path. Empty
-    * string when the URL has no `scheme://` prefix (gated explicitly —
-    * without it a bare non-URL string would parse as its own "host"). */
+  /** Lowercased host of a URL: no scheme, userinfo, port, path, and no
+    * trailing dots (the absolute-FQDN form `example.com.` names the
+    * same host as `example.com` — common in crawl data, and without
+    * the fold it would both split the dedup group and slip past the
+    * per-domain cap via an empty registeredDomain). Empty string when
+    * the URL has no `scheme://` prefix (gated explicitly — without it
+    * a bare non-URL string would parse as its own "host"). */
   def urlHost(url: Column): Column =
     when(schemeOf(url) === "", lit(""))
-      .otherwise(regexp_replace(hostPortOf(url), ":[0-9]*$", ""))
+      .otherwise(regexp_replace(
+        regexp_replace(hostPortOf(url), ":[0-9]*$", ""),
+        "\\.+$", ""))
 
   private def portOf(url: Column): Column =
     regexp_extract(hostPortOf(url), ":([0-9]+)$", 1)
@@ -84,10 +90,15 @@ object UrlFunctions {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = schemeOf(url)
     val host = urlHost(url)
-    val port = portOf(url)
-    val keepPort = (port =!= "") &&
-      !(scheme === "http" && port === "80") &&
-      !(scheme === "https" && port === "443")
+    // port compares and emits NUMERICALLY: ":080" is the default http
+    // port (string equality would keep it and split the dedup group)
+    // and a kept ":08080" emits as ":8080". try_cast: an absent port is
+    // "" and a port that doesn't fit an int is malformed — both null
+    // out and drop, instead of throwing under ANSI mode.
+    val portN = portOf(url).try_cast("int")
+    val keepPort = portN.isNotNull &&
+      !(scheme === "http" && portN === 80) &&
+      !(scheme === "https" && portN === 443)
     val rawPath = regexp_extract(pathQueryOf(url), "^([^?]*)", 1)
     val path = {
       val stripped = regexp_replace(rawPath, "/+$", "")
@@ -101,7 +112,8 @@ object UrlFunctions {
     when(scheme === "" || host === "", lit(null).cast("string"))
       .otherwise(concat(
         scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        when(keepPort, concat(lit(":"), portN.cast("string")))
+          .otherwise(lit("")),
         path,
         when(query =!= "", concat(lit("?"), query)).otherwise(lit(""))))
   }
@@ -118,13 +130,18 @@ object UrlFunctions {
     *     example.com).
     * The multi-label branch is an explicit `when`, not a regex
     * alternation, so no engine's alternation-preference semantics can
-    * change the answer. */
-  def registeredDomain(host: Column): Column =
-    when(host.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), host)
-      .when(host.rlike("\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$"),
-        regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .when(host.contains("."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
-      .otherwise(host)
+    * change the answer. Trailing dots strip first (defensively — the
+    * [[urlHost]] path already folds them): without the strip an
+    * absolute-FQDN host ends in '.', no suffix regex can match, and
+    * every such host would lump into one empty-string pseudo-domain. */
+  def registeredDomain(host: Column): Column = {
+    val h = regexp_replace(host, "\\.+$", "")
+    when(h.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), h)
+      .when(h.rlike("\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$"),
+        regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .when(h.contains("."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(h)
+  }
 
   /** RefinedWeb/C4-style URL filter signals (Penedo et al. 2023 §3.1
     * filter URLs before fetch; C4 drops non-prose resources) — the
@@ -172,12 +189,15 @@ object UrlFunctions {
     val extRe = "\\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?" +
       "|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$"
     val blockRe = "(porn|xxx|casino|viagra|escort)"
-    val rExtension = canon.isNotNull && !path.rlike(extRe)
+    // rules match the LOWERCASED path/URL: the canonical form preserves
+    // path/query case (contract clause 2), so /logo.PNG and /Casino
+    // must still trip their rules
+    val rExtension = canon.isNotNull && !lower(path).rlike(extRe)
     val rLength = canon.isNotNull && length(canon) <= 200
     val rPathDepth = canon.isNotNull && nSegments <= 8L
     val rParams = canon.isNotNull && nParams <= 4L
     val rDigits = canon.isNotNull && nPathDigits * 2L <= nPathChars
-    val rBlocklist = canon.isNotNull && !canon.rlike(blockRe)
+    val rBlocklist = canon.isNotNull && !lower(canon).rlike(blockRe)
     Seq(
       "url_canon" -> canon,
       "n_path_segments" -> when(canon.isNull, lit(0L)).otherwise(nSegments),

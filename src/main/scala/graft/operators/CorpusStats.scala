@@ -1243,9 +1243,10 @@ object CorpusStats {
     * rejoin its pieces (loud raise, the hashHex convention) and
     * duplicate ids would SILENTLY merge two documents' piece streams;
     * use [[bpeEncode]] when ids can repeat. `checkUniqueIds = true`
-    * enforces the uniqueness half loudly too, at the price of one
-    * doc-domain window shuffle (one row per document, never token
-    * volume) — turn it on when the id source is untrusted. */
+    * enforces the uniqueness half loudly too, as an EAGER id-domain
+    * validation job at call time (an id-only count aggregation —
+    * map-side combined longs, never the token payload) — turn it on
+    * when the id source is untrusted. */
   def bpeEncodeViaVocab(
       docs: DataFrame,
       idCol: String,
@@ -1253,25 +1254,24 @@ object CorpusStats {
       merges: Seq[(String, String)],
       checkUniqueIds: Boolean = false,
       markEnd: Boolean = false): DataFrame = {
-    val raw = docs.select(
+    if (checkUniqueIds) {
+      // eager, id-domain only: projecting the bare id keeps text out of
+      // the validation scan's shuffle entirely (a window over the
+      // tokenized frame would repartition the whole corpus payload)
+      val dup = docs.select(col(idCol).as("__did"))
+        .groupBy(col("__did")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1L).limit(1).collect()
+      require(dup.isEmpty,
+        s"bpeEncodeViaVocab: duplicate $idCol=${dup.head.get(0)} — " +
+          "reassembly would merge two documents' pieces")
+    }
+    val toks = docs.select(
       when(col(idCol).isNull, raise_error(lit(
         s"bpeEncodeViaVocab: null $idCol — the reassembly join needs " +
           "unique non-null ids; use bpeEncode for keyless encoding")))
         .otherwise(col(idCol)).as("__did"),
       filter(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
         t => length(t) > 0).as("__toks"))
-    val toks =
-      if (!checkUniqueIds) raw
-      else raw
-        .withColumn("__idn",
-          count(lit(1)).over(Window.partitionBy(col("__did"))))
-        .select(
-          when(col("__idn") > 1L, raise_error(concat(lit(
-            s"bpeEncodeViaVocab: duplicate $idCol="), col("__did")
-            .cast("string"),
-            lit(" — reassembly would merge two documents' pieces"))))
-            .otherwise(col("__did")).as("__did"),
-          col("__toks"))
     val vocab = toks
       .select(explode(col("__toks")).as("__w")).distinct()
       .select(col("__w"), split(col("__w"), "").as("__syms"))

@@ -345,18 +345,28 @@ object Dedup {
   }
 
   /** Merge a batch of NEW documents into a [[saveMinhashIndex]] artifact
-    * in place — the compaction step of cross-run incremental corpus
-    * building (ingest loop: load → [[nearDupAgainstIndex]] the batch →
-    * drop dups → merge survivors back). Signs the batch with the
-    * artifact's own pinned parameters (load fails fast on a mismatch),
-    * unions, RE-CAPS buckets (two under-cap inputs can exceed the cap
-    * merged; the cap degrades crowds to their min-id representative,
-    * same as build time), and rewrites the artifact. Re-ingesting an id
-    * already indexed is a no-op for its unchanged rows (exact-duplicate
-    * (band, bucket, id) rows collapse before the cap).
+    * — the compaction step of cross-run incremental corpus building
+    * (ingest loop: load → [[nearDupAgainstIndex]] the batch → drop dups
+    * → merge survivors back). Signs the batch with the artifact's own
+    * pinned parameters (load fails fast on a mismatch), unions, RE-CAPS
+    * buckets (two under-cap inputs can exceed the cap merged; the cap
+    * degrades crowds to their min-id representative, same as build
+    * time), and swaps the artifact.
     *
-    * The merged frame is eagerly materialized BEFORE the overwrite —
-    * never read and overwrite the same parquet in one plan.
+    * Durability: the merged index writes to a STAGING directory first;
+    * only after that write succeeds is the old index deleted and the
+    * staging renamed in (Hadoop FS). The previous index is never the
+    * only copy while anything can still fail — a crash mid-write leaves
+    * the old artifact intact, and a crash between delete and rename
+    * leaves the complete `index.staging` next to the sidecar for manual
+    * recovery (the one non-atomic window object stores impose).
+    *
+    * Duplicate semantics (pinned): fully identical rows collapse, so
+    * re-ingesting an UNCHANGED id is a no-op; re-ingesting an id with
+    * CHANGED text adds the new signature's rows alongside the old ones
+    * (both versions then flag incoming duplicates; the stale rows only
+    * leave via a full rebuild) — deterministic, never a per-band mix of
+    * the two signatures.
     *
     * Returns the merged index row count. */
   def mergeIntoMinhashIndex(
@@ -381,16 +391,35 @@ object Dedup {
       numHashes, bands)
     val merged = capBuckets(
       existing.unionByName(newBanded)
-        .dropDuplicates("band", "bucket", "id"),
+        .dropDuplicates("band", "bucket", "id", "sig"),
       maxBucketSize)
-      .localCheckpoint(true)
-    saveMinhashIndex(merged, dir, numHashes, bands, nGram, portable)
-    merged.count()
+    // staging write (reads the OLD index lazily — never overwrite what
+    // a running plan reads), then delete + rename swap
+    merged.write.mode("overwrite").parquet(s"$dir/index.staging")
+    val fs = artifactFs(spark, dir)
+    val indexPath = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
+    fs.delete(indexPath, true)
+    require(fs.rename(stagingPath, indexPath),
+      s"mergeIntoMinhashIndex: rename of $stagingPath to $indexPath " +
+        "failed — the merged index is intact at the staging path")
+    writeIndexMeta(spark, dir, numHashes, bands, nGram, portable)
+    spark.read.parquet(s"$dir/index").count()
   }
 
   /** Schema version written by [[saveMinhashIndex]]; bump on any change
     * to the index row layout (band, bucket, id, sig). */
   private[graft] val MinhashIndexVersion = 1
+
+  /** Hadoop FileSystem for an artifact path — the parquet halves of the
+    * artifact already go through Hadoop FS, so the sidecar must too or
+    * any non-local `dir` (hdfs://, s3a://) would write the parquet
+    * remotely and the sidecar onto the DRIVER's local disk. */
+  private def artifactFs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Persist a [[minhashIndex]] frame under `dir` (Parquet + a
     * `_GRAFT_INDEX_META.json` sidecar pinning the schema version and the
@@ -400,7 +429,8 @@ object Dedup {
     * [[nearDupAgainstIndex]]s its batch. The parameters are part of the
     * artifact because an incoming batch signed with DIFFERENT parameters
     * would silently miss every duplicate (different band boundaries or
-    * hash family) — [[loadMinhashIndex]] fails fast instead. */
+    * hash family) — [[loadMinhashIndex]] fails fast instead. All I/O
+    * goes through Hadoop FS, so `dir` may be any cluster path. */
   def saveMinhashIndex(
       index: DataFrame,
       dir: String,
@@ -409,12 +439,24 @@ object Dedup {
       nGram: Int = 3,
       portable: Boolean = false): Unit = {
     index.write.mode("overwrite").parquet(s"$dir/index")
+    writeIndexMeta(index.sparkSession, dir, numHashes, bands, nGram,
+      portable)
+  }
+
+  private def writeIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      numHashes: Int,
+      bands: Int,
+      nGram: Int,
+      portable: Boolean): Unit = {
     val meta =
       s"""{"version":$MinhashIndexVersion,"numHashes":$numHashes,""" +
         s""""bands":$bands,"nGram":$nGram,"portable":$portable}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_GRAFT_INDEX_META.json"),
-      (meta + "\n").getBytes("UTF-8")): Unit
+    val fs = artifactFs(spark, dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_META.json"), true)
+    try out.write((meta + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** Load a [[saveMinhashIndex]] artifact, failing fast unless the
@@ -431,11 +473,16 @@ object Dedup {
       bands: Int = 16,
       nGram: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val metaPath = java.nio.file.Paths.get(s"$dir/_GRAFT_INDEX_META.json")
-    require(java.nio.file.Files.exists(metaPath),
+    val fs = artifactFs(spark, dir)
+    val metaPath =
+      new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_META.json")
+    require(fs.exists(metaPath),
       s"loadMinhashIndex: no _GRAFT_INDEX_META.json under $dir — not a " +
         "saveMinhashIndex artifact")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    val in = fs.open(metaPath)
+    val meta =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     def field(name: String): String =
       s""""$name":([a-z0-9]+)""".r.findFirstMatchIn(meta)
         .map(_.group(1))

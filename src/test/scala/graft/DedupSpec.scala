@@ -307,6 +307,22 @@ class DedupSpec extends AnyFunSuite {
     val n2 = Dedup.mergeIntoMinhashIndex(spark, dir, half2, "doc_id", "text")
     assert(n2 == n)
     assert(rows(Dedup.loadMinhashIndex(spark, dir)) == rows(scratch))
+    // no staging leftovers after a successful swap
+    assert(!new java.io.File(s"$dir/index.staging").exists())
+    // re-ingesting an id with CHANGED text keeps BOTH signatures
+    // (deterministic — never a per-band mix), so the index grows and
+    // incoming copies of the NEW text are still caught
+    val changedText = "a completely rewritten document about xyzzy " +
+      "plugh quux flibber jabber wocky snark boojum vorpal metasyntactic"
+    val someId = half2.orderBy("doc_id").limit(1).head().getLong(0)
+    val n3 = Dedup.mergeIntoMinhashIndex(spark, dir,
+      Seq((someId, changedText)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(n3 > n2, s"changed-text re-ingest must add rows: $n3 vs $n2")
+    val hits = Dedup.nearDupAgainstIndex(
+      Seq((999999L, changedText)).toDF("doc_id", "text"),
+      "doc_id", "text", Dedup.loadMinhashIndex(spark, dir))
+      .dropDuplicates("id", "corpus_id").collect()
+    assert(hits.exists(r => r.getLong(1) == someId && r.getDouble(2) == 1.0))
   }
 
   test("minhashIndex caps hot buckets to ONE representative (fan-out bounded, detection kept)") {

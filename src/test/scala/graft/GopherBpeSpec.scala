@@ -200,6 +200,21 @@ class GopherBpeSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("null doc_id")), msgs(ex).mkString("|"))
   }
 
+  test("bpeEncodeViaVocab: checkUniqueIds raises eagerly on a duplicate id") {
+    val dup = Seq((1L, "low"), (1L, "lower"), (2L, "low"))
+      .toDF("doc_id", "text")
+    // eager: the raise happens at CALL time, before any action
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStats.bpeEncodeViaVocab(dup, "doc_id", "text",
+        Seq(("l", "o")), checkUniqueIds = true)
+    }
+    assert(ex.getMessage.contains("duplicate doc_id=1"), ex.getMessage)
+    // unique ids with the flag on: a plain pass-through
+    val ok = Seq((1L, "low"), (2L, "low")).toDF("doc_id", "text")
+    assert(CorpusStats.bpeEncodeViaVocab(ok, "doc_id", "text",
+      Seq(("l", "o")), checkUniqueIds = true).count() == 2L)
+  }
+
   test("bpeMergeOne: greedy non-overlap on a self-pair") {
     val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b"))
       .toDF("sym")

@@ -29,6 +29,27 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(canon("http://a.com:8080/x") == Some("http://a.com:8080/x"))
   }
 
+  test("canonicalizeUrl: ports fold numerically (zero-padding, normalization)") {
+    // :080 IS the http default; a kept port emits without leading zeros
+    assert(canon("http://a.com:080/x") == Some("http://a.com/x"))
+    assert(canon("https://a.com:0443/x") == Some("https://a.com/x"))
+    assert(canon("http://a.com:08080/x") == Some("http://a.com:8080/x"))
+    // an int-overflowing port is malformed and drops like an absent one
+    assert(canon("http://a.com:99999999999/x") == Some("http://a.com/x"))
+  }
+
+  test("canonicalizeUrl/urlHost/urlDomain: absolute-FQDN trailing dots fold") {
+    assert(canon("http://example.com./p") == Some("http://example.com/p"))
+    val r = Seq("http://sub.example.com.:80/p").toDF("u")
+      .select(urlHost(col("u")), urlDomain(col("u"))).head()
+    assert(r.getString(0) == "sub.example.com")
+    assert(r.getString(1) == "example.com")
+    // defensive strip on a bare host too — never an empty pseudo-domain
+    val d = Seq("example.com.").toDF("h")
+      .select(registeredDomain(col("h"))).head().getString(0)
+    assert(d == "example.com")
+  }
+
   test("canonicalizeUrl: userinfo and fragment strip") {
     assert(canon("http://user:pw@a.com/x#frag") == Some("http://a.com/x"))
     // an @ in the PATH must not trigger the userinfo strip
@@ -87,7 +108,9 @@ class UrlFunctionsSpec extends AnyFunSuite {
       (5L, "http://a.com/20240101/9988776655"),               // digits
       (6L, "http://a.com/best-casino-bonuses"),               // blocklist
       (7L, "http://a.com/" + "p" * 200),                      // length
-      (8L, "no scheme here")                                  // unparseable
+      (8L, "no scheme here"),                                 // unparseable
+      (9L, "http://a.com/img/logo.PNG"),                      // case-folded ext
+      (10L, "http://a.com/Casino-Royale-review")              // case-folded block
     ).toDF("id", "url")
     val sigs = graft.functions.UrlFunctions.urlFilterSignals(col("url"))
     val got = cases
@@ -109,6 +132,10 @@ class UrlFunctionsSpec extends AnyFunSuite {
     for (n <- Seq("r_extension", "r_length", "r_path_depth", "r_params",
         "r_digits", "r_blocklist", "keep"))
       assert(!rule(8L, n), n)
+    // rules match case-insensitively even though canonical paths keep
+    // their case: /logo.PNG and /Casino must still trip
+    assert(!rule(9L, "r_extension"))
+    assert(!rule(10L, "r_blocklist"))
   }
 
   test("urlDedup: keep-first by id per canonical URL; unparseable rows all survive") {
