@@ -1302,6 +1302,65 @@ object SparkEntry {
         .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
+    // the COMPOSED web front door, one lane: URL policy filters ->
+    // HTML -> text extraction -> URL-level keep-first dedup (among
+    // policy survivors) -> text-quality gate. Per-doc stage verdicts,
+    // so the oracle pins every stage's interaction, not just each
+    // operator alone (cu01's composition discipline for the acquire
+    // side). Same url05/ht01 synths.
+    "wp01_web_pipeline" -> ((s, dir) => {
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      val url = when(col("doc_id") % 17 === 0,
+        concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("http://site"), (col("doc_id") % 5).cast("string"),
+          lit(".example.com/docs"),
+          when(col("doc_id") % 11 === 0, lit("/a/b/c/d/e/f/g/h"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("/2024010199887766"))
+            .otherwise(lit("")),
+          lit("/page"), (col("doc_id") % 30).cast("string"),
+          when(col("doc_id") % 9 === 0, lit(".jpg"))
+            .when(col("doc_id") % 8 === 0, lit(".html"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit("?q=casino"))
+            .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
+            .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
+      val html = concat(
+        lit("<html><!-- id "), col("doc_id").cast("string"),
+        lit(" --><head><style>p{color:red}</style>" +
+          "<script>var x=1; if (x<2) { x = 3; }</script></head><body>" +
+          "<h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
+          "&quot;quotes&quot; it&#39;s done</div></body></html>"))
+      val sigMap = UrlFunctions.urlFilterSignals(col("url")).toMap
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), html.as("__html"))
+        .select(col("doc_id"),
+          sigMap("url_canon").as("url_canon"),
+          sigMap("keep").as("url_pass"),
+          HtmlFunctions.stripHtml(col("__html")).as("__clean"))
+        .select(col("doc_id"), col("url_canon"), col("url_pass"),
+          TextFunctions.tokenCountNonEmpty(col("__clean"))
+            .as("n_tokens_clean"),
+          TextFunctions.qualityScore(col("__clean")).as("quality"))
+      val keepers = scored
+        .filter(col("url_pass") && col("url_canon").isNotNull)
+        .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep"))
+      scored
+        .join(keepers, Seq("url_canon"), "left_outer")
+        .withColumn("is_canonical",
+          coalesce(col("url_pass") && col("doc_id") === col("__keep"),
+            lit(false)))
+        .withColumn("final_keep",
+          col("is_canonical") && col("n_tokens_clean") >= 10L &&
+            col("quality") >= 20L)
+        .select(col("doc_id"), col("url_pass"), col("is_canonical"),
+          col("n_tokens_clean"), col("quality"), col("final_keep"))
+        .orderBy(col("doc_id"))
+    }),
     // per-registered-domain mixture table: the domain-mixing report
     // (which domains dominate token volume) composed from urlDomain +
     // mixtureWeights — the table domainCap's k gets tuned against
@@ -2296,6 +2355,107 @@ object SparkEntry {
         |  FROM h)
         |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
         |ORDER BY domain, sample_rank""".stripMargin,
+    // web-pipeline replay: url05's rule chain (url_pass), ht01's
+    // extraction chain (clean), cu01's quality formula, keep-first
+    // group among passers — every stage interaction replayed
+    "wp01_web_pipeline" ->
+      """WITH u AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/docs'
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN '/2024010199887766' ELSE '' END)
+        |    || '/page' || CAST(doc_id % 30 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '.jpg'
+        |        WHEN doc_id % 8 = 0 THEN '.html' ELSE '' END)
+        |    || (CASE WHEN doc_id % 19 = 0 THEN '?q=casino'
+        |        WHEN doc_id % 7 = 0 THEN '?x=1&y=2&z=3&w=4&v=5'
+        |        ELSE '?q=' || CAST(doc_id % 6 AS VARCHAR) END)
+        |  END AS url FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE url END AS url_canon
+        |  FROM u),
+        |p AS (SELECT doc_id, url_canon,
+        |  regexp_extract(regexp_replace(url_canon,
+        |    '^[a-z0-9+.-]+://[^/?]*', ''), '^([^?]*)', 1) AS path,
+        |  regexp_extract(regexp_replace(url_canon,
+        |    '^[a-z0-9+.-]+://[^/?]*', ''), '\?(.*)$', 1) AS q
+        |  FROM c),
+        |rr AS (SELECT doc_id, url_canon,
+        |  coalesce(url_canon IS NOT NULL
+        |    AND NOT regexp_matches(lower(path),
+        |      '\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$')
+        |    AND length(url_canon) <= 200
+        |    AND (CASE WHEN path IN ('/', '') THEN 0
+        |      ELSE length(path) - length(replace(path, '/', '')) END) <= 8
+        |    AND (CASE WHEN q = '' THEN 0
+        |      ELSE length(q) - length(replace(q, '&', '')) + 1 END) <= 4
+        |    AND length(regexp_replace(path, '[^0-9]', '', 'g')) * 2
+        |      <= length(path)
+        |    AND NOT regexp_matches(lower(url_canon),
+        |      '(porn|xxx|casino|viagra|escort)'), FALSE) AS url_pass
+        |  FROM p),
+        |h AS (SELECT doc_id,
+        |  '<html><!-- id ' || CAST(doc_id AS VARCHAR)
+        |    || ' --><head><style>p{color:red}</style>'
+        |    || '<script>var x=1; if (x<2) { x = 3; }</script></head><body>'
+        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and '
+        |    || '&quot;quotes&quot; it&#39;s done</div></body></html>' AS html
+        |  FROM u),
+        |x1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
+        |x2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x1),
+        |x3 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br)([ \t\n\x0B\f\r][^>]*)?/?>',
+        |    chr(10), 'g') AS t FROM x2),
+        |x4 AS (SELECT doc_id,
+        |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
+        |x5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+        |  FROM x4),
+        |x6 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '[ \t\x0B\f\r]+', ' ', 'g'),
+        |      ' ?\n ?', chr(10), 'g'),
+        |      '\n+', chr(10), 'g'),
+        |      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+        |  FROM x5),
+        |qt AS (SELECT doc_id,
+        |    CAST(len(list_filter(ts, t -> t <> '')) AS BIGINT)
+        |      AS n_tokens_clean,
+        |    CAST(GREATEST(LEAST(
+        |      (CAST(len(list_filter(ts, t -> t IN ('the','a','an','and',
+        |        'or','of','to','in','is','it','for','on','with','as','at',
+        |        'by','this','that'))) AS BIGINT) * 100)
+        |        // GREATEST(CAST(len(ts) AS BIGINT), 1)
+        |      + LEAST(GREATEST(CAST(length(clean) AS BIGINT), 1) // 20, 30)
+        |      + 40
+        |      - (CAST(length(regexp_replace(clean, '[^0-9]', '', 'g'))
+        |          AS BIGINT) * 100)
+        |        // GREATEST(CAST(length(clean) AS BIGINT), 1)
+        |      - (CAST(length(regexp_replace(clean, '[^.,;:!?]', '', 'g'))
+        |          AS BIGINT) * 100)
+        |        // GREATEST(CAST(length(clean) AS BIGINT), 1),
+        |      100), 0) AS BIGINT) AS quality
+        |  FROM (SELECT doc_id, clean,
+        |    string_split_regex(trim(lower(clean)),
+        |      '[ \t\n\x0B\f\r]+') AS ts FROM x6)),
+        |k AS (SELECT url_canon, MIN(doc_id) AS keep_id FROM rr
+        |  WHERE url_pass AND url_canon IS NOT NULL GROUP BY url_canon)
+        |SELECT r.doc_id, r.url_pass,
+        |  coalesce(r.url_pass AND r.doc_id = k.keep_id, FALSE)
+        |    AS is_canonical,
+        |  qt.n_tokens_clean, qt.quality,
+        |  (coalesce(r.url_pass AND r.doc_id = k.keep_id, FALSE)
+        |    AND qt.n_tokens_clean >= 10 AND qt.quality >= 20)
+        |    AS final_keep
+        |FROM rr r JOIN qt USING (doc_id)
+        |LEFT JOIN k ON r.url_canon = k.url_canon
+        |ORDER BY r.doc_id""".stripMargin,
     // URL-filter replay: the synth is already canonical, so canon is
     // the unparseable CASE; counters/rules recompute with the same
     // path/query regexes and exact integer comparisons
