@@ -233,6 +233,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"url03 shuffles the raw url:\n${exchanges.mkString("\n")}")
   }
 
+  test("ht01: HTML extraction is scan-local — zero exchanges before the output sort") {
+    val exchanges = plan("ht01_html_extract").linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.isEmpty,
+      s"ht01 shuffles before the sort:\n${exchanges.mkString("\n")}")
+  }
+
+  test("lq01: language-report exchanges never carry text or the clean payload") {
+    val p = plan("lq01_language_quality")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"lq01 shuffles text:\n${exchanges.mkString("\n")}")
+    // the share agg map-side combines before its exchange
+    assert("partial_(sum|count)".r.findFirstIn(p).isDefined, p)
+  }
+
   test("pii01: redaction is scan-local — distributed top-k, zero exchanges") {
     val p = plan("pii01_redact")
     assert(p.contains("TakeOrderedAndProject"), p)
