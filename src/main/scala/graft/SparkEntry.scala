@@ -48,8 +48,10 @@ object SparkEntry {
     * fragment, so canonicalization has every contract clause to fold and
     * collisions (same canonical from different raw forms) occur by
     * construction; every 17th row is deliberately not a URL at all. The
-    * DuckDB oracles rebuild the identical string. */
-  private def synthUrl: Column =
+    * DuckDB oracles rebuild the identical string. `escapes = true`
+    * (url01 only) adds a percent-escape path segment on every 23rd row
+    * so the unreserved-decode clause is exercised and replayed. */
+  private def synthUrl(escapes: Boolean = false): Column =
     when(col("doc_id") % 17 === 0,
       concat(lit("not a url "), col("doc_id").cast("string")))
       .otherwise(concat(
@@ -62,6 +64,10 @@ object SparkEntry {
         when(col("doc_id") % 6 === 0, lit(":80"))
           .when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
         lit("/Articles/Item"), (col("doc_id") % 40).cast("string"),
+        if (escapes)
+          when(col("doc_id") % 23 === 0, lit("/esc%7E%41%2fX"))
+            .otherwise(lit(""))
+        else lit(""),
         when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
         when(col("doc_id") % 2 === 0,
           concat(lit("?id="), (col("doc_id") % 20).cast("string"),
@@ -1248,7 +1254,7 @@ object SparkEntry {
     "url01_canonical_urls" -> ((s, dir) => {
       import graft.functions.UrlFunctions
       t(s, dir, "documents")
-        .select(col("doc_id"), synthUrl.as("url"))
+        .select(col("doc_id"), synthUrl(escapes = true).as("url"))
         .select(col("doc_id"),
           UrlFunctions.canonicalizeUrl(col("url")).as("url_canon"),
           UrlFunctions.urlHost(col("url")).as("host"),
@@ -1259,7 +1265,7 @@ object SparkEntry {
     // domain shuffle only (min/count partials), unparseable rows kept
     "url02_url_dedup" -> ((s, dir) => {
       Dedup.urlDedup(
-        t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        t(s, dir, "documents").select(col("doc_id"), synthUrl().as("url")),
         "doc_id", "url")
         .orderBy(col("doc_id"))
     }),
@@ -1267,7 +1273,7 @@ object SparkEntry {
     // two-level salted min-k (k-bounded windows, no per-domain sort)
     "url03_domain_cap" -> ((s, dir) => {
       graft.operators.Sampling.domainCap(
-        t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        t(s, dir, "documents").select(col("doc_id"), synthUrl().as("url")),
         "doc_id", "url", k = 5, salt = "url03")
         .orderBy(col("domain"), col("sample_rank"))
     }),
@@ -1368,7 +1374,7 @@ object SparkEntry {
       import graft.functions.UrlFunctions
       CorpusStats.mixtureWeights(
         t(s, dir, "documents")
-          .select(col("doc_id"), col("text"), synthUrl.as("url"))
+          .select(col("doc_id"), col("text"), synthUrl().as("url"))
           .withColumn("domain", UrlFunctions.urlDomain(col("url")))
           .filter(col("domain").isNotNull),
         "domain", "text")
@@ -1488,6 +1494,14 @@ object SparkEntry {
       |best AS (SELECT doc_id, lbl AS pred, nll AS nll_micro,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, lbl) AS rn
       |  FROM sc)""".stripMargin
+
+  /** DuckDB replay of `UrlFunctions.decodeUnreservedEscapes`: the SAME
+    * generated escape table folded as nested SQL `replace` calls — one
+    * source of truth, so the engine and the oracle cannot drift. */
+  private def sqlDecodeUnreserved(expr: String): String =
+    graft.functions.UrlFunctions.unreservedEscapes.foldLeft(expr) {
+      case (e, (from, to)) => s"replace($e, '$from', '$to')"
+    }
 
   private val textOracle: Map[String, String] = Map(
     "tx01_normalize_text" ->
@@ -2174,8 +2188,11 @@ object SparkEntry {
     // single-match, so DuckDB's replace-first equals Spark's
     // replace-all. regexp_extract returns '' on no match in BOTH
     // engines (probed), so '' is the absent-part sentinel throughout.
+    // The unreserved-escape decode (p3b) is the GENERATED replace fold
+    // of UrlFunctions.unreservedEscapes — the same table, by
+    // construction, as the engine's own fold.
     "url01_canonical_urls" ->
-      """WITH u AS (SELECT doc_id,
+      s"""WITH u AS (SELECT doc_id,
         |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
         |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
         |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
@@ -2185,6 +2202,7 @@ object SparkEntry {
         |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
         |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
         |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 23 = 0 THEN '/esc%7E%41%2fX' ELSE '' END)
         |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
         |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
         |          || '&utm_source=news&b=2'
@@ -2196,7 +2214,7 @@ object SparkEntry {
         |p1 AS (SELECT doc_id,
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(regexp_replace(url,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS rest
         |  FROM u),
         |p2 AS (SELECT doc_id, scheme,
         |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
@@ -2206,19 +2224,23 @@ object SparkEntry {
         |p3 AS (SELECT doc_id, scheme,
         |  CASE WHEN scheme = '' THEN ''
         |       ELSE regexp_replace(regexp_replace(hostport,
-        |         ':[0-9]*$', ''), '\.+$', '') END AS host,
-        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |         ':[0-9]*$$', ''), '\\.+$$', '') END AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
         |  regexp_extract(pq, '^([^?]*)', 1) AS rawpath,
-        |  regexp_extract(pq, '\?(.*)$', 1) AS rawq
+        |  regexp_extract(pq, '\\?(.*)$$', 1) AS rawq
         |  FROM p2),
+        |p3b AS (SELECT doc_id, scheme, host, port,
+        |  ${sqlDecodeUnreserved("rawpath")} AS dpath,
+        |  ${sqlDecodeUnreserved("rawq")} AS dq
+        |  FROM p3),
         |p4 AS (SELECT doc_id, scheme, host, port,
-        |  CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
-        |       ELSE regexp_replace(rawpath, '/+$', '') END AS path,
-        |  array_to_string(list_filter(string_split(rawq, '&'),
+        |  CASE WHEN regexp_replace(dpath, '/+$$', '') = '' THEN '/'
+        |       ELSE regexp_replace(dpath, '/+$$', '') END AS path,
+        |  array_to_string(list_filter(string_split(dq, '&'),
         |    p -> p <> '' AND NOT regexp_matches(lower(p),
-        |      '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')),
+        |      '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$$')),
         |    '&') AS q
-        |  FROM p3)
+        |  FROM p3b)
         |SELECT doc_id,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
         |  ELSE scheme || '://' || host
@@ -2231,10 +2253,10 @@ object SparkEntry {
         |  END AS url_canon,
         |  host,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
-        |    WHEN regexp_matches(host, '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN host
-        |    WHEN regexp_matches(host, '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
-        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    WHEN regexp_matches(host, '^([0-9]{1,3}\\.){3}[0-9]{1,3}$$') THEN host
+        |    WHEN regexp_matches(host, '\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$$')
+        |      THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
         |    ELSE host END AS domain
         |FROM p4 ORDER BY doc_id""".stripMargin,
     // keep-first-by-id per canonical URL; null canonicals never group

@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
   *      canonicalize identically);
   *   8. `www.` is NOT stripped from the host — `www.x.com` and `x.com`
   *      can serve different content; [[registeredDomain]] is the level
-  *      that groups them.
+  *      that groups them;
+  *   9. percent-escapes of UNRESERVED characters decode in the path and
+  *      query (RFC 3986 §6.2.2.2: `%7Euser` ≡ `~user`; a disguised
+  *      `utm%5Fsource` is then caught by the tracking filter); escapes
+  *      of reserved octets stay exactly as written — decoding them
+  *      could change URL structure.
   */
 object UrlFunctions {
 
@@ -85,6 +90,30 @@ object UrlFunctions {
   private[graft] val trackingParamRe =
     "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
 
+  /** The RFC 3986 §2.3 unreserved characters: a percent-escape of one
+    * of these is semantically identical to the bare character, so
+    * canonicalization decodes it (§6.2.2.2) — `%7Euser` ≡ `~user`.
+    * Escapes of RESERVED octets (`%2F`, `%26`, `%3D`, `%25`, …) are
+    * structural and stay exactly as written; their hex case is also NOT
+    * normalized (a documented subset of §6.2.2.1 — neither engine has a
+    * regex-callback to uppercase arbitrary escapes, and decoding the
+    * unreserved set removes the overwhelmingly common aliases). */
+  private[graft] val unreservedEscapes: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .flatMap { c =>
+        val up = f"%%${c.toInt}%02X"
+        Seq(up, up.toLowerCase).distinct.map(_ -> c.toString)
+      }
+
+  /** Decode every unreserved percent-escape ([[unreservedEscapes]]) —
+    * a fold of plain `replace` calls (codegen'd, no regex); no
+    * replacement ever introduces `%`, so the fold order is immaterial
+    * and nothing double-decodes. */
+  private[graft] def decodeUnreservedEscapes(s: Column): Column =
+    unreservedEscapes.foldLeft(s) { case (c, (from, to)) =>
+      call_function("replace", c, lit(from), lit(to))
+    }
+
   /** Canonical form of a URL under the contract in the object scaladoc;
     * NULL for anything without a `scheme://host` shape. */
   def canonicalizeUrl(url: Column): Column = {
@@ -99,12 +128,17 @@ object UrlFunctions {
     val keepPort = portN.isNotNull &&
       !(scheme === "http" && portN === 80) &&
       !(scheme === "https" && portN === 443)
-    val rawPath = regexp_extract(pathQueryOf(url), "^([^?]*)", 1)
+    // unreserved escapes decode BEFORE any other path/query work, so a
+    // disguised tracking key (utm%5Fsource) is filtered and a decoded
+    // char can never be '/'/'&'/'=' (those are reserved — not decoded)
+    val rawPath = decodeUnreservedEscapes(
+      regexp_extract(pathQueryOf(url), "^([^?]*)", 1))
     val path = {
       val stripped = regexp_replace(rawPath, "/+$", "")
       when(stripped === "", lit("/")).otherwise(stripped)
     }
-    val rawQuery = regexp_extract(pathQueryOf(url), "\\?(.*)$", 1)
+    val rawQuery = decodeUnreservedEscapes(
+      regexp_extract(pathQueryOf(url), "\\?(.*)$", 1))
     val query = array_join(
       filter(split(rawQuery, "&"),
         p => p =!= "" && !lower(p).rlike(trackingParamRe)),

@@ -50,6 +50,19 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(d == "example.com")
   }
 
+  test("canonicalizeUrl: unreserved percent-escapes decode, reserved stay") {
+    // %7E='~' %41='A' decode (both hex cases); %2F='/' is RESERVED and
+    // must stay exactly as written, case included
+    assert(canon("http://a.com/esc%7E%41%2fX") ==
+      Some("http://a.com/esc~A%2fX"))
+    assert(canon("http://a.com/u%7e") == Some("http://a.com/u~"))
+    // a percent-disguised tracking key is decoded, then filtered
+    assert(canon("http://a.com/x?utm%5Fsource=n&b=2") ==
+      Some("http://a.com/x?b=2"))
+    // %25 = '%' never decodes (it would double-decode)
+    assert(canon("http://a.com/p%2541") == Some("http://a.com/p%2541"))
+  }
+
   test("canonicalizeUrl: userinfo and fragment strip") {
     assert(canon("http://user:pw@a.com/x#frag") == Some("http://a.com/x"))
     // an @ in the PATH must not trigger the userinfo strip
