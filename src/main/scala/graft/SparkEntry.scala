@@ -1302,9 +1302,13 @@ object SparkEntry {
           when(col("doc_id") % 19 === 0, lit("?q=casino"))
             .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
             .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
-      val sigs = UrlFunctions.urlFilterSignals(col("url"))
+      // canonical STAGED once as an attribute; the rules then read a
+      // row field instead of re-running the canonicalization tree
+      val sigs = UrlFunctions.urlFilterSignalsFromCanon(col("__canon"))
       t(s, dir, "documents")
         .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("__canon"))
         .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
@@ -1341,9 +1345,13 @@ object SparkEntry {
         lit("</h1><p>"), col("text"),
         lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
           "&quot;quotes&quot; it&#39;s done</div></body></html>"))
-      val sigMap = UrlFunctions.urlFilterSignals(col("url")).toMap
+      // canonical staged once (the url05 staging discipline)
+      val sigMap =
+        UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
       val scored = t(s, dir, "documents")
         .select(col("doc_id"), url.as("url"), html.as("__html"))
+        .select(col("doc_id"), col("__html"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("__canon"))
         .select(col("doc_id"),
           sigMap("url_canon").as("url_canon"),
           sigMap("keep").as("url_pass"),

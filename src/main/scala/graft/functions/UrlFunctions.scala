@@ -204,9 +204,21 @@ object UrlFunctions {
     * Output columns: (url_canon, n_path_segments, n_params,
     * n_path_digits, n_path_chars, r_extension, r_length, r_path_depth,
     * r_params, r_digits, r_blocklist, keep) appended by the caller via
-    * select — this returns the struct-free column list. */
-  def urlFilterSignals(url: Column): Seq[(String, Column)] = {
-    val canon = canonicalizeUrl(url)
+    * select — this returns the struct-free column list.
+    *
+    * Staging: feed an ATTRIBUTE via [[urlFilterSignalsFromCanon]] on
+    * hot paths — this convenience overload inlines `canonicalizeUrl`
+    * (a deep regexp+decode tree) into EVERY rule that references the
+    * canonical form, and the duplicated trees measured ~3× the staged
+    * plan on the bench lane (the `wordGramsFromTokens` staging
+    * discipline). */
+  def urlFilterSignals(url: Column): Seq[(String, Column)] =
+    urlFilterSignalsFromCanon(canonicalizeUrl(url))
+
+  /** [[urlFilterSignals]] over an already-computed CANONICAL column —
+    * pass an aliased attribute from a previous select so the
+    * canonicalization tree evaluates once per row. */
+  def urlFilterSignalsFromCanon(canon: Column): Seq[(String, Column)] = {
     // path/query of the CANONICAL form (tracking params already gone)
     val afterHost = regexp_replace(canon, "^[a-z0-9+.-]+://[^/?]*", "")
     val path = regexp_extract(afterHost, "^([^?]*)", 1)
