@@ -41,6 +41,32 @@ object SparkEntry {
   /** exact decimal view of a 2-dp double column */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** url05/wp01's SHARED filter-exercising synth — one Scala source so
+    * a tweak can never drift the two lanes apart (their oracles carry
+    * the matching SQL CASE each, per the unrolled-oracle convention).
+    * Already canonical (lowercase, no tracking keys, no trailing
+    * slash), so those oracles' canon step is the unparseable gate
+    * alone. Exercises every filter rule: static-asset extensions, deep
+    * paths, digit-heavy paths, param-heavy views, a blocklist hit, and
+    * unparseable rows. */
+  private def synthFilterUrl: Column =
+    when(col("doc_id") % 17 === 0,
+      concat(lit("not a url "), col("doc_id").cast("string")))
+      .otherwise(concat(
+        lit("http://site"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/docs"),
+        when(col("doc_id") % 11 === 0, lit("/a/b/c/d/e/f/g/h"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("/2024010199887766"))
+          .otherwise(lit("")),
+        lit("/page"), (col("doc_id") % 30).cast("string"),
+        when(col("doc_id") % 9 === 0, lit(".jpg"))
+          .when(col("doc_id") % 8 === 0, lit(".html"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit("?q=casino"))
+          .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
+          .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
+
   /** Deterministic URL synthesized from doc_id for the url* lanes (the
     * driver tables carry no URL column — same convention as pii01's
     * synthesized PII): residues of doc_id pick scheme case, userinfo,
@@ -1286,27 +1312,11 @@ object SparkEntry {
     // canonicalization chain itself is url01's job
     "url05_url_filters" -> ((s, dir) => {
       import graft.functions.UrlFunctions
-      val url = when(col("doc_id") % 17 === 0,
-        concat(lit("not a url "), col("doc_id").cast("string")))
-        .otherwise(concat(
-          lit("http://site"), (col("doc_id") % 5).cast("string"),
-          lit(".example.com/docs"),
-          when(col("doc_id") % 11 === 0, lit("/a/b/c/d/e/f/g/h"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 13 === 0, lit("/2024010199887766"))
-            .otherwise(lit("")),
-          lit("/page"), (col("doc_id") % 30).cast("string"),
-          when(col("doc_id") % 9 === 0, lit(".jpg"))
-            .when(col("doc_id") % 8 === 0, lit(".html"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 19 === 0, lit("?q=casino"))
-            .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
-            .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
       // canonical STAGED once as an attribute; the rules then read a
       // row field instead of re-running the canonicalization tree
       val sigs = UrlFunctions.urlFilterSignalsFromCanon(col("__canon"))
       t(s, dir, "documents")
-        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), synthFilterUrl.as("url"))
         .select(col("doc_id"),
           UrlFunctions.canonicalizeUrl(col("url")).as("__canon"))
         .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
@@ -1320,22 +1330,7 @@ object SparkEntry {
     // side). Same url05/ht01 synths.
     "wp01_web_pipeline" -> ((s, dir) => {
       import graft.functions.{HtmlFunctions, UrlFunctions}
-      val url = when(col("doc_id") % 17 === 0,
-        concat(lit("not a url "), col("doc_id").cast("string")))
-        .otherwise(concat(
-          lit("http://site"), (col("doc_id") % 5).cast("string"),
-          lit(".example.com/docs"),
-          when(col("doc_id") % 11 === 0, lit("/a/b/c/d/e/f/g/h"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 13 === 0, lit("/2024010199887766"))
-            .otherwise(lit("")),
-          lit("/page"), (col("doc_id") % 30).cast("string"),
-          when(col("doc_id") % 9 === 0, lit(".jpg"))
-            .when(col("doc_id") % 8 === 0, lit(".html"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 19 === 0, lit("?q=casino"))
-            .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
-            .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
+      val url = synthFilterUrl
       val html = concat(
         lit("<html><!-- id "), col("doc_id").cast("string"),
         lit(" --><head><style>p{color:red}</style>" +
@@ -1503,13 +1498,25 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, lbl) AS rn
       |  FROM sc)""".stripMargin
 
-  /** DuckDB replay of `UrlFunctions.decodeUnreservedEscapes`: the SAME
-    * generated escape table folded as nested SQL `replace` calls — one
-    * source of truth, so the engine and the oracle cannot drift. */
-  private def sqlDecodeUnreserved(expr: String): String =
-    graft.functions.UrlFunctions.unreservedEscapes.foldLeft(expr) {
-      case (e, (from, to)) => s"replace($e, '$from', '$to')"
-    }
+  /** DuckDB replay of `UrlFunctions.decodeUnreservedEscapes`: the same
+    * single-pass split-on-'%' formula (fragment decodes its leading two
+    * hex digits when they name an unreserved octet, else keeps its
+    * literal '%'), so the oracle shares the no-cascade semantics by
+    * construction. The explicit '00' exclusion mirrors nothing on the
+    * Spark side semantically (char(0) is not unreserved there either) —
+    * it only keeps DuckDB's chr() away from code point 0. Emitted as
+    * one line so stripMargin never sees it. */
+  private def sqlDecodeUnreserved(expr: String): String = {
+    val parts = s"string_split($expr, '%')"
+    val hex = "substr(p, 1, 2)"
+    val code = s"TRY_CAST(('0x' || $hex) AS INT)"
+    s"CASE WHEN len($parts) <= 1 THEN $expr " +
+      s"ELSE $parts[1] || array_to_string(list_transform($parts[2:], p -> " +
+      s"CASE WHEN regexp_matches($hex, '^[0-9A-Fa-f]{2}$$') " +
+      s"AND $hex <> '00' " +
+      s"AND regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$') " +
+      s"THEN chr($code) || substr(p, 3) ELSE '%' || p END), '') END"
+  }
 
   private val textOracle: Map[String, String] = Map(
     "tx01_normalize_text" ->

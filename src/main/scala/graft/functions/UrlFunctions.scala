@@ -90,29 +90,44 @@ object UrlFunctions {
   private[graft] val trackingParamRe =
     "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
 
-  /** The RFC 3986 §2.3 unreserved characters: a percent-escape of one
-    * of these is semantically identical to the bare character, so
-    * canonicalization decodes it (§6.2.2.2) — `%7Euser` ≡ `~user`.
-    * Escapes of RESERVED octets (`%2F`, `%26`, `%3D`, `%25`, …) are
-    * structural and stay exactly as written; their hex case is also NOT
-    * normalized (a documented subset of §6.2.2.1 — neither engine has a
-    * regex-callback to uppercase arbitrary escapes, and decoding the
-    * unreserved set removes the overwhelmingly common aliases). */
-  private[graft] val unreservedEscapes: Seq[(String, String)] =
-    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
-      .flatMap { c =>
-        val up = f"%%${c.toInt}%02X"
-        Seq(up, up.toLowerCase).distinct.map(_ -> c.toString)
-      }
-
-  /** Decode every unreserved percent-escape ([[unreservedEscapes]]) —
-    * a fold of plain `replace` calls (codegen'd, no regex); no
-    * replacement ever introduces `%`, so the fold order is immaterial
-    * and nothing double-decodes. */
-  private[graft] def decodeUnreservedEscapes(s: Column): Column =
-    unreservedEscapes.foldLeft(s) { case (c, (from, to)) =>
-      call_function("replace", c, lit(from), lit(to))
-    }
+  /** Decode percent-escapes of the RFC 3986 §2.3 UNRESERVED characters
+    * (`[A-Za-z0-9._~-]`) in ONE left-to-right pass — `%7Euser` ≡
+    * `~user` (§6.2.2.2). Escapes of RESERVED octets (`%2F`, `%26`,
+    * `%3D`, `%25`, …) are structural and stay exactly as written; their
+    * hex case is also not normalized (a documented subset of §6.2.2.1).
+    *
+    * Single-pass by construction: split on `%`, then each fragment
+    * either decodes its leading two hex digits (when they name an
+    * unreserved octet) or keeps its literal `%` back. A replace-fold
+    * over the escape table would CASCADE — in `/p%2%45` the `%45`→`E`
+    * replacement manufactures a brand-new `%2E` that a later fold step
+    * decodes to `.`, silently colliding distinct raw URLs; the split
+    * formulation decodes `/p%2%45` to the correct `/p%2E`. A dangling
+    * `%` (no valid escape behind it) survives as the literal text it
+    * is. The identical formula replays in DuckDB (split +
+    * list_transform + hex cast), so the oracle shares the semantics
+    * by construction. */
+  private[graft] def decodeUnreservedEscapes(s: Column): Column = {
+    // '%' is not a regex metacharacter: this is a literal split. The
+    // default limit (-1) keeps trailing empty fragments, so "a%" round-
+    // trips ("" decodes to the literal "%").
+    val parts = split(s, "%")
+    val decodedTail = aggregate(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      lit(""),
+      (acc, p) => {
+        val hex2 = substring(p, 1, 2)
+        val code = conv(hex2, 16, 10).try_cast("int")
+        val ch = call_function("char", code)
+        val isEscape = hex2.rlike("^[0-9A-Fa-f]{2}$") &&
+          ch.rlike("^[A-Za-z0-9._~-]$")
+        concat(acc,
+          when(isEscape, concat(ch, p.substr(lit(3), length(p))))
+            .otherwise(concat(lit("%"), p)))
+      })
+    when(size(parts) <= 1, s)
+      .otherwise(concat(element_at(parts, 1), decodedTail))
+  }
 
   /** Canonical form of a URL under the contract in the object scaladoc;
     * NULL for anything without a `scheme://host` shape. */

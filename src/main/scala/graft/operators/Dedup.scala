@@ -73,12 +73,16 @@ object Dedup {
     * regexp-heavy canonicalization is evaluated once per row and there
     * is no union of two plan branches re-reading the corpus (the
     * two-branch formulation measured ~2× this one on the bench lane).
-    * min/count partials map-side combine, the shuffle is distinct-URL-
-    * domain, and the corpus payload never moves (id-only discipline:
-    * survivors re-attach to whatever the caller keeps by `idCol`).
-    * Ids are assumed unique (the library-wide contract): two
-    * unparseable rows sharing an id would collapse into one surrogate
-    * group.
+    * min/count partials map-side combine; the shuffle is distinct-URL-
+    * domain for parseable rows PLUS one narrow (key, id, null) row per
+    * unparseable row — junk rows ride the exchange as singleton groups
+    * (no combine benefit, but narrow rows and no second corpus scan;
+    * on a junk-dominated corpus pre-filter with
+    * `UrlFunctions.urlFilterSignals` first, which rejects them anyway).
+    * The corpus payload never moves (id-only discipline: survivors
+    * re-attach to whatever the caller keeps by `idCol`). Ids are
+    * assumed unique (the library-wide contract): two unparseable rows
+    * sharing an id would collapse into one surrogate group.
     *
     * Output: (idCol, url_canon, n_copies), one row per SURVIVOR. */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =

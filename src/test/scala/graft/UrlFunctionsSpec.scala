@@ -61,6 +61,15 @@ class UrlFunctionsSpec extends AnyFunSuite {
       Some("http://a.com/x?b=2"))
     // %25 = '%' never decodes (it would double-decode)
     assert(canon("http://a.com/p%2541") == Some("http://a.com/p%2541"))
+    // SINGLE-PASS: a decoded char must never complete a dangling '%h'
+    // into a brand-new escape (a replace-fold would turn %2%45 into
+    // '.' via the manufactured %2E, colliding distinct raw URLs)
+    assert(canon("http://a.com/p%2%45") == Some("http://a.com/p%2E"))
+    assert(canon("http://a.com/x%7%41") == Some("http://a.com/x%7A"))
+    // dangling escapes survive as the literal text they are
+    assert(canon("http://a.com/a%") == Some("http://a.com/a%"))
+    assert(canon("http://a.com/a%4") == Some("http://a.com/a%4"))
+    assert(canon("http://a.com/a%zz") == Some("http://a.com/a%zz"))
   }
 
   test("canonicalizeUrl: userinfo and fragment strip") {
