@@ -27,10 +27,17 @@ import org.apache.spark.sql.SparkSession
   *     which the full line does not (a truncated tail is how round 6's
   *     driver artifact ended up unparseable). Full names + raw samples
   *     live in docs/BENCH_full_last_run.json;
-  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 360 s of measured query
-  *     time) stops STARTING new passes once exceeded — on a slow host the
-  *     run self-truncates to fewer passes instead of overrunning the
-  *     driver's wall limit; the emitted line carries `"budget_hit": true`;
+  *   - the pass budget (measured query time; stops STARTING new passes
+  *     once exceeded) is DERIVED from the catalog — certified per-lane
+  *     cost x current lane count x iters x 1.3 headroom, falling back to
+  *     laneCount x iters x [[PerLaneAllowanceS]] — so catalog growth can
+  *     never silently make 3 passes unfittable again (round 11's 480 s
+  *     constant was sized for 147 lanes; at 158 lanes every driver run
+  *     was guaranteed to budget-hit at 2 passes).
+  *     `SPARK_GRAFT_BENCH_BUDGET_S` remains an explicit override; on a
+  *     slow host the run self-truncates to fewer passes instead of
+  *     overrunning the driver's wall limit; the emitted line carries
+  *     `"budget_hit": true`;
   *   - docs/BENCH_full_latest.json is only overwritten by a CLEAN final
   *     pass (no errors, no budget hit, not contaminated, >= 2 passes), so
   *     "latest" always points at a valid bench baseline;
@@ -50,12 +57,59 @@ import org.apache.spark.sql.SparkSession
   *     false-flag medians that round-robin already absorbed;
   *   - a contaminated or single-pass capture never overwrites
   *     docs/BENCH_full_latest.json ([[certifiable]]).
+  *
+  * Per-lane plausibility guard (the CPU probe's I/O blind spot — see
+  * [[implausibleLanes]]): lane medians are compared to the committed
+  * certified medians; in a probe-quiet run, more than
+  * `SPARK_GRAFT_BENCH_MAX_IMPLAUSIBLE` (default 3) lanes over 3x their
+  * certified median stamps the capture `"implausible": true` (flagged
+  * lanes listed in `"implausible_lanes"`) and refuses certification.
+  *
+  * Per-lane certified bands: each lane entry in the docs artifacts
+  * carries `"band":[lo,hi]` — the min/max of certified medians the lane
+  * has ever recorded (carried forward from the prior _latest, extended
+  * with this capture's median) — so round-over-round drift adjudication
+  * reads a same-code spread band instead of re-measuring.
   * The reported "total" is the sum of medians.
   */
 object Bench {
   /** Quiet-box seconds for [[probeSeconds]]' fixed op, measured on the
     * reference 32-thread box (local[32], warm codegen). */
   val ProbeRefS = 0.30
+
+  /** Fallback per-lane budget allowance when no certified baseline exists
+    * to derive from: the catalog's clean per-lane mean is ~1.05 s
+    * (166.2 s / 158 lanes on the round-11 certified capture); 1.25 s gives
+    * ~19% headroom for noisier windows while staying BELOW the certified
+    * per-lane cost x 1.3 path, so a committed baseline (the normal case)
+    * actually drives the budget instead of the floor always winning. */
+  val PerLaneAllowanceS = 1.25
+
+  /** Derive the pass budget from the catalog instead of a constant.
+    *
+    * Round 11's round-end artifact was guaranteed non-certifiable because
+    * the 480 s constant was sized for a 147-lane catalog and the catalog
+    * had grown to 158 lanes (~166 s/clean pass; 3 passes ≈ 500 s > 480) —
+    * every driver invocation budget-hit at 2 passes. A budget derived
+    * from the catalog size can't silently fall behind it:
+    *   - with a committed certified baseline: scale its per-lane cost to
+    *     the CURRENT lane count, times iters, times 1.3 headroom (the
+    *     documented same-code certified spread on this box is ~1.19x);
+    *   - without one (fresh checkout): laneCount x iters x
+    *     [[PerLaneAllowanceS]];
+    *   - never below the no-baseline floor, so a certified capture taken
+    *     in an unusually quiet window can't starve the next run. */
+  private[graft] def derivedBudgetS(
+      laneCount: Int,
+      iters: Int,
+      certified: Option[(Double, Int)]): Double = {
+    val floor = laneCount * iters * PerLaneAllowanceS
+    certified match {
+      case Some((total, lanes)) if lanes > 0 && total > 0.0 =>
+        math.max((total / lanes) * laneCount * iters * 1.3, floor)
+      case _ => floor
+    }
+  }
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -71,13 +125,68 @@ object Bench {
     probes.nonEmpty && median(probes) > refS * factor
 
   /** May this capture become docs/BENCH_full_latest.json? Only a full,
-    * error-free, budget-clean, uncontaminated, multi-pass run — a
-    * single-pass median is one sample wearing a median's name. */
+    * error-free, budget-clean, uncontaminated, PLAUSIBLE, multi-pass
+    * run — a single-pass median is one sample wearing a median's name. */
   private[graft] def certifiable(
       passes: Int, iters: Int, nErrors: Int, budgetHit: Boolean,
-      isContaminated: Boolean): Boolean =
+      isContaminated: Boolean, isImplausible: Boolean = false): Boolean =
     passes == iters && passes >= 2 && nErrors == 0 && !budgetHit &&
-      !isContaminated
+      !isContaminated && !isImplausible
+
+  /** Per-lane plausibility vs the committed certified medians — the CPU
+    * probe's I/O blind spot. The probe is xxhash64 over `range` (zero
+    * I/O, zero shuffle), so co-tenant DISK/shuffle contention sails past
+    * it: round 11's driver snapshot stamped itself "uncontaminated"
+    * (probe medians 0.25-0.28 s) while dd06 read 22.5x its certified
+    * median on identical code. Lane medians themselves are the I/O-aware
+    * signal: on identical code the certified same-code spread tops out
+    * around 1.9x on sub-second lanes, so a lane over 3x its committed
+    * certified median in an otherwise "clean" run is a contention
+    * fingerprint, and several of them together mean the capture is not a
+    * baseline. Returns the flagged lane names (sorted, for the artifact).
+    * Lanes with no certified median (new this round) are never flagged. */
+  private[graft] def implausibleLanes(
+      medians: Seq[(String, Double)],
+      certified: Map[String, Double],
+      factor: Double = 3.0): Seq[String] =
+    medians.collect {
+      case (name, v) if certified.get(name).exists(c => c > 0.0 && v > c * factor) => name
+    }.sorted
+
+  /** Parse a docs/BENCH_full_*.json capture (our own writer's format) into
+    * per-lane (median, optional certified band). Regex over the known
+    * shape — the file is machine-written by [[main]], not arbitrary JSON. */
+  private[graft] def parseCertified(
+      doc: String): Map[String, (Double, Option[(Double, Double)])] = {
+    val entry =
+      """"([A-Za-z0-9_]+)":\{"median":([-0-9.eE+]+),"samples":\[[^\]]*\](?:,"band":\[([-0-9.eE+]+),([-0-9.eE+]+)\])?\}""".r
+    entry.findAllMatchIn(doc).map { m =>
+      val band = Option(m.group(3)).map(lo => (lo.toDouble, m.group(4).toDouble))
+      m.group(1) -> (m.group(2).toDouble, band)
+    }.toMap
+  }
+
+  /** Total + lane count of a parsed certified capture, for
+    * [[derivedBudgetS]]. */
+  private[graft] def certifiedTotalLanes(
+      doc: String): Option[(Double, Int)] = {
+    val lanes = parseCertified(doc)
+    val total = """"total":([-0-9.eE+]+)""".r.findFirstMatchIn(doc)
+      .map(_.group(1).toDouble)
+    total.filter(_ => lanes.nonEmpty).map(t => (t, lanes.size))
+  }
+
+  /** Extend a lane's certified band with this capture's median: the band
+    * is the min/max of CERTIFIED medians the lane has ever recorded, so
+    * round-over-round drift adjudication reads a same-code spread band
+    * instead of re-measuring (round 11 spent real effort re-litigating
+    * g05/g11 noise that a band would have answered from the file). */
+  private[graft] def extendBand(
+      prior: Option[(Double, Double)],
+      median: Double): (Double, Double) = prior match {
+    case Some((lo, hi)) => (math.min(lo, median), math.max(hi, median))
+    case None           => (median, median)
+  }
 
   /** Pre-sweep quiet-window wait: probe until the box is quiet or the
     * attempt budget runs out, so a sweep isn't burned into a capture the
@@ -121,10 +230,25 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    // 480 s of measured query time fits 3 clean passes of the 147-lane
-    // catalog (~144 s each) with ~10% drift headroom; round 9's budget of
-    // 360 would have cut a marginally-slow clean run to 2 passes
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    // the committed certified baseline drives the budget AND the per-lane
+    // plausibility fence; absent or unreadable file degrades to the
+    // catalog-size fallback budget and no plausibility checks
+    val certifiedDoc: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("docs/BENCH_full_latest.json")), "UTF-8"))
+      catch { case _: Throwable => None }
+    val certifiedLanes = certifiedDoc.map(parseCertified).getOrElse(Map.empty)
+    val certifiedMedians = certifiedLanes.view.mapValues(_._1).toMap
+    // budget DERIVED from the catalog (round 11's 480 s constant was sized
+    // for 147 lanes and could never fit 3 passes of the grown 158-lane
+    // catalog — every round-end driver run was guaranteed to budget-hit);
+    // the env var stays as an explicit override for profiling loops
+    val laneCount = SparkEntry.queries.size
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+      .getOrElse(derivedBudgetS(laneCount, iters,
+        certifiedDoc.flatMap(certifiedTotalLanes)))
+    val maxImplausible = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_IMPLAUSIBLE", "3").toInt
     val probeRefS = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_REF_S",
       ProbeRefS.toString).toDouble
     val spark = SparkSession.builder()
@@ -212,8 +336,13 @@ object Bench {
       val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val dirty = contaminated(probes.toSeq, probeRefS)
+      // the probe's I/O blind spot: lane medians vs the committed certified
+      // medians catch disk/shuffle contention the CPU probe can't see
+      val flagged = implausibleLanes(results, certifiedMedians)
+      val implausible = flagged.size > maxImplausible
       val probeJson = probes.map(r3).mkString("[", ",", "]")
-      val guardTag = s""","probe_s":$probeJson,"probe_ref_s":${r3(probeRefS)},"contaminated":$dirty"""
+      val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val guardTag = s""","probe_s":$probeJson,"probe_ref_s":${r3(probeRefS)},"contaminated":$dirty,"implausible_lanes":$flaggedJson,"implausible":$implausible"""
       def line(key: String => String, tag: String): String = {
         val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
           .mkString("{", ",", "}")
@@ -226,21 +355,37 @@ object Bench {
       // docs artifact: last_run promises the full catalog just as the
       // baseline does; filtered runs report via stdout only
       try if (only.isEmpty) {
+        // per-lane certified band: min/max of certified medians this lane
+        // has recorded, carried forward from the prior _latest and
+        // extended with THIS capture's median — drift adjudication data
         val full = results.map { case (k, v) =>
+          val (lo, hi) = extendBand(certifiedLanes.get(k).flatMap(_._2)
+            .orElse(certifiedLanes.get(k).map(m => (m._1, m._1))), v)
           "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
-            samples(k).reverse.mkString(",") + "]}"
+            samples(k).reverse.mkString(",") + s"],\"band\":[$lo,$hi]}"
         }.mkString("{", ",", "}")
         val doc =
           s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit$guardTag}
              |""".stripMargin.getBytes("UTF-8")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
-        if (certifiable(passes, iters, errors.size, budgetHit, dirty))
+        if (certifiable(passes, iters, errors.size, budgetHit, dirty,
+            implausible))
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
-        else if (passes == iters && dirty &&
+        else if (passes == iters && !dirty && implausible &&
             certifiable(passes, iters, errors.size, budgetHit,
               isContaminated = false))
+          // rejected SOLELY for per-lane implausibility: the CPU probe saw
+          // a quiet box but lane medians say I/O contention — name the
+          // lanes so the reader sees the fingerprint, not a mystery
+          System.err.println(
+            s"[bench] capture NOT certified: ${flagged.size} lanes read " +
+              s">3x their committed certified medians on a probe-quiet " +
+              s"box (I/O contention fingerprint): ${flagged.mkString(", ")}")
+        else if (passes == iters && dirty &&
+            certifiable(passes, iters, errors.size, budgetHit,
+              isContaminated = false, isImplausible = implausible))
           // rejected SOLELY for contamination: say so explicitly — on a
           // slower box than the 0.30 s reference this reads as a permanent
           // load problem unless the override knob is surfaced

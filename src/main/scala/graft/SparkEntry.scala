@@ -2203,9 +2203,11 @@ object SparkEntry {
     // single-match, so DuckDB's replace-first equals Spark's
     // replace-all. regexp_extract returns '' on no match in BOTH
     // engines (probed), so '' is the absent-part sentinel throughout.
-    // The unreserved-escape decode (p3b) is the GENERATED replace fold
-    // of UrlFunctions.unreservedEscapes — the same table, by
-    // construction, as the engine's own fold.
+    // The unreserved-escape decode (p3b) is [[sqlDecodeUnreserved]] —
+    // an independent DuckDB re-expression of the same single-pass
+    // split-on-'%' replay the engine's decodeUnreservedEscapes uses
+    // (only the RFC 3986 unreserved-character class is shared, as a
+    // regex literal in both).
     "url01_canonical_urls" ->
       s"""WITH u AS (SELECT doc_id,
         |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)

@@ -192,6 +192,17 @@ object EscoCli {
       println(s"translated ${Translate.propertyMap.getOrElse(property, property)} " +
         s"-> $whDir/occupations_translated")
 
+    // a multi-verb analyze with a typo in ONE name used to fall through
+    // to the generic usage blob (unlike the single-verb path, which
+    // names the bad verb) — if any name is a catalog verb, say exactly
+    // which of the others were not. Matched AFTER the anchored
+    // label-argument forms above, so `related-occupations <label>` etc.
+    // are never swallowed.
+    case "analyze" :: _ :: names
+        if names.size >= 2 && names.exists(catalogNames.contains) =>
+      System.err.println(unknownVerbMessage(names))
+      sys.exit(2)
+
     case _ =>
       System.err.println(
         """usage:
@@ -278,6 +289,17 @@ object EscoCli {
     "top-skills-by-relationships", "top-occupations-optional",
     "transferable-skills", "skill-groups-most-skills", "skill-depths",
     "combined-connections")
+
+  /** Error line for a multi-verb analyze carrying names outside
+    * [[catalogNames]]: name exactly the unrecognized ones (the
+    * single-verb path already errors with the bad name; falling through
+    * to the generic usage blob hid WHICH of five verbs was mistyped). */
+  private[cli] def unknownVerbMessage(names: Seq[String]): String = {
+    val unknown = names.filterNot(catalogNames.contains)
+    s"analyze: unknown quer${if (unknown.size == 1) "y" else "ies"} " +
+      s"${unknown.mkString(", ")} (known catalog verbs: " +
+      s"${catalogNames.toSeq.sorted.mkString(" ")})"
+  }
 
   private def parseOpts(rest: List[String]): Map[String, String] = {
     def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {

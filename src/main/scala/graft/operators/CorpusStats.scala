@@ -1205,11 +1205,21 @@ object CorpusStats {
   val BpeWordEnd = "</w>"
 
   /** Append [[BpeWordEnd]] to the last element of a piece list (no-op
-    * list pass-through when `enabled` is false). */
+    * list pass-through when `enabled` is false).
+    *
+    * Deliberately NOT a `transform` lambda: higher-order-function lambda
+    * bodies get no subexpression elimination, and the callers pass the
+    * whole O(merges × len) BPE fold expression as `pieces` — a lambda
+    * referencing `pieces` re-evaluates that fold once PER PIECE, making
+    * the marked encoding ~len× the cost of the unmarked one. The
+    * slice/element_at composition below references `pieces` a constant
+    * number of times regardless of piece count. */
   private def markWordEnd(pieces: Column, enabled: Boolean): Column =
     if (!enabled) pieces
-    else transform(pieces, (p, i) =>
-      when(i === size(pieces) - 1, concat(p, lit(BpeWordEnd))).otherwise(p))
+    else when(size(pieces) === 0, pieces).otherwise(
+      concat(
+        slice(pieces, lit(1), size(pieces) - 1),
+        array(concat(element_at(pieces, lit(-1)), lit(BpeWordEnd)))))
 
   /** Inverse of a `markEnd = true` encoding: concatenate the pieces and
     * turn each end-of-word marker back into a single space. Round-trip

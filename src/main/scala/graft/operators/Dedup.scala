@@ -80,13 +80,22 @@ object Dedup {
     * on a junk-dominated corpus pre-filter with
     * `UrlFunctions.urlFilterSignals` first, which rejects them anyway).
     * The corpus payload never moves (id-only discipline: survivors
-    * re-attach to whatever the caller keeps by `idCol`). Ids are
-    * assumed unique (the library-wide contract): two unparseable rows
-    * sharing an id would collapse into one surrogate group.
+    * re-attach to whatever the caller keeps by `idCol`). Ids must be
+    * unique AND non-null: two unparseable rows sharing an id would
+    * collapse into one surrogate group, and a NULL id would null the
+    * whole coalesced key — every null-id junk row silently merging
+    * into ONE group with a null survivor — so a null id raises
+    * (the [[graft.operators.Sampling]] hashHex / bpeEncodeViaVocab
+    * fail-fast convention) instead of guessing.
     *
     * Output: (idCol, url_canon, n_copies), one row per SURVIVOR. */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol),
+    df.select(
+      when(col(idCol).isNull, raise_error(lit(
+        s"urlDedup: null $idCol — keep-first-by-id needs unique non-null " +
+          "ids (a null id would collapse all unparseable rows into one " +
+          "surrogate group)")))
+        .otherwise(col(idCol)).as(idCol),
       graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol))
         .as("url_canon"))
       .withColumn("__k", coalesce(

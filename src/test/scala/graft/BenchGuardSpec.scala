@@ -85,4 +85,90 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
     assert(Bench.median(Seq(7.0)) == 7.0)
   }
+
+  test("derivedBudgetS: scales with the catalog, not a constant") {
+    // the round-11 failure mode: 158 lanes at the certified ~1.05 s/lane
+    // need ~500 s for 3 passes; the derived budget must exceed that
+    val b158 = Bench.derivedBudgetS(158, 3, Some((166.2, 158)))
+    assert(b158 > 500.0, s"derived budget $b158 must fit 3 clean passes")
+    // certified per-lane cost x current lanes x iters x 1.3 headroom
+    assert(math.abs(b158 - 166.2 * 3 * 1.3) < 1e-6)
+    // catalog growth moves the budget even with a stale certified capture
+    val b200 = Bench.derivedBudgetS(200, 3, Some((166.2, 158)))
+    assert(b200 > b158 && math.abs(b200 - 166.2 / 158 * 200 * 3 * 1.3) < 1e-6)
+  }
+
+  test("derivedBudgetS: no baseline falls back to the per-lane allowance") {
+    assert(Bench.derivedBudgetS(158, 3, None) ==
+      158 * 3 * Bench.PerLaneAllowanceS)
+    // degenerate certified inputs degrade to the fallback, not a 0 budget
+    assert(Bench.derivedBudgetS(158, 3, Some((0.0, 158))) ==
+      158 * 3 * Bench.PerLaneAllowanceS)
+  }
+
+  test("derivedBudgetS: an unusually-quiet certified capture can't starve " +
+      "the budget below the floor") {
+    // certified total of 10 s for 158 lanes would derive a 39 s budget;
+    // the no-baseline floor keeps the next run viable
+    assert(Bench.derivedBudgetS(158, 3, Some((10.0, 158))) ==
+      158 * 3 * Bench.PerLaneAllowanceS)
+  }
+
+  test("implausibleLanes: >3x the certified median flags; new lanes never") {
+    val cert = Map("a" -> 1.0, "b" -> 0.5, "c" -> 2.0)
+    val medians = Seq(
+      "a" -> 3.5,   // 3.5x -> flagged (the dd06-at-22.5x class)
+      "b" -> 1.4,   // 2.8x -> inside the same-code spread, clean
+      "c" -> 2.1,   // 1.05x -> clean
+      "new" -> 99.0 // no certified median -> never flagged
+    )
+    assert(Bench.implausibleLanes(medians, cert) == Seq("a"))
+    // exactly 3x is NOT flagged (strict >, mirroring contaminated's fence)
+    assert(Bench.implausibleLanes(Seq("a" -> 3.0), cert).isEmpty)
+    // empty certified map (fresh checkout): nothing ever flags
+    assert(Bench.implausibleLanes(medians, Map.empty).isEmpty)
+  }
+
+  test("certifiable: an implausible capture never certifies") {
+    assert(!Bench.certifiable(3, 3, 0, budgetHit = false,
+      isContaminated = false, isImplausible = true))
+    // and the default keeps the historical 5-arg call sites meaningful
+    assert(Bench.certifiable(3, 3, 0, budgetHit = false,
+      isContaminated = false))
+  }
+
+  test("parseCertified: reads the writer's own format, band optional") {
+    val doc = """{"total":12.5,"queries":{""" +
+      """"aj01_asof":{"median":0.245531786,"samples":[0.8,0.19,0.245]},""" +
+      """"g05_bet":{"median":6.1,"samples":[6.0,6.1,6.3],"band":[4.76,6.11]}},""" +
+      """"errors":[],"passes":3}"""
+    val parsed = Bench.parseCertified(doc)
+    assert(parsed("aj01_asof") == ((0.245531786, None)))
+    assert(parsed("g05_bet") == ((6.1, Some((4.76, 6.11)))))
+    assert(Bench.certifiedTotalLanes(doc).contains((12.5, 2)))
+    // junk input degrades to empty, not a crash
+    assert(Bench.parseCertified("not json at all").isEmpty)
+    assert(Bench.certifiedTotalLanes("{}").isEmpty)
+  }
+
+  test("parseCertified: round-trips the committed certified artifact") {
+    // the real committed baseline must be readable, else the derived
+    // budget and the plausibility fence silently degrade to fallbacks
+    val p = java.nio.file.Paths.get("docs/BENCH_full_latest.json")
+    assume(java.nio.file.Files.exists(p))
+    val doc = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val parsed = Bench.parseCertified(doc)
+    assert(parsed.size > 100, s"expected the full catalog, got ${parsed.size}")
+    val Some((total, lanes)) = Bench.certifiedTotalLanes(doc)
+    assert(lanes == parsed.size)
+    // the total is the sum of medians (writer invariant)
+    assert(math.abs(total - parsed.values.map(_._1).sum) < 1e-6)
+  }
+
+  test("extendBand: seeds from the first median, then widens monotonically") {
+    assert(Bench.extendBand(None, 1.5) == ((1.5, 1.5)))
+    assert(Bench.extendBand(Some((1.0, 2.0)), 1.5) == ((1.0, 2.0)))
+    assert(Bench.extendBand(Some((1.0, 2.0)), 0.5) == ((0.5, 2.0)))
+    assert(Bench.extendBand(Some((1.0, 2.0)), 2.5) == ((1.0, 2.5)))
+  }
 }

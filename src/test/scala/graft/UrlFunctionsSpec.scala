@@ -179,6 +179,24 @@ class UrlFunctionsSpec extends AnyFunSuite {
       (6L, None, 1L)))
   }
 
+  test("urlDedup: a null id raises instead of collapsing junk rows") {
+    // a NULL id on an unparseable row nulls the whole coalesced group
+    // key — every null-id junk row would silently merge into ONE group
+    // with a null survivor; the contract is unique AND non-null ids,
+    // enforced with a loud raise
+    val df = Seq(
+      (Some(1L), "junk one"),
+      (None: Option[Long], "junk two")
+    ).toDF("id", "url")
+    val e = intercept[Exception] {
+      operators.Dedup.urlDedup(df, "id", "url").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("urlDedup: null id")))
+  }
+
   test("domainCap: per-registered-domain min-k, unparseable rows excluded") {
     // 10 docs on example.com (via two different hosts), 2 on b.org, 1 junk
     val rows = (1L to 10L).map(i =>

@@ -80,6 +80,17 @@ class EscoCliSpec extends AnyFunSuite {
     analyses.foreach(n => assert(EscoCli.catalogNames.contains(n), n))
   }
 
+  test("multi-verb analyze with a typo names the unrecognized verbs") {
+    // one mistyped verb among valid ones used to fall through to the
+    // generic usage blob; the message must name exactly the bad ones
+    val msg = EscoCli.unknownVerbMessage(
+      Seq("triangles", "trangles", "pagerank-exact"))
+    assert(msg.contains("unknown query trangles"))
+    assert(!msg.contains("triangles,") && !msg.contains("pagerank-exact,"))
+    val msg2 = EscoCli.unknownVerbMessage(Seq("triangles", "foo", "bar"))
+    assert(msg2.contains("unknown queries foo, bar"))
+  }
+
   test("analyze related-occupations (direct and --bridge) runs") {
     EscoCli.run(spark,
       List("analyze", whDir, "related-occupations", "data engineer"))
