@@ -74,9 +74,15 @@ object SparkEntry {
     * fragment, so canonicalization has every contract clause to fold and
     * collisions (same canonical from different raw forms) occur by
     * construction; every 17th row is deliberately not a URL at all. The
-    * DuckDB oracles rebuild the identical string. `escapes = true`
-    * (url01 only) adds a percent-escape path segment on every 23rd row
-    * so the unreserved-decode clause is exercised and replayed. */
+    * DuckDB oracles rebuild the identical string via [[sqlSynthUrl]].
+    * `escapes = true` (url01 only) adds a percent-escape path segment on
+    * every 23rd row so the unreserved-decode clause is exercised and
+    * replayed. Host arms exercise the registeredDomain tiers: every
+    * 43rd row's site label is a punycode A-label (contract clause 10:
+    * case-folds, never IDNA-decoded), and the TLD arm cycles snapshot
+    * suffixes (a 2-label platform suffix, a ccTLD second-level, a
+    * 3-label suffix, a CentralNic pseudo-cc) alongside the ps2-cc and
+    * plain-TLD tiers. */
   private def synthUrl(escapes: Boolean = false): Column =
     when(col("doc_id") % 17 === 0,
       concat(lit("not a url "), col("doc_id").cast("string")))
@@ -85,8 +91,13 @@ object SparkEntry {
         lit("://"),
         when(col("doc_id") % 13 === 0, lit("user:pw@")).otherwise(lit("")),
         when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("cdn.")),
-        lit("Site"), (col("doc_id") % 5).cast("string"),
-        when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+        when(col("doc_id") % 43 === 0, lit("XN--BCHER-KVA"))
+          .otherwise(concat(lit("Site"), (col("doc_id") % 5).cast("string"))),
+        when(col("doc_id") % 29 === 0, lit(".GitHub.IO"))
+          .when(col("doc_id") % 31 === 0, lit(".ne.jp"))
+          .when(col("doc_id") % 37 === 0, lit(".Blogspot.co.uk"))
+          .when(col("doc_id") % 41 === 0, lit(".uk.com"))
+          .when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
         when(col("doc_id") % 6 === 0, lit(":80"))
           .when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
         lit("/Articles/Item"), (col("doc_id") % 40).cast("string"),
@@ -1518,6 +1529,59 @@ object SparkEntry {
       s"THEN chr($code) || substr(p, 3) ELSE '%' || p END), '') END"
   }
 
+  /** DuckDB rebuild of [[synthUrl]] — the IDENTICAL synthesized INPUT
+    * string (shared test data by construction, not replay logic; the
+    * pii01 synthesized-input convention). One line so stripMargin never
+    * sees it. */
+  private def sqlSynthUrl(escapes: Boolean): String = {
+    val esc =
+      if (escapes)
+        " || (CASE WHEN doc_id % 23 = 0 THEN '/esc%7E%41%2fX' ELSE '' END)"
+      else ""
+    "CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR) " +
+      "ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' " +
+      "|| (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END) " +
+      "|| (CASE WHEN doc_id % 43 = 0 THEN 'XN--BCHER-KVA' " +
+      "ELSE 'Site' || CAST(doc_id % 5 AS VARCHAR) END) " +
+      "|| (CASE WHEN doc_id % 29 = 0 THEN '.GitHub.IO' " +
+      "WHEN doc_id % 31 = 0 THEN '.ne.jp' " +
+      "WHEN doc_id % 37 = 0 THEN '.Blogspot.co.uk' " +
+      "WHEN doc_id % 41 = 0 THEN '.uk.com' " +
+      "WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END) " +
+      "|| (CASE WHEN doc_id % 6 = 0 THEN ':80' " +
+      "WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) " +
+      "|| '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)" + esc +
+      " || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) " +
+      "|| '&utm_source=news&b=2' " +
+      "WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR) " +
+      "ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) " +
+      "ELSE '' END) END"
+  }
+
+  /** DuckDB replay of `UrlFunctions.registeredDomain` over a non-empty,
+    * trailing-dot-stripped host expression: an independent CASE
+    * re-expression of the documented heuristic (IPv4 literal, snapshot
+    * suffix + tenant label, ps2-cc three-label, last-two-label,
+    * dot-less). The multi-label suffix SNAPSHOT itself rides in from
+    * the engine's pinned `publicSuffixSnapshot` (shared test DATA — a
+    * published public-suffix subset, suffix-disjoint by spec-pinned
+    * invariant, so neither engine's alternation preference can change
+    * an answer). One line so stripMargin never sees it. */
+  private def sqlRegisteredDomain(host: String): String = {
+    val alts = graft.functions.UrlFunctions.publicSuffixSnapshot
+      .map(_.replace(".", "\\.")).mkString("|")
+    s"CASE WHEN regexp_matches($host, '^([0-9]{1,3}\\.){3}[0-9]{1,3}$$') THEN $host " +
+      s"WHEN regexp_matches($host, '\\.(?:$alts)$$') " +
+      s"THEN regexp_extract($host, '([^.]+\\.(?:$alts))$$', 1) " +
+      s"WHEN regexp_matches($host, '\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$$') " +
+      s"THEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) " +
+      s"WHEN $host LIKE '%.%' THEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1) " +
+      s"ELSE $host END"
+  }
+
   private val textOracle: Map[String, String] = Map(
     "tx01_normalize_text" ->
       """SELECT doc_id,
@@ -2210,24 +2274,7 @@ object SparkEntry {
     // regex literal in both).
     "url01_canonical_urls" ->
       s"""WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
-        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
-        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
-        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
-        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
-        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 23 = 0 THEN '/esc%7E%41%2fX' ELSE '' END)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
-        |          || '&utm_source=news&b=2'
-        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
-        |        ELSE '' END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
-        |        ELSE '' END)
-        |  END AS url FROM documents),
+        |  ${sqlSynthUrl(escapes = true)} AS url FROM documents),
         |p1 AS (SELECT doc_id,
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(regexp_replace(url,
@@ -2270,33 +2317,14 @@ object SparkEntry {
         |  END AS url_canon,
         |  host,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
-        |    WHEN regexp_matches(host, '^([0-9]{1,3}\\.){3}[0-9]{1,3}$$') THEN host
-        |    WHEN regexp_matches(host, '\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$$')
-        |      THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
-        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
-        |    ELSE host END AS domain
+        |    ELSE ${sqlRegisteredDomain("host")} END AS domain
         |FROM p4 ORDER BY doc_id""".stripMargin,
     // keep-first-by-id per canonical URL; null canonicals never group
     "url02_url_dedup" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
-        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
-        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
-        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
-        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
-        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
-        |          || '&utm_source=news&b=2'
-        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
-        |        ELSE '' END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
-        |        ELSE '' END)
-        |  END AS url FROM documents),
-        |p1 AS (SELECT doc_id,
+      (s"""WITH u AS (SELECT doc_id,
+        |  ${sqlSynthUrl(escapes = false)} AS url FROM documents),
+        |""" +
+      """p1 AS (SELECT doc_id,
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(regexp_replace(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
@@ -2340,30 +2368,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, url_canon, CAST(1 AS BIGINT)
         |  FROM c WHERE url_canon IS NULL)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""").stripMargin,
     // per-domain min-k replay: the naive PARTITION BY domain ORDER BY
     // hash window replays the engine's exact two-level salted min-k
     // (min-k over bucket min-k's is the global min-k — sp06's argument)
     "url03_domain_cap" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
-        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
-        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
-        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
-        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
-        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
-        |          || '&utm_source=news&b=2'
-        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
-        |        ELSE '' END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
-        |        ELSE '' END)
-        |  END AS url FROM documents),
-        |p1 AS (SELECT doc_id,
+      (s"""WITH u AS (SELECT doc_id,
+        |  ${sqlSynthUrl(escapes = false)} AS url FROM documents),
+        |""" +
+      """p1 AS (SELECT doc_id,
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(regexp_replace(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
@@ -2379,12 +2392,10 @@ object SparkEntry {
         |  FROM p2),
         |d AS (SELECT doc_id,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
-        |    WHEN regexp_matches(host, '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN host
-        |    WHEN regexp_matches(host, '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
-        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-        |    ELSE host END AS domain
-        |  FROM p3),
+        |""" +
+      s"""    ELSE ${sqlRegisteredDomain("host")} END AS domain
+        |""" +
+      """  FROM p3),
         |h AS (SELECT domain, doc_id,
         |    substr(md5(CAST(doc_id AS VARCHAR) || '-url03'), 1, 8) AS hh
         |  FROM d WHERE domain IS NOT NULL),
@@ -2393,7 +2404,7 @@ object SparkEntry {
         |      AS BIGINT) AS sample_rank
         |  FROM h)
         |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
-        |ORDER BY domain, sample_rank""".stripMargin,
+        |ORDER BY domain, sample_rank""").stripMargin,
     // web-pipeline replay: url05's rule chain (url_pass), ht01's
     // extraction chain (clean), cu01's quality formula, keep-first
     // group among passers — every stage interaction replayed
@@ -2555,25 +2566,10 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
     // domain-mixture replay: url03's domain CTE + mw01's share table
     "url04_domain_mixture" ->
-      """WITH u AS (SELECT doc_id, text,
-        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-        |  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
-        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'cdn.' END)
-        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END)
-        |    || (CASE WHEN doc_id % 6 = 0 THEN ':80'
-        |        WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
-        |    || '/Articles/Item' || CAST(doc_id % 40 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
-        |          || '&utm_source=news&b=2'
-        |        WHEN doc_id % 7 = 0 THEN '?fbclid=x' || CAST(doc_id AS VARCHAR)
-        |        ELSE '' END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
-        |        ELSE '' END)
-        |  END AS url FROM documents),
-        |p1 AS (SELECT doc_id, text,
+      (s"""WITH u AS (SELECT doc_id, text,
+        |  ${sqlSynthUrl(escapes = false)} AS url FROM documents),
+        |""" +
+      """p1 AS (SELECT doc_id, text,
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(regexp_replace(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
@@ -2589,12 +2585,10 @@ object SparkEntry {
         |  FROM p2),
         |dm AS (SELECT doc_id, text,
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
-        |    WHEN regexp_matches(host, '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN host
-        |    WHEN regexp_matches(host, '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
-        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-        |    WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-        |    ELSE host END AS domain
-        |  FROM p3),
+        |""" +
+      s"""    ELSE ${sqlRegisteredDomain("host")} END AS domain
+        |""" +
+      """  FROM p3),
         |g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
         |      '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
@@ -2604,7 +2598,7 @@ object SparkEntry {
         |SELECT domain, n_docs, n_tokens, n_chars,
         |  CAST(CASE WHEN t.tot = 0 THEN 0
         |    ELSE (n_tokens * 1000) // t.tot END AS BIGINT) AS token_permille
-        |FROM g CROSS JOIN t ORDER BY domain""".stripMargin,
+        |FROM g CROSS JOIN t ORDER BY domain""").stripMargin,
     // HTML-extraction replay: identical synthesized markup, then the
     // six contract clauses in order; every regexp_replace carries 'g'
     // (Spark's replace is always global) and the block-tag whitespace

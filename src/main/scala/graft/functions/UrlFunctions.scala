@@ -42,7 +42,17 @@ import org.apache.spark.sql.functions._
   *      query (RFC 3986 §6.2.2.2: `%7Euser` ≡ `~user`; a disguised
   *      `utm%5Fsource` is then caught by the tracking filter); escapes
   *      of reserved octets stay exactly as written — decoding them
-  *      could change URL structure.
+  *      could change URL structure;
+  *  10. IDN hosts: punycode (`xn--...`) passes through AS-IS — it is
+  *      already the canonical DNS wire form (RFC 5890 A-label) — with
+  *      only the usual case fold (`XN--BCHER-KVA.com` ≡
+  *      `xn--bcher-kva.com`). The Unicode form (U-label) of the same
+  *      host is a DISTINCT canonical by policy: mapping U-labels to
+  *      A-labels is the full IDNA2008+UTS46 algorithm (bidi rules,
+  *      joiner rules, a Unicode-version-pinned mapping table), which no
+  *      regex tier should pretend to implement — and crawl frontiers
+  *      emit A-labels anyway. Pipelines that also see U-label URLs
+  *      punycode them upstream at fetch time.
   */
 object UrlFunctions {
 
@@ -167,18 +177,93 @@ object UrlFunctions {
         when(query =!= "", concat(lit("?"), query)).otherwise(lit(""))))
   }
 
+  /** Pinned snapshot of high-traffic multi-label PUBLIC SUFFIXES that
+    * the `<ps2>.<cc>` heuristic branch of [[registeredDomain]] cannot
+    * see. This is a documented SNAPSHOT, deliberately NOT the live
+    * Mozilla public-suffix list (a 10k-line moving target): it covers
+    * the tiers a real crawl hits in the first million pages —
+    * multi-tenant platform suffixes (every github.io tenant is an
+    * independent publisher; giving all of github.io ONE `domainCap`
+    * budget is exactly the silent-merge failure the cap exists to
+    * prevent), the CentralNic `uk.com`-style pseudo-ccTLDs (3-letter
+    * TLD, so the 2-letter-cc branch never fires), and the ccTLD
+    * second-level registries outside {co com org net ac gov edu}
+    * (`ne.jp`, `govt.nz`, `go.kr`, ...). A deployment tracking the full
+    * PSL swaps this list; the matching logic doesn't change.
+    *
+    * Invariant (spec-pinned): no entry is a dot-suffix of another
+    * entry, so exactly one alternative can match any host and neither
+    * engine's alternation-preference semantics can change an answer. */
+  private[graft] val publicSuffixSnapshot: Seq[String] = Seq(
+    // multi-tenant platform suffixes (PSL private section tier)
+    "github.io", "gitlab.io", "bitbucket.io", "readthedocs.io",
+    "blogspot.com", "blogspot.de", "blogspot.fr", "blogspot.it",
+    "blogspot.in", "blogspot.jp", "blogspot.ca", "blogspot.mx",
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
+    "blogspot.co.nz", "blogspot.co.za",
+    "wordpress.com", "appspot.com", "herokuapp.com",
+    "azurewebsites.net", "cloudfront.net", "firebaseapp.com",
+    "web.app", "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "fly.dev", "onrender.com", "surge.sh", "neocities.org",
+    "glitch.me", "repl.co", "cloudfunctions.net",
+    "elasticbeanstalk.com", "s3.amazonaws.com",
+    "duckdns.org", "dyndns.org", "eu.org",
+    // CentralNic pseudo-ccTLDs: 3-letter TLD, invisible to the
+    // 2-letter-cc branch
+    "uk.com", "us.com", "eu.com", "de.com", "jpn.com", "br.com",
+    "cn.com", "ru.com", "sa.com", "za.com", "gr.com", "co.com",
+    "gb.net", "uk.net", "se.net",
+    // ccTLD second-level registries outside the ps2 set
+    "ne.jp", "or.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp", "lg.jp",
+    "me.uk", "ltd.uk", "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    "id.au", "asn.au",
+    "govt.nz", "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    "school.nz", "cri.nz", "health.nz", "mil.nz",
+    "go.kr", "or.kr", "ne.kr", "pe.kr", "re.kr",
+    "firm.in", "gen.in", "ind.in", "nic.in", "res.in",
+    "gen.tr", "web.tr", "bel.tr", "k12.tr", "av.tr",
+    "art.br", "adv.br", "ind.br", "inf.br", "srv.br", "eng.br",
+    "bj.cn", "sh.cn", "gd.cn",
+    "in.ua", "kiev.ua", "kyiv.ua",
+    "msk.ru", "spb.ru",
+    "go.id", "or.id", "web.id", "my.id", "sch.id",
+    "in.th", "go.th", "or.th",
+    "muni.il", "k12.il")
+
+  /** `\.(?:a\.b|c\.d)$` — does the host end in a snapshot suffix with a
+    * tenant label before it? (A host EQUAL to a suffix has no tenant
+    * and deliberately falls through to the generic branches.) */
+  private[graft] val snapshotSuffixRe: String =
+    "\\.(?:" +
+      publicSuffixSnapshot.map(_.replace(".", "\\.")).mkString("|") +
+      ")$"
+
+  /** `([^.]+\.(?:a\.b|c\.d))$` — the tenant label plus its snapshot
+    * suffix. Entry label-counts may differ (github.io vs
+    * blogspot.co.uk); the capture keeps suffix+1 labels either way. */
+  private[graft] val snapshotDomainRe: String =
+    "([^.]+\\.(?:" +
+      publicSuffixSnapshot.map(_.replace(".", "\\.")).mkString("|") +
+      "))$"
+
   /** Registered domain (eTLD+1) of a HOST string, by a documented
     * heuristic rather than the full public-suffix list (which is a
     * 10k-line moving target; the heuristic covers the dominant shapes
     * and is engine-replayable):
     *   - a dotted-quad IPv4 literal is its own "domain";
     *   - a dot-less host (localhost, intranet names) is its own domain;
+    *   - a host ending in a [[publicSuffixSnapshot]] entry keeps the
+    *     suffix plus ONE tenant label (x.github.io → x.github.io;
+    *     a.b.blogspot.co.uk → b.blogspot.co.uk) — checked BEFORE the
+    *     generic branches, which would otherwise merge every tenant of
+    *     a platform suffix into one pseudo-domain;
     *   - `x.<ps2>.<cc>` where ps2 ∈ {co, com, org, net, ac, gov, edu}
     *     and cc is a two-letter TLD keeps THREE labels (bbc.co.uk);
     *   - anything else keeps the last TWO labels (sub.example.com →
     *     example.com).
-    * The multi-label branch is an explicit `when`, not a regex
-    * alternation, so no engine's alternation-preference semantics can
+    * The ps2 multi-label branch is an explicit `when`, not a regex
+    * alternation, and the snapshot alternation is suffix-disjoint by
+    * invariant, so no engine's alternation-preference semantics can
     * change the answer. Trailing dots strip first (defensively — the
     * [[urlHost]] path already folds them): without the strip an
     * absolute-FQDN host ends in '.', no suffix regex can match, and
@@ -186,6 +271,8 @@ object UrlFunctions {
   def registeredDomain(host: Column): Column = {
     val h = regexp_replace(host, "\\.+$", "")
     when(h.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), h)
+      .when(h.rlike(snapshotSuffixRe),
+        regexp_extract(h, snapshotDomainRe, 1))
       .when(h.rlike("\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$"),
         regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .when(h.contains("."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))

@@ -121,6 +121,64 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(rows(4) == (("", None)))
   }
 
+  test("registeredDomain: public-suffix snapshot keeps tenant + suffix") {
+    def dom(h: String): String = Seq(h).toDF("h")
+      .select(registeredDomain(col("h"))).head().getString(0)
+    // 2-label platform suffix: every tenant is its own publisher —
+    // lumping all of github.io into one domainCap budget is the silent
+    // merge the snapshot exists to prevent
+    assert(dom("alice.github.io") == "alice.github.io")
+    assert(dom("www.alice.github.io") == "alice.github.io")
+    // 3-label snapshot suffix keeps FOUR labels
+    assert(dom("myblog.blogspot.co.uk") == "myblog.blogspot.co.uk")
+    assert(dom("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    // ccTLD second-level registries outside the ps2 set
+    assert(dom("foo.ne.jp") == "foo.ne.jp")
+    assert(dom("x.foo.ne.jp") == "foo.ne.jp")
+    assert(dom("beehive.govt.nz") == "beehive.govt.nz")
+    // CentralNic pseudo-ccTLD (3-letter TLD — the ps2-cc branch can't
+    // see it; last-two would merge every uk.com tenant)
+    assert(dom("shop.uk.com") == "shop.uk.com")
+    // the suffix ITSELF (no tenant label) falls through to last-two
+    assert(dom("github.io") == "github.io")
+    // ps2-cc and plain tiers unchanged by the snapshot branch
+    assert(dom("news.bbc.co.uk") == "bbc.co.uk")
+    assert(dom("sub.example.com") == "example.com")
+  }
+
+  test("publicSuffixSnapshot invariant: no entry is a dot-suffix of another") {
+    // exactly one alternation branch can match any host, so neither
+    // engine's alternation-preference semantics can change an answer
+    val entries = graft.functions.UrlFunctions.publicSuffixSnapshot
+    assert(entries.distinct.size == entries.size)
+    for (a <- entries; b <- entries if a != b)
+      assert(!b.endsWith("." + a),
+        s"'$b' ends with '.$a' — overlapping snapshot entries")
+    // and every entry is multi-label lowercase (single-label entries
+    // would shadow real TLDs; case would silently never match the
+    // lowercased host)
+    entries.foreach { e =>
+      assert(e.contains(".") && e == e.toLowerCase, e)
+    }
+  }
+
+  test("IDN policy (clause 10): punycode folds case, passes through, and " +
+      "stays distinct from the Unicode form") {
+    // A-label host: case folds, never IDNA-decoded
+    assert(canon("http://XN--BCHER-KVA.com/Path") ==
+      Some("http://xn--bcher-kva.com/Path"))
+    // registeredDomain works on punycode labels like any other label
+    def dom(h: String): String = Seq(h).toDF("h")
+      .select(registeredDomain(col("h"))).head().getString(0)
+    assert(dom("www.xn--bcher-kva.co.uk") == "xn--bcher-kva.co.uk")
+    assert(dom("xn--fiq228c.github.io") == "xn--fiq228c.github.io")
+    // the U-label spelling of the same host is a DISTINCT canonical by
+    // policy (mapping U->A is full IDNA2008+UTS46, owned upstream)
+    val uLabel = canon("http://bücher.com/Path")
+    assert(uLabel == Some("http://bücher.com/Path"))
+    assert(uLabel != canon("http://xn--bcher-kva.com/Path"))
+  }
+
   test("urlFilterSignals: each rule fires on its own trigger, null canon fails all") {
     val cases = Seq(
       (1L, "http://a.com/docs/page1?q=1"),                    // keeps
