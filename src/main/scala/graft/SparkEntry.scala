@@ -67,6 +67,26 @@ object SparkEntry {
           .when(col("doc_id") % 7 === 0, lit("?x=1&y=2&z=3&w=4&v=5"))
           .otherwise(concat(lit("?q="), (col("doc_id") % 6).cast("string")))))
 
+  /** ht01/wp01's SHARED markup synth (one Scala source, matching SQL via
+    * [[sqlSynthHtml]]): wraps each doc's text in markup exercising every
+    * extraction clause — comment, style, script (with a stray `<` inside),
+    * block and inline tags, and the entity battery: named forms, ASCII
+    * numeric refs (`&#65;` dec, `&#x42;` hex), non-ASCII refs that STAY
+    * encoded by contract (`&#233;`, `&#8217;`), the no-cascade probe
+    * `&amp;#38;` (literal text `&#38;` — a staged replace-fold would
+    * re-decode it), a dangling `R&D` ampersand, and a malformed
+    * `&#bad;`. */
+  private def synthHtml: Column = concat(
+    lit("<html><!-- id "), col("doc_id").cast("string"),
+    lit(" --><head><style>p{color:red}</style>" +
+      "<script>var x=1; if (x<2) { x = 3; }</script></head><body>" +
+      "<h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>"), col("text"),
+    lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
+      "&quot;quotes&quot; it&#39;s done, R&D dept, A&#65;&#x42;Z " +
+      "caf&#233; won&#8217;t &amp;#38; &#bad;</div></body></html>"))
+
   /** Deterministic URL synthesized from doc_id for the url* lanes (the
     * driver tables carry no URL column — same convention as pii01's
     * synthesized PII): residues of doc_id pick scheme case, userinfo,
@@ -1342,15 +1362,7 @@ object SparkEntry {
     "wp01_web_pipeline" -> ((s, dir) => {
       import graft.functions.{HtmlFunctions, UrlFunctions}
       val url = synthFilterUrl
-      val html = concat(
-        lit("<html><!-- id "), col("doc_id").cast("string"),
-        lit(" --><head><style>p{color:red}</style>" +
-          "<script>var x=1; if (x<2) { x = 3; }</script></head><body>" +
-          "<h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
-          "&quot;quotes&quot; it&#39;s done</div></body></html>"))
+      val html = synthHtml
       // canonical staged once (the url05 staging discipline)
       val sigMap =
         UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
@@ -1396,23 +1408,15 @@ object SparkEntry {
     }),
     // HTML -> visible text (the WARC->WET / C4 extraction tier):
     // script/style/comment drop, block tags -> newlines, inline tags ->
-    // spaces, entity decode (&amp; last), whitespace discipline — all
-    // scan-local regexp in the Java∩RE2 intersection. HTML synthesized
-    // around each doc's text (the pii01 convention); output hashes the
-    // extracted text + the markup-share diagnostic
+    // spaces, single-pass entity decode (named + ASCII numeric refs, no
+    // replace-fold cascade), whitespace discipline — all scan-local
+    // regexp in the Java∩RE2 intersection. HTML synthesized around each
+    // doc's text (the pii01 convention); output hashes the extracted
+    // text + the markup-share diagnostic
     "ht01_html_extract" -> ((s, dir) => {
       import graft.functions.HtmlFunctions
-      val html = concat(
-        lit("<html><!-- id "), col("doc_id").cast("string"),
-        lit(" --><head><style>p{color:red}</style>" +
-          "<script>var x=1; if (x<2) { x = 3; }</script></head><body>" +
-          "<h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
-          "&quot;quotes&quot; it&#39;s done</div></body></html>"))
       t(s, dir, "documents")
-        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"), synthHtml.as("__html"))
         .select(col("doc_id"),
           HtmlFunctions.stripHtml(col("__html")).as("__clean"),
           HtmlFunctions.markupPermille(col("__html"))
@@ -1559,6 +1563,47 @@ object SparkEntry {
       "ELSE '' END) " +
       "|| (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) " +
       "ELSE '' END) END"
+  }
+
+  /** DuckDB rebuild of [[synthHtml]] — identical synthesized markup
+    * (shared test data by construction). One line so stripMargin never
+    * sees it. */
+  private def sqlSynthHtml: String =
+    "'<html><!-- id ' || CAST(doc_id AS VARCHAR) || " +
+      "' --><head><style>p{color:red}</style>" +
+      "<script>var x=1; if (x<2) { x = 3; }</script></head><body>" +
+      "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || " +
+      "'</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
+      "&quot;quotes&quot; it&#39;s done, R&D dept, A&#65;&#x42;Z " +
+      "caf&#233; won&#8217;t &amp;#38; &#bad;</div></body></html>'"
+
+  /** DuckDB replay of `HtmlFunctions.decodeEntities`: the same
+    * single-pass split-on-'&' formula (each fragment decodes its leading
+    * entity body — named, or numeric in the ASCII range — or keeps its
+    * literal '&' back; decoded output never re-scanned), independently
+    * expressed with string_split + list_transform. One line so
+    * stripMargin never sees it. */
+  private def sqlDecodeEntities(expr: String): String = {
+    val parts = s"string_split($expr, '&')"
+    val dec = "regexp_extract(p, '^#([0-9]{1,7});', 1)"
+    val hex = "regexp_extract(p, '^#[xX]([0-9A-Fa-f]{1,6});', 1)"
+    val decCode = s"TRY_CAST($dec AS INT)"
+    val hexCode = s"TRY_CAST(('0x' || $hex) AS INT)"
+    def asciiOk(code: String) =
+      s"(($code BETWEEN 32 AND 126) OR $code IN (9, 10, 13))"
+    s"CASE WHEN len($parts) <= 1 THEN $expr " +
+      s"ELSE $parts[1] || array_to_string(list_transform($parts[2:], p -> " +
+      "CASE WHEN p LIKE 'amp;%' THEN '&' || substr(p, 5) " +
+      "WHEN p LIKE 'lt;%' THEN '<' || substr(p, 4) " +
+      "WHEN p LIKE 'gt;%' THEN '>' || substr(p, 4) " +
+      "WHEN p LIKE 'quot;%' THEN '\"' || substr(p, 6) " +
+      "WHEN p LIKE 'apos;%' THEN chr(39) || substr(p, 6) " +
+      "WHEN p LIKE 'nbsp;%' THEN ' ' || substr(p, 6) " +
+      s"WHEN $dec <> '' AND ${asciiOk(decCode)} " +
+      s"THEN chr($decCode) || substr(p, length($dec) + 3) " +
+      s"WHEN $hex <> '' AND ${asciiOk(hexCode)} " +
+      s"THEN chr($hexCode) || substr(p, length($hex) + 4) " +
+      "ELSE '&' || p END), '') END"
   }
 
   /** DuckDB replay of `UrlFunctions.registeredDomain` over a non-empty,
@@ -2409,7 +2454,7 @@ object SparkEntry {
     // extraction chain (clean), cu01's quality formula, keep-first
     // group among passers — every stage interaction replayed
     "wp01_web_pipeline" ->
-      """WITH u AS (SELECT doc_id, text,
+      ("""WITH u AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
         |  ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/docs'
         |    || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END)
@@ -2445,14 +2490,10 @@ object SparkEntry {
         |      '(porn|xxx|casino|viagra|escort)'), FALSE) AS url_pass
         |  FROM p),
         |h AS (SELECT doc_id,
-        |  '<html><!-- id ' || CAST(doc_id AS VARCHAR)
-        |    || ' --><head><style>p{color:red}</style>'
-        |    || '<script>var x=1; if (x<2) { x = 3; }</script></head><body>'
-        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-        |    || '</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and '
-        |    || '&quot;quotes&quot; it&#39;s done</div></body></html>' AS html
-        |  FROM u),
-        |x1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |""" +
+      s"""  $sqlSynthHtml AS html FROM u),
+        |""" +
+      """x1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
         |x2 AS (SELECT doc_id,
@@ -2463,10 +2504,10 @@ object SparkEntry {
         |x4 AS (SELECT doc_id,
         |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
         |x5 AS (SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(replace(t,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
-        |  FROM x4),
+        |""" +
+      s"""    ${sqlDecodeEntities("t")} AS t
+        |""" +
+      """  FROM x4),
         |x6 AS (SELECT doc_id, regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(t,
         |      '[ \t\x0B\f\r]+', ' ', 'g'),
@@ -2505,7 +2546,7 @@ object SparkEntry {
         |    AS final_keep
         |FROM rr r JOIN qt USING (doc_id)
         |LEFT JOIN k ON r.url_canon = k.url_canon
-        |ORDER BY r.doc_id""".stripMargin,
+        |ORDER BY r.doc_id""").stripMargin,
     // URL-filter replay: the synth is already canonical, so canon is
     // the unparseable CASE; counters/rules recompute with the same
     // path/query regexes and exact integer comparisons
@@ -2604,15 +2645,10 @@ object SparkEntry {
     // (Spark's replace is always global) and the block-tag whitespace
     // class is explicit (Java/RE2 \s disagree on \x0B)
     "ht01_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><!-- id ' || CAST(doc_id AS VARCHAR)
-        |    || ' --><head><style>p{color:red}</style>'
-        |    || '<script>var x=1; if (x<2) { x = 3; }</script></head><body>'
-        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-        |    || '</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and '
-        |    || '&quot;quotes&quot; it&#39;s done</div></body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
+      (s"""WITH h AS (SELECT doc_id,
+        |  $sqlSynthHtml AS html FROM documents),
+        |""" +
+      """s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
         |s2 AS (SELECT doc_id, html,
@@ -2623,10 +2659,10 @@ object SparkEntry {
         |s4 AS (SELECT doc_id, html,
         |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
         |s5 AS (SELECT doc_id, html,
-        |  replace(replace(replace(replace(replace(replace(replace(t,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
-        |  FROM s4),
+        |""" +
+      s"""    ${sqlDecodeEntities("t")} AS t
+        |""" +
+      """  FROM s4),
         |s6 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(t,
         |      '[ \t\x0B\f\r]+', ' ', 'g'),
@@ -2640,7 +2676,7 @@ object SparkEntry {
         |  CAST(CASE WHEN length(html) <= 0 THEN 0 ELSE
         |    ((length(html) - length(clean)) * 1000) // length(html) END
         |    AS BIGINT) AS markup_permille
-        |FROM s6 ORDER BY doc_id""".stripMargin,
+        |FROM s6 ORDER BY doc_id""").stripMargin,
     // language-quality replay: cu01's langIdNgram CASE (max hits, ties
     // to the lexicographically LARGEST language — Spark's greatest over
     // (hits, lang) structs), gq01's keep expression, then lang x bin

@@ -30,12 +30,39 @@ class HtmlFunctionsSpec extends AnyFunSuite {
     assert(strip("a<br/>b<br >c") == "a\nb\nc")
   }
 
-  test("entities decode, &amp; last — no phantom tags from text") {
+  test("entities decode in one pass — no phantom tags from text") {
     assert(strip("<p>Tom &amp; Jerry &lt;3 &quot;q&quot; it&#39;s&nbsp;ok</p>")
       == "Tom & Jerry <3 \"q\" it's ok")
     // &amp;lt; is the TEXT '&lt;', never a tag
     assert(strip("<p>write &amp;lt; for less-than</p>")
       == "write &lt; for less-than")
+  }
+
+  test("numeric character references decode in the ASCII range") {
+    // decimal, hex (either x case), leading zeros — all the same code
+    assert(strip("<p>&#65;&#x42;&#X43; and &#0065;</p>") == "ABC and A")
+    // tab/LF/CR decode then fall to the whitespace discipline
+    assert(strip("<p>a&#9;b&#10;c&#13;d</p>") == "a b\nc d")
+    // non-ASCII refs STAY encoded by contract (engine char() parity;
+    // the parser tier owns full Unicode)
+    assert(strip("<p>caf&#233; won&#8217;t</p>") == "caf&#233; won&#8217;t")
+    // control/zero codes and malformed bodies stay literal text
+    assert(strip("<p>&#0; &#7; &#bad; &#x; &#12345678;</p>")
+      == "&#0; &#7; &#bad; &#x; &#12345678;")
+  }
+
+  test("single-pass decode: no cascade in either direction") {
+    // a staged fold with &amp; LAST re-decodes '&amp;#38;' into '&';
+    // the single pass keeps it as the literal text '&#38;'
+    assert(strip("<p>&amp;#38; and &amp;#x26;</p>") == "&#38; and &#x26;")
+    // a staged fold with &amp; FIRST turns '&amp;lt;' into '<'; and a
+    // bare & followed by a numeric ref forming an entity body must
+    // decode as text, never re-scan ('&' + 'l' + 't;' is '&lt;' TEXT)
+    assert(strip("<p>R&D and A&&#108;t;B</p>") == "R&D and A&lt;B")
+    // numeric ampersand itself: decoded output never re-enters the scan
+    assert(strip("<p>&#38;lt; stays</p>") == "&lt; stays")
+    // dangling ampersands survive as text
+    assert(strip("<p>a && b & c &</p>") == "a && b & c &")
   }
 
   test("malformed markup degrades gracefully") {
