@@ -41,20 +41,25 @@ object SparkEntry {
   /** exact decimal view of a 2-dp double column */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** url05/wp01's SHARED filter-exercising synth — one Scala source so
-    * a tweak can never drift the two lanes apart (their oracles carry
-    * the matching SQL CASE each, per the unrolled-oracle convention).
-    * Already canonical (lowercase, no tracking keys, no trailing
-    * slash), so those oracles' canon step is the unparseable gate
-    * alone. Exercises every filter rule: static-asset extensions, deep
-    * paths, digit-heavy paths, param-heavy views, a blocklist hit, and
-    * unparseable rows. */
+  /** url05/wp01/wp02's SHARED filter-exercising synth — one Scala
+    * source so a tweak can never drift the lanes apart (their oracles
+    * share the matching SQL via [[sqlSynthFilterUrl]]). Already
+    * canonical (lowercase, no tracking keys, no trailing slash), so
+    * those oracles' canon step is the unparseable gate alone.
+    * Exercises every filter rule: static-asset extensions, deep paths,
+    * digit-heavy paths, param-heavy views, a blocklist hit, and
+    * unparseable rows. The host arm spreads docs over several
+    * registered domains (a platform-suffix tenant tier, a ps2-cc
+    * domain, a plain .com) so wp02's cap/mix tail has real strata. */
   private def synthFilterUrl: Column =
     when(col("doc_id") % 17 === 0,
       concat(lit("not a url "), col("doc_id").cast("string")))
       .otherwise(concat(
         lit("http://site"), (col("doc_id") % 5).cast("string"),
-        lit(".example.com/docs"),
+        when(col("doc_id") % 21 === 0, lit(".github.io"))
+          .when(col("doc_id") % 3 === 0, lit(".example.co.uk"))
+          .otherwise(lit(".example.com")),
+        lit("/docs"),
         when(col("doc_id") % 11 === 0, lit("/a/b/c/d/e/f/g/h"))
           .otherwise(lit("")),
         when(col("doc_id") % 13 === 0, lit("/2024010199887766"))
@@ -86,6 +91,42 @@ object SparkEntry {
     lit("</p><div>Tom &amp; Jerry &lt;3 <b>bold</b>&nbsp;and " +
       "&quot;quotes&quot; it&#39;s done, R&D dept, A&#65;&#x42;Z " +
       "caf&#233; won&#8217;t &amp;#38; &#bad;</div></body></html>"))
+
+  /** wp01/wp02's shared front-door funnel over the synthesized web
+    * corpus: URL policy filters -> HTML -> text extraction -> URL-level
+    * keep-first dedup (among policy survivors) -> text-quality gate,
+    * with per-doc stage verdicts. One text scan; the dedup agg is the
+    * only corpus-wide exchange (canonical staged once per the url05
+    * staging discipline). */
+  private def webPipelineVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HtmlFunctions, UrlFunctions}
+    val sigMap =
+      UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), synthFilterUrl.as("url"),
+        synthHtml.as("__html"))
+      .select(col("doc_id"), col("__html"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("__canon"))
+      .select(col("doc_id"),
+        sigMap("url_canon").as("url_canon"),
+        sigMap("keep").as("url_pass"),
+        HtmlFunctions.stripHtml(col("__html")).as("__clean"))
+      .select(col("doc_id"), col("url_canon"), col("url_pass"),
+        TextFunctions.tokenCountNonEmpty(col("__clean"))
+          .as("n_tokens_clean"),
+        TextFunctions.qualityScore(col("__clean")).as("quality"))
+    val keepers = scored
+      .filter(col("url_pass") && col("url_canon").isNotNull)
+      .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep"))
+    scored
+      .join(keepers, Seq("url_canon"), "left_outer")
+      .withColumn("is_canonical",
+        coalesce(col("url_pass") && col("doc_id") === col("__keep"),
+          lit(false)))
+      .withColumn("final_keep",
+        col("is_canonical") && col("n_tokens_clean") >= 10L &&
+          col("quality") >= 20L)
+  }
 
   /** Deterministic URL synthesized from doc_id for the url* lanes (the
     * driver tables carry no URL column — same convention as pii01's
@@ -1359,39 +1400,50 @@ object SparkEntry {
     // so the oracle pins every stage's interaction, not just each
     // operator alone (cu01's composition discipline for the acquire
     // side). Same url05/ht01 synths.
-    "wp01_web_pipeline" -> ((s, dir) => {
-      import graft.functions.{HtmlFunctions, UrlFunctions}
-      val url = synthFilterUrl
-      val html = synthHtml
-      // canonical staged once (the url05 staging discipline)
-      val sigMap =
-        UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"), url.as("url"), html.as("__html"))
-        .select(col("doc_id"), col("__html"),
-          UrlFunctions.canonicalizeUrl(col("url")).as("__canon"))
-        .select(col("doc_id"),
-          sigMap("url_canon").as("url_canon"),
-          sigMap("keep").as("url_pass"),
-          HtmlFunctions.stripHtml(col("__html")).as("__clean"))
-        .select(col("doc_id"), col("url_canon"), col("url_pass"),
-          TextFunctions.tokenCountNonEmpty(col("__clean"))
-            .as("n_tokens_clean"),
-          TextFunctions.qualityScore(col("__clean")).as("quality"))
-      val keepers = scored
-        .filter(col("url_pass") && col("url_canon").isNotNull)
-        .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep"))
-      scored
-        .join(keepers, Seq("url_canon"), "left_outer")
-        .withColumn("is_canonical",
-          coalesce(col("url_pass") && col("doc_id") === col("__keep"),
-            lit(false)))
-        .withColumn("final_keep",
-          col("is_canonical") && col("n_tokens_clean") >= 10L &&
-            col("quality") >= 20L)
+    "wp01_web_pipeline" -> ((s, dir) =>
+      webPipelineVerdicts(s, dir)
         .select(col("doc_id"), col("url_pass"), col("is_canonical"),
           col("n_tokens_clean"), col("quality"), col("final_keep"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+    // the acquire-side END TO END: wp01's keepers -> per-registered-
+    // domain cap (Gopher/RefinedWeb domain mixing) -> mixture table
+    // over the CAPPED corpus — filter/extract/dedup/cap/mix as ONE
+    // oracle-pinned lane. Output per domain: pre-cap keeper count,
+    // post-cap count, post-cap token volume + mixture permille, and an
+    // md5 over the sorted capped ids (pins the exact surviving SET,
+    // not just its size). Scale: the cap output is k-bounded per
+    // domain; the only exchanges are the keeper agg, the cap's salted
+    // min-k, and a domain-level agg — the corpus text never moves.
+    "wp02_web_acquire" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      val kept = webPipelineVerdicts(s, dir)
+        .filter(col("final_keep"))
+        .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"))
+      val nKept = kept
+        .groupBy(UrlFunctions.urlDomain(col("url_canon")).as("domain"))
+        .agg(count(lit(1)).as("n_kept"))
+      val capped = graft.operators.Sampling.domainCap(
+        kept.select(col("doc_id"), col("url_canon").as("url")),
+        "doc_id", "url", k = 3, salt = "wp02")
+      val cappedStats = capped
+        .join(kept.select(col("doc_id"), col("n_tokens_clean")), Seq("doc_id"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_capped"),
+          sum(col("n_tokens_clean")).as("n_tokens"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("ids_md5"))
+      val tot = cappedStats.agg(sum(col("n_tokens")).as("__tot"))
+      cappedStats
+        .join(nKept, Seq("domain"))
+        .crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_kept"), col("n_capped"),
+          col("n_tokens"),
+          when(col("__tot") === 0L, lit(0L))
+            .otherwise(TextFunctions.ldiv(col("n_tokens") * 1000L,
+              col("__tot"))).as("token_permille"),
+          col("ids_md5"))
+        .orderBy(col("domain"))
     }),
     // per-registered-domain mixture table: the domain-mixing report
     // (which domains dominate token volume) composed from urlDomain +
@@ -1565,6 +1617,24 @@ object SparkEntry {
       "ELSE '' END) END"
   }
 
+  /** DuckDB rebuild of [[synthFilterUrl]] — identical synthesized input
+    * (shared test data by construction). One line so stripMargin never
+    * sees it. */
+  private def sqlSynthFilterUrl: String =
+    "CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR) " +
+      "ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) " +
+      "|| (CASE WHEN doc_id % 21 = 0 THEN '.github.io' " +
+      "WHEN doc_id % 3 = 0 THEN '.example.co.uk' " +
+      "ELSE '.example.com' END) || '/docs' " +
+      "|| (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 13 = 0 THEN '/2024010199887766' ELSE '' END) " +
+      "|| '/page' || CAST(doc_id % 30 AS VARCHAR) " +
+      "|| (CASE WHEN doc_id % 9 = 0 THEN '.jpg' " +
+      "WHEN doc_id % 8 = 0 THEN '.html' ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 19 = 0 THEN '?q=casino' " +
+      "WHEN doc_id % 7 = 0 THEN '?x=1&y=2&z=3&w=4&v=5' " +
+      "ELSE '?q=' || CAST(doc_id % 6 AS VARCHAR) END) END"
+
   /** DuckDB rebuild of [[synthHtml]] — identical synthesized markup
     * (shared test data by construction). One line so stripMargin never
     * sees it. */
@@ -1626,6 +1696,90 @@ object SparkEntry {
       s"WHEN $host LIKE '%.%' THEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1) " +
       s"ELSE $host END"
   }
+
+  /** Shared CTE chain of the wp01/wp02 oracles — the web front door's
+    * replay (synth URL -> canon gate -> url05's rule chain as url_pass
+    * -> synth markup -> ht01's extraction chain -> cu01's quality
+    * formula -> keep-first group), ending at the `k` keep-first CTE.
+    * wp01 appends its per-doc verdict SELECT; wp02 appends the
+    * cap/mixture tail. One Scala source so the two lanes can never
+    * drift apart on the funnel itself. */
+  private lazy val sqlWebPipelineCtes: String =
+    (s"""WITH u AS (SELECT doc_id, text,
+      |  $sqlSynthFilterUrl AS url FROM documents),
+      |""" +
+    """c AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE url END AS url_canon
+      |  FROM u),
+      |p AS (SELECT doc_id, url_canon,
+      |  regexp_extract(regexp_replace(url_canon,
+      |    '^[a-z0-9+.-]+://[^/?]*', ''), '^([^?]*)', 1) AS path,
+      |  regexp_extract(regexp_replace(url_canon,
+      |    '^[a-z0-9+.-]+://[^/?]*', ''), '\?(.*)$', 1) AS q
+      |  FROM c),
+      |rr AS (SELECT doc_id, url_canon,
+      |  coalesce(url_canon IS NOT NULL
+      |    AND NOT regexp_matches(lower(path),
+      |      '\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$')
+      |    AND length(url_canon) <= 200
+      |    AND (CASE WHEN path IN ('/', '') THEN 0
+      |      ELSE length(path) - length(replace(path, '/', '')) END) <= 8
+      |    AND (CASE WHEN q = '' THEN 0
+      |      ELSE length(q) - length(replace(q, '&', '')) + 1 END) <= 4
+      |    AND length(regexp_replace(path, '[^0-9]', '', 'g')) * 2
+      |      <= length(path)
+      |    AND NOT regexp_matches(lower(url_canon),
+      |      '(porn|xxx|casino|viagra|escort)'), FALSE) AS url_pass
+      |  FROM p),
+      |h AS (SELECT doc_id,
+      |""" +
+    s"""  $sqlSynthHtml AS html FROM u),
+      |""" +
+    """x1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
+      |x2 AS (SELECT doc_id,
+      |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x1),
+      |x3 AS (SELECT doc_id, regexp_replace(t,
+      |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br)([ \t\n\x0B\f\r][^>]*)?/?>',
+      |    chr(10), 'g') AS t FROM x2),
+      |x4 AS (SELECT doc_id,
+      |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
+      |x5 AS (SELECT doc_id,
+      |""" +
+    s"""    ${sqlDecodeEntities("t")} AS t
+      |""" +
+    """  FROM x4),
+      |x6 AS (SELECT doc_id, regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(t,
+      |      '[ \t\x0B\f\r]+', ' ', 'g'),
+      |      ' ?\n ?', chr(10), 'g'),
+      |      '\n+', chr(10), 'g'),
+      |      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+      |  FROM x5),
+      |qt AS (SELECT doc_id,
+      |    CAST(len(list_filter(ts, t -> t <> '')) AS BIGINT)
+      |      AS n_tokens_clean,
+      |    CAST(GREATEST(LEAST(
+      |      (CAST(len(list_filter(ts, t -> t IN ('the','a','an','and',
+      |        'or','of','to','in','is','it','for','on','with','as','at',
+      |        'by','this','that'))) AS BIGINT) * 100)
+      |        // GREATEST(CAST(len(ts) AS BIGINT), 1)
+      |      + LEAST(GREATEST(CAST(length(clean) AS BIGINT), 1) // 20, 30)
+      |      + 40
+      |      - (CAST(length(regexp_replace(clean, '[^0-9]', '', 'g'))
+      |          AS BIGINT) * 100)
+      |        // GREATEST(CAST(length(clean) AS BIGINT), 1)
+      |      - (CAST(length(regexp_replace(clean, '[^.,;:!?]', '', 'g'))
+      |          AS BIGINT) * 100)
+      |        // GREATEST(CAST(length(clean) AS BIGINT), 1),
+      |      100), 0) AS BIGINT) AS quality
+      |  FROM (SELECT doc_id, clean,
+      |    string_split_regex(trim(lower(clean)),
+      |      '[ \t\n\x0B\f\r]+') AS ts FROM x6)),
+      |k AS (SELECT url_canon, MIN(doc_id) AS keep_id FROM rr
+      |  WHERE url_pass AND url_canon IS NOT NULL GROUP BY url_canon)""")
+      .stripMargin
 
   private val textOracle: Map[String, String] = Map(
     "tx01_normalize_text" ->
@@ -2454,90 +2608,8 @@ object SparkEntry {
     // extraction chain (clean), cu01's quality formula, keep-first
     // group among passers — every stage interaction replayed
     "wp01_web_pipeline" ->
-      ("""WITH u AS (SELECT doc_id, text,
-        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-        |  ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/docs'
-        |    || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END)
-        |    || (CASE WHEN doc_id % 13 = 0 THEN '/2024010199887766' ELSE '' END)
-        |    || '/page' || CAST(doc_id % 30 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 9 = 0 THEN '.jpg'
-        |        WHEN doc_id % 8 = 0 THEN '.html' ELSE '' END)
-        |    || (CASE WHEN doc_id % 19 = 0 THEN '?q=casino'
-        |        WHEN doc_id % 7 = 0 THEN '?x=1&y=2&z=3&w=4&v=5'
-        |        ELSE '?q=' || CAST(doc_id % 6 AS VARCHAR) END)
-        |  END AS url FROM documents),
-        |c AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE url END AS url_canon
-        |  FROM u),
-        |p AS (SELECT doc_id, url_canon,
-        |  regexp_extract(regexp_replace(url_canon,
-        |    '^[a-z0-9+.-]+://[^/?]*', ''), '^([^?]*)', 1) AS path,
-        |  regexp_extract(regexp_replace(url_canon,
-        |    '^[a-z0-9+.-]+://[^/?]*', ''), '\?(.*)$', 1) AS q
-        |  FROM c),
-        |rr AS (SELECT doc_id, url_canon,
-        |  coalesce(url_canon IS NOT NULL
-        |    AND NOT regexp_matches(lower(path),
-        |      '\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?|zip|gz|tar|rar|exe|dmg|iso|mp3|mp4|avi|mov|pdf|xml|rss)$')
-        |    AND length(url_canon) <= 200
-        |    AND (CASE WHEN path IN ('/', '') THEN 0
-        |      ELSE length(path) - length(replace(path, '/', '')) END) <= 8
-        |    AND (CASE WHEN q = '' THEN 0
-        |      ELSE length(q) - length(replace(q, '&', '')) + 1 END) <= 4
-        |    AND length(regexp_replace(path, '[^0-9]', '', 'g')) * 2
-        |      <= length(path)
-        |    AND NOT regexp_matches(lower(url_canon),
-        |      '(porn|xxx|casino|viagra|escort)'), FALSE) AS url_pass
-        |  FROM p),
-        |h AS (SELECT doc_id,
-        |""" +
-      s"""  $sqlSynthHtml AS html FROM u),
-        |""" +
-      """x1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
-        |x2 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x1),
-        |x3 AS (SELECT doc_id, regexp_replace(t,
-        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br)([ \t\n\x0B\f\r][^>]*)?/?>',
-        |    chr(10), 'g') AS t FROM x2),
-        |x4 AS (SELECT doc_id,
-        |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
-        |x5 AS (SELECT doc_id,
-        |""" +
-      s"""    ${sqlDecodeEntities("t")} AS t
-        |""" +
-      """  FROM x4),
-        |x6 AS (SELECT doc_id, regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(t,
-        |      '[ \t\x0B\f\r]+', ' ', 'g'),
-        |      ' ?\n ?', chr(10), 'g'),
-        |      '\n+', chr(10), 'g'),
-        |      '^[ \n]+|[ \n]+$', '', 'g') AS clean
-        |  FROM x5),
-        |qt AS (SELECT doc_id,
-        |    CAST(len(list_filter(ts, t -> t <> '')) AS BIGINT)
-        |      AS n_tokens_clean,
-        |    CAST(GREATEST(LEAST(
-        |      (CAST(len(list_filter(ts, t -> t IN ('the','a','an','and',
-        |        'or','of','to','in','is','it','for','on','with','as','at',
-        |        'by','this','that'))) AS BIGINT) * 100)
-        |        // GREATEST(CAST(len(ts) AS BIGINT), 1)
-        |      + LEAST(GREATEST(CAST(length(clean) AS BIGINT), 1) // 20, 30)
-        |      + 40
-        |      - (CAST(length(regexp_replace(clean, '[^0-9]', '', 'g'))
-        |          AS BIGINT) * 100)
-        |        // GREATEST(CAST(length(clean) AS BIGINT), 1)
-        |      - (CAST(length(regexp_replace(clean, '[^.,;:!?]', '', 'g'))
-        |          AS BIGINT) * 100)
-        |        // GREATEST(CAST(length(clean) AS BIGINT), 1),
-        |      100), 0) AS BIGINT) AS quality
-        |  FROM (SELECT doc_id, clean,
-        |    string_split_regex(trim(lower(clean)),
-        |      '[ \t\n\x0B\f\r]+') AS ts FROM x6)),
-        |k AS (SELECT url_canon, MIN(doc_id) AS keep_id FROM rr
-        |  WHERE url_pass AND url_canon IS NOT NULL GROUP BY url_canon)
-        |SELECT r.doc_id, r.url_pass,
+      (sqlWebPipelineCtes + "\n" +
+      """SELECT r.doc_id, r.url_pass,
         |  coalesce(r.url_pass AND r.doc_id = k.keep_id, FALSE)
         |    AS is_canonical,
         |  qt.n_tokens_clean, qt.quality,
@@ -2546,24 +2618,55 @@ object SparkEntry {
         |    AS final_keep
         |FROM rr r JOIN qt USING (doc_id)
         |LEFT JOIN k ON r.url_canon = k.url_canon
-        |ORDER BY r.doc_id""").stripMargin,
+        |ORDER BY r.doc_id""".stripMargin),
+    // acquire-side tail replay: wp01's keepers, then the engine's
+    // urlHost/registeredDomain chain over the canonical, url03's
+    // salted min-k window as the cap, and the mixture aggregates; the
+    // ids_md5 over the sorted capped ids pins the exact surviving set
+    "wp02_web_acquire" ->
+      (sqlWebPipelineCtes + ",\n" +
+      s"""kp AS (SELECT r.doc_id, r.url_canon, qt.n_tokens_clean
+        |  FROM rr r JOIN qt USING (doc_id)
+        |  LEFT JOIN k ON r.url_canon = k.url_canon
+        |  WHERE coalesce(r.url_pass AND r.doc_id = k.keep_id, FALSE)
+        |    AND qt.n_tokens_clean >= 10 AND qt.quality >= 20),
+        |hs AS (SELECT doc_id, n_tokens_clean,
+        |  regexp_replace(regexp_replace(lower(regexp_replace(
+        |    regexp_extract(regexp_replace(regexp_replace(url_canon,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', ''),
+        |    '^([^/?]*)', 1), '^.*@', '')),
+        |    ':[0-9]*$$', ''), '\\.+$$', '') AS host
+        |  FROM kp),
+        |dmn AS (SELECT doc_id, n_tokens_clean,
+        |    ${sqlRegisteredDomain("host")} AS domain
+        |  FROM hs),
+        |cap AS (SELECT domain, doc_id, n_tokens_clean,
+        |    row_number() OVER (PARTITION BY domain ORDER BY
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '-wp02'), 1, 8),
+        |      doc_id) AS rk
+        |  FROM dmn),
+        |kc AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM dmn GROUP BY domain),
+        |cp AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_capped,
+        |    CAST(SUM(n_tokens_clean) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+        |  FROM cap WHERE rk <= 3 GROUP BY domain),
+        |t2 AS (SELECT SUM(n_tokens) AS tot FROM cp)
+        |SELECT cp.domain, kc.n_kept, cp.n_capped, cp.n_tokens,
+        |  CAST(CASE WHEN t2.tot = 0 THEN 0
+        |    ELSE (cp.n_tokens * 1000) // t2.tot END AS BIGINT)
+        |    AS token_permille,
+        |  cp.ids_md5
+        |FROM cp JOIN kc USING (domain) CROSS JOIN t2
+        |ORDER BY cp.domain""".stripMargin),
     // URL-filter replay: the synth is already canonical, so canon is
     // the unparseable CASE; counters/rules recompute with the same
     // path/query regexes and exact integer comparisons
     "url05_url_filters" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-        |  ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/docs'
-        |    || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END)
-        |    || (CASE WHEN doc_id % 13 = 0 THEN '/2024010199887766' ELSE '' END)
-        |    || '/page' || CAST(doc_id % 30 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 9 = 0 THEN '.jpg'
-        |        WHEN doc_id % 8 = 0 THEN '.html' ELSE '' END)
-        |    || (CASE WHEN doc_id % 19 = 0 THEN '?q=casino'
-        |        WHEN doc_id % 7 = 0 THEN '?x=1&y=2&z=3&w=4&v=5'
-        |        ELSE '?q=' || CAST(doc_id % 6 AS VARCHAR) END)
-        |  END AS url FROM documents),
-        |c AS (SELECT doc_id,
+      (s"""WITH u AS (SELECT doc_id,
+        |  $sqlSynthFilterUrl AS url FROM documents),
+        |""" +
+      """c AS (SELECT doc_id,
         |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE url END AS url_canon
         |  FROM u),
         |p AS (SELECT doc_id, url_canon,
@@ -2604,7 +2707,7 @@ object SparkEntry {
         |  r_path_depth, r_params, r_digits, r_blocklist,
         |  (r_extension AND r_length AND r_path_depth AND r_params
         |    AND r_digits AND r_blocklist) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |FROM r ORDER BY doc_id""").stripMargin,
     // domain-mixture replay: url03's domain CTE + mw01's share table
     "url04_domain_mixture" ->
       (s"""WITH u AS (SELECT doc_id, text,

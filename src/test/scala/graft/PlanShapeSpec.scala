@@ -233,6 +233,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"url03 shuffles the raw url:\n${exchanges.mkString("\n")}")
   }
 
+  test("wp02: acquire-tail exchanges never carry the raw url, html, or text") {
+    // the funnel's dedup agg keys on the canonical; the cap moves salted
+    // rank rows; the mixture agg moves domain-level counts — the synth
+    // url, the markup, and the corpus text stay in the scan
+    val exchanges = plan("wp02_web_acquire").linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e =>
+      e.contains("url#") || e.contains("__html#") || e.contains("text#")),
+      s"wp02 shuffles raw payload:\n${exchanges.mkString("\n")}")
+  }
+
   test("ht01: HTML extraction is scan-local — zero exchanges before the output sort") {
     val exchanges = plan("ht01_html_extract").linesIterator
       .filter(_.contains("hashpartitioning(")).toList

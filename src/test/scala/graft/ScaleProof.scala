@@ -124,6 +124,10 @@ object ScaleProof {
     // min/count partials collapse to the bounded URL/domain key domain
     "url02_urldedup" -> Bounds(5, 8),   // measured 0.0 -> 0.1 MiB
     "url03_domaincap" -> Bounds(8, 8),  // measured 0.0 -> 0.4 MiB (narrow rank rows)
+    // round-12: acquire tail (cap -> mix) — rank rows + id-only join +
+    // domain agg, all k-/domain-bounded like url03; measured 0.0 -> 0.4
+    // MiB at 1x/10x with the hot domain at 1/3 of corpus, skew 1.6
+    "wp02_capmix" -> Bounds(8, 8),
     "lq01_langquality" -> Bounds(5, 8)) // ZERO shuffle: lang x bin domain aggs
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
@@ -740,6 +744,25 @@ object ScaleProof {
           docs.select(col("doc_id"), scaleUrl.as("url")), "doc_id", "url",
           k = 20, salt = "sp")
           .agg(coalesce(sum(col("sample_rank")), lit(0L))).head().getLong(0))
+      measure("wp02_capmix", scale)(
+        // acquire-side tail (wp02): keepers -> per-domain cap -> mixture
+        // table. The corpus text never moves: tokens ride as a per-doc
+        // COUNT through the id-only cap join; the exchanges are the
+        // cap's salted min-k rank rows + a domain-level agg, both
+        // k-/domain-bounded with the hot domain at 1/3 of the corpus
+        {
+          val kept = docs.select(col("doc_id"), scaleUrl.as("url"),
+            graft.functions.TextFunctions
+              .tokenCountNonEmpty(col("text")).as("n_tok"))
+          val capped = Sampling.domainCap(
+            kept.select(col("doc_id"), col("url")), "doc_id", "url",
+            k = 20, salt = "sp2")
+          capped
+            .join(kept.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+            .groupBy(col("domain"))
+            .agg(sum(col("n_tok")).as("n_tokens"))
+            .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+        })
       measure("xs01_xsource", scale)(
         // cross-source overlap: (gram-hash, source) distinct agg; the
         // pair explode runs over per-gram source SETS (domain-bounded)

@@ -115,7 +115,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
       "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard",
       "ct01_containment", "qd01_quantiles", "url02_urldedup",
-      "url03_domaincap", "lq01_langquality")
+      "url03_domaincap", "lq01_langquality", "wp02_capmix")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
