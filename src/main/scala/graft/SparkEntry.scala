@@ -1479,6 +1479,26 @@ object SparkEntry {
           col("markup_permille"))
         .orderBy(col("doc_id"))
     }),
+    // parser-tier twin of ht01: the SAME synth through the mapPartitions
+    // tag tokenizer (HtmlParse). Its oracle IS ht01's regex replay — on
+    // the shared domain (well-formed markup, which the synth is) the
+    // two tiers are byte-equal by contract, so the equality property is
+    // enforced as a full DuckDB oracle, not just a spec
+    "ht02_html_extract_parsed" -> ((s, dir) => {
+      val parsed = graft.operators.HtmlParse.extractVisibleText(
+        t(s, dir, "documents")
+          .select(col("doc_id"), synthHtml.as("__html")),
+        "doc_id", "__html")
+      parsed.select(col("doc_id"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        md5(col("clean").cast("binary")).as("clean_md5"),
+        when(col("n_raw_chars") <= 0L, lit(0L))
+          .otherwise(TextFunctions.ldiv(
+            (col("n_raw_chars") - length(col("clean")).cast("long")) *
+              1000L,
+            col("n_raw_chars"))).as("markup_permille"))
+        .orderBy(col("doc_id"))
+    }),
     // per-language quality dashboard: langIdNgram x gopherRules x
     // binned quantiles composed in ONE text scan (the language rides
     // through the battery inside the id struct); lang x bin domain aggs
@@ -1780,6 +1800,46 @@ object SparkEntry {
       |k AS (SELECT url_canon, MIN(doc_id) AS keep_id FROM rr
       |  WHERE url_pass AND url_canon IS NOT NULL GROUP BY url_canon)""")
       .stripMargin
+
+  /** ht01's DuckDB replay (identical synthesized markup, then the six
+    * extraction clauses in order; every regexp_replace carries 'g' —
+    * Spark's replace is always global — and the block-tag whitespace
+    * class is explicit because Java/RE2 `\s` disagree on `\x0B`). Also
+    * serves as ht02's oracle: the parser tier is byte-equal to the
+    * regex tier on well-formed markup, which the synth is. */
+  private lazy val sqlHt01Replay: String =
+    (s"""WITH h AS (SELECT doc_id,
+      |  $sqlSynthHtml AS html FROM documents),
+      |""" +
+    """s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
+      |s2 AS (SELECT doc_id, html,
+      |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, html, regexp_replace(t,
+      |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br)([ \t\n\x0B\f\r][^>]*)?/?>',
+      |    chr(10), 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, html,
+      |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, html,
+      |""" +
+    s"""    ${sqlDecodeEntities("t")} AS t
+      |""" +
+    """  FROM s4),
+      |s6 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(t,
+      |      '[ \t\x0B\f\r]+', ' ', 'g'),
+      |      ' ?\n ?', chr(10), 'g'),
+      |      '\n+', chr(10), 'g'),
+      |      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+      |  FROM s5)
+      |SELECT doc_id,
+      |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+      |  md5(clean) AS clean_md5,
+      |  CAST(CASE WHEN length(html) <= 0 THEN 0 ELSE
+      |    ((length(html) - length(clean)) * 1000) // length(html) END
+      |    AS BIGINT) AS markup_permille
+      |FROM s6 ORDER BY doc_id""").stripMargin
 
   private val textOracle: Map[String, String] = Map(
     "tx01_normalize_text" ->
@@ -2747,39 +2807,12 @@ object SparkEntry {
     // six contract clauses in order; every regexp_replace carries 'g'
     // (Spark's replace is always global) and the block-tag whitespace
     // class is explicit (Java/RE2 \s disagree on \x0B)
-    "ht01_html_extract" ->
-      (s"""WITH h AS (SELECT doc_id,
-        |  $sqlSynthHtml AS html FROM documents),
-        |""" +
-      """s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, html,
-        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, html, regexp_replace(t,
-        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br)([ \t\n\x0B\f\r][^>]*)?/?>',
-        |    chr(10), 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, html,
-        |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id, html,
-        |""" +
-      s"""    ${sqlDecodeEntities("t")} AS t
-        |""" +
-      """  FROM s4),
-        |s6 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(t,
-        |      '[ \t\x0B\f\r]+', ' ', 'g'),
-        |      ' ?\n ?', chr(10), 'g'),
-        |      '\n+', chr(10), 'g'),
-        |      '^[ \n]+|[ \n]+$', '', 'g') AS clean
-        |  FROM s5)
-        |SELECT doc_id,
-        |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
-        |  md5(clean) AS clean_md5,
-        |  CAST(CASE WHEN length(html) <= 0 THEN 0 ELSE
-        |    ((length(html) - length(clean)) * 1000) // length(html) END
-        |    AS BIGINT) AS markup_permille
-        |FROM s6 ORDER BY doc_id""").stripMargin,
+    "ht01_html_extract" -> sqlHt01Replay,
+    // ht02's oracle IS ht01's regex replay: the parser tier is
+    // byte-equal to the regex tier on the shared domain (the synth is
+    // well-formed markup), so one SQL gates both tiers — and any drift
+    // between them becomes a hash mismatch on this lane
+    "ht02_html_extract_parsed" -> sqlHt01Replay,
     // language-quality replay: cu01's langIdNgram CASE (max hits, ties
     // to the lexicographically LARGEST language — Spark's greatest over
     // (hits, lang) structs), gq01's keep expression, then lang x bin
