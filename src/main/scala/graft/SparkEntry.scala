@@ -56,7 +56,9 @@ object SparkEntry {
       concat(lit("not a url "), col("doc_id").cast("string")))
       .otherwise(concat(
         lit("http://site"), (col("doc_id") % 5).cast("string"),
-        when(col("doc_id") % 21 === 0, lit(".github.io"))
+        // 23, not 21: 21 = 3 x 7, and every %7 doc trips the param rule,
+        // so a %21 platform tier would never survive into wp02's cap
+        when(col("doc_id") % 23 === 0, lit(".github.io"))
           .when(col("doc_id") % 3 === 0, lit(".example.co.uk"))
           .otherwise(lit(".example.com")),
         lit("/docs"),
@@ -102,7 +104,18 @@ object SparkEntry {
     import graft.functions.{HtmlFunctions, UrlFunctions}
     val sigMap =
       UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
-    val scored = t(s, dir, "documents")
+    // the ONE-text-scan product (canonical + rule verdict + extracted
+    // text) MATERIALIZES here (eager localCheckpoint): ProjectCollapse
+    // would otherwise inline the whole extraction tree into every
+    // downstream column and predicate (n_tokens_clean, quality,
+    // final_keep, the dedup join's both sides), re-running stripHtml
+    // per reference — measured 14.5 s vs ~2 s staged at sf0.1. The
+    // barrier is also the honest cost accounting: without it, a bare
+    // count() over the verdicts prunes the extraction away entirely
+    // and the lane benchmarks an empty plan. At 100 TB this frame is
+    // exactly what a pipeline persists between the fetch tier and the
+    // curation tier.
+    val staged = t(s, dir, "documents")
       .select(col("doc_id"), synthFilterUrl.as("url"),
         synthHtml.as("__html"))
       .select(col("doc_id"), col("__html"),
@@ -111,6 +124,8 @@ object SparkEntry {
         sigMap("url_canon").as("url_canon"),
         sigMap("keep").as("url_pass"),
         HtmlFunctions.stripHtml(col("__html")).as("__clean"))
+      .localCheckpoint(true)
+    val scored = staged
       .select(col("doc_id"), col("url_canon"), col("url_pass"),
         TextFunctions.tokenCountNonEmpty(col("__clean"))
           .as("n_tokens_clean"),
@@ -1416,9 +1431,18 @@ object SparkEntry {
     // min-k, and a domain-level agg — the corpus text never moves.
     "wp02_web_acquire" -> ((s, dir) => {
       import graft.functions.UrlFunctions
+      // the keeper frame MATERIALIZES once (eager localCheckpoint, the
+      // GraphSession discipline): the funnel below it carries the whole
+      // extraction/filter expression tree plus an internal join, and
+      // every downstream branch (keeper counts, the cap's two windows,
+      // the token join, the total) would otherwise re-inline and
+      // re-codegen that tree — measured 117 s vs ~2 s checkpointed. At
+      // 100 TB this is exactly where a pipeline persists: the funnel
+      // output is the corpus the acquire tail fans out over.
       val kept = webPipelineVerdicts(s, dir)
         .filter(col("final_keep"))
         .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"))
+        .localCheckpoint(true)
       val nKept = kept
         .groupBy(UrlFunctions.urlDomain(col("url_canon")).as("domain"))
         .agg(count(lit(1)).as("n_kept"))
@@ -1643,7 +1667,7 @@ object SparkEntry {
   private def sqlSynthFilterUrl: String =
     "CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR) " +
       "ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) " +
-      "|| (CASE WHEN doc_id % 21 = 0 THEN '.github.io' " +
+      "|| (CASE WHEN doc_id % 23 = 0 THEN '.github.io' " +
       "WHEN doc_id % 3 = 0 THEN '.example.co.uk' " +
       "ELSE '.example.com' END) || '/docs' " +
       "|| (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h' ELSE '' END) " +
