@@ -1503,6 +1503,54 @@ object SparkEntry {
           col("markup_permille"))
         .orderBy(col("doc_id"))
     }),
+    // robots.txt policy gate (RFC 9309): per-domain robots docs
+    // synthesized over five policy shapes (no robots; a * group with
+    // nested allow/disallow; an agent-named group with wildcard+$ rules
+    // NEXT TO a catch-all * group it must shadow; consecutive UA lines
+    // sharing a group with an empty-pattern allow-all idiom; a group
+    // naming only a foreign agent). Longest-match precedence,
+    // allow-wins ties, default allow — parse + gate fully replayed
+    "rb01_robots_gate" -> ((s, dir) => {
+      import graft.operators.Robots
+      val dom = concat(lit("site"), (col("doc_id") % 5).cast("string"))
+      val path =
+        when(col("doc_id") % 7 === 0,
+          concat(lit("/private/ok/p"), (col("doc_id") % 6).cast("string")))
+          .when(col("doc_id") % 3 === 0,
+            concat(lit("/private/p"), (col("doc_id") % 6).cast("string")))
+          .when(col("doc_id") % 11 === 0,
+            concat(lit("/docs/page"), (col("doc_id") % 9).cast("string"),
+              lit(".html")))
+          .when(col("doc_id") % 13 === 0,
+            concat(lit("/docs/page"), (col("doc_id") % 9).cast("string"),
+              lit(".html?x=1")))
+          .when(col("doc_id") % 17 === 0, lit("/xannotated"))
+          .when(col("doc_id") % 2 === 0,
+            concat(lit("/x"), (col("doc_id") % 4).cast("string"), lit("y")))
+          .otherwise(
+            concat(lit("/public/p"), (col("doc_id") % 10).cast("string")))
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), dom.as("domain"), path.as("path"))
+      val robotsDf = urls.select(col("domain")).distinct()
+        .withColumn("robots",
+          when(col("domain") === "site1", lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok"))
+            .when(col("domain") === "site2", lit(
+              "User-agent: graftbot\nDisallow: /docs/*.html$\n" +
+                "User-agent: *\nDisallow: /"))
+            .when(col("domain") === "site3", lit(
+              "User-agent: alpha\nUser-agent: graftbot\n" +
+                "Disallow: /x*y\nAllow: /xa\n# c\nDisallow:"))
+            .when(col("domain") === "site4", lit(
+              "User-agent: otherbot\nDisallow: /"))
+            .otherwise(lit(null).cast("string")))
+      val rules = Robots.parseRobots(robotsDf, "domain", "robots", "graftbot")
+      Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
+        .join(urls.select(col("doc_id"), col("domain")), Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("allowed"),
+          col("winner_len"), col("n_matched"))
+        .orderBy(col("doc_id"))
+    }),
     // parser-tier twin of ht01: the SAME synth through the mapPartitions
     // tag tokenizer (HtmlParse). Its oracle IS ht01's regex replay — on
     // the shared domain (well-formed markup, which the synth is) the
@@ -1718,6 +1766,21 @@ object SparkEntry {
       s"WHEN $hex <> '' AND ${asciiOk(hexCode)} " +
       s"THEN chr($hexCode) || substr(p, length($hex) + 4) " +
       "ELSE '&' || p END), '') END"
+  }
+
+  /** DuckDB replay of `Robots.patternRegex` over an expression: the
+    * trailing-`$` anchor split, the 13-char escape fold, `*` → `.*`,
+    * `^` prefix anchor — the identical transform the engine compiles,
+    * so both engines match with the same regex. One line. */
+  private def sqlRobotsRx(value: String): String = {
+    val body = "CASE WHEN " + value + " LIKE '%$' THEN substr(" + value +
+      ", 1, length(" + value + ") - 1) ELSE " + value + " END"
+    val escaped = Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}",
+      "|", "^", "$").foldLeft(body) { (c, ch) =>
+      "replace(" + c + ", '" + ch + "', '\\" + ch + "')"
+    }
+    "'^' || replace(" + escaped + ", '*', '.*') || (CASE WHEN " + value +
+      " LIKE '%$' THEN '$' ELSE '' END)"
   }
 
   /** DuckDB replay of `UrlFunctions.registeredDomain` over a non-empty,
@@ -2831,6 +2894,79 @@ object SparkEntry {
     // six contract clauses in order; every regexp_replace carries 'g'
     // (Spark's replace is always global) and the block-tag whitespace
     // class is explicit (Java/RE2 \s disagree on \x0B)
+    // robots replay: identical url/robots synths, then the parse chain
+    // (line explode with positions, directive extraction, lag/sum group
+    // windows, group selection) and the gate (escape-fold regex match,
+    // longest-rule-wins with allow on ties, default allow)
+    "rb01_robots_gate" ->
+      ("""WITH u AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 5 AS VARCHAR) AS dom,
+        |  CASE WHEN doc_id % 7 = 0 THEN '/private/ok/p' || CAST(doc_id % 6 AS VARCHAR)
+        |    WHEN doc_id % 3 = 0 THEN '/private/p' || CAST(doc_id % 6 AS VARCHAR)
+        |    WHEN doc_id % 11 = 0 THEN '/docs/page' || CAST(doc_id % 9 AS VARCHAR) || '.html'
+        |    WHEN doc_id % 13 = 0 THEN '/docs/page' || CAST(doc_id % 9 AS VARCHAR) || '.html?x=1'
+        |    WHEN doc_id % 17 = 0 THEN '/xannotated'
+        |    WHEN doc_id % 2 = 0 THEN '/x' || CAST(doc_id % 4 AS VARCHAR) || 'y'
+        |    ELSE '/public/p' || CAST(doc_id % 10 AS VARCHAR) END AS path
+        |  FROM documents),
+        |rb AS (SELECT dom, CASE dom
+        |    WHEN 'site1' THEN 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok'
+        |    WHEN 'site2' THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /docs/*.html$' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+        |    WHEN 'site3' THEN 'User-agent: alpha' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /x*y' || chr(10) || 'Allow: /xa' || chr(10) || '# c' || chr(10) || 'Disallow:'
+        |    WHEN 'site4' THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+        |    ELSE NULL END AS robots
+        |  FROM (SELECT DISTINCT dom FROM u)),
+        |ln AS (SELECT dom, t.pos,
+        |    regexp_replace(regexp_replace(regexp_replace(t.raw,
+        |      '\r$', ''), '#.*$', ''), '^[ \t]+|[ \t]+$', '', 'g') AS line
+        |  FROM rb, LATERAL (SELECT
+        |    unnest(string_split(coalesce(robots, ''), chr(10))) AS raw,
+        |    generate_subscripts(string_split(coalesce(robots, ''), chr(10)), 1) AS pos) t),
+        |kv AS (SELECT dom, pos,
+        |    lower(regexp_extract(line, '^([A-Za-z-]+)[ \t]*:', 1)) AS key,
+        |    regexp_replace(regexp_extract(line,
+        |      '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1), '[ \t]+$', '') AS value
+        |  FROM ln WHERE line <> ''),
+        |kv2 AS (SELECT * FROM kv
+        |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+        |g1 AS (SELECT dom, pos, key, value,
+        |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
+        |  FROM kv2),
+        |g2 AS (SELECT dom, pos, key, value,
+        |    SUM(CASE WHEN key = 'user-agent'
+        |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY dom ORDER BY pos ROWS UNBOUNDED PRECEDING)
+        |      AS gid
+        |  FROM g1),
+        |gr AS (SELECT dom, gid,
+        |    MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS has_agent,
+        |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+        |  FROM g2 WHERE key = 'user-agent' GROUP BY dom, gid),
+        |da AS (SELECT dom, MAX(has_agent) AS dom_has FROM gr GROUP BY dom),
+        |sel AS (SELECT gr.dom, gr.gid FROM gr JOIN da USING (dom)
+        |  WHERE CASE WHEN da.dom_has = 1 THEN gr.has_agent = 1
+        |    ELSE gr.has_star = 1 END),
+        |rl AS (SELECT g2.dom, value AS pattern,
+        |    (key = 'allow') AS is_allow,
+        |    CAST(length(value) AS BIGINT) AS plen,
+        |""" +
+      s"""    ${sqlRobotsRx("value")} AS rx
+        |""" +
+      """  FROM g2 JOIN sel ON g2.dom = sel.dom AND g2.gid = sel.gid
+        |  WHERE key IN ('allow', 'disallow') AND g2.gid > 0 AND value <> ''),
+        |mt AS (SELECT u.doc_id, u.dom, r.plen, r.is_allow
+        |  FROM u LEFT JOIN rl r
+        |    ON u.dom = r.dom AND regexp_matches(u.path, r.rx)),
+        |ag AS (SELECT doc_id, dom,
+        |    MAX(plen * 2 + CASE WHEN is_allow THEN 1 ELSE 0 END) AS wkey,
+        |    CAST(COUNT(plen) AS BIGINT) AS n_matched
+        |  FROM mt GROUP BY doc_id, dom)
+        |SELECT doc_id, dom AS domain,
+        |  coalesce(wkey % 2 = 1, TRUE) AS allowed,
+        |  CAST(wkey // 2 AS BIGINT) AS winner_len,
+        |  n_matched
+        |FROM ag ORDER BY doc_id""").stripMargin,
     "ht01_html_extract" -> sqlHt01Replay,
     // ht02's oracle IS ht01's regex replay: the parser tier is
     // byte-equal to the regex tier on the shared domain (the synth is

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt policy gate (RFC 9309) — the acquire-side stage between
+  * the URL filter battery and the fetch itself: C4/CCNet-class crawls
+  * honor robots exclusions, so a corpus front door needs the same gate
+  * at compaction time (drop pages a well-behaved crawler should never
+  * have fetched).
+  *
+  * Split into a PARSE side (per-domain robots text → the applicable
+  * rule frame for one agent) and an EVAL side (urls × rules → allowed),
+  * so one parsed frame gates any number of URL tables.
+  *
+  * Documented contract (RFC 9309 semantics, with the simplifications a
+  * relational tier should own — each clause replayable in DuckDB, all
+  * regexes Java∩RE2):
+  *   1. lines split on LF; a trailing CR is stripped (CRLF input);
+  *      `#` comments strip to end of line; blank lines are ignored
+  *      (they do NOT terminate a group — RFC 9309 §2.2);
+  *   2. a directive is `key : value` with optional blanks around the
+  *      colon; keys match case-insensitively; only `user-agent`,
+  *      `allow`, `disallow` participate (crawl-delay/sitemap are not
+  *      access control);
+  *   3. CONSECUTIVE user-agent lines head one shared group (§2.2.1);
+  *      rules before any user-agent line belong to no group and are
+  *      ignored;
+  *   4. group selection for an agent token: every group naming the
+  *      token (case-insensitive EXACT match — the product-token
+  *      prefix-matching of §2.2.1 is a documented simplification) if
+  *      any exists, else every `*` group; no group → everything
+  *      allowed;
+  *   5. rule matching is against the URL PATH (+ `?query` if the
+  *      caller includes it), expecting the CANONICAL form — the
+  *      percent-encoding equivalence of §2.2.2 is the
+  *      canonicalization stage's job, not re-done here;
+  *   6. patterns support the §2.2.3 special characters: `*` matches
+  *      any span, a TRAILING `$` anchors the end; everything else is
+  *      literal (the pattern compiles to `^` + escaped body, so a
+  *      match is always a prefix match);
+  *   7. precedence: among matching rules the LONGEST pattern (octet
+  *      length, §2.2.2) wins; on a tie `allow` wins (least
+  *      restrictive); no matching rule → allowed. An EMPTY pattern
+  *      (`Disallow:` — the classic allow-all idiom) matches nothing
+  *      under longest-match and is dropped at parse.
+  *
+  * Scale: robots documents are small by protocol (RFC caps parseable
+  * size at 500 KiB) and the rule frame is rules-per-domain bounded, so
+  * the eval join broadcasts it; the per-URL work is one regexp battery
+  * against the handful of domain rules plus an id-domain max — the URL
+  * table's text never moves (the winner is reduced before any
+  * exchange). */
+object Robots {
+
+  /** Compile one robots path pattern (already split from its trailing
+    * `$` anchor) to the Java∩RE2 regex of contract clause 6: escaped
+    * literals, `*` → `.*`, `^`-anchored prefix match. */
+  private def patternRegex(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored,
+      substring(pattern, lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    // backslash FIRST (escaping the escapes), '*' deliberately absent
+    // (it becomes '.*' after everything else is escaped)
+    val escaped = Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}",
+      "|", "^", "$").foldLeft(body) { (c, ch) =>
+      call_function("replace", c, lit(ch), lit("\\" + ch))
+    }
+    val wild = call_function("replace", escaped, lit("*"), lit(".*"))
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse per-domain robots text into the rule frame APPLICABLE to
+    * `agent`: (domain, pattern, is_allow, plen, rx). Input: one row per
+    * domain with the raw robots document (null/empty → no rules →
+    * everything allowed downstream). One narrow shuffle on the domain
+    * key for the line windows; output is rules-per-domain bounded. */
+  def parseRobots(
+      robots: DataFrame,
+      domainCol: String,
+      robotsCol: String,
+      agent: String): DataFrame = {
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(coalesce(col(robotsCol), lit("")), "\n"))
+          .as(Seq("pos", "raw")))
+      // CR strip (CRLF docs), comment strip, blank trim (explicit
+      // space/tab class — trim() is spaces-only and \s is
+      // engine-divergent)
+      .select(col("domain"), col("pos"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("raw"), "\r$", ""),
+            "#.*$", ""),
+          "^[ \t]+|[ \t]+$", "").as("line"))
+      .filter(col("line") =!= "")
+    val kv = lines
+      .select(col("domain"), col("pos"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)[ \t]*:", 1))
+          .as("key"),
+        regexp_replace(
+          regexp_extract(col("line"), "^[A-Za-z-]+[ \t]*:[ \t]*(.*)$", 1),
+          "[ \t]+$", "").as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("domain").orderBy("pos")
+    val grouped = kv
+      .withColumn("prev_key", lag(col("key"), 1).over(w))
+      // a user-agent line NOT immediately preceded by another
+      // user-agent line starts a new group (consecutive UA lines share
+      // one group — contract clause 3)
+      .withColumn("gstart",
+        (col("key") === "user-agent" &&
+          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
+          .cast("long"))
+      .withColumn("gid", sum(col("gstart")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val groups = grouped
+      .filter(col("key") === "user-agent")
+      .groupBy(col("domain"), col("gid"))
+      .agg(
+        max((lower(col("value")) === agent.toLowerCase).cast("int"))
+          .as("has_agent"),
+        max((col("value") === "*").cast("int")).as("has_star"))
+    // clause 4: agent-named groups when any exist, else the * groups
+    val domAny = groups.groupBy(col("domain"))
+      .agg(max(col("has_agent")).as("dom_has_agent"))
+    val selected = groups.join(domAny, Seq("domain"))
+      .filter(when(col("dom_has_agent") === 1, col("has_agent") === 1)
+        .otherwise(col("has_star") === 1))
+      .select(col("domain"), col("gid"))
+    grouped
+      .filter(col("key").isin("allow", "disallow") &&
+        col("gid") > 0L && col("value") =!= "")
+      .join(selected, Seq("domain", "gid"))
+      .select(col("domain"),
+        col("value").as("pattern"),
+        (col("key") === "allow").as("is_allow"),
+        length(col("value")).cast("long").as("plen"),
+        patternRegex(col("value")).as("rx"))
+  }
+
+  /** Gate a URL table against a [[parseRobots]] frame: one row per
+    * input id with `allowed` (contract clause 7 precedence; no rules /
+    * no robots → true), the winning rule's length, and the matched-rule
+    * count. The rule frame broadcasts; only (id, domain, narrow winner
+    * struct) ever reaches the reduce exchange. */
+  def robotsGate(
+      urls: DataFrame,
+      idCol: String,
+      domainCol: String,
+      pathCol: String,
+      rules: DataFrame): DataFrame = {
+    val r = rules.select(
+      col("domain").as("__rdom"), col("is_allow").as("__rallow"),
+      col("plen").as("__rplen"), col("rx").as("__rrx"))
+    urls
+      .select(col(idCol), col(domainCol).as("__dom"), col(pathCol).as("__path"))
+      .join(broadcast(r), col("__dom") === col("__rdom"), "left_outer")
+      .withColumn("__m",
+        col("__rrx").isNotNull && regexp_like(col("__path"), col("__rrx")))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__m"),
+          struct(col("__rplen").as("plen"),
+            col("__rallow").cast("int").as("allow")))).as("__w"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_matched"))
+      .select(col(idCol),
+        coalesce(col("__w.allow") === 1, lit(true)).as("allowed"),
+        col("__w.plen").as("winner_len"),
+        col("n_matched"))
+  }
+}

@@ -245,6 +245,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"wp02 shuffles raw payload:\n${exchanges.mkString("\n")}")
   }
 
+  test("rb01: the rule frame broadcasts; URL paths never reach an exchange") {
+    val p = plan("rb01_robots_gate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"robots rules should broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(!exchanges.exists(_.contains("__path#")),
+      s"rb01 shuffles url paths:\n${exchanges.mkString("\n")}")
+  }
+
   test("ht01: HTML extraction is scan-local — zero exchanges before the output sort") {
     val exchanges = plan("ht01_html_extract").linesIterator
       .filter(_.contains("hashpartitioning(")).toList

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Robots
+
+/** Every clause of the robots.txt contract (RFC 9309 semantics, the
+  * documented simplifications) on hand-built documents. */
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rules(doc: String, agent: String = "graftbot") =
+    Robots.parseRobots(
+      Seq(("d1", doc)).toDF("domain", "robots"), "domain", "robots", agent)
+      .select("pattern", "is_allow", "plen")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      .toSet
+
+  private def gate(doc: String, paths: Seq[String], agent: String = "graftbot")
+      : Map[String, Boolean] = {
+    val r = Robots.parseRobots(
+      Seq(("d1", doc)).toDF("domain", "robots"), "domain", "robots", agent)
+    val urls = paths.zipWithIndex
+      .map { case (p, i) => (i.toLong, "d1", p) }
+      .toDF("id", "dom", "path")
+    val out = Robots.robotsGate(urls, "id", "dom", "path", r)
+      .collect().map(r2 => (r2.getLong(0), r2.getBoolean(1))).toMap
+    paths.zipWithIndex.map { case (p, i) => p -> out(i.toLong) }.toMap
+  }
+
+  test("parse: comments, CRLF, blank lines, mixed case, colon spacing") {
+    val doc = "# top comment\r\nUser-Agent : *\r\n\r\n" +
+      "DISALLOW: /private # inline comment\r\nAllow:/private/ok\r\n"
+    assert(rules(doc) == Set(
+      ("/private", false, 8L),
+      ("/private/ok", true, 11L)))
+  }
+
+  test("parse: consecutive user-agent lines share one group") {
+    val doc = "User-agent: alpha\nUser-agent: graftbot\nDisallow: /x\n" +
+      "User-agent: beta\nDisallow: /y\n"
+    // graftbot's group carries /x only; beta's group is not selected
+    assert(rules(doc) == Set(("/x", false, 2L)))
+  }
+
+  test("parse: agent-named groups beat * groups; else * applies") {
+    val doc = "User-agent: graftbot\nDisallow: /g\n" +
+      "User-agent: *\nDisallow: /star\n"
+    assert(rules(doc) == Set(("/g", false, 2L)))
+    assert(rules(doc, agent = "otherbot") == Set(("/star", false, 5L)))
+    // two groups naming the agent BOTH apply (RFC: rules combine)
+    val two = "User-agent: graftbot\nDisallow: /a\n" +
+      "User-agent: GRAFTBOT\nAllow: /a/b\n"
+    assert(rules(two) == Set(("/a", false, 2L), ("/a/b", true, 4L)))
+  }
+
+  test("parse: rules before any group and empty patterns are dropped") {
+    val doc = "Disallow: /orphan\nUser-agent: *\nDisallow:\nAllow: /ok\n"
+    assert(rules(doc) == Set(("/ok", true, 3L)))
+  }
+
+  test("gate: longest match wins, allow wins ties, default allow") {
+    val doc = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    val got = gate(doc, Seq(
+      "/private/secret", // disallow (/private is the longest match)
+      "/private/ok/page", // allow (11 > 8)
+      "/public/page", // no rule matches -> allowed
+      "/priv")) // prefix of the rule, not matched by it -> allowed
+    assert(got == Map(
+      "/private/secret" -> false,
+      "/private/ok/page" -> true,
+      "/public/page" -> true,
+      "/priv" -> true))
+    // tie: equal-length allow and disallow -> allow (least restrictive)
+    val tie = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
+    assert(gate(tie, Seq("/abc")) == Map("/abc" -> true))
+  }
+
+  test("gate: * wildcard and trailing-$ anchor (RFC 9309 §2.2.3)") {
+    val doc = "User-agent: *\nDisallow: /docs/*.pdf$\nDisallow: /x*y\n"
+    val got = gate(doc, Seq(
+      "/docs/a.pdf",      // anchored match -> disallowed
+      "/docs/a.pdf?x=1",  // $ anchor: query tail breaks the match
+      "/docs/deep/b.pdf", // * spans path segments
+      "/xZZZy",           // /x*y
+      "/xZZZyMore",       // prefix match (no anchor) -> disallowed
+      "/x"))              // incomplete -> allowed
+    assert(got == Map(
+      "/docs/a.pdf" -> false,
+      "/docs/a.pdf?x=1" -> true,
+      "/docs/deep/b.pdf" -> false,
+      "/xZZZy" -> false,
+      "/xZZZyMore" -> false,
+      "/x" -> true))
+  }
+
+  test("gate: regex metacharacters in patterns stay literal") {
+    val doc = "User-agent: *\nDisallow: /a+b(c).d\n"
+    val got = gate(doc, Seq("/a+b(c).d/e", "/aab(c)xd"))
+    // '+(),.' are literal: only the exact prefix matches
+    assert(got == Map("/a+b(c).d/e" -> false, "/aab(c)xd" -> true))
+  }
+
+  test("gate: no robots / empty robots -> everything allowed") {
+    val r = Robots.parseRobots(
+      Seq(("d1", null: String), ("d2", "")).toDF("domain", "robots"),
+      "domain", "robots", "graftbot")
+    assert(r.count() == 0)
+    val urls = Seq((1L, "d1", "/any"), (2L, "d3", "/other"))
+      .toDF("id", "dom", "path")
+    val out = Robots.robotsGate(urls, "id", "dom", "path", r)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
+}
