@@ -1079,6 +1079,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
         .orderBy(col("doc_id"))
     }),
+    // Stupid Backoff (Brants et al. 2007): direct bigram ratio when both
+    // capped tables hit, else alpha-scaled smoothed unigram. vocabCap 16
+    // keeps both branches heavily exercised at this corpus size; same
+    // micro-bit rounding + libm caveat as lm01/lm02
+    "lm03_backoff_surprisal" -> ((s, dir) => {
+      CorpusStats.stupidBackoffSurprisal(
+        t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
+        .orderBy(col("doc_id"))
+    }),
     // tf-idf top-3 salient terms per document, integer micro-unit scores,
     // ties broken by token (term_rank makes the LIMIT-free sort total)
     "ti01_tfidf_terms" -> ((s, dir) => {
@@ -1243,6 +1252,16 @@ object SparkEntry {
     // lines + within-doc repeat collapse; documents are single-line, so
     // the lane wraps each in a deterministic multi-line harness that
     // exercises all four rules (both engines build the same harness)
+    // C4 §2.2 document-level blocklist gate: one whole-token (or
+    // whole-phrase) hit anywhere drops the page. Placeholder policy
+    // terms drawn from the synthetic vocabulary so both branches fire
+    // (the published LDNOOBW list stands behind the same API)
+    "c402_blocklist_gate" -> ((s, dir) => {
+      graft.operators.Curation.blocklistGate(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "vector", "merge batch"))
+        .orderBy(col("doc_id"))
+    }),
     "c401_clean_lines" -> ((s, dir) => {
       val src = concat(col("text"), lit(".\n"), col("text"),
         lit(".\nshort line\n" +
@@ -1676,6 +1695,14 @@ object SparkEntry {
       s"AND regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$') " +
       s"THEN chr($code) || substr(p, 3) ELSE '%' || p END), '') END"
   }
+
+  /** DuckDB replay of `Layout.zValue`: the identical unrolled
+    * shift/mask/multiply interleave over pre-quantized columns — bit k
+    * of column i lands at output bit k*d + i. */
+  private def sqlZValue(qcols: Seq[String], bits: Int): String =
+    (for { (q, i) <- qcols.zipWithIndex; k <- 0 until bits }
+      yield s"((($q >> $k) & 1) * ${1L << (k * qcols.size + i)})")
+      .mkString(" + ")
 
   /** DuckDB rebuild of [[synthUrl]] — the IDENTICAL synthesized INPUT
     * string (shared test data by construction, not replay logic; the
@@ -2137,6 +2164,44 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll2_micro_avg
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Stupid Backoff replay: direct path = cb/cu from the two top-16
+    // capped tables (both must hit); backoff = 0.4 * add-one unigram
+    // over T+V. n_backoff counts backoff-path positions
+    "lm03_backoff_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |bgs AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []
+        |    ELSE list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i+1]) END) AS bg
+        |  FROM tk),
+        |uc AS (SELECT tok, COUNT(*) AS cu FROM (
+        |    SELECT unnest(ts) AS tok FROM tk) WHERE tok <> ''
+        |  GROUP BY tok),
+        |tv AS (SELECT CAST(SUM(cu) + COUNT(*) AS DOUBLE) AS denom FROM uc),
+        |uct AS (SELECT tok, cu FROM uc ORDER BY cu DESC, tok LIMIT 16),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY bg),
+        |bct AS (SELECT bg, cb FROM bc ORDER BY cb DESC, bg LIMIT 16),
+        |sc AS (SELECT b.doc_id,
+        |    (t.cb IS NOT NULL AND u.cu IS NOT NULL) AS direct,
+        |    CASE WHEN t.cb IS NOT NULL AND u.cu IS NOT NULL THEN
+        |      CAST(round(-log2(
+        |        CAST(t.cb AS DOUBLE) / CAST(u.cu AS DOUBLE)) * 1000000)
+        |        AS BIGINT)
+        |    ELSE
+        |      CAST(round(-log2(0.4 *
+        |        CAST(coalesce(w.cu, 0) + 1 AS DOUBLE) / tv.denom) * 1000000)
+        |        AS BIGINT)
+        |    END AS nm
+        |  FROM bgs b CROSS JOIN tv
+        |  LEFT JOIN bct t USING (bg)
+        |  LEFT JOIN uct u ON u.tok = string_split(b.bg, ' ')[1]
+        |  LEFT JOIN uct w ON w.tok = string_split(b.bg, ' ')[2])
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(*) FILTER (NOT direct) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS sb_micro_avg
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ti01_tfidf_terms" ->
       """WITH tk AS (
         |  SELECT doc_id, tok FROM (
@@ -2362,6 +2427,24 @@ object SparkEntry {
         |FROM g ORDER BY doc_id LIMIT 200""".stripMargin,
     // the same harness + the same four rules; (x, i) lambda gives the
     // position for the first-occurrence test (both 1-based)
+    // blocklist replay: identical padded-contains over the re-joined
+    // lowercase token stream — whole-token semantics for words and
+    // phrases with one mechanism
+    "c402_blocklist_gate" ->
+      """WITH p AS (SELECT doc_id,
+        |    ' ' || array_to_string(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), ' ') || ' ' AS padded
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN contains(padded, ' slow ') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN contains(padded, ' vector ') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN contains(padded, ' merge batch ') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  ((CASE WHEN contains(padded, ' slow ') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN contains(padded, ' vector ') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN contains(padded, ' merge batch ') THEN 1 ELSE 0 END)) = 0
+        |    AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
     "c401_clean_lines" ->
       """WITH src AS (SELECT doc_id,
         |    text || '.' || chr(10) || text || '.' || chr(10) ||
@@ -3730,6 +3813,22 @@ object SparkEntry {
           col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))
     }),
+    // z-order layout summary: quantize (l_partkey, l_suppkey) onto 8
+    // bits each from their exact [min, max] domains (two bounded
+    // scalars), interleave into a Morton key, cut into 16 fixed z
+    // ranges, and report per-bucket count + per-dimension min/max —
+    // the per-file stats ranges an OPTIMIZE ZORDER write hands parquet
+    // min/max pruning. Exact integer math end to end
+    "zo01_zorder_buckets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val d = li.agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      graft.operators.Layout.zorderBuckets(li,
+        Seq("l_partkey", "l_suppkey"),
+        Seq((d.getLong(0), d.getLong(1)), (d.getLong(2), d.getLong(3))),
+        bits = 8, nBuckets = 16)
+    }),
     // leakage-safe split: hashSplit keyed by near-dup cluster
     // representative — near-duplicates can never straddle train/test;
     // portable signatures so DuckDB replays clusters + split bit-for-bit
@@ -3828,6 +3927,24 @@ object SparkEntry {
         |  CAST(CASE WHEN tot <= 0 THEN 0
         |       ELSE LEAST(7, (cum * 8) // tot) END AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // z-order replay: exact integer quantization from the true domains
+    // (scalar subquery), the identical unrolled bit interleave, fixed
+    // 16-way z-range cut (d*bits = 16 -> 2^16 z domain)
+    "zo01_zorder_buckets" ->
+      s"""WITH dom AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+        |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax FROM lineitem),
+        |q AS (SELECT l_partkey, l_suppkey,
+        |    ((l_partkey - pmin) * 256) // (pmax - pmin + 1) AS qp,
+        |    ((l_suppkey - smin) * 256) // (smax - smin + 1) AS qs
+        |  FROM lineitem CROSS JOIN dom),
+        |z AS (SELECT l_partkey, l_suppkey,
+        |    ${sqlZValue(Seq("qp", "qs"), 8)} AS zv
+        |  FROM q)
+        |SELECT CAST((zv * 16) // 65536 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
+        |  MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     // dd05's portable cluster replay + sp01's split thresholds applied to
     // the cluster representative (own id when unclustered)
     "sp04_leakage_safe_split" ->
@@ -4769,6 +4886,27 @@ object SparkEntry {
         |FROM ch GROUP BY chunk_h HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_chunks DESC, chunk_h
         |LIMIT 100""".stripMargin,
+    // snapshot-diff replay: the identical synthesized new snapshot, md5
+    // digests per side, full-outer reconciliation, unchanged omitted
+    "cd02_corpus_diff" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'brand new ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS fp FROM newsnap),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.fp <> n.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
     // substring-span replay: positional 8-token window md5-32 hashes,
     // cross-doc duplicated set, gaps-and-islands merge — the SAME window
     // functions the Spark plan uses, so the whole lane hash-matches
@@ -5816,6 +5954,23 @@ object SparkEntry {
         .filter(col("n_docs") >= 2)
         .orderBy(desc("n_docs"), desc("n_chunks"), col("chunk_h"))
         .limit(100)
+    }),
+    // snapshot reconciliation for the incremental pipeline: the
+    // synthesized NEW snapshot (shared test data by construction — the
+    // pii01/bp02 convention) drops every 13th doc, revises every 7th,
+    // and adds an offset-keyed doc per 11th; the operator must name
+    // exactly those ids. The exchange carries (id, md5) only
+    "cd02_corpus_diff" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = base.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("brand new "), col("doc_id").cast("string")).as("text")))
+      Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
     // substring-level dedup (Lee et al. ACL'22 re-expressed relationally):
     // maximal cross-doc duplicated 8-token spans; fully oracle-replayable

@@ -266,6 +266,90 @@ object CorpusStats {
         ldiv(col("nm"), col("n_bigrams")).as("nll2_micro_avg"))
   }
 
+  /** Per-document mean Stupid-Backoff score in micro-bits (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" §4 — the
+    * n-gram smoothing DESIGNED for distributed count-based training,
+    * which is why it is the right rung above [[bigramSurprisal]] here:
+    * no held-out normalization pass, just counts and one fixed α).
+    *
+    * Per bigram position:
+    * {{{
+    *   S(w2|w1) = c(w1 w2) / c(w1)          direct: both counts in the
+    *                                        capped model tables
+    *            = α · (c(w2)+1) / (T+V)     backoff: add-one-smoothed
+    *                                        unigram, α = 0.4 (published)
+    * }}}
+    * `c(·)` are corpus counts from the `vocabCap`-capped bigram/unigram
+    * tables (count desc, key — the deterministic cap shared with
+    * [[bigramSurprisal]]), `T` total tokens, `V` full distinct-unigram
+    * count. The direct path requires BOTH the bigram and its context to
+    * be inside the caps — a bigram whose context was capped out backs
+    * off, so the branch condition replays exactly from the two capped
+    * tables. S is a score, not a probability (Stupid Backoff's defining
+    * simplification); the micro-bit value is `round(-log2(S) · 10^6)`
+    * rounded per position BEFORE the exact long average, same
+    * log2-rounding / libm caveat as lm01/lm02.
+    *
+    * Scale: identical shape to [[bigramSurprisal]] — the model tables
+    * are bounded broadcasts at any corpus size; the only shuffles are
+    * the two count aggregations over (doc, bigram) granularity.
+    *
+    * Output: (idCol, n_bigrams: long, n_backoff: long — positions that
+    * took the backoff path, the model-coverage observability column,
+    * sb_micro_avg: long); documents with fewer than 2 tokens are
+    * absent. */
+  def stupidBackoffSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabCap: Int = 65536): DataFrame = {
+    require(vocabCap > 0, "vocabCap must be positive")
+    val alpha = 0.4 // Brants et al. 2007 §4: "unmodified ... α = 0.4"
+    val bigramCounts = materialize(
+      docs.select(col(idCol),
+        explode(TextFunctions.tokenNgrams(col(textCol), 2)).as("bg"))
+        .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("occ")))
+    val uc = termCounts(docs, idCol, textCol)
+    // two bounded scalars (grand totals), not data rows
+    val totRow = uc.agg(
+      coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).head()
+    val denom = (totRow.getLong(0) + totRow.getLong(1)).toDouble
+    val ucTop = uc.orderBy(desc("c"), asc("tok")).limit(vocabCap)
+    val bcTop = bigramCounts.groupBy("bg").agg(sum("occ").as("graft_cb"))
+      .orderBy(desc("graft_cb"), asc("bg")).limit(vocabCap)
+    val parts = split(col("bg"), " ", 2)
+    bigramCounts
+      .join(broadcast(bcTop), Seq("bg"), "left_outer")
+      .withColumn("graft_ctx", parts.getItem(0))
+      .withColumn("graft_w2", parts.getItem(1))
+      .join(broadcast(ucTop.select(col("tok").as("graft_ctx"),
+        col("c").as("graft_cu"))), Seq("graft_ctx"), "left_outer")
+      .join(broadcast(ucTop.select(col("tok").as("graft_w2"),
+        col("c").as("graft_cw"))), Seq("graft_w2"), "left_outer")
+      .withColumn("graft_direct",
+        col("graft_cb").isNotNull && col("graft_cu").isNotNull)
+      .withColumn(
+        "nll_micro",
+        when(col("graft_direct"),
+          round(-log2(col("graft_cb").cast("double") /
+            col("graft_cu").cast("double")) * lit(1000000.0)).cast("long"))
+          .otherwise(
+            round(-log2(lit(alpha) *
+              (coalesce(col("graft_cw"), lit(0L)) + lit(1L)).cast("double") /
+              lit(denom)) * lit(1000000.0)).cast("long")))
+      .groupBy(col(idCol))
+      .agg(
+        sum("occ").as("n_bigrams"),
+        sum(when(col("graft_direct"), 0L).otherwise(col("occ")))
+          .as("n_backoff"),
+        sum(col("nll_micro") * col("occ")).as("nm"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("n_backoff"),
+        ldiv(col("nm"), col("n_bigrams")).as("sb_micro_avg"))
+  }
+
   /** [[unigramSurprisal]] over a pre-computed [[docTermCounts]] frame —
     * the model pass and the scoring pass both read `termCounts`, so feed
     * it materialized (the convenience overload does) or pay the source

@@ -200,6 +200,47 @@ object Curation {
     * pre-pass.
     *
     * Output: (idCol, counters..., rule booleans..., keep). */
+  /** The C4 blocklist gate (Raffel et al. 2020 §2.2: "removed any page
+    * that contained any word on the [blocklist]") — the one C4 cleanup
+    * policy the line-level pass (c401) doesn't carry, because it is
+    * DOCUMENT-level: one hit anywhere drops the whole page.
+    *
+    * Matching contract: term-boundary on the whitespace tokenizer —
+    * the document's lowercased tokens are re-joined single-spaced and
+    * space-padded, and a (possibly multi-word) term hits iff
+    * `" term "` is a substring. That gives exact whole-token semantics
+    * for single words AND phrases with one mechanism, replayable as the
+    * same contains() in any engine; punctuation-attached occurrences
+    * ("word," etc.) follow the tokenizer's contract and do not match —
+    * the documented boundary with C4's regex word-boundary matching.
+    * Terms are normalized the same way at the driver (lowercase,
+    * single-spaced); the term list is a caller-supplied POLICY input (a
+    * placeholder stands in for the published LDNOOBW list here — the
+    * corpus is synthetic).
+    *
+    * Scale: one scan, `terms.size` codegen'd contains() per row, no
+    * shuffle — composes in front of [[curate]] like [[gopherRules]].
+    *
+    * Output: (idCol, n_hits: long — distinct terms present, keep). */
+  def blocklistGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val normed = terms.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+    require(normed.nonEmpty && normed.forall(_.nonEmpty),
+      "blocklistGate: terms must be non-empty")
+    require(normed.distinct.size == normed.size,
+      "blocklistGate: duplicate terms after normalization")
+    val padded = concat(lit(" "),
+      array_join(tokens(col(textCol)), " "), lit(" "))
+    docs.select(col(idCol), padded.as("__padded"))
+      .select(col(idCol),
+        normed.map(t => when(col("__padded").contains(lit(s" $t ")), 1L)
+          .otherwise(0L)).reduce(_ + _).as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     docs

@@ -57,6 +57,50 @@ object Dedup {
       .select(col(idCol), col("keep_id"))
   }
 
+  /** Snapshot reconciliation for an INCREMENTAL pipeline: which
+    * documents were added, removed, or changed between two corpus
+    * snapshots. This is the observability/driver step in front of every
+    * incremental stage this module ships ([[nearDupMicroBatch]],
+    * [[mergeIntoMinhashIndex]]): re-run expensive passes over the
+    * `added`/`changed` slice only, retire `removed` ids from indexes.
+    *
+    * Contract: ids are unique AND non-null within each snapshot (a null
+    * id never joins, so one null row would fabricate a phantom
+    * added+removed pair — it raises instead, the [[urlDedup]]
+    * convention). Change detection is by md5 content digest, computed
+    * scan-side, so the full-outer join — the single exchange — carries
+    * (id, 32-hex digest) and never the text; at warehouse scale both
+    * sides bucket by id and the exchange vanishes. Digest-equality ≡
+    * text-equality up to md5 collision, the module's standard caveat.
+    *
+    * Output: (idCol, status ∈ added|removed|changed), unchanged rows
+    * omitted unless `includeUnchanged` — at 100 TB the unchanged class
+    * is the corpus; the diff should be the small thing. */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      includeUnchanged: Boolean = false): DataFrame = {
+    def fold(df: DataFrame, fpName: String) =
+      df.select(
+        when(col(idCol).isNull, raise_error(lit(
+          s"corpusDiff: null $idCol — a null id never joins, fabricating " +
+            "a phantom added+removed pair; snapshot ids must be unique " +
+            "and non-null"))).otherwise(col(idCol)).as(idCol),
+        md5Fingerprint(col(textCol)).as(fpName))
+    val joined = fold(oldDocs, "graft_old_fp")
+      .join(fold(newDocs, "graft_new_fp"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("graft_old_fp").isNull, "added")
+          .when(col("graft_new_fp").isNull, "removed")
+          .when(col("graft_old_fp") =!= col("graft_new_fp"), "changed")
+          .otherwise("unchanged"))
+    (if (includeUnchanged) joined
+     else joined.filter(col("status") =!= "unchanged"))
+      .select(col(idCol), col("status"))
+  }
+
   /** URL-level exact dedup, keep-first by id — the C4 front door (Raffel
     * et al. 2020 §2.2 deduplicate pages by URL before any text-level
     * pass): rows whose `urlCol` canonicalizes identically

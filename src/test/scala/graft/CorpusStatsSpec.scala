@@ -162,6 +162,46 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3L) == (aaOov + ab + bcOov) / 3)
   }
 
+  test("stupidBackoffSurprisal: direct ratio with full caps, backoff under cap 1") {
+    def dir(cb: Long, cu: Long): Long =
+      math.round(-math.log(cb.toDouble / cu) / math.log(2.0) * 1e6)
+    def bo(cw: Long, denom: Double): Long =
+      math.round(-math.log(0.4 * (cw + 1) / denom) / math.log(2.0) * 1e6)
+    // full cap: every position direct — "a a" 2/5, "a b" 3/5, "b c" 2/3
+    val full = CorpusStats.stupidBackoffSurprisal(corpus, "doc_id", "text", vocabCap = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (aa, ab, bc) = (dir(2, 5), dir(3, 5), dir(2, 3))
+    assert(full.toSeq == Seq(
+      (1L, 2L, 0L, (aa + ab) / 2),
+      (2L, 2L, 0L, (ab + bc) / 2),
+      (3L, 3L, 0L, (aa + ab + bc) / 3))) // doc4: no bigrams, absent
+    // cap 1 keeps bigram "a b" (cb 3) and context "a" (cu 5); "a a" and
+    // "b c" back off — "a a" to in-cap w2 a (cw 5), "b c" to OOV c (cw 0)
+    val capped = CorpusStats.stupidBackoffSurprisal(corpus, "doc_id", "text", vocabCap = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val (boA, boOov) = (bo(5, 15.0), bo(0, 15.0))
+    assert(capped.toSeq == Seq(
+      (1L, 1L, (boA + dir(3, 5)) / 2),
+      (2L, 1L, (dir(3, 5) + boOov) / 2),
+      (3L, 2L, (boA + dir(3, 5) + boOov) / 3)))
+  }
+
+  test("stupidBackoffSurprisal: an in-cap bigram with a capped-out context backs off") {
+    // unigrams a:3, q:2, r:2 -> cap-1 unigram table {a}; bigrams
+    // {"q r":2} -> cap-1 bigram table {"q r"} whose context q is NOT in
+    // the unigram table, so the position must take the backoff path
+    // (w2 = r is also OOV: cw 0; T=7, V=3, denom=10)
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "q r"), (5L, "q r"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.stupidBackoffSurprisal(docs, "doc_id", "text", vocabCap = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bo = math.round(-math.log(0.4 * 1 / 10.0) / math.log(2.0) * 1e6)
+    assert(out.toSeq == Seq((4L, 1L, 1L, bo), (5L, 1L, 1L, bo)))
+  }
+
   test("unigramSurprisal: tokens beyond vocabCap score as OOV (count 0)") {
     // cap 2 keeps {a, b}; c and d become OOV but T and V stay corpus-wide
     val out = CorpusStats.unigramSurprisal(corpus, "doc_id", "text", vocabCap = 2)

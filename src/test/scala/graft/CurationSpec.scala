@@ -111,6 +111,29 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(2)) == 1)
   }
 
+  test("blocklistGate: whole-token and phrase hits, case/space-insensitive") {
+    val docs = Seq(
+      (1L, "a clean page about nothing"),
+      (2L, "the BAD word appears"), // case-folded single-term hit
+      (3L, "badge of honor"), // substring of a term must NOT hit
+      (4L, "a very  bad\tthing happened"), // phrase across messy whitespace
+      (5L, "bad"), // term is the whole document
+      (6L, " ")).toDF("doc_id", "text") // empty: keeps
+    val out = graft.operators.Curation
+      .blocklistGate(docs, "doc_id", "text", Seq("bad", "Bad  Thing"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, true), (2L, 1L, false), (3L, 0L, true),
+      (4L, 2L, false), (5L, 1L, false), (6L, 0L, true)))
+    // policy-input validation fails fast
+    assertThrows[IllegalArgumentException](
+      graft.operators.Curation.blocklistGate(docs, "doc_id", "text", Nil))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Curation.blocklistGate(docs, "doc_id", "text",
+        Seq("bad", "BAD")))
+  }
+
   test("saltedJoin rejects outer types that would duplicate dim rows") {
     val fact = Seq((1L, "x")).toDF("k", "v")
     val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")

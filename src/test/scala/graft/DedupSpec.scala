@@ -695,6 +695,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2) == "crlf untouched line\r\nsecond untouched line")
   }
 
+  test("corpusDiff: added/removed/changed named exactly; unchanged omitted or kept") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val diff = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(diff == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    val all = Dedup.corpusDiff(old, neu, "doc_id", "text", includeUnchanged = true)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(all == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // a null id raises instead of fabricating a phantom added+removed pair
+    val nullId = Seq((Some(1L), "a"), (None, "x"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.corpusDiff(nullId, neu, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("corpusDiff: null doc_id"))
+  }
+
   test("softDedupWeights: inverse cluster size over every doc, floor micro") {
     // docs 1,2,3 form one near-dup cluster (chain via 2); 4,5 unclustered
     val w = Dedup.softDedupWeights(docs, "doc_id", "text", threshold = 0.5)

@@ -403,6 +403,45 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("zo01: z arithmetic is scan-local — one partial+final agg, no join") {
+    val p = plan("zo01_zorder_buckets")
+    assert(!p.contains("Join"), p)
+    // the quantize/interleave math runs in the scan projection; the only
+    // hash exchange is the 16-bucket aggregation (map-side combined)
+    assert("HashAggregate[\\s\\S]*Exchange[\\s\\S]*HashAggregate".r
+      .findFirstIn(p).isDefined, p)
+    // scan reads only the two layout columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_suppkey"),
+      readSchema)
+  }
+
+  test("c402: blocklist gate is row-local — no join, no hash exchange") {
+    val p = plan("c402_blocklist_gate")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning("), p)
+  }
+
+  test("cd02: diff joins (id, digest) only — text is digested below the join") {
+    val o = optimized("cd02_corpus_diff")
+    // everything ABOVE the full-outer join (its output and the
+    // status/sort stages) must be text-free: the md5 digest projection
+    // sits in the join's children, so the one exchange carries
+    // (doc_id, 32-hex digest), never document text
+    val joinIdx = o.indexOf("Join FullOuter")
+    assert(joinIdx >= 0, o)
+    assert(!o.substring(0, joinIdx).contains("text#"), o.substring(0, joinIdx))
+    val p = plan("cd02_corpus_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("lm03: model tables broadcast; only (doc, bigram) granularity shuffles") {
+    val p = plan("lm03_backoff_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pc01: pair explode sits ABOVE the vocab top-k, not on the corpus scan") {
     val p = optimized("pc01_bpe_pairs")
     // GlobalLimit(vocab cap) must appear below the generate (explode):
