@@ -128,7 +128,12 @@ object ScaleProof {
     // domain agg, all k-/domain-bounded like url03; measured 0.0 -> 0.4
     // MiB at 1x/10x with the hot domain at 1/3 of corpus, skew 1.6
     "wp02_capmix" -> Bounds(8, 8),
-    "lq01_langquality" -> Bounds(5, 8)) // ZERO shuffle: lang x bin domain aggs
+    "lq01_langquality" -> Bounds(5, 8), // ZERO shuffle: lang x bin domain aggs
+    // round-12 lanes
+    "lm03_backoff" -> Bounds(22, 8),    // measured 14.3x (4.1 -> 58.4): the (doc, bigram) count agg, like lm01/lm02
+    "zo01_zorder" -> Bounds(5, 8),      // ZERO shuffle: scan-local bit math + 16-bucket agg
+    "c402_blocklist" -> Bounds(5, 8),   // ZERO shuffle: row-local contains() chain
+    "cd02_diff" -> Bounds(19, 8))       // measured 12.1x (0.4 -> 4.3): (id, md5) full-outer join, linear
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -181,7 +186,12 @@ object ScaleProof {
     // stays sketch-sized at 550k docs
     "url02_urldedup" -> Bounds(10, 8),  // measured 6.0x of 0.1 MiB
     "url03_domaincap" -> Bounds(3, 8),  // measured 1.0x (0.4 -> 0.4)
-    "lq01_langquality" -> Bounds(5, 8)) // 0.0 -> 0.0 MiB (lang x bin domain)
+    "lq01_langquality" -> Bounds(5, 8), // 0.0 -> 0.0 MiB (lang x bin domain)
+    // round-12 third points
+    "lm03_backoff" -> Bounds(16, 8),    // measured 10.1x (58.4 -> 587): exactly linear bigram agg
+    "zo01_zorder" -> Bounds(5, 8),      // 0.0 -> 0.0 MiB (16-bucket domain)
+    "c402_blocklist" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (row-local)
+    "cd02_diff" -> Bounds(15, 8))       // measured 9.2x (4.3 -> 39.7): linear (id, md5) join frames
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -763,6 +773,38 @@ object ScaleProof {
             .agg(sum(col("n_tok")).as("n_tokens"))
             .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
         })
+      measure("lm03_backoff", scale)(
+        // Stupid Backoff: same exchange profile as lm01/lm02 — the
+        // (doc, bigram, occ) count agg dominates; model tables are
+        // bounded broadcasts at any corpus size
+        CorpusStats.stupidBackoffSurprisal(docs, "doc_id", "text",
+          vocabCap = 1024).count())
+      measure("zo01_zorder", scale)(
+        // Z-order bucket summary: quantize/interleave is scan-local
+        // arithmetic; the only exchange is the nBuckets-domain agg
+        graft.operators.Layout.zorderBuckets(
+          docs.select((col("doc_id") % 1000L).as("a"),
+            length(col("text")).cast("long").as("b")),
+          Seq("a", "b"), Seq((0L, 999L), (0L, 65535L)),
+          bits = 8, nBuckets = 16)
+          .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0))
+      measure("c402_blocklist", scale)(
+        // document-level blocklist gate: row-local contains() chain —
+        // zero shuffle by construction ("the" hits most docs here)
+        Curation.blocklistGate(docs, "doc_id", "text",
+          Seq("the", "variant marker", "zzz absent phrase"))
+          .agg(coalesce(sum(col("n_hits")), lit(0L))).head().getLong(0))
+      measure("cd02_diff", scale)(
+        // snapshot diff: the full-outer join carries (id, md5) only —
+        // text digests scan-side. New snapshot drops/revises slices of
+        // the corpus, so the diff answer grows linearly with it
+        Dedup.corpusDiff(
+          docs,
+          docs.filter(col("doc_id") % 13 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))),
+          "doc_id", "text").count())
       measure("xs01_xsource", scale)(
         // cross-source overlap: (gram-hash, source) distinct agg; the
         // pair explode runs over per-gram source SETS (domain-bounded)
