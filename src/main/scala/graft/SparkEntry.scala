@@ -1079,6 +1079,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", vocabCap = 16)
         .orderBy(col("doc_id"))
     }),
+    // CCNet head/middle/tail terciles: lm01's surprisal cut at the
+    // 333/667-permille histogram quantiles, bin-granular bucketing
+    // (vocabCap 16 = lm01's model; binWidth 10000 micro-bits)
+    "lm04_ppl_buckets" -> ((s, dir) => {
+      CorpusStats.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text",
+        vocabCap = 16, binWidth = 10000L)
+        .orderBy(col("doc_id"))
+    }),
     // Stupid Backoff (Brants et al. 2007): direct bigram ratio when both
     // capped tables hit, else alpha-scaled smoothed unigram. vocabCap 16
     // keeps both branches heavily exercised at this corpus size; same
@@ -2164,6 +2173,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll2_micro_avg
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet-tercile replay: lm01's per-doc surprisal chain, the qd01
+    // inverse-ECDF threshold formula at 333/667 permille over
+    // 10000-micro-bit bins, bin-granular CASE (surprisal >= 0, so the
+    // plain // bin applies)
+    "lm04_ppl_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM cnt),
+        |vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 16),
+        |sc AS (SELECT tk.doc_id,
+        |    CAST(round(-log2(CAST(coalesce(v.c, 0) + 1 AS DOUBLE) / tot.denom)
+        |      * 1000000) AS BIGINT) AS nm
+        |  FROM tk CROSS JOIN tot LEFT JOIN vocab v USING (tok)),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(nm) // COUNT(*) AS BIGINT) AS nll_micro_avg
+        |  FROM sc GROUP BY doc_id),
+        |b AS (SELECT *, nll_micro_avg // 10000 AS bin FROM d),
+        |h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+        |c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |    (SELECT SUM(cnt) FROM h) AS n_total FROM h),
+        |t AS (SELECT q, MIN(bin) AS qbin
+        |  FROM c CROSS JOIN (VALUES (333), (667)) AS qv(q)
+        |  WHERE cum >= (q * n_total + 999) // 1000 GROUP BY q),
+        |t1 AS (SELECT qbin FROM t WHERE q = 333),
+        |t2 AS (SELECT qbin FROM t WHERE q = 667)
+        |SELECT doc_id, n_tokens, nll_micro_avg,
+        |  CASE WHEN b.bin <= t1.qbin THEN 'head'
+        |       WHEN b.bin <= t2.qbin THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM b CROSS JOIN t1 CROSS JOIN t2 ORDER BY doc_id""".stripMargin,
     // Stupid Backoff replay: direct path = cb/cu from the two top-16
     // capped tables (both must hit); backoff = 0.4 * add-one unigram
     // over T+V. n_backoff counts backoff-path positions
@@ -3829,6 +3872,24 @@ object SparkEntry {
         Seq((d.getLong(0), d.getLong(1)), (d.getLong(2), d.getLong(3))),
         bits = 8, nBuckets = 16)
     }),
+    // pruning what-if: files skipped by an l_suppkey range filter under
+    // a single l_partkey sort vs the 2-column z-order — the planner
+    // report that justifies the rewrite. Predicate = the middle 1/16th
+    // slice of the suppkey domain, derived from the same exact scalars
+    "zo02_pruning_whatif" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val d = li.agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (smin, smax) = (d.getLong(2), d.getLong(3))
+      val w = smax - smin + 1L
+      val lo = smin + 7L * w / 16L
+      val hi = smin + 8L * w / 16L - 1L
+      graft.operators.Layout.pruningComparison(li,
+        Seq("l_partkey", "l_suppkey"),
+        Seq((d.getLong(0), d.getLong(1)), (smin, smax)),
+        "l_suppkey", lo, hi, bits = 8, nBuckets = 16)
+    }),
     // leakage-safe split: hashSplit keyed by near-dup cluster
     // representative — near-duplicates can never straddle train/test;
     // portable signatures so DuckDB replays clusters + split bit-for-bit
@@ -3945,6 +4006,45 @@ object SparkEntry {
         |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
         |  MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // pruning what-if replay: the same two bucketings (single-column
+    // value ranges vs the unrolled z interleave), the same min/max-vs-
+    // range prunability test, the same derived 1/16th-slice predicate
+    "zo02_pruning_whatif" ->
+      s"""WITH dom AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+        |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax FROM lineitem),
+        |pr AS (SELECT smin + 7 * (smax - smin + 1) // 16 AS lo,
+        |    smin + 8 * (smax - smin + 1) // 16 - 1 AS hi FROM dom),
+        |q AS (SELECT l_suppkey,
+        |    ((l_partkey - pmin) * 256) // (pmax - pmin + 1) AS qp,
+        |    ((l_suppkey - smin) * 256) // (smax - smin + 1) AS qs
+        |  FROM lineitem CROSS JOIN dom),
+        |sb AS (SELECT (qp * 16) // 256 AS bucket,
+        |    COUNT(*) AS n_rows, MIN(l_suppkey) AS fmin, MAX(l_suppkey) AS fmax
+        |  FROM q GROUP BY 1),
+        |zb AS (SELECT ((${sqlZValue(Seq("qp", "qs"), 8)}) * 16) // 65536
+        |      AS bucket,
+        |    COUNT(*) AS n_rows, MIN(l_suppkey) AS fmin, MAX(l_suppkey) AS fmax
+        |  FROM q GROUP BY 1),
+        |agg AS (
+        |  SELECT 'single_sort' AS layout,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(COUNT(*) FILTER (fmax < pr.lo OR fmin > pr.hi) AS BIGINT)
+        |      AS n_pruned,
+        |    CAST(COALESCE(SUM(n_rows)
+        |      FILTER (NOT (fmax < pr.lo OR fmin > pr.hi)), 0) AS BIGINT)
+        |      AS rows_scanned
+        |  FROM sb CROSS JOIN pr GROUP BY pr.lo, pr.hi
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(COUNT(*) FILTER (fmax < pr.lo OR fmin > pr.hi) AS BIGINT)
+        |      AS n_pruned,
+        |    CAST(COALESCE(SUM(n_rows)
+        |      FILTER (NOT (fmax < pr.lo OR fmin > pr.hi)), 0) AS BIGINT)
+        |      AS rows_scanned
+        |  FROM zb CROSS JOIN pr GROUP BY pr.lo, pr.hi)
+        |SELECT layout, n_buckets, n_pruned, rows_scanned
+        |FROM agg ORDER BY layout""".stripMargin,
     // dd05's portable cluster replay + sp01's split thresholds applied to
     // the cluster representative (own id when unclustered)
     "sp04_leakage_safe_split" ->

@@ -1453,6 +1453,53 @@ object CorpusStats {
         (col("bin") * lit(binWidth)).as("est_value"))
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    * LREC 2020 §4.4: the corpus is cut into terciles of LM perplexity;
+    * "head" — the best-scoring third — feeds training first). Composes
+    * two shipped primitives: every document's mean unigram surprisal
+    * ([[unigramSurprisal]] — the cheap stand-in for CCNet's KenLM score,
+    * same ordering semantics) and the corpus-level cut thresholds read
+    * from a binWidth-wide histogram ([[quantileBins]]' type-1
+    * inverse-ECDF machinery, no global sort anywhere).
+    *
+    * Bucketing is BIN-granular: a document lands in `head` iff its
+    * surprisal bin is <= the cut permille's quantile bin (so the whole
+    * threshold bin buckets together — deterministic at any scale, and
+    * binWidth is the documented resolution knob; surprisal is
+    * non-negative by construction, so the plain floor-division bin
+    * applies). The two thresholds are bounded scalars (one |cuts|-row
+    * collect); everything corpus-sized is the surprisal scan and one
+    * bin-domain count aggregation.
+    *
+    * Output: (idCol, n_tokens, nll_micro_avg, ppl_bucket ∈
+    * head|middle|tail); tokenless documents are absent (the lm01
+    * convention). */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabCap: Int = 65536,
+      binWidth: Long = 10000L,
+      cuts: Seq[Int] = Seq(333, 667)): DataFrame = {
+    require(binWidth >= 1L, s"binWidth=$binWidth")
+    require(cuts.size == 2 && cuts.head >= 1 && cuts(1) <= 1000 &&
+      cuts.head < cuts(1), s"cuts must be two ascending permilles: $cuts")
+    val sur = materialize(unigramSurprisal(docs, idCol, textCol, vocabCap))
+    // |cuts| rows — bounded by construction
+    val th = quantileBins(sur, "nll_micro_avg", binWidth, cuts)
+      .select(col("q_permille"), col("bin")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    if (th.isEmpty) // empty corpus: keep the labeled schema, zero rows
+      sur.withColumn("ppl_bucket", lit(null).cast("string"))
+    else {
+      val docBin = ldiv(col("nll_micro_avg"), lit(binWidth))
+      sur.withColumn("ppl_bucket",
+        when(docBin <= lit(th(cuts.head)), "head")
+          .when(docBin <= lit(th(cuts(1))), "middle")
+          .otherwise("tail"))
+    }
+  }
+
   /** Per-language curation dashboard — the report every multilingual
     * pipeline maintains, composed from existing primitives: one row per
     * detected language (`TextFunctions.langIdNgram`) with corpus share,

@@ -105,6 +105,55 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** Pruning WHAT-IF: how many files would a selective filter on
+    * `filterCol` skip under (a) a single-column sort on `cols.head`
+    * versus (b) the Z-order interleave of both columns — the number an
+    * OPTIMIZE planner reports before committing to a rewrite. A bucket
+    * stands for one output file; it is prunable iff its
+    * [min, max] range of `filterCol` misses the closed predicate range
+    * [lo, hi] — exactly the min/max-stats test a parquet reader runs.
+    *
+    * All bucketing is the exact integer arithmetic above, so both
+    * layouts' counts replay bit-for-bit in any engine. Cost: one scan
+    * per layout (a diagnostic, not a hot path — feed a sample at
+    * extreme scale); each scan feeds one nBuckets-domain aggregation.
+    *
+    * Output: two rows (layout ∈ single_sort|zorder; n_buckets,
+    * n_pruned, rows_scanned), ordered by layout. */
+  def pruningComparison(
+      df: DataFrame,
+      cols: Seq[String],
+      domains: Seq[(Long, Long)],
+      filterCol: String,
+      lo: Long,
+      hi: Long,
+      bits: Int = 8,
+      nBuckets: Int = 16): DataFrame = {
+    require(cols.size == 2 && cols.size == domains.size,
+      "pruningComparison compares a 2-column layout")
+    require(cols.contains(filterCol), s"$filterCol must be a layout column")
+    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    val qs = cols.zip(domains).map { case (c, (mn, mx)) =>
+      quantize(col(c), mn, mx, bits)
+    }
+    val missed = col("fmax") < lo || col("fmin") > hi
+    def layoutStats(name: String, bucket: Column): DataFrame =
+      df.select(bucket.as("bucket"), col(filterCol))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(filterCol).as("fmin"), max(filterCol).as("fmax"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(missed, 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(missed, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("n_pruned"), col("rows_scanned"))
+    layoutStats("single_sort", zBucket(qs.head, bits, nBuckets))
+      .unionByName(
+        layoutStats("zorder", zBucket(zValue(qs, bits), 2 * bits, nBuckets)))
+      .orderBy("layout")
+  }
+
   /** The write path: one column per dimension quantized from its domain,
     * the rows range-partitioned and sorted by z value so each output
     * file covers one tight z range (= one small hyper-rectangle in the

@@ -162,6 +162,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3L) == (aaOov + ab + bcOov) / 3)
   }
 
+  test("perplexityBuckets: tercile cuts at binWidth 1 are exact; coarse bins merge") {
+    // per-doc surprisal over the shared corpus (denom 15):
+    // doc1 1516915 < doc3 1718168 < doc2 1850249 < doc4 2906891.
+    // N=4: t1 = 2nd smallest (ceil(1.332)=2), t2 = 3rd (ceil(2.668)=3)
+    val out = CorpusStats.perplexityBuckets(corpus, "doc_id", "text",
+      vocabCap = 10, binWidth = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "head"), (2L, "middle"), (3L, "head"), (4L, "tail")))
+    // a bin wider than the whole value range merges every doc into the
+    // quantile bin -> everything is head (bin-granular by contract)
+    val coarse = CorpusStats.perplexityBuckets(corpus, "doc_id", "text",
+      vocabCap = 10, binWidth = 10000000L)
+      .select("ppl_bucket").collect().map(_.getString(0)).toSet
+    assert(coarse == Set("head"))
+    // empty corpus: zero rows, schema intact
+    val empty = CorpusStats.perplexityBuckets(
+      corpus.filter(col("doc_id") > 99L), "doc_id", "text")
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "nll_micro_avg", "ppl_bucket"))
+    assert(empty.count() == 0L)
+  }
+
   test("stupidBackoffSurprisal: direct ratio with full caps, backoff under cap 1") {
     def dir(cb: Long, cu: Long): Long =
       math.round(-math.log(cb.toDouble / cu) / math.log(2.0) * 1e6)

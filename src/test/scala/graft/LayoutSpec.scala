@@ -53,6 +53,23 @@ class LayoutSpec extends AnyFunSuite {
       (3L, 4L, 2L, 3L, 2L, 3L)))
   }
 
+  test("pruningComparison: y-filter prunes z-order quadrants, never the x-sort") {
+    val grid = (for { x <- 0L to 3L; y <- 0L to 3L } yield (x, y)).toDF("x", "y")
+    val out = Layout.pruningComparison(grid, Seq("x", "y"),
+      Seq((0L, 3L), (0L, 3L)), filterCol = "y", lo = 2L, hi = 3L,
+      bits = 2, nBuckets = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sorting by x leaves every bucket with the full y range (nothing
+    // prunable); the z layout's two low-y quadrants miss [2,3] entirely
+    assert(out.toSeq == Seq(
+      ("single_sort", 4L, 0L, 16L),
+      ("zorder", 4L, 2L, 8L)))
+    assertThrows[IllegalArgumentException](
+      Layout.pruningComparison(grid, Seq("x", "y"),
+        Seq((0L, 3L), (0L, 3L)), "z_not_a_col", 0L, 1L))
+  }
+
   test("zorderLayout: row-preserving, column-preserving, z-sorted within partitions") {
     val grid = (for { x <- 0L to 7L; y <- 0L to 7L } yield (x, y)).toDF("x", "y")
     val out = Layout.zorderLayout(grid, Seq("x", "y"),

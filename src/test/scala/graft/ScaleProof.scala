@@ -133,7 +133,9 @@ object ScaleProof {
     "lm03_backoff" -> Bounds(22, 8),    // measured 14.3x (4.1 -> 58.4): the (doc, bigram) count agg, like lm01/lm02
     "zo01_zorder" -> Bounds(5, 8),      // ZERO shuffle: scan-local bit math + 16-bucket agg
     "c402_blocklist" -> Bounds(5, 8),   // ZERO shuffle: row-local contains() chain
-    "cd02_diff" -> Bounds(19, 8))       // measured 12.1x (0.4 -> 4.3): (id, md5) full-outer join, linear
+    "cd02_diff" -> Bounds(19, 8),       // measured 12.1x (0.4 -> 4.3): (id, md5) full-outer join, linear
+    "lm04_pplbuckets" -> Bounds(32, 8), // measured 21x (1.6 -> 33.6): lm01's surprisal aggs + bin-domain counts
+    "zo02_pruning" -> Bounds(5, 8))     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -191,7 +193,9 @@ object ScaleProof {
     "lm03_backoff" -> Bounds(16, 8),    // measured 10.1x (58.4 -> 587): exactly linear bigram agg
     "zo01_zorder" -> Bounds(5, 8),      // 0.0 -> 0.0 MiB (16-bucket domain)
     "c402_blocklist" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (row-local)
-    "cd02_diff" -> Bounds(15, 8))       // measured 9.2x (4.3 -> 39.7): linear (id, md5) join frames
+    "cd02_diff" -> Bounds(15, 8),       // measured 9.2x (4.3 -> 39.7): linear (id, md5) join frames
+    "lm04_pplbuckets" -> Bounds(17, 8), // measured 11.2x (33.6 -> 376.7): ~linear like lm01
+    "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -773,6 +777,21 @@ object ScaleProof {
             .agg(sum(col("n_tok")).as("n_tokens"))
             .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
         })
+      measure("lm04_pplbuckets", scale)(
+        // CCNet terciles: lm01's surprisal scan + one bin-domain count
+        // agg + a 2-row threshold collect — the labeling pass is a
+        // projection over the materialized surprisal frame
+        CorpusStats.perplexityBuckets(docs, "doc_id", "text",
+          vocabCap = 1024, binWidth = 10000L).count())
+      measure("zo02_pruning", scale)(
+        // pruning what-if: two scans (one per layout), each feeding one
+        // 16-bucket aggregation — zero corpus-sized shuffle
+        graft.operators.Layout.pruningComparison(
+          docs.select((col("doc_id") % 1000L).as("a"),
+            length(col("text")).cast("long").as("b")),
+          Seq("a", "b"), Seq((0L, 999L), (0L, 65535L)),
+          "b", lo = 100L, hi = 300L, bits = 8, nBuckets = 16)
+          .agg(coalesce(sum(col("rows_scanned")), lit(0L))).head().getLong(0))
       measure("lm03_backoff", scale)(
         // Stupid Backoff: same exchange profile as lm01/lm02 — the
         // (doc, bigram, occ) count agg dominates; model tables are

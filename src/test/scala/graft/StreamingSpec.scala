@@ -571,6 +571,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("blocklist gate + z-value run on STREAMS: row-local policy/layout is streaming-legal") {
+    // both are stateless projections, so the ingest-time gate and the
+    // layout key compute per micro-batch with zero state — and must
+    // equal the batch computation on the same rows
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-stream-bl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "a clean page"),
+      org.apache.spark.sql.Row(2L, "the bad word appears"),
+      org.apache.spark.sql.Row(3L, "badge of honor"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.blocklistGate(df, "doc_id", "text", Seq("bad"))
+        .withColumn("z", graft.operators.Layout.zValue(Seq(
+          graft.operators.Layout.quantize(col("doc_id"), 0L, 15L, 2),
+          graft.operators.Layout.quantize(col("n_hits"), 0L, 3L, 2)), 2))
+    val q = gated(stream).writeStream.outputMode("append")
+      .format("memory").queryName("stream_bl")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_bl")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(2), r.getLong(3))).toSet
+      val batch = gated(spark.read.parquet(s"$dir/b1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(2), r.getLong(3))).toSet
+      assert(streamed == batch && streamed.size == 3)
+      assert(streamed.count(!_._3) == 1) // only doc 2 is gated out
+    } finally q.stop()
+  }
+
   test("PQ encode + JL projection run on STREAMS: literal-model projections are streaming-legal") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
