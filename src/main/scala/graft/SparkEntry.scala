@@ -5814,6 +5814,23 @@ object SparkEntry {
         |    AS f1_permille
         |FROM pr
         |ORDER BY label""".stripMargin,
+    // calibration replay: best (rn=1) vs runner-up (rn=2) nll margin
+    // off the SAME ranked CTE, 1-bit bins, accuracy permille per bin
+    "cm02_nb_calibration" ->
+      raw"""WITH $nbPredictCteSql,
+        |m AS (SELECT b1.doc_id, b1.pred,
+        |    b2.nll_micro - b1.nll_micro AS margin
+        |  FROM best b1 LEFT JOIN best b2
+        |    ON b1.doc_id = b2.doc_id AND b2.rn = 2
+        |  WHERE b1.rn = 1),
+        |j AS (SELECT m.margin, (m.pred = d.lang) AS ok
+        |  FROM m JOIN documents d USING (doc_id))
+        |SELECT CAST(margin // 1000000 AS BIGINT) AS margin_bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (ok) AS BIGINT) AS n_correct,
+        |  CAST((COUNT(*) FILTER (ok)) * 1000 // COUNT(*) AS BIGINT)
+        |    AS acc_permille
+        |FROM j GROUP BY 1 ORDER BY margin_bin NULLS FIRST""".stripMargin,
     // stratified fixed-k replay: the naive single per-stratum window the
     // two-level Spark plan is provably equal to
     "sp06_stratified_sample" ->
@@ -6018,6 +6035,14 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       CorpusStats.classifierReport(scored, "lang", "pred")
         .orderBy(col("label"))
+    }),
+    // reliability table: accuracy per decision-margin bin (runner-up
+    // nll - best nll, 1-bit bins) — does higher confidence mean higher
+    // accuracy before the classifier's scores gate any data?
+    "cm02_nb_calibration" -> ((s, dir) => {
+      CorpusStats.naiveBayesCalibration(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        vocabCap = 64, binWidthMicro = 1000000L)
     }),
     // deterministic fixed-count sample per stratum: 20 docs per lang by
     // salted content-hash order — exact min-k via the two-level bucket

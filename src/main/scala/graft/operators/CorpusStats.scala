@@ -419,6 +419,25 @@ object CorpusStats {
       textCol: String,
       labelCol: String,
       vocabCap: Int = 64): DataFrame = {
+    nbCandidates(docs, idCol, textCol, labelCol, vocabCap)
+      .groupBy(col(idCol))
+      .agg(min(col("cand")).as("best")) // (nll asc, label asc) argmin
+      .join(docs.select(col(idCol), col(labelCol).as("__actual")), idCol)
+      .select(col(idCol), col("best.pred").as("pred"),
+        col("best.nll").as("nll_micro"),
+        (col("best.pred") === col("__actual")).as("is_correct"))
+  }
+
+  /** [[naiveBayesPredict]]'s per-(document, class) candidate frame —
+    * (idCol, cand struct<nll: long, pred: string>), one row per class
+    * per scored document. Shared by the argmin predictor and the
+    * margin/calibration readers. */
+  private def nbCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      vocabCap: Int): DataFrame = {
     require(vocabCap > 0, "vocabCap must be positive")
     val toks = docs
       .select(col(idCol), col(labelCol).as("lbl"),
@@ -457,12 +476,55 @@ object CorpusStats {
         struct((col("prior_micro") + col("tok_nll")).as("nll"),
           col("c_lbl").as("pred")).as("cand"))
     scored
+  }
+
+  /** Reliability (calibration) table for the NB classifier — the check
+    * every quality/language router needs before its scores gate data:
+    * does a larger decision MARGIN actually mean a more accurate
+    * prediction? Confidence proxy = runner-up nll − best nll in
+    * micro-bits (the standard max-margin reading of an argmin
+    * classifier; exact integers, so bins replay in any engine). One row
+    * per margin bin with document count, correct count and accuracy
+    * permille — the reliability-diagram table (DeGroot & Fienberg'83;
+    * ECE's binning), integer end to end.
+    *
+    * Scale: the candidate frame is [[naiveBayesPredict]]'s (label-domain
+    * bounded); per doc the collected candidate list is |classes| structs
+    * — bounded by construction. The output is the margin-bin domain.
+    * A single-label corpus has no runner-up: margin is null and the doc
+    * lands in the null bin (surfaced, not dropped — an all-one-class
+    * training table is a data bug worth seeing).
+    *
+    * Output: (margin_bin, n_docs, n_correct, acc_permille) ordered by
+    * bin (nulls first). */
+  def naiveBayesCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      vocabCap: Int = 64,
+      binWidthMicro: Long = 1000000L): DataFrame = {
+    require(binWidthMicro >= 1L, s"binWidthMicro=$binWidthMicro")
+    val ranked = nbCandidates(docs, idCol, textCol, labelCol, vocabCap)
       .groupBy(col(idCol))
-      .agg(min(col("cand")).as("best")) // (nll asc, label asc) argmin
+      // |classes| structs per doc — bounded by the label domain
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+      .select(col(idCol),
+        col("cands").getItem(0).getField("pred").as("pred"),
+        // try_element_at: a single-label corpus has one candidate, and
+        // ANSI element_at would throw instead of yielding the null bin
+        (try_element_at(col("cands"), lit(2)).getField("nll") -
+          col("cands").getItem(0).getField("nll")).as("margin_micro"))
+    ranked
       .join(docs.select(col(idCol), col(labelCol).as("__actual")), idCol)
-      .select(col(idCol), col("best.pred").as("pred"),
-        col("best.nll").as("nll_micro"),
-        (col("best.pred") === col("__actual")).as("is_correct"))
+      .select(
+        ldiv(col("margin_micro"), lit(binWidthMicro)).as("margin_bin"),
+        when(col("pred") === col("__actual"), 1L).otherwise(0L).as("__ok"))
+      .groupBy(col("margin_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("n_correct"))
+      .withColumn("acc_permille",
+        ldiv(col("n_correct") * lit(1000L), col("n_docs")))
+      .orderBy(col("margin_bin").asc_nulls_first)
   }
 
   /** Top-`k` salient terms per document by tf-idf — the standard keyword /

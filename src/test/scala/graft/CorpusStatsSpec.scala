@@ -134,6 +134,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(4)._3 == out(5)._3)
   }
 
+  test("naiveBayesCalibration: accuracy per exact margin bin; null bin for one class") {
+    // the nb01 spec corpus: symmetric 2-class, docs 5/6 tie EXACTLY
+    // (margin 0 -> bin 0, one of two correct); docs 1/3 differ by one
+    // token nll = exactly 1.0 bits (bin 1), docs 2/4 by 2.0 bits (bin 2)
+    val docs = Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (5L, "a c", "en"),
+      (3L, "c", "fr"), (4L, "c d", "fr"), (6L, "a c", "fr"),
+      (7L, " ", "en"), (8L, "", "fr")).toDF("doc_id", "text", "lang")
+    val out = CorpusStats.naiveBayesCalibration(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 500L),
+      (1L, 2L, 2L, 1000L),
+      (2L, 2L, 2L, 1000L)))
+    // one-class corpus: no runner-up, the whole corpus surfaces in the
+    // null margin bin (a data bug made visible, not dropped)
+    val one = Seq((1L, "a", "en"), (2L, "b", "en")).toDF("doc_id", "text", "lang")
+    val nulls = CorpusStats.naiveBayesCalibration(one, "doc_id", "text", "lang")
+      .collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0) &&
+      nulls.head.getLong(1) == 2L && nulls.head.getLong(3) == 1000L)
+  }
+
   test("bigramSurprisal: hand-computed conditional add-one model") {
     // corpus bigrams: "a a":2, "a b":3, "b c":2; contexts a:5, b:3; V=4
     val out = CorpusStats.bigramSurprisal(corpus, "doc_id", "text", vocabCap = 10)
