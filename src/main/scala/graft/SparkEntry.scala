@@ -1615,6 +1615,31 @@ object SparkEntry {
       Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // SFT/chat transcript structure QA: both engines synthesize the
+    // SAME role-prefixed transcript per doc (the pii01 shared-input
+    // convention) with deliberate defects — an empty assistant turn
+    // every 11th, a user-user repeat every 13th, a role-less line every
+    // 17th — and the battery must count exactly those
+    "ch01_turn_stats" -> ((s, dir) => {
+      val did = col("doc_id")
+      val transcript = concat(
+        when(did % 5 === 0, lit("system: be concise\n")).otherwise(lit("")),
+        lit("user: "), col("text"), lit("\n"),
+        when(did % 11 === 0, lit("assistant: \n"))
+          .otherwise(concat(lit("assistant: reply "),
+            (did % 7).cast("string"), lit("\n"))),
+        when(did % 3 === 0,
+          lit("user: follow up\nassistant: closing answer\n"))
+          .otherwise(lit("")),
+        when(did % 13 === 0, lit("user: first\nuser: second\n"))
+          .otherwise(lit("")),
+        when(did % 17 === 0, lit("narrator interjects here\n"))
+          .otherwise(lit("")))
+      graft.operators.Conversations.turnStats(
+        t(s, dir, "documents").withColumn("transcript", transcript),
+        "doc_id", "transcript")
+        .orderBy(col("doc_id"))
+    }),
     // BPE tokenizer training's counting pass (Sennrich et al. 2016):
     // vocabulary-domain word counts, pair explode over the VOCAB only;
     // the merge loop itself is bpeTrain (driver-held merges, spec-gated
@@ -3187,6 +3212,72 @@ object SparkEntry {
         |  q.p500_chars, q.p900_chars
         |FROM shares s JOIN qu q USING (lang)
         |ORDER BY s.lang""".stripMargin,
+    // transcript-QA replay: the identical synthesized transcript, the
+    // identical trim -> role-regex -> battery list pipeline (': ?' so a
+    // trimmed empty turn still parses as its role)
+    "ch01_turn_stats" ->
+      raw"""WITH tr AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'system: be concise' || chr(10)
+        |      ELSE '' END)
+        |    || 'user: ' || text || chr(10)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN 'assistant: ' || chr(10)
+        |      ELSE 'assistant: reply ' || CAST(doc_id % 7 AS VARCHAR)
+        |        || chr(10) END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'user: follow up' || chr(10)
+        |      || 'assistant: closing answer' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user: first' || chr(10)
+        |      || 'user: second' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 17 = 0 THEN 'narrator interjects here'
+        |      || chr(10) ELSE '' END) AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |      x -> trim(x)), x -> len(x) > 0) AS turns
+        |  FROM tr),
+        |rr AS (SELECT doc_id, turns,
+        |    list_transform(turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
+        |      AS roles,
+        |    list_transform(turns,
+        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
+        |      AS contents
+        |  FROM ls),
+        |st AS (SELECT doc_id,
+        |    CAST(len(turns) AS BIGINT) AS n_turns,
+        |    CASE WHEN len(roles) = 0 THEN NULL ELSE roles[1] END
+        |      AS first_role,
+        |    CAST(len(list_filter(roles, x -> x = 'system')) AS BIGINT)
+        |      AS n_system,
+        |    CAST(len(list_filter(roles, x -> x = 'user')) AS BIGINT)
+        |      AS n_user,
+        |    CAST(len(list_filter(roles, x -> x = 'assistant')) AS BIGINT)
+        |      AS n_assistant,
+        |    CAST(len(list_filter(roles, x -> x = '')) AS BIGINT)
+        |      AS n_bad_role,
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(roles) + 1),
+        |      i -> CASE WHEN roles[i] = 'user' THEN
+        |        len(list_filter(string_split_regex(trim(lower(contents[i])),
+        |          '[ \t\n\x0B\f\r]+'), w -> w <> '')) ELSE 0 END)), 0)
+        |      AS BIGINT) AS user_tokens,
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(roles) + 1),
+        |      i -> CASE WHEN roles[i] = 'assistant' THEN
+        |        len(list_filter(string_split_regex(trim(lower(contents[i])),
+        |          '[ \t\n\x0B\f\r]+'), w -> w <> '')) ELSE 0 END)), 0)
+        |      AS BIGINT) AS assistant_tokens,
+        |    CAST(CASE WHEN len(roles) < 2 THEN 0
+        |      ELSE len(list_filter(range(2, len(roles) + 1),
+        |        i -> roles[i] = roles[i-1])) END AS BIGINT)
+        |      AS n_repeat_role,
+        |    CAST(len(list_filter(range(1, len(roles) + 1),
+        |      i -> roles[i] <> '' AND len(trim(contents[i])) = 0))
+        |      AS BIGINT) AS n_empty_turns
+        |  FROM rr)
+        |SELECT *,
+        |  (n_assistant >= 1
+        |    AND coalesce(first_role IN ('system', 'user'), FALSE)
+        |    AND n_bad_role = 0 AND n_repeat_role = 0
+        |    AND n_empty_turns = 0) AS keep
+        |FROM st ORDER BY doc_id""".stripMargin,
     "gq01_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Structure QA for CONVERSATION (SFT/chat) training data — the checks
+  * every instruction-tuning pipeline runs before transcripts reach a
+  * chat template: are turns well-formed, do roles alternate, is there
+  * an assistant reply to learn from, are any turns empty?
+  *
+  * Transcript contract (the common plain-text interchange shape): one
+  * turn per line, `role: content` with role ∈ system|user|assistant.
+  * Lines that don't match the role grammar are COUNTED (`n_bad_role`)
+  * rather than silently skipped or fatal — on a real SFT dump, a bad
+  * prefix is a data bug the report exists to surface.
+  *
+  * Everything is row-local Column work (split + higher-order functions
+  * over the turn array) — one text scan, ZERO shuffle at any corpus
+  * size; the battery composes in front of `Curation.curate` like
+  * `gopherRules` does.
+  */
+object Conversations {
+
+  // ': ?' — the line trim runs before parsing, so an EMPTY turn arrives
+  // as "role:" with no trailing space and must still parse as its role
+  private val RoleRe = "^(system|user|assistant): ?"
+
+  /** Per-document turn-structure battery.
+    *
+    * Output columns (one row per input row):
+    *   - `n_turns`: non-empty lines
+    *   - `first_role`: opener's role (null on an empty transcript, ""
+    *     on an unrecognized prefix)
+    *   - `n_system` / `n_user` / `n_assistant`: per-role turn counts
+    *   - `n_bad_role`: lines missing a recognized `role: ` prefix
+    *   - `user_tokens` / `assistant_tokens`: whitespace-token volume
+    *     per learnable side (the mask denominators)
+    *   - `n_repeat_role`: adjacent turns sharing a role (alternation
+    *     violations; system prompts count like any other turn)
+    *   - `n_empty_turns`: turns with a recognized role and empty
+    *     content
+    *   - `keep`: the composed gate — at least one assistant turn, a
+    *     system-or-user opener, and zero bad/repeat/empty findings.
+    *
+    * Empty transcripts (no non-empty lines) yield zeros and
+    * `keep = false` (nothing to learn from). */
+  def turnStats(docs: DataFrame, idCol: String, transcriptCol: String): DataFrame = {
+    // one turn per non-empty line; CRLF tolerated like cleanLines
+    val turns = filter(
+      transform(split(col(transcriptCol), "\r?\n"), l => trim(l)),
+      l => length(l) > 0)
+    val roles = transform(col("__turns"),
+      l => regexp_extract(l, RoleRe, 1))
+    val contents = transform(col("__turns"),
+      l => regexp_replace(l, RoleRe, ""))
+    def roleCount(r: String): Column =
+      size(filter(col("__roles"), x => x === r)).cast("long")
+    def roleTokens(r: String): Column =
+      aggregate(
+        zip_with(col("__roles"), col("__contents"),
+          (role, content) => when(role === r,
+            TextFunctions.tokenCountNonEmpty(content)).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    docs
+      .select(col(idCol), turns.as("__turns"))
+      .select(col(idCol), col("__turns"), roles.as("__roles"))
+      .withColumn("__contents", contents)
+      .select(
+        col(idCol),
+        size(col("__turns")).cast("long").as("n_turns"),
+        // null on an empty transcript; "" on an unrecognized prefix
+        try_element_at(col("__roles"), lit(1)).as("first_role"),
+        roleCount("system").as("n_system"),
+        roleCount("user").as("n_user"),
+        roleCount("assistant").as("n_assistant"),
+        size(filter(col("__roles"), x => x === "")).cast("long")
+          .as("n_bad_role"),
+        roleTokens("user").as("user_tokens"),
+        roleTokens("assistant").as("assistant_tokens"),
+        // adjacent same-role pairs; sequence(2, n) DESCENDS when n < 2,
+        // so the short-array case is guarded explicitly
+        when(size(col("__roles")) < 2, 0L).otherwise(
+          size(filter(sequence(lit(2), size(col("__roles"))),
+            i => element_at(col("__roles"), i) ===
+              element_at(col("__roles"), i - 1))).cast("long"))
+          .as("n_repeat_role"),
+        size(filter(
+          zip_with(col("__roles"), col("__contents"),
+            (role, content) =>
+              role =!= "" && length(trim(content)) === 0),
+          x => x)).cast("long").as("n_empty_turns"))
+      .withColumn("keep",
+        col("n_assistant") >= 1L &&
+          coalesce(col("first_role").isin("system", "user"), lit(false)) &&
+          col("n_bad_role") === 0L &&
+          col("n_repeat_role") === 0L &&
+          col("n_empty_turns") === 0L)
+  }
+}

@@ -417,6 +417,12 @@ class PlanShapeSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("ch01: transcript battery is row-local — no join, no hash exchange") {
+    val p = plan("ch01_turn_stats")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning("), p)
+  }
+
   test("c402: blocklist gate is row-local — no join, no hash exchange") {
     val p = plan("c402_blocklist_gate")
     assert(!p.contains("Join"), p)

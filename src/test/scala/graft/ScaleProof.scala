@@ -136,6 +136,7 @@ object ScaleProof {
     "cd02_diff" -> Bounds(19, 8),       // measured 12.1x (0.4 -> 4.3): (id, md5) full-outer join, linear
     "lm04_pplbuckets" -> Bounds(32, 8), // measured 21x (1.6 -> 33.6): lm01's surprisal aggs + bin-domain counts
     "cm02_calibration" -> Bounds(36, 8), // measured 23.7x (2.2 -> 52.1): nb01's candidate frames + bounded per-doc collect
+    "ch01_turnstats" -> Bounds(5, 8),   // ZERO shuffle: row-local turn parsing
     "zo02_pruning" -> Bounds(5, 8))     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
@@ -197,6 +198,7 @@ object ScaleProof {
     "cd02_diff" -> Bounds(15, 8),       // measured 9.2x (4.3 -> 39.7): linear (id, md5) join frames
     "lm04_pplbuckets" -> Bounds(17, 8), // measured 11.2x (33.6 -> 376.7): ~linear like lm01
     "cm02_calibration" -> Bounds(17, 8), // measured 11.4x (52.1 -> 592): linear, the nb01/cm01 profile
+    "ch01_turnstats" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (row-local)
     "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -779,6 +781,14 @@ object ScaleProof {
             .agg(sum(col("n_tok")).as("n_tokens"))
             .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
         })
+      measure("ch01_turnstats", scale)(
+        // transcript battery: row-local split + HOFs over the turn
+        // array — zero shuffle by construction
+        graft.operators.Conversations.turnStats(
+          docs.withColumn("graft_tr", concat(
+            lit("user: "), col("text"), lit("\nassistant: ok"))),
+          "doc_id", "graft_tr")
+          .agg(coalesce(sum(col("n_turns")), lit(0L))).head().getLong(0))
       measure("cm02_calibration", scale)(
         // reliability table: nb01's candidate frames + a |classes|-
         // bounded per-doc collect + margin-bin domain aggs
