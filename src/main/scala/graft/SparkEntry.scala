@@ -1615,6 +1615,25 @@ object SparkEntry {
       Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // instruction-level dedup: 50 distinct prompts repeated across the
+    // corpus (same synthesized transcripts both engines), every 19th doc
+    // opens with a system turn (prompt still found), every 23rd has no
+    // user turn (absent by contract). Case/whitespace-normalized digest
+    "ch02_prompt_dedup" -> ((s, dir) => {
+      val did = col("doc_id")
+      val transcript = concat(
+        when(did % 19 === 0, lit("system: be terse\n")).otherwise(lit("")),
+        when(did % 23 === 0, lit("system: no question here\n"))
+          .otherwise(concat(
+            when(did % 2 === 0, lit("user: Prompt  Variant "))
+              .otherwise(lit("user: prompt variant ")),
+            (did % 50).cast("string"), lit("\n"))),
+        lit("assistant: reply "), did.cast("string"))
+      graft.operators.Conversations.promptDedup(
+        t(s, dir, "documents").withColumn("transcript", transcript),
+        "doc_id", "transcript")
+        .orderBy(col("prompt_fp"))
+    }),
     // SFT/chat transcript structure QA: both engines synthesize the
     // SAME role-prefixed transcript per doc (the pii01 shared-input
     // convention) with deliberate defects — an empty assistant turn
@@ -3212,6 +3231,38 @@ object SparkEntry {
         |  q.p500_chars, q.p900_chars
         |FROM shares s JOIN qu q USING (lang)
         |ORDER BY s.lang""".stripMargin,
+    // prompt-dedup replay: identical synthesized transcripts, first
+    // user turn via the same trim -> role-regex pipeline, tokens-joined
+    // normalized md5, group by digest
+    "ch02_prompt_dedup" ->
+      raw"""WITH tr AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 19 = 0 THEN 'system: be terse' || chr(10)
+        |      ELSE '' END)
+        |    || (CASE WHEN doc_id % 23 = 0
+        |      THEN 'system: no question here' || chr(10)
+        |      ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user: Prompt  Variant '
+        |        ELSE 'user: prompt variant ' END)
+        |        || CAST(doc_id % 50 AS VARCHAR) || chr(10) END)
+        |    || 'assistant: reply ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    list_filter(list_filter(list_transform(
+        |      string_split_regex(t, '\r?\n'), x -> trim(x)),
+        |      x -> len(x) > 0),
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1)
+        |        = 'user') AS ut
+        |  FROM tr),
+        |p AS (SELECT doc_id,
+        |    regexp_replace(ut[1], '^(system|user|assistant): ?', '')
+        |      AS prompt
+        |  FROM u WHERE len(ut) > 0),
+        |n AS (SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(lower(prompt)),
+        |      '[ \t\n\x0B\f\r]+'), ' ')) AS prompt_fp
+        |  FROM p)
+        |SELECT prompt_fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM n GROUP BY 1 ORDER BY prompt_fp""".stripMargin,
     // transcript-QA replay: the identical synthesized transcript, the
     // identical trim -> role-regex -> battery list pipeline (': ?' so a
     // trimmed empty turn still parses as its role)

@@ -27,6 +27,42 @@ object Conversations {
   // as "role:" with no trailing space and must still parse as its role
   private val RoleRe = "^(system|user|assistant): ?"
 
+  /** Content of the FIRST user turn (null when the transcript has no
+    * user turn) — the dedup key for instruction-level dedup. Same
+    * trim/role grammar as [[turnStats]]. */
+  def firstUserPrompt(transcript: Column): Column = {
+    val turns = filter(
+      transform(split(transcript, "\r?\n"), l => trim(l)),
+      l => length(l) > 0)
+    val userTurns = filter(turns,
+      l => regexp_extract(l, RoleRe, 1) === "user")
+    regexp_replace(try_element_at(userTurns, lit(1)), RoleRe, "")
+  }
+
+  /** Instruction-level exact dedup — collapse transcripts that ask the
+    * SAME (case/whitespace-normalized) first user prompt, the standard
+    * prompt-diversity pass on SFT dumps (near-identical instructions
+    * with different sampled replies otherwise overweight one behavior).
+    * Keep-first-by-id, the [[Dedup.exactGroups]] contract; transcripts
+    * with no user turn have no instruction and are absent (run
+    * [[turnStats]]' gate first — they fail it anyway).
+    *
+    * Scale: the prompt digests scan-side; the one exchange is the
+    * distinct-prompt group aggregation (map-side combined), never the
+    * transcript text.
+    *
+    * Output: (prompt_fp, n_copies, keep_id = min id). */
+  def promptDedup(
+      docs: DataFrame, idCol: String, transcriptCol: String): DataFrame = {
+    val norm = array_join(
+      TextFunctions.tokens(firstUserPrompt(col(transcriptCol))), " ")
+    docs
+      .select(col(idCol), md5(norm.cast("binary")).as("prompt_fp"))
+      .filter(col("prompt_fp").isNotNull)
+      .groupBy(col("prompt_fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+  }
+
   /** Per-document turn-structure battery.
     *
     * Output columns (one row per input row):

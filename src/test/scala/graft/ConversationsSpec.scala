@@ -48,6 +48,20 @@ class ConversationsSpec extends AnyFunSuite {
     assert(empty.isNullAt(2))
   }
 
+  test("promptDedup: normalized first-user-turn groups; promptless absent") {
+    val docs = Seq(
+      (1L, "user: What is RAIN\nassistant: water"),
+      (2L, "system: hi\nuser: what  is  rain\nassistant: wet"), // same normalized
+      (3L, "user: different question\nassistant: yes"),
+      (4L, "system: no user turn\nassistant: unprompted"), // absent
+      (5L, "assistant: reply first\nuser: what is rain")) // same group as 1/2
+      .toDF("id", "t")
+    val out = Conversations.promptDedup(docs, "id", "t")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 1L), (1L, 3L)))
+  }
+
   test("turnStats: CRLF transcripts and role-prefix case-sensitivity") {
     val out = stats(
       (1L, "user: hi\r\nassistant: hello\r\n"),

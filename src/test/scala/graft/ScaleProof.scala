@@ -199,6 +199,7 @@ object ScaleProof {
     "lm04_pplbuckets" -> Bounds(17, 8), // measured 11.2x (33.6 -> 376.7): ~linear like lm01
     "cm02_calibration" -> Bounds(17, 8), // measured 11.4x (52.1 -> 592): linear, the nb01/cm01 profile
     "ch01_turnstats" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (row-local)
+    "ch02_promptdedup" -> Bounds(5, 8), // prompt-domain agg (bounded at 500 prompts here)
     "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -789,6 +790,15 @@ object ScaleProof {
             lit("user: "), col("text"), lit("\nassistant: ok"))),
           "doc_id", "graft_tr")
           .agg(coalesce(sum(col("n_turns")), lit(0L))).head().getLong(0))
+      measure("ch02_promptdedup", scale)(
+        // prompt dedup: digests scan-side; the one exchange is the
+        // distinct-prompt group agg (urlDedup's profile)
+        graft.operators.Conversations.promptDedup(
+          docs.withColumn("graft_tr", concat(
+            lit("user: prompt "), (col("doc_id") % 500).cast("string"),
+            lit("\nassistant: ok"))),
+          "doc_id", "graft_tr")
+          .agg(coalesce(sum(col("n_copies")), lit(0L))).head().getLong(0))
       measure("cm02_calibration", scale)(
         // reliability table: nb01's candidate frames + a |classes|-
         // bounded per-doc collect + margin-bin domain aggs
