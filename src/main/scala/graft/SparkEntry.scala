@@ -1640,24 +1640,19 @@ object SparkEntry {
     // every 11th, a user-user repeat every 13th, a role-less line every
     // 17th — and the battery must count exactly those
     "ch01_turn_stats" -> ((s, dir) => {
-      val did = col("doc_id")
-      val transcript = concat(
-        when(did % 5 === 0, lit("system: be concise\n")).otherwise(lit("")),
-        lit("user: "), col("text"), lit("\n"),
-        when(did % 11 === 0, lit("assistant: \n"))
-          .otherwise(concat(lit("assistant: reply "),
-            (did % 7).cast("string"), lit("\n"))),
-        when(did % 3 === 0,
-          lit("user: follow up\nassistant: closing answer\n"))
-          .otherwise(lit("")),
-        when(did % 13 === 0, lit("user: first\nuser: second\n"))
-          .otherwise(lit("")),
-        when(did % 17 === 0, lit("narrator interjects here\n"))
-          .otherwise(lit("")))
       graft.operators.Conversations.turnStats(
-        t(s, dir, "documents").withColumn("transcript", transcript),
+        t(s, dir, "documents").withColumn("transcript", synthTranscript),
         "doc_id", "transcript")
         .orderBy(col("doc_id"))
+    }),
+    // chat-template render + loss-mask offsets over the same synthesized
+    // transcripts: one row per turn with the content's [start, end) in
+    // the rendered ChatML-style string, trainable = assistant
+    "ch03_render_spans" -> ((s, dir) => {
+      graft.operators.Conversations.renderSpans(
+        t(s, dir, "documents").withColumn("transcript", synthTranscript),
+        "doc_id", "transcript")
+        .orderBy(col("doc_id"), col("turn_idx"))
     }),
     // BPE tokenizer training's counting pass (Sennrich et al. 2016):
     // vocabulary-domain word counts, pair explode over the VOCAB only;
@@ -1748,6 +1743,44 @@ object SparkEntry {
       s"AND regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$') " +
       s"THEN chr($code) || substr(p, 3) ELSE '%' || p END), '') END"
   }
+
+  /** Synthesized SFT transcript per document (shared test data by
+    * construction, both engines — the pii01 convention), with
+    * deliberate defects: an empty assistant turn every 11th doc, a
+    * user-user repeat every 13th, a role-less line every 17th, a
+    * system opener every 5th, a follow-up exchange every 3rd. Shared by
+    * the ch01/ch03 lanes; [[sqlSynthTranscript]] is its replay. */
+  private def synthTranscript: Column = {
+    val did = col("doc_id")
+    concat(
+      when(did % 5 === 0, lit("system: be concise\n")).otherwise(lit("")),
+      lit("user: "), col("text"), lit("\n"),
+      when(did % 11 === 0, lit("assistant: \n"))
+        .otherwise(concat(lit("assistant: reply "),
+          (did % 7).cast("string"), lit("\n"))),
+      when(did % 3 === 0,
+        lit("user: follow up\nassistant: closing answer\n"))
+        .otherwise(lit("")),
+      when(did % 13 === 0, lit("user: first\nuser: second\n"))
+        .otherwise(lit("")),
+      when(did % 17 === 0, lit("narrator interjects here\n"))
+        .otherwise(lit("")))
+  }
+
+  /** DuckDB rebuild of [[synthTranscript]] — the identical input. */
+  private def sqlSynthTranscript: String =
+    "(CASE WHEN doc_id % 5 = 0 THEN 'system: be concise' || chr(10) " +
+      "ELSE '' END) " +
+      "|| 'user: ' || text || chr(10) " +
+      "|| (CASE WHEN doc_id % 11 = 0 THEN 'assistant: ' || chr(10) " +
+      "ELSE 'assistant: reply ' || CAST(doc_id % 7 AS VARCHAR) " +
+      "|| chr(10) END) " +
+      "|| (CASE WHEN doc_id % 3 = 0 THEN 'user: follow up' || chr(10) " +
+      "|| 'assistant: closing answer' || chr(10) ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 13 = 0 THEN 'user: first' || chr(10) " +
+      "|| 'user: second' || chr(10) ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 17 = 0 THEN 'narrator interjects here' " +
+      "|| chr(10) ELSE '' END)"
 
   /** DuckDB replay of `Layout.zValue`: the identical unrolled
     * shift/mask/multiply interleave over pre-quantized columns — bit k
@@ -3263,23 +3296,49 @@ object SparkEntry {
         |SELECT prompt_fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM n GROUP BY 1 ORDER BY prompt_fp""".stripMargin,
+    // render-span replay: same parse, per-turn piece lengths
+    // (12 + len(role) + 1 + len(content) + 11), running-sum starts via
+    // list_sum over the length prefix, md5 of the rendered concat
+    "ch03_render_spans" ->
+      raw"""WITH tr AS (SELECT doc_id, $sqlSynthTranscript AS t
+        |  FROM documents),
+        |rr AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |      x -> trim(x)), x -> len(x) > 0) AS turns
+        |  FROM tr),
+        |pp AS (SELECT doc_id,
+        |    list_transform(turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
+        |      AS roles,
+        |    list_transform(turns,
+        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
+        |      AS contents
+        |  FROM rr),
+        |ln AS (SELECT doc_id, roles, contents,
+        |    list_transform(range(1, len(roles) + 1),
+        |      i -> 12 + len(roles[i]) + 1 + len(contents[i]) + 11)
+        |      AS lens,
+        |    md5(array_to_string(list_transform(range(1, len(roles) + 1),
+        |      i -> '<|im_start|>' || roles[i] || chr(10) || contents[i]
+        |        || '<|im_end|>' || chr(10)), '')) AS rendered_md5
+        |  FROM pp WHERE len(roles) > 0),
+        |ex AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+        |    roles[i] AS role,
+        |    CAST(coalesce(list_sum(lens[1 : i - 1]), 0)
+        |      + 12 + len(roles[i]) + 1 AS BIGINT) AS start,
+        |    CAST(coalesce(list_sum(lens[1 : i - 1]), 0)
+        |      + 12 + len(roles[i]) + 1 + len(contents[i]) AS BIGINT)
+        |      AS "end",
+        |    rendered_md5
+        |  FROM ln, UNNEST(generate_series(1, len(roles))) AS u(i))
+        |SELECT doc_id, turn_idx, role, start, "end",
+        |  (role = 'assistant') AS trainable, rendered_md5
+        |FROM ex ORDER BY doc_id, turn_idx""".stripMargin,
     // transcript-QA replay: the identical synthesized transcript, the
     // identical trim -> role-regex -> battery list pipeline (': ?' so a
     // trimmed empty turn still parses as its role)
     "ch01_turn_stats" ->
-      raw"""WITH tr AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 5 = 0 THEN 'system: be concise' || chr(10)
-        |      ELSE '' END)
-        |    || 'user: ' || text || chr(10)
-        |    || (CASE WHEN doc_id % 11 = 0 THEN 'assistant: ' || chr(10)
-        |      ELSE 'assistant: reply ' || CAST(doc_id % 7 AS VARCHAR)
-        |        || chr(10) END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN 'user: follow up' || chr(10)
-        |      || 'assistant: closing answer' || chr(10) ELSE '' END)
-        |    || (CASE WHEN doc_id % 13 = 0 THEN 'user: first' || chr(10)
-        |      || 'user: second' || chr(10) ELSE '' END)
-        |    || (CASE WHEN doc_id % 17 = 0 THEN 'narrator interjects here'
-        |      || chr(10) ELSE '' END) AS t
+      raw"""WITH tr AS (SELECT doc_id, $sqlSynthTranscript AS t
         |  FROM documents),
         |ls AS (SELECT doc_id,
         |    list_filter(list_transform(string_split_regex(t, '\r?\n'),

@@ -63,6 +63,73 @@ object Conversations {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
   }
 
+  /** Chat-template rendering with LOSS-MASK offsets — the bridge from a
+    * QA'd transcript to trainable text: each turn renders as
+    * `<|im_start|>role\ncontent<|im_end|>\n` (the ChatML-style markup
+    * shape), and each turn's CONTENT span is reported as [start, end)
+    * character offsets into the rendered string, with
+    * `trainable = (role == assistant)` — exactly the span set an SFT
+    * loss mask keeps. Offsets are exact integer arithmetic over piece
+    * lengths, so they replay in any engine; `rendered_md5` rides on
+    * every row to tie the offsets to the actual rendered text
+    * (self-verifying: substring(rendered, start, end) IS the content,
+    * spec-pinned).
+    *
+    * Lines that fail the role grammar render with an empty role —
+    * deterministic garbage-in-garbage-out; gate with [[turnStats]]
+    * first (`keep` already rejects them). Per-turn offsets cost
+    * O(turns²) row-local arithmetic (turns are conversation-sized by
+    * contract); nothing shuffles, the output explode is map-local.
+    *
+    * Output: one row per turn — (idCol, turn_idx 1-based, role, start,
+    * end, trainable, rendered_md5); empty transcripts yield no rows. */
+  def renderSpans(
+      docs: DataFrame, idCol: String, transcriptCol: String): DataFrame = {
+    val turns = filter(
+      transform(split(col(transcriptCol), "\r?\n"), l => trim(l)),
+      l => length(l) > 0)
+    val pre = 12L // "<|im_start|>"
+    val post = 11L // "<|im_end|>\n"
+    def pieceLen(role: Column, content: Column): Column =
+      lit(pre) + length(role).cast("long") + lit(1L) +
+        length(content).cast("long") + lit(post)
+    docs
+      .select(col(idCol), turns.as("__turns"))
+      .withColumn("__roles",
+        transform(col("__turns"), l => regexp_extract(l, RoleRe, 1)))
+      .withColumn("__contents",
+        transform(col("__turns"), l => regexp_replace(l, RoleRe, "")))
+      .withColumn("__lens",
+        zip_with(col("__roles"), col("__contents"), pieceLen))
+      .withColumn("__rendered_md5", md5(
+        concat_ws("", zip_with(col("__roles"), col("__contents"),
+          (r, c) => concat(lit("<|im_start|>"), r, lit("\n"),
+            c, lit("<|im_end|>\n")))).cast("binary")))
+      // sequence(1, 0) DESCENDS — the empty transcript needs the guard
+      .withColumn("__idx",
+        when(size(col("__turns")) === 0,
+          array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__turns")))))
+      .select(col(idCol), col("__roles"), col("__contents"),
+        col("__lens"), col("__rendered_md5"),
+        explode(col("__idx")).as("turn_idx"))
+      .select(
+        col(idCol),
+        col("turn_idx").cast("long").as("turn_idx"),
+        element_at(col("__roles"), col("turn_idx")).as("role"),
+        (aggregate(slice(col("__lens"), lit(1), col("turn_idx") - 1),
+          lit(0L), (a, x) => a + x) +
+          lit(pre) +
+          length(element_at(col("__roles"), col("turn_idx"))).cast("long") +
+          lit(1L)).as("start"),
+        col("__rendered_md5").as("rendered_md5"),
+        element_at(col("__contents"), col("turn_idx")).as("__content"))
+      .select(col(idCol), col("turn_idx"), col("role"), col("start"),
+        (col("start") + length(col("__content")).cast("long")).as("end"),
+        (col("role") === "assistant").as("trainable"),
+        col("rendered_md5"))
+  }
+
   /** Per-document turn-structure battery.
     *
     * Output columns (one row per input row):

@@ -34,7 +34,13 @@ object Layout {
     * metadata; keeping them literal keeps the expression codegen'd and
     * replayable. Overflow bound: `(max - min) * 2^bits < 2^63`, i.e. a
     * domain width up to 2^47 at the default 16 bits — raise an error
-    * early rather than wrap. */
+    * early rather than wrap.
+    *
+    * PRECONDITION: values outside [min, max] quantize outside
+    * [0, 2^bits) — a negative q feeds sign-extended garbage into
+    * [[zValue]]'s bit interleave, and an oversized q aliases into low
+    * z bits. Derive the domain from the data (`agg(min, max)`, as the
+    * zo01/zo02 lanes do) or clamp upstream. */
   def quantize(x: Column, min: Long, max: Long, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     require(max >= min, s"empty domain [$min, $max]")

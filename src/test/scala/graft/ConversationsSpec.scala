@@ -62,6 +62,46 @@ class ConversationsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((3L, 1L), (1L, 3L)))
   }
 
+  test("renderSpans: offsets substring-exact against the rendered string") {
+    val docs = Seq(
+      (1L, "user: hi\nassistant: yo"),
+      (2L, "system: be kind\nuser: ask\nassistant: "),
+      (3L, " \n ")) // empty transcript: no rows
+      .toDF("id", "t")
+    val out = Conversations.renderSpans(docs, "id", "t")
+      .orderBy("id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getString(6)))
+    // doc 1: piece1 = 12+4+1+2+11 = 30; content spans hand-checked
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, "user", 17L, 19L, false, out(0)._7),
+      (1L, 2L, "assistant", 52L, 54L, true, out(0)._7)))
+    assert(out.count(_._1 == 3L) == 0)
+    // the self-verification the md5 column exists for: substring the
+    // actual rendered string at every span and get the content back
+    def render(t: String): String = t.split("\n").map(_.trim)
+      .filter(_.nonEmpty).map { l =>
+        val m = "^(system|user|assistant): ?".r.findFirstMatchIn(l)
+        val role = m.map(_.group(1)).getOrElse("")
+        val content = m.map(x => l.substring(x.end)).getOrElse(l)
+        s"<|im_start|>$role\n$content<|im_end|>\n"
+      }.mkString
+    val byDoc = Map(1L -> render("user: hi\nassistant: yo"),
+      2L -> render("system: be kind\nuser: ask\nassistant: "))
+    for ((id, _, role, s, e, _, md5hex) <- out) {
+      val r = byDoc(id)
+      val content = r.substring(s.toInt, e.toInt)
+      assert(!content.contains("<|im_start|>") && (e - s) >= 0)
+      assert(r.substring(s.toInt - role.length - 1, s.toInt - 1) == role ||
+        role.isEmpty)
+      assert(md5hex == java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    // empty assistant turn: zero-width trainable span
+    val last = out.filter(t => t._1 == 2L && t._2 == 3L).head
+    assert(last._4 == last._5 && last._6)
+  }
+
   test("turnStats: CRLF transcripts and role-prefix case-sensitivity") {
     val out = stats(
       (1L, "user: hi\r\nassistant: hello\r\n"),

@@ -423,6 +423,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning("), p)
   }
 
+  test("ch03: render spans explode map-locally — no join, no hash exchange") {
+    val p = plan("ch03_render_spans")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning("), p)
+    assert(p.contains("Generate"), p) // the per-turn explode
+  }
+
   test("c402: blocklist gate is row-local — no join, no hash exchange") {
     val p = plan("c402_blocklist_gate")
     assert(!p.contains("Join"), p)

@@ -200,6 +200,7 @@ object ScaleProof {
     "cm02_calibration" -> Bounds(17, 8), // measured 11.4x (52.1 -> 592): linear, the nb01/cm01 profile
     "ch01_turnstats" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (row-local)
     "ch02_promptdedup" -> Bounds(5, 8), // prompt-domain agg (bounded at 500 prompts here)
+    "ch03_renderspans" -> Bounds(5, 8), // 0.0 -> 0.0 MiB (row-local)
     "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -790,6 +791,14 @@ object ScaleProof {
             lit("user: "), col("text"), lit("\nassistant: ok"))),
           "doc_id", "graft_tr")
           .agg(coalesce(sum(col("n_turns")), lit(0L))).head().getLong(0))
+      measure("ch03_renderspans", scale)(
+        // render + mask offsets: row-local O(turns^2) arithmetic and a
+        // map-local explode — zero shuffle
+        graft.operators.Conversations.renderSpans(
+          docs.withColumn("graft_tr", concat(
+            lit("user: "), col("text"), lit("\nassistant: ok"))),
+          "doc_id", "graft_tr")
+          .agg(coalesce(sum(col("end")), lit(0L))).head().getLong(0))
       measure("ch02_promptdedup", scale)(
         // prompt dedup: digests scan-side; the one exchange is the
         // distinct-prompt group agg (urlDedup's profile)
