@@ -4073,6 +4073,13 @@ object SparkEntry {
         Seq((d.getLong(0), d.getLong(1)), (d.getLong(2), d.getLong(3))),
         bits = 8, nBuckets = 16)
     }),
+    // padding-efficiency report: arrival-order vs length-sorted batching
+    // at batch 32 — the waste table that justifies (or vetoes) a length
+    // sort before fixed-shape training/inference
+    "pk02_padding_report" -> ((s, dir) => {
+      graft.operators.Sampling.paddingReport(
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 32)
+    }),
     // pruning what-if: files skipped by an l_suppkey range filter under
     // a single l_partkey sort vs the 2-column z-order — the planner
     // report that justifies the rewrite. Predicate = the middle 1/16th
@@ -4207,6 +4214,31 @@ object SparkEntry {
         |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
         |  MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // padding replay: naive single-window ranks under both orderings
+    // (the two-level Spark plan is spec-proven equal to this)
+    "pk02_padding_report" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'arrival' AS layout, nt,
+        |    row_number() OVER (ORDER BY id) AS rk FROM b
+        |  UNION ALL
+        |  SELECT 'length_sorted' AS layout, nt,
+        |    row_number() OVER (ORDER BY nt DESC, id) AS rk FROM b),
+        |g AS (SELECT layout, (rk - 1) // 32 AS batch, COUNT(*) AS n,
+        |    MAX(nt) AS mx, SUM(nt) AS sm
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |    CAST(COALESCE(SUM(sm), 0) AS BIGINT) AS useful_tokens,
+        |    CAST(COALESCE(SUM(mx * n), 0) AS BIGINT) AS padded_tokens
+        |  FROM g GROUP BY 1)
+        |SELECT layout, n_batches, useful_tokens, padded_tokens,
+        |  CAST(CASE WHEN padded_tokens <= 0 THEN 0
+        |    ELSE ((padded_tokens - useful_tokens) * 1000) // padded_tokens
+        |    END AS BIGINT) AS waste_permille
+        |FROM a ORDER BY layout""".stripMargin,
     // pruning what-if replay: the same two bucketings (single-column
     // value ranges vs the unrolled z interleave), the same min/max-vs-
     // range prunability test, the same derived 1/16th-slice predicate

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Deterministic sampling and dataset splitting for training pipelines.
   *
   * `df.sample()` / `rand()` are the wrong tools for ML data work: a rerun
@@ -776,5 +778,115 @@ object Sampling {
       graft.functions.UrlFunctions.urlDomain(col(urlCol)).as("domain"))
       .filter(col("domain").isNotNull)
     stratifiedFixedSample(doms, idCol, "domain", k, salt)
+  }
+
+  /** PADDING-EFFICIENCY report — the batching decision every fixed-shape
+    * training/inference job makes: batches padded to their longest
+    * member waste `max·B − Σ tokens` per batch, and LENGTH-SORTED
+    * batching (each batch drawn from similar lengths) recovers most of
+    * that waste versus arrival-order batching. One summary row per
+    * layout quantifies the trade before anyone re-sorts 100 TB.
+    *
+    * Batch assignment is the exact global rank under each ordering,
+    * computed WITHOUT a single-task global window (the [[shardByTokens]]
+    * discipline): rows are sliced on a bounded domain — the token-count
+    * VALUE for the sorted layout (the qd01 value-domain argument), a
+    * 4096-wide id-range cut for arrival order — each slice's exclusive
+    * row-count prefix comes from a slice-domain window, and within-slice
+    * ranks from per-slice partitioned windows. `batch = (rank−1) div B`,
+    * all exact integers, engine-replayable.
+    *
+    * Output: two rows (layout ∈ arrival|length_sorted; n_batches,
+    * useful_tokens, padded_tokens, waste_permille), ordered by layout.
+    * Empty input: two zero rows. */
+  def paddingReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val base = docs.select(col(idCol).as("__id"),
+      ntokens(col(textCol)).as("__nt"))
+    def report(name: String, slice: Column, sliceAsc: Boolean,
+        ord: Seq[Column]): DataFrame = {
+      val sliced = base.withColumn("__slice", slice)
+      val sw = if (sliceAsc) Window.orderBy(col("__slice").asc)
+        else Window.orderBy(col("__slice").desc)
+      // slice-domain window: bounded rows by construction
+      val pre = sliced.groupBy(col("__slice"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__pre", coalesce(sum(col("__c")).over(
+          sw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__slice"), col("__pre"))
+      val wf = Window.partitionBy(col("__slice")).orderBy(ord: _*)
+      val batched = sliced
+        .join(broadcast(pre), Seq("__slice"))
+        .withColumn("__rank",
+          col("__pre") + row_number().over(wf).cast("long"))
+        .withColumn("__batch",
+          TextFunctions.ldiv(col("__rank") - 1L, lit(batchSize.toLong)))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("__n"), max(col("__nt")).as("__max"),
+          sum(col("__nt")).as("__sum"))
+      batched
+        .agg(count(lit(1)).as("n_batches"),
+          coalesce(sum(col("__sum")), lit(0L)).as("useful_tokens"),
+          coalesce(sum(col("__max") * col("__n")), lit(0L))
+            .as("padded_tokens"))
+        .select(lit(name).as("layout"), col("n_batches"),
+          col("useful_tokens"), col("padded_tokens"),
+          when(col("padded_tokens") <= 0L, 0L)
+            .otherwise(TextFunctions.ldiv(
+              (col("padded_tokens") - col("useful_tokens")) * lit(1000L),
+              col("padded_tokens"))).as("waste_permille"))
+    }
+    // arrival: id order, sliced on a 4096-wide id-range cut (two bounded
+    // scalars); empty input short-circuits the domain read
+    val dom = base.agg(min(col("__id")), max(col("__id"))).head()
+    val (lo, hi) =
+      if (dom.isNullAt(0)) (0L, 0L) else (dom.getLong(0), dom.getLong(1))
+    val width = math.max(1L, (hi - lo) / 4096L + 1L)
+    val arrival = report("arrival",
+      TextFunctions.ldiv(col("__id") - lit(lo), lit(width)),
+      sliceAsc = true, Seq(col("__id").asc))
+    // length-sorted: (n_tokens desc, id) order, sliced on the token
+    // count itself
+    val sorted = report("length_sorted", col("__nt"), sliceAsc = false,
+      Seq(col("__id").asc))
+    arrival.unionByName(sorted).orderBy(col("layout"))
+  }
+
+  /** Naive single-window [[paddingReport]] twin — the reference the
+    * two-level plan is spec-proven equal to (SamplingSpec). */
+  private[graft] def paddingReportNaive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"),
+      ntokens(col(textCol)).as("__nt"))
+    def report(name: String, ord: Seq[Column]): DataFrame =
+      base
+        .withColumn("__rank",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .withColumn("__batch",
+          TextFunctions.ldiv(col("__rank") - 1L, lit(batchSize.toLong)))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("__n"), max(col("__nt")).as("__max"),
+          sum(col("__nt")).as("__sum"))
+        .agg(count(lit(1)).as("n_batches"),
+          coalesce(sum(col("__sum")), lit(0L)).as("useful_tokens"),
+          coalesce(sum(col("__max") * col("__n")), lit(0L))
+            .as("padded_tokens"))
+        .select(lit(name).as("layout"), col("n_batches"),
+          col("useful_tokens"), col("padded_tokens"),
+          when(col("padded_tokens") <= 0L, 0L)
+            .otherwise(TextFunctions.ldiv(
+              (col("padded_tokens") - col("useful_tokens")) * lit(1000L),
+              col("padded_tokens"))).as("waste_permille"))
+    report("arrival", Seq(col("__id").asc))
+      .unionByName(report("length_sorted",
+        Seq(col("__nt").desc, col("__id").asc)))
+      .orderBy(col("layout"))
   }
 }

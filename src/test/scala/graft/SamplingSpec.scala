@@ -17,6 +17,37 @@ class SamplingSpec extends AnyFunSuite {
 
   private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
 
+  test("paddingReport: hand-checked waste; two-level plan equals naive windows") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a b c"), (3L, "a b"), (4L, ""), (5L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Sampling.paddingReport(docs, "doc_id", "text", batchSize = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // arrival {1,2}{3,4}{5}: padded 3*2+2*2+4 = 14; sorted {5,2}{3,1}{4}:
+    // 4*2+2*2+0 = 12 — the length sort recovers 2 of 4 wasted tokens
+    assert(out.toSeq == Seq(
+      ("arrival", 3L, 10L, 14L, (4L * 1000L) / 14L),
+      ("length_sorted", 3L, 10L, 12L, (2L * 1000L) / 12L)))
+    // equivalence on a messier corpus: negative ids, duplicate lengths
+    // ids injective (37 invertible mod prime 991, i < 991) but scattered
+    // and negative; lengths heavily duplicated
+    val messy = (1 to 257).map(i =>
+      ((i * 37L % 991L) - 450L, ("tok " * (i % 13)).trim))
+      .toDF("doc_id", "text")
+    val fast = Sampling.paddingReport(messy, "doc_id", "text", 16)
+      .collect().map(_.toSeq).toSeq
+    val naive = Sampling.paddingReportNaive(messy, "doc_id", "text", 16)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == naive)
+    // empty corpus: two zero rows
+    val empty = Sampling.paddingReport(
+      docs.filter(col("doc_id") > 99L), "doc_id", "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(empty.toSeq == Seq(("arrival", 0L, 0L), ("length_sorted", 0L, 0L)))
+  }
+
   test("hashSplit: every row assigned, weights roughly respected, deterministic") {
     val df = ids(4000)
     val counts = Sampling.hashSplit(df, "id", "s1",

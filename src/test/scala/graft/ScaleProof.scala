@@ -137,6 +137,9 @@ object ScaleProof {
     "lm04_pplbuckets" -> Bounds(32, 8), // measured 21x (1.6 -> 33.6): lm01's surprisal aggs + bin-domain counts
     "cm02_calibration" -> Bounds(36, 8), // measured 23.7x (2.2 -> 52.1): nb01's candidate frames + bounded per-doc collect
     "ch01_turnstats" -> Bounds(5, 8),   // ZERO shuffle: row-local turn parsing
+    "ch02_promptdedup" -> Bounds(5, 8), // measured ~0 -> 0.2 MiB: distinct-prompt digest agg
+    "ch03_renderspans" -> Bounds(5, 8), // ZERO shuffle: row-local render + map-local explode
+    "pk02_padding" -> Bounds(22, 8),    // measured 14.1x (0.2 -> 2.5): narrow rank rows under two orderings
     "zo02_pruning" -> Bounds(5, 8))     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
@@ -201,6 +204,7 @@ object ScaleProof {
     "ch01_turnstats" -> Bounds(5, 8),   // 0.0 -> 0.0 MiB (row-local)
     "ch02_promptdedup" -> Bounds(5, 8), // prompt-domain agg (bounded at 500 prompts here)
     "ch03_renderspans" -> Bounds(5, 8), // 0.0 -> 0.0 MiB (row-local)
+    "pk02_padding" -> Bounds(9, 8, absCeilMiB = 24), // measured 5.8x (2.5 -> 14.3), skew 2.6: SUB-linear rank rows
     "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -799,6 +803,12 @@ object ScaleProof {
             lit("user: "), col("text"), lit("\nassistant: ok"))),
           "doc_id", "graft_tr")
           .agg(coalesce(sum(col("end")), lit(0L))).head().getLong(0))
+      measure("pk02_padding", scale)(
+        // padding report: two-level exact ranks (slice prefix + per-
+        // slice windows) — narrow (id, nt, slice) rank rows only
+        Sampling.paddingReport(docs, "doc_id", "text", batchSize = 64)
+          .agg(coalesce(sum(col("padded_tokens")), lit(0L)))
+          .head().getLong(0))
       measure("ch02_promptdedup", scale)(
         // prompt dedup: digests scan-side; the one exchange is the
         // distinct-prompt group agg (urlDedup's profile)

@@ -94,7 +94,21 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-11 URL front-door lanes (SCALING.md round-11 addendum)
       pair("url02_urldedup", 0.0, 0.1, 1.2),
       pair("url03_domaincap", 0.0, 0.4, 1.1),
-      pair("lq01_langquality", 0.0, 0.0, 1.9)).flatten
+      pair("lq01_langquality", 0.0, 0.0, 1.9),
+      // round-12 acquire tail (SCALING.md round-12 addendum)
+      pair("wp02_capmix", 0.0, 0.4, 1.6),
+      // round-12 lanes (SCALING.md round-12 addendum)
+      pair("lm03_backoff", 4.1, 58.4, 1.1),
+      pair("zo01_zorder", 0.0, 0.0, 1.1),
+      pair("c402_blocklist", 0.0, 0.0, 1.5),
+      pair("cd02_diff", 0.4, 4.3, 1.4),
+      pair("lm04_pplbuckets", 1.6, 33.6, 1.1),
+      pair("zo02_pruning", 0.0, 0.0, 1.0),
+      pair("cm02_calibration", 2.2, 52.1, 1.1),
+      pair("ch01_turnstats", 0.0, 0.0, 1.1),
+      pair("ch02_promptdedup", 0.0, 0.2, 1.0),
+      pair("ch03_renderspans", 0.0, 0.0, 1.1),
+      pair("pk02_padding", 0.2, 2.5, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -115,7 +129,11 @@ class ScaleProofSpec extends AnyFunSuite {
       "vg01_heaps", "ce01_charent", "xs01_xsource", "g14_linkpred",
       "g13_closeness", "pc02_bpe_encode", "ss01_srcjaccard",
       "ct01_containment", "qd01_quantiles", "url02_urldedup",
-      "url03_domaincap", "lq01_langquality", "wp02_capmix")
+      "url03_domaincap", "lq01_langquality", "wp02_capmix",
+      "lm03_backoff", "zo01_zorder", "c402_blocklist", "cd02_diff",
+      "lm04_pplbuckets", "zo02_pruning", "cm02_calibration",
+      "ch01_turnstats", "ch02_promptdedup", "ch03_renderspans",
+      "pk02_padding")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -185,7 +203,19 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-11 third points (SCALING.md round-11 addendum)
       pair100("url02_urldedup", 0.1, 0.6, 1.2),
       pair100("url03_domaincap", 0.4, 0.4, 1.0),
-      pair100("lq01_langquality", 0.0, 0.0, 1.0)).flatten
+      pair100("lq01_langquality", 0.0, 0.0, 1.0),
+      // round-12 third points (SCALING.md round-12 addendum)
+      pair100("lm03_backoff", 58.4, 587.0, 1.2),
+      pair100("zo01_zorder", 0.0, 0.0, 1.0),
+      pair100("c402_blocklist", 0.0, 0.0, 1.4),
+      pair100("cd02_diff", 4.3, 39.7, 1.2),
+      pair100("lm04_pplbuckets", 33.6, 376.7, 1.1),
+      pair100("zo02_pruning", 0.0, 0.0, 1.4),
+      pair100("cm02_calibration", 52.1, 592.0, 1.4),
+      pair100("ch01_turnstats", 0.0, 0.0, 1.1),
+      pair100("ch02_promptdedup", 0.2, 0.7, 1.1),
+      pair100("ch03_renderspans", 0.0, 0.0, 1.1),
+      pair100("pk02_padding", 2.5, 14.3, 2.6)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
