@@ -373,27 +373,32 @@ object Bench {
             implausible))
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
-        else if (passes == iters && !dirty && implausible &&
+        else if (passes == iters &&
             certifiable(passes, iters, errors.size, budgetHit,
-              isContaminated = false))
-          // rejected SOLELY for per-lane implausibility: the CPU probe saw
-          // a quiet box but lane medians say I/O contention — name the
-          // lanes so the reader sees the fingerprint, not a mystery
-          System.err.println(
-            s"[bench] capture NOT certified: ${flagged.size} lanes read " +
-              s">3x their committed certified medians on a probe-quiet " +
-              s"box (I/O contention fingerprint): ${flagged.mkString(", ")}")
-        else if (passes == iters && dirty &&
-            certifiable(passes, iters, errors.size, budgetHit,
-              isContaminated = false, isImplausible = implausible))
-          // rejected SOLELY for contamination: say so explicitly — on a
-          // slower box than the 0.30 s reference this reads as a permanent
-          // load problem unless the override knob is surfaced
-          System.err.println(
-            f"[bench] capture NOT certified: probe median " +
-              f"${median(probes.toSeq)}%.3f s vs ref $probeRefS%.3f s " +
-              "(1.5x fence). If this box is simply slower than the " +
-              "reference, set SPARK_GRAFT_BENCH_PROBE_REF_S.")
+              isContaminated = false)) {
+          // otherwise-clean run refused for guard findings: print EVERY
+          // applicable diagnostic — the earlier either/or branching left
+          // a doubly-bad (contaminated AND implausible) run with no
+          // explanation at all, the exact mystery readout both messages
+          // exist to prevent
+          if (implausible)
+            // per-lane implausibility: the CPU probe may have seen a quiet
+            // box but lane medians say I/O contention — name the lanes so
+            // the reader sees the fingerprint, not a mystery
+            System.err.println(
+              s"[bench] capture NOT certified: ${flagged.size} lanes read " +
+                s">3x their committed certified medians " +
+                s"(I/O contention fingerprint): ${flagged.mkString(", ")}")
+          if (dirty)
+            // contamination: say so explicitly — on a slower box than the
+            // 0.30 s reference this reads as a permanent load problem
+            // unless the override knob is surfaced
+            System.err.println(
+              f"[bench] capture NOT certified: probe median " +
+                f"${median(probes.toSeq)}%.3f s vs ref $probeRefS%.3f s " +
+                "(1.5x fence). If this box is simply slower than the " +
+                "reference, set SPARK_GRAFT_BENCH_PROBE_REF_S.")
+        }
       } catch { case _: Throwable => () }
       println(line(identity, ""))
       println(line(laneIds, ",\"keys\":\"lane_prefix\""))

@@ -3152,7 +3152,7 @@ object SparkEntry {
         |    ELSE gr.has_star = 1 END),
         |rl AS (SELECT g2.dom, value AS pattern,
         |    (key = 'allow') AS is_allow,
-        |    CAST(length(value) AS BIGINT) AS plen,
+        |    CAST(strlen(value) AS BIGINT) AS plen,
         |""" +
       s"""    ${sqlRobotsRx("value")} AS rx
         |""" +

@@ -82,19 +82,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       includeUnchanged: Boolean = false): DataFrame = {
-    def fold(df: DataFrame, fpName: String) =
+    // presence is detected from explicit side markers, NEVER from digest
+    // nullity: a null-TEXT row digests to null, and reading that as
+    // side-absence would report it 'added' on both sides forever
+    def fold(df: DataFrame, fpName: String, presentName: String) =
       df.select(
         when(col(idCol).isNull, raise_error(lit(
           s"corpusDiff: null $idCol — a null id never joins, fabricating " +
             "a phantom added+removed pair; snapshot ids must be unique " +
             "and non-null"))).otherwise(col(idCol)).as(idCol),
-        md5Fingerprint(col(textCol)).as(fpName))
-    val joined = fold(oldDocs, "graft_old_fp")
-      .join(fold(newDocs, "graft_new_fp"), Seq(idCol), "full_outer")
+        md5Fingerprint(col(textCol)).as(fpName),
+        lit(true).as(presentName))
+    val joined = fold(oldDocs, "graft_old_fp", "graft_in_old")
+      .join(fold(newDocs, "graft_new_fp", "graft_in_new"),
+        Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("graft_old_fp").isNull, "added")
-          .when(col("graft_new_fp").isNull, "removed")
-          .when(col("graft_old_fp") =!= col("graft_new_fp"), "changed")
+        when(col("graft_in_old").isNull, "added")
+          .when(col("graft_in_new").isNull, "removed")
+          // null-safe: null text on one side vs text on the other is a
+          // change; null text on both sides is unchanged
+          .when(not(col("graft_old_fp") <=> col("graft_new_fp")), "changed")
           .otherwise("unchanged"))
     (if (includeUnchanged) joined
      else joined.filter(col("status") =!= "unchanged"))

@@ -157,8 +157,14 @@ object HtmlParse {
       if (j < p.length && (p.charAt(j) == 'x' || p.charAt(j) == 'X')) {
         j += 1
         val start = j
-        while (j < p.length && j - start < 7 &&
-          Character.digit(p.charAt(j), 16) >= 0) j += 1
+        // ASCII hex ONLY — Character.digit(c, 16) also accepts fullwidth
+        // and other Unicode digits, which the Column/DuckDB formula's
+        // [0-9A-Fa-f] class keeps literal; accepting them here would
+        // break the pinned byte-equality between the two tiers
+        def asciiHex(c: Char): Boolean =
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+            (c >= 'A' && c <= 'F')
+        while (j < p.length && j - start < 7 && asciiHex(p.charAt(j))) j += 1
         val len = j - start
         if (len >= 1 && len <= 6 && j < p.length && p.charAt(j) == ';') {
           val code = Integer.parseInt(p.substring(start, j), 16)

@@ -76,7 +76,12 @@ object Layout {
     * cuts instead; the write path below uses the real partitioner). */
   def zBucket(z: Column, dBits: Int, nBuckets: Int): Column = {
     require(nBuckets >= 1, "nBuckets must be positive")
-    require(dBits <= 57, "z domain too wide to scale by nBuckets in a long")
+    // the PRODUCT must fit a long: z < 2^dBits times nBuckets — a bound
+    // on dBits alone lets z * nBuckets wrap negative for large bucket
+    // counts and corrupt the bucket domain with no error
+    val bucketBits = 64 - java.lang.Long.numberOfLeadingZeros(nBuckets.toLong)
+    require(dBits + bucketBits <= 62,
+      s"z domain (2^$dBits) times nBuckets ($nBuckets) would overflow a long")
     graft.functions.TextFunctions.ldiv(z * lit(nBuckets.toLong), lit(1L << dBits))
   }
 

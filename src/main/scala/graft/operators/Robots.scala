@@ -136,7 +136,10 @@ object Robots {
       .select(col("domain"),
         col("value").as("pattern"),
         (col("key") === "allow").as("is_allow"),
-        length(col("value")).cast("long").as("plen"),
+        // OCTET length, as clause 7 / RFC 9309 §2.2.2 pin — char length
+        // disagrees on multi-byte patterns and picks a different winner
+        // than a conforming crawler (oracle twin: DuckDB strlen)
+        octet_length(col("value")).cast("long").as("plen"),
         patternRegex(col("value")).as("rx"))
   }
 

@@ -805,8 +805,15 @@ object Sampling {
       textCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize=$batchSize")
+    // coalesce: a null text is a zero-token row, NOT a droppable one —
+    // a null __nt would both vanish from the length_sorted layout (its
+    // slice key is __nt; a null key never survives the prefix join) and
+    // sort unlike the naive twin. Materialized once: the scan + token
+    // count otherwise re-inlines ~5x (domain agg + both sides of each
+    // layout's prefix self-join).
     val base = docs.select(col(idCol).as("__id"),
-      ntokens(col(textCol)).as("__nt"))
+      coalesce(ntokens(col(textCol)), lit(0L)).as("__nt"))
+      .localCheckpoint(true)
     def report(name: String, slice: Column, sliceAsc: Boolean,
         ord: Seq[Column]): DataFrame = {
       val sliced = base.withColumn("__slice", slice)
@@ -864,7 +871,7 @@ object Sampling {
       textCol: String,
       batchSize: Int): DataFrame = {
     val base = docs.select(col(idCol).as("__id"),
-      ntokens(col(textCol)).as("__nt"))
+      coalesce(ntokens(col(textCol)), lit(0L)).as("__nt"))
     def report(name: String, ord: Seq[Column]): DataFrame =
       base
         .withColumn("__rank",

@@ -712,6 +712,16 @@ class DedupSpec extends AnyFunSuite {
       Dedup.corpusDiff(nullId, neu, "doc_id", "text").collect()
     }
     assert(e.getMessage.contains("corpusDiff: null doc_id"))
+    // null TEXT never reads as side-absence: same-null = unchanged,
+    // null vs text = changed, null only-in-old = removed
+    val oldN = Seq((1L, null), (2L, null), (3L, null))
+      .toDF("doc_id", "text")
+    val neuN = Seq((1L, null), (2L, "now set"))
+      .toDF("doc_id", "text")
+    val dn = Dedup.corpusDiff(oldN, neuN, "doc_id", "text",
+      includeUnchanged = true)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(dn == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed")))
   }
 
   test("softDedupWeights: inverse cluster size over every doc, floor micro") {

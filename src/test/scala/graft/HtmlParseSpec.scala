@@ -107,6 +107,10 @@ class HtmlParseSpec extends AnyFunSuite {
       "&amp;#38; and &amp;#x26;", "R&D and A&&#108;t;B", "&#38;lt; stays",
       "a && b & c &", "&#65;&#x42;&#X43; and &#0065;",
       "&#0; &#7; &#bad; &#x; &#12345678;", "caf&#233; won&#8217;t",
+      // non-ASCII digits (fullwidth 20, Arabic-Indic 65) must stay
+      // literal in BOTH tiers: the Column regex class is [0-9A-Fa-f]
+      // and the Scala scanner must not be wider (Character.digit is)
+      "&#x２０; and &#٦٥; stay",
       "", "&", "&&", "&amp", "&#", "&#x", "plain")
     val colOut = cases.toDF("s")
       .select(graft.functions.HtmlFunctions.decodeEntities(col("s")))

@@ -76,6 +76,11 @@ class RobotsSpec extends AnyFunSuite {
     // tie: equal-length allow and disallow -> allow (least restrictive)
     val tie = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
     assert(gate(tie, Seq("/abc")) == Map("/abc" -> true))
+    // precedence is OCTET length (§2.2.2): "/café" is 5 chars / 6 BYTES
+    // and "/caf*" 5/5 — char length would call it a tie (allow wins);
+    // octet length ranks the disallow first, as a conforming crawler does
+    val octets = "User-agent: *\nDisallow: /café\nAllow: /caf*\n"
+    assert(gate(octets, Seq("/café-zone")) == Map("/café-zone" -> false))
   }
 
   test("gate: * wildcard and trailing-$ anchor (RFC 9309 §2.2.3)") {

@@ -32,9 +32,11 @@ class SamplingSpec extends AnyFunSuite {
       ("length_sorted", 3L, 10L, 12L, (2L * 1000L) / 12L)))
     // equivalence on a messier corpus: negative ids, duplicate lengths
     // ids injective (37 invertible mod prime 991, i < 991) but scattered
-    // and negative; lengths heavily duplicated
+    // and negative; lengths heavily duplicated; every 41st text NULL
+    // (must count as a zero-token row in BOTH layouts, never drop)
     val messy = (1 to 257).map(i =>
-      ((i * 37L % 991L) - 450L, ("tok " * (i % 13)).trim))
+      ((i * 37L % 991L) - 450L,
+        if (i % 41 == 0) null else ("tok " * (i % 13)).trim))
       .toDF("doc_id", "text")
     val fast = Sampling.paddingReport(messy, "doc_id", "text", 16)
       .collect().map(_.toSeq).toSeq
