@@ -4073,6 +4073,16 @@ object SparkEntry {
         Seq((d.getLong(0), d.getLong(1)), (d.getLong(2), d.getLong(3))),
         bits = 8, nBuckets = 16)
     }),
+    // mixture solver: the budgets table mixtureSample consumes, solved
+    // from exact micro-share targets (en-heavy mixture over lang) —
+    // largest T satisfiable at the target proportions, floor math
+    "mw03_mixture_budgets" -> ((s, dir) => {
+      graft.operators.Sampling.mixtureBudgets(
+        t(s, dir, "documents"), "lang", "text",
+        Seq("de" -> 150000L, "en" -> 400000L, "es" -> 150000L,
+          "fr" -> 150000L, "zh" -> 150000L))
+        .orderBy(col("lang"))
+    }),
     // padding-efficiency report: arrival-order vs length-sorted batching
     // at batch 32 — the waste table that justifies (or vetoes) a length
     // sort before fixed-shape training/inference
@@ -4214,6 +4224,27 @@ object SparkEntry {
         |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
         |  MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // mixture-solver replay: per-source token totals, the same min-over-
+    // sources floor solve in HUGEINT, budgets by floor micro-share
+    "mw03_mixture_budgets" ->
+      """WITH tk AS (SELECT lang AS g,
+        |    CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> ''))) AS BIGINT) AS nt
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('de', 150000), ('en', 400000),
+        |    ('es', 150000), ('fr', 150000), ('zh', 150000)) AS t(g, wm)),
+        |tt AS (SELECT MIN((CAST(coalesce(tk.nt, 0) AS HUGEINT) * 1000000)
+        |    // wm) AS t
+        |  FROM w LEFT JOIN tk USING (g)),
+        |u AS (SELECT coalesce(tk.g, w.g) AS lang,
+        |    coalesce(tk.nt, 0) AS n_tokens,
+        |    coalesce(w.wm, 0) AS weight_micro
+        |  FROM tk FULL OUTER JOIN w ON tk.g = w.g)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(weight_micro AS BIGINT) AS weight_micro,
+        |  CAST((CAST(weight_micro AS HUGEINT) * tt.t) // 1000000 AS BIGINT)
+        |    AS token_budget
+        |FROM u CROSS JOIN tt ORDER BY lang""".stripMargin,
     // padding replay: naive single-window ranks under both orderings
     // (the two-level Spark plan is spec-proven equal to this)
     "pk02_padding_report" ->

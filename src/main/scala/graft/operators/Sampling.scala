@@ -250,6 +250,62 @@ object Sampling {
     * `budgets`: (groupCol, token_budget) — one row per group; groups
     * without a budget row are dropped (mixtures are explicit opt-in
     * tables in practice). Output: input columns + `n_tokens`. */
+  /** The MIXTURE SOLVER — produces the `budgets` frame [[mixtureSample]]
+    * / [[mixtureSampleWithRepetition]] consume, from target proportions:
+    * the largest total token count `T` satisfiable at EXACTLY the target
+    * shares given what each source holds,
+    * `T = min_s floor(tokens_s · maxEpochs · 10^6 / w_s)`, then
+    * `budget_s = floor(w_s · T / 10^6)` — the data-mixing arithmetic
+    * behind every published mixture table (LLaMA/Gopher-style weighted
+    * corpora; `maxEpochs > 1` allows upsampling scarce sources by
+    * repetition, the DoReMi/LLaMA regime).
+    *
+    * Weights are EXACT micro-shares (caller-normalized, must sum to
+    * 10^6) so the solve replays bit-for-bit. The per-source token
+    * totals are one group-domain aggregation; the solve itself runs on
+    * the collected group table — bounded by the SOURCE domain, which is
+    * the output's own size — in BigInt (no 2^63 cliff at 10^13-token
+    * sources). Sources in the corpus but not in `weightsMicro` get
+    * weight 0 / budget 0 (surfaced, not silently dropped); a named
+    * source with NO corpus tokens zeroes every budget — hard
+    * proportions are unsatisfiable without it, and a loud all-zero
+    * table beats a silently re-normalized mixture.
+    *
+    * Output: (groupCol, n_tokens, weight_micro, token_budget), one row
+    * per source in the union of corpus and weight names, ordered by
+    * source. */
+  def mixtureBudgets(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      weightsMicro: Seq[(String, Long)],
+      maxEpochs: Int = 1): DataFrame = {
+    require(weightsMicro.nonEmpty, "weightsMicro must be non-empty")
+    require(weightsMicro.map(_._1).distinct.size == weightsMicro.size,
+      "duplicate source names in weightsMicro")
+    require(weightsMicro.forall(_._2 > 0L),
+      "weights must be positive micro-shares")
+    require(weightsMicro.map(_._2).sum == 1000000L,
+      s"micro-shares must sum to 1000000, got ${weightsMicro.map(_._2).sum}")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // group-domain aggregation; the collect is the output's own size
+    val tokens = docs
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(coalesce(sum(ntokens(col(textCol))), lit(0L)).as("__nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = weightsMicro.toMap
+    val t: BigInt = weightsMicro.map { case (g, wm) =>
+      BigInt(tokens.getOrElse(g, 0L)) * maxEpochs * 1000000L / wm
+    }.min
+    val names = (tokens.keySet ++ w.keySet).toSeq.sorted
+    names.map { g =>
+      val wm = w.getOrElse(g, 0L)
+      (g, tokens.getOrElse(g, 0L), wm, (BigInt(wm) * t / 1000000L).toLong)
+    }.toDF(groupCol, "n_tokens", "weight_micro", "token_budget")
+  }
+
   def mixtureSample(
       docs: DataFrame,
       idCol: String,

@@ -17,6 +17,39 @@ class SamplingSpec extends AnyFunSuite {
 
   private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
 
+  test("mixtureBudgets: exact floor solve; epochs scale; unlisted/empty sources surfaced") {
+    def toks(n: Int) = ("tok " * n).trim
+    val docs = Seq(
+      (1L, toks(60), "a"), (2L, toks(40), "a"), // a: 100 tokens
+      (3L, toks(50), "b"), // b: 50
+      (4L, toks(10), "c")) // c: unlisted
+      .toDF("doc_id", "text", "src")
+    val even = Seq("a" -> 500000L, "b" -> 500000L)
+    val out = Sampling.mixtureBudgets(docs, "src", "text", even)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // T = min(100/0.5, 50/0.5) = 100 -> 50 tokens per listed source;
+    // the unlisted source c is surfaced at weight/budget 0
+    assert(out.toSeq == Seq(
+      ("a", 100L, 500000L, 50L), ("b", 50L, 500000L, 50L),
+      ("c", 10L, 0L, 0L)))
+    // two epochs double the scarce source's capacity: T = 200
+    val ep2 = Sampling.mixtureBudgets(docs, "src", "text", even, maxEpochs = 2)
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(ep2.toSeq == Seq(("a", 100L), ("b", 100L), ("c", 0L)))
+    // a named source with no corpus tokens zeroes every budget (hard
+    // proportions are unsatisfiable without it) — loud, not renormalized
+    val zero = Sampling.mixtureBudgets(docs, "src", "text",
+      Seq("a" -> 500000L, "missing" -> 500000L))
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(zero.toSeq == Seq(("a", 0L), ("b", 0L), ("c", 0L), ("missing", 0L)))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureBudgets(docs, "src", "text", Seq("a" -> 999999L)))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureBudgets(docs, "src", "text",
+        Seq("a" -> 500000L, "a" -> 500000L)))
+  }
+
   test("paddingReport: hand-checked waste; two-level plan equals naive windows") {
     val docs = Seq(
       (1L, "a"), (2L, "a b c"), (3L, "a b"), (4L, ""), (5L, "a b c d"))

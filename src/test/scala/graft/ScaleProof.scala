@@ -140,6 +140,7 @@ object ScaleProof {
     "ch02_promptdedup" -> Bounds(5, 8), // measured ~0 -> 0.2 MiB: distinct-prompt digest agg
     "ch03_renderspans" -> Bounds(5, 8), // ZERO shuffle: row-local render + map-local explode
     "pk02_padding" -> Bounds(22, 8),    // measured 14.1x (0.2 -> 2.5): narrow rank rows under two orderings
+    "mw03_mixsolve" -> Bounds(5, 8),    // ~ZERO shuffle: source-domain token agg only
     "zo02_pruning" -> Bounds(5, 8))     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
@@ -205,6 +206,7 @@ object ScaleProof {
     "ch02_promptdedup" -> Bounds(5, 8), // prompt-domain agg (bounded at 500 prompts here)
     "ch03_renderspans" -> Bounds(5, 8), // 0.0 -> 0.0 MiB (row-local)
     "pk02_padding" -> Bounds(9, 8, absCeilMiB = 24), // measured 5.8x (2.5 -> 14.3), skew 2.6: SUB-linear rank rows
+    "mw03_mixsolve" -> Bounds(5, 8),    // source-domain agg (bounded)
     "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -803,6 +805,15 @@ object ScaleProof {
             lit("user: "), col("text"), lit("\nassistant: ok"))),
           "doc_id", "graft_tr")
           .agg(coalesce(sum(col("end")), lit(0L))).head().getLong(0))
+      measure("mw03_mixsolve", scale)(
+        // mixture solver: one group-domain token agg + a source-domain
+        // collect (the output's own size) + BigInt driver solve
+        Sampling.mixtureBudgets(
+          docs.withColumn("graft_src", (col("doc_id") % 7).cast("string")),
+          "graft_src", "text",
+          (0 to 6).map(i => i.toString -> (if (i == 0) 142858L else 142857L)))
+          .agg(coalesce(sum(col("token_budget")), lit(0L)))
+          .head().getLong(0))
       measure("pk02_padding", scale)(
         // padding report: two-level exact ranks (slice prefix + per-
         // slice windows) — narrow (id, nt, slice) rank rows only
