@@ -1620,19 +1620,58 @@ object SparkEntry {
     // opens with a system turn (prompt still found), every 23rd has no
     // user turn (absent by contract). Case/whitespace-normalized digest
     "ch02_prompt_dedup" -> ((s, dir) => {
-      val did = col("doc_id")
-      val transcript = concat(
-        when(did % 19 === 0, lit("system: be terse\n")).otherwise(lit("")),
-        when(did % 23 === 0, lit("system: no question here\n"))
-          .otherwise(concat(
-            when(did % 2 === 0, lit("user: Prompt  Variant "))
-              .otherwise(lit("user: prompt variant ")),
-            (did % 50).cast("string"), lit("\n"))),
-        lit("assistant: reply "), did.cast("string"))
       graft.operators.Conversations.promptDedup(
-        t(s, dir, "documents").withColumn("transcript", transcript),
+        t(s, dir, "documents")
+          .withColumn("transcript", synthPromptTranscript),
         "doc_id", "transcript")
         .orderBy(col("prompt_fp"))
+    }),
+    // composed SFT pipeline (the ch-family's wp01): QA gate -> prompt
+    // keep-first dedup among keepers -> render/mask on survivors, one
+    // per-doc verdict row. trainable_chars re-derives from renderSpans'
+    // [start, end) offsets while the oracle sums content lengths — the
+    // two formulas agree only if the offset arithmetic is right
+    "ch04_sft_pipeline" -> ((s, dir) => {
+      import graft.operators.Conversations
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+        .withColumn("transcript", synthPromptTranscript)
+        .select(col("doc_id"), col("transcript"))
+      // EVERY per-doc signal computes scan-side into NARROW frames (the
+      // wp02 discipline: transcript text never shuffles) — the battery
+      // and spans are row-local, the prompt digest is one md5; the only
+      // cross-row stage is the distinct-prompt owner aggregation, and
+      // every join below carries ids + small ints only
+      val qa = Conversations.turnStats(docs, "doc_id", "transcript")
+        .select(col("doc_id"), col("keep").as("qa_keep"))
+      val fps = docs.select(col("doc_id"),
+        md5(array_join(TextFunctions.tokens(
+          Conversations.firstUserPrompt(col("transcript"))), " ")
+          .cast("binary")).as("__fp"))
+      val owners = fps
+        .join(qa.filter(col("qa_keep")).select("doc_id"), Seq("doc_id"))
+        .filter(col("__fp").isNotNull)
+        .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("prompt_owner"))
+      val fk = qa.join(owners, Seq("doc_id"), "left_outer")
+        .withColumn("prompt_owner",
+          coalesce(col("prompt_owner"), lit(false)))
+        .withColumn("final_keep", col("qa_keep") && col("prompt_owner"))
+      val spans = Conversations.renderSpans(docs, "doc_id", "transcript")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("trainable"), 1L).otherwise(0L)).as("n_trainable"),
+          sum(when(col("trainable"), col("end") - col("start"))
+            .otherwise(0L)).as("trainable_chars"))
+      fk.join(spans, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("qa_keep"), col("prompt_owner"),
+          col("final_keep"),
+          when(col("final_keep"), coalesce(col("n_trainable"), lit(0L)))
+            .otherwise(0L).as("n_trainable"),
+          when(col("final_keep"),
+            coalesce(col("trainable_chars"), lit(0L)))
+            .otherwise(0L).as("trainable_chars"))
+        .orderBy(col("doc_id"))
     }),
     // SFT/chat transcript structure QA: both engines synthesize the
     // SAME role-prefixed transcript per doc (the pii01 shared-input
@@ -1766,6 +1805,34 @@ object SparkEntry {
       when(did % 17 === 0, lit("narrator interjects here\n"))
         .otherwise(lit("")))
   }
+
+  /** Second synthesized transcript family (shared by ch02/ch04): 50
+    * DISTINCT prompts repeated corpus-wide (so prompt dedup has real
+    * groups), a system opener every 19th doc, a promptless-but-
+    * well-formed doc every 23rd (passes QA, owns no prompt). */
+  private def synthPromptTranscript: Column = {
+    val did = col("doc_id")
+    concat(
+      when(did % 19 === 0, lit("system: be terse\n")).otherwise(lit("")),
+      when(did % 23 === 0, lit("system: no question here\n"))
+        .otherwise(concat(
+          when(did % 2 === 0, lit("user: Prompt  Variant "))
+            .otherwise(lit("user: prompt variant ")),
+          (did % 50).cast("string"), lit("\n"))),
+      lit("assistant: reply "), did.cast("string"))
+  }
+
+  /** DuckDB rebuild of [[synthPromptTranscript]] — the identical
+    * input. */
+  private def sqlSynthPromptTranscript: String =
+    "(CASE WHEN doc_id % 19 = 0 THEN 'system: be terse' || chr(10) " +
+      "ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 23 = 0 " +
+      "THEN 'system: no question here' || chr(10) " +
+      "ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user: Prompt  Variant ' " +
+      "ELSE 'user: prompt variant ' END) " +
+      "|| CAST(doc_id % 50 AS VARCHAR) || chr(10) END) " +
+      "|| 'assistant: reply ' || CAST(doc_id AS VARCHAR)"
 
   /** DuckDB rebuild of [[synthTranscript]] — the identical input. */
   private def sqlSynthTranscript: String =
@@ -3268,15 +3335,7 @@ object SparkEntry {
     // user turn via the same trim -> role-regex pipeline, tokens-joined
     // normalized md5, group by digest
     "ch02_prompt_dedup" ->
-      raw"""WITH tr AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 19 = 0 THEN 'system: be terse' || chr(10)
-        |      ELSE '' END)
-        |    || (CASE WHEN doc_id % 23 = 0
-        |      THEN 'system: no question here' || chr(10)
-        |      ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user: Prompt  Variant '
-        |        ELSE 'user: prompt variant ' END)
-        |        || CAST(doc_id % 50 AS VARCHAR) || chr(10) END)
-        |    || 'assistant: reply ' || CAST(doc_id AS VARCHAR) AS t
+      raw"""WITH tr AS (SELECT doc_id, $sqlSynthPromptTranscript AS t
         |  FROM documents),
         |u AS (SELECT doc_id,
         |    list_filter(list_filter(list_transform(
@@ -3296,6 +3355,64 @@ object SparkEntry {
         |SELECT prompt_fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM n GROUP BY 1 ORDER BY prompt_fp""".stripMargin,
+    // composed SFT replay: battery keep -> prompt groups among keepers
+    // -> assistant content lengths on survivors (the ch03 offsets'
+    // independent twin: end-start must equal len(content))
+    "ch04_sft_pipeline" ->
+      raw"""WITH tr AS (SELECT doc_id, $sqlSynthPromptTranscript AS t
+        |  FROM documents),
+        |rr AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |      x -> trim(x)), x -> len(x) > 0) AS turns
+        |  FROM tr),
+        |pp AS (SELECT doc_id, turns,
+        |    list_transform(turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
+        |      AS roles,
+        |    list_transform(turns,
+        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
+        |      AS contents
+        |  FROM rr),
+        |qa AS (SELECT doc_id,
+        |    (len(list_filter(roles, x -> x = 'assistant')) >= 1
+        |      AND coalesce((CASE WHEN len(roles) = 0 THEN NULL
+        |        ELSE roles[1] END) IN ('system', 'user'), FALSE)
+        |      AND len(list_filter(roles, x -> x = '')) = 0
+        |      AND (CASE WHEN len(roles) < 2 THEN 0
+        |        ELSE len(list_filter(range(2, len(roles) + 1),
+        |          i -> roles[i] = roles[i-1])) END) = 0
+        |      AND len(list_filter(range(1, len(roles) + 1),
+        |        i -> roles[i] <> '' AND len(trim(contents[i])) = 0)) = 0)
+        |      AS qa_keep
+        |  FROM pp),
+        |ut AS (SELECT pp.doc_id,
+        |    list_filter(pp.turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1)
+        |        = 'user') AS ul
+        |  FROM pp JOIN qa USING (doc_id) WHERE qa.qa_keep),
+        |pr AS (SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(lower(
+        |      regexp_replace(ul[1], '^(system|user|assistant): ?', ''))),
+        |      '[ \t\n\x0B\f\r]+'), ' ')) AS fp
+        |  FROM ut WHERE len(ul) > 0),
+        |own AS (SELECT MIN(doc_id) AS doc_id FROM pr GROUP BY fp),
+        |fk AS (SELECT qa.doc_id, qa.qa_keep,
+        |    (own.doc_id IS NOT NULL) AS prompt_owner,
+        |    (qa.qa_keep AND own.doc_id IS NOT NULL) AS final_keep
+        |  FROM qa LEFT JOIN own ON qa.doc_id = own.doc_id),
+        |sp AS (SELECT pp.doc_id,
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(roles) + 1),
+        |      i -> CASE WHEN roles[i] = 'assistant' THEN 1 ELSE 0 END)), 0)
+        |      AS BIGINT) AS n_trainable,
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(roles) + 1),
+        |      i -> CASE WHEN roles[i] = 'assistant' THEN len(contents[i])
+        |        ELSE 0 END)), 0) AS BIGINT) AS trainable_chars
+        |  FROM pp JOIN fk USING (doc_id) WHERE fk.final_keep)
+        |SELECT fk.doc_id, fk.qa_keep, fk.prompt_owner, fk.final_keep,
+        |  coalesce(sp.n_trainable, 0) AS n_trainable,
+        |  coalesce(sp.trainable_chars, 0) AS trainable_chars
+        |FROM fk LEFT JOIN sp ON fk.doc_id = sp.doc_id
+        |ORDER BY fk.doc_id""".stripMargin,
     // render-span replay: same parse, per-turn piece lengths
     // (12 + len(role) + 1 + len(content) + 11), running-sum starts via
     // list_sum over the length prefix, md5 of the rendered concat

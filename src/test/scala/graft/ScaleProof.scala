@@ -141,6 +141,7 @@ object ScaleProof {
     "ch03_renderspans" -> Bounds(5, 8), // ZERO shuffle: row-local render + map-local explode
     "pk02_padding" -> Bounds(22, 8),    // measured 14.1x (0.2 -> 2.5): narrow rank rows under two orderings
     "mw03_mixsolve" -> Bounds(5, 8),    // ~ZERO shuffle: source-domain token agg only
+    "ch04_sftpipe" -> Bounds(18, 8),    // measured 11.9x (0.1 -> 1.1): prompt-digest agg + id-only joins
     "zo02_pruning" -> Bounds(5, 8))     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
@@ -207,6 +208,7 @@ object ScaleProof {
     "ch03_renderspans" -> Bounds(5, 8), // 0.0 -> 0.0 MiB (row-local)
     "pk02_padding" -> Bounds(9, 8, absCeilMiB = 24), // measured 5.8x (2.5 -> 14.3), skew 2.6: SUB-linear rank rows
     "mw03_mixsolve" -> Bounds(5, 8),    // source-domain agg (bounded)
+    "ch04_sftpipe" -> Bounds(30, 8, absCeilMiB = 34), // measured 19.9x (1.1 -> 22.8): the id frames cross the broadcast threshold at 100x and pay real hash exchanges — a one-time step, linear after (narrow rows only)
     "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
@@ -805,6 +807,39 @@ object ScaleProof {
             lit("user: "), col("text"), lit("\nassistant: ok"))),
           "doc_id", "graft_tr")
           .agg(coalesce(sum(col("end")), lit(0L))).head().getLong(0))
+      measure("ch04_sftpipe", scale)(
+        // composed SFT funnel: row-local QA + prompt-digest agg +
+        // row-local render, glued by id-only joins
+        {
+          // the variant corpus embeds newlines in text — fold them, or
+          // every synthesized turn sprouts role-less lines and the QA
+          // gate rejects the whole corpus (an empty-keeper funnel
+          // measures join degeneracy, not the operator)
+          val tr = docs.withColumn("graft_tr", concat(
+            lit("user: prompt "), (col("doc_id") % 500).cast("string"),
+            lit("\nassistant: "),
+            regexp_replace(col("text"), "\n", " ")))
+            .select(col("doc_id"), col("graft_tr"))
+          // narrow-frame composition (the lane's wp02 discipline):
+          // transcript text never joins — qa/digest/span frames are
+          // scan-side, joins carry ids + small ints only
+          val qa = graft.operators.Conversations
+            .turnStats(tr, "doc_id", "graft_tr")
+            .filter(col("keep")).select("doc_id")
+          val fps = tr.select(col("doc_id"),
+            md5(array_join(graft.functions.TextFunctions.tokens(
+              graft.operators.Conversations
+                .firstUserPrompt(col("graft_tr"))), " ")
+              .cast("binary")).as("graft_fp"))
+          val owners = fps.join(qa, Seq("doc_id"))
+            .filter(col("graft_fp").isNotNull)
+            .groupBy(col("graft_fp")).agg(min(col("doc_id")).as("doc_id"))
+            .select("doc_id")
+          graft.operators.Conversations
+            .renderSpans(tr, "doc_id", "graft_tr")
+            .join(owners, Seq("doc_id"), "left_semi")
+            .agg(coalesce(sum(col("end")), lit(0L))).head().getLong(0)
+        })
       measure("mw03_mixsolve", scale)(
         // mixture solver: one group-domain token agg + a source-domain
         // collect (the output's own size) + BigInt driver solve

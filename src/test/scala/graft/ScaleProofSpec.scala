@@ -109,7 +109,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("ch02_promptdedup", 0.0, 0.2, 1.0),
       pair("ch03_renderspans", 0.0, 0.0, 1.1),
       pair("pk02_padding", 0.2, 2.5, 1.1),
-      pair("mw03_mixsolve", 0.0, 0.0, 1.1)).flatten
+      pair("mw03_mixsolve", 0.0, 0.0, 1.1),
+      pair("ch04_sftpipe", 0.1, 1.1, 1.2)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -134,7 +135,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "lm03_backoff", "zo01_zorder", "c402_blocklist", "cd02_diff",
       "lm04_pplbuckets", "zo02_pruning", "cm02_calibration",
       "ch01_turnstats", "ch02_promptdedup", "ch03_renderspans",
-      "pk02_padding", "mw03_mixsolve")
+      "pk02_padding", "mw03_mixsolve", "ch04_sftpipe")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -217,7 +218,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("ch02_promptdedup", 0.2, 0.7, 1.1),
       pair100("ch03_renderspans", 0.0, 0.0, 1.1),
       pair100("pk02_padding", 2.5, 14.3, 2.6),
-      pair100("mw03_mixsolve", 0.0, 0.0, 1.1)).flatten
+      pair100("mw03_mixsolve", 0.0, 0.0, 1.1),
+      pair100("ch04_sftpipe", 1.1, 22.8, 1.2)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
