@@ -4207,6 +4207,23 @@ object SparkEntry {
       graft.operators.Sampling.paddingReport(
         t(s, dir, "documents"), "doc_id", "text", batchSize = 32)
     }),
+    // three-dimension z-order: the same exact interleave at d=3
+    // (partkey, suppkey, linenumber) — every dimension's per-bucket
+    // range stays tight, which is the whole point of the curve at d>2
+    "zo03_zorder3_buckets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+      val d = li.agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey"),
+        min("l_linenumber"), max("l_linenumber")).head()
+      graft.operators.Layout.zorderBuckets(li,
+        Seq("l_partkey", "l_suppkey", "l_linenumber"),
+        Seq((d.getLong(0), d.getLong(1)), (d.getLong(2), d.getLong(3)),
+          (d.getLong(4), d.getLong(5))),
+        bits = 6, nBuckets = 16)
+    }),
     // pruning what-if: files skipped by an l_suppkey range filter under
     // a single l_partkey sort vs the 2-column z-order — the planner
     // report that justifies the rewrite. Predicate = the middle 1/16th
@@ -4387,6 +4404,30 @@ object SparkEntry {
         |    ELSE ((padded_tokens - useful_tokens) * 1000) // padded_tokens
         |    END AS BIGINT) AS waste_permille
         |FROM a ORDER BY layout""".stripMargin,
+    // d=3 z-order replay: identical interleave with bit k of column i
+    // at output bit 3k+i; z domain 2^18, 16 fixed ranges
+    "zo03_zorder3_buckets" ->
+      s"""WITH dom AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+        |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+        |    MIN(CAST(l_linenumber AS BIGINT)) AS lmin,
+        |    MAX(CAST(l_linenumber AS BIGINT)) AS lmax FROM lineitem),
+        |q AS (SELECT l_partkey, l_suppkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    ((l_partkey - pmin) * 64) // (pmax - pmin + 1) AS qp,
+        |    ((l_suppkey - smin) * 64) // (smax - smin + 1) AS qs,
+        |    ((CAST(l_linenumber AS BIGINT) - lmin) * 64)
+        |      // (lmax - lmin + 1) AS ql
+        |  FROM lineitem CROSS JOIN dom),
+        |z AS (SELECT l_partkey, l_suppkey, l_linenumber,
+        |    ${sqlZValue(Seq("qp", "qs", "ql"), 6)} AS zv
+        |  FROM q)
+        |SELECT CAST((zv * 16) // 262144 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
+        |  MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max,
+        |  MIN(l_linenumber) AS l_linenumber_min,
+        |  MAX(l_linenumber) AS l_linenumber_max
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     // pruning what-if replay: the same two bucketings (single-column
     // value ranges vs the unrolled z interleave), the same min/max-vs-
     // range prunability test, the same derived 1/16th-slice predicate

@@ -606,6 +606,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch && streamed.size == 3)
       assert(streamed.count(!_._3) == 1) // only doc 2 is gated out
     } finally q.stop()
+    // turnStats is the same class of row-local projection: its own
+    // stream≡batch pin (a plain-text doc parses as role-less lines,
+    // so n_bad_role >= 1 and keep = false on every row)
+    def qaStats(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Conversations.turnStats(df, "doc_id", "text")
+        .select(col("doc_id"), col("n_turns"), col("n_bad_role"), col("keep"))
+    val q2 = qaStats(stream).writeStream.outputMode("append")
+      .format("memory").queryName("stream_qa")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("stream_qa")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getBoolean(3))).toSet
+      val batch = qaStats(spark.read.parquet(s"$dir/b1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getBoolean(3))).toSet
+      assert(streamed == batch && streamed.size == 3)
+      assert(streamed.forall(t => t._3 >= 1L && !t._4))
+    } finally q2.stop()
   }
 
   test("PQ encode + JL projection run on STREAMS: literal-model projections are streaming-legal") {
