@@ -1633,7 +1633,6 @@ object SparkEntry {
     // two formulas agree only if the offset arithmetic is right
     "ch04_sft_pipeline" -> ((s, dir) => {
       import graft.operators.Conversations
-      import graft.functions.TextFunctions
       val docs = t(s, dir, "documents")
         .withColumn("transcript", synthPromptTranscript)
         .select(col("doc_id"), col("transcript"))
@@ -1645,9 +1644,7 @@ object SparkEntry {
       val qa = Conversations.turnStats(docs, "doc_id", "transcript")
         .select(col("doc_id"), col("keep").as("qa_keep"))
       val fps = docs.select(col("doc_id"),
-        md5(array_join(TextFunctions.tokens(
-          Conversations.firstUserPrompt(col("transcript"))), " ")
-          .cast("binary")).as("__fp"))
+        Conversations.promptFingerprint(col("transcript")).as("__fp"))
       val owners = fps
         .join(qa.filter(col("qa_keep")).select("doc_id"), Seq("doc_id"))
         .filter(col("__fp").isNotNull)
@@ -4383,8 +4380,9 @@ object SparkEntry {
     // (the two-level Spark plan is spec-proven equal to this)
     "pk02_padding_report" ->
       """WITH b AS (SELECT doc_id AS id,
-        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
-        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS nt
+        |    CAST(coalesce(len(list_filter(string_split_regex(trim(lower(
+        |      text)), '[ \t\n\x0B\f\r]+'), x -> x <> '')), 0)
+        |      AS BIGINT) AS nt
         |  FROM documents),
         |r AS (
         |  SELECT 'arrival' AS layout, nt,

@@ -39,6 +39,14 @@ object Conversations {
     regexp_replace(try_element_at(userTurns, lit(1)), RoleRe, "")
   }
 
+  /** THE one normalized prompt digest (md5 of the space-joined
+    * lowercase tokens of the first user turn; null when promptless) —
+    * shared by [[promptDedup]], the composed ch04 lane and its measure
+    * harness, so the normalization can never drift between them. */
+  def promptFingerprint(transcript: Column): Column =
+    TextFunctions.md5Fingerprint(
+      array_join(TextFunctions.tokens(firstUserPrompt(transcript)), " "))
+
   /** Instruction-level exact dedup — collapse transcripts that ask the
     * SAME (case/whitespace-normalized) first user prompt, the standard
     * prompt-diversity pass on SFT dumps (near-identical instructions
@@ -53,15 +61,13 @@ object Conversations {
     *
     * Output: (prompt_fp, n_copies, keep_id = min id). */
   def promptDedup(
-      docs: DataFrame, idCol: String, transcriptCol: String): DataFrame = {
-    val norm = array_join(
-      TextFunctions.tokens(firstUserPrompt(col(transcriptCol))), " ")
+      docs: DataFrame, idCol: String, transcriptCol: String): DataFrame =
     docs
-      .select(col(idCol), md5(norm.cast("binary")).as("prompt_fp"))
+      .select(col(idCol),
+        promptFingerprint(col(transcriptCol)).as("prompt_fp"))
       .filter(col("prompt_fp").isNotNull)
       .groupBy(col("prompt_fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
-  }
 
   /** Chat-template rendering with LOSS-MASK offsets — the bridge from a
     * QA'd transcript to trainable text: each turn renders as
@@ -150,10 +156,16 @@ object Conversations {
     * Empty transcripts (no non-empty lines) yield zeros and
     * `keep = false` (nothing to learn from). */
   def turnStats(docs: DataFrame, idCol: String, transcriptCol: String): DataFrame = {
-    // one turn per non-empty line; CRLF tolerated like cleanLines
-    val turns = filter(
-      transform(split(col(transcriptCol), "\r?\n"), l => trim(l)),
-      l => length(l) > 0)
+    // one turn per non-empty line; CRLF tolerated like cleanLines.
+    // coalesce: a NULL transcript is an empty one — without it every
+    // counter propagates null (breaking the documented zeros contract
+    // and any getLong consumer) and keep is false only by
+    // three-valued-logic accident
+    val turns = coalesce(
+      filter(
+        transform(split(col(transcriptCol), "\r?\n"), l => trim(l)),
+        l => length(l) > 0),
+      array().cast("array<string>"))
     val roles = transform(col("__turns"),
       l => regexp_extract(l, RoleRe, 1))
     val contents = transform(col("__turns"),

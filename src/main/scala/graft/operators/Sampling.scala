@@ -290,9 +290,16 @@ object Sampling {
     require(maxEpochs >= 1, s"maxEpochs=$maxEpochs")
     val spark = docs.sparkSession
     import spark.implicits._
-    // group-domain aggregation; the collect is the output's own size
+    // group-domain aggregation; the collect is the output's own size.
+    // A null source label raises descriptively (the corpusDiff
+    // convention) — it would otherwise NPE in the driver solve, and a
+    // null-labeled source is a data bug worth naming
     val tokens = docs
-      .groupBy(col(groupCol).cast("string").as("__g"))
+      .groupBy(
+        when(col(groupCol).isNull, raise_error(lit(
+          s"mixtureBudgets: null $groupCol — every document must carry " +
+            "a non-null source label to participate in a mixture")))
+          .otherwise(col(groupCol).cast("string")).as("__g"))
       .agg(coalesce(sum(ntokens(col(textCol))), lit(0L)).as("__nt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val w = weightsMicro.toMap
@@ -903,14 +910,22 @@ object Sampling {
               (col("padded_tokens") - col("useful_tokens")) * lit(1000L),
               col("padded_tokens"))).as("waste_permille"))
     }
-    // arrival: id order, sliced on a 4096-wide id-range cut (two bounded
-    // scalars); empty input short-circuits the domain read
+    // arrival: id order, sliced by an arithmetic RIGHT SHIFT sized from
+    // the domain's bit width (two bounded scalars). The earlier affine
+    // cut ((id - lo) div width) overflowed when the id domain spans
+    // more than a signed long — 64-bit hash ids are routine — throwing
+    // under ANSI and silently inverting slice order without it. The
+    // shift is monotone over the WHOLE long range (arithmetic shift
+    // preserves order incl. negatives), overflow-free by construction,
+    // and caps distinct slices at ~4096 for any domain.
     val dom = base.agg(min(col("__id")), max(col("__id"))).head()
-    val (lo, hi) =
-      if (dom.isNullAt(0)) (0L, 0L) else (dom.getLong(0), dom.getLong(1))
-    val width = math.max(1L, (hi - lo) / 4096L + 1L)
-    val arrival = report("arrival",
-      TextFunctions.ldiv(col("__id") - lit(lo), lit(width)),
+    val k =
+      if (dom.isNullAt(0)) 0
+      else {
+        val width = BigInt(dom.getLong(1)) - BigInt(dom.getLong(0)) + 1
+        math.max(0, width.bitLength - 12)
+      }
+    val arrival = report("arrival", shiftright(col("__id"), k),
       sliceAsc = true, Seq(col("__id").asc))
     // length-sorted: (n_tokens desc, id) order, sliced on the token
     // count itself

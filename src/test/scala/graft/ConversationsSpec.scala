@@ -46,6 +46,13 @@ class ConversationsSpec extends AnyFunSuite {
     assert(out(5) == ((6L, 0L, 0L, 0L, 0L, false)))
     val empty = stats((6L, " \n \n")).head
     assert(empty.isNullAt(2))
+    // a NULL transcript is an empty one: ZEROS (never null counters —
+    // the documented contract; getLong must not NPE), keep false
+    val nt = Conversations.turnStats(
+      Seq((Some(1L), Option.empty[String])).toDF("id", "t"), "id", "t")
+      .head()
+    assert((1 to 10).forall(i => !nt.isNullAt(i) || i == 2)) // first_role null ok
+    assert(nt.getLong(1) == 0L && nt.getLong(7) == 0L && !nt.getBoolean(11))
   }
 
   test("promptDedup: normalized first-user-turn groups; promptless absent") {

@@ -81,6 +81,27 @@ class SamplingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") > 99L), "doc_id", "text", 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
     assert(empty.toSeq == Seq(("arrival", 0L, 0L), ("length_sorted", 0L, 0L)))
+    // an id domain spanning MORE than a signed long (64-bit hash ids):
+    // the shift-based slicing must neither throw (ANSI overflow) nor
+    // diverge from the naive global window
+    val wide = Seq(
+      (Long.MinValue + 1L, "a b c"), (-7L, "a"), (0L, "a b"),
+      (Long.MaxValue - 2L, "a b c d"), (Long.MaxValue, ""))
+      .toDF("doc_id", "text")
+    val wf = Sampling.paddingReport(wide, "doc_id", "text", 2)
+      .collect().map(_.toSeq).toSeq
+    val wn = Sampling.paddingReportNaive(wide, "doc_id", "text", 2)
+      .collect().map(_.toSeq).toSeq
+    assert(wf == wn)
+  }
+
+  test("mixtureBudgets: a null source label raises descriptively") {
+    val docs = Seq((1L, "tok tok", Some("a")), (2L, "tok", None))
+      .toDF("doc_id", "text", "src")
+    val e = intercept[Exception] {
+      Sampling.mixtureBudgets(docs, "src", "text", Seq("a" -> 1000000L))
+    }
+    assert(e.getMessage.contains("mixtureBudgets: null src"))
   }
 
   test("hashSplit: every row assigned, weights roughly respected, deterministic") {

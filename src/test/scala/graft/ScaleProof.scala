@@ -827,10 +827,8 @@ object ScaleProof {
             .turnStats(tr, "doc_id", "graft_tr")
             .filter(col("keep")).select("doc_id")
           val fps = tr.select(col("doc_id"),
-            md5(array_join(graft.functions.TextFunctions.tokens(
-              graft.operators.Conversations
-                .firstUserPrompt(col("graft_tr"))), " ")
-              .cast("binary")).as("graft_fp"))
+            graft.operators.Conversations
+              .promptFingerprint(col("graft_tr")).as("graft_fp"))
           val owners = fps.join(qa, Seq("doc_id"))
             .filter(col("graft_fp").isNotNull)
             .groupBy(col("graft_fp")).agg(min(col("doc_id")).as("doc_id"))
