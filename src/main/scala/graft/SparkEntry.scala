@@ -1579,6 +1579,60 @@ object SparkEntry {
           col("winner_len"), col("n_matched"))
         .orderBy(col("doc_id"))
     }),
+    // the FULLY composed acquire front door: robots policy -> URL
+    // filters -> extraction-quality gate -> URL dedup, with robots
+    // gating BEFORE dedup (a disallowed page is never fetched, so it
+    // can never own a canonical). Policies keyed by REGISTERED domain:
+    // example.com gets a prefix disallow + longer allow (precedence),
+    // example.co.uk an agent-named group blocking *.html$ (shadows *),
+    // site1.github.io a foreign-agent-only file (all allowed),
+    // site3.github.io a full disallow, the rest no robots at all.
+    // All verdict frames are narrow (the wp02/ch04 discipline)
+    "wp03_web_robots" -> ((s, dir) => {
+      import graft.operators.Robots
+      import graft.functions.UrlFunctions
+      val v = webPipelineVerdicts(s, dir)
+      val dom = UrlFunctions.urlDomain(col("url_canon"))
+      val path = regexp_extract(
+        regexp_replace(col("url_canon"), "^[a-z0-9+.-]+://[^/?]*", ""),
+        "^([^?]*)", 1)
+      val urls = v.filter(col("url_canon").isNotNull)
+        .select(col("doc_id"), dom.as("domain"), path.as("path"))
+      val robotsDf = urls.select(col("domain")).distinct()
+        .withColumn("robots",
+          when(col("domain") === "example.com", lit(
+            "User-agent: *\nDisallow: /docs/page1\nAllow: /docs/page17"))
+            .when(col("domain") === "example.co.uk", lit(
+              "User-agent: graftbot\nDisallow: /docs/*.html$\n" +
+                "User-agent: *\nDisallow: /"))
+            .when(col("domain") === "site1.github.io", lit(
+              "User-agent: otherbot\nDisallow: /"))
+            .when(col("domain") === "site3.github.io", lit(
+              "User-agent: *\nDisallow: /"))
+            .otherwise(lit(null).cast("string")))
+      val rules = Robots.parseRobots(robotsDf, "domain", "robots", "graftbot")
+      val gate = Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
+        .select(col("doc_id"), col("allowed"))
+      val withRobots = v
+        .join(gate, Seq("doc_id"), "left_outer")
+        .withColumn("robots_allowed",
+          coalesce(col("allowed") && col("url_canon").isNotNull, lit(false)))
+      val keepers2 = withRobots
+        .filter(col("robots_allowed") && col("url_pass") &&
+          col("url_canon").isNotNull)
+        .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep2"))
+      withRobots
+        .join(keepers2, Seq("url_canon"), "left_outer")
+        .select(col("doc_id"), col("robots_allowed"), col("url_pass"),
+          coalesce(col("robots_allowed") && col("url_pass") &&
+            col("doc_id") === col("__keep2"), lit(false))
+            .as("is_canonical"),
+          (coalesce(col("robots_allowed") && col("url_pass") &&
+            col("doc_id") === col("__keep2"), lit(false)) &&
+            col("n_tokens_clean") >= 10L && col("quality") >= 20L)
+            .as("final_keep"))
+        .orderBy(col("doc_id"))
+    }),
     // parser-tier twin of ht01: the SAME synth through the mapPartitions
     // tag tokenizer (HtmlParse). Its oracle IS ht01's regex replay — on
     // the shared domain (well-formed markup, which the synth is) the
@@ -3234,6 +3288,92 @@ object SparkEntry {
         |  CAST(wkey // 2 AS BIGINT) AS winner_len,
         |  n_matched
         |FROM ag ORDER BY doc_id""").stripMargin,
+    // composed robots-gated funnel replay: the wp CTEs + registered
+    // domains of the canonical hosts + per-domain policies + rb01's
+    // parse chain VERBATIM (OracleSyncSpec pins the byte-identity) +
+    // the gate and a dedup that respects the robots verdict
+    "wp03_web_robots" ->
+      (sqlWebPipelineCtes + ",\n" +
+      """dm AS (SELECT doc_id, url_canon, url_pass, path,
+        |""" +
+      s"""    ${sqlRegisteredDomain("host")} AS dom
+        |""" +
+      """  FROM (SELECT rr.doc_id, rr.url_canon, rr.url_pass, p.path,
+        |    regexp_extract(rr.url_canon,
+        |      '^[a-z0-9+.-]+://([^/:?]*)', 1) AS host
+        |    FROM rr JOIN p USING (doc_id)
+        |    WHERE rr.url_canon IS NOT NULL)),
+        |rb AS (SELECT dom, CASE dom
+        |    WHEN 'example.com' THEN 'User-agent: *' || chr(10) || 'Disallow: /docs/page1' || chr(10) || 'Allow: /docs/page17'
+        |    WHEN 'example.co.uk' THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /docs/*.html$' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+        |    WHEN 'site1.github.io' THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+        |    WHEN 'site3.github.io' THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+        |    ELSE NULL END AS robots
+        |  FROM (SELECT DISTINCT dom FROM dm)),
+        |ln AS (SELECT dom, t.pos,
+        |    regexp_replace(regexp_replace(regexp_replace(t.raw,
+        |      '\r$', ''), '#.*$', ''), '^[ \t]+|[ \t]+$', '', 'g') AS line
+        |  FROM rb, LATERAL (SELECT
+        |    unnest(string_split(coalesce(robots, ''), chr(10))) AS raw,
+        |    generate_subscripts(string_split(coalesce(robots, ''), chr(10)), 1) AS pos) t),
+        |kv AS (SELECT dom, pos,
+        |    lower(regexp_extract(line, '^([A-Za-z-]+)[ \t]*:', 1)) AS key,
+        |    regexp_replace(regexp_extract(line,
+        |      '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1), '[ \t]+$', '') AS value
+        |  FROM ln WHERE line <> ''),
+        |kv2 AS (SELECT * FROM kv
+        |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+        |g1 AS (SELECT dom, pos, key, value,
+        |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
+        |  FROM kv2),
+        |g2 AS (SELECT dom, pos, key, value,
+        |    SUM(CASE WHEN key = 'user-agent'
+        |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY dom ORDER BY pos ROWS UNBOUNDED PRECEDING)
+        |      AS gid
+        |  FROM g1),
+        |gr AS (SELECT dom, gid,
+        |    MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS has_agent,
+        |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+        |  FROM g2 WHERE key = 'user-agent' GROUP BY dom, gid),
+        |da AS (SELECT dom, MAX(has_agent) AS dom_has FROM gr GROUP BY dom),
+        |sel AS (SELECT gr.dom, gr.gid FROM gr JOIN da USING (dom)
+        |  WHERE CASE WHEN da.dom_has = 1 THEN gr.has_agent = 1
+        |    ELSE gr.has_star = 1 END),
+        |rl AS (SELECT g2.dom, value AS pattern,
+        |    (key = 'allow') AS is_allow,
+        |    CAST(strlen(value) AS BIGINT) AS plen,
+        |""" +
+      s"""    ${sqlRobotsRx("value")} AS rx
+        |""" +
+      """  FROM g2 JOIN sel ON g2.dom = sel.dom AND g2.gid = sel.gid
+        |  WHERE key IN ('allow', 'disallow') AND g2.gid > 0 AND value <> ''),
+        |mt AS (SELECT d.doc_id, r.plen, r.is_allow
+        |  FROM dm d LEFT JOIN rl r
+        |    ON d.dom = r.dom AND regexp_matches(d.path, r.rx)),
+        |ag AS (SELECT doc_id,
+        |    MAX(plen * 2 + CASE WHEN is_allow THEN 1 ELSE 0 END) AS wkey
+        |  FROM mt GROUP BY doc_id),
+        |ra AS (SELECT rr.doc_id,
+        |    CASE WHEN rr.url_canon IS NULL THEN FALSE
+        |      ELSE coalesce(ag.wkey % 2 = 1, TRUE) END AS robots_allowed
+        |  FROM rr LEFT JOIN ag USING (doc_id)),
+        |k2 AS (SELECT rr.url_canon, MIN(rr.doc_id) AS keep_id
+        |  FROM rr JOIN ra USING (doc_id)
+        |  WHERE rr.url_pass AND ra.robots_allowed
+        |    AND rr.url_canon IS NOT NULL
+        |  GROUP BY rr.url_canon)
+        |SELECT rr.doc_id, ra.robots_allowed, rr.url_pass,
+        |  coalesce(ra.robots_allowed AND rr.url_pass
+        |    AND rr.doc_id = k2.keep_id, FALSE) AS is_canonical,
+        |  (coalesce(ra.robots_allowed AND rr.url_pass
+        |    AND rr.doc_id = k2.keep_id, FALSE)
+        |    AND qt.n_tokens_clean >= 10 AND qt.quality >= 20)
+        |    AS final_keep
+        |FROM rr JOIN ra USING (doc_id) JOIN qt USING (doc_id)
+        |LEFT JOIN k2 ON rr.url_canon = k2.url_canon
+        |ORDER BY rr.doc_id""").stripMargin,
     "ht01_html_extract" -> sqlHt01Replay,
     // ht02's oracle IS ht01's regex replay: the parser tier is
     // byte-equal to the regex tier on the shared domain (the synth is
