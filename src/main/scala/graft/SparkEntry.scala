@@ -1579,6 +1579,37 @@ object SparkEntry {
           col("winner_len"), col("n_matched"))
         .orderBy(col("doc_id"))
     }),
+    // robots politeness/discovery metadata: group-scoped crawl-delay
+    // for the selected agent (fractional floor to ms, bogus/negative
+    // ignored, min across selected groups) + group-independent sitemap
+    // list — five per-domain policy shapes incl. a delay BETWEEN two
+    // consecutive UA lines (adjacency preserved) and a foreign-agent
+    // file whose sitemaps still surface
+    "rb02_robots_meta" -> ((s, dir) => {
+      import graft.operators.Robots
+      val robotsDf = t(s, dir, "documents")
+        .select(concat(lit("site"), (col("doc_id") % 5).cast("string"))
+          .as("domain"))
+        .distinct()
+        .withColumn("robots",
+          when(col("domain") === "site1", lit(
+            "User-agent: *\nCrawl-delay: 1.5\nDisallow: /a\n" +
+              "Sitemap: https://site1.example/sm.xml"))
+            .when(col("domain") === "site2", lit(
+              "User-agent: graftbot\nCrawl-delay: 2\n" +
+                "User-agent: *\nCrawl-delay: 9"))
+            .when(col("domain") === "site3", lit(
+              "User-agent: otherbot\nCrawl-delay: 3\n" +
+                "Sitemap: https://site3.example/b.xml\n" +
+                "Sitemap: https://site3.example/a.xml"))
+            .when(col("domain") === "site4", lit(
+              "User-agent: graftbot\nCrawl-delay: bogus\n" +
+                "User-agent: alpha\nCrawl-delay: 0.25\n" +
+                "User-agent: graftbot\nDisallow: /z"))
+            .otherwise(lit(null).cast("string")))
+      Robots.robotsMeta(robotsDf, "domain", "robots", "graftbot")
+        .orderBy(col("domain"))
+    }),
     // the FULLY composed acquire front door: robots policy -> URL
     // filters -> extraction-quality gate -> URL dedup, with robots
     // gating BEFORE dedup (a disallowed page is never fetched, so it
@@ -3288,6 +3319,76 @@ object SparkEntry {
         |  CAST(wkey // 2 AS BIGINT) AS winner_len,
         |  n_matched
         |FROM ag ORDER BY doc_id""").stripMargin,
+    // robots-meta replay: the same line/kv parse, grouping over the
+    // ACCESS rows only (crawl-delay/sitemap ignored for adjacency),
+    // forward-filled gid for delay rows, clause-4 group selection,
+    // TRY_CAST + floor-to-ms + min; sitemaps sorted distinct,
+    // group-independent
+    "rb02_robots_meta" ->
+      ("""WITH d AS (SELECT DISTINCT
+        |    'site' || CAST(doc_id % 5 AS VARCHAR) AS dom FROM documents),
+        |rb AS (SELECT dom, CASE dom
+        |    WHEN 'site1' THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 1.5' || chr(10) || 'Disallow: /a' || chr(10) || 'Sitemap: https://site1.example/sm.xml'
+        |    WHEN 'site2' THEN 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 2' || chr(10) || 'User-agent: *' || chr(10) || 'Crawl-delay: 9'
+        |    WHEN 'site3' THEN 'User-agent: otherbot' || chr(10) || 'Crawl-delay: 3' || chr(10) || 'Sitemap: https://site3.example/b.xml' || chr(10) || 'Sitemap: https://site3.example/a.xml'
+        |    WHEN 'site4' THEN 'User-agent: graftbot' || chr(10) || 'Crawl-delay: bogus' || chr(10) || 'User-agent: alpha' || chr(10) || 'Crawl-delay: 0.25' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /z'
+        |    ELSE NULL END AS robots
+        |  FROM d),
+        |ln AS (SELECT dom, t.pos,
+        |    regexp_replace(regexp_replace(regexp_replace(t.raw,
+        |      '\r$', ''), '#.*$', ''), '^[ \t]+|[ \t]+$', '', 'g') AS line
+        |  FROM rb, LATERAL (SELECT
+        |    unnest(string_split(coalesce(robots, ''), chr(10))) AS raw,
+        |    generate_subscripts(string_split(coalesce(robots, ''), chr(10)), 1) AS pos) t),
+        |kva AS (SELECT dom, pos,
+        |    lower(regexp_extract(line, '^([A-Za-z-]+)[ \t]*:', 1)) AS key,
+        |    regexp_replace(regexp_extract(line,
+        |      '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1), '[ \t]+$', '') AS value
+        |  FROM ln WHERE line <> ''),
+        |kv2 AS (SELECT * FROM kva
+        |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+        |g1 AS (SELECT dom, pos, key, value,
+        |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
+        |  FROM kv2),
+        |g2 AS (SELECT dom, pos, key, value,
+        |    SUM(CASE WHEN key = 'user-agent'
+        |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY dom ORDER BY pos ROWS UNBOUNDED PRECEDING)
+        |      AS gid
+        |  FROM g1),
+        |gr AS (SELECT dom, gid,
+        |    MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS has_agent,
+        |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+        |  FROM g2 WHERE key = 'user-agent' GROUP BY dom, gid),
+        |da AS (SELECT dom, MAX(has_agent) AS dom_has FROM gr GROUP BY dom),
+        |sel AS (SELECT gr.dom, gr.gid FROM gr JOIN da USING (dom)
+        |  WHERE CASE WHEN da.dom_has = 1 THEN gr.has_agent = 1
+        |    ELSE gr.has_star = 1 END),
+        |cm AS (SELECT dom, pos, gid, NULL AS cdv FROM g2
+        |  UNION ALL
+        |  SELECT dom, pos, NULL, value FROM kva WHERE key = 'crawl-delay'),
+        |cf AS (SELECT dom, pos, cdv,
+        |    last_value(gid IGNORE NULLS) OVER (PARTITION BY dom
+        |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gidf
+        |  FROM cm),
+        |cd AS (SELECT cf.dom,
+        |    MIN(CAST(floor(TRY_CAST(cdv AS DOUBLE) * 1000) AS BIGINT))
+        |      AS crawl_delay_ms
+        |  FROM cf JOIN sel ON cf.dom = sel.dom AND cf.gidf = sel.gid
+        |  WHERE cdv IS NOT NULL AND TRY_CAST(cdv AS DOUBLE) IS NOT NULL
+        |    AND floor(TRY_CAST(cdv AS DOUBLE) * 1000) >= 0
+        |  GROUP BY cf.dom),
+        |sm AS (SELECT dom, list(value ORDER BY value) AS sitemaps
+        |  FROM (SELECT DISTINCT dom, value FROM kva
+        |    WHERE key = 'sitemap' AND value <> '')
+        |  GROUP BY dom)
+        |SELECT d.dom AS domain, cd.crawl_delay_ms,
+        |  CAST(coalesce(len(sm.sitemaps), 0) AS BIGINT) AS n_sitemaps,
+        |  coalesce(sm.sitemaps, []) AS sitemaps
+        |FROM d LEFT JOIN cd ON d.dom = cd.dom
+        |LEFT JOIN sm ON d.dom = sm.dom
+        |ORDER BY domain""").stripMargin,
     // composed robots-gated funnel replay: the wp CTEs + registered
     // domains of the canonical hosts + per-domain policies + rb01's
     // parse chain VERBATIM (OracleSyncSpec pins the byte-identity) +

@@ -82,53 +82,8 @@ object Robots {
       domainCol: String,
       robotsCol: String,
       agent: String): DataFrame = {
-    val lines = robots
-      .select(col(domainCol).as("domain"),
-        posexplode(split(coalesce(col(robotsCol), lit("")), "\n"))
-          .as(Seq("pos", "raw")))
-      // CR strip (CRLF docs), comment strip, blank trim (explicit
-      // space/tab class — trim() is spaces-only and \s is
-      // engine-divergent)
-      .select(col("domain"), col("pos"),
-        regexp_replace(
-          regexp_replace(regexp_replace(col("raw"), "\r$", ""),
-            "#.*$", ""),
-          "^[ \t]+|[ \t]+$", "").as("line"))
-      .filter(col("line") =!= "")
-    val kv = lines
-      .select(col("domain"), col("pos"),
-        lower(regexp_extract(col("line"), "^([A-Za-z-]+)[ \t]*:", 1))
-          .as("key"),
-        regexp_replace(
-          regexp_extract(col("line"), "^[A-Za-z-]+[ \t]*:[ \t]*(.*)$", 1),
-          "[ \t]+$", "").as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
-    val w = Window.partitionBy("domain").orderBy("pos")
-    val grouped = kv
-      .withColumn("prev_key", lag(col("key"), 1).over(w))
-      // a user-agent line NOT immediately preceded by another
-      // user-agent line starts a new group (consecutive UA lines share
-      // one group — contract clause 3)
-      .withColumn("gstart",
-        (col("key") === "user-agent" &&
-          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
-          .cast("long"))
-      .withColumn("gid", sum(col("gstart")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val groups = grouped
-      .filter(col("key") === "user-agent")
-      .groupBy(col("domain"), col("gid"))
-      .agg(
-        max((lower(col("value")) === agent.toLowerCase).cast("int"))
-          .as("has_agent"),
-        max((col("value") === "*").cast("int")).as("has_star"))
-    // clause 4: agent-named groups when any exist, else the * groups
-    val domAny = groups.groupBy(col("domain"))
-      .agg(max(col("has_agent")).as("dom_has_agent"))
-    val selected = groups.join(domAny, Seq("domain"))
-      .filter(when(col("dom_has_agent") === 1, col("has_agent") === 1)
-        .otherwise(col("has_star") === 1))
-      .select(col("domain"), col("gid"))
+    val grouped = groupedAccessRows(kvRows(robots, domainCol, robotsCol))
+    val selected = selectedGroups(grouped, agent)
     grouped
       .filter(col("key").isin("allow", "disallow") &&
         col("gid") > 0L && col("value") =!= "")
@@ -141,6 +96,129 @@ object Robots {
         // than a conforming crawler (oracle twin: DuckDB strlen)
         octet_length(col("value")).cast("long").as("plen"),
         patternRegex(col("value")).as("rx"))
+  }
+
+  /** Every parsed `key : value` record with its line position —
+    * CR/comment/blank handling per contract clause 1, keys lowered,
+    * values right-trimmed. NOT key-filtered: [[parseRobots]] keeps the
+    * access-control keys, [[robotsMeta]] also reads crawl-delay and
+    * sitemap records. */
+  private def kvRows(
+      robots: DataFrame, domainCol: String, robotsCol: String): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(coalesce(col(robotsCol), lit("")), "\n"))
+          .as(Seq("pos", "raw")))
+      // CR strip (CRLF docs), comment strip, blank trim (explicit
+      // space/tab class — trim() is spaces-only and \s is
+      // engine-divergent)
+      .select(col("domain"), col("pos"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("raw"), "\r$", ""),
+            "#.*$", ""),
+          "^[ \t]+|[ \t]+$", "").as("line"))
+      .filter(col("line") =!= "")
+      .select(col("domain"), col("pos"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)[ \t]*:", 1))
+          .as("key"),
+        regexp_replace(
+          regexp_extract(col("line"), "^[A-Za-z-]+[ \t]*:[ \t]*(.*)$", 1),
+          "[ \t]+$", "").as("value"))
+
+  /** Per-domain politeness/discovery METADATA — the records the access
+    * gate deliberately ignores, surfaced for the fetch scheduler:
+    *
+    *   - `crawl_delay_ms`: the smallest parseable Crawl-delay among the
+    *     groups SELECTED for `agent` (same clause-4 selection as
+    *     [[parseRobots]]; Crawl-delay is not in RFC 9309, but the
+    *     de-facto semantics every major crawler implements read it
+    *     group-scoped). Fractional seconds floor to milliseconds;
+    *     unparseable or negative values are ignored; no selected group
+    *     or no delay → null. A Crawl-delay BETWEEN two user-agent lines
+    *     does not break their group (unknown-record adjacency, the
+    *     parseRobots convention).
+    *   - `sitemaps`: all Sitemap record values, sorted distinct —
+    *     GROUP-INDEPENDENT by the sitemaps.org protocol (valid anywhere
+    *     in the file), so they surface even when no group applies.
+    *
+    * One row per input domain (null/empty robots → null delay, empty
+    * sitemap list). Same bounded-frame scale shape as [[parseRobots]].
+    * Output: (domain, crawl_delay_ms, n_sitemaps, sitemaps). */
+  def robotsMeta(
+      robots: DataFrame,
+      domainCol: String,
+      robotsCol: String,
+      agent: String): DataFrame = {
+    val kv = kvRows(robots, domainCol, robotsCol)
+    val grouped = groupedAccessRows(kv)
+    val selected = selectedGroups(grouped, agent)
+    val w = Window.partitionBy("domain").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // crawl-delay rows inherit the gid of the most recent group start:
+    // union the access rows' gid marks with the delay rows and fill
+    // forward by position
+    val marks = grouped.select(col("domain"), col("pos"),
+      col("gid"), lit(null).cast("string").as("cd_value"))
+    val cdRows = kv.filter(col("key") === "crawl-delay")
+      .select(col("domain"), col("pos"),
+        lit(null).cast("long").as("gid"), col("value").as("cd_value"))
+    val delays = marks.unionByName(cdRows)
+      .withColumn("gid_filled", last(col("gid"), ignoreNulls = true).over(w))
+      .filter(col("cd_value").isNotNull && col("gid_filled").isNotNull)
+      .join(selected.withColumnRenamed("gid", "gid_filled"),
+        Seq("domain", "gid_filled"))
+      .withColumn("__ms",
+        floor(expr("try_cast(cd_value AS double)") * 1000.0).cast("long"))
+      .filter(col("__ms").isNotNull && col("__ms") >= 0L)
+      .groupBy(col("domain")).agg(min(col("__ms")).as("crawl_delay_ms"))
+    val sitemaps = kv
+      .filter(col("key") === "sitemap" && col("value") =!= "")
+      .groupBy(col("domain"))
+      .agg(sort_array(collect_set(col("value"))).as("sitemaps"))
+    robots.select(col(domainCol).as("domain")).distinct()
+      .join(delays, Seq("domain"), "left_outer")
+      .join(sitemaps, Seq("domain"), "left_outer")
+      .select(col("domain"), col("crawl_delay_ms"),
+        coalesce(size(col("sitemaps")), lit(0)).cast("long")
+          .as("n_sitemaps"),
+        coalesce(col("sitemaps"), array().cast("array<string>"))
+          .as("sitemaps"))
+  }
+
+  /** The access-control rows (user-agent/allow/disallow ONLY — other
+    * records are ignored for GROUPING, so two user-agent lines with a
+    * crawl-delay between them still share a group) with their group id:
+    * a user-agent line not immediately preceded by another user-agent
+    * line starts a new group (contract clause 3). */
+  private def groupedAccessRows(kv: DataFrame): DataFrame = {
+    val w = Window.partitionBy("domain").orderBy("pos")
+    kv.filter(col("key").isin("user-agent", "allow", "disallow"))
+      .withColumn("prev_key", lag(col("key"), 1).over(w))
+      .withColumn("gstart",
+        (col("key") === "user-agent" &&
+          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
+          .cast("long"))
+      .withColumn("gid", sum(col("gstart")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Contract clause 4 group selection for one agent token: every group
+    * naming the token exactly (case-insensitive) if any exists in the
+    * domain, else every `*` group. Output: (domain, gid). */
+  private def selectedGroups(grouped: DataFrame, agent: String): DataFrame = {
+    val groups = grouped
+      .filter(col("key") === "user-agent")
+      .groupBy(col("domain"), col("gid"))
+      .agg(
+        max((lower(col("value")) === agent.toLowerCase).cast("int"))
+          .as("has_agent"),
+        max((col("value") === "*").cast("int")).as("has_star"))
+    val domAny = groups.groupBy(col("domain"))
+      .agg(max(col("has_agent")).as("dom_has_agent"))
+    groups.join(domAny, Seq("domain"))
+      .filter(when(col("dom_has_agent") === 1, col("has_agent") === 1)
+        .otherwise(col("has_star") === 1))
+      .select(col("domain"), col("gid"))
   }
 
   /** Gate a URL table against a [[parseRobots]] frame: one row per

@@ -108,6 +108,48 @@ class RobotsSpec extends AnyFunSuite {
     assert(got == Map("/a+b(c).d/e" -> false, "/aab(c)xd" -> true))
   }
 
+  private def meta(doc: String, agent: String = "graftbot") = {
+    val r = Robots.robotsMeta(
+      Seq(("d1", doc)).toDF("domain", "robots"), "domain", "robots", agent)
+      .head()
+    (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      r.getLong(2), r.getSeq[String](3).toList)
+  }
+
+  test("meta: group-scoped crawl-delay, fractional floor, shadowing, min across groups") {
+    // selected * group: 1.5 s -> 1500 ms; sitemap surfaced
+    assert(meta("User-agent: *\nCrawl-delay: 1.5\nDisallow: /a\n" +
+      "Sitemap: https://s1/sm.xml") ==
+      ((Some(1500L), 1L, List("https://s1/sm.xml"))))
+    // agent-named group shadows the * group's delay
+    assert(meta("User-agent: graftbot\nCrawl-delay: 2\n" +
+      "User-agent: *\nCrawl-delay: 9")._1 == Some(2000L))
+    // bogus delay in one selected group is ignored; the parseable
+    // 0.25 s in the consecutive-UA shared group wins the MIN
+    assert(meta("User-agent: graftbot\nCrawl-delay: bogus\n" +
+      "User-agent: alpha\nUser-agent: graftbot\nCrawl-delay: 0.25")._1 ==
+      Some(250L))
+    // foreign-agent-only file: no selected group -> null delay, but
+    // sitemaps are group-independent and sorted distinct
+    assert(meta("User-agent: otherbot\nCrawl-delay: 3\n" +
+      "Sitemap: https://s3/b.xml\nSitemap: https://s3/a.xml\n" +
+      "Sitemap: https://s3/a.xml") ==
+      ((None, 2L, List("https://s3/a.xml", "https://s3/b.xml"))))
+    // a crawl-delay BETWEEN two user-agent lines does not break their
+    // group (unknown-record adjacency): both agents share the delay-
+    // bearing group and its rules
+    assert(meta("User-agent: alpha\nCrawl-delay: 4\n" +
+      "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /x")._1 ==
+      Some(4000L))
+    // negative delays are invalid -> ignored
+    assert(meta("User-agent: *\nCrawl-delay: -5")._1 == None)
+    // null robots: null delay, empty sitemap list
+    val r0 = Robots.robotsMeta(
+      Seq(("d1", Option.empty[String])).toDF("domain", "robots"),
+      "domain", "robots", "graftbot").head()
+    assert(r0.isNullAt(1) && r0.getLong(2) == 0L)
+  }
+
   test("gate: no robots / empty robots -> everything allowed") {
     val r = Robots.parseRobots(
       Seq(("d1", null: String), ("d2", "")).toDF("domain", "robots"),
