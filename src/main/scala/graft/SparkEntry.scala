@@ -1644,13 +1644,13 @@ object SparkEntry {
       val rules = Robots.parseRobots(robotsDf, "domain", "robots", "graftbot")
       val gate = Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
         .select(col("doc_id"), col("allowed"))
+      // the gate only emits rows for non-null canonicals, so a missed
+      // left join IS the null-canon case: one coalesce covers both
       val withRobots = v
         .join(gate, Seq("doc_id"), "left_outer")
-        .withColumn("robots_allowed",
-          coalesce(col("allowed") && col("url_canon").isNotNull, lit(false)))
+        .withColumn("robots_allowed", coalesce(col("allowed"), lit(false)))
       val keepers2 = withRobots
-        .filter(col("robots_allowed") && col("url_pass") &&
-          col("url_canon").isNotNull)
+        .filter(col("robots_allowed") && col("url_pass"))
         .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep2"))
       withRobots
         .join(keepers2, Seq("url_canon"), "left_outer")
@@ -3319,11 +3319,10 @@ object SparkEntry {
         |  CAST(wkey // 2 AS BIGINT) AS winner_len,
         |  n_matched
         |FROM ag ORDER BY doc_id""").stripMargin,
-    // robots-meta replay: the same line/kv parse, grouping over the
-    // ACCESS rows only (crawl-delay/sitemap ignored for adjacency),
-    // forward-filled gid for delay rows, clause-4 group selection,
-    // TRY_CAST + floor-to-ms + min; sitemaps sorted distinct,
-    // group-independent
+    // robots-meta replay: the same line/kv parse, DELAY-side grouping
+    // with crawl-delay as a member record (it ends a UA run), clause-4
+    // group selection, range-guarded TRY_CAST + floor-to-ms + the
+    // conservative MAX; sitemaps sorted distinct, group-independent
     "rb02_robots_meta" ->
       ("""WITH d AS (SELECT DISTINCT
         |    'site' || CAST(doc_id % 5 AS VARCHAR) AS dom FROM documents),
@@ -3345,11 +3344,11 @@ object SparkEntry {
         |    regexp_replace(regexp_extract(line,
         |      '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1), '[ \t]+$', '') AS value
         |  FROM ln WHERE line <> ''),
-        |kv2 AS (SELECT * FROM kva
-        |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+        |kv4 AS (SELECT * FROM kva
+        |  WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
         |g1 AS (SELECT dom, pos, key, value,
         |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
-        |  FROM kv2),
+        |  FROM kv4),
         |g2 AS (SELECT dom, pos, key, value,
         |    SUM(CASE WHEN key = 'user-agent'
         |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
@@ -3365,20 +3364,16 @@ object SparkEntry {
         |sel AS (SELECT gr.dom, gr.gid FROM gr JOIN da USING (dom)
         |  WHERE CASE WHEN da.dom_has = 1 THEN gr.has_agent = 1
         |    ELSE gr.has_star = 1 END),
-        |cm AS (SELECT dom, pos, gid, NULL AS cdv FROM g2
-        |  UNION ALL
-        |  SELECT dom, pos, NULL, value FROM kva WHERE key = 'crawl-delay'),
-        |cf AS (SELECT dom, pos, cdv,
-        |    last_value(gid IGNORE NULLS) OVER (PARTITION BY dom
-        |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gidf
-        |  FROM cm),
-        |cd AS (SELECT cf.dom,
-        |    MIN(CAST(floor(TRY_CAST(cdv AS DOUBLE) * 1000) AS BIGINT))
+        |cd AS (SELECT g2.dom,
+        |    MAX(CAST(floor(TRY_CAST(value AS DOUBLE) * 1000) AS BIGINT))
         |      AS crawl_delay_ms
-        |  FROM cf JOIN sel ON cf.dom = sel.dom AND cf.gidf = sel.gid
-        |  WHERE cdv IS NOT NULL AND TRY_CAST(cdv AS DOUBLE) IS NOT NULL
-        |    AND floor(TRY_CAST(cdv AS DOUBLE) * 1000) >= 0
-        |  GROUP BY cf.dom),
+        |  FROM g2 JOIN sel ON g2.dom = sel.dom AND g2.gid = sel.gid
+        |  WHERE key = 'crawl-delay' AND g2.gid > 0
+        |    AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+        |    AND NOT isnan(TRY_CAST(value AS DOUBLE))
+        |    AND TRY_CAST(value AS DOUBLE) >= 0
+        |    AND TRY_CAST(value AS DOUBLE) <= 86400
+        |  GROUP BY g2.dom),
         |sm AS (SELECT dom, list(value ORDER BY value) AS sitemaps
         |  FROM (SELECT DISTINCT dom, value FROM kva
         |    WHERE key = 'sitemap' AND value <> '')

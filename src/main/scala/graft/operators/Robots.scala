@@ -128,15 +128,21 @@ object Robots {
   /** Per-domain politeness/discovery METADATA — the records the access
     * gate deliberately ignores, surfaced for the fetch scheduler:
     *
-    *   - `crawl_delay_ms`: the smallest parseable Crawl-delay among the
+    *   - `crawl_delay_ms`: the LARGEST parseable Crawl-delay among the
     *     groups SELECTED for `agent` (same clause-4 selection as
-    *     [[parseRobots]]; Crawl-delay is not in RFC 9309, but the
-    *     de-facto semantics every major crawler implements read it
-    *     group-scoped). Fractional seconds floor to milliseconds;
-    *     unparseable or negative values are ignored; no selected group
-    *     or no delay → null. A Crawl-delay BETWEEN two user-agent lines
-    *     does not break their group (unknown-record adjacency, the
-    *     parseRobots convention).
+    *     [[parseRobots]]) — politeness errs slow, so when several
+    *     selected groups disagree the conservative delay wins.
+    *     Fractional seconds floor to milliseconds; unparseable,
+    *     NaN/Infinity, negative, or absurd (> 86400 s) values are
+    *     ignored as garbage; no selected group or no valid delay →
+    *     null. For DELAY attribution, Crawl-delay is a group MEMBER
+    *     record — it ends a user-agent run the way allow/disallow do —
+    *     matching the parsers that actually honor it ("User-agent: a,
+    *     Crawl-delay: 2, User-agent: *, Crawl-delay: 9" is two groups,
+    *     and agent `a` waits 2 s, not 9). This deliberately differs
+    *     from the ACCESS parser's grouping, where crawl-delay is an
+    *     unknown record and invisible to adjacency per RFC 9309 —
+    *     each side implements its own spec.
     *   - `sitemaps`: all Sitemap record values, sorted distinct —
     *     GROUP-INDEPENDENT by the sitemaps.org protocol (valid anywhere
     *     in the file), so they surface even when no group applies.
@@ -150,27 +156,22 @@ object Robots {
       robotsCol: String,
       agent: String): DataFrame = {
     val kv = kvRows(robots, domainCol, robotsCol)
-    val grouped = groupedAccessRows(kv)
-    val selected = selectedGroups(grouped, agent)
-    val w = Window.partitionBy("domain").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // crawl-delay rows inherit the gid of the most recent group start:
-    // union the access rows' gid marks with the delay rows and fill
-    // forward by position
-    val marks = grouped.select(col("domain"), col("pos"),
-      col("gid"), lit(null).cast("string").as("cd_value"))
-    val cdRows = kv.filter(col("key") === "crawl-delay")
-      .select(col("domain"), col("pos"),
-        lit(null).cast("long").as("gid"), col("value").as("cd_value"))
-    val delays = marks.unionByName(cdRows)
-      .withColumn("gid_filled", last(col("gid"), ignoreNulls = true).over(w))
-      .filter(col("cd_value").isNotNull && col("gid_filled").isNotNull)
-      .join(selected.withColumnRenamed("gid", "gid_filled"),
-        Seq("domain", "gid_filled"))
-      .withColumn("__ms",
-        floor(expr("try_cast(cd_value AS double)") * 1000.0).cast("long"))
-      .filter(col("__ms").isNotNull && col("__ms") >= 0L)
-      .groupBy(col("domain")).agg(min(col("__ms")).as("crawl_delay_ms"))
+    // delay-side grouping: crawl-delay participates like a rule record
+    val grouped4 = groupedRows(kv.filter(
+      col("key").isin("user-agent", "allow", "disallow", "crawl-delay")))
+    val selected = selectedGroups(grouped4, agent)
+    val delays = grouped4
+      .filter(col("key") === "crawl-delay" && col("gid") > 0L)
+      .join(selected, Seq("domain", "gid"))
+      .withColumn("__d", expr("try_cast(value AS double)"))
+      // range-guard BEFORE floor: floor(NaN) silently converts to 0L
+      // (a zero delay from garbage input — the exact opposite of
+      // politeness) and Infinity/1e300 to Long.MaxValue; the 86400 s
+      // ceiling drops absurd values as garbage too
+      .filter(col("__d").isNotNull && !isnan(col("__d")) &&
+        col("__d") >= 0.0 && col("__d") <= 86400.0)
+      .withColumn("__ms", floor(col("__d") * 1000.0).cast("long"))
+      .groupBy(col("domain")).agg(max(col("__ms")).as("crawl_delay_ms"))
     val sitemaps = kv
       .filter(col("key") === "sitemap" && col("value") =!= "")
       .groupBy(col("domain"))
@@ -190,9 +191,16 @@ object Robots {
     * crawl-delay between them still share a group) with their group id:
     * a user-agent line not immediately preceded by another user-agent
     * line starts a new group (contract clause 3). */
-  private def groupedAccessRows(kv: DataFrame): DataFrame = {
+  private def groupedAccessRows(kv: DataFrame): DataFrame =
+    groupedRows(kv.filter(col("key").isin("user-agent", "allow", "disallow")))
+
+  /** The UA-run grouping window over an already-key-filtered frame —
+    * which keys participate decides adjacency, so each caller names its
+    * own record set ([[groupedAccessRows]] the RFC 9309 access records,
+    * [[robotsMeta]] those plus crawl-delay). */
+  private def groupedRows(kvFiltered: DataFrame): DataFrame = {
     val w = Window.partitionBy("domain").orderBy("pos")
-    kv.filter(col("key").isin("user-agent", "allow", "disallow"))
+    kvFiltered
       .withColumn("prev_key", lag(col("key"), 1).over(w))
       .withColumn("gstart",
         (col("key") === "user-agent" &&

@@ -116,7 +116,7 @@ class RobotsSpec extends AnyFunSuite {
       r.getLong(2), r.getSeq[String](3).toList)
   }
 
-  test("meta: group-scoped crawl-delay, fractional floor, shadowing, min across groups") {
+  test("meta: group-scoped crawl-delay, fractional floor, shadowing, conservative max") {
     // selected * group: 1.5 s -> 1500 ms; sitemap surfaced
     assert(meta("User-agent: *\nCrawl-delay: 1.5\nDisallow: /a\n" +
       "Sitemap: https://s1/sm.xml") ==
@@ -125,7 +125,7 @@ class RobotsSpec extends AnyFunSuite {
     assert(meta("User-agent: graftbot\nCrawl-delay: 2\n" +
       "User-agent: *\nCrawl-delay: 9")._1 == Some(2000L))
     // bogus delay in one selected group is ignored; the parseable
-    // 0.25 s in the consecutive-UA shared group wins the MIN
+    // 0.25 s in the consecutive-UA shared group is the only candidate
     assert(meta("User-agent: graftbot\nCrawl-delay: bogus\n" +
       "User-agent: alpha\nUser-agent: graftbot\nCrawl-delay: 0.25")._1 ==
       Some(250L))
@@ -135,14 +135,25 @@ class RobotsSpec extends AnyFunSuite {
       "Sitemap: https://s3/b.xml\nSitemap: https://s3/a.xml\n" +
       "Sitemap: https://s3/a.xml") ==
       ((None, 2L, List("https://s3/a.xml", "https://s3/b.xml"))))
-    // a crawl-delay BETWEEN two user-agent lines does not break their
-    // group (unknown-record adjacency): both agents share the delay-
-    // bearing group and its rules
+    // for DELAY attribution a crawl-delay is a group MEMBER record: it
+    // ENDS a user-agent run, so alpha and graftbot here are separate
+    // groups and graftbot waits its own group's 7 s (the access parser
+    // would merge these UA lines — each side implements its own spec)
     assert(meta("User-agent: alpha\nCrawl-delay: 4\n" +
       "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /x")._1 ==
-      Some(4000L))
+      Some(7000L))
+    // both selected groups carry a delay: the conservative MAX wins
+    assert(meta("User-agent: graftbot\nCrawl-delay: 3\n" +
+      "User-agent: graftbot\nCrawl-delay: 8")._1 == Some(8000L))
     // negative delays are invalid -> ignored
     assert(meta("User-agent: *\nCrawl-delay: -5")._1 == None)
+    // NaN/Infinity/absurd values are garbage, never a zero or maximal
+    // delay (floor(NaN) would otherwise convert to 0 and win)
+    assert(meta("User-agent: *\nCrawl-delay: NaN\n" +
+      "User-agent: *\nCrawl-delay: 5")._1 == Some(5000L))
+    assert(meta("User-agent: *\nCrawl-delay: Infinity")._1 == None)
+    assert(meta("User-agent: *\nCrawl-delay: 1e300")._1 == None)
+    assert(meta("User-agent: *\nCrawl-delay: 90000")._1 == None)
     // null robots: null delay, empty sitemap list
     val r0 = Robots.robotsMeta(
       Seq(("d1", Option.empty[String])).toDF("domain", "robots"),
