@@ -188,6 +188,20 @@ object Bench {
     case None           => (median, median)
   }
 
+  /** The band a capture's artifact may carry for one lane. A band is by
+    * definition the spread of CERTIFIED medians — so only a certifiable
+    * capture extends it; a refused capture carries the prior certified
+    * band through UNCHANGED (round 12's implausible round-end artifact
+    * carried bands whose hi was its own 6.2x noise reading — data that
+    * reads like certified lineage but isn't), and a refused capture
+    * with no certified prior carries no band at all rather than
+    * fabricating one from unvetted numbers. */
+  private[graft] def bandForCapture(
+      prior: Option[(Double, Double)],
+      median: Double,
+      isCertifiable: Boolean): Option[(Double, Double)] =
+    if (isCertifiable) Some(extendBand(prior, median)) else prior
+
   /** Pre-sweep quiet-window wait: probe until the box is quiet or the
     * attempt budget runs out, so a sweep isn't burned into a capture the
     * guard will refuse anyway (round 10's round-end artifact was exactly
@@ -355,22 +369,27 @@ object Bench {
       // docs artifact: last_run promises the full catalog just as the
       // baseline does; filtered runs report via stdout only
       try if (only.isEmpty) {
+        val isCert = certifiable(passes, iters, errors.size, budgetHit,
+          dirty, implausible)
         // per-lane certified band: min/max of certified medians this lane
-        // has recorded, carried forward from the prior _latest and
-        // extended with THIS capture's median — drift adjudication data
+        // has recorded, carried forward from the prior _latest — and
+        // extended with THIS capture's median ONLY when the capture
+        // certifies ([[bandForCapture]]; a refused capture must not
+        // launder its noise into certified-looking lineage)
         val full = results.map { case (k, v) =>
-          val (lo, hi) = extendBand(certifiedLanes.get(k).flatMap(_._2)
-            .orElse(certifiedLanes.get(k).map(m => (m._1, m._1))), v)
+          val prior = certifiedLanes.get(k).flatMap(_._2)
+            .orElse(certifiedLanes.get(k).map(m => (m._1, m._1)))
+          val bandJson = bandForCapture(prior, v, isCert)
+            .map { case (lo, hi) => s""","band":[$lo,$hi]""" }.getOrElse("")
           "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
-            samples(k).reverse.mkString(",") + s"],\"band\":[$lo,$hi]}"
+            samples(k).reverse.mkString(",") + s"]$bandJson}"
         }.mkString("{", ",", "}")
         val doc =
           s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit$guardTag}
              |""".stripMargin.getBytes("UTF-8")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
-        if (certifiable(passes, iters, errors.size, budgetHit, dirty,
-            implausible))
+        if (isCert)
           java.nio.file.Files.write(
             java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
         else if (passes == iters &&

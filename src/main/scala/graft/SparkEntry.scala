@@ -1581,10 +1581,12 @@ object SparkEntry {
     }),
     // robots politeness/discovery metadata: group-scoped crawl-delay
     // for the selected agent (fractional floor to ms, bogus/negative
-    // ignored, min across selected groups) + group-independent sitemap
-    // list — five per-domain policy shapes incl. a delay BETWEEN two
-    // consecutive UA lines (adjacency preserved) and a foreign-agent
-    // file whose sitemaps still surface
+    // ignored, conservative max across selected groups) +
+    // group-independent sitemap list — five per-domain policy shapes
+    // incl. a delay BETWEEN two consecutive UA lines (adjacency
+    // preserved) and a foreign-agent file whose sitemaps still
+    // surface. The already-sorted sitemap list is joined to a "|"
+    // string (q40 convention) so the oracle harness can hash it
     "rb02_robots_meta" -> ((s, dir) => {
       import graft.operators.Robots
       val robotsDf = t(s, dir, "documents")
@@ -1608,6 +1610,8 @@ object SparkEntry {
                 "User-agent: graftbot\nDisallow: /z"))
             .otherwise(lit(null).cast("string")))
       Robots.robotsMeta(robotsDf, "domain", "robots", "graftbot")
+        .select(col("domain"), col("crawl_delay_ms"), col("n_sitemaps"),
+          array_join(col("sitemaps"), "|").as("sitemaps"))
         .orderBy(col("domain"))
     }),
     // the FULLY composed acquire front door: robots policy -> URL
@@ -3380,7 +3384,7 @@ object SparkEntry {
         |  GROUP BY dom)
         |SELECT d.dom AS domain, cd.crawl_delay_ms,
         |  CAST(coalesce(len(sm.sitemaps), 0) AS BIGINT) AS n_sitemaps,
-        |  coalesce(sm.sitemaps, []) AS sitemaps
+        |  coalesce(array_to_string(sm.sitemaps, '|'), '') AS sitemaps
         |FROM d LEFT JOIN cd ON d.dom = cd.dom
         |LEFT JOIN sm ON d.dom = sm.dom
         |ORDER BY domain""").stripMargin,

@@ -365,8 +365,25 @@ object UrlFunctions {
   /** [[registeredDomain]] of a URL's host; NULL when the URL doesn't
     * parse (no `scheme://` or empty host → the front-door reject,
     * mirroring [[canonicalizeUrl]]'s validity gate — without the scheme
-    * check a bare string would leak through as its own "host"). */
-  def urlDomain(url: Column): Column = {
+    * check a bare string would leak through as its own "host").
+    *
+    * Compiled as the codegen'd [[UrlDomainExpr]] (registered
+    * `url_domain`), not the Column chain: composing
+    * `registeredDomain(urlHost(url))` at the Column tier re-embeds the
+    * whole host tree at each of registeredDomain's ~8 host references
+    * (no let-binding in Column trees), which blew `domainCap`'s sort
+    * stage past the JVM 64 KB codegen limit and dropped the per-URL hot
+    * path to interpreted eval. The expression is one static call per
+    * row over precompiled patterns; [[UrlKernel]] pins the exact
+    * Column-tier semantics (UrlKernelSpec proves the equivalence). The
+    * Column twin stays available as [[urlDomainColumnTier]] for that
+    * spec. */
+  def urlDomain(url: Column): Column = call_function("url_domain", url)
+
+  /** The original Column-tier composition of [[urlDomain]] — kept ONLY
+    * as the equivalence baseline for UrlKernelSpec (it is the
+    * documented semantics; [[UrlKernel]] must match it forever). */
+  private[graft] def urlDomainColumnTier(url: Column): Column = {
     val h = urlHost(url)
     when(schemeOf(url) === "" || h === "", lit(null).cast("string"))
       .otherwise(registeredDomain(h))

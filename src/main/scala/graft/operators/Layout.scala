@@ -104,6 +104,12 @@ object Layout {
       nBuckets: Int = 16): DataFrame = {
     require(cols.nonEmpty && cols.size == domains.size,
       "cols and domains must align and be non-empty")
+    // select(col("*"), ...bucket) + the summary agg claim these names;
+    // an input already carrying them would be ambiguous or silently
+    // regroup (same reserved-column convention as the Sampling ops)
+    val reserved = Seq("bucket", "n_rows")
+    require(!reserved.exists(df.columns.contains),
+      s"input must not carry reserved columns ${reserved.mkString("/")}")
     val qs = cols.zip(domains).map { case (c, (mn, mx)) =>
       quantize(col(c), mn, mx, bits)
     }

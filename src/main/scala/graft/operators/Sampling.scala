@@ -868,6 +868,13 @@ object Sampling {
       textCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize=$batchSize")
+    // the arrival-order slicing reads the id domain with getLong +
+    // shiftright — a string/decimal id would die with an opaque
+    // ClassCastException at head(); fail loudly up front instead
+    require(docs.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"paddingReport requires a BIGINT id column; '$idCol' is " +
+        s"${docs.schema(idCol).dataType.simpleString}")
     // coalesce: a null text is a zero-token row, NOT a droppable one —
     // a null __nt would both vanish from the length_sorted layout (its
     // slice key is __nt; a null key never survives the prefix join) and

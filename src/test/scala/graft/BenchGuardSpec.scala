@@ -171,4 +171,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.extendBand(Some((1.0, 2.0)), 0.5) == ((0.5, 2.0)))
     assert(Bench.extendBand(Some((1.0, 2.0)), 2.5) == ((1.0, 2.5)))
   }
+
+  test("bandForCapture: a refused capture never extends the band") {
+    // certified capture: extends exactly like extendBand
+    assert(Bench.bandForCapture(Some((1.0, 2.0)), 2.5,
+      isCertifiable = true) == Some((1.0, 2.5)))
+    assert(Bench.bandForCapture(None, 1.5,
+      isCertifiable = true) == Some((1.5, 1.5)))
+    // the round-12 failure shape: an implausible capture whose lane read
+    // 6.2x its certified median must carry the PRIOR band unchanged —
+    // its noise never enters certified-looking lineage
+    assert(Bench.bandForCapture(Some((1.0, 2.0)), 6.7,
+      isCertifiable = false) == Some((1.0, 2.0)))
+    // refused capture with no certified prior: no band at all, rather
+    // than one fabricated from unvetted numbers
+    assert(Bench.bandForCapture(None, 6.7, isCertifiable = false).isEmpty)
+  }
 }
