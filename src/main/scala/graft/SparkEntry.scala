@@ -143,6 +143,97 @@ object SparkEntry {
           col("quality") >= 20L)
   }
 
+  /** wp03/wp04's shared robots-gated verdict frame: the wp funnel with
+    * the RFC 9309 policy gate composed BEFORE dedup (a disallowed page
+    * is never fetched, so it can never own a canonical). Returns one
+    * row per doc with the robots-aware verdict chain plus the columns
+    * the acquire tail consumes (url_canon, n_tokens_clean) — wp03
+    * projects the verdict booleans, wp04 filters `final_keep` and runs
+    * the cap→mix tail on the keepers. Single source of truth for the
+    * per-registered-domain policy synth. */
+  private def webRobotsVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Robots
+    import graft.functions.UrlFunctions
+    val v = webPipelineVerdicts(s, dir)
+    val dom = UrlFunctions.urlDomain(col("url_canon"))
+    val path = regexp_extract(
+      regexp_replace(col("url_canon"), "^[a-z0-9+.-]+://[^/?]*", ""),
+      "^([^?]*)", 1)
+    val urls = v.filter(col("url_canon").isNotNull)
+      .select(col("doc_id"), dom.as("domain"), path.as("path"))
+    val robotsDf = urls.select(col("domain")).distinct()
+      .withColumn("robots",
+        when(col("domain") === "example.com", lit(
+          "User-agent: *\nDisallow: /docs/page1\nAllow: /docs/page17"))
+          .when(col("domain") === "example.co.uk", lit(
+            "User-agent: graftbot\nDisallow: /docs/*.html$\n" +
+              "User-agent: *\nDisallow: /"))
+          .when(col("domain") === "site1.github.io", lit(
+            "User-agent: otherbot\nDisallow: /"))
+          .when(col("domain") === "site3.github.io", lit(
+            "User-agent: *\nDisallow: /"))
+          .otherwise(lit(null).cast("string")))
+    val rules = Robots.parseRobots(robotsDf, "domain", "robots", "graftbot")
+    val gate = Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
+      .select(col("doc_id"), col("allowed"))
+    // the gate only emits rows for non-null canonicals, so a missed
+    // left join IS the null-canon case: one coalesce covers both
+    val withRobots = v
+      .join(gate, Seq("doc_id"), "left_outer")
+      .withColumn("robots_allowed", coalesce(col("allowed"), lit(false)))
+    val keepers2 = withRobots
+      .filter(col("robots_allowed") && col("url_pass"))
+      .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep2"))
+    withRobots
+      .join(keepers2, Seq("url_canon"), "left_outer")
+      .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"),
+        col("robots_allowed"), col("url_pass"),
+        coalesce(col("robots_allowed") && col("url_pass") &&
+          col("doc_id") === col("__keep2"), lit(false))
+          .as("is_canonical"),
+        (coalesce(col("robots_allowed") && col("url_pass") &&
+          col("doc_id") === col("__keep2"), lit(false)) &&
+          col("n_tokens_clean") >= 10L && col("quality") >= 20L)
+          .as("final_keep"))
+  }
+
+  /** wp02/wp04's shared acquire tail: per-registered-domain doc cap
+    * (salted content-hash min-k via `Sampling.domainCap`) + the token
+    * mixture table over the capped corpus. Expects a MATERIALIZED
+    * narrow keeper frame (doc_id, url_canon, n_tokens_clean) — the
+    * callers checkpoint it, because every branch below (keeper counts,
+    * the cap's two windows, the token join, the total) would otherwise
+    * re-inline the funnel's whole expression tree. The crossJoin is a
+    * broadcast one-row total. */
+  private def capMixReport(kept: DataFrame, k: Int, salt: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val nKept = kept
+      .groupBy(UrlFunctions.urlDomain(col("url_canon")).as("domain"))
+      .agg(count(lit(1)).as("n_kept"))
+    val capped = graft.operators.Sampling.domainCap(
+      kept.select(col("doc_id"), col("url_canon").as("url")),
+      "doc_id", "url", k = k, salt = salt)
+    val cappedStats = capped
+      .join(kept.select(col("doc_id"), col("n_tokens_clean")), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_capped"),
+        sum(col("n_tokens_clean")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("ids_md5"))
+    val tot = cappedStats.agg(sum(col("n_tokens")).as("__tot"))
+    cappedStats
+      .join(nKept, Seq("domain"))
+      .crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_kept"), col("n_capped"),
+        col("n_tokens"),
+        when(col("__tot") === 0L, lit(0L))
+          .otherwise(TextFunctions.ldiv(col("n_tokens") * 1000L,
+            col("__tot"))).as("token_permille"),
+        col("ids_md5"))
+      .orderBy(col("domain"))
+  }
+
   /** Deterministic URL synthesized from doc_id for the url* lanes (the
     * driver tables carry no URL column — same convention as pii01's
     * synthesized PII): residues of doc_id pick scheme case, userinfo,
@@ -1458,44 +1549,19 @@ object SparkEntry {
     // domain; the only exchanges are the keeper agg, the cap's salted
     // min-k, and a domain-level agg — the corpus text never moves.
     "wp02_web_acquire" -> ((s, dir) => {
-      import graft.functions.UrlFunctions
       // the keeper frame MATERIALIZES once (eager localCheckpoint, the
       // GraphSession discipline): the funnel below it carries the whole
       // extraction/filter expression tree plus an internal join, and
-      // every downstream branch (keeper counts, the cap's two windows,
-      // the token join, the total) would otherwise re-inline and
-      // re-codegen that tree — measured 117 s vs ~2 s checkpointed. At
-      // 100 TB this is exactly where a pipeline persists: the funnel
-      // output is the corpus the acquire tail fans out over.
+      // every downstream branch in the shared capMixReport tail would
+      // otherwise re-inline and re-codegen that tree — measured 117 s
+      // vs ~2 s checkpointed. At 100 TB this is exactly where a
+      // pipeline persists: the funnel output is the corpus the acquire
+      // tail fans out over.
       val kept = webPipelineVerdicts(s, dir)
         .filter(col("final_keep"))
         .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"))
         .localCheckpoint(true)
-      val nKept = kept
-        .groupBy(UrlFunctions.urlDomain(col("url_canon")).as("domain"))
-        .agg(count(lit(1)).as("n_kept"))
-      val capped = graft.operators.Sampling.domainCap(
-        kept.select(col("doc_id"), col("url_canon").as("url")),
-        "doc_id", "url", k = 3, salt = "wp02")
-      val cappedStats = capped
-        .join(kept.select(col("doc_id"), col("n_tokens_clean")), Seq("doc_id"))
-        .groupBy(col("domain"))
-        .agg(count(lit(1)).as("n_capped"),
-          sum(col("n_tokens_clean")).as("n_tokens"),
-          md5(concat_ws(",",
-            transform(sort_array(collect_list(col("doc_id"))),
-              x => x.cast("string")))).as("ids_md5"))
-      val tot = cappedStats.agg(sum(col("n_tokens")).as("__tot"))
-      cappedStats
-        .join(nKept, Seq("domain"))
-        .crossJoin(broadcast(tot))
-        .select(col("domain"), col("n_kept"), col("n_capped"),
-          col("n_tokens"),
-          when(col("__tot") === 0L, lit(0L))
-            .otherwise(TextFunctions.ldiv(col("n_tokens") * 1000L,
-              col("__tot"))).as("token_permille"),
-          col("ids_md5"))
-        .orderBy(col("domain"))
+      capMixReport(kept, k = 3, salt = "wp02")
     }),
     // per-registered-domain mixture table: the domain-mixing report
     // (which domains dominate token volume) composed from urlDomain +
@@ -1614,6 +1680,54 @@ object SparkEntry {
           array_join(col("sitemaps"), "|").as("sitemaps"))
         .orderBy(col("domain"))
     }),
+    // the fetch-scheduler consumption of rb01+rb02: ONE robots file per
+    // domain drives BOTH parsers — the RFC 9309 access gate decides
+    // which URLs are fetchable, robotsMeta's politeness metadata prices
+    // them — aggregated into the per-domain crawl schedule a frontier
+    // actually plans with: fetchable/blocked counts, the agent's
+    // crawl-delay, sitemap count, and the politeness-limited crawl time
+    // (n_allowed x delay; unspecified delay prices at the 1000 ms
+    // default a polite crawler assumes). Both policy frames are
+    // domain-bounded; URL text never shuffles
+    "rb03_fetch_schedule" -> ((s, dir) => {
+      import graft.operators.Robots
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 5).cast("string"))
+          .as("domain"),
+        concat(lit("/p"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 3 === 0, lit(".html")).otherwise(lit("")))
+          .as("path"))
+      val robotsDf = urls.select(col("domain")).distinct()
+        .withColumn("robots",
+          when(col("domain") === "site1", lit(
+            "User-agent: *\nCrawl-delay: 1.5\nDisallow: /p1\n" +
+              "Sitemap: https://site1.example/sm.xml"))
+            .when(col("domain") === "site2", lit(
+              "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /p2\n" +
+                "User-agent: *\nCrawl-delay: 9\nDisallow: /"))
+            .when(col("domain") === "site3", lit(
+              "User-agent: otherbot\nDisallow: /\n" +
+                "Sitemap: https://site3.example/b.xml\n" +
+                "Sitemap: https://site3.example/a.xml"))
+            .when(col("domain") === "site4", lit(
+              "User-agent: *\nDisallow: /p4.html$\nCrawl-delay: 0.25"))
+            .otherwise(lit(null).cast("string")))
+      val rules = Robots.parseRobots(robotsDf, "domain", "robots", "graftbot")
+      val gate = Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
+      val meta = Robots.robotsMeta(robotsDf, "domain", "robots", "graftbot")
+      urls.join(gate.select(col("doc_id"), col("allowed")), Seq("doc_id"))
+        .groupBy(col("domain"))
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"))
+        .join(meta.select(col("domain"), col("crawl_delay_ms"),
+          col("n_sitemaps")), Seq("domain"), "left_outer")
+        .select(col("domain"), col("n_allowed"), col("n_blocked"),
+          col("crawl_delay_ms"),
+          coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
+          (col("n_allowed") * coalesce(col("crawl_delay_ms"), lit(1000L)))
+            .as("est_crawl_ms"))
+        .orderBy(col("domain"))
+    }),
     // the FULLY composed acquire front door: robots policy -> URL
     // filters -> extraction-quality gate -> URL dedup, with robots
     // gating BEFORE dedup (a disallowed page is never fetched, so it
@@ -1624,49 +1738,24 @@ object SparkEntry {
     // site3.github.io a full disallow, the rest no robots at all.
     // All verdict frames are narrow (the wp02/ch04 discipline)
     "wp03_web_robots" -> ((s, dir) => {
-      import graft.operators.Robots
-      import graft.functions.UrlFunctions
-      val v = webPipelineVerdicts(s, dir)
-      val dom = UrlFunctions.urlDomain(col("url_canon"))
-      val path = regexp_extract(
-        regexp_replace(col("url_canon"), "^[a-z0-9+.-]+://[^/?]*", ""),
-        "^([^?]*)", 1)
-      val urls = v.filter(col("url_canon").isNotNull)
-        .select(col("doc_id"), dom.as("domain"), path.as("path"))
-      val robotsDf = urls.select(col("domain")).distinct()
-        .withColumn("robots",
-          when(col("domain") === "example.com", lit(
-            "User-agent: *\nDisallow: /docs/page1\nAllow: /docs/page17"))
-            .when(col("domain") === "example.co.uk", lit(
-              "User-agent: graftbot\nDisallow: /docs/*.html$\n" +
-                "User-agent: *\nDisallow: /"))
-            .when(col("domain") === "site1.github.io", lit(
-              "User-agent: otherbot\nDisallow: /"))
-            .when(col("domain") === "site3.github.io", lit(
-              "User-agent: *\nDisallow: /"))
-            .otherwise(lit(null).cast("string")))
-      val rules = Robots.parseRobots(robotsDf, "domain", "robots", "graftbot")
-      val gate = Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
-        .select(col("doc_id"), col("allowed"))
-      // the gate only emits rows for non-null canonicals, so a missed
-      // left join IS the null-canon case: one coalesce covers both
-      val withRobots = v
-        .join(gate, Seq("doc_id"), "left_outer")
-        .withColumn("robots_allowed", coalesce(col("allowed"), lit(false)))
-      val keepers2 = withRobots
-        .filter(col("robots_allowed") && col("url_pass"))
-        .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep2"))
-      withRobots
-        .join(keepers2, Seq("url_canon"), "left_outer")
+      webRobotsVerdicts(s, dir)
         .select(col("doc_id"), col("robots_allowed"), col("url_pass"),
-          coalesce(col("robots_allowed") && col("url_pass") &&
-            col("doc_id") === col("__keep2"), lit(false))
-            .as("is_canonical"),
-          (coalesce(col("robots_allowed") && col("url_pass") &&
-            col("doc_id") === col("__keep2"), lit(false)) &&
-            col("n_tokens_clean") >= 10L && col("quality") >= 20L)
-            .as("final_keep"))
+          col("is_canonical"), col("final_keep"))
         .orderBy(col("doc_id"))
+    }),
+    // the COMPLETE acquire front door, one verified product: robots
+    // policy -> URL filters -> extraction-quality gate -> URL dedup
+    // (wp03's robots-gated keepers) -> per-domain cap -> token mixture
+    // (wp02's acquire tail). The keeper frame materializes once (the
+    // wp02 discipline) and the tail carries only (doc_id, url_canon,
+    // token-count) narrow rows — the composed funnel a real crawl
+    // pipeline runs end to end before a byte of text is tokenized
+    "wp04_web_robots_acquire" -> ((s, dir) => {
+      val kept = webRobotsVerdicts(s, dir)
+        .filter(col("final_keep"))
+        .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"))
+        .localCheckpoint(true)
+      capMixReport(kept, k = 3, salt = "wp04")
     }),
     // parser-tier twin of ht01: the SAME synth through the mapPartitions
     // tag tokenizer (HtmlParse). Its oracle IS ht01's regex replay — on
@@ -1758,6 +1847,26 @@ object SparkEntry {
             coalesce(col("trainable_chars"), lit(0L)))
             .otherwise(0L).as("trainable_chars"))
         .orderBy(col("doc_id"))
+    }),
+    // the ch→pk packing bridge: ch03's render spans into fixed-budget
+    // training sequences. Contract pinned in packRenderSpans: turns are
+    // ATOMIC (an assistant loss-span never splits across bins),
+    // conversations split at turn boundaries only, and offsets REBASE
+    // to each bin's own rendered stream. Greedy next-fit per pack
+    // group, the pk01 recursive-CTE replay shape; only narrow span
+    // rows shuffle, never transcript text
+    "ch05_packed_spans" -> ((s, dir) => {
+      import graft.operators.Conversations
+      val spans = Conversations.renderSpans(
+        t(s, dir, "documents").withColumn("transcript", synthTranscript),
+        "doc_id", "transcript")
+      Conversations.packRenderSpans(spans, "doc_id",
+          maxChars = 512L, numGroups = 8)
+        .toDF()
+        .select(col("group"), col("bin"), col("n_turns"), col("n_convs"),
+          col("total_chars"), col("trainable_chars"),
+          array_join(col("span_keys"), "|").as("span_keys"))
+        .orderBy(col("group"), col("bin"))
     }),
     // SFT/chat transcript structure QA: both engines synthesize the
     // SAME role-prefixed transcript per doc (the pii01 shared-input
@@ -2153,6 +2262,86 @@ object SparkEntry {
       |k AS (SELECT url_canon, MIN(doc_id) AS keep_id FROM rr
       |  WHERE url_pass AND url_canon IS NOT NULL GROUP BY url_canon)""")
       .stripMargin
+
+  /** wp03/wp04's shared robots-funnel CTE chain: registered domains of
+    * the canonical hosts + per-domain policies + rb01's parse chain
+    * VERBATIM (OracleSyncSpec pins the byte-identity) + the gate
+    * verdict (`ra`) + the robots-respecting dedup (`k2`) — factored so
+    * the two oracles compose from one source, exactly as the Spark
+    * side shares `webRobotsVerdicts`. UNSTRIPPED: each caller applies
+    * stripMargin over its full concatenation (the original wp03
+    * mechanics, preserved byte-for-byte). */
+  private lazy val sqlRobotsFunnelChain: String =
+    """dm AS (SELECT doc_id, url_canon, url_pass, path,
+      |""" +
+    s"""    ${sqlRegisteredDomain("host")} AS dom
+      |""" +
+    """  FROM (SELECT rr.doc_id, rr.url_canon, rr.url_pass, p.path,
+      |    regexp_extract(rr.url_canon,
+      |      '^[a-z0-9+.-]+://([^/:?]*)', 1) AS host
+      |    FROM rr JOIN p USING (doc_id)
+      |    WHERE rr.url_canon IS NOT NULL)),
+      |rb AS (SELECT dom, CASE dom
+      |    WHEN 'example.com' THEN 'User-agent: *' || chr(10) || 'Disallow: /docs/page1' || chr(10) || 'Allow: /docs/page17'
+      |    WHEN 'example.co.uk' THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /docs/*.html$' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+      |    WHEN 'site1.github.io' THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+      |    WHEN 'site3.github.io' THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+      |    ELSE NULL END AS robots
+      |  FROM (SELECT DISTINCT dom FROM dm)),
+      |ln AS (SELECT dom, t.pos,
+      |    regexp_replace(regexp_replace(regexp_replace(t.raw,
+      |      '\r$', ''), '#.*$', ''), '^[ \t]+|[ \t]+$', '', 'g') AS line
+      |  FROM rb, LATERAL (SELECT
+      |    unnest(string_split(coalesce(robots, ''), chr(10))) AS raw,
+      |    generate_subscripts(string_split(coalesce(robots, ''), chr(10)), 1) AS pos) t),
+      |kv AS (SELECT dom, pos,
+      |    lower(regexp_extract(line, '^([A-Za-z-]+)[ \t]*:', 1)) AS key,
+      |    regexp_replace(regexp_extract(line,
+      |      '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1), '[ \t]+$', '') AS value
+      |  FROM ln WHERE line <> ''),
+      |kv2 AS (SELECT * FROM kv
+      |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+      |g1 AS (SELECT dom, pos, key, value,
+      |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
+      |  FROM kv2),
+      |g2 AS (SELECT dom, pos, key, value,
+      |    SUM(CASE WHEN key = 'user-agent'
+      |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY dom ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      |      AS gid
+      |  FROM g1),
+      |gr AS (SELECT dom, gid,
+      |    MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS has_agent,
+      |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+      |  FROM g2 WHERE key = 'user-agent' GROUP BY dom, gid),
+      |da AS (SELECT dom, MAX(has_agent) AS dom_has FROM gr GROUP BY dom),
+      |sel AS (SELECT gr.dom, gr.gid FROM gr JOIN da USING (dom)
+      |  WHERE CASE WHEN da.dom_has = 1 THEN gr.has_agent = 1
+      |    ELSE gr.has_star = 1 END),
+      |rl AS (SELECT g2.dom, value AS pattern,
+      |    (key = 'allow') AS is_allow,
+      |    CAST(strlen(value) AS BIGINT) AS plen,
+      |""" +
+    s"""    ${sqlRobotsRx("value")} AS rx
+      |""" +
+    """  FROM g2 JOIN sel ON g2.dom = sel.dom AND g2.gid = sel.gid
+      |  WHERE key IN ('allow', 'disallow') AND g2.gid > 0 AND value <> ''),
+      |mt AS (SELECT d.doc_id, r.plen, r.is_allow
+      |  FROM dm d LEFT JOIN rl r
+      |    ON d.dom = r.dom AND regexp_matches(d.path, r.rx)),
+      |ag AS (SELECT doc_id,
+      |    MAX(plen * 2 + CASE WHEN is_allow THEN 1 ELSE 0 END) AS wkey
+      |  FROM mt GROUP BY doc_id),
+      |ra AS (SELECT rr.doc_id,
+      |    CASE WHEN rr.url_canon IS NULL THEN FALSE
+      |      ELSE coalesce(ag.wkey % 2 = 1, TRUE) END AS robots_allowed
+      |  FROM rr LEFT JOIN ag USING (doc_id)),
+      |k2 AS (SELECT rr.url_canon, MIN(rr.doc_id) AS keep_id
+      |  FROM rr JOIN ra USING (doc_id)
+      |  WHERE rr.url_pass AND ra.robots_allowed
+      |    AND rr.url_canon IS NOT NULL
+      |  GROUP BY rr.url_canon)"""
 
   /** ht01's DuckDB replay (identical synthesized markup, then the six
     * extraction clauses in order; every regexp_replace carries 'g' —
@@ -3388,83 +3577,124 @@ object SparkEntry {
         |FROM d LEFT JOIN cd ON d.dom = cd.dom
         |LEFT JOIN sm ON d.dom = sm.dom
         |ORDER BY domain""").stripMargin,
-    // composed robots-gated funnel replay: the wp CTEs + registered
-    // domains of the canonical hosts + per-domain policies + rb01's
-    // parse chain VERBATIM (OracleSyncSpec pins the byte-identity) +
-    // the gate and a dedup that respects the robots verdict
-    "wp03_web_robots" ->
-      (sqlWebPipelineCtes + ",\n" +
-      """dm AS (SELECT doc_id, url_canon, url_pass, path,
-        |""" +
-      s"""    ${sqlRegisteredDomain("host")} AS dom
-        |""" +
-      """  FROM (SELECT rr.doc_id, rr.url_canon, rr.url_pass, p.path,
-        |    regexp_extract(rr.url_canon,
-        |      '^[a-z0-9+.-]+://([^/:?]*)', 1) AS host
-        |    FROM rr JOIN p USING (doc_id)
-        |    WHERE rr.url_canon IS NOT NULL)),
+    // fetch-schedule replay: one robots synth through BOTH groupings —
+    // the access side (kv2/a*/rl/mt -> per-doc allowed via the
+    // allow-wins wkey) and the delay side (kv4/d*/cd conservative max
+    // + distinct sitemap count) — then the per-domain schedule math
+    "rb03_fetch_schedule" ->
+      ("""WITH u AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 5 AS VARCHAR) AS dom,
+        |  '/p' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.html' ELSE '' END AS path
+        |  FROM documents),
         |rb AS (SELECT dom, CASE dom
-        |    WHEN 'example.com' THEN 'User-agent: *' || chr(10) || 'Disallow: /docs/page1' || chr(10) || 'Allow: /docs/page17'
-        |    WHEN 'example.co.uk' THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /docs/*.html$' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
-        |    WHEN 'site1.github.io' THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /'
-        |    WHEN 'site3.github.io' THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+        |    WHEN 'site1' THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 1.5' || chr(10) || 'Disallow: /p1' || chr(10) || 'Sitemap: https://site1.example/sm.xml'
+        |    WHEN 'site2' THEN 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 2' || chr(10) || 'Disallow: /p2' || chr(10) || 'User-agent: *' || chr(10) || 'Crawl-delay: 9' || chr(10) || 'Disallow: /'
+        |    WHEN 'site3' THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /' || chr(10) || 'Sitemap: https://site3.example/b.xml' || chr(10) || 'Sitemap: https://site3.example/a.xml'
+        |    WHEN 'site4' THEN 'User-agent: *' || chr(10) || 'Disallow: /p4.html$' || chr(10) || 'Crawl-delay: 0.25'
         |    ELSE NULL END AS robots
-        |  FROM (SELECT DISTINCT dom FROM dm)),
+        |  FROM (SELECT DISTINCT dom FROM u)),
         |ln AS (SELECT dom, t.pos,
         |    regexp_replace(regexp_replace(regexp_replace(t.raw,
         |      '\r$', ''), '#.*$', ''), '^[ \t]+|[ \t]+$', '', 'g') AS line
         |  FROM rb, LATERAL (SELECT
         |    unnest(string_split(coalesce(robots, ''), chr(10))) AS raw,
         |    generate_subscripts(string_split(coalesce(robots, ''), chr(10)), 1) AS pos) t),
-        |kv AS (SELECT dom, pos,
+        |kva AS (SELECT dom, pos,
         |    lower(regexp_extract(line, '^([A-Za-z-]+)[ \t]*:', 1)) AS key,
         |    regexp_replace(regexp_extract(line,
         |      '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1), '[ \t]+$', '') AS value
         |  FROM ln WHERE line <> ''),
-        |kv2 AS (SELECT * FROM kv
+        |kv2 AS (SELECT * FROM kva
         |  WHERE key IN ('user-agent', 'allow', 'disallow')),
-        |g1 AS (SELECT dom, pos, key, value,
+        |a1 AS (SELECT dom, pos, key, value,
         |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
         |  FROM kv2),
-        |g2 AS (SELECT dom, pos, key, value,
+        |a2 AS (SELECT dom, pos, key, value,
         |    SUM(CASE WHEN key = 'user-agent'
         |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
         |      THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY dom ORDER BY pos ROWS UNBOUNDED PRECEDING)
         |      AS gid
-        |  FROM g1),
-        |gr AS (SELECT dom, gid,
+        |  FROM a1),
+        |agr AS (SELECT dom, gid,
         |    MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS has_agent,
         |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
-        |  FROM g2 WHERE key = 'user-agent' GROUP BY dom, gid),
-        |da AS (SELECT dom, MAX(has_agent) AS dom_has FROM gr GROUP BY dom),
-        |sel AS (SELECT gr.dom, gr.gid FROM gr JOIN da USING (dom)
-        |  WHERE CASE WHEN da.dom_has = 1 THEN gr.has_agent = 1
-        |    ELSE gr.has_star = 1 END),
-        |rl AS (SELECT g2.dom, value AS pattern,
+        |  FROM a2 WHERE key = 'user-agent' GROUP BY dom, gid),
+        |ada AS (SELECT dom, MAX(has_agent) AS dom_has FROM agr GROUP BY dom),
+        |asel AS (SELECT agr.dom, agr.gid FROM agr JOIN ada USING (dom)
+        |  WHERE CASE WHEN ada.dom_has = 1 THEN agr.has_agent = 1
+        |    ELSE agr.has_star = 1 END),
+        |rl AS (SELECT a2.dom, value AS pattern,
         |    (key = 'allow') AS is_allow,
         |    CAST(strlen(value) AS BIGINT) AS plen,
         |""" +
       s"""    ${sqlRobotsRx("value")} AS rx
         |""" +
-      """  FROM g2 JOIN sel ON g2.dom = sel.dom AND g2.gid = sel.gid
-        |  WHERE key IN ('allow', 'disallow') AND g2.gid > 0 AND value <> ''),
-        |mt AS (SELECT d.doc_id, r.plen, r.is_allow
-        |  FROM dm d LEFT JOIN rl r
-        |    ON d.dom = r.dom AND regexp_matches(d.path, r.rx)),
-        |ag AS (SELECT doc_id,
+      """  FROM a2 JOIN asel ON a2.dom = asel.dom AND a2.gid = asel.gid
+        |  WHERE key IN ('allow', 'disallow') AND a2.gid > 0 AND value <> ''),
+        |mt AS (SELECT u.doc_id, u.dom, r.plen, r.is_allow
+        |  FROM u LEFT JOIN rl r
+        |    ON u.dom = r.dom AND regexp_matches(u.path, r.rx)),
+        |ag AS (SELECT doc_id, dom,
         |    MAX(plen * 2 + CASE WHEN is_allow THEN 1 ELSE 0 END) AS wkey
-        |  FROM mt GROUP BY doc_id),
-        |ra AS (SELECT rr.doc_id,
-        |    CASE WHEN rr.url_canon IS NULL THEN FALSE
-        |      ELSE coalesce(ag.wkey % 2 = 1, TRUE) END AS robots_allowed
-        |  FROM rr LEFT JOIN ag USING (doc_id)),
-        |k2 AS (SELECT rr.url_canon, MIN(rr.doc_id) AS keep_id
-        |  FROM rr JOIN ra USING (doc_id)
-        |  WHERE rr.url_pass AND ra.robots_allowed
-        |    AND rr.url_canon IS NOT NULL
-        |  GROUP BY rr.url_canon)
-        |SELECT rr.doc_id, ra.robots_allowed, rr.url_pass,
+        |  FROM mt GROUP BY doc_id, dom),
+        |al AS (SELECT doc_id, dom,
+        |    coalesce(wkey % 2 = 1, TRUE) AS allowed FROM ag),
+        |kv4 AS (SELECT * FROM kva
+        |  WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+        |d1 AS (SELECT dom, pos, key, value,
+        |    lag(key) OVER (PARTITION BY dom ORDER BY pos) AS prev_key
+        |  FROM kv4),
+        |d2 AS (SELECT dom, pos, key, value,
+        |    SUM(CASE WHEN key = 'user-agent'
+        |      AND (prev_key IS NULL OR prev_key <> 'user-agent')
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY dom ORDER BY pos ROWS UNBOUNDED PRECEDING)
+        |      AS gid
+        |  FROM d1),
+        |dgr AS (SELECT dom, gid,
+        |    MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS has_agent,
+        |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+        |  FROM d2 WHERE key = 'user-agent' GROUP BY dom, gid),
+        |dda AS (SELECT dom, MAX(has_agent) AS dom_has FROM dgr GROUP BY dom),
+        |dsel AS (SELECT dgr.dom, dgr.gid FROM dgr JOIN dda USING (dom)
+        |  WHERE CASE WHEN dda.dom_has = 1 THEN dgr.has_agent = 1
+        |    ELSE dgr.has_star = 1 END),
+        |cd AS (SELECT d2.dom,
+        |    MAX(CAST(floor(TRY_CAST(value AS DOUBLE) * 1000) AS BIGINT))
+        |      AS crawl_delay_ms
+        |  FROM d2 JOIN dsel ON d2.dom = dsel.dom AND d2.gid = dsel.gid
+        |  WHERE key = 'crawl-delay' AND d2.gid > 0
+        |    AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+        |    AND NOT isnan(TRY_CAST(value AS DOUBLE))
+        |    AND TRY_CAST(value AS DOUBLE) >= 0
+        |    AND TRY_CAST(value AS DOUBLE) <= 86400
+        |  GROUP BY d2.dom),
+        |sm AS (SELECT dom,
+        |    CAST(COUNT(DISTINCT value) AS BIGINT) AS n_sitemaps
+        |  FROM kva WHERE key = 'sitemap' AND value <> '' GROUP BY dom),
+        |agg AS (SELECT dom,
+        |    CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_allowed,
+        |    CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_blocked
+        |  FROM al GROUP BY dom)
+        |SELECT agg.dom AS domain, agg.n_allowed, agg.n_blocked,
+        |  cd.crawl_delay_ms,
+        |  CAST(coalesce(sm.n_sitemaps, 0) AS BIGINT) AS n_sitemaps,
+        |  CAST(agg.n_allowed * coalesce(cd.crawl_delay_ms, 1000)
+        |    AS BIGINT) AS est_crawl_ms
+        |FROM agg LEFT JOIN cd ON agg.dom = cd.dom
+        |LEFT JOIN sm ON agg.dom = sm.dom
+        |ORDER BY domain""").stripMargin,
+    // composed robots-gated funnel replay: the wp CTEs + registered
+    // domains of the canonical hosts + per-domain policies + rb01's
+    // parse chain VERBATIM (OracleSyncSpec pins the byte-identity) +
+    // the gate and a dedup that respects the robots verdict
+    "wp03_web_robots" ->
+      (sqlWebPipelineCtes + ",\n" + sqlRobotsFunnelChain + "\n" +
+      """SELECT rr.doc_id, ra.robots_allowed, rr.url_pass,
         |  coalesce(ra.robots_allowed AND rr.url_pass
         |    AND rr.doc_id = k2.keep_id, FALSE) AS is_canonical,
         |  (coalesce(ra.robots_allowed AND rr.url_pass
@@ -3474,6 +3704,47 @@ object SparkEntry {
         |FROM rr JOIN ra USING (doc_id) JOIN qt USING (doc_id)
         |LEFT JOIN k2 ON rr.url_canon = k2.url_canon
         |ORDER BY rr.doc_id""").stripMargin,
+    // the complete front door replay: the robots-funnel chain + wp02's
+    // acquire tail (host/registered-domain of each keeper, per-domain
+    // hash-rank cap at 3, keeper counts, token mixture) over the
+    // robots-respecting final keepers, '-wp04' salt
+    "wp04_web_robots_acquire" ->
+      (sqlWebPipelineCtes + ",\n" + sqlRobotsFunnelChain + ",\n" +
+      s"""kp4 AS (SELECT rr.doc_id, rr.url_canon, qt.n_tokens_clean
+        |  FROM rr JOIN ra USING (doc_id) JOIN qt USING (doc_id)
+        |  LEFT JOIN k2 ON rr.url_canon = k2.url_canon
+        |  WHERE coalesce(ra.robots_allowed AND rr.url_pass
+        |      AND rr.doc_id = k2.keep_id, FALSE)
+        |    AND qt.n_tokens_clean >= 10 AND qt.quality >= 20),
+        |hs AS (SELECT doc_id, n_tokens_clean,
+        |  regexp_replace(regexp_replace(lower(regexp_replace(
+        |    regexp_extract(regexp_replace(regexp_replace(url_canon,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', ''),
+        |    '^([^/?]*)', 1), '^.*@', '')),
+        |    ':[0-9]*$$', ''), '\\.+$$', '') AS host
+        |  FROM kp4),
+        |dmn AS (SELECT doc_id, n_tokens_clean,
+        |    ${sqlRegisteredDomain("host")} AS domain
+        |  FROM hs),
+        |cap AS (SELECT domain, doc_id, n_tokens_clean,
+        |    row_number() OVER (PARTITION BY domain ORDER BY
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '-wp04'), 1, 8),
+        |      doc_id) AS rk
+        |  FROM dmn),
+        |kc AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM dmn GROUP BY domain),
+        |cp AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_capped,
+        |    CAST(SUM(n_tokens_clean) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+        |  FROM cap WHERE rk <= 3 GROUP BY domain),
+        |t2 AS (SELECT SUM(n_tokens) AS tot FROM cp)
+        |SELECT cp.domain, kc.n_kept, cp.n_capped, cp.n_tokens,
+        |  CAST(CASE WHEN t2.tot = 0 THEN 0
+        |    ELSE (cp.n_tokens * 1000) // t2.tot END AS BIGINT)
+        |    AS token_permille,
+        |  cp.ids_md5
+        |FROM cp JOIN kc USING (domain) CROSS JOIN t2
+        |ORDER BY cp.domain""").stripMargin,
     "ht01_html_extract" -> sqlHt01Replay,
     // ht02's oracle IS ht01's regex replay: the parser tier is
     // byte-equal to the regex tier on the shared domain (the synth is
@@ -3688,6 +3959,61 @@ object SparkEntry {
         |SELECT doc_id, turn_idx, role, start, "end",
         |  (role = 'assistant') AS trainable, rendered_md5
         |FROM ex ORDER BY doc_id, turn_idx""".stripMargin,
+    // packing-bridge replay: ch03's span chain per turn, then pk01's
+    // recursive next-fit CTE over (grp, rank) with piece = content +
+    // role + 24 and the bin-local rebase s = tot_before + 13 + role_len
+    // carried through the recurrence
+    "ch05_packed_spans" ->
+      raw"""WITH RECURSIVE tr AS (SELECT doc_id, $sqlSynthTranscript AS t
+        |  FROM documents),
+        |rr AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |      x -> trim(x)), x -> len(x) > 0) AS turns
+        |  FROM tr),
+        |pp AS (SELECT doc_id,
+        |    list_transform(turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
+        |      AS roles,
+        |    list_transform(turns,
+        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
+        |      AS contents
+        |  FROM rr WHERE len(turns) > 0),
+        |ex AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+        |    CAST(len(roles[i]) AS BIGINT) AS role_len,
+        |    CAST(len(contents[i]) AS BIGINT) AS content_len,
+        |    (roles[i] = 'assistant') AS trainable
+        |  FROM pp, UNNEST(generate_series(1, len(roles))) AS u(i)),
+        |c AS (SELECT doc_id % 8 AS grp, doc_id, turn_idx, role_len,
+        |    content_len, trainable,
+        |    content_len + role_len + 24 AS piece,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |                       ORDER BY doc_id, turn_idx) AS rn
+        |  FROM ex),
+        |r AS (
+        |  SELECT grp, rn, doc_id, turn_idx, piece, content_len,
+        |    trainable, CAST(0 AS BIGINT) AS bin, piece AS tot,
+        |    13 + role_len AS s
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.grp, c.rn, c.doc_id, c.turn_idx, c.piece,
+        |    c.content_len, c.trainable,
+        |    CASE WHEN r.tot + c.piece <= 512 THEN r.bin
+        |         ELSE r.bin + 1 END,
+        |    CASE WHEN r.tot + c.piece <= 512 THEN r.tot + c.piece
+        |         ELSE c.piece END,
+        |    CASE WHEN r.tot + c.piece <= 512 THEN r.tot + 13 + c.role_len
+        |         ELSE 13 + c.role_len END
+        |  FROM r JOIN c ON c.grp = r.grp AND c.rn = r.rn + 1
+        |)
+        |SELECT grp AS "group", bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_convs,
+        |  CAST(SUM(piece) AS BIGINT) AS total_chars,
+        |  CAST(coalesce(SUM(CASE WHEN trainable THEN content_len END), 0)
+        |    AS BIGINT) AS trainable_chars,
+        |  string_agg(doc_id || ':' || turn_idx || ':' || s || ':'
+        |    || (s + content_len), '|' ORDER BY rn) AS span_keys
+        |FROM r GROUP BY grp, bin ORDER BY "group", bin""".stripMargin,
     // transcript-QA replay: the identical synthesized transcript, the
     // identical trim -> role-regex -> battery list pipeline (': ?' so a
     // trimmed empty turn still parses as its role)

@@ -213,4 +213,100 @@ object Conversations {
           col("n_repeat_role") === 0L &&
           col("n_empty_turns") === 0L)
   }
+
+  /** One packed training sequence of rendered chat turns. `span_keys`
+    * entries are `id:turn_idx:start:end` with start/end REBASED to the
+    * bin's own rendered concatenation. */
+  final case class PackedSpans(
+      group: Long, bin: Long, n_turns: Long, n_convs: Long,
+      total_chars: Long, trainable_chars: Long, span_keys: Array[String])
+
+  /** The ch→pk bridge: pack [[renderSpans]] output into fixed-budget
+    * training sequences — what a trainer does with rendered SFT data.
+    *
+    * Contract (pinned): the packing unit is one whole RENDERED TURN —
+    * an assistant (loss-masked) span is NEVER split across pack
+    * boundaries. Conversations longer than the budget split at turn
+    * boundaries only; when a turn opens a new bin its loss-mask offsets
+    * REBASE to the new bin's rendered stream (start = chars already in
+    * the bin + the `<|im_start|>role\n` prefix), so every emitted span
+    * indexes directly into its own bin's text — no cross-bin offset
+    * arithmetic at training time. Greedy NEXT-FIT in (id, turn_idx)
+    * order per deterministic pack group (`id % numGroups`), exactly the
+    * `Chunking.packGreedy` discipline: a turn goes into the open bin if
+    * `total + piece <= maxChars`, else opens a new one (an oversized
+    * single turn gets a bin of its own).
+    *
+    * Scale shape (shared with packGreedy): `repartition(group)` +
+    * `sortWithinPartitions` secondary sort, then a streaming
+    * mapPartitions scan holding ONE open bin of state — per-task heap
+    * is bounded by maxChars keys, never a group or a conversation, and
+    * only (id, turn_idx, 3 small longs, bool) rows shuffle — the
+    * rendered TEXT never moves (offsets are pure arithmetic over the
+    * span frame; the trainer re-renders from the source or joins the
+    * bins back by key).
+    *
+    * Output: one row per bin — (group, bin, n_turns, n_convs,
+    * total_chars, trainable_chars, span_keys); `trainable_chars` sums
+    * assistant CONTENT lengths (the unmasked loss positions),
+    * `total_chars` the full rendered piece lengths. */
+  def packRenderSpans(
+      spans: DataFrame,
+      idCol: String,
+      maxChars: Long,
+      numGroups: Int = 64): org.apache.spark.sql.Dataset[PackedSpans] = {
+    require(maxChars > 0 && numGroups > 0, "maxChars and numGroups must be positive")
+    val spark = spans.sparkSession
+    import spark.implicits._
+    // piece length replays renderSpans' arithmetic: 12 ("<|im_start|>")
+    // + role + 1 ("\n") + content + 11 ("<|im_end|>\n") — recovered
+    // from the span frame alone, so the text column is never needed
+    spans
+      .select(pmod(col(idCol), lit(numGroups.toLong)).as("group"),
+        col(idCol).cast("long").as("id"),
+        col("turn_idx"),
+        length(col("role")).cast("long").as("role_len"),
+        (col("end") - col("start")).as("content_len"),
+        col("trainable"))
+      .repartition(col("group"))
+      .sortWithinPartitions("group", "id", "turn_idx")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .mapPartitions { rows =>
+        var group = -1L
+        var bin = 0L
+        var tot = 0L
+        var train = 0L
+        var nTurns = 0L
+        var nConvs = 0L
+        var lastId = Long.MinValue
+        var keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        def flush(): Iterator[PackedSpans] =
+          if (nTurns == 0L) Iterator.empty
+          else Iterator.single(PackedSpans(
+            group, bin, nTurns, nConvs, tot, train, keys.toArray))
+        def reset(): Unit = {
+          tot = 0L; train = 0L; nTurns = 0L; nConvs = 0L
+          lastId = Long.MinValue
+          keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        }
+        (rows.map(Option(_)) ++ Iterator(None)).flatMap {
+          case Some((g, id, idx, roleLen, contentLen, trainable)) =>
+            val piece = contentLen + roleLen + 24L
+            val out =
+              if (g != group) {
+                val o = flush(); group = g; bin = 0L; reset(); o
+              } else if (tot + piece > maxChars) {
+                val o = flush(); bin += 1L; reset(); o
+              } else Iterator.empty
+            val s = tot + 13L + roleLen // past "<|im_start|>role\n"
+            keys += s"$id:$idx:$s:${s + contentLen}"
+            tot += piece
+            if (trainable) train += contentLen
+            nTurns += 1L
+            if (id != lastId) { nConvs += 1L; lastId = id }
+            out
+          case None => flush()
+        }
+      }
+  }
 }

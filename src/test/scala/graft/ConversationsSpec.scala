@@ -116,4 +116,77 @@ class ConversationsSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 2L && out(0).getBoolean(11))
     assert(out(1).getLong(6) == 1L && !out(1).getBoolean(11))
   }
+
+  // ------------------------------------------------------------------
+  // packRenderSpans — the ch→pk bridge contract
+  // ------------------------------------------------------------------
+
+  private def render(role: String, content: String): String =
+    s"<|im_start|>$role\n$content<|im_end|>\n"
+
+  test("packRenderSpans: budget, atomicity, and bin-local rebase") {
+    // two conversations in one pack group (numGroups = 1): conv 1 is
+    // longer than the 120-char budget and must split at a TURN boundary
+    val docs = Seq(
+      (1L, "user: please explain rain\nassistant: water falls from " +
+        "clouds when droplets grow heavy\nuser: thanks\nassistant: anytime"),
+      (2L, "user: hi\nassistant: hello"))
+      .toDF("id", "t")
+    val turns = docs.as[(Long, String)].collect().toMap.map {
+      case (id, t) => id -> t.split("\n").toSeq.map { l =>
+        val i = l.indexOf(": ")
+        (l.substring(0, i), l.substring(i + 2))
+      }
+    }
+    val spans = Conversations.renderSpans(docs, "id", "t")
+    val bins = Conversations.packRenderSpans(spans, "id",
+      maxChars = 120L, numGroups = 1).collect().sortBy(b => (b.group, b.bin))
+    assert(bins.length >= 2, "the long conversation must split")
+    // every bin respects the budget unless it is a single oversized turn
+    bins.foreach(b => assert(b.total_chars <= 120L || b.n_turns == 1L,
+      s"bin ${b.bin} over budget: ${b.total_chars}"))
+    bins.foreach { b =>
+      // rebuild the bin's rendered stream from its member turns and
+      // check each span's REBASED offsets index its exact content —
+      // the self-verifying property renderSpans pins per conversation,
+      // carried through the pack
+      val members = b.span_keys.toSeq.map { k =>
+        val Array(id, idx, s, e) = k.split(":").map(_.toLong)
+        val (role, content) = turns(id)(idx.toInt - 1)
+        (role, content, s, e)
+      }
+      val stream = members.map(m => render(m._1, m._2)).mkString
+      assert(stream.length.toLong == b.total_chars)
+      members.foreach { case (_, content, s, e) =>
+        assert(e - s == content.length.toLong)
+        assert(stream.substring(s.toInt, e.toInt) == content,
+          s"rebased span [$s,$e) does not index its content")
+      }
+      // trainable_chars = assistant content only
+      val expectTrain = members.collect {
+        case ("assistant", c, _, _) => c.length.toLong }.sum
+      assert(b.trainable_chars == expectTrain)
+    }
+    // atomicity: every span lives in exactly one bin (no turn key twice)
+    val allKeys = bins.flatMap(_.span_keys.map(_.split(":").take(2).mkString(":")))
+    assert(allKeys.distinct.length == allKeys.length)
+    assert(allKeys.length == spans.count().toInt)
+  }
+
+  test("packRenderSpans: oversized single turn gets its own bin; order kept") {
+    val docs = Seq(
+      (4L, "user: " + ("x " * 200).trim + "\nassistant: ok"))
+      .toDF("id", "t")
+    val spans = Conversations.renderSpans(docs, "id", "t")
+    val bins = Conversations.packRenderSpans(spans, "id",
+      maxChars = 100L, numGroups = 4).collect().sortBy(_.bin)
+    assert(bins.length == 2)
+    assert(bins(0).n_turns == 1L && bins(0).total_chars > 100L)
+    assert(bins(1).n_turns == 1L && bins(1).total_chars <= 100L)
+    // group is id % numGroups, deterministic
+    assert(bins.forall(_.group == 0L))
+    // bins partition the turn sequence in (id, turn_idx) order
+    assert(bins(0).span_keys.head.startsWith("4:1:") &&
+      bins(1).span_keys.head.startsWith("4:2:"))
+  }
 }
