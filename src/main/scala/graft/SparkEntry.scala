@@ -105,7 +105,7 @@ object SparkEntry {
     val sigMap =
       UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
     // the ONE-text-scan product (canonical + rule verdict + extracted
-    // text) MATERIALIZES here (eager localCheckpoint): ProjectCollapse
+    // text) MATERIALIZES here (eager Barriers.stage): ProjectCollapse
     // would otherwise inline the whole extraction tree into every
     // downstream column and predicate (n_tokens_clean, quality,
     // final_keep, the dedup join's both sides), re-running stripHtml
@@ -114,7 +114,8 @@ object SparkEntry {
     // count() over the verdicts prunes the extraction away entirely
     // and the lane benchmarks an empty plan. At 100 TB this frame is
     // exactly what a pipeline persists between the fetch tier and the
-    // curation tier.
+    // curation tier — set spark.graft.checkpointDir and this barrier
+    // (like every Barriers.stage site) becomes a RELIABLE checkpoint.
     val staged = t(s, dir, "documents")
       .select(col("doc_id"), synthFilterUrl.as("url"),
         synthHtml.as("__html"))
@@ -124,7 +125,7 @@ object SparkEntry {
         sigMap("url_canon").as("url_canon"),
         sigMap("keep").as("url_pass"),
         HtmlFunctions.stripHtml(col("__html")).as("__clean"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Barriers.stage(_))
     val scored = staged
       .select(col("doc_id"), col("url_canon"), col("url_pass"),
         TextFunctions.tokenCountNonEmpty(col("__clean"))
@@ -1549,7 +1550,7 @@ object SparkEntry {
     // domain; the only exchanges are the keeper agg, the cap's salted
     // min-k, and a domain-level agg — the corpus text never moves.
     "wp02_web_acquire" -> ((s, dir) => {
-      // the keeper frame MATERIALIZES once (eager localCheckpoint, the
+      // the keeper frame MATERIALIZES once (eager Barriers.stage, the
       // GraphSession discipline): the funnel below it carries the whole
       // extraction/filter expression tree plus an internal join, and
       // every downstream branch in the shared capMixReport tail would
@@ -1560,7 +1561,7 @@ object SparkEntry {
       val kept = webPipelineVerdicts(s, dir)
         .filter(col("final_keep"))
         .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Barriers.stage(_))
       capMixReport(kept, k = 3, salt = "wp02")
     }),
     // per-registered-domain mixture table: the domain-mixing report
@@ -1754,7 +1755,7 @@ object SparkEntry {
       val kept = webRobotsVerdicts(s, dir)
         .filter(col("final_keep"))
         .select(col("doc_id"), col("url_canon"), col("n_tokens_clean"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Barriers.stage(_))
       capMixReport(kept, k = 3, salt = "wp04")
     }),
     // parser-tier twin of ht01: the SAME synth through the mapPartitions

@@ -144,9 +144,11 @@ object CorpusStats {
     * cache entry leaks across invocations, and no cross-invocation cache
     * dedup quietly turns a benchmark's later iterations into cache reads.
     * At extreme scale, write the counts frame to a table instead and feed
-    * the `FromCounts` overloads directly. */
+    * the `FromCounts` overloads directly — or set
+    * `spark.graft.checkpointDir` to make every barrier a reliable
+    * checkpoint ([[Barriers.stage]]). */
   private def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    Barriers.stage(df)
 
   /** Per-document mean unigram surprisal in micro-bits — the cheap version
     * of the perplexity filters used by CCNet/RefinedWeb: documents whose

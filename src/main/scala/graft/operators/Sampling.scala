@@ -881,9 +881,8 @@ object Sampling {
     // sort unlike the naive twin. Materialized once: the scan + token
     // count otherwise re-inlines ~5x (domain agg + both sides of each
     // layout's prefix self-join).
-    val base = docs.select(col(idCol).as("__id"),
-      coalesce(ntokens(col(textCol)), lit(0L)).as("__nt"))
-      .localCheckpoint(true)
+    val base = Barriers.stage(docs.select(col(idCol).as("__id"),
+      coalesce(ntokens(col(textCol)), lit(0L)).as("__nt")))
     def report(name: String, slice: Column, sliceAsc: Boolean,
         ord: Seq[Column]): DataFrame = {
       val sliced = base.withColumn("__slice", slice)

@@ -245,6 +245,41 @@ class PlanShapeSpec extends AnyFunSuite {
       s"wp02 shuffles raw payload:\n${exchanges.mkString("\n")}")
   }
 
+  test("wp04: composed-funnel exchanges never carry the raw url, html, or text") {
+    // wp03's robots-gated keepers through wp02's cap/mix tail: the
+    // same narrow-frame discipline end to end
+    val exchanges = plan("wp04_web_robots_acquire").linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e =>
+      e.contains("url#") || e.contains("__html#") || e.contains("text#")),
+      s"wp04 shuffles raw payload:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ch05: the packer exchanges narrow span rows, never the transcript") {
+    // the one hash exchange is the pack-group repartition of
+    // (group, id, turn_idx, role_len, content_len, trainable) rows
+    val p = plan("ch05_packed_spans")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(exchanges.nonEmpty)
+    assert(!p.linesIterator.filter(_.contains("Exchange")).exists(e =>
+      e.contains("transcript#") || e.contains("text#")),
+      s"ch05 shuffles transcript text:\n$p")
+  }
+
+  test("rb03: policy frames stay bounded; exchanges carry verdicts, not paths") {
+    // the gate's rule join broadcasts (rb01's pin); the schedule agg
+    // moves (domain, counters) only
+    val p = plan("rb03_fetch_schedule")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"robots rules should broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toList
+    assert(!exchanges.exists(_.contains("__path#")),
+      s"rb03 shuffles url paths:\n${exchanges.mkString("\n")}")
+  }
+
   test("rb01: the rule frame broadcasts; URL paths never reach an exchange") {
     val p = plan("rb01_robots_gate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

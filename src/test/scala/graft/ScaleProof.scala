@@ -142,7 +142,10 @@ object ScaleProof {
     "pk02_padding" -> Bounds(22, 8),    // measured 14.1x (0.2 -> 2.5): narrow rank rows under two orderings
     "mw03_mixsolve" -> Bounds(5, 8),    // ~ZERO shuffle: source-domain token agg only
     "ch04_sftpipe" -> Bounds(18, 8),    // measured 11.9x (0.1 -> 1.1): prompt-digest agg + id-only joins
-    "zo02_pruning" -> Bounds(5, 8))     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
+    "zo02_pruning" -> Bounds(5, 8),     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
+    // round-13 lanes
+    "ch05_packspans" -> Bounds(19, 8),  // measured 12.4x (0.1 -> 1.6): narrow span rows to the pack-group exchange, text never moves
+    "rb03_fetchsched" -> Bounds(11, 8)) // measured 0.0 -> 0.7: per-doc verdict agg into the bounded domain key space
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -209,7 +212,10 @@ object ScaleProof {
     "pk02_padding" -> Bounds(9, 8, absCeilMiB = 24), // measured 5.8x (2.5 -> 14.3), skew 2.6: SUB-linear rank rows
     "mw03_mixsolve" -> Bounds(5, 8),    // source-domain agg (bounded)
     "ch04_sftpipe" -> Bounds(30, 8, absCeilMiB = 34), // measured 19.9x (1.1 -> 22.8): the id frames cross the broadcast threshold at 100x and pay real hash exchanges — a one-time step, linear after (narrow rows only)
-    "zo02_pruning" -> Bounds(5, 8))     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
+    "zo02_pruning" -> Bounds(5, 8),     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
+    // round-13 third points
+    "ch05_packspans" -> Bounds(16, 8),  // measured 10.2x (1.6 -> 16.3): exactly linear span rows, skew 1.1
+    "rb03_fetchsched" -> Bounds(24, 8)) // measured 15.0x (0.7 -> 10.5): linear verdict rows, skew 1.1
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -837,6 +843,61 @@ object ScaleProof {
             .renderSpans(tr, "doc_id", "graft_tr")
             .join(owners, Seq("doc_id"), "left_semi")
             .agg(coalesce(sum(col("end")), lit(0L))).head().getLong(0)
+        })
+      measure("ch05_packspans", scale)(
+        // ch→pk bridge: render spans (row-local) → turn-atomic greedy
+        // packing. The ONE exchange is the packer's repartition of
+        // narrow (id, turn_idx, 3 longs, bool) span rows by pack group;
+        // the streaming scan holds one open bin of state per task
+        {
+          val tr = docs.withColumn("graft_tr", concat(
+            lit("user: prompt "), (col("doc_id") % 500).cast("string"),
+            lit("\nassistant: "),
+            regexp_replace(col("text"), "\n", " ")))
+            .select(col("doc_id"), col("graft_tr"))
+          graft.operators.Conversations.packRenderSpans(
+            graft.operators.Conversations
+              .renderSpans(tr, "doc_id", "graft_tr"),
+            "doc_id", maxChars = 2048L, numGroups = 64)
+            .toDF()
+            .agg(coalesce(sum(col("total_chars")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("rb03_fetchsched", scale)(
+        // fetch schedule: the robots gate's verdict agg + the bounded
+        // per-domain politeness join. Rules/meta frames are
+        // domain-bounded (51 domains here at every scale); the URL side
+        // exchanges only (doc_id, allowed) verdicts into a domain agg
+        {
+          import graft.operators.Robots
+          val urls = docs.select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("hot"))
+              .otherwise(concat(lit("site"),
+                (col("doc_id") % 50).cast("string"))).as("graft_dom"),
+            concat(lit("/p"), (col("doc_id") % 1000).cast("string"))
+              .as("graft_path"))
+          val robotsDf = urls.select(col("graft_dom")).distinct()
+            .withColumn("graft_robots",
+              when(col("graft_dom") === "hot", lit(
+                "User-agent: *\nCrawl-delay: 1.5\nDisallow: /p1\n" +
+                  "Sitemap: https://hot.example/sm.xml"))
+                .otherwise(lit("User-agent: *\nDisallow: /p2")))
+          val rules = Robots.parseRobots(
+            robotsDf, "graft_dom", "graft_robots", "graftbot")
+          val gate = Robots.robotsGate(
+            urls, "doc_id", "graft_dom", "graft_path", rules)
+          val meta = Robots.robotsMeta(
+            robotsDf, "graft_dom", "graft_robots", "graftbot")
+          urls.join(gate.select(col("doc_id"), col("allowed")),
+              Seq("doc_id"))
+            .groupBy(col("graft_dom"))
+            .agg(sum(when(col("allowed"), 1L).otherwise(0L))
+              .as("n_allowed"))
+            .join(meta.select(col("domain").as("graft_dom"),
+              col("crawl_delay_ms")), Seq("graft_dom"), "left_outer")
+            .agg(coalesce(sum(col("n_allowed") *
+              coalesce(col("crawl_delay_ms"), lit(1000L))), lit(0L)))
+            .head().getLong(0)
         })
       measure("mw03_mixsolve", scale)(
         // mixture solver: one group-domain token agg + a source-domain
