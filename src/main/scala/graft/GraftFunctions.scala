@@ -58,6 +58,7 @@ object GraftFunctions {
     "dot_q8" -> ((es: Seq[Expression]) => DotProductQ8(es(0), es(1))),
     "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
     "url_domain" -> ((es: Seq[Expression]) => UrlDomainExpr(es(0))),
+    "canonicalize_url" -> ((es: Seq[Expression]) => CanonicalizeUrlExpr(es(0))),
     "lsh_buckets" ->
       ((es: Seq[Expression]) => LshBuckets(asFloatArray(es(0)), planesArg(es(1)))))
 

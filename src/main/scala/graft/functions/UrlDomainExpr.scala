@@ -33,6 +33,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * equivalence against the Column tier on adversarial corpora, and the
   * url03/mw01/wp03 DuckDB oracles value-check it end to end.
   */
+/** Canonical URL form as ONE codegen'd expression — the compiled twin
+  * of `UrlFunctions.canonicalizeUrl`. The Column tier's unreserved-
+  * escape decoder is an `aggregate` higher-order function — a
+  * CodegenFallback that runs INTERPRETED per row, twice (path + query),
+  * inside the funnel's one-text-scan stage. This expression runs the
+  * identical 10-clause contract as compiled Scala over precompiled
+  * patterns (see [[UrlKernel.canonicalizeUrlOf]]); UrlKernelSpec pins
+  * byte-equivalence against the Column tier, and the url01/url02/wp01–
+  * wp04 DuckDB oracles value-check it end to end. */
+case class CanonicalizeUrlExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child.dataType)
+  override def dataType: DataType = StringType
+  // null for anything without a scheme://host shape
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "canonicalize_url"
+
+  override def nullSafeEval(a: Any): Any =
+    UrlKernel.canonicalizeUrlOf(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.UrlKernel.canonicalizeUrlOf($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class UrlDomainExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -124,5 +157,94 @@ object UrlKernel {
     if (url == null) return null
     val host = urlHostOf(url.toString)
     if (host.isEmpty) null else UTF8String.fromString(registeredDomainOf(host))
+  }
+
+  // UrlFunctions.canonicalizeUrl's remaining pattern set
+  private val PortNum = Pattern.compile(":([0-9]+)$")
+  private val AuthorityPrefix = Pattern.compile("^[^/?]*")
+  private val PathPart = Pattern.compile("^([^?]*)")
+  private val QueryPart = Pattern.compile("\\?(.*)$")
+  private val TrailSlashes = Pattern.compile("/+$")
+  private val Tracking = Pattern.compile(UrlFunctions.trackingParamRe)
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+  /** RFC 3986 §2.3 unreserved: the exact char class
+    * `[A-Za-z0-9._~-]` the Column tier checks. */
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '~' || c == '-'
+
+  /** UrlFunctions.decodeUnreservedEscapes, compiled: the same
+    * split-on-'%' single pass (no replace-fold cascade — `/p%2%45`
+    * decodes to `/p%2E`, a dangling `%` survives as literal text). */
+  private def decodeUnreserved(s: String): String = {
+    val parts = s.split("%", -1)
+    if (parts.length <= 1) return s
+    val sb = new java.lang.StringBuilder(parts(0))
+    var i = 1
+    while (i < parts.length) {
+      val p = parts(i)
+      var decoded = false
+      if (p.length >= 2) {
+        val h1 = p.charAt(0)
+        val h2 = p.charAt(1)
+        if (isHex(h1) && isHex(h2)) {
+          val ch = ((hexVal(h1) << 4) | hexVal(h2)).toChar
+          if (isUnreserved(ch)) {
+            sb.append(ch).append(p, 2, p.length)
+            decoded = true
+          }
+        }
+      }
+      if (!decoded) sb.append('%').append(p)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** try_cast-to-int semantics over the port capture: null for "" and
+    * for anything past Int range (the Column tier's malformed-port
+    * drop). The capture is digits-only by pattern. */
+  private def portToInt(portStr: String): Integer =
+    if (portStr.isEmpty || portStr.length > 10) null
+    else {
+      val l = portStr.toLong
+      if (l > Int.MaxValue) null else Integer.valueOf(l.toInt)
+    }
+
+  /** UrlFunctions.canonicalizeUrl, compiled — the identical 10-clause
+    * contract (scheme/host case fold, userinfo strip, fragment drop,
+    * numeric default-port elision, tracking-param filter in original
+    * order, trailing-slash fold, unreserved-escape decode, punycode
+    * pass-through); null for anything without a `scheme://host`
+    * shape. */
+  def canonicalizeUrlOf(url: UTF8String): UTF8String = {
+    if (url == null) return null
+    val s = url.toString
+    val scheme = fold(extract(Scheme, s))
+    val host = urlHostOf(s)
+    if (scheme.isEmpty || host.isEmpty) return null
+    val after = strip(Fragment, strip(SchemePrefix, s))
+    val hostPort = fold(strip(Userinfo, extract(Authority, after)))
+    val portN = portToInt(extract(PortNum, hostPort))
+    val keepPort = portN != null &&
+      !(scheme == "http" && portN.intValue == 80) &&
+      !(scheme == "https" && portN.intValue == 443)
+    val pathQuery = strip(AuthorityPrefix, after)
+    val rawPath = decodeUnreserved(extract(PathPart, pathQuery))
+    val strippedPath = strip(TrailSlashes, rawPath)
+    val path = if (strippedPath.isEmpty) "/" else strippedPath
+    val rawQuery = decodeUnreserved(extract(QueryPart, pathQuery))
+    val query = rawQuery.split("&", -1).iterator
+      .filter(p => p.nonEmpty && !Tracking.matcher(fold(p)).find())
+      .mkString("&")
+    val sb = new java.lang.StringBuilder(scheme).append("://").append(host)
+    if (keepPort) sb.append(':').append(portN.intValue)
+    sb.append(path)
+    if (query.nonEmpty) sb.append('?').append(query)
+    UTF8String.fromString(sb.toString)
   }
 }

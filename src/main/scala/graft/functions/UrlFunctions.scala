@@ -140,8 +140,24 @@ object UrlFunctions {
   }
 
   /** Canonical form of a URL under the contract in the object scaladoc;
-    * NULL for anything without a `scheme://host` shape. */
-  def canonicalizeUrl(url: Column): Column = {
+    * NULL for anything without a `scheme://host` shape.
+    *
+    * Compiled as the codegen'd [[CanonicalizeUrlExpr]] (registered
+    * `canonicalize_url`): the Column tier's escape decoder is an
+    * `aggregate` higher-order function — a CodegenFallback evaluated
+    * INTERPRETED per row, twice, inside the funnel's one-text-scan
+    * stage. The kernel runs the identical contract over precompiled
+    * patterns in one method ([[UrlKernel.canonicalizeUrlOf]]);
+    * UrlKernelSpec pins the equivalence against
+    * [[canonicalizeUrlColumnTier]], the documented semantics. */
+  def canonicalizeUrl(url: Column): Column =
+    call_function("canonicalize_url", url)
+
+  /** The original Column-tier composition of [[canonicalizeUrl]] —
+    * kept ONLY as the equivalence baseline for UrlKernelSpec (it is
+    * the documented semantics and the DuckDB oracles' replay source;
+    * [[UrlKernel]] must match it forever). */
+  private[graft] def canonicalizeUrlColumnTier(url: Column): Column = {
     val scheme = schemeOf(url)
     val host = urlHost(url)
     // port compares and emits NUMERICALLY: ":080" is the default http

@@ -70,6 +70,59 @@ class UrlKernelSpec extends AnyFunSuite {
     }
   }
 
+  private val canonAdversarial = adversarial ++ Seq(
+    // escapes: unreserved decode, reserved pass-through, the %2%45
+    // cascade case, dangling %, disguised tracking key, bad hex
+    "http://a.com/esc%7E%41%2fX", "http://a.com/p%2%45",
+    "http://a.com/p%", "http://a.com/%", "http://a.com/%g1%1",
+    "http://a.com/x?utm%5Fsource=1&b=2", "http://a.com/%2Fa%2e",
+    // ports: default elision (numeric), kept, malformed, overflow
+    "http://a.com:080/x", "HTTPS://a.com:443/x", "https://a.com:8443/x",
+    "http://a.com:99999999999999999999/x", "http://a.com:0080/x",
+    // query: tracking in various positions, order preservation,
+    // emptied query, empty params
+    "http://a.com/x?id=1&utm_source=n&b=2", "http://a.com/x?fbclid=z",
+    "http://a.com/x?REF=1&z=2", "http://a.com/x?&&a=1&&",
+    "http://a.com/x?gclid", "http://a.com/x?",
+    // paths: trailing slashes, empty path, fragment interplay
+    "http://a.com", "http://a.com/", "http://a.com//", "http://a.com///x///",
+    "http://a.com#frag?notquery", "http://a.com/p#f", "http://a.com/p?q=1#f",
+    // userinfo + case + absolute-FQDN
+    "HTTP://User:PW@WWW.Ex.COM.:80/A/B/", "http://xn--BCHER-kva.com/Ü")
+
+  test("canonicalizeUrl kernel == Column tier on the adversarial corpus") {
+    val rows = canonAdversarial.toDF("url")
+      .select(col("url"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("kernel"),
+        UrlFunctions.canonicalizeUrlColumnTier(col("url")).as("column"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"canonicalizeUrl mismatch for '${r.getString(0)}': " +
+          s"kernel=${r.get(1)} column=${r.get(2)}")
+    }
+  }
+
+  test("canonicalizeUrl kernel == Column tier under seeded fuzz") {
+    val rng = new scala.util.Random(31013L)
+    val alphabet = "ab%417EF2fg.:/@?#&=~_- é".toCharArray
+    val fuzz = Seq.fill(3000) {
+      val n = rng.nextInt(48)
+      val body = Array.fill(n)(alphabet(rng.nextInt(alphabet.length)))
+      (if (rng.nextInt(4) > 0) "http://h.com" else "") + new String(body)
+    }
+    val rows = fuzz.toDF("url")
+      .select(col("url"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("kernel"),
+        UrlFunctions.canonicalizeUrlColumnTier(col("url")).as("column"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"canonicalizeUrl mismatch for '${r.getString(0)}': " +
+          s"kernel=${r.get(1)} column=${r.get(2)}")
+    }
+  }
+
   test("null input and null-domain rows propagate") {
     val out = Seq[(java.lang.Long, String)]((1L, null), (2L, "nope"),
       (3L, "http://ok.example.com/x"))
