@@ -101,6 +101,22 @@ object SparkEntry {
     * only corpus-wide exchange (canonical staged once per the url05
     * staging discipline). */
   private def webPipelineVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val scored = webPipelineScored(t(s, dir, "documents"))
+    scored
+      .join(webPipelineKeepers(scored), Seq("url_canon"), "left_outer")
+      .withColumn("is_canonical",
+        coalesce(col("url_pass") && col("doc_id") === col("__keep"),
+          lit(false)))
+      .withColumn("final_keep",
+        col("is_canonical") && col("n_tokens_clean") >= 10L &&
+          col("quality") >= 20L)
+  }
+
+  /** The funnel's per-doc SIGNAL frame over an arbitrary (doc_id, text)
+    * snapshot — the table a production pipeline PERSISTS between runs
+    * (ids, canonical, rule verdict, quality ints; no text). wp05's
+    * incremental path recomputes it for the delta slice only. */
+  private def webPipelineScored(docs: DataFrame): DataFrame = {
     import graft.functions.{HtmlFunctions, UrlFunctions}
     val sigMap =
       UrlFunctions.urlFilterSignalsFromCanon(col("__canon")).toMap
@@ -116,7 +132,7 @@ object SparkEntry {
     // exactly what a pipeline persists between the fetch tier and the
     // curation tier — set spark.graft.checkpointDir and this barrier
     // (like every Barriers.stage site) becomes a RELIABLE checkpoint.
-    val staged = t(s, dir, "documents")
+    val staged = docs
       .select(col("doc_id"), synthFilterUrl.as("url"),
         synthHtml.as("__html"))
       .select(col("doc_id"), col("__html"),
@@ -126,23 +142,20 @@ object SparkEntry {
         sigMap("keep").as("url_pass"),
         HtmlFunctions.stripHtml(col("__html")).as("__clean"))
       .transform(graft.operators.Barriers.stage(_))
-    val scored = staged
+    staged
       .select(col("doc_id"), col("url_canon"), col("url_pass"),
         TextFunctions.tokenCountNonEmpty(col("__clean"))
           .as("n_tokens_clean"),
         TextFunctions.qualityScore(col("__clean")).as("quality"))
-    val keepers = scored
+  }
+
+  /** The funnel's keep-first election over a signal frame: min passing
+    * doc per canonical — the second table a production pipeline
+    * persists (wp05 maintains it incrementally). */
+  private def webPipelineKeepers(scored: DataFrame): DataFrame =
+    scored
       .filter(col("url_pass") && col("url_canon").isNotNull)
       .groupBy(col("url_canon")).agg(min(col("doc_id")).as("__keep"))
-    scored
-      .join(keepers, Seq("url_canon"), "left_outer")
-      .withColumn("is_canonical",
-        coalesce(col("url_pass") && col("doc_id") === col("__keep"),
-          lit(false)))
-      .withColumn("final_keep",
-        col("is_canonical") && col("n_tokens_clean") >= 10L &&
-          col("quality") >= 20L)
-  }
 
   /** wp03/wp04's shared robots-gated verdict frame: the wp funnel with
     * the RFC 9309 policy gate composed BEFORE dedup (a disallowed page
@@ -1758,6 +1771,49 @@ object SparkEntry {
         .transform(graft.operators.Barriers.stage(_))
       capMixReport(kept, k = 3, salt = "wp04")
     }),
+    // INCREMENTAL acquire maintenance, proven equal to batch: the lane
+    // simulates a snapshot step — docs %10==3 added, %10==9 removed,
+    // %10==7 text-changed — recomputes funnel signals for the DELTA
+    // slice only (the only text scan a production step pays), folds
+    // them into the stored signal+keeper tables via
+    // Incremental.maintainKeepFirst (delta-bounded re-election,
+    // untouched canonicals carried forward), and emits the new
+    // snapshot's per-doc verdicts. The oracle is a full BATCH replay
+    // over the new snapshot — hash equality IS the incremental==batch
+    // proof
+    "wp05_incremental_acquire" -> ((s, dir) => {
+      import graft.operators.{Dedup, Incremental}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 3)
+      val newDocs = docs.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7,
+            concat(col("text"), lit(" updated rev")))
+            .otherwise(col("text")))
+      // the stored state a pipeline carries between runs (computed
+      // batch-style here because the lane is self-contained)
+      val priorScored = webPipelineScored(oldDocs)
+      val priorKeepers = webPipelineKeepers(priorScored)
+        .withColumnRenamed("__keep", "keep_id")
+      val diffDf = Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+      val deltaScored = webPipelineScored(newDocs.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val (nextScored, nextKeepers) = Incremental.maintainKeepFirst(
+        priorScored, deltaScored, diffDf, priorKeepers,
+        "doc_id", "url_canon", "url_pass", keeperCol = "keep_id")
+      nextScored
+        .join(nextKeepers, Seq("url_canon"), "left_outer")
+        .select(col("doc_id"), col("url_pass"),
+          coalesce(col("url_pass") && col("doc_id") === col("keep_id"),
+            lit(false)).as("is_canonical"),
+          (coalesce(col("url_pass") && col("doc_id") === col("keep_id"),
+            lit(false)) &&
+            col("n_tokens_clean") >= 10L && col("quality") >= 20L)
+            .as("final_keep"))
+        .orderBy(col("doc_id"))
+    }),
     // parser-tier twin of ht01: the SAME synth through the mapPartitions
     // tag tokenizer (HtmlParse). Its oracle IS ht01's regex replay — on
     // the shared domain (well-formed markup, which the synth is) the
@@ -1868,6 +1924,52 @@ object SparkEntry {
           col("total_chars"), col("trainable_chars"),
           array_join(col("span_keys"), "|").as("span_keys"))
         .orderBy(col("group"), col("bin"))
+    }),
+    // INCREMENTAL prompt-dedup maintenance — Incremental.maintainKeepFirst
+    // generalizes beyond the wp funnel: the SFT snapshot step (docs
+    // %10==3 added, %10==9 removed, %10==7 transcript gains a second
+    // adjacent assistant turn, flipping its QA gate) folds into the
+    // stored (signal, owner) tables with delta-bounded re-election.
+    // The oracle is ch04's BATCH replay over the new snapshot — hash
+    // equality proves incremental==batch on the SFT side too
+    "ch06_incremental_prompts" -> ((s, dir) => {
+      import graft.operators.{Conversations, Dedup, Incremental}
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val oldT = ids.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("transcript", synthPromptTranscript)
+      val newT = ids.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("transcript",
+          when(col("doc_id") % 10 === 7,
+            concat(synthPromptTranscript, lit("\nassistant: rev two")))
+            .otherwise(synthPromptTranscript))
+      def signals(snap: DataFrame) =
+        Conversations.turnStats(snap, "doc_id", "transcript")
+          .select(col("doc_id"), col("keep").as("qa_keep"))
+          .join(snap.select(col("doc_id"),
+            Conversations.promptFingerprint(col("transcript")).as("fp")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("fp"), col("qa_keep"))
+      val prior = signals(oldT)
+      val priorOwners = prior
+        .filter(col("qa_keep") && col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val diffDf = Dedup.corpusDiff(oldT, newT, "doc_id", "transcript")
+      val delta = signals(newT.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val (nextSignals, nextOwners) = Incremental.maintainKeepFirst(
+        prior, delta, diffDf, priorOwners,
+        "doc_id", "fp", "qa_keep", keeperCol = "keep_id")
+      nextSignals
+        .join(nextOwners, Seq("fp"), "left_outer")
+        .select(col("doc_id"), col("qa_keep"),
+          coalesce(col("doc_id") === col("keep_id"), lit(false))
+            .as("prompt_owner"),
+          (col("qa_keep") &&
+            coalesce(col("doc_id") === col("keep_id"), lit(false)))
+            .as("final_keep"))
+        .orderBy(col("doc_id"))
     }),
     // SFT/chat transcript structure QA: both engines synthesize the
     // SAME role-prefixed transcript per doc (the pii01 shared-input
@@ -2188,8 +2290,16 @@ object SparkEntry {
     * cap/mixture tail. One Scala source so the two lanes can never
     * drift apart on the funnel itself. */
   private lazy val sqlWebPipelineCtes: String =
-    (s"""WITH u AS (SELECT doc_id, text,
-      |  $sqlSynthFilterUrl AS url FROM documents),
+    sqlWebPipelineCtesFrom("documents")
+
+  /** The wp funnel CTE chain over an arbitrary snapshot source —
+    * `prefix` (optional leading CTEs, no margin bars) lets wp05 define
+    * its modified-snapshot CTE ahead of `u`. `sqlWebPipelineCtes` is
+    * exactly the `("documents", "")` instance, byte-for-byte. */
+  private def sqlWebPipelineCtesFrom(
+      src: String, prefix: String = ""): String =
+    (s"""WITH ${prefix}u AS (SELECT doc_id, text,
+      |  $sqlSynthFilterUrl AS url FROM $src),
       |""" +
     """c AS (SELECT doc_id,
       |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE url END AS url_canon
@@ -2343,6 +2453,49 @@ object SparkEntry {
       |  WHERE rr.url_pass AND ra.robots_allowed
       |    AND rr.url_canon IS NOT NULL
       |  GROUP BY rr.url_canon)"""
+
+  /** ch04/ch06's shared SFT-funnel oracle chain (turn parse -> QA
+    * battery -> prompt fingerprint -> owner election) over a caller-
+    * defined `tr(doc_id, t)` CTE — ONE definition for both replays,
+    * mirroring the Spark side's shared signal/election helpers.
+    * UNSTRIPPED; callers stripMargin the full concatenation. */
+  private lazy val sqlPromptFunnelChain: String =
+    raw"""rr AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |      x -> trim(x)), x -> len(x) > 0) AS turns
+        |  FROM tr),
+        |pp AS (SELECT doc_id, turns,
+        |    list_transform(turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
+        |      AS roles,
+        |    list_transform(turns,
+        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
+        |      AS contents
+        |  FROM rr),
+        |qa AS (SELECT doc_id,
+        |    (len(list_filter(roles, x -> x = 'assistant')) >= 1
+        |      AND coalesce((CASE WHEN len(roles) = 0 THEN NULL
+        |        ELSE roles[1] END) IN ('system', 'user'), FALSE)
+        |      AND len(list_filter(roles, x -> x = '')) = 0
+        |      AND (CASE WHEN len(roles) < 2 THEN 0
+        |        ELSE len(list_filter(range(2, len(roles) + 1),
+        |          i -> roles[i] = roles[i-1])) END) = 0
+        |      AND len(list_filter(range(1, len(roles) + 1),
+        |        i -> roles[i] <> '' AND len(trim(contents[i])) = 0)) = 0)
+        |      AS qa_keep
+        |  FROM pp),
+        |ut AS (SELECT pp.doc_id,
+        |    list_filter(pp.turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1)
+        |        = 'user') AS ul
+        |  FROM pp JOIN qa USING (doc_id) WHERE qa.qa_keep),
+        |pr AS (SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(lower(
+        |      regexp_replace(ul[1], '^(system|user|assistant): ?', ''))),
+        |      '[ \t\n\x0B\f\r]+'), ' ')) AS fp
+        |  FROM ut WHERE len(ul) > 0),
+        |own AS (SELECT MIN(doc_id) AS doc_id FROM pr GROUP BY fp),
+        |"""
 
   /** ht01's DuckDB replay (identical synthesized markup, then the six
     * extraction clauses in order; every regexp_replace carries 'g' —
@@ -3746,6 +3899,26 @@ object SparkEntry {
         |  cp.ids_md5
         |FROM cp JOIN kc USING (domain) CROSS JOIN t2
         |ORDER BY cp.domain""").stripMargin,
+    // incremental-acquire oracle: a FULL BATCH replay of the funnel
+    // over the NEW snapshot (d2: %10==9 dropped, %10==7 text
+    // appended). The Spark side maintains the same answer
+    // incrementally from the old snapshot's stored tables — the hash
+    // compare is the incremental==batch equivalence proof
+    "wp05_incremental_acquire" ->
+      (sqlWebPipelineCtesFrom("d2",
+        "d2 AS (SELECT doc_id,\n" +
+        "    CASE WHEN doc_id % 10 = 7 THEN text || ' updated rev'\n" +
+        "      ELSE text END AS text\n" +
+        "  FROM documents WHERE doc_id % 10 <> 9),\n") + "\n" +
+      """SELECT rr.doc_id, rr.url_pass,
+        |  coalesce(rr.url_pass AND rr.doc_id = k.keep_id, FALSE)
+        |    AS is_canonical,
+        |  (coalesce(rr.url_pass AND rr.doc_id = k.keep_id, FALSE)
+        |    AND qt.n_tokens_clean >= 10 AND qt.quality >= 20)
+        |    AS final_keep
+        |FROM rr JOIN qt USING (doc_id)
+        |LEFT JOIN k ON rr.url_canon = k.url_canon
+        |ORDER BY rr.doc_id""".stripMargin),
     "ht01_html_extract" -> sqlHt01Replay,
     // ht02's oracle IS ht01's regex replay: the parser tier is
     // byte-equal to the regex tier on the shared domain (the synth is
@@ -3868,44 +4041,10 @@ object SparkEntry {
     // -> assistant content lengths on survivors (the ch03 offsets'
     // independent twin: end-start must equal len(content))
     "ch04_sft_pipeline" ->
-      raw"""WITH tr AS (SELECT doc_id, $sqlSynthPromptTranscript AS t
+      (raw"""WITH tr AS (SELECT doc_id, $sqlSynthPromptTranscript AS t
         |  FROM documents),
-        |rr AS (SELECT doc_id,
-        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
-        |      x -> trim(x)), x -> len(x) > 0) AS turns
-        |  FROM tr),
-        |pp AS (SELECT doc_id, turns,
-        |    list_transform(turns,
-        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
-        |      AS roles,
-        |    list_transform(turns,
-        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
-        |      AS contents
-        |  FROM rr),
-        |qa AS (SELECT doc_id,
-        |    (len(list_filter(roles, x -> x = 'assistant')) >= 1
-        |      AND coalesce((CASE WHEN len(roles) = 0 THEN NULL
-        |        ELSE roles[1] END) IN ('system', 'user'), FALSE)
-        |      AND len(list_filter(roles, x -> x = '')) = 0
-        |      AND (CASE WHEN len(roles) < 2 THEN 0
-        |        ELSE len(list_filter(range(2, len(roles) + 1),
-        |          i -> roles[i] = roles[i-1])) END) = 0
-        |      AND len(list_filter(range(1, len(roles) + 1),
-        |        i -> roles[i] <> '' AND len(trim(contents[i])) = 0)) = 0)
-        |      AS qa_keep
-        |  FROM pp),
-        |ut AS (SELECT pp.doc_id,
-        |    list_filter(pp.turns,
-        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1)
-        |        = 'user') AS ul
-        |  FROM pp JOIN qa USING (doc_id) WHERE qa.qa_keep),
-        |pr AS (SELECT doc_id,
-        |    md5(array_to_string(string_split_regex(trim(lower(
-        |      regexp_replace(ul[1], '^(system|user|assistant): ?', ''))),
-        |      '[ \t\n\x0B\f\r]+'), ' ')) AS fp
-        |  FROM ut WHERE len(ul) > 0),
-        |own AS (SELECT MIN(doc_id) AS doc_id FROM pr GROUP BY fp),
-        |fk AS (SELECT qa.doc_id, qa.qa_keep,
+        |""" + sqlPromptFunnelChain +
+      raw"""fk AS (SELECT qa.doc_id, qa.qa_keep,
         |    (own.doc_id IS NOT NULL) AS prompt_owner,
         |    (qa.qa_keep AND own.doc_id IS NOT NULL) AS final_keep
         |  FROM qa LEFT JOIN own ON qa.doc_id = own.doc_id),
@@ -3921,7 +4060,26 @@ object SparkEntry {
         |  coalesce(sp.n_trainable, 0) AS n_trainable,
         |  coalesce(sp.trainable_chars, 0) AS trainable_chars
         |FROM fk LEFT JOIN sp ON fk.doc_id = sp.doc_id
-        |ORDER BY fk.doc_id""".stripMargin,
+        |ORDER BY fk.doc_id""").stripMargin,
+    // incremental prompt-dedup oracle: ch04's BATCH replay over the
+    // NEW snapshot (d: %10==9 dropped, %10==7 transcript gains an
+    // adjacent second assistant turn — a QA-gate flip). The Spark side
+    // maintains the same answer incrementally — hash equality is the
+    // incremental==batch proof on the SFT side
+    "ch06_incremental_prompts" ->
+      (raw"""WITH tr AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7
+        |      THEN $sqlSynthPromptTranscript
+        |        || chr(10) || 'assistant: rev two'
+        |      ELSE $sqlSynthPromptTranscript END AS t
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |""" + sqlPromptFunnelChain +
+      raw"""fin AS (SELECT qa.doc_id, qa.qa_keep,
+        |    (own.doc_id IS NOT NULL) AS prompt_owner,
+        |    (qa.qa_keep AND own.doc_id IS NOT NULL) AS final_keep
+        |  FROM qa LEFT JOIN own ON qa.doc_id = own.doc_id)
+        |SELECT doc_id, qa_keep, prompt_owner, final_keep
+        |FROM fin ORDER BY doc_id""").stripMargin,
     // render-span replay: same parse, per-turn piece lengths
     // (12 + len(role) + 1 + len(content) + 11), running-sum starts via
     // list_sum over the length prefix, md5 of the rendered concat

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of keep-first elections under snapshot
+  * deltas — the machinery that lets a 100 TB front door process a daily
+  * crawl WITHOUT rescanning the corpus.
+  *
+  * A production acquire pipeline persists two artifacts between runs:
+  * the PER-DOC SIGNAL table (id, group key, pass verdict, quality
+  * columns — everything the gates need, none of the text) and the
+  * KEEPER table (group key → elected owner id). On the next snapshot,
+  * only the delta (added/changed docs from [[Dedup.corpusDiff]]) pays
+  * the text scan; this operator folds the delta into both tables with
+  * delta-bounded work:
+  *
+  *   - the next signal table is prior MINUS (changed ∪ removed) PLUS
+  *     the recomputed delta rows — two id-keyed anti/union passes over
+  *     NARROW signal rows, never text;
+  *   - a group's election can only move if the group gained or lost a
+  *     member, so only TOUCHED keys (keys of delta rows ∪ keys of
+  *     departed rows) re-elect — a semi-join-restricted min-agg whose
+  *     input is bounded by (delta size × group fan-in), not corpus
+  *     size; every untouched key carries its prior keeper row forward
+  *     via one anti-join on the key-domain-bounded keeper table.
+  *
+  * Correctness is the invariant the wp05 oracle enforces end to end:
+  * incremental maintenance must be INDISTINGUISHABLE from batch
+  * recomputation over the new snapshot (keep-first = min passing id
+  * per key is a per-group function of membership alone, so carrying
+  * untouched groups is exact, not approximate).
+  */
+object Incremental {
+
+  /** Fold a snapshot delta into (signals, keepers).
+    *
+    * @param prior   stored per-doc signal frame for the OLD snapshot
+    * @param delta   recomputed signal rows for added+changed ids ONLY
+    *                (same schema as `prior`)
+    * @param diff    (idCol, status) with status ∈ added|changed|removed
+    *                — [[Dedup.corpusDiff]]'s contract
+    * @param priorKeepers stored (keyCol, keeperCol) election results
+    *                for the OLD snapshot
+    * @param idCol   document id (election tie-break: minimum wins)
+    * @param keyCol  election group key (null keys never elect)
+    * @param passCol boolean gate — only passing rows hold ownership
+    * @param keeperCol name of the keeper-id column in the keeper frames
+    * @return (nextSignals, nextKeepers) for the NEW snapshot
+    */
+  def maintainKeepFirst(
+      prior: DataFrame,
+      delta: DataFrame,
+      diff: DataFrame,
+      priorKeepers: DataFrame,
+      idCol: String,
+      keyCol: String,
+      passCol: String,
+      keeperCol: String = "keep_id"): (DataFrame, DataFrame) = {
+    require(prior.columns.sameElements(delta.columns),
+      s"prior/delta schemas differ: ${prior.columns.mkString(",")} vs " +
+        delta.columns.mkString(","))
+    require(priorKeepers.columns.toSeq == Seq(keyCol, keeperCol),
+      s"priorKeepers must be ($keyCol, $keeperCol), got " +
+        priorKeepers.columns.mkString(","))
+    // rows leaving the table: changed docs are replaced by their delta
+    // row, removed docs just leave
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val next = prior.join(gone, Seq(idCol), "left_anti").unionByName(delta)
+    // touched keys: gained a member (delta) or lost one (departed
+    // prior rows). Departed keys come from the prior SIGNAL table —
+    // the delta row of a changed doc may carry a different key, and
+    // both its old and new groups must re-elect
+    val touched = delta.select(col(keyCol))
+      .unionByName(
+        prior.join(gone, Seq(idCol), "left_semi").select(col(keyCol)))
+      .filter(col(keyCol).isNotNull)
+      .distinct()
+    val reElected = next
+      .join(touched, Seq(keyCol), "left_semi")
+      .filter(col(passCol) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(keeperCol))
+    val nextKeepers = priorKeepers
+      .join(touched, Seq(keyCol), "left_anti")
+      .unionByName(reElected)
+    (next, nextKeepers)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Incremental
+
+/** Incremental.maintainKeepFirst: folding a snapshot delta into the
+  * stored (signals, keepers) tables must be indistinguishable from
+  * batch recomputation — every edge the election can move on is
+  * hand-checked here; wp05's oracle proves the property end-to-end on
+  * the real funnel. */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // signal schema: (id, key, pass)
+  private def sig(rows: (Long, String, Boolean)*) =
+    rows.toDF("id", "key", "pass")
+  private def keep(rows: (String, Long)*) = rows.toDF("key", "keep_id")
+  private def diff(rows: (Long, String)*) = rows.toDF("id", "status")
+
+  private def run(
+      prior: Seq[(Long, String, Boolean)],
+      delta: Seq[(Long, String, Boolean)],
+      d: Seq[(Long, String)],
+      priorKeepers: Seq[(String, Long)]) = {
+    val (ns, nk) = Incremental.maintainKeepFirst(
+      sig(prior: _*), sig(delta: _*), diff(d: _*), keep(priorKeepers: _*),
+      "id", "key", "pass")
+    (ns.orderBy("id").as[(Long, String, Boolean)].collect().toSeq,
+      nk.orderBy("key").as[(String, Long)].collect().toSeq)
+  }
+
+  test("added doc with a smaller id steals ownership") {
+    val (ns, nk) = run(
+      prior = Seq((5L, "a", true), (7L, "a", true), (9L, "b", true)),
+      delta = Seq((2L, "a", true)),
+      d = Seq((2L, "added")),
+      priorKeepers = Seq(("a", 5L), ("b", 9L)))
+    assert(ns.map(_._1) == Seq(2L, 5L, 7L, 9L))
+    // "a" re-elected to the new minimum; untouched "b" carried forward
+    assert(nk == Seq(("a", 2L), ("b", 9L)))
+  }
+
+  test("removed keeper re-elects among remaining; emptied key disappears") {
+    val (ns, nk) = run(
+      prior = Seq((1L, "a", true), (4L, "a", true), (3L, "c", true)),
+      delta = Seq.empty,
+      d = Seq((1L, "removed"), (3L, "removed")),
+      priorKeepers = Seq(("a", 1L), ("c", 3L)))
+    assert(ns.map(_._1) == Seq(4L))
+    // "a" falls to the runner-up; "c" lost its only member and is gone
+    assert(nk == Seq(("a", 4L)))
+  }
+
+  test("changed doc flipping pass loses ownership; flipping back regains") {
+    val (_, nk1) = run(
+      prior = Seq((1L, "a", true), (2L, "a", true)),
+      delta = Seq((1L, "a", false)), // 1's recomputed row fails the gate
+      d = Seq((1L, "changed")),
+      priorKeepers = Seq(("a", 1L)))
+    assert(nk1 == Seq(("a", 2L)))
+    val (_, nk2) = run(
+      prior = Seq((1L, "a", false), (2L, "a", true)),
+      delta = Seq((1L, "a", true)),
+      d = Seq((1L, "changed")),
+      priorKeepers = Seq(("a", 2L)))
+    assert(nk2 == Seq(("a", 1L)))
+  }
+
+  test("changed doc moving keys re-elects BOTH groups") {
+    val (ns, nk) = run(
+      prior = Seq((1L, "a", true), (2L, "a", true), (5L, "b", true)),
+      delta = Seq((1L, "b", true)), // 1 migrates a -> b
+      d = Seq((1L, "changed")),
+      priorKeepers = Seq(("a", 1L), ("b", 5L)))
+    assert(ns == Seq((1L, "b", true), (2L, "a", true), (5L, "b", true)))
+    assert(nk == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("null keys never elect; untouched keepers carried byte-for-byte") {
+    val (ns, nk) = run(
+      prior = Seq((1L, null, true), (2L, "z", true)),
+      delta = Seq((3L, null, true)),
+      d = Seq((3L, "added")),
+      priorKeepers = Seq(("z", 2L)))
+    assert(ns.map(_._1) == Seq(1L, 2L, 3L))
+    assert(nk == Seq(("z", 2L)))
+  }
+
+  test("incremental equals batch on a randomized snapshot step") {
+    val rng = new scala.util.Random(13L)
+    val oldRows = (0L until 300L).map(i =>
+      (i, if (i % 11 == 0) null else s"k${rng.nextInt(40)}",
+        rng.nextInt(4) > 0))
+    // delta: ~1/5 removed, ~1/5 changed (new key/pass), fresh adds
+    val removed = oldRows.filter(_._1 % 5 == 0).map(_._1)
+    val changed = oldRows.filter(r => r._1 % 5 == 1)
+      .map(r => (r._1, s"k${rng.nextInt(40)}", rng.nextBoolean()))
+    val added = (300L until 360L).map(i =>
+      (i, s"k${rng.nextInt(40)}", rng.nextBoolean()))
+    val newRows = oldRows
+      .filterNot(r => removed.contains(r._1))
+      .filterNot(r => r._1 % 5 == 1) ++ changed ++ added
+    val d = removed.map(_ -> "removed") ++
+      changed.map(_._1 -> "changed") ++ added.map(_._1 -> "added")
+    val priorKeepers = oldRows.filter(r => r._3 && r._2 != null)
+      .groupBy(_._2).map { case (k, rs) => (k, rs.map(_._1).min) }.toSeq
+    val (ns, nk) = run(oldRows, changed ++ added, d, priorKeepers)
+    // batch gold over the new snapshot
+    assert(ns.toSet == newRows.toSet)
+    val gold = newRows.filter(r => r._3 && r._2 != null)
+      .groupBy(_._2).map { case (k, rs) => (k, rs.map(_._1).min) }
+      .toSeq.sortBy(_._1)
+    assert(nk == gold)
+  }
+}

@@ -280,6 +280,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rb03 shuffles url paths:\n${exchanges.mkString("\n")}")
   }
 
+  test("wp05: incremental maintenance broadcasts the delta; text never shuffles") {
+    // the anti/semi joins against gone/touched take the delta-bounded
+    // side as a broadcast — the stored signal table must not shuffle
+    // for them, and no exchange may carry the corpus text
+    val p = plan("wp05_incremental_acquire")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(e =>
+      e.contains("text#") || e.contains("__html#")),
+      s"wp05 shuffles corpus text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ch06: incremental prompt maintenance broadcasts the delta; transcripts stay put") {
+    val p = plan("ch06_incremental_prompts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(_.contains("transcript#")),
+      s"ch06 shuffles transcripts:\n${exchanges.mkString("\n")}")
+  }
+
   test("rb01: the rule frame broadcasts; URL paths never reach an exchange") {
     val p = plan("rb01_robots_gate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -145,7 +145,8 @@ object ScaleProof {
     "zo02_pruning" -> Bounds(5, 8),     // ZERO shuffle: two 16-bucket aggs (0.0 at 1x/10x)
     // round-13 lanes
     "ch05_packspans" -> Bounds(19, 8),  // measured 12.4x (0.1 -> 1.6): narrow span rows to the pack-group exchange, text never moves
-    "rb03_fetchsched" -> Bounds(11, 8)) // measured 0.0 -> 0.7: per-doc verdict agg into the bounded domain key space
+    "rb03_fetchsched" -> Bounds(11, 8), // measured 0.0 -> 0.7: per-doc verdict agg into the bounded domain key space
+    "wp05_incr" -> Bounds(5, 8))        // measured 0.0 -> 0.2: delta broadcasts into the anti/semi joins; only the prior-election setup agg exchanges
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -215,7 +216,8 @@ object ScaleProof {
     "zo02_pruning" -> Bounds(5, 8),     // 0.0 -> 0.0 MiB at 550k rows (bucket domain)
     // round-13 third points
     "ch05_packspans" -> Bounds(16, 8),  // measured 10.2x (1.6 -> 16.3): exactly linear span rows, skew 1.1
-    "rb03_fetchsched" -> Bounds(24, 8)) // measured 15.0x (0.7 -> 10.5): linear verdict rows, skew 1.1
+    "rb03_fetchsched" -> Bounds(24, 8), // measured 15.0x (0.7 -> 10.5): linear verdict rows, skew 1.1
+    "wp05_incr" -> Bounds(110, 8))      // measured 68x OF A ~0 BASE (0.2 -> 13.6): the delta/touched frames cross the broadcast threshold at 100x and the prior-election setup agg pays real exchanges — absolute bytes stay sketch-sized for 550k docs; skew 2.0
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -898,6 +900,37 @@ object ScaleProof {
             .agg(coalesce(sum(col("n_allowed") *
               coalesce(col("crawl_delay_ms"), lit(1000L))), lit(0L)))
             .head().getLong(0)
+        })
+      measure("wp05_incr", scale)(
+        // incremental keep-first maintenance under a 2% delta: the
+        // delta side broadcasts into the anti/semi joins (the signal
+        // table never shuffles for them), re-election is
+        // touched-key-restricted, and the only corpus-wide exchange is
+        // the prior election's key-domain agg (the stored-state setup,
+        // measured here because the lane is self-contained)
+        {
+          import graft.operators.Incremental
+          val sigs = docs.select(col("doc_id"),
+            when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("k"),
+                (col("doc_id") % 5000).cast("string"))).as("key"),
+            (col("doc_id") % 7 =!= 0).as("pass"))
+          val prior = sigs.filter(col("doc_id") % 100 =!= 3)
+          val delta = sigs.filter(
+            col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7)
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val priorKeepers = prior
+            .filter(col("pass") && col("key").isNotNull)
+            .groupBy(col("key")).agg(min(col("doc_id")).as("keep_id"))
+          val (ns, nk) = Incremental.maintainKeepFirst(
+            prior, delta, d, priorKeepers, "doc_id", "key", "pass")
+          nk.agg(coalesce(sum(col("keep_id")), lit(0L)))
+            .head().getLong(0) + ns.count()
         })
       measure("mw03_mixsolve", scale)(
         // mixture solver: one group-domain token agg + a source-domain

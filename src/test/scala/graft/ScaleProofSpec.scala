@@ -113,7 +113,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("ch04_sftpipe", 0.1, 1.1, 1.2),
       // round-13 lanes (SCALING.md round-13 addendum)
       pair("ch05_packspans", 0.1, 1.6, 1.0),
-      pair("rb03_fetchsched", 0.0, 0.7, 1.1)).flatten
+      pair("rb03_fetchsched", 0.0, 0.7, 1.1),
+      pair("wp05_incr", 0.0, 0.2, 1.8)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -139,7 +140,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "lm04_pplbuckets", "zo02_pruning", "cm02_calibration",
       "ch01_turnstats", "ch02_promptdedup", "ch03_renderspans",
       "pk02_padding", "mw03_mixsolve", "ch04_sftpipe",
-      "ch05_packspans", "rb03_fetchsched")
+      "ch05_packspans", "rb03_fetchsched", "wp05_incr")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -226,7 +227,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("ch04_sftpipe", 1.1, 22.8, 1.2),
       // round-13 third points (SCALING.md round-13 addendum)
       pair100("ch05_packspans", 1.6, 16.3, 1.1),
-      pair100("rb03_fetchsched", 0.7, 10.5, 1.1)).flatten
+      pair100("rb03_fetchsched", 0.7, 10.5, 1.1),
+      pair100("wp05_incr", 0.2, 13.6, 2.0)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
