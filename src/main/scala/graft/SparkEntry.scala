@@ -1523,6 +1523,39 @@ object SparkEntry {
         "doc_id", "url", k = 5, salt = "url03")
         .orderBy(col("domain"), col("sample_rank"))
     }),
+    // INCREMENTAL domain-cap maintenance — maintainMinK on the url03
+    // shape: the snapshot step (docs %10==3 added, %10==9 removed)
+    // folds into the stored (membership, sample) tables; touched
+    // domains re-rank through the SAME two-level salted windows as the
+    // batch cap (content-addressed: the salt is the only state),
+    // untouched domains carry their sample rows byte-for-byte. The
+    // oracle is url03's BATCH replay over the new snapshot — the
+    // membership being a pure function of (id, salt) makes
+    // incremental==batch EXACT, and the hash compare enforces it
+    "url06_incremental_cap" -> ((s, dir) => {
+      import graft.operators.{Dedup, Incremental}
+      import graft.functions.UrlFunctions
+      val all = t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl().as("url"))
+      val oldUrls = all.filter(col("doc_id") % 10 =!= 3)
+      val newUrls = all.filter(col("doc_id") % 10 =!= 9)
+      def membership(urls: DataFrame) = urls
+        .select(col("doc_id"),
+          UrlFunctions.urlDomain(col("url")).as("domain"))
+        .filter(col("domain").isNotNull)
+      val prior = membership(oldUrls)
+      val priorSample = graft.operators.Sampling.stratifiedFixedSample(
+        prior, "doc_id", "domain", k = 5, salt = "url06")
+      val diffDf = Dedup.corpusDiff(oldUrls, newUrls, "doc_id", "url")
+      val delta = membership(newUrls.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val (_, nextSample) = Incremental.maintainMinK(
+        prior, delta, diffDf, priorSample,
+        "doc_id", "domain", k = 5, salt = "url06")
+      nextSample.orderBy(col("domain"), col("sample_rank"))
+    }),
     // RefinedWeb/C4-style URL filter battery on a synth that exercises
     // every rule: static-asset extensions, deep paths, digit-heavy
     // (calendar/session) paths, param-heavy app views, a blocklist hit,
@@ -3443,6 +3476,44 @@ object SparkEntry {
       """  FROM p3),
         |h AS (SELECT domain, doc_id,
         |    substr(md5(CAST(doc_id AS VARCHAR) || '-url03'), 1, 8) AS hh
+        |  FROM d WHERE domain IS NOT NULL),
+        |r AS (SELECT domain, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM h)
+        |SELECT domain, doc_id, sample_rank FROM r WHERE sample_rank <= 5
+        |ORDER BY domain, sample_rank""").stripMargin,
+    // incremental-cap oracle: url03's BATCH replay over the NEW
+    // snapshot (%10==9 dropped; %10==3 present) with the '-url06'
+    // salt — the Spark side maintains the same answer incrementally
+    // from the old snapshot's stored tables
+    "url06_incremental_cap" ->
+      (s"""WITH u AS (SELECT doc_id,
+        |  ${sqlSynthUrl(escapes = false)} AS url FROM documents
+        |  WHERE doc_id % 10 <> 9),
+        |""" +
+      """p1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u),
+        |p2 AS (SELECT doc_id, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$', ''), '\.+$', '') END AS host
+        |  FROM p2),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |""" +
+      s"""    ELSE ${sqlRegisteredDomain("host")} END AS domain
+        |""" +
+      """  FROM p3),
+        |h AS (SELECT domain, doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '-url06'), 1, 8) AS hh
         |  FROM d WHERE domain IS NOT NULL),
         |r AS (SELECT domain, doc_id,
         |    CAST(row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id)

@@ -87,4 +87,54 @@ object Incremental {
       .unionByName(reElected)
     (next, nextKeepers)
   }
+
+  /** Incremental maintenance of a per-group salted MIN-K sample (the
+    * `Sampling.domainCap` / `stratifiedFixedSample` shape) under a
+    * snapshot delta. Membership is content-addressed — a row's hash is
+    * a pure function of (id, salt) — so the SALT is the only election
+    * state: touched groups re-rank through the exact same two-level
+    * salted windows as the batch operator (on the delta-restricted
+    * frame, so a re-ranked hot group still never sorts in one task),
+    * and untouched groups carry their prior sample rows byte-for-byte.
+    * Incremental therefore equals batch EXACTLY, which the url06
+    * oracle (a full batch replay over the new snapshot) enforces.
+    *
+    * @param prior stored (idCol, keyCol, ...) membership frame for the
+    *              old snapshot (callers pre-filter eligibility — min-k
+    *              has no pass gate)
+    * @param delta membership rows for added+changed ids only
+    * @param diff  (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorSample stored (keyCol, idCol, sample_rank) — the
+    *              batch operator's output for the old snapshot
+    * @return (nextMembership, nextSample) */
+  def maintainMinK(
+      prior: DataFrame,
+      delta: DataFrame,
+      diff: DataFrame,
+      priorSample: DataFrame,
+      idCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String): (DataFrame, DataFrame) = {
+    require(prior.columns.sameElements(delta.columns),
+      s"prior/delta schemas differ: ${prior.columns.mkString(",")} vs " +
+        delta.columns.mkString(","))
+    require(priorSample.columns.toSeq == Seq(keyCol, idCol, "sample_rank"),
+      s"priorSample must be ($keyCol, $idCol, sample_rank), got " +
+        priorSample.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val next = prior.join(gone, Seq(idCol), "left_anti").unionByName(delta)
+    val touched = delta.select(col(keyCol))
+      .unionByName(
+        prior.join(gone, Seq(idCol), "left_semi").select(col(keyCol)))
+      .filter(col(keyCol).isNotNull)
+      .distinct()
+    val reRanked = Sampling.stratifiedFixedSample(
+      next.join(touched, Seq(keyCol), "left_semi"), idCol, keyCol, k, salt)
+    val nextSample = priorSample
+      .join(touched, Seq(keyCol), "left_anti")
+      .unionByName(reRanked)
+    (next, nextSample)
+  }
 }

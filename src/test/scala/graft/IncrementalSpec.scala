@@ -89,6 +89,52 @@ class IncrementalSpec extends AnyFunSuite {
     assert(nk == Seq(("z", 2L)))
   }
 
+  test("maintainMinK: incremental equals batch on a randomized step") {
+    import graft.operators.{Incremental, Sampling}
+    val rng = new scala.util.Random(29L)
+    val oldRows = (0L until 400L).map(i => (i, s"d${rng.nextInt(12)}"))
+    val removed = oldRows.filter(_._1 % 6 == 0).map(_._1)
+    val added = (400L until 470L).map(i => (i, s"d${rng.nextInt(12)}"))
+    val newRows = oldRows.filterNot(r => removed.contains(r._1)) ++ added
+    val prior = oldRows.toDF("id", "key")
+    val priorSample = Sampling.stratifiedFixedSample(
+      prior, "id", "key", k = 4, salt = "mk")
+    val d = (removed.map(_ -> "removed") ++ added.map(_._1 -> "added"))
+      .toDF("id", "status")
+    val (next, nextSample) = Incremental.maintainMinK(
+      prior, added.toDF("id", "key"), d, priorSample,
+      "id", "key", k = 4, salt = "mk")
+    assert(next.as[(Long, String)].collect().toSet == newRows.toSet)
+    // content-addressed: the maintained sample must equal the batch
+    // operator's output over the new snapshot EXACTLY (ranks included)
+    val batch = Sampling.stratifiedFixedSample(
+      newRows.toDF("id", "key"), "id", "key", k = 4, salt = "mk")
+      .as[(String, Long, Long)].collect().toSet
+    assert(nextSample.as[(String, Long, Long)].collect().toSet == batch)
+  }
+
+  test("maintainMinK: untouched groups carry; eviction and promotion re-rank") {
+    import graft.operators.{Incremental, Sampling}
+    // group "a" is touched (one member removed), "b" untouched
+    val prior = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"))
+      .toDF("id", "key")
+    val priorSample = Sampling.stratifiedFixedSample(
+      prior, "id", "key", k = 2, salt = "s")
+    val d = Seq((2L, "removed")).toDF("id", "status")
+    val (_, nextSample) = Incremental.maintainMinK(
+      prior, Seq.empty[(Long, String)].toDF("id", "key"), d, priorSample,
+      "id", "key", k = 2, salt = "s")
+    val got = nextSample.as[(String, Long, Long)].collect().toSet
+    val batch = Sampling.stratifiedFixedSample(
+      Seq((1L, "a"), (3L, "a"), (10L, "b"), (11L, "b")).toDF("id", "key"),
+      "id", "key", k = 2, salt = "s")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == batch)
+    // "a" now has exactly its two survivors; "b" is untouched
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "b") == 2)
+    assert(!got.exists(_._2 == 2L))
+  }
+
   test("incremental equals batch on a randomized snapshot step") {
     val rng = new scala.util.Random(13L)
     val oldRows = (0L until 300L).map(i =>
