@@ -1556,6 +1556,54 @@ object SparkEntry {
         "doc_id", "domain", k = 5, salt = "url06")
       nextSample.orderBy(col("domain"), col("sample_rank"))
     }),
+    // INCREMENTAL mixture maintenance — maintainGroupSums on the url04
+    // shape: per-domain (n_docs, n_tokens, n_chars) fold ADDITIVELY
+    // under the snapshot step (%10==3 added, %10==9 removed, %10==7
+    // text-appended so its token/char values move), so only departed
+    // and delta rows ever aggregate — no untouched domain recomputes
+    // anything — and the permille shares derive from the maintained
+    // domain-bounded totals. Oracle = url04's BATCH replay over the
+    // new snapshot: incremental==batch by hash
+    "mw04_incremental_mixture" -> ((s, dir) => {
+      import graft.operators.{Dedup, Incremental}
+      import graft.functions.UrlFunctions
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 3)
+      val newDocs = docs.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7,
+            concat(col("text"), lit(" updated rev")))
+            .otherwise(col("text")))
+      def signals(snap: DataFrame) = snap.select(
+        col("doc_id"),
+        UrlFunctions.urlDomain(synthUrl()).as("domain"),
+        size(filter(TextFunctions.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .filter(col("domain").isNotNull)
+      val prior = signals(oldDocs)
+      val priorTotals = prior.groupBy(col("domain")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      val diffDf = Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+      val delta = signals(newDocs.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val (_, nextTotals) = Incremental.maintainGroupSums(
+        prior, delta, diffDf, priorTotals,
+        "doc_id", "domain", Seq("n_tokens", "n_chars"),
+        countCol = "n_docs")
+      val tot = nextTotals.agg(sum(col("n_tokens")).as("__tot"))
+      nextTotals.crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          when(col("__tot") === 0L, lit(0L))
+            .otherwise(TextFunctions.ldiv(col("n_tokens") * lit(1000L),
+              col("__tot"))).as("token_permille"))
+        .orderBy(col("domain"))
+    }),
     // RefinedWeb/C4-style URL filter battery on a synth that exercises
     // every rule: static-asset extensions, deep paths, digit-heavy
     // (calendar/session) paths, param-heavy app views, a blocklist hit,
@@ -1875,6 +1923,46 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         binWidth = 100L, qs = Seq(500, 900))
         .orderBy(col("lang"))
+    }),
+    // the corpus DATASHEET — the data card a release ships with, as
+    // ONE verified (section, metric, value) table: corpus volume,
+    // per-language doc counts, the Gopher keep count, and the exact-dup
+    // overhang, every number an exact integer assembled from the
+    // already-oracled primitives (langIdNgram, gopherRules, the token
+    // model, md5 identity). Two text scans (signals + the gopher
+    // battery), domain-bounded aggs — diagnostic-priced at any corpus
+    // size
+    "cr01_corpus_report" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val sig = docs.select(col("doc_id"),
+        TextFunctions.langIdNgram(col("text")).as("lang"),
+        size(filter(TextFunctions.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("__md5"))
+      val corpus = sig.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        countDistinct(col("__md5")).as("__uniq"))
+      val corpusRows = corpus.selectExpr(
+        "stack(4, 'corpus', 'n_docs', n_docs, " +
+          "'corpus', 'n_tokens', n_tokens, " +
+          "'corpus', 'n_chars', n_chars, " +
+          "'dedup', 'exact_dup_docs', n_docs - __uniq) " +
+          "AS (section, metric, value)")
+      val langRows = sig.groupBy(col("lang"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("lang").as("section"),
+          concat(lit("docs_"), col("lang")).as("metric"), col("value"))
+      val qualityRows = Curation.gopherRules(docs, "doc_id", "text")
+        .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+          .as("value"))
+        .select(lit("quality").as("section"),
+          lit("gopher_keep_docs").as("metric"), col("value"))
+      corpusRows.unionByName(langRows).unionByName(qualityRows)
+        .orderBy(col("section"), col("metric"))
     }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
     // counters + exact cross-multiplied thresholds, row-local (zero
@@ -3660,6 +3748,47 @@ object SparkEntry {
         |  CAST(CASE WHEN t.tot = 0 THEN 0
         |    ELSE (n_tokens * 1000) // t.tot END AS BIGINT) AS token_permille
         |FROM g CROSS JOIN t ORDER BY domain""").stripMargin,
+    // incremental-mixture oracle: url04's BATCH replay over the NEW
+    // snapshot (%10==9 dropped, %10==7 text appended) — the Spark side
+    // folds the same answer additively from the old snapshot's stored
+    // totals
+    "mw04_incremental_mixture" ->
+      (s"""WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 7 THEN text || ' updated rev'
+        |    ELSE text END AS text,
+        |  ${sqlSynthUrl(escapes = false)} AS url FROM documents
+        |  WHERE doc_id % 10 <> 9),
+        |""" +
+      """p1 AS (SELECT doc_id, text,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u),
+        |p2 AS (SELECT doc_id, text, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, text, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$', ''), '\.+$', '') END AS host
+        |  FROM p2),
+        |dm AS (SELECT doc_id, text,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |""" +
+      s"""    ELSE ${sqlRegisteredDomain("host")} END AS domain
+        |""" +
+      """  FROM p3),
+        |g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM dm WHERE domain IS NOT NULL GROUP BY domain),
+        |t AS (SELECT SUM(n_tokens) AS tot FROM g)
+        |SELECT domain, n_docs, n_tokens, n_chars,
+        |  CAST(CASE WHEN t.tot = 0 THEN 0
+        |    ELSE (n_tokens * 1000) // t.tot END AS BIGINT) AS token_permille
+        |FROM g CROSS JOIN t ORDER BY domain""").stripMargin,
     // HTML-extraction replay: identical synthesized markup, then the
     // six contract clauses in order; every regexp_replace carries 'g'
     // (Spark's replace is always global) and the block-tag whitespace
@@ -4084,6 +4213,85 @@ object SparkEntry {
         |  q.p500_chars, q.p900_chars
         |FROM shares s JOIN qu q USING (lang)
         |ORDER BY s.lang""".stripMargin,
+    // datasheet replay: lq01's lang CASE + gopher counters verbatim,
+    // the token model's non-empty count, md5 identity for the exact-dup
+    // overhang — every section a UNION ALL leg over the same frames
+    "cr01_corpus_report" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+') AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |lg AS (SELECT doc_id,
+        |    CASE WHEN GREATEST(h_en,h_fr,h_es,h_de) = 0 THEN 'und'
+        |         WHEN h_fr = GREATEST(h_en,h_fr,h_es,h_de) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_en,h_fr,h_es,h_de) THEN 'es'
+        |         WHEN h_en = GREATEST(h_en,h_fr,h_es,h_de) THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM (SELECT doc_id,
+        |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is',
+        |      'that','it','for','was'))) AS h_en,
+        |    len(list_filter(ts, t -> t IN ('le','la','les','de','des','et',
+        |      'un','une','est','que'))) AS h_fr,
+        |    len(list_filter(ts, t -> t IN ('el','la','los','las','de','y',
+        |      'un','una','es','que'))) AS h_es,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ein',
+        |      'eine','ist','nicht','mit','von'))) AS h_de
+        |  FROM d)),
+        |c AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(ts, t -> length(t) > 0)) AS BIGINT)
+        |      AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+        |      AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...'
+        |      OR right(rtrim(l), 1) = '…')) AS BIGINT) AS n_ellipsis_lines
+        |  FROM d),
+        |m AS (SELECT c.doc_id, l.lang, c.n_chars, c.n_words,
+        |    ((c.n_words >= 50 AND c.n_words <= 100000)
+        |      AND (c.n_word_chars >= 3 * c.n_words AND
+        |           c.n_word_chars <= 10 * c.n_words)
+        |      AND (10 * c.n_hash <= c.n_words AND
+        |           10 * c.n_ellipsis <= c.n_words)
+        |      AND (10 * c.n_bullet_lines <= 9 * c.n_lines)
+        |      AND (10 * c.n_ellipsis_lines <= 3 * c.n_lines)
+        |      AND (5 * c.n_alpha_words >= 4 * c.n_words)
+        |      AND (c.n_stop >= 2)) AS keep
+        |  FROM lg l JOIN c USING (doc_id))
+        |SELECT 'corpus' AS section, 'n_docs' AS metric,
+        |  CAST(COUNT(*) AS BIGINT) AS value FROM m
+        |UNION ALL SELECT 'corpus', 'n_tokens',
+        |  CAST(coalesce(SUM(n_words), 0) AS BIGINT) FROM m
+        |UNION ALL SELECT 'corpus', 'n_chars',
+        |  CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM m
+        |UNION ALL SELECT 'dedup', 'exact_dup_docs',
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'lang', 'docs_' || lang,
+        |  CAST(COUNT(*) AS BIGINT) FROM m GROUP BY lang
+        |UNION ALL SELECT 'quality', 'gopher_keep_docs',
+        |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM m
+        |ORDER BY section, metric""".stripMargin,
     // prompt-dedup replay: identical synthesized transcripts, first
     // user turn via the same trim -> role-regex pipeline, tokens-joined
     // normalized md5, group by digest

@@ -137,4 +137,62 @@ object Incremental {
       .unionByName(reRanked)
     (next, nextSample)
   }
+
+  /** Incremental maintenance of per-group ADDITIVE aggregates (row
+    * count + long sums — the mixture/token-volume tables) under a
+    * snapshot delta: only the departed and delta rows aggregate
+    * (delta-bounded by construction — sums fold additively, unlike the
+    * elections above no untouched group ever recomputes ANYTHING), and
+    * the totals update is a key-domain-bounded three-way outer join.
+    * Groups whose row count reaches zero DISAPPEAR, exactly as a batch
+    * groupBy over the new snapshot would drop them.
+    *
+    * Contract: NULL-KEY rows never enter the totals (the domainCap
+    * convention — route unattributable rows to their own policy), and
+    * value columns must be NON-NULL LONGS (a null value is invisible
+    * to SUM, so a group holding only nulls would read 0 incrementally
+    * but NULL in batch — coalesce values upstream).
+    *
+    * @param prior stored (idCol, keyCol, valueCols...) frame
+    * @param delta recomputed rows for added+changed ids only
+    * @param diff  (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorTotals stored (keyCol, countCol, valueCols...) —
+    *              the batch aggregation's output for the old snapshot
+    * @return (nextRows, nextTotals) */
+  def maintainGroupSums(
+      prior: DataFrame,
+      delta: DataFrame,
+      diff: DataFrame,
+      priorTotals: DataFrame,
+      idCol: String,
+      keyCol: String,
+      valueCols: Seq[String],
+      countCol: String = "n_rows"): (DataFrame, DataFrame) = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    require(prior.columns.sameElements(delta.columns),
+      s"prior/delta schemas differ: ${prior.columns.mkString(",")} vs " +
+        delta.columns.mkString(","))
+    require(priorTotals.columns.toSeq == keyCol +: countCol +: valueCols,
+      s"priorTotals must be ($keyCol, $countCol, ${valueCols.mkString(", ")}), " +
+        s"got ${priorTotals.columns.mkString(",")}")
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val next = prior.join(gone, Seq(idCol), "left_anti").unionByName(delta)
+    def sums(df: DataFrame, tag: String) = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as(s"$tag$countCol"),
+        valueCols.map(c => sum(col(c)).as(s"$tag$c")): _*)
+    val minus = sums(prior.join(gone, Seq(idCol), "left_semi"), "__m_")
+    val adds = sums(delta, "__a_")
+    val nextTotals = priorTotals
+      .join(minus, Seq(keyCol), "full_outer")
+      .join(adds, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        (countCol +: valueCols).map(c =>
+          (coalesce(col(c), lit(0L)) - coalesce(col(s"__m_$c"), lit(0L)) +
+            coalesce(col(s"__a_$c"), lit(0L))).as(c)): _*)
+      .filter(col(countCol) > 0L)
+    (next, nextTotals)
+  }
 }

@@ -135,6 +135,57 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 2L))
   }
 
+  test("maintainGroupSums: fold equals batch; emptied groups disappear") {
+    import graft.operators.Incremental
+    // prior: two groups; the step empties "b", moves a row a->c with a
+    // new value, and adds a fresh "d" row
+    val prior = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "key", "v")
+    val priorTotals = prior.groupBy(col("key")).agg(
+      count(lit(1)).as("n_rows"), sum(col("v")).as("v"))
+    val delta = Seq((2L, "c", 99L), (9L, "d", 7L)).toDF("id", "key", "v")
+    val d = Seq((2L, "changed"), (3L, "removed"), (9L, "added"))
+      .toDF("id", "status")
+    val (next, totals) = Incremental.maintainGroupSums(
+      prior, delta, d, priorTotals, "id", "key", Seq("v"))
+    assert(next.as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "c", 99L), (9L, "d", 7L)))
+    assert(totals.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 10L), ("c", 1L, 99L), ("d", 1L, 7L)))
+  }
+
+  test("maintainGroupSums: randomized step equals batch; null keys excluded") {
+    import graft.operators.Incremental
+    val rng = new scala.util.Random(41L)
+    val oldRows = (0L until 500L).map(i =>
+      (i, if (i % 13 == 0) null else s"g${rng.nextInt(20)}",
+        rng.nextInt(1000).toLong, rng.nextInt(50).toLong))
+    val removed = oldRows.filter(_._1 % 7 == 0).map(_._1).toSet
+    val changed = oldRows.filter(r => r._1 % 7 == 1).map(r =>
+      (r._1, if (r._1 % 26 == 1) null else s"g${rng.nextInt(20)}",
+        rng.nextInt(1000).toLong, rng.nextInt(50).toLong))
+    val added = (500L until 560L).map(i =>
+      (i, s"g${rng.nextInt(20)}", rng.nextInt(1000).toLong,
+        rng.nextInt(50).toLong))
+    val newRows = oldRows.filterNot(r => removed(r._1))
+      .filterNot(_._1 % 7 == 1) ++ changed ++ added
+    val d = (removed.toSeq.map(_ -> "removed") ++
+      changed.map(_._1 -> "changed") ++ added.map(_._1 -> "added"))
+      .toDF("id", "status")
+    val prior = oldRows.toDF("id", "key", "x", "y")
+    val priorTotals = prior.filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("x"), sum(col("y")).as("y"))
+    val (_, totals) = Incremental.maintainGroupSums(
+      prior, (changed ++ added).toDF("id", "key", "x", "y"), d,
+      priorTotals, "id", "key", Seq("x", "y"))
+    val gold = newRows.filter(_._2 != null).groupBy(_._2).map {
+      case (k, rs) =>
+        (k, rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum)
+    }.toSet
+    assert(totals.as[(String, Long, Long, Long)].collect().toSet == gold)
+  }
+
   test("incremental equals batch on a randomized snapshot step") {
     val rng = new scala.util.Random(13L)
     val oldRows = (0L until 300L).map(i =>
