@@ -2046,6 +2046,30 @@ object SparkEntry {
           array_join(col("span_keys"), "|").as("span_keys"))
         .orderBy(col("group"), col("bin"))
     }),
+    // packed bins -> equal-character output SHARDS: the last step
+    // before a trainer's writer partitions the packed sequences into
+    // size-targeted files. shardByTokens' exact integer cut over the
+    // bin frame in deterministic (group, bin) order — the pack groups
+    // are the bounded slice domain, so no corpus-sized window exists;
+    // per-shard summary rows, 8 shards
+    "ch07_packed_shards" -> ((s, dir) => {
+      import graft.operators.Conversations
+      val spans = Conversations.renderSpans(
+        t(s, dir, "documents").withColumn("transcript", synthTranscript),
+        "doc_id", "transcript")
+      val bins = Conversations.packRenderSpans(spans, "doc_id",
+          maxChars = 512L, numGroups = 8)
+        .toDF()
+        .select(col("group"), col("bin"), col("n_turns"),
+          col("total_chars"), col("trainable_chars"))
+      Conversations.shardPackedBins(bins, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_turns")).as("n_turns"),
+          sum(col("total_chars")).as("total_chars"),
+          sum(col("trainable_chars")).as("trainable_chars"))
+        .orderBy(col("shard"))
+    }),
     // INCREMENTAL prompt-dedup maintenance — Incremental.maintainKeepFirst
     // generalizes beyond the wp funnel: the SFT snapshot step (docs
     // %10==3 added, %10==9 removed, %10==7 transcript gains a second
@@ -2617,6 +2641,54 @@ object SparkEntry {
         |  FROM ut WHERE len(ul) > 0),
         |own AS (SELECT MIN(doc_id) AS doc_id FROM pr GROUP BY fp),
         |"""
+
+  /** ch05/ch07's shared packed-spans oracle chain: synth transcript
+    * -> span lengths -> (grp, rank) -> the recursive next-fit packer
+    * with the bin-local rebase carried through the recurrence — ONE
+    * definition for both replays. Ends at the closing of the
+    * recursive CTE `r` (no trailing comma); UNSTRIPPED. */
+  private lazy val sqlPackedSpansChain: String =
+    raw"""WITH RECURSIVE tr AS (SELECT doc_id, $sqlSynthTranscript AS t
+        |  FROM documents),
+        |rr AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |      x -> trim(x)), x -> len(x) > 0) AS turns
+        |  FROM tr),
+        |pp AS (SELECT doc_id,
+        |    list_transform(turns,
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
+        |      AS roles,
+        |    list_transform(turns,
+        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
+        |      AS contents
+        |  FROM rr WHERE len(turns) > 0),
+        |ex AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+        |    CAST(len(roles[i]) AS BIGINT) AS role_len,
+        |    CAST(len(contents[i]) AS BIGINT) AS content_len,
+        |    (roles[i] = 'assistant') AS trainable
+        |  FROM pp, UNNEST(generate_series(1, len(roles))) AS u(i)),
+        |c AS (SELECT doc_id % 8 AS grp, doc_id, turn_idx, role_len,
+        |    content_len, trainable,
+        |    content_len + role_len + 24 AS piece,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |                       ORDER BY doc_id, turn_idx) AS rn
+        |  FROM ex),
+        |r AS (
+        |  SELECT grp, rn, doc_id, turn_idx, piece, content_len,
+        |    trainable, CAST(0 AS BIGINT) AS bin, piece AS tot,
+        |    13 + role_len AS s
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.grp, c.rn, c.doc_id, c.turn_idx, c.piece,
+        |    c.content_len, c.trainable,
+        |    CASE WHEN r.tot + c.piece <= 512 THEN r.bin
+        |         ELSE r.bin + 1 END,
+        |    CASE WHEN r.tot + c.piece <= 512 THEN r.tot + c.piece
+        |         ELSE c.piece END,
+        |    CASE WHEN r.tot + c.piece <= 512 THEN r.tot + 13 + c.role_len
+        |         ELSE 13 + c.role_len END
+        |  FROM r JOIN c ON c.grp = r.grp AND c.rn = r.rn + 1
+        |)"""
 
   /** ht01's DuckDB replay (identical synthesized markup, then the six
     * extraction clauses in order; every regexp_replace carries 'g' —
@@ -4402,48 +4474,8 @@ object SparkEntry {
     // role + 24 and the bin-local rebase s = tot_before + 13 + role_len
     // carried through the recurrence
     "ch05_packed_spans" ->
-      raw"""WITH RECURSIVE tr AS (SELECT doc_id, $sqlSynthTranscript AS t
-        |  FROM documents),
-        |rr AS (SELECT doc_id,
-        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
-        |      x -> trim(x)), x -> len(x) > 0) AS turns
-        |  FROM tr),
-        |pp AS (SELECT doc_id,
-        |    list_transform(turns,
-        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1))
-        |      AS roles,
-        |    list_transform(turns,
-        |      x -> regexp_replace(x, '^(system|user|assistant): ?', ''))
-        |      AS contents
-        |  FROM rr WHERE len(turns) > 0),
-        |ex AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
-        |    CAST(len(roles[i]) AS BIGINT) AS role_len,
-        |    CAST(len(contents[i]) AS BIGINT) AS content_len,
-        |    (roles[i] = 'assistant') AS trainable
-        |  FROM pp, UNNEST(generate_series(1, len(roles))) AS u(i)),
-        |c AS (SELECT doc_id % 8 AS grp, doc_id, turn_idx, role_len,
-        |    content_len, trainable,
-        |    content_len + role_len + 24 AS piece,
-        |    row_number() OVER (PARTITION BY doc_id % 8
-        |                       ORDER BY doc_id, turn_idx) AS rn
-        |  FROM ex),
-        |r AS (
-        |  SELECT grp, rn, doc_id, turn_idx, piece, content_len,
-        |    trainable, CAST(0 AS BIGINT) AS bin, piece AS tot,
-        |    13 + role_len AS s
-        |  FROM c WHERE rn = 1
-        |  UNION ALL
-        |  SELECT c.grp, c.rn, c.doc_id, c.turn_idx, c.piece,
-        |    c.content_len, c.trainable,
-        |    CASE WHEN r.tot + c.piece <= 512 THEN r.bin
-        |         ELSE r.bin + 1 END,
-        |    CASE WHEN r.tot + c.piece <= 512 THEN r.tot + c.piece
-        |         ELSE c.piece END,
-        |    CASE WHEN r.tot + c.piece <= 512 THEN r.tot + 13 + c.role_len
-        |         ELSE 13 + c.role_len END
-        |  FROM r JOIN c ON c.grp = r.grp AND c.rn = r.rn + 1
-        |)
-        |SELECT grp AS "group", bin,
+      (sqlPackedSpansChain + "\n" +
+      raw"""SELECT grp AS "group", bin,
         |  CAST(COUNT(*) AS BIGINT) AS n_turns,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_convs,
         |  CAST(SUM(piece) AS BIGINT) AS total_chars,
@@ -4451,7 +4483,32 @@ object SparkEntry {
         |    AS BIGINT) AS trainable_chars,
         |  string_agg(doc_id || ':' || turn_idx || ':' || s || ':'
         |    || (s + content_len), '|' ORDER BY rn) AS span_keys
-        |FROM r GROUP BY grp, bin ORDER BY "group", bin""".stripMargin,
+        |FROM r GROUP BY grp, bin ORDER BY "group", bin""").stripMargin,
+    // packed-shards replay: the ch05 chain's bins + the exclusive
+    // cumulative-chars shard cut along (grp, bin) order — the
+    // shardByTokens formula over bins, 8 shards
+    "ch07_packed_shards" ->
+      (sqlPackedSpansChain + "," + "\n" +
+      raw"""bins AS (SELECT grp, bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |    CAST(SUM(piece) AS BIGINT) AS total_chars,
+        |    CAST(coalesce(SUM(CASE WHEN trainable THEN content_len END),
+        |      0) AS BIGINT) AS trainable_chars
+        |  FROM r GROUP BY grp, bin),
+        |cum AS (SELECT grp, bin, n_turns, total_chars, trainable_chars,
+        |    coalesce(SUM(total_chars) OVER (ORDER BY grp, bin
+        |      ROWS UNBOUNDED PRECEDING), 0) - total_chars AS chars_before,
+        |    SUM(total_chars) OVER () AS tot
+        |  FROM bins),
+        |sh AS (SELECT *, CASE WHEN tot <= 0 THEN 0
+        |    ELSE LEAST(7, (chars_before * 8) // tot) END AS shard
+        |  FROM cum)
+        |SELECT CAST(shard AS INT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+        |  CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(trainable_chars) AS BIGINT) AS trainable_chars
+        |FROM sh GROUP BY shard ORDER BY shard""").stripMargin,
     // transcript-QA replay: the identical synthesized transcript, the
     // identical trim -> role-regex -> battery list pipeline (': ?' so a
     // trimmed empty turn still parses as its role)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -308,5 +309,52 @@ object Conversations {
           case None => flush()
         }
       }
+  }
+
+  /** Assign [[packRenderSpans]] bins to `nShards` ≈equal-character
+    * output shards, preserving the deterministic (group, bin) pack
+    * order — the last step before a trainer's writer
+    * `.partitionBy("shard")`s the packed sequences into size-targeted
+    * files. `shard = floor(chars_before * nShards / total_chars)`
+    * along (group, bin) order, all exact long arithmetic (the
+    * `shardByTokens` formula over bins instead of documents).
+    *
+    * Scale shape: no corpus-sized window anywhere — the pack GROUPS
+    * are the bounded slice domain by construction (numGroups rows), so
+    * the per-group char subtotals prefix-sum on that tiny frame
+    * (broadcast back) and each bin pays only a within-group window,
+    * exactly the two-level `shardByTokens` discipline.
+    *
+    * Input must carry (group, bin, total_chars); all columns pass
+    * through plus `shard`. Bound: total_chars_sum × nShards < 2^63. */
+  def shardPackedBins(bins: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val reserved = Seq("__gpre", "__gcum", "__gtot", "shard")
+    require(!reserved.exists(bins.columns.contains),
+      s"input must not carry reserved columns ${reserved.mkString("/")}")
+    // per-group subtotals: numGroups-domain rows — the orderBy window's
+    // single task is trivially small; exclusive prefix = group offset
+    val slices = bins.groupBy(col("group"))
+      .agg(sum(col("total_chars")).as("__gt"))
+      .withColumn("__gpre",
+        coalesce(sum(col("__gt")).over(
+          Window.orderBy(col("group"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("group"), col("__gpre"))
+    val tot = bins.agg(sum(col("total_chars")).as("__gtot"))
+    val wf = Window.partitionBy(col("group")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .join(broadcast(slices), Seq("group"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__gcum",
+        col("__gpre") +
+          coalesce(sum(col("total_chars")).over(wf), lit(0L)))
+      .withColumn("shard",
+        when(col("__gtot") <= 0L, lit(0))
+          .otherwise(least(lit(nShards - 1),
+            call_function("div", col("__gcum") * nShards, col("__gtot"))
+              .cast("int"))))
+      .drop("__gpre", "__gcum", "__gtot")
   }
 }

@@ -173,6 +173,31 @@ class ConversationsSpec extends AnyFunSuite {
     assert(allKeys.length == spans.count().toInt)
   }
 
+  test("shardPackedBins: monotone along pack order, ≈equal char mass") {
+    val bins = (0L until 4L).flatMap(g => (0L until 25L).map(b =>
+      (g, b, 3L, 90L + (g * 25L + b) % 40L, 30L)))
+      .toDF("group", "bin", "n_turns", "total_chars", "trainable_chars")
+    val sharded = Conversations.shardPackedBins(bins, nShards = 5)
+      .orderBy("group", "bin")
+      .select("group", "bin", "total_chars", "shard")
+      .as[(Long, Long, Long, Int)].collect()
+    // shard ids are non-decreasing along deterministic (group, bin)
+    // order — a writer's files are contiguous slices of the pack order
+    assert(sharded.map(_._4).sliding(2).forall(w => w(0) <= w(1)))
+    assert(sharded.map(_._4).distinct.sorted.toSeq == (0 until 5))
+    // each shard's char mass within one max-bin of the even split
+    val tot = sharded.map(_._3).sum
+    val byShard = sharded.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+    val maxBin = sharded.map(_._3).max
+    byShard.values.foreach(m =>
+      assert(math.abs(m - tot / 5) <= maxBin + tot % 5,
+        s"shard mass $m vs even ${tot / 5}"))
+    // degenerate single shard
+    val one = Conversations.shardPackedBins(bins, nShards = 1)
+      .select("shard").distinct().as[Int].collect().toSeq
+    assert(one == Seq(0))
+  }
+
   test("packRenderSpans: oversized single turn gets its own bin; order kept") {
     val docs = Seq(
       (4L, "user: " + ("x " * 200).trim + "\nassistant: ok"))
