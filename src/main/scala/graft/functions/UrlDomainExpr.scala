@@ -207,12 +207,20 @@ object UrlKernel {
 
   /** try_cast-to-int semantics over the port capture: null for "" and
     * for anything past Int range (the Column tier's malformed-port
-    * drop). The capture is digits-only by pattern. */
+    * drop). The capture is digits-only by pattern; leading zeros are
+    * NOT overflow — try_cast accepts ':00000008443' as 8443, so the
+    * length check runs on the zero-stripped digits (review finding:
+    * a raw length cap diverged from the Column tier there). */
   private def portToInt(portStr: String): Integer =
-    if (portStr.isEmpty || portStr.length > 10) null
+    if (portStr.isEmpty) null
     else {
-      val l = portStr.toLong
-      if (l > Int.MaxValue) null else Integer.valueOf(l.toInt)
+      val t = portStr.dropWhile(_ == '0')
+      if (t.isEmpty) Integer.valueOf(0)
+      else if (t.length > 10) null
+      else {
+        val l = t.toLong
+        if (l > Int.MaxValue) null else Integer.valueOf(l.toInt)
+      }
     }
 
   /** UrlFunctions.canonicalizeUrl, compiled — the identical 10-clause
@@ -225,10 +233,14 @@ object UrlKernel {
     if (url == null) return null
     val s = url.toString
     val scheme = fold(extract(Scheme, s))
-    val host = urlHostOf(s)
-    if (scheme.isEmpty || host.isEmpty) return null
+    if (scheme.isEmpty) return null
+    // one parse chain: after/hostPort/host computed once and reused
+    // below (the Column tier re-embeds these subtrees per reference;
+    // being the compiled tier means NOT paying that twice per row)
     val after = strip(Fragment, strip(SchemePrefix, s))
     val hostPort = fold(strip(Userinfo, extract(Authority, after)))
+    val host = strip(TrailingDots, strip(Port, hostPort))
+    if (host.isEmpty) return null
     val portN = portToInt(extract(PortNum, hostPort))
     val keepPort = portN != null &&
       !(scheme == "http" && portN.intValue == 80) &&

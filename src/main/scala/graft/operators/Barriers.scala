@@ -27,16 +27,27 @@ object Barriers {
     * executor-local checkpoints (the single-box default). */
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  // the conf value LAST APPLIED per context — SparkContext stores
+  // <dir>/<random-UUID> (fully qualified), so getCheckpointDir can
+  // never equal the conf value; without this map every stage() call
+  // would re-run setCheckpointDir (an FS mkdirs round trip on the
+  // driver) and scatter each checkpoint into a fresh UUID directory
+  private val applied =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   /** Eager (default) or lazy materialization barrier: reliable
     * `checkpoint` when [[CheckpointDirKey]] is set, `localCheckpoint`
-    * otherwise. Sets the SparkContext checkpoint dir on first use (a
-    * later conf change re-points it). */
+    * otherwise. Sets the SparkContext checkpoint dir on first use per
+    * configured value (a later conf change re-points it). */
   def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        if (applied.get(sc) != dir) {
+          sc.setCheckpointDir(dir)
+          applied.put(sc, dir)
+        }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -340,12 +340,14 @@ object Conversations {
         coalesce(sum(col("__gt")).over(
           Window.orderBy(col("group"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("group"), col("__gpre"))
-    val tot = bins.agg(sum(col("total_chars")).as("__gtot"))
+    // grand total from the numGroups-row subtotal frame — never a
+    // second full pass over the bins pipeline
+    val tot = slices.agg(sum(col("__gt")).as("__gtot"))
     val wf = Window.partitionBy(col("group")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
     bins
-      .join(broadcast(slices), Seq("group"))
+      .join(broadcast(slices.select(col("group"), col("__gpre"))),
+        Seq("group"))
       .crossJoin(broadcast(tot))
       .withColumn("__gcum",
         col("__gpre") +

@@ -76,9 +76,14 @@ class UrlKernelSpec extends AnyFunSuite {
     "http://a.com/esc%7E%41%2fX", "http://a.com/p%2%45",
     "http://a.com/p%", "http://a.com/%", "http://a.com/%g1%1",
     "http://a.com/x?utm%5Fsource=1&b=2", "http://a.com/%2Fa%2e",
-    // ports: default elision (numeric), kept, malformed, overflow
+    // ports: default elision (numeric), kept, malformed, overflow —
+    // incl. the review-found case: >10 digits that are IN range once
+    // leading zeros strip (try_cast accepts them; a raw length cap
+    // diverged here)
     "http://a.com:080/x", "HTTPS://a.com:443/x", "https://a.com:8443/x",
     "http://a.com:99999999999999999999/x", "http://a.com:0080/x",
+    "https://a.com:00000008443/x", "http://a.com:0000000000000000080/x",
+    "http://a.com:00000000000/x", "http://a.com:02147483648/x",
     // query: tracking in various positions, order preservation,
     // emptied query, empty params
     "http://a.com/x?id=1&utm_source=n&b=2", "http://a.com/x?fbclid=z",
