@@ -94,6 +94,42 @@ object SparkEntry {
       "&quot;quotes&quot; it&#39;s done, R&D dept, A&#65;&#x42;Z " +
       "caf&#233; won&#8217;t &amp;#38; &#bad;</div></body></html>"))
 
+  /** The corpus-datasheet rows over an arbitrary (doc_id, text)
+    * snapshot — cr01 emits them for the live corpus, cr02 for both
+    * sides of a snapshot step. Every value an exact integer from the
+    * already-oracled primitives (langIdNgram, gopherRules, the token
+    * model, md5 identity). */
+  private def corpusReportRows(docs: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val sig = docs.select(col("doc_id"),
+      TextFunctions.langIdNgram(col("text")).as("lang"),
+      size(filter(TextFunctions.tokens(col("text")),
+        t => length(t) > 0)).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      md5(col("text").cast("binary")).as("__md5"))
+    val corpus = sig.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+      countDistinct(col("__md5")).as("__uniq"))
+    val corpusRows = corpus.selectExpr(
+      "stack(4, 'corpus', 'n_docs', n_docs, " +
+        "'corpus', 'n_tokens', n_tokens, " +
+        "'corpus', 'n_chars', n_chars, " +
+        "'dedup', 'exact_dup_docs', n_docs - __uniq) " +
+        "AS (section, metric, value)")
+    val langRows = sig.groupBy(col("lang"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("lang").as("section"),
+        concat(lit("docs_"), col("lang")).as("metric"), col("value"))
+    val qualityRows = Curation.gopherRules(docs, "doc_id", "text")
+      .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+        .as("value"))
+      .select(lit("quality").as("section"),
+        lit("gopher_keep_docs").as("metric"), col("value"))
+    corpusRows.unionByName(langRows).unionByName(qualityRows)
+  }
+
   /** wp01/wp02's shared front-door funnel over the synthesized web
     * corpus: URL policy filters -> HTML -> text extraction -> URL-level
     * keep-first dedup (among policy survivors) -> text-quality gate,
@@ -1933,35 +1969,32 @@ object SparkEntry {
     // battery), domain-bounded aggs — diagnostic-priced at any corpus
     // size
     "cr01_corpus_report" -> ((s, dir) => {
-      import graft.operators.Curation
-      val docs = t(s, dir, "documents")
-      val sig = docs.select(col("doc_id"),
-        TextFunctions.langIdNgram(col("text")).as("lang"),
-        size(filter(TextFunctions.tokens(col("text")),
-          t => length(t) > 0)).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars"),
-        md5(col("text").cast("binary")).as("__md5"))
-      val corpus = sig.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
-        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
-        countDistinct(col("__md5")).as("__uniq"))
-      val corpusRows = corpus.selectExpr(
-        "stack(4, 'corpus', 'n_docs', n_docs, " +
-          "'corpus', 'n_tokens', n_tokens, " +
-          "'corpus', 'n_chars', n_chars, " +
-          "'dedup', 'exact_dup_docs', n_docs - __uniq) " +
-          "AS (section, metric, value)")
-      val langRows = sig.groupBy(col("lang"))
-        .agg(count(lit(1)).as("value"))
-        .select(lit("lang").as("section"),
-          concat(lit("docs_"), col("lang")).as("metric"), col("value"))
-      val qualityRows = Curation.gopherRules(docs, "doc_id", "text")
-        .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
-          .as("value"))
-        .select(lit("quality").as("section"),
-          lit("gopher_keep_docs").as("metric"), col("value"))
-      corpusRows.unionByName(langRows).unionByName(qualityRows)
+      corpusReportRows(t(s, dir, "documents"))
+        .orderBy(col("section"), col("metric"))
+    }),
+    // the datasheet DELTA — what changed since yesterday's card: the
+    // same verified (section, metric) table computed for both sides of
+    // the %10 snapshot step and full-outer joined into
+    // (value_old, value_new, delta) rows. The report a release
+    // reviewer reads before signing off an incremental refresh
+    "cr02_datasheet_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 3)
+      val newDocs = docs.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7,
+            concat(col("text"), lit(" updated rev")))
+            .otherwise(col("text")))
+      val o = corpusReportRows(oldDocs)
+        .withColumnRenamed("value", "value_old")
+      val n = corpusReportRows(newDocs)
+        .withColumnRenamed("value", "value_new")
+      o.join(n, Seq("section", "metric"), "full_outer")
+        .select(col("section"), col("metric"),
+          coalesce(col("value_old"), lit(0L)).as("value_old"),
+          coalesce(col("value_new"), lit(0L)).as("value_new"),
+          (coalesce(col("value_new"), lit(0L)) -
+            coalesce(col("value_old"), lit(0L))).as("delta"))
         .orderBy(col("section"), col("metric"))
     }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
@@ -2689,6 +2722,87 @@ object SparkEntry {
         |         ELSE 13 + c.role_len END
         |  FROM r JOIN c ON c.grp = r.grp AND c.rn = r.rn + 1
         |)"""
+
+  /** cr01/cr02's shared datasheet oracle chain with prefixed CTE
+    * names (so two snapshots replay side by side in one query):
+    * `${p}d/lg/c/m` from the given source CTE/table, plus `${p}v`,
+    * the (section, metric, value) legs. UNSTRIPPED; callers
+    * stripMargin the full concatenation. */
+  private def sqlCorpusReportChain(p: String, src: String): String =
+    raw"""${p}d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+') AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM $src),
+        |${p}lg AS (SELECT doc_id,
+        |    CASE WHEN GREATEST(h_en,h_fr,h_es,h_de) = 0 THEN 'und'
+        |         WHEN h_fr = GREATEST(h_en,h_fr,h_es,h_de) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_en,h_fr,h_es,h_de) THEN 'es'
+        |         WHEN h_en = GREATEST(h_en,h_fr,h_es,h_de) THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM (SELECT doc_id,
+        |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is',
+        |      'that','it','for','was'))) AS h_en,
+        |    len(list_filter(ts, t -> t IN ('le','la','les','de','des','et',
+        |      'un','une','est','que'))) AS h_fr,
+        |    len(list_filter(ts, t -> t IN ('el','la','los','las','de','y',
+        |      'un','una','es','que'))) AS h_es,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ein',
+        |      'eine','ist','nicht','mit','von'))) AS h_de
+        |  FROM ${p}d)),
+        |${p}c AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(ts, t -> length(t) > 0)) AS BIGINT)
+        |      AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+        |      AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...'
+        |      OR right(rtrim(l), 1) = '…')) AS BIGINT) AS n_ellipsis_lines
+        |  FROM ${p}d),
+        |${p}m AS (SELECT c.doc_id, l.lang, c.n_chars, c.n_words,
+        |    ((c.n_words >= 50 AND c.n_words <= 100000)
+        |      AND (c.n_word_chars >= 3 * c.n_words AND
+        |           c.n_word_chars <= 10 * c.n_words)
+        |      AND (10 * c.n_hash <= c.n_words AND
+        |           10 * c.n_ellipsis <= c.n_words)
+        |      AND (10 * c.n_bullet_lines <= 9 * c.n_lines)
+        |      AND (10 * c.n_ellipsis_lines <= 3 * c.n_lines)
+        |      AND (5 * c.n_alpha_words >= 4 * c.n_words)
+        |      AND (c.n_stop >= 2)) AS keep
+        |  FROM ${p}lg l JOIN ${p}c c USING (doc_id)),
+        |${p}v AS (SELECT 'corpus' AS section, 'n_docs' AS metric,
+        |  CAST(COUNT(*) AS BIGINT) AS value FROM ${p}m
+        |UNION ALL SELECT 'corpus', 'n_tokens',
+        |  CAST(coalesce(SUM(n_words), 0) AS BIGINT) FROM ${p}m
+        |UNION ALL SELECT 'corpus', 'n_chars',
+        |  CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM ${p}m
+        |UNION ALL SELECT 'dedup', 'exact_dup_docs',
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+        |  FROM ${p}d
+        |UNION ALL SELECT 'lang', 'docs_' || lang,
+        |  CAST(COUNT(*) AS BIGINT) FROM ${p}m GROUP BY lang
+        |UNION ALL SELECT 'quality', 'gopher_keep_docs',
+        |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM ${p}m)"""
 
   /** ht01's DuckDB replay (identical synthesized markup, then the six
     * extraction clauses in order; every regexp_replace carries 'g' —
@@ -4289,81 +4403,29 @@ object SparkEntry {
     // the token model's non-empty count, md5 identity for the exact-dup
     // overhang — every section a UNION ALL leg over the same frames
     "cr01_corpus_report" ->
-      """WITH d AS (SELECT doc_id, text,
-        |    string_split_regex(trim(lower(text)),
-        |      '[ \t\n\x0B\f\r]+') AS ts,
-        |    string_split(text, chr(10)) AS ls
-        |  FROM documents),
-        |lg AS (SELECT doc_id,
-        |    CASE WHEN GREATEST(h_en,h_fr,h_es,h_de) = 0 THEN 'und'
-        |         WHEN h_fr = GREATEST(h_en,h_fr,h_es,h_de) THEN 'fr'
-        |         WHEN h_es = GREATEST(h_en,h_fr,h_es,h_de) THEN 'es'
-        |         WHEN h_en = GREATEST(h_en,h_fr,h_es,h_de) THEN 'en'
-        |         ELSE 'de' END AS lang
-        |  FROM (SELECT doc_id,
-        |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is',
-        |      'that','it','for','was'))) AS h_en,
-        |    len(list_filter(ts, t -> t IN ('le','la','les','de','des','et',
-        |      'un','une','est','que'))) AS h_fr,
-        |    len(list_filter(ts, t -> t IN ('el','la','los','las','de','y',
-        |      'un','una','es','que'))) AS h_es,
-        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ein',
-        |      'eine','ist','nicht','mit','von'))) AS h_de
-        |  FROM d)),
-        |c AS (SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(list_filter(ts, t -> length(t) > 0)) AS BIGINT)
-        |      AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
-        |      AS BIGINT) AS n_word_chars,
-        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
-        |      AS BIGINT) AS n_alpha_words,
-        |    CAST((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_stop,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |      AS n_hash,
-        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS n_ellipsis,
-        |    CAST(len(ls) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(ls, l ->
-        |      substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS BIGINT)
-        |      AS n_bullet_lines,
-        |    CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...'
-        |      OR right(rtrim(l), 1) = '…')) AS BIGINT) AS n_ellipsis_lines
-        |  FROM d),
-        |m AS (SELECT c.doc_id, l.lang, c.n_chars, c.n_words,
-        |    ((c.n_words >= 50 AND c.n_words <= 100000)
-        |      AND (c.n_word_chars >= 3 * c.n_words AND
-        |           c.n_word_chars <= 10 * c.n_words)
-        |      AND (10 * c.n_hash <= c.n_words AND
-        |           10 * c.n_ellipsis <= c.n_words)
-        |      AND (10 * c.n_bullet_lines <= 9 * c.n_lines)
-        |      AND (10 * c.n_ellipsis_lines <= 3 * c.n_lines)
-        |      AND (5 * c.n_alpha_words >= 4 * c.n_words)
-        |      AND (c.n_stop >= 2)) AS keep
-        |  FROM lg l JOIN c USING (doc_id))
-        |SELECT 'corpus' AS section, 'n_docs' AS metric,
-        |  CAST(COUNT(*) AS BIGINT) AS value FROM m
-        |UNION ALL SELECT 'corpus', 'n_tokens',
-        |  CAST(coalesce(SUM(n_words), 0) AS BIGINT) FROM m
-        |UNION ALL SELECT 'corpus', 'n_chars',
-        |  CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM m
-        |UNION ALL SELECT 'dedup', 'exact_dup_docs',
-        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
-        |  FROM documents
-        |UNION ALL SELECT 'lang', 'docs_' || lang,
-        |  CAST(COUNT(*) AS BIGINT) FROM m GROUP BY lang
-        |UNION ALL SELECT 'quality', 'gopher_keep_docs',
-        |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) FROM m
-        |ORDER BY section, metric""".stripMargin,
+      ("WITH " + sqlCorpusReportChain("", "documents") + "\n" +
+      """SELECT section, metric, value FROM v
+        |ORDER BY section, metric""").stripMargin,
+    // datasheet-delta replay: the SAME chain for both snapshot sides
+    // (prefixed CTE names), full-outer joined into old/new/delta rows
+    "cr02_datasheet_delta" ->
+      ("WITH o_src AS (SELECT doc_id, text FROM documents\n" +
+      "    WHERE doc_id % 10 <> 3),\n" +
+      "n_src AS (SELECT doc_id,\n" +
+      "    CASE WHEN doc_id % 10 = 7 THEN text || ' updated rev'\n" +
+      "      ELSE text END AS text\n" +
+      "  FROM documents WHERE doc_id % 10 <> 9),\n" +
+      sqlCorpusReportChain("o_", "o_src") + ",\n" +
+      sqlCorpusReportChain("n_", "n_src") + "\n" +
+      """SELECT coalesce(o.section, n.section) AS section,
+        |  coalesce(o.metric, n.metric) AS metric,
+        |  CAST(coalesce(o.value, 0) AS BIGINT) AS value_old,
+        |  CAST(coalesce(n.value, 0) AS BIGINT) AS value_new,
+        |  CAST(coalesce(n.value, 0) - coalesce(o.value, 0) AS BIGINT)
+        |    AS delta
+        |FROM o_v o FULL OUTER JOIN n_v n
+        |  ON o.section = n.section AND o.metric = n.metric
+        |ORDER BY section, metric""").stripMargin,
     // prompt-dedup replay: identical synthesized transcripts, first
     // user turn via the same trim -> role-regex pipeline, tokens-joined
     // normalized md5, group by digest
