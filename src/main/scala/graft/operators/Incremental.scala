@@ -195,4 +195,39 @@ object Incremental {
       .filter(col(countCol) > 0L)
     (next, nextTotals)
   }
+
+  /** STREAMING twin of [[maintainGroupSums]]: the additive fold is a
+    * homomorphism, so a live totals table is just a stateful streaming
+    * SUM over SIGNED delta contributions — each snapshot step emits
+    * one row per arriving/departing document with `statusCol` ∈
+    * added|changed_new (sign +1) or removed|changed_old (sign −1), and
+    * `groupBy(key).sum` in COMPLETE output mode maintains the same
+    * totals batch maintenance computes. State is the key domain
+    * (bounded — the same reason the batch totals table is small), so
+    * the fold is streaming-legal at any corpus size; groups folded to
+    * zero rows are filtered out, matching the batch disappearance
+    * rule. Works identically on a batch frame (the spec's duality
+    * check). Null-key rows are excluded (the batch contract); an
+    * unknown status raises. */
+  def maintainGroupSumsStream(
+      deltas: DataFrame,
+      keyCol: String,
+      statusCol: String,
+      valueCols: Seq[String],
+      countCol: String = "n_rows"): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val sign = when(col(statusCol).isin("added", "changed_new"), lit(1L))
+      .when(col(statusCol).isin("removed", "changed_old"), lit(-1L))
+      .otherwise(raise_error(lit(
+        "maintainGroupSumsStream: status must be " +
+          "added|removed|changed_new|changed_old")))
+    deltas
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol) +: sign.as("__sgn") +:
+        valueCols.map(c => col(c)): _*)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__sgn")).as(countCol),
+        valueCols.map(c => sum(col(c) * col("__sgn")).as(c)): _*)
+      .filter(col(countCol) > 0L)
+  }
 }

@@ -822,4 +822,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(cmStream == cmBatch && cmBatch.nonEmpty)
     } finally { qh.stop(); qc.stop() }
   }
+
+  test("maintainGroupSumsStream: signed-delta fold over two microbatches equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sums-stream").toString
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("status", StringType),
+      StructField("v", LongType)))
+    def write(file: String, rows: Seq[(String, String, Long)]): Unit = {
+      val data = rows.map { case (k, st, v) =>
+        org.apache.spark.sql.Row(k, st, v) }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    // day 1: three groups arrive (one with a null key — excluded)
+    write("b1", Seq(
+      ("a", "added", 10L), ("a", "added", 20L), ("b", "added", 5L),
+      ("c", "added", 7L), (null, "added", 99L)))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val totals = graft.operators.Incremental.maintainGroupSumsStream(
+      stream, "key", "status", Seq("v"))
+    val q = totals.writeStream.outputMode("complete")
+      .format("memory").queryName("sums_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sums_stream")
+        .as[(String, Long, Long)].collect().toSet ==
+        Set(("a", 2L, 30L), ("b", 1L, 5L), ("c", 1L, 7L)))
+      // day 2: one doc of "a" changes value, "b" empties, "d" appears
+      write("b2", Seq(
+        ("a", "changed_old", 20L), ("a", "changed_new", 21L),
+        ("b", "removed", 5L), ("d", "added", 3L)))
+      q.processAllAvailable()
+      val got = spark.table("sums_stream")
+        .as[(String, Long, Long)].collect().toSet
+      // emptied "b" disappears (the batch rule), "a" folds to 31
+      assert(got == Set(("a", 2L, 31L), ("c", 1L, 7L), ("d", 1L, 3L)))
+      // duality: the same operator over the batch union of all deltas
+      // gives the identical totals
+      val batch = spark.read.schema(schema).parquet(s"$dir/*")
+      val asBatch = graft.operators.Incremental.maintainGroupSumsStream(
+        batch, "key", "status", Seq("v"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(asBatch == got)
+    } finally q.stop()
+  }
 }
