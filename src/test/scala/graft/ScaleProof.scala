@@ -146,7 +146,10 @@ object ScaleProof {
     // round-13 lanes
     "ch05_packspans" -> Bounds(19, 8),  // measured 12.4x (0.1 -> 1.6): narrow span rows to the pack-group exchange, text never moves
     "rb03_fetchsched" -> Bounds(11, 8), // measured 0.0 -> 0.7: per-doc verdict agg into the bounded domain key space
-    "wp05_incr" -> Bounds(5, 8))        // measured 0.0 -> 0.2: delta broadcasts into the anti/semi joins; only the prior-election setup agg exchanges
+    "wp05_incr" -> Bounds(5, 8),        // measured 0.0 -> 0.2: delta broadcasts into the anti/semi joins; only the prior-election setup agg exchanges
+    "url06_incrcap" -> Bounds(5, 8),    // measured 0.0 -> 1.0: prior-sample setup windows + touched-domain re-rank (both k-bounded)
+    "mw04_incrmix" -> Bounds(5, 8),     // measured 0.0 -> 0.0: the additive fold — departed/delta rows alone aggregate into the domain key space
+    "ch07_packshards" -> Bounds(18, 8)) // measured 11.9x (0.1 -> 1.7): ch05's linear span rows + numGroups-bounded bin windows
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -217,7 +220,10 @@ object ScaleProof {
     // round-13 third points
     "ch05_packspans" -> Bounds(16, 8),  // measured 10.2x (1.6 -> 16.3): exactly linear span rows, skew 1.1
     "rb03_fetchsched" -> Bounds(24, 8), // measured 15.0x (0.7 -> 10.5): linear verdict rows, skew 1.1
-    "wp05_incr" -> Bounds(110, 8))      // measured 68x OF A ~0 BASE (0.2 -> 13.6): the delta/touched frames cross the broadcast threshold at 100x and the prior-election setup agg pays real exchanges — absolute bytes stay sketch-sized for 550k docs; skew 2.0
+    "wp05_incr" -> Bounds(110, 8),      // measured 68x OF A ~0 BASE (0.2 -> 13.6): the delta/touched frames cross the broadcast threshold at 100x and the prior-election setup agg pays real exchanges — absolute bytes stay sketch-sized for 550k docs; skew 2.0
+    "url06_incrcap" -> Bounds(13, 8),   // measured 7.7x (1.0 -> 7.7): linear setup windows, skew 1.3
+    "mw04_incrmix" -> Bounds(5, 8),     // measured 0.0 -> 0.4 of a ~0 base: the fold stays sketch-sized at 550k docs; skew 1.5
+    "ch07_packshards" -> Bounds(16, 8)) // measured 10.2x (1.7 -> 17.3): exactly linear span rows, skew 1.1
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -931,6 +937,81 @@ object ScaleProof {
             prior, delta, d, priorKeepers, "doc_id", "key", "pass")
           nk.agg(coalesce(sum(col("keep_id")), lit(0L)))
             .head().getLong(0) + ns.count()
+        })
+      measure("url06_incrcap", scale)(
+        // incremental domain-cap maintenance under a ~2% delta:
+        // delta/touched broadcasts + the re-rank restricted to touched
+        // domains through the batch operator's own two-level windows
+        {
+          import graft.operators.Incremental
+          val all = docs.select(col("doc_id"), scaleUrl.as("url"))
+            .select(col("doc_id"),
+              graft.functions.UrlFunctions.urlDomain(col("url"))
+                .as("graft_dom"))
+            .filter(col("graft_dom").isNotNull)
+          val prior = all.filter(col("doc_id") % 100 =!= 3)
+          val delta = all.filter(col("doc_id") % 100 === 3)
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val priorSample = Sampling.stratifiedFixedSample(
+            prior, "doc_id", "graft_dom", k = 20, salt = "u6")
+          val (_, nextSample) = Incremental.maintainMinK(
+            prior, delta, d, priorSample, "doc_id", "graft_dom",
+            k = 20, salt = "u6")
+          nextSample.agg(coalesce(sum(col("sample_rank")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("mw04_incrmix", scale)(
+        // incremental mixture maintenance: departed/delta rows alone
+        // aggregate; the totals update is a domain-bounded outer join
+        {
+          import graft.operators.Incremental
+          val sig = docs.select(col("doc_id"), scaleUrl.as("url"),
+            graft.functions.TextFunctions
+              .tokenCountNonEmpty(col("text")).as("graft_nt"))
+            .select(col("doc_id"),
+              graft.functions.UrlFunctions.urlDomain(col("url"))
+                .as("graft_dom"), col("graft_nt"))
+            .filter(col("graft_dom").isNotNull)
+          val prior = sig.filter(col("doc_id") % 100 =!= 3)
+          val delta = sig.filter(
+            col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7)
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val priorTotals = prior.groupBy(col("graft_dom")).agg(
+            count(lit(1)).as("n_rows"), sum(col("graft_nt")).as("graft_nt"))
+          val (_, totals) = Incremental.maintainGroupSums(
+            prior, delta, d, priorTotals, "doc_id", "graft_dom",
+            Seq("graft_nt"))
+          totals.agg(coalesce(sum(col("graft_nt")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("ch07_packshards", scale)(
+        // render -> pack -> shard: ch05's narrow span exchange + the
+        // bin-frame shard cut (group subtotals prefix-summed on a
+        // numGroups-row frame; within-group windows only)
+        {
+          val tr = docs.withColumn("graft_tr", concat(
+            lit("user: prompt "), (col("doc_id") % 500).cast("string"),
+            lit("\nassistant: "),
+            regexp_replace(col("text"), "\n", " ")))
+            .select(col("doc_id"), col("graft_tr"))
+          val bins = graft.operators.Conversations.packRenderSpans(
+            graft.operators.Conversations
+              .renderSpans(tr, "doc_id", "graft_tr"),
+            "doc_id", maxChars = 2048L, numGroups = 64)
+            .toDF()
+            .select(col("group"), col("bin"), col("total_chars"))
+          graft.operators.Conversations.shardPackedBins(bins, nShards = 32)
+            .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
+            .head().getLong(0)
         })
       measure("mw03_mixsolve", scale)(
         // mixture solver: one group-domain token agg + a source-domain

@@ -114,7 +114,10 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-13 lanes (SCALING.md round-13 addendum)
       pair("ch05_packspans", 0.1, 1.6, 1.0),
       pair("rb03_fetchsched", 0.0, 0.7, 1.1),
-      pair("wp05_incr", 0.0, 0.2, 1.8)).flatten
+      pair("wp05_incr", 0.0, 0.2, 1.8),
+      pair("url06_incrcap", 0.0, 1.0, 1.1),
+      pair("mw04_incrmix", 0.0, 0.0, 1.0),
+      pair("ch07_packshards", 0.1, 1.7, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -140,7 +143,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "lm04_pplbuckets", "zo02_pruning", "cm02_calibration",
       "ch01_turnstats", "ch02_promptdedup", "ch03_renderspans",
       "pk02_padding", "mw03_mixsolve", "ch04_sftpipe",
-      "ch05_packspans", "rb03_fetchsched", "wp05_incr")
+      "ch05_packspans", "rb03_fetchsched", "wp05_incr",
+      "url06_incrcap", "mw04_incrmix", "ch07_packshards")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -228,7 +232,10 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-13 third points (SCALING.md round-13 addendum)
       pair100("ch05_packspans", 1.6, 16.3, 1.1),
       pair100("rb03_fetchsched", 0.7, 10.5, 1.1),
-      pair100("wp05_incr", 0.2, 13.6, 2.0)).flatten
+      pair100("wp05_incr", 0.2, 13.6, 2.0),
+      pair100("url06_incrcap", 1.0, 7.7, 1.3),
+      pair100("mw04_incrmix", 0.0, 0.4, 1.5),
+      pair100("ch07_packshards", 1.7, 17.3, 1.1)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
