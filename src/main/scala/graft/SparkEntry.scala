@@ -127,7 +127,18 @@ object SparkEntry {
         .as("value"))
       .select(lit("quality").as("section"),
         lit("gopher_keep_docs").as("metric"), col("value"))
+    // paragraph-dup overhang: non-empty lines beyond the first copy of
+    // their exact digest (the pd01 line-identity convention) — the
+    // distinct agg is line-digest-domain, not corpus-row-domain
+    val paraRows = docs
+      .select(explode(filter(split(col("text"), "\r?\n"),
+        l => length(l) > 0)).as("__p"))
+      .agg((count(lit(1)) -
+        countDistinct(md5(col("__p").cast("binary")))).as("value"))
+      .select(lit("dedup").as("section"),
+        lit("dup_paragraphs").as("metric"), col("value"))
     corpusRows.unionByName(langRows).unionByName(qualityRows)
+      .unionByName(paraRows)
   }
 
   /** wp01/wp02's shared front-door funnel over the synthesized web
@@ -2800,6 +2811,12 @@ object SparkEntry {
         |  FROM ${p}d
         |UNION ALL SELECT 'lang', 'docs_' || lang,
         |  CAST(COUNT(*) AS BIGINT) FROM ${p}m GROUP BY lang
+        |UNION ALL SELECT 'dedup', 'dup_paragraphs',
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(line)) AS BIGINT)
+        |  FROM (SELECT unnest(list_filter(
+        |    string_split_regex(text, '?
+'), l -> length(l) > 0))
+        |    AS line FROM ${p}d)
         |UNION ALL SELECT 'quality', 'gopher_keep_docs',
         |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) FROM ${p}m)"""
