@@ -69,7 +69,10 @@ import org.apache.spark.sql.SparkSession
   * carries `"band":[lo,hi]` — the min/max of certified medians the lane
   * has ever recorded (carried forward from the prior _latest, extended
   * with this capture's median) — so round-over-round drift adjudication
-  * reads a same-code spread band instead of re-measuring.
+  * reads a same-code spread band instead of re-measuring. A lane the
+  * plausibility guard FLAGGED never extends its band nor replaces its
+  * baseline median, even when the capture certifies overall
+  * ([[laneRecord]] — round 13's per-lane laundering loophole).
   * The reported "total" is the sum of medians.
   */
 object Bench {
@@ -201,6 +204,32 @@ object Bench {
       median: Double,
       isCertifiable: Boolean): Option[(Double, Double)] =
     if (isCertifiable) Some(extendBand(prior, median)) else prior
+
+  /** The (baseline median, band) one lane may contribute to the CERTIFIED
+    * baseline artifact. The round-13 loophole: a capture with <= 3 flagged
+    * lanes still certifies as a whole (co-tenant noise on a couple of
+    * lanes shouldn't discard 180+ clean medians), but the band-write loop
+    * then extended EVERY lane's band — including the flagged lanes
+    * themselves — so g08's 10.7x noise median (samples 1.89/12.04/26.5 s)
+    * became its band hi AND its next plausibility baseline, raising its
+    * own 3x fence to 36 s. A FLAGGED lane must carry its prior certified
+    * median and prior band regardless of whether the capture certifies
+    * overall — per-lane implausibility is the same refusal as whole-
+    * capture implausibility, applied at lane granularity.
+    *
+    * `prior` is the lane's committed entry: (certified median, band);
+    * a flagged lane always has one ([[implausibleLanes]] never flags a
+    * lane without a certified median). */
+  private[graft] def laneRecord(
+      prior: Option[(Double, Option[(Double, Double)])],
+      median: Double,
+      isCertifiable: Boolean,
+      isFlagged: Boolean): (Double, Option[(Double, Double)]) = {
+    val priorBand = prior.flatMap(_._2).orElse(prior.map(m => (m._1, m._1)))
+    val band = bandForCapture(priorBand, median, isCertifiable && !isFlagged)
+    val med = if (isFlagged) prior.map(_._1).getOrElse(median) else median
+    (med, band)
+  }
 
   /** Pre-sweep quiet-window wait: probe until the box is quiet or the
     * attempt budget runs out, so a sweep isn't burned into a capture the
@@ -371,27 +400,39 @@ object Bench {
       try if (only.isEmpty) {
         val isCert = certifiable(passes, iters, errors.size, budgetHit,
           dirty, implausible)
-        // per-lane certified band: min/max of certified medians this lane
-        // has recorded, carried forward from the prior _latest — and
-        // extended with THIS capture's median ONLY when the capture
-        // certifies ([[bandForCapture]]; a refused capture must not
-        // launder its noise into certified-looking lineage)
-        val full = results.map { case (k, v) =>
-          val prior = certifiedLanes.get(k).flatMap(_._2)
-            .orElse(certifiedLanes.get(k).map(m => (m._1, m._1)))
-          val bandJson = bandForCapture(prior, v, isCert)
-            .map { case (lo, hi) => s""","band":[$lo,$hi]""" }.getOrElse("")
-          "\"" + k + "\":{\"median\":" + v + ",\"samples\":[" +
-            samples(k).reverse.mkString(",") + s"]$bandJson}"
-        }.mkString("{", ",", "}")
-        val doc =
-          s"""{"total":$total,"queries":$full,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit$guardTag}
-             |""".stripMargin.getBytes("UTF-8")
+        val flaggedSet = flagged.toSet
+        // per-lane certified band + baseline median ([[laneRecord]]): the
+        // band extends with THIS capture's median only when the capture
+        // certifies AND the lane itself is unflagged; a flagged lane in an
+        // otherwise-certifying capture carries its PRIOR certified median
+        // as the baseline value (round 13's loophole let g08's 10.7x noise
+        // become its own plausibility fence). last_run records the run's
+        // RAW medians unconditionally — only the baseline artifact
+        // substitutes; samples stay raw in both.
+        def fullDoc(protectFlagged: Boolean): Array[Byte] = {
+          val entries = results.map { case (k, v) =>
+            val (med, band) = laneRecord(
+              certifiedLanes.get(k), v, isCert, flaggedSet.contains(k))
+            val medOut = if (protectFlagged) med else v
+            val bandJson = band
+              .map { case (lo, hi) => s""","band":[$lo,$hi]""" }.getOrElse("")
+            ("\"" + k + "\":{\"median\":" + medOut + ",\"samples\":[" +
+              samples(k).reverse.mkString(",") + s"]$bandJson}", medOut)
+          }
+          val qs = entries.map(_._1).mkString("{", ",", "}")
+          // writer invariant (parseCertified round-trip): total == sum of
+          // the medians WRITTEN, so the protected doc sums protected ones
+          val docTotal = entries.map(_._2).sum
+          (s"""{"total":$docTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters,"passes":$passes,"budget_hit":$budgetHit$guardTag}
+              |""").stripMargin.getBytes("UTF-8")
+        }
         java.nio.file.Files.write(
-          java.nio.file.Paths.get("docs/BENCH_full_last_run.json"), doc)
+          java.nio.file.Paths.get("docs/BENCH_full_last_run.json"),
+          fullDoc(protectFlagged = false))
         if (isCert)
           java.nio.file.Files.write(
-            java.nio.file.Paths.get("docs/BENCH_full_latest.json"), doc)
+            java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
+            fullDoc(protectFlagged = true))
         else if (passes == iters &&
             certifiable(passes, iters, errors.size, budgetHit,
               isContaminated = false)) {

@@ -2814,8 +2814,7 @@ object SparkEntry {
         |UNION ALL SELECT 'dedup', 'dup_paragraphs',
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(line)) AS BIGINT)
         |  FROM (SELECT unnest(list_filter(
-        |    string_split_regex(text, '?
-'), l -> length(l) > 0))
+        |    string_split_regex(text, '\r?\n'), l -> length(l) > 0))
         |    AS line FROM ${p}d)
         |UNION ALL SELECT 'quality', 'gopher_keep_docs',
         |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)

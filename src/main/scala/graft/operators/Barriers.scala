@@ -20,6 +20,26 @@ import org.apache.spark.sql.DataFrame
   * a reliable `Dataset.checkpoint` to that directory instead — same call
   * sites, same eager semantics, survivable executors. The conf is read
   * per call, so one session can flip modes between pipelines.
+  *
+  * Operational constraints of the reliable path:
+  *
+  *   - '''Cleanup''': Spark deletes reliable checkpoint files only when
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  *     FALSE, and it must be set in the SparkConf BEFORE the context
+  *     starts — ContextCleaner reads it once at startup). Without it,
+  *     every staged frame leaves a full materialized copy under the
+  *     checkpoint dir for the application's lifetime and beyond; a
+  *     long-lived cluster session must either set the cleaner conf or
+  *     point [[CheckpointDirKey]] at a location with a storage-lifecycle
+  *     rule (object-store TTL) / delete it on app teardown.
+  *   - '''One dir per context''': the checkpoint directory is a
+  *     SparkContext-global (`setCheckpointDir`), while
+  *     [[CheckpointDirKey]] is session-scoped. Two sessions sharing one
+  *     context MUST configure the same value — with different values the
+  *     last writer wins and the other session's checkpoints land under
+  *     the winner's directory. [[stage]] serializes the set-and-check so
+  *     the applied record can't race, but it cannot give two sessions two
+  *     directories on one context.
   */
 object Barriers {
 
@@ -31,23 +51,34 @@ object Barriers {
   // <dir>/<random-UUID> (fully qualified), so getCheckpointDir can
   // never equal the conf value; without this map every stage() call
   // would re-run setCheckpointDir (an FS mkdirs round trip on the
-  // driver) and scatter each checkpoint into a fresh UUID directory
+  // driver) and scatter each checkpoint into a fresh UUID directory.
+  // WeakHashMap so a stopped SparkContext isn't pinned forever; all
+  // access goes through [[applyDir]]'s monitor (the map is not
+  // thread-safe, and the check-then-set must be atomic anyway).
   private val applied =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
+
+  // atomic check-and-set of the context's checkpoint dir: without the
+  // monitor, two sessions racing stage() could interleave get/set and
+  // double-apply (an extra mkdirs round trip + a stray UUID dir)
+  private def applyDir(sc: org.apache.spark.SparkContext, dir: String): Unit =
+    applied.synchronized {
+      if (applied.get(sc) != dir) {
+        sc.setCheckpointDir(dir)
+        applied.put(sc, dir)
+      }
+    }
 
   /** Eager (default) or lazy materialization barrier: reliable
     * `checkpoint` when [[CheckpointDirKey]] is set, `localCheckpoint`
     * otherwise. Sets the SparkContext checkpoint dir on first use per
-    * configured value (a later conf change re-points it). */
+    * configured value (a later conf change re-points it); see the object
+    * doc for the cleanup and one-dir-per-context constraints. */
   def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        val sc = spark.sparkContext
-        if (applied.get(sc) != dir) {
-          sc.setCheckpointDir(dir)
-          applied.put(sc, dir)
-        }
+        applyDir(spark.sparkContext, dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -187,4 +187,41 @@ class BenchGuardSpec extends AnyFunSuite {
     // than one fabricated from unvetted numbers
     assert(Bench.bandForCapture(None, 6.7, isCertifiable = false).isEmpty)
   }
+
+  test("laneRecord: a flagged lane carries its prior certified median and " +
+      "band even when the capture certifies overall") {
+    // the round-13 loophole, reproduced: capture certifies (<= 3 flagged
+    // lanes), g08 read 12.04 s against a certified 1.12 s with band
+    // [1.12, 1.50] — the baseline must keep 1.12 as median and the band
+    // unchanged, NOT adopt 12.04 as band hi + next plausibility fence
+    val prior = Some((1.124883338, Some((1.124883338, 1.499377695))))
+    assert(Bench.laneRecord(prior, 12.035733266,
+      isCertifiable = true, isFlagged = true) ==
+      ((1.124883338, Some((1.124883338, 1.499377695)))))
+    // flagged lane whose prior entry predates bands: band synthesized
+    // from the prior median, never from the flagged reading
+    assert(Bench.laneRecord(Some((0.5, None)), 6.0,
+      isCertifiable = true, isFlagged = true) ==
+      ((0.5, Some((0.5, 0.5)))))
+  }
+
+  test("laneRecord: an unflagged lane in a certifying capture extends " +
+      "normally; a refused capture carries priors") {
+    // clean lane, certifying capture: this median becomes the baseline
+    // and extends the band — the pre-fix behavior, preserved
+    assert(Bench.laneRecord(Some((1.0, Some((0.9, 1.1)))), 1.3,
+      isCertifiable = true, isFlagged = false) ==
+      ((1.3, Some((0.9, 1.3)))))
+    // new lane (no prior), certifying: seeds its own band
+    assert(Bench.laneRecord(None, 0.7,
+      isCertifiable = true, isFlagged = false) ==
+      ((0.7, Some((0.7, 0.7)))))
+    // refused capture: band carries prior unchanged for every lane
+    assert(Bench.laneRecord(Some((1.0, Some((0.9, 1.1)))), 6.7,
+      isCertifiable = false, isFlagged = false) ==
+      ((6.7, Some((0.9, 1.1)))))
+    // refused + no prior: no band fabricated
+    assert(Bench.laneRecord(None, 6.7,
+      isCertifiable = false, isFlagged = false) == ((6.7, None)))
+  }
 }

@@ -233,6 +233,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"url03 shuffles the raw url:\n${exchanges.mkString("\n")}")
   }
 
+  test("url03: the domain extraction stays inside whole-stage codegen") {
+    // round 12's regression: the Column-tier domain expression blew the
+    // 64 KB janino method limit, Spark fell back to interpreted projection
+    // (ERROR CodeGenerator + 5.6x the lane time). The compiled Catalyst
+    // kernel must keep the scan-side projection codegen'd. AQE hides
+    // codegen ids until the plan is final, so execute first.
+    val df = SparkEntry.queries("url03_domain_cap")(spark, dir)
+    // count() would plan a SEPARATE aggregate query; collect() finalizes
+    // THIS df's adaptive plan (the capped output is small by construction)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("isFinalPlan=true"), p.linesIterator.take(3).mkString)
+    // the Project that evaluates url_domain(...) must carry a codegen id
+    val projIds = p.linesIterator.collect {
+      case l if l.contains("Project") && l.contains("codegen id") => l
+    }.toList
+    assert(projIds.nonEmpty,
+      s"no codegen'd Project in url03's final plan:\n$p")
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
   test("wp02: acquire-tail exchanges never carry the raw url, html, or text") {
     // the funnel's dedup agg keys on the canonical; the cap moves salted
     // rank rows; the mixture agg moves domain-level counts — the synth
