@@ -137,8 +137,36 @@ object SparkEntry {
         countDistinct(md5(col("__p").cast("binary")))).as("value"))
       .select(lit("dedup").as("section"),
         lit("dup_paragraphs").as("metric"), col("value"))
+    // domain mixture (url04's table folded into the card): registered-
+    // domain doc counts over the synth URL mapping; unparseable rows
+    // get their own row — a mixture that silently dropped them would
+    // misstate every share a release reviewer reads
+    val mixtureRows = docs
+      .select(coalesce(
+        graft.functions.UrlFunctions.urlDomain(synthUrl()),
+        lit("unattributed")).as("__dom"))
+      .groupBy(col("__dom"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("mixture").as("section"),
+        concat(lit("docs_"), col("__dom")).as("metric"), col("value"))
+    // near-dup overhang (the dd01/dd05 machinery): docs holding at
+    // least one CONFIRMED near-duplicate — portable-minhash LSH
+    // candidates verified by exact 3-gram Jaccard at 0.8
+    val sigs = docs.select(col("doc_id").as("id"),
+      Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
+        .as("sig"))
+    val confirmed = Dedup.withExactJaccard(
+      Dedup.minhashCandidatesFromSigs(sigs, numHashes = 64, bands = 16),
+      docs, "doc_id", "text", nGram = 3)
+      .filter(col("exact_jaccard") >= 0.8)
+    val nearDupRows = confirmed.select(col("id_a").as("id"))
+      .unionByName(confirmed.select(col("id_b").as("id")))
+      .agg(countDistinct(col("id")).as("value"))
+      .select(lit("dedup").as("section"),
+        lit("near_dup_docs").as("metric"), col("value"))
     corpusRows.unionByName(langRows).unionByName(qualityRows)
-      .unionByName(paraRows)
+      .unionByName(paraRows).unionByName(mixtureRows)
+      .unionByName(nearDupRows)
   }
 
   /** wp01/wp02's shared front-door funnel over the synthesized web
@@ -2800,6 +2828,40 @@ object SparkEntry {
         |      AND (5 * c.n_alpha_words >= 4 * c.n_words)
         |      AND (c.n_stop >= 2)) AS keep
         |  FROM ${p}lg l JOIN ${p}c c USING (doc_id)),
+        |${p}u AS (SELECT doc_id,
+        |  ${sqlSynthUrl(escapes = false)} AS url FROM ${p}d),
+        |${p}q1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_replace(regexp_replace(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS rest
+        |  FROM ${p}u),
+        |${p}q2 AS (SELECT doc_id, scheme,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |    '^.*@', '')) AS hostport
+        |  FROM ${p}q1),
+        |${p}q3 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE regexp_replace(regexp_replace(hostport,
+        |         ':[0-9]*$$', ''), '\.+$$', '') END AS host
+        |  FROM ${p}q2),
+        |${p}dm AS (SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    ELSE ${sqlRegisteredDomain("host")} END AS domain
+        |  FROM ${p}q3),
+        |${sqlMinhashBandsCtes(p, s"${p}d")},
+        |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ${p}bands a JOIN ${p}bands b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |    AND a.s[a.band*4+1 : a.band*4+4] = b.s[b.band*4+1 : b.band*4+4]),
+        |${p}ex AS (SELECT doc_id, list_distinct(grams) AS gs FROM ${p}gr),
+        |${p}conf AS (SELECT c.id_a, c.id_b
+        |  FROM ${p}cand c JOIN ${p}ex ea ON ea.doc_id = c.id_a
+        |    JOIN ${p}ex eb ON eb.doc_id = c.id_b
+        |  WHERE len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)) > 0
+        |    AND CAST(len(list_intersect(ea.gs, eb.gs)) AS DOUBLE) /
+        |      (len(ea.gs) + len(eb.gs) - len(list_intersect(ea.gs, eb.gs)))
+        |      >= 0.8),
         |${p}v AS (SELECT 'corpus' AS section, 'n_docs' AS metric,
         |  CAST(COUNT(*) AS BIGINT) AS value FROM ${p}m
         |UNION ALL SELECT 'corpus', 'n_tokens',
@@ -2816,6 +2878,14 @@ object SparkEntry {
         |  FROM (SELECT unnest(list_filter(
         |    string_split_regex(text, '\r?\n'), l -> length(l) > 0))
         |    AS line FROM ${p}d)
+        |UNION ALL SELECT 'mixture', 'docs_' || dom,
+        |  CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT coalesce(domain, 'unattributed') AS dom FROM ${p}dm)
+        |  GROUP BY dom
+        |UNION ALL SELECT 'dedup', 'near_dup_docs',
+        |  CAST(COUNT(DISTINCT id) AS BIGINT)
+        |  FROM (SELECT id_a AS id FROM ${p}conf
+        |        UNION ALL SELECT id_b FROM ${p}conf)
         |UNION ALL SELECT 'quality', 'gopher_keep_docs',
         |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) FROM ${p}m)"""
@@ -6000,28 +6070,37 @@ object SparkEntry {
     * base frames (split-salted ids / curation-annotated text) and keep
     * their own inlined chains. `tok` carries `text` through for dd06's
     * survivor election; the other lanes never read it (pruned). */
-  private val minhashBandsCteSql: String =
-    """tok AS (
+  /** dd01's portable-minhash banding chain (tok→gr→th→sig→bands),
+    * parameterized by CTE prefix and source relation so the datasheet
+    * chain can replay it over prefixed snapshot CTEs; the bare
+    * `documents` instance ([[minhashBandsCteSql]]) keeps the dd-family
+    * oracles unchanged. */
+  private def sqlMinhashBandsCtes(p: String, src: String): String =
+    raw"""${p}tok AS (
       |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS ts
-      |  FROM documents),
-      |gr AS (
+      |  FROM $src),
+      |${p}gr AS (
       |  SELECT doc_id, CASE WHEN len(ts) < 3 THEN []
       |    ELSE list_transform(range(1, len(ts) - 1),
       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS grams
-      |  FROM tok),
-      |th AS (SELECT doc_id,
+      |  FROM ${p}tok),
+      |${p}th AS (SELECT doc_id,
       |    list_transform(grams, g -> ('0x' || substr(md5(g),1,8))::BIGINT)
       |      AS hs
-      |  FROM gr),
-      |sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
+      |  FROM ${p}gr),
+      |${p}sig AS (SELECT doc_id, list_transform(range(0, 64), j ->
       |    coalesce(list_min(list_transform(hs, h ->
       |      (((('0x' || substr(md5('a' || j),1,8))::BIGINT % 2147483647) + 1)
       |          * h +
       |        ('0x' || substr(md5('b' || j),1,8))::BIGINT % 4294967291)
       |        % 4294967291)),
       |      4294967291)) AS s
-      |  FROM th),
-      |bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band FROM sig)""".stripMargin
+      |  FROM ${p}th),
+      |${p}bands AS (SELECT doc_id, s, unnest(range(0, 16)) AS band
+      |  FROM ${p}sig)""".stripMargin
+
+  private val minhashBandsCteSql: String =
+    sqlMinhashBandsCtes("", "documents")
 
   /** Shared forward-BFS CTE block of the Brandes oracles (g05b forward
     * counts, g05c integer backward phase): the multi-parent DAG, the 8
@@ -6506,6 +6585,47 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY n_shared DESC, id_a, id_b
         |LIMIT 50""".stripMargin,
+    // fp02's oracle is fp01's FULL BATCH replay over the new snapshot —
+    // the incremental==batch invariant for the winnowing pair table
+    "fp02_incremental_winnowing" ->
+      raw"""WITH base AS (SELECT doc_id, text FROM documents),
+        |snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM base WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM snap),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 4 THEN
+        |      list_transform(range(1, len(ts) - 2),
+        |        p -> ('0x' || substr(md5(array_to_string(ts[p : p+3], ' ')),
+        |          1, 8))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM tk),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      unnest(CASE WHEN len(hs) >= 4 THEN
+        |        list_transform(range(1, len(hs) - 2),
+        |          p -> list_min(hs[p : p+3]))
+        |      ELSE [] END) AS fp
+        |    FROM hs)),
+        |usable AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp)
+        |  WHERE n >= 2 AND n <= 1000),
+        |cf AS (SELECT f.doc_id, f.fp FROM fp f JOIN usable USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY n_shared DESC, id_a, id_b
+        |LIMIT 50""".stripMargin,
     // CDC replay: the same md5-32 window hashes cut boundaries at
     // h % 16 = 0, chunks are the between-boundary token slices, md5-60
     // fingerprints, duplicate counting over the fingerprint
@@ -6574,6 +6694,44 @@ object SparkEntry {
         |  SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(
+        |      array_to_string(list_slice(toks, i+1, i+8), ' ')), 1, 8)
+        |    )::BIGINT AS gh
+        |  FROM d, LATERAL unnest(range(0, len(toks) - 8 + 1)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |  GROUP BY gh HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM isl)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start
+        |LIMIT 100""".stripMargin,
+    // sd03's oracle is sd01's FULL BATCH replay over the new snapshot —
+    // the incremental==batch invariant, enforced end to end by hash
+    "sd03_incremental_spans" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM base WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM snap),
         |g AS (
         |  SELECT doc_id, i AS pos,
         |    ('0x' || substr(md5(
@@ -7195,6 +7353,69 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM ex WHERE exact_rank <= 10) x USING (vec_id)
         |ORDER BY s.score DESC, s.vec_id
         |LIMIT 10""".stripMargin,
+    // ann04's oracle: batch re-assignment of the NEW snapshot under the
+    // OLD snapshot's pinned centroids, probed identically — the
+    // incremental==batch invariant for the IVF assignment table
+    "ann04_incremental_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |old AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 3),
+        |h AS (
+        |  SELECT vec_id, v,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+        |  FROM old),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) - 1
+        |      AS cell,
+        |    v AS centroid
+        |  FROM h ORDER BY hk, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id, v FROM e
+        |  WHERE vec_id <> 0 AND vec_id % 10 <> 9),
+        |sc AS (
+        |  SELECT c.vec_id, c.v, cents.cell,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * centroid[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * v[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |        centroid[i] * centroid[i])) AS ny)) AS cscore
+        |  FROM c CROSS JOIN cents),
+        |asg AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC, cell) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |pc AS (
+        |  SELECT cell FROM (
+        |    SELECT cell,
+        |      (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |              ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |        list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |          centroid[i] * qv[i])) AS dot,
+        |        list_sum(list_transform(range(1, len(centroid) + 1), i ->
+        |          centroid[i] * centroid[i])) AS nx,
+        |        list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |          qv[i] * qv[i])) AS ny)) AS qscore
+        |    FROM cents, q)
+        |  ORDER BY qscore DESC, cell LIMIT 4),
+        |sel AS (SELECT a.vec_id, a.v FROM asg a JOIN pc USING (cell)),
+        |scq AS (
+        |  SELECT s.vec_id,
+        |    (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |            ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * qv[i])) AS dot,
+        |      list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * v[i])) AS nx,
+        |      list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |        qv[i] * qv[i])) AS ny)) AS score
+        |  FROM sel s, q)
+        |SELECT vec_id, score FROM scq
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
     // keep-first line dedup: same synthesized dups as the Spark lane;
     // ownership = min (doc_id, pos) per line string among >= 10-char
     // lines, only affected docs are rebuilt (bp02's rebuild pattern)
@@ -7682,6 +7903,74 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .limit(100)
     }),
+    // INCREMENTAL winnowing maintenance (maintainWinnowingPairs): the
+    // same sd03 snapshot step folds per-fingerprint pair contributions
+    // additively into the stored UNFILTERED pair table — only fps whose
+    // posting membership moved re-pair (full-text %11 copies flip their
+    // fps from singleton to usable; %13 removals can flip back). The
+    // minShared filter applies on OUTPUT, as batch does. Oracle = fp01's
+    // full BATCH replay over the new snapshot: incremental==batch by hash
+    "fp02_incremental_winnowing" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = base.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          base.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def fps(d: DataFrame) =
+        Dedup.winnowingFingerprints(d, "doc_id", "text", k = 4, w = 4)
+      val priorFps = fps(base)
+      val priorPairs = Dedup.winnowingPairCounts(priorFps, "doc_id")
+      val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+      val deltaFps = fps(newSnap.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val (_, nextPairs) = Incremental.maintainWinnowingPairs(
+        priorFps, deltaFps, diffDf, priorPairs, "doc_id")
+      nextPairs.filter(col("n_shared") >= 2L)
+        .orderBy(desc("n_shared"), col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+    // INCREMENTAL span-dedup maintenance (maintainDupSpans): the
+    // snapshot step folds the cd02-style delta (%13 removed, %7 text-
+    // revised, %11 duplicated under an offset id — full-text copies so
+    // gram dup-statuses FLIP 1→2, and removals can flip 2→1) into the
+    // persisted (postings, gram counts, spans) state; only delta docs
+    // and flipped-gram holders re-merge. Oracle = sd01's full BATCH
+    // replay over the new snapshot: incremental==batch by hash
+    "sd03_incremental_spans" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = base.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          base.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val k = 8
+      // prior state computed batch-style IN-LANE (the wp05 proof
+      // harness convention — in production these three frames are
+      // table reads); the maintenance itself is delta-bounded
+      val priorPostings = Dedup.spanPostings(base, "doc_id", "text", k)
+      val priorCounts = Dedup.gramDocCounts(priorPostings, "doc_id")
+      val priorSpans = Dedup.dupSpans(base, "doc_id", "text", k, minDocs = 2L)
+      val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+      val deltaPostings = Dedup.spanPostings(
+        newSnap.join(
+          diffDf.filter(col("status").isin("added", "changed"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "text", k)
+      val (_, _, nextSpans) = Incremental.maintainDupSpans(
+        priorPostings, deltaPostings, diffDf, priorCounts, priorSpans,
+        "doc_id", k, minDocs = 2L)
+      nextSpans.orderBy(col("doc_id"), col("span_start")).limit(100)
+    }),
     // decontamination: which training docs contain a test doc's n-grams
     // (deterministic doc_id%10 split; full DuckDB oracle above)
     "dc01_ngram_containment" -> ((s, dir) => {
@@ -7822,6 +8111,42 @@ object SparkEntry {
         .join(exact, Seq("vec_id"), "left")
         .withColumn("exact_rank",
           coalesce(col("exact_rank").cast("long"), lit(0L)))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+    // INCREMENTAL IVF maintenance (maintainIvfAssignments): centroids
+    // pinned at index build (portable sample of the OLD snapshot — in
+    // production a persisted artifact); the snapshot step (%10==3 added,
+    // %10==9 removed) folds into the stored assignment table with only
+    // delta vectors paying the argmax. Probe served from the maintained
+    // table. Oracle = full batch re-assignment of the new snapshot under
+    // the SAME pinned centroids: incremental==batch by hash
+    "ann04_incremental_ivf" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val oldSnap = e.filter(col("vec_id") % 10 =!= 3)
+      val newSnap = e.filter(col("vec_id") % 10 =!= 9)
+      val cents = Similarity.Ivf.portableCentroids(
+        oldSnap, "vec_id", "embedding", nCells = 16)
+      def corpus(snap: DataFrame) = snap.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("embedding"))
+      val priorAssigned = Similarity.Ivf.assignCells(
+        corpus(oldSnap), "vec_id", "embedding", cents)
+      // diff over the vector's string form — corpusDiff digests one
+      // comparable column; float arrays render deterministically
+      def digestible(snap: DataFrame) = corpus(snap)
+        .select(col("vec_id"), col("embedding").cast("string").as("__fp"))
+      val diffDf = Dedup.corpusDiff(
+        digestible(oldSnap), digestible(newSnap), "vec_id", "__fp")
+      val deltaVecs = corpus(newSnap).join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      val nextAssigned = Incremental.maintainIvfAssignments(
+        priorAssigned, deltaVecs, diffDf, cents, "vec_id", "embedding")
+      Similarity.Ivf.probe(nextAssigned, "vec_id", "embedding", cents, q,
+          k = 10, nProbe = 4)
         .orderBy(desc("score"), col("vec_id"))
     }),
     // kNN-graph over the whole embeddings table (LSH candidates, per-id

@@ -1392,15 +1392,45 @@ object Dedup {
       minDocs: Long = 2L): DataFrame = {
     require(k >= 2, "window length below 2 degenerates to token counting")
     require(minDocs >= 2, "minDocs below 2 marks every position duplicated")
-    val posGram = ensureParallelism(docs)
-      .select(col(idCol),
-        posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "gh")))
-    val dup = posGram.select(col(idCol), col("gh")).distinct()
-      .groupBy("gh").agg(count(lit(1)).as("nd"))
+    val postings = spanPostings(docs, idCol, textCol, k)
+    val dup = gramDocCounts(postings, idCol)
       .filter(col("nd") >= minDocs)
       .select("gh")
+    spansFromPostings(postings, dup, idCol, k)
+  }
+
+  /** [[dupSpans]]'s inverted-index stage alone: the (id, pos, gh) k-token
+    * window-hash postings of a corpus — the structure a production span
+    * deduper PERSISTS between snapshots so the next crawl folds in
+    * delta-bounded ([[Incremental.maintainDupSpans]]). */
+  def spanPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame =
+    ensureParallelism(docs)
+      .select(col(idCol),
+        posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "gh")))
+
+  /** Distinct-document counts per window hash over a [[spanPostings]]
+    * frame: (gh, nd) with nd ≥ 1 — the SECOND persisted artifact of the
+    * incremental span pipeline (the fold needs singleton counts too:
+    * a gram at nd=1 folding to nd=2 is exactly a dup-status flip). */
+  def gramDocCounts(postings: DataFrame, idCol: String): DataFrame =
+    postings.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+
+  /** [[dupSpans]]'s merge stage alone: gaps-and-islands over the posting
+    * positions whose gram is in `dup` (a (gh)-only frame). Shared by the
+    * batch operator and the incremental maintenance so both compute the
+    * SAME span geometry from one source. */
+  def spansFromPostings(
+      postings: DataFrame,
+      dup: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    posGram.join(dup, "gh")
+    postings.join(dup, "gh")
       .select(col(idCol), col("pos"))
       .withColumn("new_span",
         when(lag(col("pos"), 1).over(w).isNull
@@ -1523,18 +1553,36 @@ object Dedup {
       k: Int = 4,
       w: Int = 4,
       minShared: Long = 2L,
+      maxPostingLength: Int = 1000): DataFrame =
+    winnowingPairCounts(
+      winnowingFingerprints(docs, idCol, textCol, k, w)
+        .select(col(idCol).as("id"), col("fp")),
+      "id", maxPostingLength)
+      .filter(col("n_shared") >= minShared)
+
+  /** [[winnowingPairs]]' inverted-index join alone, UNFILTERED
+    * (n_shared ≥ 1), over an already-computed (idCol, fp) fingerprint
+    * frame — the pair-count table an incremental winnowing pipeline
+    * persists between snapshots ([[Incremental.maintainWinnowingPairs]]
+    * folds per-fingerprint contributions additively, so the state must
+    * keep the sub-threshold counts the batch operator's `minShared`
+    * filter would discard). Usability gating (posting length in
+    * [2, maxPostingLength]) is computed over the frame as given — pass
+    * the FULL corpus fingerprints (or an fp-complete semi-join slice:
+    * restricting by fp keeps every holder of a kept fp, so posting
+    * lengths stay exact). */
+  def winnowingPairCounts(
+      fp: DataFrame,
+      idCol: String,
       maxPostingLength: Int = 1000): DataFrame = {
-    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp"))
     val usable = fp.groupBy("fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2 && col("__n") <= maxPostingLength)
       .select("fp")
     val capped = fp.join(usable, Seq("fp"), "left_semi")
-    capped.select(col("fp"), col("id").as("id_a"))
-      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+    capped.select(col("fp"), col(idCol).as("id_a"))
+      .join(capped.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
   }
 
   /** Content-defined chunking (CDC): variable-length chunk boundaries

@@ -196,6 +196,221 @@ object Incremental {
     (next, nextTotals)
   }
 
+  /** Incremental maintenance of the SPAN-DEDUP inverted index
+    * ([[Dedup.dupSpans]]) under a snapshot delta — the posting-list
+    * family's snapshot step (before this, a daily crawl re-paid the
+    * full (id, pos, gh) posting build every run).
+    *
+    * Persisted state between snapshots (all narrow — never text):
+    * the postings frame (id, pos, gh), the gram-document counts
+    * (gh, nd) INCLUDING singletons (nd=1 folding to nd=2 is exactly a
+    * dup-status flip), and the span table itself.
+    *
+    * Delta-bounded shape:
+    *   - postings fold by two id-keyed anti/union passes;
+    *   - gram counts fold ADDITIVELY (nd is a distinct-doc count, and
+    *     per-doc gram sets enter/leave whole): only departed and delta
+    *     docs' distinct (id, gh) rows aggregate, then one gh-keyed
+    *     3-way outer join over the gram domain;
+    *   - a doc's spans are a pure function of (its own positions, the
+    *     dup status of its grams), so only TOUCHED docs re-merge:
+    *     delta docs, plus docs holding a gram whose dup status FLIPPED
+    *     (nd crossed `minDocs` in either direction — found on the same
+    *     fold join, then one semi-join into the next postings). A hot
+    *     boilerplate gram that flips touches all its holders — that is
+    *     inherent (batch pays the same fan-out), not a regression.
+    *   - every untouched doc carries its prior span rows via one
+    *     anti-join; removed docs' rows leave the same way.
+    *
+    * Incremental == batch EXACTLY (the wp05/url06 proof discipline):
+    * the sd03 oracle replays the full batch [[Dedup.dupSpans]] over the
+    * new snapshot in DuckDB and hash-compares.
+    *
+    * @param priorPostings stored (idCol, pos, gh) for the OLD snapshot
+    * @param deltaPostings recomputed postings for added+changed ids ONLY
+    * @param diff    (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorGramCounts stored (gh, nd) — [[Dedup.gramDocCounts]]
+    *                of the old snapshot, singletons included
+    * @param priorSpans stored batch [[Dedup.dupSpans]] output for the
+    *                old snapshot
+    * @return (nextPostings, nextGramCounts, nextSpans) */
+  def maintainDupSpans(
+      priorPostings: DataFrame,
+      deltaPostings: DataFrame,
+      diff: DataFrame,
+      priorGramCounts: DataFrame,
+      priorSpans: DataFrame,
+      idCol: String,
+      k: Int,
+      minDocs: Long): (DataFrame, DataFrame, DataFrame) = {
+    require(priorPostings.columns.sameElements(deltaPostings.columns),
+      s"prior/delta posting schemas differ: " +
+        s"${priorPostings.columns.mkString(",")} vs " +
+        deltaPostings.columns.mkString(","))
+    require(priorGramCounts.columns.toSeq == Seq("gh", "nd"),
+      s"priorGramCounts must be (gh, nd), got " +
+        priorGramCounts.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val nextPostings = priorPostings.join(gone, Seq(idCol), "left_anti")
+      .unionByName(deltaPostings)
+    // additive nd fold over the gram domain: departed and delta docs'
+    // DISTINCT gram memberships alone aggregate
+    val minus = Dedup.gramDocCounts(
+      priorPostings.join(gone, Seq(idCol), "left_semi"), idCol)
+      .withColumnRenamed("nd", "__m")
+    val adds = Dedup.gramDocCounts(deltaPostings, idCol)
+      .withColumnRenamed("nd", "__a")
+    val folded = priorGramCounts
+      .join(minus, Seq("gh"), "full_outer")
+      .join(adds, Seq("gh"), "full_outer")
+      .select(col("gh"),
+        coalesce(col("nd"), lit(0L)).as("__nd0"),
+        (coalesce(col("nd"), lit(0L)) - coalesce(col("__m"), lit(0L)) +
+          coalesce(col("__a"), lit(0L))).as("nd"))
+    val nextGramCounts = folded.filter(col("nd") > 0L)
+      .select(col("gh"), col("nd"))
+    // dup-status flips: grams crossing the minDocs fence either way.
+    // Docs holding a flipped gram in the NEW snapshot re-merge; holders
+    // that left the corpus are gone anyway, holders that changed are in
+    // the delta — the next-postings semi-join covers everyone else
+    val flipped = folded
+      .filter((col("__nd0") >= minDocs) =!= (col("nd") >= minDocs))
+      .select("gh")
+    val touched = deltaPostings.select(col(idCol))
+      .unionByName(
+        nextPostings.join(flipped, Seq("gh"), "left_semi").select(col(idCol)))
+      .distinct()
+    val dup = nextGramCounts.filter(col("nd") >= minDocs).select("gh")
+    val reMerged = Dedup.spansFromPostings(
+      nextPostings.join(touched, Seq(idCol), "left_semi"), dup, idCol, k)
+    val stale = touched.unionByName(gone).distinct()
+    val nextSpans = priorSpans.join(stale, Seq(idCol), "left_anti")
+      .unionByName(reMerged)
+    (nextPostings, nextGramCounts, nextSpans)
+  }
+
+  /** Incremental maintenance of the WINNOWING similarity report
+    * ([[Dedup.winnowingPairs]]) under a snapshot delta — the second
+    * posting-list family snapshot step next to [[maintainDupSpans]].
+    *
+    * The key identity: a pair's shared-fingerprint count is ADDITIVE
+    * over fingerprints — n_shared(a,b) = Σ over usable fps held by
+    * both — and a fingerprint's contribution can only change when its
+    * posting membership changes (docs enter/leave it), which also
+    * covers every usability flip (posting length crossing 2 or the
+    * hot-posting cap moves only when members move). So the fold is:
+    *
+    *   - touched fps = fps of delta docs ∪ fps of departed docs;
+    *   - subtract each touched fp's OLD pair contributions (computed
+    *     over the prior fingerprint frame restricted BY FP — a semi-
+    *     join on fp keeps every holder, so posting lengths and the
+    *     usability gate stay exact) and add its NEW contributions;
+    *   - one (id_a, id_b)-keyed 3-way outer join folds the deltas into
+    *     the stored pair table.
+    *
+    * State must be the UNFILTERED pair counts (n_shared ≥ 1,
+    * [[Dedup.winnowingPairCounts]]): a sub-threshold pair can cross
+    * `minShared` when a touched fp adds a contribution, so the
+    * discarded counts are exactly the state a later fold needs.
+    * Callers apply `minShared` on the OUTPUT, as batch does.
+    *
+    * Work is bounded by touched-fp posting lengths (≤ the hot-posting
+    * cap each) — a flipped boilerplate fp re-pairs all its holders,
+    * the same fan-out batch pays. Incremental == batch EXACTLY; the
+    * fp02 oracle replays batch [[Dedup.winnowingPairs]] over the new
+    * snapshot in DuckDB and hash-compares.
+    *
+    * @param priorFps  stored (idCol, fp) distinct fingerprint
+    *                  memberships for the OLD snapshot
+    *                  ([[Dedup.winnowingFingerprints]] output)
+    * @param deltaFps  fingerprints for added+changed ids ONLY
+    * @param diff      (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorPairs stored UNFILTERED (id_a, id_b, n_shared)
+    * @return (nextFps, nextPairs — unfiltered, persist both) */
+  def maintainWinnowingPairs(
+      priorFps: DataFrame,
+      deltaFps: DataFrame,
+      diff: DataFrame,
+      priorPairs: DataFrame,
+      idCol: String,
+      maxPostingLength: Int = 1000): (DataFrame, DataFrame) = {
+    require(priorFps.columns.sameElements(deltaFps.columns),
+      s"prior/delta fingerprint schemas differ: " +
+        s"${priorFps.columns.mkString(",")} vs " +
+        deltaFps.columns.mkString(","))
+    require(priorPairs.columns.toSeq == Seq("id_a", "id_b", "n_shared"),
+      s"priorPairs must be (id_a, id_b, n_shared), got " +
+        priorPairs.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val nextFps = priorFps.join(gone, Seq(idCol), "left_anti")
+      .unionByName(deltaFps)
+    val touchedFp = deltaFps.select(col("fp"))
+      .unionByName(
+        priorFps.join(gone, Seq(idCol), "left_semi").select(col("fp")))
+      .distinct()
+    def contrib(fps: DataFrame, tag: String) =
+      Dedup.winnowingPairCounts(
+        fps.join(touchedFp, Seq("fp"), "left_semi"), idCol,
+        maxPostingLength)
+        .withColumnRenamed("n_shared", tag)
+    val minus = contrib(priorFps, "__m")
+    val adds = contrib(nextFps, "__a")
+    val nextPairs = priorPairs
+      .join(minus, Seq("id_a", "id_b"), "full_outer")
+      .join(adds, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_shared"), lit(0L)) -
+          coalesce(col("__m"), lit(0L)) +
+          coalesce(col("__a"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0L)
+    (nextFps, nextPairs)
+  }
+
+  /** Incremental maintenance of an IVF assignment table
+    * ([[Similarity.Ivf]]) under a snapshot delta — the embedding-store
+    * path of the incremental tier (the S5 write-back surface is the
+    * store this maintains at scale). Centroids are a PERSISTED artifact
+    * pinned at index-build time (re-training them would re-assign the
+    * whole corpus — that's a rebuild, not maintenance), and a row's
+    * cell is a pure function of (vector, centroids), so:
+    *
+    *   - departed ids anti-join out of the stored assignment table;
+    *   - ONLY delta vectors pay the argmax assignment (one broadcast
+    *     of the bounded centroid frame + a delta-sized partial agg);
+    *   - every untouched row carries byte-for-byte.
+    *
+    * Incremental == batch EXACTLY (assignment has no cross-row terms),
+    * which the ann04 oracle enforces: a full batch re-assignment of the
+    * new snapshot under the same pinned centroids, probed identically.
+    *
+    * @param priorAssigned stored (idCol, vecCol, cell) — the
+    *                      [[Similarity.Ivf.assignCells]] output for the
+    *                      OLD snapshot
+    * @param deltaVecs     (idCol, vecCol) for added+changed ids ONLY
+    * @param diff          (idCol, status) from [[Dedup.corpusDiff]]
+    * @param cents         the pinned (cell, centroid) frame
+    * @return the next assignment table */
+  def maintainIvfAssignments(
+      priorAssigned: DataFrame,
+      deltaVecs: DataFrame,
+      diff: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    require(priorAssigned.columns.toSeq == Seq(idCol, vecCol, "cell"),
+      s"priorAssigned must be ($idCol, $vecCol, cell), got " +
+        priorAssigned.columns.mkString(","))
+    require(deltaVecs.columns.toSeq == Seq(idCol, vecCol),
+      s"deltaVecs must be ($idCol, $vecCol), got " +
+        deltaVecs.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    priorAssigned.join(gone, Seq(idCol), "left_anti")
+      .unionByName(Similarity.Ivf.assignCells(deltaVecs, idCol, vecCol, cents))
+  }
+
   /** STREAMING twin of [[maintainGroupSums]]: the additive fold is a
     * homomorphism, so a live totals table is just a stateful streaming
     * SUM over SIGNED delta contributions — each snapshot step emits
@@ -209,6 +424,74 @@ object Incremental {
     * rule. Works identically on a batch frame (the spec's duality
     * check). Null-key rows are excluded (the batch contract); an
     * unknown status raises. */
+  /** STREAMING twin of [[maintainKeepFirst]]. Elections are NOT
+    * additive — losing the current keeper needs the remaining
+    * membership — so unlike [[maintainGroupSumsStream]]'s stateless
+    * signed-sum fold this is a `mapGroupsWithState` fold whose per-key
+    * state is the PASSING member-id set: the same cardinality the
+    * batch election's min-agg scans for that key, and the minimum
+    * state that answers "who owns the key now?" under arbitrary
+    * removals (non-passing rows can never hold ownership and are
+    * dropped at the door, so hot keys carry only their passing ids).
+    *
+    * Each microbatch emits one row per TOUCHED key:
+    * (key, keep_id, n_passing) — keep_id NULL when the key emptied,
+    * the tombstone a downstream keeper table applies as a delete.
+    * Within one microbatch removals fold BEFORE additions, so a
+    * changed doc's changed_old/changed_new rows land correctly
+    * regardless of arrival order ([[Dedup.corpusDiff]] emits at most
+    * one logical transition per id per snapshot step — a same-batch
+    * add-then-remove of one id is outside the contract).
+    *
+    * Works identically on a batch frame holding ONE snapshot step's
+    * deltas — every key folds once from empty state, yielding that
+    * step's election (the StreamingSpec duality check). A MULTI-step
+    * history must fold in step order (one microbatch per step): the
+    * rows carry no ordering, so a single batch fold of several steps
+    * cannot distinguish add-then-remove from remove-then-add — exactly
+    * why [[maintainGroupSumsStream]] (additive, order-free) gets the
+    * stronger any-union duality and this fold does not. Key casts to
+    * string, ids to long; null-key rows are excluded (the batch
+    * contract); an unknown status raises. */
+  def maintainKeepFirstStream(
+      deltas: DataFrame,
+      keyCol: String,
+      idCol: String,
+      passCol: String,
+      statusCol: String): DataFrame = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val valid = Set("added", "changed_new", "removed", "changed_old")
+    def fold(key: String, rows: Iterator[(String, Long, Boolean, String)],
+        state: GroupState[Seq[Long]]): (String, java.lang.Long, Long) = {
+      val batch = rows.toSeq
+      batch.find(r => !valid(r._4)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"maintainKeepFirstStream: status '${r._4}' — must be " +
+            "added|removed|changed_new|changed_old")
+      }
+      var cur = state.getOption.map(_.toSet).getOrElse(Set.empty[Long])
+      batch.foreach { r =>
+        if (r._4 == "removed" || r._4 == "changed_old") cur -= r._2
+      }
+      batch.foreach { r =>
+        if ((r._4 == "added" || r._4 == "changed_new") && r._3) cur += r._2
+      }
+      if (cur.isEmpty) { state.remove(); (key, null, 0L) }
+      else { state.update(cur.toSeq); (key, Long.box(cur.min), cur.size.toLong) }
+    }
+    deltas
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(passCol).cast("boolean"), col(statusCol).cast("string"))
+      .as[(String, Long, Boolean, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (String, java.lang.Long, Long)](
+        GroupStateTimeout.NoTimeout)(fold)
+      .toDF(keyCol, "keep_id", "n_passing")
+  }
+
   def maintainGroupSumsStream(
       deltas: DataFrame,
       keyCol: String,

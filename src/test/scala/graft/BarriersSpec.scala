@@ -40,4 +40,36 @@ class BarriersSpec extends AnyFunSuite {
       session.conf.unset(Barriers.CheckpointDirKey)
     }
   }
+
+  test("timing smoke: reliable vs local barrier cost on the wp02 funnel") {
+    // the cluster-mode cost as a MEASURED number (recorded in
+    // SCALING.md), not a docstring: the same wp02 lane, barrier mode
+    // flipped by the session conf alone. local[*] writes the reliable
+    // checkpoint to local disk, so this measures the serialize+write
+    // overhead floor — a distributed FS adds network on top.
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF",
+      "/root/testdata/sf0.001")
+    val lane = SparkEntry.queries("wp02_web_acquire")
+    def run(session: org.apache.spark.sql.SparkSession): Double = {
+      val t0 = System.nanoTime()
+      lane(session, sf).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(spark) // warm the local path (codegen + page cache)
+    val local = (1 to 3).map(_ => run(spark)).min
+    val dir = Files.createTempDirectory("graft-ckpt-timing-").toString
+    val session = spark.newSession()
+    GraftSession.prepare(session)
+    session.conf.set(Barriers.CheckpointDirKey, dir)
+    try {
+      run(session) // warm the reliable path
+      val reliable = (1 to 3).map(_ => run(session)).min
+      info(f"wp02 [$sf] barrier cost: local=$local%.3f s " +
+        f"reliable=$reliable%.3f s (${reliable / local}%.2fx)")
+      assert(local > 0.0 && reliable > 0.0)
+      // files actually landed (the mode really flipped)
+      assert(Files.walk(Paths.get(dir))
+        .filter(Files.isRegularFile(_)).count() > 0)
+    } finally session.conf.unset(Barriers.CheckpointDirKey)
+  }
 }

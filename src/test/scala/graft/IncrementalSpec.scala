@@ -212,4 +212,103 @@ class IncrementalSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     assert(nk == gold)
   }
+
+  // --- posting-list families -------------------------------------------
+
+  /** Randomized snapshot step over a small vocabulary (so k-token
+    * windows collide across documents and the step flips dup statuses
+    * in both directions): %5==0 removed, %5==1 re-texted, 10 added. */
+  private def textStep(seed: Long): (Seq[(Long, String)], Seq[(Long, String)],
+      Seq[(Long, String)]) = {
+    val rng = new scala.util.Random(seed)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l")
+    def text() = Seq.fill(6 + rng.nextInt(10))(
+      vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val oldDocs = (0L until 40L).map(i => (i, text()))
+    val changed = oldDocs.filter(_._1 % 5 == 1).map(r => (r._1, text()))
+    val added = (40L until 50L).map(i => (i, text()))
+    val newDocs = oldDocs.filter(r => r._1 % 5 != 0 && r._1 % 5 != 1) ++
+      changed ++ added
+    val d = oldDocs.filter(_._1 % 5 == 0).map(_._1 -> "removed") ++
+      changed.map(_._1 -> "changed") ++ added.map(_._1 -> "added")
+    (oldDocs, newDocs, d)
+  }
+
+  test("maintainDupSpans: incremental equals batch on a randomized step") {
+    import graft.operators.Dedup
+    val (oldDocs, newDocs, d) = textStep(7L)
+    val oldDf = oldDocs.toDF("id", "text")
+    val newDf = newDocs.toDF("id", "text")
+    val k = 3
+    val priorPost = Dedup.spanPostings(oldDf, "id", "text", k)
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val deltaPost = Dedup.spanPostings(
+      newDf.filter(col("id").isin(deltaIds.toSeq: _*)), "id", "text", k)
+    val (np, nc, nsp) = Incremental.maintainDupSpans(
+      priorPost, deltaPost, diff(d: _*),
+      Dedup.gramDocCounts(priorPost, "id"),
+      Dedup.dupSpans(oldDf, "id", "text", k, minDocs = 2L),
+      "id", k, minDocs = 2L)
+    // all three maintained artifacts equal their batch recomputation
+    assert(np.as[(Long, Int, Long)].collect().toSet ==
+      Dedup.spanPostings(newDf, "id", "text", k)
+        .as[(Long, Int, Long)].collect().toSet)
+    assert(nc.as[(Long, Long)].collect().toSet ==
+      Dedup.gramDocCounts(Dedup.spanPostings(newDf, "id", "text", k), "id")
+        .as[(Long, Long)].collect().toSet)
+    val goldSpans = Dedup.dupSpans(newDf, "id", "text", k, minDocs = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(goldSpans.nonEmpty, "step must produce duplicated spans")
+    assert(nsp.as[(Long, Long, Long, Long)].collect().toSet == goldSpans)
+  }
+
+  test("maintainWinnowingPairs: incremental equals batch on a randomized step") {
+    import graft.operators.Dedup
+    val (oldDocs, newDocs, d) = textStep(21L)
+    val oldDf = oldDocs.toDF("id", "text")
+    val newDf = newDocs.toDF("id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowingFingerprints(df, "id", "text", k = 2, w = 2)
+    val priorFps = fps(oldDf)
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val deltaFps = fps(newDf.filter(col("id").isin(deltaIds.toSeq: _*)))
+    val (nf, np) = Incremental.maintainWinnowingPairs(
+      priorFps, deltaFps, diff(d: _*), Dedup.winnowingPairCounts(priorFps, "id"),
+      "id")
+    assert(nf.as[(Long, Long)].collect().toSet ==
+      fps(newDf).as[(Long, Long)].collect().toSet)
+    val gold = Dedup.winnowingPairCounts(fps(newDf), "id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gold.nonEmpty, "step must produce shared fingerprints")
+    assert(np.as[(Long, Long, Long)].collect().toSet == gold)
+  }
+
+  test("maintainIvfAssignments: incremental equals batch under pinned " +
+      "centroids") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(5L)
+    def vec() = Array.fill(8)(rng.nextFloat() * 2f - 1f)
+    val oldVecs = (0L until 60L).map(i => (i, vec()))
+    val changed = oldVecs.filter(_._1 % 5 == 1).map(r => (r._1, vec()))
+    val added = (60L until 75L).map(i => (i, vec()))
+    val newVecs = oldVecs.filter(r => r._1 % 5 != 0 && r._1 % 5 != 1) ++
+      changed ++ added
+    val d = oldVecs.filter(_._1 % 5 == 0).map(_._1 -> "removed") ++
+      changed.map(_._1 -> "changed") ++ added.map(_._1 -> "added")
+    val oldDf = oldVecs.toDF("id", "vec")
+    val newDf = newVecs.toDF("id", "vec")
+    // centroids pinned to the OLD snapshot — the persisted index artifact
+    val cents = Similarity.Ivf.portableCentroids(oldDf, "id", "vec", nCells = 8)
+      .localCheckpoint() // pin: both sides must see identical centroids
+    val prior = Similarity.Ivf.assignCells(oldDf, "id", "vec", cents)
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val next = Incremental.maintainIvfAssignments(
+      prior, newDf.filter(col("id").isin(deltaIds.toSeq: _*)),
+      diff(d: _*), cents, "id", "vec")
+    val gold = Similarity.Ivf.assignCells(newDf, "id", "vec", cents)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(gold.map(_._2).size > 1, "step must span multiple cells")
+    assert(next.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet == gold)
+  }
 }

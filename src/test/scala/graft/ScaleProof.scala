@@ -149,7 +149,12 @@ object ScaleProof {
     "wp05_incr" -> Bounds(5, 8),        // measured 0.0 -> 0.2: delta broadcasts into the anti/semi joins; only the prior-election setup agg exchanges
     "url06_incrcap" -> Bounds(5, 8),    // measured 0.0 -> 1.0: prior-sample setup windows + touched-domain re-rank (both k-bounded)
     "mw04_incrmix" -> Bounds(5, 8),     // measured 0.0 -> 0.0: the additive fold — departed/delta rows alone aggregate into the domain key space
-    "ch07_packshards" -> Bounds(18, 8)) // measured 11.9x (0.1 -> 1.7): ch05's linear span rows + numGroups-bounded bin windows
+    "ch07_packshards" -> Bounds(18, 8), // measured 11.9x (0.1 -> 1.7): ch05's linear span rows + numGroups-bounded bin windows
+    // round-14 incremental posting/index lanes (state setup measured
+    // in-lane — in production the prior frames are table reads)
+    "sd03_incrspans" -> Bounds(20, 10), // measured 12.4x (11.7 -> 144.6): ~linear postings/counts setup + answer-bound spans on the dup-heavy corpus; skew 6.3 (hot-gram re-merge)
+    "fp02_incrwinnow" -> Bounds(65, 8), // measured 42x (3.1 -> 130.5): ANSWER-bound like fp01 — the unfiltered pair table IS the answer (15.6k -> 12.3M pairs on near-clique variants)
+    "ann04_incrivf" -> Bounds(17, 8))   // measured 10.5x (0.5 -> 5.6): the prior-assignment setup agg is the only corpus-wide exchange; the maintenance argmax is delta-broadcast
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -223,7 +228,10 @@ object ScaleProof {
     "wp05_incr" -> Bounds(110, 8),      // measured 68x OF A ~0 BASE (0.2 -> 13.6): the delta/touched frames cross the broadcast threshold at 100x and the prior-election setup agg pays real exchanges — absolute bytes stay sketch-sized for 550k docs; skew 2.0
     "url06_incrcap" -> Bounds(13, 8),   // measured 7.7x (1.0 -> 7.7): linear setup windows, skew 1.3
     "mw04_incrmix" -> Bounds(5, 8),     // measured 0.0 -> 0.4 of a ~0 base: the fold stays sketch-sized at 550k docs; skew 1.5
-    "ch07_packshards" -> Bounds(16, 8)) // measured 10.2x (1.7 -> 17.3): exactly linear span rows, skew 1.1
+    "ch07_packshards" -> Bounds(16, 8), // measured 10.2x (1.7 -> 17.3): exactly linear span rows, skew 1.1
+    // round-14 third points
+    "sd03_incrspans" -> Bounds(21, 8),  // measured 13.2x (144.6 -> 1910): exactly the sd01 linear profile; skew 3.2
+    "fp02_incrwinnow" -> Bounds(150, 8)) // measured 98.4x (130.5 -> 12837) — ANSWER-bound, fp01's 91.4x profile: 675M pairs at 550k near-clique docs; skew 3.5
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -436,6 +444,32 @@ object ScaleProof {
         Dedup.embeddingNearDup(emb, "vec_id", "embedding", dim = 64,
           cosThreshold = 0.95, bitsPerTable = 8, tables = 4,
           quantized = true).count())
+      measure("ann04_incrivf", scale) {
+        // incremental IVF maintenance under a ~2% vector delta:
+        // centroids pinned (the persisted index artifact), only delta
+        // vectors pay the broadcast-argmax; the probe reads the
+        // maintained table
+        import graft.operators.Incremental
+        val cents = Similarity.Ivf.centroids(
+          emb.filter(col("vec_id") % 100 =!= 3), "vec_id", "embedding",
+          nCells = 16).localCheckpoint()
+        val prior = Similarity.Ivf.assignCells(
+          emb.filter(col("vec_id") % 100 =!= 3), "vec_id", "embedding",
+          cents)
+        val d = emb.select(col("vec_id"),
+          when(col("vec_id") % 100 === 3, lit("added"))
+            .when(col("vec_id") % 100 === 9, lit("removed"))
+            .otherwise(lit(null).cast("string")).as("status"))
+          .filter(col("status").isNotNull)
+        val next = Incremental.maintainIvfAssignments(
+          prior, emb.filter(col("vec_id") % 100 === 3)
+            .select(col("vec_id"), col("embedding")),
+          d, cents, "vec_id", "embedding")
+        val q = emb.orderBy("vec_id").select("embedding").head()
+          .getSeq[Float](0)
+        Similarity.Ivf.probe(next, "vec_id", "embedding", cents, q,
+          k = 10, nProbe = 4).count()
+      }
       measure("ann03_knn", scale)(
         Similarity.knnJoin(emb, "vec_id", "embedding", dim = 64, k = 5,
           bits = 8, tables = 4, maxBucketSize = 1000).count())
@@ -1011,6 +1045,67 @@ object ScaleProof {
             .select(col("group"), col("bin"), col("total_chars"))
           graft.operators.Conversations.shardPackedBins(bins, nShards = 32)
             .agg(coalesce(sum(col("shard").cast("long")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("sd03_incrspans", scale)(
+        // incremental span-dedup maintenance under a ~2% delta: the
+        // stored postings/counts/spans state is set up batch-style
+        // (measured here because the lane is self-contained; in
+        // production those are table reads), then only delta docs and
+        // flipped-gram holders re-merge
+        {
+          import graft.operators.Incremental
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val k = 8
+          val priorPost = Dedup.spanPostings(prior, "doc_id", "text", k)
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val deltaPost = Dedup.spanPostings(
+            next.filter(
+              col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7),
+            "doc_id", "text", k)
+          val (_, _, spans) = Incremental.maintainDupSpans(
+            priorPost, deltaPost, d,
+            Dedup.gramDocCounts(priorPost, "doc_id"),
+            Dedup.dupSpans(prior, "doc_id", "text", k, minDocs = 2L),
+            "doc_id", k, minDocs = 2L)
+          spans.agg(coalesce(sum(col("n_windows")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("fp02_incrwinnow", scale)(
+        // incremental winnowing maintenance under the same delta: only
+        // touched fingerprints' postings re-pair, folded additively
+        // into the stored (unfiltered) pair table
+        {
+          import graft.operators.Incremental
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          def fps(f: DataFrame) =
+            Dedup.winnowingFingerprints(f, "doc_id", "text", k = 4, w = 4)
+          val priorFps = fps(prior)
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val deltaFps = fps(next.filter(
+            col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7))
+          val (_, pairs) = Incremental.maintainWinnowingPairs(
+            priorFps, deltaFps, d,
+            Dedup.winnowingPairCounts(priorFps, "doc_id"), "doc_id")
+          pairs.agg(coalesce(sum(col("n_shared")), lit(0L)))
             .head().getLong(0)
         })
       measure("mw03_mixsolve", scale)(

@@ -144,7 +144,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "ch01_turnstats", "ch02_promptdedup", "ch03_renderspans",
       "pk02_padding", "mw03_mixsolve", "ch04_sftpipe",
       "ch05_packspans", "rb03_fetchsched", "wp05_incr",
-      "url06_incrcap", "mw04_incrmix", "ch07_packshards")
+      "url06_incrcap", "mw04_incrmix", "ch07_packshards",
+      "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

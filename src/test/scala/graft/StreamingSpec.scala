@@ -870,4 +870,71 @@ class StreamingSpec extends AnyFunSuite {
       assert(asBatch == got)
     } finally q.stop()
   }
+
+  test("maintainKeepFirstStream: stateful election over two microbatches " +
+      "equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-keeper-stream").toString
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("id", LongType),
+      StructField("pass", BooleanType), StructField("status", StringType)))
+    def write(file: String, rows: Seq[(String, Long, Boolean, String)]): Unit = {
+      val data = rows.map { case (k, i, p, st) =>
+        org.apache.spark.sql.Row(k, i, p, st) }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    // day 1: key a owned by id 1 (3 fails the gate and never holds
+    // ownership); key b owned by its only passing member; null key drops
+    write("b1", Seq(
+      ("a", 1L, true, "added"), ("a", 2L, true, "added"),
+      ("a", 3L, false, "added"), ("b", 5L, true, "added"),
+      (null, 9L, true, "added")))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val keepers = graft.operators.Incremental.maintainKeepFirstStream(
+      stream, "key", "id", "pass", "status")
+    val q = keepers.writeStream.outputMode("update")
+      .format("memory").queryName("keeper_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("keeper_stream")
+        .as[(String, Option[Long], Long)].collect().toSet ==
+        Set(("a", Some(1L), 2L), ("b", Some(5L), 1L)))
+      // day 2: a's keeper is removed (election falls to 2), b's only
+      // member flips to failing via a change (tombstone), c appears
+      write("b2", Seq(
+        ("a", 1L, true, "removed"),
+        ("b", 5L, true, "changed_old"), ("b", 5L, false, "changed_new"),
+        ("c", 7L, true, "added")))
+      q.processAllAvailable()
+      val emissions = spark.table("keeper_stream")
+        .as[(String, Option[Long], Long)].collect().toSet
+      assert(emissions == Set(
+        ("a", Some(1L), 2L), ("b", Some(5L), 1L), // day-1 emissions
+        ("a", Some(2L), 1L), ("b", None, 0L), ("c", Some(7L), 1L)))
+      // duality holds for ONE step's deltas (the operator's contract —
+      // a multi-step union carries no ordering, so only streaming can
+      // replay it): the batch fold of day 1 alone is day 1's election
+      val asBatch = graft.operators.Incremental.maintainKeepFirstStream(
+        spark.read.schema(schema).parquet(s"$dir/b1"),
+        "key", "id", "pass", "status")
+        .as[(String, Option[Long], Long)].collect().toSet
+      assert(asBatch == Set(("a", Some(1L), 2L), ("b", Some(5L), 1L)))
+      // and the streaming END state equals the batch election over the
+      // NET day-2 membership — the incremental==batch invariant the
+      // non-streaming maintainKeepFirst proves via wp05
+      val signals = Seq(
+        ("a", 2L, true), ("a", 3L, false), ("b", 5L, false),
+        ("c", 7L, true)).toDF("key", "id", "pass")
+      val batchElection = signals.filter(col("pass"))
+        .groupBy("key")
+        .agg(org.apache.spark.sql.functions.min("id").as("keep_id"))
+        .as[(String, Long)].collect().toSet
+      val endState = Set(("a", 2L), ("c", 7L)) // day-2 emissions, keepers
+      assert(batchElection == endState)
+    } finally q.stop()
+  }
 }
