@@ -72,7 +72,10 @@ import org.apache.spark.sql.SparkSession
   * reads a same-code spread band instead of re-measuring. A lane the
   * plausibility guard FLAGGED never extends its band nor replaces its
   * baseline median, even when the capture certifies overall
-  * ([[laneRecord]] — round 13's per-lane laundering loophole).
+  * ([[laneRecord]] — round 13's per-lane laundering loophole). A lane
+  * whose cost LEGITIMATELY changed re-seeds only via the explicit
+  * `SPARK_GRAFT_BENCH_RESEED` list the builder sets alongside the code
+  * change (the driver never sets it).
   * The reported "total" is the sum of medians.
   */
 object Bench {
@@ -220,6 +223,14 @@ object Bench {
     * `prior` is the lane's committed entry: (certified median, band);
     * a flagged lane always has one ([[implausibleLanes]] never flags a
     * lane without a certified median). */
+  /** Drop the certified priors of explicitly re-seeded lanes (matched by
+    * name prefix): they become "new" lanes for this run — never flagged
+    * by [[implausibleLanes]], band/baseline re-seeded from this capture
+    * when it certifies. See the SPARK_GRAFT_BENCH_RESEED note in [[main]]. */
+  private[graft] def applyReseed[V](
+      certified: Map[String, V], reseed: Seq[String]): Map[String, V] =
+    certified.filter { case (k, _) => !reseed.exists(k.startsWith) }
+
   private[graft] def laneRecord(
       prior: Option[(Double, Option[(Double, Double)])],
       median: Double,
@@ -280,7 +291,20 @@ object Bench {
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("docs/BENCH_full_latest.json")), "UTF-8"))
       catch { case _: Throwable => None }
-    val certifiedLanes = certifiedDoc.map(parseCertified).getOrElse(Map.empty)
+    // EXPLICIT re-seed list (comma-separated lane-name prefixes): a lane
+    // whose cost LEGITIMATELY changed this round (new work added to it)
+    // would otherwise be flagged >3x its stale certified median forever —
+    // and the per-lane guard would carry that stale baseline forever.
+    // Listing it here drops its certified prior for THIS run: it is
+    // treated as a new lane (never flagged; band re-seeds from this
+    // capture's median when the capture certifies). The builder sets this
+    // deliberately alongside the code change; the driver never does —
+    // the anti-laundering default stays intact for every unlisted lane.
+    val reseed = sys.env.get("SPARK_GRAFT_BENCH_RESEED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val certifiedLanes = applyReseed(
+      certifiedDoc.map(parseCertified).getOrElse(Map.empty), reseed)
     val certifiedMedians = certifiedLanes.view.mapValues(_._1).toMap
     // budget DERIVED from the catalog (round 11's 480 s constant was sized
     // for 147 lanes and could never fit 3 passes of the grown 158-lane

@@ -1353,6 +1353,38 @@ object SparkEntry {
         .collect().drop(4).map(_.getString(0)).toSeq
       CorpusStats.bm25TopK(docs, "doc_id", "text", terms, k = 10)
     }),
+    // INCREMENTAL BM25 index maintenance (maintainBm25Index): the
+    // search-index snapshot step — postings and lengths fold by
+    // id-keyed anti/union (only delta docs re-tokenize), the query is
+    // served FROM the maintained index (bm25TopKFromIndex, byte-equal
+    // scoring to bm25TopK). Query terms PINNED from the full table
+    // (a production query does not move with the snapshot). Oracle =
+    // full batch BM25 over the new snapshot: incremental==batch by hash
+    "bm02_incremental_bm25" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val full = t(s, dir, "documents")
+      val terms = CorpusStats.termCounts(full, "doc_id", "text")
+        .orderBy(desc("c"), col("tok")).limit(7)
+        .collect().drop(4).map(_.getString(0)).toSeq
+      val docs = full.select(col("doc_id"), col("text"))
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7,
+            concat(col("text"), lit(" updated rev")))
+            .otherwise(col("text")))
+      val (pp, pl) = CorpusStats.bm25Index(oldSnap, "doc_id", "text")
+      val diffDf = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      val (dp, dl) = CorpusStats.bm25Index(
+        newSnap.join(
+          diffDf.filter(col("status").isin("added", "changed"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "text")
+      val (np, nl) = Incremental.maintainBm25Index(
+        pp, pl, dp, dl, diffDf, "doc_id")
+      CorpusStats.bm25TopKFromIndex(np, nl, "doc_id", terms, k = 10)
+    }),
     // PSI drift between the %3 split and the rest over capped n_chars
     // centile buckets — the production data-drift monitor; log2 micro-
     // bits (the lm01/ds01 rounding convention)
@@ -3330,6 +3362,52 @@ object SparkEntry {
         |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
         |    FROM (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok))
         |  WHERE rn BETWEEN 5 AND 7),
+        |idf AS (SELECT d.tok,
+        |    CAST(round(log2((s.nd - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM dt d JOIN q USING (tok) CROSS JOIN st s
+        |  GROUP BY d.tok, s.nd),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(SUM((i.idf_micro *
+        |      ((d.occ * 2200000 * 1000000) // (d.occ * 1000000 +
+        |        (1200000 * (250000 +
+        |          (750000 * ((l.len * 1000000000000) //
+        |            ((s.tt * 1000000) // s.nd))) // 1000000)) // 1000000))
+        |    ) // 1000000) AS BIGINT) AS score_micro
+        |  FROM dt d JOIN q USING (tok) JOIN idf i USING (tok)
+        |    JOIN lens l USING (doc_id) CROSS JOIN st s
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, score_micro FROM sc
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+    // bm02's oracle: full batch BM25 over the NEW snapshot with the
+    // query terms pinned from the FULL table — the incremental==batch
+    // invariant for the maintained inverted index
+    "bm02_incremental_bm25" ->
+      """WITH snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7 THEN text || ' updated rev'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |qtk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |q AS (SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
+        |    FROM (SELECT tok, COUNT(*) AS c FROM qtk GROUP BY tok))
+        |  WHERE rn BETWEEN 5 AND 7),
+        |tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM snap) WHERE tok <> ''),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tk GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS len
+        |  FROM dt GROUP BY 1),
+        |st AS (SELECT CAST(SUM(len) AS BIGINT) AS tt,
+        |  CAST(COUNT(*) AS BIGINT) AS nd FROM lens),
         |idf AS (SELECT d.tok,
         |    CAST(round(log2((s.nd - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1)
         |      * 1000000) AS BIGINT) AS idf_micro
@@ -6588,7 +6666,7 @@ object SparkEntry {
     // fp02's oracle is fp01's FULL BATCH replay over the new snapshot —
     // the incremental==batch invariant for the winnowing pair table
     "fp02_incremental_winnowing" ->
-      raw"""WITH base AS (SELECT doc_id, text FROM documents),
+      raw"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |snap AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
@@ -6720,7 +6798,7 @@ object SparkEntry {
     // sd03's oracle is sd01's FULL BATCH replay over the new snapshot —
     // the incremental==batch invariant, enforced end to end by hash
     "sd03_incremental_spans" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |snap AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
@@ -7912,7 +7990,11 @@ object SparkEntry {
     // full BATCH replay over the new snapshot: incremental==batch by hash
     "fp02_incremental_winnowing" -> ((s, dir) => {
       import graft.operators.Incremental
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // %2 half-corpus, same rationale as sd03 (the proof pays three
+      // pair-count passes over the fingerprint index)
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
       val newSnap = base.filter(col("doc_id") % 13 =!= 0)
         .withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
@@ -7922,7 +8004,11 @@ object SparkEntry {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       def fps(d: DataFrame) =
         Dedup.winnowingFingerprints(d, "doc_id", "text", k = 4, w = 4)
-      val priorFps = fps(base)
+      // staged: the stored-state setup (pair counts), the departed-side
+      // contribution, and the next-fps union all read the prior
+      // fingerprint frame — unstaged, the row-local selection re-runs
+      // its token/hash arrays per consumer
+      val priorFps = graft.operators.Barriers.stage(fps(base))
       val priorPairs = Dedup.winnowingPairCounts(priorFps, "doc_id")
       val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
       val deltaFps = fps(newSnap.join(
@@ -7944,7 +8030,12 @@ object SparkEntry {
     // replay over the new snapshot: incremental==batch by hash
     "sd03_incremental_spans" -> ((s, dir) => {
       import graft.operators.Incremental
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // the %2 half-corpus: the incremental==batch invariant is corpus-
+      // independent, and the proof pays ~4 posting passes — halving the
+      // input halves the lane price without weakening the proof
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
       val newSnap = base.filter(col("doc_id") % 13 =!= 0)
         .withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
@@ -7955,10 +8046,15 @@ object SparkEntry {
       val k = 8
       // prior state computed batch-style IN-LANE (the wp05 proof
       // harness convention — in production these three frames are
-      // table reads); the maintenance itself is delta-bounded
-      val priorPostings = Dedup.spanPostings(base, "doc_id", "text", k)
+      // table reads); the postings STAGE once (Barriers.stage) because
+      // counts, spans, the departed-side fold, and the next-postings
+      // union all read them — unstaged, the window-hash explode would
+      // re-run per consumer. The maintenance itself is delta-bounded
+      val priorPostings = graft.operators.Barriers.stage(
+        Dedup.spanPostings(base, "doc_id", "text", k))
       val priorCounts = Dedup.gramDocCounts(priorPostings, "doc_id")
-      val priorSpans = Dedup.dupSpans(base, "doc_id", "text", k, minDocs = 2L)
+      val priorSpans = Dedup.spansFromPostings(priorPostings,
+        priorCounts.filter(col("nd") >= 2L).select("gh"), "doc_id", k)
       val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
       val deltaPostings = Dedup.spanPostings(
         newSnap.join(

@@ -700,6 +700,92 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** The persisted BM25 inverted index of a corpus: term postings
+    * (term, idCol, tf) over the non-empty lower-cased whitespace tokens,
+    * plus the (idCol, len) document-length frame (len > 0 — the token-
+    * model N convention). This is the state
+    * [[Incremental.maintainBm25Index]] folds a snapshot delta into and
+    * [[bm25TopKFromIndex]] serves from. Building it pays the one
+    * token-stream shuffle a search index always pays at indexing time
+    * (the reason [[bm25TopK]] deliberately avoids it for one-off
+    * queries); once built, queries never rescan text. */
+  def bm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        filter(col("__toks"), t => length(t) > 0).as("__toks"))
+    val postings = toks
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val lens = toks
+      .select(col(idCol), size(col("__toks")).cast("long").as("len"))
+      .filter(col("len") > 0L)
+    (postings, lens)
+  }
+
+  /** BM25 top-k served FROM the index frames — byte-identical scores to
+    * [[bm25TopK]] over the same corpus (CorpusStatsSpec pins the
+    * equivalence): the same micro-unit idf/tf/norm arithmetic, evaluated
+    * per posting row and summed per document (long addition, order-
+    * independent; postings only hold tf > 0 rows, exactly the terms the
+    * row-local form's `when(tf > 0)` admits).
+    *
+    * Scale: the query's few terms select their postings (a term-keyed
+    * semi-filter — at production scale the postings frame is bucketed by
+    * term and this is a pruned read); corpus stats are one agg over the
+    * narrow lens frame plus a |query|-bounded df agg; nothing rescans
+    * text. Per-document length bound (~4.1e6 tokens) as [[bm25TopK]]. */
+  def bm25TopKFromIndex(
+      postings: DataFrame,
+      lens: DataFrame,
+      idCol: String,
+      queryTokens: Seq[String],
+      k: Int = 10,
+      k1Micro: Long = 1200000L,
+      bMicro: Long = 750000L): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query")
+    require(queryTokens.distinct.size == queryTokens.size,
+      "duplicate query terms would double-count their contribution")
+    require(k > 0, "k must be positive")
+    require(bMicro >= 0L && bMicro <= 1000000L, "b outside [0, 1]")
+    val r = lens.agg(
+      count(lit(1)).as("nd"),
+      coalesce(sum(col("len")), lit(0L)).as("tt")).head()
+    val nd = r.getLong(0); val tt = r.getLong(1)
+    if (nd == 0L)
+      return lens.select(col(idCol), lit(0L).as("score_micro")).limit(0)
+    val qp = postings.filter(col("term").isin(queryTokens: _*))
+    // |query|-bounded document frequencies; idf literals driver-computed
+    // from them (same JVM libm as bm25TopK)
+    val dfs = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val avgMicro = tt * 1000000L / nd
+    val idfMap = map(queryTokens.flatMap { t =>
+      val dfc = dfs.getOrElse(t, 0L)
+      Seq(lit(t), lit(math.round(
+        math.log((nd - dfc + 0.5) / (dfc + 0.5) + 1.0) /
+          math.log(2.0) * 1e6)))
+    }: _*)
+    val ratio = ldiv(col("len") * lit(1000000000000L), lit(avgMicro))
+    val norm = lit(1000000L - bMicro) +
+      ldiv(lit(bMicro) * ratio, lit(1000000L))
+    val tfpart = ldiv(
+      col("tf") * lit(k1Micro + 1000000L) * lit(1000000L),
+      col("tf") * lit(1000000L) + ldiv(lit(k1Micro) * norm, lit(1000000L)))
+    qp.join(lens, Seq(idCol))
+      .select(col(idCol),
+        ldiv(element_at(idfMap, col("term")) * tfpart, lit(1000000L))
+          .as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("score_micro"))
+      .orderBy(desc("score_micro"), col(idCol))
+      .limit(k)
+  }
+
   /** Temperature-scaled mixture weights — the exponent-smoothed sampling
     * distribution multilingual corpora are drawn with (p_i ∝ share_i^α
     * with α < 1 upweights low-resource sources; the mBERT/XLM-R

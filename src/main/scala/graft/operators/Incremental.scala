@@ -424,6 +424,42 @@ object Incremental {
     * rule. Works identically on a batch frame (the spec's duality
     * check). Null-key rows are excluded (the batch contract); an
     * unknown status raises. */
+  /** Incremental maintenance of the BM25 inverted index
+    * ([[CorpusStats.bm25Index]]) — the search-index snapshot step.
+    * Postings and document lengths are PER-DOCUMENT facts, so both
+    * frames fold by id-keyed anti/union: departed ids leave, the delta
+    * ids' recomputed rows (the only text re-tokenized) enter, untouched
+    * rows carry byte-for-byte. Corpus statistics (N, total length,
+    * per-term df) recompute at query time from the folded narrow frames
+    * — one lens agg + a |query|-bounded df agg per query
+    * ([[CorpusStats.bm25TopKFromIndex]]); fold them additively via
+    * [[maintainGroupSums]] (constant key) if a profile ever shows the
+    * per-query agg mattering. Incremental == batch EXACTLY (the bm02
+    * oracle replays full batch BM25 over the new snapshot): every
+    * per-document fact is identical, so scores are too. */
+  def maintainBm25Index(
+      priorPostings: DataFrame,
+      priorLens: DataFrame,
+      deltaPostings: DataFrame,
+      deltaLens: DataFrame,
+      diff: DataFrame,
+      idCol: String): (DataFrame, DataFrame) = {
+    require(priorPostings.columns.sameElements(deltaPostings.columns),
+      s"prior/delta posting schemas differ: " +
+        s"${priorPostings.columns.mkString(",")} vs " +
+        deltaPostings.columns.mkString(","))
+    require(priorLens.columns.sameElements(deltaLens.columns),
+      s"prior/delta length schemas differ: " +
+        s"${priorLens.columns.mkString(",")} vs " +
+        deltaLens.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    (priorPostings.join(gone, Seq(idCol), "left_anti")
+      .unionByName(deltaPostings),
+      priorLens.join(gone, Seq(idCol), "left_anti")
+        .unionByName(deltaLens))
+  }
+
   /** STREAMING twin of [[maintainKeepFirst]]. Elections are NOT
     * additive — losing the current keeper needs the remaining
     * membership — so unlike [[maintainGroupSumsStream]]'s stateless
@@ -490,6 +526,70 @@ object Incremental {
       .mapGroupsWithState[Seq[Long], (String, java.lang.Long, Long)](
         GroupStateTimeout.NoTimeout)(fold)
       .toDF(keyCol, "keep_id", "n_passing")
+  }
+
+  /** STREAMING twin of [[maintainMinK]]. Per-key state is the MEMBER-ID
+    * set: a min-k sample under arbitrary REMOVALS cannot be k-bounded —
+    * evicting the current kth member needs the (k+1)th, which only the
+    * full membership holds (the same reason the batch operator re-ranks
+    * touched groups from the membership table rather than from the
+    * stored sample). Content-addressing (rank key = md5(id + "-" + salt)
+    * first 8 hex chars asc, id asc — byte-identical to
+    * [[Sampling.stratifiedFixedSample]]'s) makes the emitted sample
+    * EXACTLY the batch sample of the current membership.
+    *
+    * Emits one row per TOUCHED key: (key, sample_ids in rank order,
+    * n_members); an empty array is the tombstone. Removals fold before
+    * additions within a batch (the keep-first convention); one-step
+    * batch duality only, like [[maintainKeepFirstStream]] — multi-step
+    * histories fold in step order. */
+  def maintainMinKStream(
+      deltas: DataFrame,
+      keyCol: String,
+      idCol: String,
+      statusCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val valid = Set("added", "changed_new", "removed", "changed_old")
+    def hex8(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "-" + salt).getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+    def fold(key: String, rows: Iterator[(String, Long, String)],
+        state: GroupState[Seq[Long]]): (String, Seq[Long], Long) = {
+      val batch = rows.toSeq
+      batch.find(r => !valid(r._3)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"maintainMinKStream: status '${r._3}' — must be " +
+            "added|removed|changed_new|changed_old")
+      }
+      var cur = state.getOption.map(_.toSet).getOrElse(Set.empty[Long])
+      batch.foreach { r =>
+        if (r._3 == "removed" || r._3 == "changed_old") cur -= r._2
+      }
+      batch.foreach { r =>
+        if (r._3 == "added" || r._3 == "changed_new") cur += r._2
+      }
+      if (cur.isEmpty) { state.remove(); (key, Seq.empty[Long], 0L) }
+      else {
+        state.update(cur.toSeq)
+        (key, cur.toSeq.sortBy(id => (hex8(id), id)).take(k),
+          cur.size.toLong)
+      }
+    }
+    deltas
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(statusCol).cast("string"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (String, Seq[Long], Long)](
+        GroupStateTimeout.NoTimeout)(fold)
+      .toDF(keyCol, "sample_ids", "n_members")
   }
 
   def maintainGroupSumsStream(

@@ -224,4 +224,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.laneRecord(None, 6.7,
       isCertifiable = false, isFlagged = false) == ((6.7, None)))
   }
+
+  test("applyReseed: a legitimately-changed lane drops its certified " +
+      "prior; everything else keeps the anti-laundering default") {
+    // the round-14 case: cr01/cr02 gained a real LSH pass, so their
+    // certified 0.5 s medians would flag them >3x forever AND the
+    // flagged-lane guard would pin the stale baseline forever — the
+    // explicit reseed list (builder-set, never driver-set) treats them
+    // as new lanes for one certifying capture
+    val cert = Map("cr01_corpus_report" -> 0.5, "cr02_datasheet_delta" -> 0.7,
+      "g08_degree_shape" -> 1.1)
+    val after = Bench.applyReseed(cert, Seq("cr01", "cr02"))
+    assert(after == Map("g08_degree_shape" -> 1.1))
+    // reseeded lanes are never flagged (no certified median left)...
+    assert(Bench.implausibleLanes(
+      Seq("cr01_corpus_report" -> 2.5, "g08_degree_shape" -> 1.2),
+      after).isEmpty)
+    // ...while an empty reseed list changes nothing
+    assert(Bench.applyReseed(cert, Nil) == cert)
+  }
 }

@@ -87,6 +87,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("bm25TopKFromIndex: byte-identical to the row-local form on the " +
+      "same corpus") {
+    // the index form is what the incremental tier maintains — its
+    // per-posting scoring must reproduce the row-local chain exactly,
+    // multi-term (per-doc contributions SUM across terms) and
+    // zero-df (a pinned query term absent from the corpus) included
+    val docs = Seq(
+      (1L, "x x x a b"), (2L, "x a a a a a"), (3L, "b b b b"),
+      (4L, "x y"), (5L, " "), (6L, "y y b x")).toDF("doc_id", "text")
+    val (postings, lens) = CorpusStats.bm25Index(docs, "doc_id", "text")
+    for (q <- Seq(Seq("x"), Seq("x", "b"), Seq("x", "y", "zzz_absent"))) {
+      val direct = CorpusStats.bm25TopK(docs, "doc_id", "text", q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val viaIndex = CorpusStats.bm25TopKFromIndex(
+        postings, lens, "doc_id", q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaIndex == direct, s"query $q")
+    }
+    // empty index serves the empty frame
+    val empty = CorpusStats.bm25Index(
+      Seq((1L, " ")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(CorpusStats.bm25TopKFromIndex(
+      empty._1, empty._2, "doc_id", Seq("x")).count() == 0L)
+  }
+
   test("temperatureWeights: hand-computed sqrt smoothing upweights the small source") {
     // big: 16 tokens, small: 4 -> raw shares 800/200 permille, smoothed
     // sqrt weights 4e6/2e6 -> shares 666666/333333 micro (exact floor)

@@ -154,7 +154,8 @@ object ScaleProof {
     // in-lane — in production the prior frames are table reads)
     "sd03_incrspans" -> Bounds(20, 10), // measured 12.4x (11.7 -> 144.6): ~linear postings/counts setup + answer-bound spans on the dup-heavy corpus; skew 6.3 (hot-gram re-merge)
     "fp02_incrwinnow" -> Bounds(65, 8), // measured 42x (3.1 -> 130.5): ANSWER-bound like fp01 — the unfiltered pair table IS the answer (15.6k -> 12.3M pairs on near-clique variants)
-    "ann04_incrivf" -> Bounds(17, 8))   // measured 10.5x (0.5 -> 5.6): the prior-assignment setup agg is the only corpus-wide exchange; the maintenance argmax is delta-broadcast
+    "ann04_incrivf" -> Bounds(17, 8),   // measured 10.5x (0.5 -> 5.6): the prior-assignment setup agg is the only corpus-wide exchange; the maintenance argmax is delta-broadcast
+    "bm02_incrbm25" -> Bounds(45, 8))   // measured 28.1x of a 0.1 MiB base (map-side-combined (term, id) postings — the one token-stream exchange indexing pays; query reads stay term-bounded)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -231,7 +232,8 @@ object ScaleProof {
     "ch07_packshards" -> Bounds(16, 8), // measured 10.2x (1.7 -> 17.3): exactly linear span rows, skew 1.1
     // round-14 third points
     "sd03_incrspans" -> Bounds(21, 8),  // measured 13.2x (144.6 -> 1910): exactly the sd01 linear profile; skew 3.2
-    "fp02_incrwinnow" -> Bounds(150, 8)) // measured 98.4x (130.5 -> 12837) — ANSWER-bound, fp01's 91.4x profile: 675M pairs at 550k near-clique docs; skew 3.5
+    "fp02_incrwinnow" -> Bounds(150, 8), // measured 98.4x (130.5 -> 12837) — ANSWER-bound, fp01's 91.4x profile: 675M pairs at 550k near-clique docs; skew 3.5
+    "bm02_incrbm25" -> Bounds(28, 8))   // measured 18.4x (2.7 -> 49.6): ~linear postings fold, skew 1.3
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -1106,6 +1108,37 @@ object ScaleProof {
             priorFps, deltaFps, d,
             Dedup.winnowingPairCounts(priorFps, "doc_id"), "doc_id")
           pairs.agg(coalesce(sum(col("n_shared")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("bm02_incrbm25", scale)(
+        // incremental BM25 index maintenance under a ~2% delta: the
+        // prior index build pays the one token-stream shuffle indexing
+        // always pays (bm01's row-local form deliberately avoids it for
+        // one-off queries); the fold re-tokenizes delta docs only and
+        // the query reads its terms' postings + the narrow lens frame
+        {
+          import graft.operators.Incremental
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val (pp, pl) = CorpusStats.bm25Index(prior, "doc_id", "text")
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val (dp, dl) = CorpusStats.bm25Index(
+            next.filter(
+              col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7),
+            "doc_id", "text")
+          val (np, nl) = Incremental.maintainBm25Index(
+            pp, pl, dp, dl, d, "doc_id")
+          CorpusStats.bm25TopKFromIndex(np, nl, "doc_id",
+            Seq("the", "and", "variant"), k = 10)
+            .agg(coalesce(sum(col("score_micro")), lit(0L)))
             .head().getLong(0)
         })
       measure("mw03_mixsolve", scale)(

@@ -145,7 +145,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "pk02_padding", "mw03_mixsolve", "ch04_sftpipe",
       "ch05_packspans", "rb03_fetchsched", "wp05_incr",
       "url06_incrcap", "mw04_incrmix", "ch07_packshards",
-      "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf")
+      "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf",
+      "bm02_incrbm25")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

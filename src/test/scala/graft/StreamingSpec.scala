@@ -937,4 +937,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchElection == endState)
     } finally q.stop()
   }
+
+  test("maintainMinKStream: stateful min-k over two microbatches equals " +
+      "the batch sample of the net membership") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mink-stream").toString
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("id", LongType),
+      StructField("status", StringType)))
+    def write(file: String, rows: Seq[(String, Long, String)]): Unit = {
+      val data = rows.map { case (kk, i, st) =>
+        org.apache.spark.sql.Row(kk, i, st) }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    write("b1", Seq(
+      ("a", 1L, "added"), ("a", 2L, "added"), ("a", 3L, "added"),
+      ("a", 4L, "added"), ("b", 10L, "added"), (null, 9L, "added")))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val samples = graft.operators.Incremental.maintainMinKStream(
+      stream, "key", "id", "status", k = 2, salt = "mks")
+    val q = samples.writeStream.outputMode("update")
+      .format("memory").queryName("mink_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // day 2: one of a's members leaves (whoever it is, the sample
+      // re-derives from the remaining membership), b empties, c appears
+      write("b2", Seq(
+        ("a", 2L, "removed"), ("b", 10L, "removed"), ("c", 20L, "added")))
+      q.processAllAvailable()
+      val rows = spark.table("mink_stream")
+        .as[(String, Seq[Long], Long)].collect()
+      // duality: each key's final emission (distinguished by n_members —
+      // a shrank 4 -> 3, b tombstoned, c appeared) equals the batch
+      // operator over the NET membership, ranks included
+      val net = Seq(("a", 1L), ("a", 3L), ("a", 4L), ("c", 20L))
+        .toDF("key", "id")
+      val batch = graft.operators.Sampling.stratifiedFixedSample(
+        net, "id", "key", k = 2, salt = "mks")
+        .orderBy("key", "sample_rank")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).map { case (kk, rs) =>
+          kk -> rs.sortBy(_._3).map(_._2).toSeq
+        }
+      val aFinal = rows.filter(r => r._1 == "a" && r._3 == 3L)
+      assert(aFinal.length == 1)
+      assert(aFinal.head._2 == batch("a"))
+      val cFinal = rows.filter(_._1 == "c")
+      assert(cFinal.length == 1 && cFinal.head._2 == batch("c"))
+      // b's tombstone
+      assert(rows.exists(r => r._1 == "b" && r._2.isEmpty && r._3 == 0L))
+      // and day-1's full-membership emission for a was also the batch
+      // sample of {1,2,3,4}
+      val day1A = rows.filter(r => r._1 == "a" && r._3 == 4L)
+      val batch1 = graft.operators.Sampling.stratifiedFixedSample(
+        Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L)).toDF("key", "id"),
+        "id", "key", k = 2, salt = "mks")
+        .orderBy("sample_rank").as[(String, Long, Long)].collect()
+        .sortBy(_._3).map(_._2).toSeq
+      assert(day1A.length == 1 && day1A.head._2 == batch1)
+    } finally q.stop()
+  }
 }
