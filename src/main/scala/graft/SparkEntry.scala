@@ -6571,6 +6571,43 @@ object SparkEntry {
         |  FROM test te JOIN train tr ON len(list_intersect(te.s, tr.s)) > 0)
         |ORDER BY containment DESC, test_id, train_id
         |LIMIT 20""".stripMargin,
+    // dc03's oracle: dc01's full batch replay with the TRAIN side
+    // replaced by the new snapshot (test side fixed) — the
+    // incremental==batch invariant for the decontamination table
+    "dc03_incremental_decontam" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |test0 AS (SELECT doc_id, text FROM base WHERE doc_id % 10 = 0),
+        |tr0 AS (SELECT doc_id, text FROM base WHERE doc_id % 10 <> 0),
+        |snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM tr0 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM tr0
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |te AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ts
+        |        FROM test0)
+        |  WHERE len(ts) >= 3),
+        |tr AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ts
+        |        FROM snap)
+        |  WHERE len(ts) >= 3)
+        |SELECT test_id, train_id, containment FROM (
+        |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |    CAST(len(list_intersect(te.s, tr.s)) AS DOUBLE) / len(te.s)
+        |      AS containment
+        |  FROM te JOIN tr ON len(list_intersect(te.s, tr.s)) > 0)
+        |ORDER BY containment DESC, test_id, train_id
+        |LIMIT 20""".stripMargin,
     // 13-gram decontamination: the bloom pre-filter is answer-invisible
     // (no false negatives + exact confirm join), so the oracle replays
     // the exact semi-join — per train doc, matching 13-gram OCCURRENCES
@@ -7352,6 +7389,49 @@ object SparkEntry {
         |WHERE rank <= 5
         |ORDER BY id, rank
         |LIMIT 100""".stripMargin,
+    // ann05's oracle: ann03's full batch replay over the NEW snapshot —
+    // the incremental==batch invariant for the kNN candidate index
+    "ann05_incremental_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id % 10 <> 8),
+        |bkt AS (
+        |  SELECT vec_id, v, r.t AS band,
+        |    CAST(list_sum(list_transform(range(0, 8), b ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |          CASE WHEN ('0x' || substr(
+        |                md5('p' || r.t || '_' || b || '_' || (i-1)), 1, 8)
+        |              )::BIGINT % 2 = 0
+        |            THEN v[i] ELSE -v[i] END)) >= 0
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, range(0, 4) AS r(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.v AS va, b.v AS vb
+        |  FROM bkt a JOIN bkt b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id),
+        |sc AS (SELECT id_a, id_b,
+        |  (SELECT CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |          ELSE dot / sqrt(nx * ny) END FROM (SELECT
+        |    list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i]))
+        |      AS dot,
+        |    list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * va[i]))
+        |      AS nx,
+        |    list_sum(list_transform(range(1, len(vb) + 1), i -> vb[i] * vb[i]))
+        |      AS ny)) AS cos
+        |  FROM cand),
+        |sym AS (
+        |  SELECT id_a AS id, id_b AS neighbor_id, cos AS score FROM sc
+        |  UNION ALL
+        |  SELECT id_b AS id, id_a AS neighbor_id, cos AS score FROM sc),
+        |rk AS (SELECT id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY id
+        |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM sym)
+        |SELECT id, neighbor_id, score, rank FROM rk
+        |WHERE rank <= 5
+        |ORDER BY id, rank
+        |LIMIT 100""".stripMargin,
     // IVF replay: coarse centroids = the 16 ids with the smallest md5-32
     // (same portable-hash family as the dedup signatures), cell = argmax
     // cosine with ties to the lowest cell, probe the 4 cells nearest the
@@ -8078,6 +8158,57 @@ object SparkEntry {
         .orderBy(desc("containment"), col("test_id"), col("train_id"))
         .limit(20)
     }),
+    // INCREMENTAL decontamination (maintainContainment): the test suite
+    // is FIXED (the dc02/ds01 contract), the TRAIN corpus takes the
+    // %13/%7/%11-copy snapshot step, and only touched shingles' cross-
+    // side contributions fold into the stored overlap table. Oracle =
+    // dc01's full batch replay over the new train snapshot
+    "dc03_incremental_decontam" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val testSets = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("test_id"),
+          ngramHashes(TextFunctions.tokens(col("text")), 3).as("__s"))
+        .select(col("test_id"), col("__s"),
+          size(col("__s")).cast("long").as("test_size"))
+      val testPost = testSets
+        .select(col("test_id"), explode(col("__s")).as("sh"))
+      val oldTrain = docs.filter(col("doc_id") % 10 =!= 0)
+      val newTrain = oldTrain.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          oldTrain
+            .filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def post(d: DataFrame) = d.select(col("doc_id"),
+        explode(ngramHashes(TextFunctions.tokens(col("text")), 3)).as("sh"))
+      val priorPost = post(oldTrain)
+      // prior overlap table computed batch-style in-lane (production:
+      // a table read) — the capped intersection counts, inter >= 1
+      val ok = priorPost.groupBy("sh").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 10000).select("sh")
+      val priorInter = testPost
+        .join(priorPost.join(ok, Seq("sh"), "left_semi"), Seq("sh"))
+        .groupBy(col("test_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter"))
+      val diffDf = Dedup.corpusDiff(oldTrain, newTrain, "doc_id", "text")
+      val deltaPost = post(newTrain.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val (_, nextInter) = Incremental.maintainContainment(
+        priorPost, deltaPost, diffDf, priorInter, testPost, "doc_id")
+      nextInter
+        .join(testSets.select(col("test_id"), col("test_size")),
+          Seq("test_id"))
+        .select(col("test_id"), col("doc_id").as("train_id"),
+          (col("inter").cast("double") / col("test_size").cast("double"))
+            .as("containment"))
+        .orderBy(desc("containment"), col("test_id"), col("train_id"))
+        .limit(20)
+    }),
     // published 13-gram decontamination shape (which train docs share ANY
     // 13-gram with the test split), corpus side guarded by a broadcast
     // bloom pre-filter + exact confirm — the bloom has no false negatives
@@ -8244,6 +8375,59 @@ object SparkEntry {
       Similarity.Ivf.probe(nextAssigned, "vec_id", "embedding", cents, q,
           k = 10, nProbe = 4)
         .orderBy(desc("score"), col("vec_id"))
+    }),
+    // INCREMENTAL kNN-graph maintenance: the LSH candidate index IS a
+    // posting-list structure — each vector's (band, bucket) cells are
+    // content-addressed fingerprints (hyperplanes pinned), a candidate
+    // pair exists iff it shares >= 1 usable cell, and shared-cell counts
+    // fold ADDITIVELY — so maintainWinnowingPairs maintains the pair
+    // index VERBATIM (cells as fp, bucket cap as the posting cap). The
+    // graph slice re-scores/re-ranks from the maintained pair frame
+    // (pair-bounded, never corpus x corpus). Oracle = ann03's full batch
+    // replay over the new snapshot: incremental==batch by hash
+    "ann05_incremental_knn" -> ((s, dir) => {
+      import graft.operators.Incremental
+      // %2 half-table: the proof pays three pair-frame passes and pairs
+      // grow ~quadratically in bucket occupancy, so halving the vectors
+      // quarters the lane price without weakening the invariant. EVEN
+      // residues for the step (4 added / 8 removed) — the family's 3/9
+      // are odd and would never fire on the even half
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      val oldSnap = e.filter(col("vec_id") % 10 =!= 4)
+      val newSnap = e.filter(col("vec_id") % 10 =!= 8)
+      val planes = Similarity.portableHyperplanes(64, 8, 4)
+      def cells(snap: DataFrame) = Similarity
+        .withLshBucketsPlanes(snap, "embedding", planes)
+        .select(col("vec_id"), explode(col("lsh_buckets")).as("bb"))
+        .select(col("vec_id"),
+          (col("bb.band").cast("long") * lit(4294967296L) +
+            col("bb.bucket")).as("fp"))
+      val priorCells = cells(oldSnap)
+      val priorPairs = Dedup.winnowingPairCounts(
+        priorCells, "vec_id", maxPostingLength = 10000)
+      def digestible(snap: DataFrame) = snap
+        .select(col("vec_id"), col("embedding").cast("string").as("__fp"))
+      val diffDf = Dedup.corpusDiff(
+        digestible(oldSnap), digestible(newSnap), "vec_id", "__fp")
+      val deltaCells = cells(newSnap.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select("vec_id"),
+        Seq("vec_id"), "left_semi"))
+      val (_, nextPairs) = Incremental.maintainWinnowingPairs(
+        priorCells, deltaCells, diffDf, priorPairs, "vec_id",
+        maxPostingLength = 10000)
+      val vecs = newSnap.select(col("vec_id"), col("embedding"))
+      val scored = nextPairs
+        .join(vecs.select(col("vec_id").as("id_a"),
+          col("embedding").as("__va")), Seq("id_a"))
+        .join(vecs.select(col("vec_id").as("id_b"),
+          col("embedding").as("__vb")), Seq("id_b"))
+        .withColumn("cos", cosineSim(col("__va"), col("__vb")))
+        .select(col("id_a"), col("id_b"), col("cos"))
+      Similarity.knnFromPairs(scored, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("id"), col("rank"))
+        .limit(100)
     }),
     // kNN-graph over the whole embeddings table (LSH candidates, per-id
     // top-k): the semantic-dedup/clustering primitive. Portable

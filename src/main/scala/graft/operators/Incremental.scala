@@ -424,6 +424,82 @@ object Incremental {
     * rule. Works identically on a batch frame (the spec's duality
     * check). Null-key rows are excluded (the batch contract); an
     * unknown status raises. */
+  /** Incremental maintenance of the decontamination overlap table
+    * ([[Dedup.ngramContainment]] at minContainment = 0 — the "report
+    * every overlap" shape) under a TRAIN-corpus snapshot delta with the
+    * test suite FIXED (the dc02/ds01 fixed-eval-side contract: a
+    * benchmark suite is bounded by definition; the corpus is what
+    * grows).
+    *
+    * The intersection count is ADDITIVE over shingles, and a shingle's
+    * contribution to any (test, train) pair moves only when its TRAIN
+    * posting changes — which also covers every hot-shingle cap flip
+    * (posting length moves only when members move). So the fold is the
+    * [[maintainWinnowingPairs]] shape, cross-sided:
+    *
+    *   - touched shingles = shingles of delta ∪ departed train docs;
+    *   - each touched shingle's OLD contribution (fixed test postings ⋈
+    *     capped prior train postings) subtracts and its NEW contribution
+    *     adds — the sh-restricted semi-join keeps every holder, so
+    *     posting lengths and the cap gate stay exact;
+    *   - one (test_id, train-id)-keyed 3-way outer fold into the stored
+    *     UNFILTERED inter table; containment re-derives from the fixed
+    *     test sizes downstream.
+    *
+    * Incremental == batch EXACTLY; the dc03 oracle replays the full
+    * batch containment over the new train snapshot.
+    *
+    * @param priorTrainPost stored (idCol, sh) DISTINCT shingle postings
+    *                       of the OLD train snapshot
+    * @param deltaTrainPost postings for added+changed train ids ONLY
+    * @param diff           (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorInter     stored (test_id, idCol, inter) — the batch
+    *                       capped-intersection counts, inter ≥ 1
+    * @param testPost       (test_id, sh) DISTINCT — the fixed suite
+    * @return (nextTrainPost, nextInter) */
+  def maintainContainment(
+      priorTrainPost: DataFrame,
+      deltaTrainPost: DataFrame,
+      diff: DataFrame,
+      priorInter: DataFrame,
+      testPost: DataFrame,
+      idCol: String,
+      maxPostingLength: Int = 10000): (DataFrame, DataFrame) = {
+    require(priorTrainPost.columns.sameElements(deltaTrainPost.columns),
+      s"prior/delta posting schemas differ: " +
+        s"${priorTrainPost.columns.mkString(",")} vs " +
+        deltaTrainPost.columns.mkString(","))
+    require(priorInter.columns.toSeq == Seq("test_id", idCol, "inter"),
+      s"priorInter must be (test_id, $idCol, inter), got " +
+        priorInter.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val nextPost = priorTrainPost.join(gone, Seq(idCol), "left_anti")
+      .unionByName(deltaTrainPost)
+    val touched = deltaTrainPost.select(col("sh"))
+      .unionByName(
+        priorTrainPost.join(gone, Seq(idCol), "left_semi").select(col("sh")))
+      .distinct()
+    def contrib(post: DataFrame, tag: String) = {
+      val tp = post.join(touched, Seq("sh"), "left_semi")
+      val ok = tp.groupBy("sh").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxPostingLength).select("sh")
+      testPost.join(tp.join(ok, Seq("sh"), "left_semi"), Seq("sh"))
+        .groupBy(col("test_id"), col(idCol))
+        .agg(count(lit(1)).as(tag))
+    }
+    val minus = contrib(priorTrainPost, "__m")
+    val adds = contrib(nextPost, "__a")
+    val nextInter = priorInter
+      .join(minus, Seq("test_id", idCol), "full_outer")
+      .join(adds, Seq("test_id", idCol), "full_outer")
+      .select(col("test_id"), col(idCol),
+        (coalesce(col("inter"), lit(0L)) - coalesce(col("__m"), lit(0L)) +
+          coalesce(col("__a"), lit(0L))).as("inter"))
+      .filter(col("inter") > 0L)
+    (nextPost, nextInter)
+  }
+
   /** Incremental maintenance of the BM25 inverted index
     * ([[CorpusStats.bm25Index]]) — the search-index snapshot step.
     * Postings and document lengths are PER-DOCUMENT facts, so both

@@ -155,7 +155,9 @@ object ScaleProof {
     "sd03_incrspans" -> Bounds(20, 10), // measured 12.4x (11.7 -> 144.6): ~linear postings/counts setup + answer-bound spans on the dup-heavy corpus; skew 6.3 (hot-gram re-merge)
     "fp02_incrwinnow" -> Bounds(65, 8), // measured 42x (3.1 -> 130.5): ANSWER-bound like fp01 — the unfiltered pair table IS the answer (15.6k -> 12.3M pairs on near-clique variants)
     "ann04_incrivf" -> Bounds(17, 8),   // measured 10.5x (0.5 -> 5.6): the prior-assignment setup agg is the only corpus-wide exchange; the maintenance argmax is delta-broadcast
-    "bm02_incrbm25" -> Bounds(45, 8))   // measured 28.1x of a 0.1 MiB base (map-side-combined (term, id) postings — the one token-stream exchange indexing pays; query reads stay term-bounded)
+    "bm02_incrbm25" -> Bounds(45, 8),   // measured 28.1x of a 0.1 MiB base (map-side-combined (term, id) postings — the one token-stream exchange indexing pays; query reads stay term-bounded)
+    "dc03_incrdecon" -> Bounds(32, 8),  // measured 21x (5.8 -> 122.3): ANSWER-bound — the hot boilerplate shingle links the fixed test split to ~every variant doc (inter rows 276k -> 3M); the fold itself is touched-shingle-bounded
+    "ann05_incrknn" -> Bounds(200, 8))  // measured 133x (1.1 -> 152.4): ANSWER-bound — 10 perturbation variants/vector make the pair index ~cluster-squared (ann03's own knnJoin measured 33x on the same corpus; this lane builds prior+next pair frames AND the fold)
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -233,7 +235,8 @@ object ScaleProof {
     // round-14 third points
     "sd03_incrspans" -> Bounds(21, 8),  // measured 13.2x (144.6 -> 1910): exactly the sd01 linear profile; skew 3.2
     "fp02_incrwinnow" -> Bounds(150, 8), // measured 98.4x (130.5 -> 12837) — ANSWER-bound, fp01's 91.4x profile: 675M pairs at 550k near-clique docs; skew 3.5
-    "bm02_incrbm25" -> Bounds(28, 8))   // measured 18.4x (2.7 -> 49.6): ~linear postings fold, skew 1.3
+    "bm02_incrbm25" -> Bounds(28, 8),   // measured 18.4x (2.7 -> 49.6): ~linear postings fold, skew 1.3
+    "dc03_incrdecon" -> Bounds(25, 8))  // measured 16.3x (122.3 -> 1998): the answer keeps growing with the hot-shingle overlap (32.8M inter rows); skew 1.5
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale
@@ -283,7 +286,8 @@ object ScaleProof {
     val x100 = args.contains("--x100")
     val only = args.filterNot(a => a == "--reuse" || a == "--x100").toSet
     val embLanes = Set("dd04_embdup", "dd04_embdup_q8", "ann01_lsh",
-      "ann02_ivf", "ann03_knn", "ann03_knn_q8")
+      "ann02_ivf", "ann03_knn", "ann03_knn_q8", "ann04_incrivf",
+      "ann05_incrknn")
     require(!x100 || (only.nonEmpty && only.intersect(embLanes).isEmpty),
       "--x100 needs an explicit TEXT-lane subset (no 100x embedding corpus)")
     val spark = SparkSession.builder()
@@ -446,6 +450,43 @@ object ScaleProof {
         Dedup.embeddingNearDup(emb, "vec_id", "embedding", dim = 64,
           cosThreshold = 0.95, bitsPerTable = 8, tables = 4,
           quantized = true).count())
+      measure("ann05_incrknn", scale) {
+        // incremental kNN-graph maintenance under a ~2% vector delta:
+        // maintainWinnowingPairs over the content-addressed LSH cells
+        // (pair index), then pair-bounded re-score/re-rank
+        import graft.operators.Incremental
+        val planes = Similarity.portableHyperplanes(64, 8, 4)
+        def cells(snap: DataFrame) = Similarity
+          .withLshBucketsPlanes(snap, "embedding", planes)
+          .select(col("vec_id"), explode(col("lsh_buckets")).as("bb"))
+          .select(col("vec_id"),
+            (col("bb.band").cast("long") * lit(4294967296L) +
+              col("bb.bucket")).as("fp"))
+        val oldSnap = emb.filter(col("vec_id") % 100 =!= 3)
+        val newSnap = emb.filter(col("vec_id") % 100 =!= 9)
+        val priorCells = cells(oldSnap)
+        val priorPairs = Dedup.winnowingPairCounts(
+          priorCells, "vec_id", maxPostingLength = 1000)
+        val d = emb.select(col("vec_id"),
+          when(col("vec_id") % 100 === 3, lit("added"))
+            .when(col("vec_id") % 100 === 9, lit("removed"))
+            .otherwise(lit(null).cast("string")).as("status"))
+          .filter(col("status").isNotNull)
+        val deltaCells = cells(newSnap.filter(col("vec_id") % 100 === 3))
+        val (_, nextPairs) = Incremental.maintainWinnowingPairs(
+          priorCells, deltaCells, d, priorPairs, "vec_id",
+          maxPostingLength = 1000)
+        val vecs = newSnap.select(col("vec_id"), col("embedding"))
+        val scored = nextPairs
+          .join(vecs.select(col("vec_id").as("id_a"),
+            col("embedding").as("__va")), Seq("id_a"))
+          .join(vecs.select(col("vec_id").as("id_b"),
+            col("embedding").as("__vb")), Seq("id_b"))
+          .withColumn("cos",
+            graft.GraftFunctions.cosineSim(col("__va"), col("__vb")))
+          .select(col("id_a"), col("id_b"), col("cos"))
+        Similarity.knnFromPairs(scored, k = 5).count()
+      }
       measure("ann04_incrivf", scale) {
         // incremental IVF maintenance under a ~2% vector delta:
         // centroids pinned (the persisted index artifact), only delta
@@ -1108,6 +1149,47 @@ object ScaleProof {
             priorFps, deltaFps, d,
             Dedup.winnowingPairCounts(priorFps, "doc_id"), "doc_id")
           pairs.agg(coalesce(sum(col("n_shared")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("dc03_incrdecon", scale)(
+        // incremental decontamination under a ~2% train delta, test
+        // suite FIXED at the 1x %10 split (the dc02/ds01 contract):
+        // only touched shingles' cross-side contributions fold into the
+        // stored overlap table
+        {
+          import graft.operators.Incremental
+          val testPost = docs1x.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("test_id"),
+              explode(graft.GraftFunctions.ngramHashes(
+                graft.functions.TextFunctions.tokens(col("text")), 3))
+                .as("sh"))
+          def post(d: DataFrame) = d.select(col("doc_id"),
+            explode(graft.GraftFunctions.ngramHashes(
+              graft.functions.TextFunctions.tokens(col("text")), 3))
+              .as("sh"))
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val priorPost = post(prior)
+          val ok = priorPost.groupBy("sh").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") <= 10000).select("sh")
+          val priorInter = testPost
+            .join(priorPost.join(ok, Seq("sh"), "left_semi"), Seq("sh"))
+            .groupBy(col("test_id"), col("doc_id"))
+            .agg(count(lit(1)).as("inter"))
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val deltaPost = post(next.filter(
+            col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7))
+          val (_, nextInter) = Incremental.maintainContainment(
+            priorPost, deltaPost, d, priorInter, testPost, "doc_id")
+          nextInter.agg(coalesce(sum(col("inter")), lit(0L)))
             .head().getLong(0)
         })
       measure("bm02_incrbm25", scale)(

@@ -146,7 +146,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "ch05_packspans", "rb03_fetchsched", "wp05_incr",
       "url06_incrcap", "mw04_incrmix", "ch07_packshards",
       "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf",
-      "bm02_incrbm25")
+      "bm02_incrbm25", "dc03_incrdecon", "ann05_incrknn")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
