@@ -1568,6 +1568,38 @@ object SparkEntry {
       Sketches.kmvDistinct(t(s, dir, "documents"), "text", k = 16)
         .orderBy(col("n_kept"))
     }),
+    // INCREMENTAL KMV: a hash survives while >= 1 doc holds it, so the
+    // vocabulary holder-counts fold additively (maintainGroupSums,
+    // count-only) from per-doc distinct contributions; the sketch
+    // re-derives from the maintained (h, n_docs) table via the exact
+    // batch bottom-k tail — no re-tokenization beyond the delta.
+    // Oracle = kv01's full batch replay over the new snapshot
+    "kv02_incremental_kmv" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val diffDf = Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      val priorContrib = Sketches.kmvContrib(docs, "doc_id", "text")
+      val priorTotals = priorContrib.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"))
+      val deltaContrib = Sketches.kmvContrib(
+        newSnap.join(
+          diffDf.filter(col("status").isin("added", "changed"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "text")
+      val (_, nextTotals) = Incremental.maintainGroupSums(
+        priorContrib, deltaContrib, diffDf, priorTotals,
+        "doc_id", "h", Seq.empty, countCol = "n_docs")
+      Sketches.kmvFromHashes(nextTotals.select(col("h")), k = 16)
+        .orderBy(col("n_kept"))
+    }),
     // Count-Min cell table: d row-salted md5 hashes x w columns, exact
     // occurrence sums per cell (d*w-domain agg, map-side combined)
     "cs01_countmin_cells" -> ((s, dir) => {
@@ -1581,6 +1613,61 @@ object SparkEntry {
       Sketches.countMinPoint(t(s, dir, "documents"), "text",
         Seq("table", "spark", "merge", "graftabsent"), d = 4, w = 64)
         .orderBy(col("tok"))
+    }),
+    // INCREMENTAL HLL register maintenance (maintainRegisterMax): max
+    // is not invertible, so the per-doc contribution frame is the
+    // state and only touched buckets re-max under the %13/%7/%11-copy
+    // snapshot step. p=6 (64 buckets). Oracle = full batch register
+    // build over the new snapshot: incremental==batch by hash
+    "hl03_incremental_hll" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val diffDf = Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      val deltaContrib = Sketches.hllContrib(
+        newSnap.join(
+          diffDf.filter(col("status").isin("added", "changed"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "text", p = 6)
+      val (_, nextReg) = Incremental.maintainRegisterMax(
+        Sketches.hllContrib(docs, "doc_id", "text", p = 6), deltaContrib,
+        diffDf, Sketches.hllRegisters(docs, "text", p = 6), "doc_id")
+      nextReg.orderBy(col("bucket"))
+    }),
+    // INCREMENTAL Count-Min maintenance (maintainCountMinCells): cell
+    // counts are additive over documents, so departed/delta docs'
+    // contributions alone fold into the stored d*w table under the
+    // same snapshot step. Oracle = full batch cell build over the new
+    // snapshot: incremental==batch by hash
+    "cs03_incremental_countmin" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val diffDf = Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      val deltaContrib = Sketches.countMinContrib(
+        newSnap.join(
+          diffDf.filter(col("status").isin("added", "changed"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "text", d = 4, w = 64)
+      val (_, nextCells) = Incremental.maintainCountMinCells(
+        Sketches.countMinContrib(docs, "doc_id", "text", d = 4, w = 64),
+        deltaContrib, diffDf,
+        Sketches.countMinCells(docs, "text", d = 4, w = 64), "doc_id")
+      nextCells.orderBy(col("r"), col("c"))
     }),
     // pairwise source vocabulary similarity from bottom-k sketches
     // (Broder/Bar-Yossef resemblance): all pair work on k-bounded
@@ -3654,6 +3741,29 @@ object SparkEntry {
         |    ELSE CAST(CAST(15 AS HUGEINT) * 1152921504606846976 // MAX(h)
         |      AS BIGINT) END AS est_distinct
         |FROM bk ORDER BY n_kept""".stripMargin,
+    // kv02's oracle is kv01's FULL BATCH replay over the new snapshot —
+    // the incremental==batch invariant for the count-only vocabulary
+    // fold, enforced by hash
+    "kv02_incremental_kmv" ->
+      """WITH snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM snap) WHERE tok <> ''),
+        |hs AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |bk AS (SELECT h FROM hs ORDER BY h LIMIT 16)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_min,
+        |  CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS BIGINT)
+        |    ELSE CAST(CAST(15 AS HUGEINT) * 1152921504606846976 // MAX(h)
+        |      AS BIGINT) END AS est_distinct
+        |FROM bk ORDER BY n_kept""".stripMargin,
     // Count-Min cell replay: the same row-salted md5 family
     // ('cm<r>|' || tok), exact per-cell occurrence sums
     "cs01_countmin_cells" ->
@@ -3661,6 +3771,47 @@ object SparkEntry {
         |    SELECT unnest(string_split_regex(trim(lower(text)),
         |      '[ \t\n\x0B\f\r]+')) AS tok
         |    FROM documents) WHERE tok <> ''),
+        |cells AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || '|' || tok),
+        |      1, 8))::BIGINT % 64 AS c
+        |  FROM tk CROSS JOIN (SELECT unnest(range(4)) AS r) rr)
+        |SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM cells GROUP BY 1, 2 ORDER BY r, c""".stripMargin,
+    // hl03's oracle is the FULL BATCH register build (hl01's chain at
+    // p=6: 2^26 remainder, rho base 27) over the new snapshot — the
+    // incremental==batch invariant for the max fold, enforced by hash
+    "hl03_incremental_hll" ->
+      """WITH snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM snap) WHERE tok <> ''),
+        |h AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk)
+        |SELECT h // 67108864 AS bucket,
+        |  CAST(MAX(CASE WHEN h % 67108864 = 0 THEN 27
+        |    ELSE 27 - length(bin(h % 67108864)) END) AS BIGINT) AS register
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // cs03's oracle is cs01's FULL BATCH cell build over the new
+    // snapshot — the incremental==batch invariant for the additive
+    // cell fold, enforced by hash
+    "cs03_incremental_countmin" ->
+      """WITH snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM snap) WHERE tok <> ''),
         |cells AS (SELECT rr.r,
         |    ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || '|' || tok),
         |      1, 8))::BIGINT % 64 AS c
@@ -7002,6 +7153,31 @@ object SparkEntry {
         |FROM cand
         |ORDER BY est_jaccard DESC, id, corpus_id
         |LIMIT 100""".stripMargin,
+    // id02's oracle is the FULL capped-index rebuild over the new
+    // snapshot: the %2 half-corpus takes the %13/%7/%11-copy step, the
+    // same banding chain re-bands it, and a bucket keeps its rows when
+    // under cap (1) else its min-id representative — the maintained
+    // index must match by hash (same no-xxhash64-collision reading as
+    // id01: bucket equality = band-slice equality)
+    "id02_incremental_index" ->
+      raw"""WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM base WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |${sqlMinhashBandsCtes("i2", "snap")},
+        |bb AS (SELECT doc_id, band, s[band*4+1 : band*4+4] AS bk
+        |  FROM i2bands),
+        |sizes AS (SELECT band, bk, COUNT(*) AS n, MIN(doc_id) AS rep
+        |  FROM bb GROUP BY 1, 2)
+        |SELECT b.doc_id, CAST(b.band AS BIGINT) AS band
+        |FROM bb b JOIN sizes z ON b.band = z.band AND b.bk = z.bk
+        |WHERE z.n <= 1 OR b.doc_id = z.rep
+        |ORDER BY doc_id, band""".stripMargin,
     // dd01's replay + exact-jaccard confirmation at 0.8 + recursive-CTE
     // connected components (g03's min-label pattern): the full
     // resolution pipeline, bit-identical to the Spark lane
@@ -7853,6 +8029,48 @@ object SparkEntry {
         .select(col("id"), col("corpus_id"), col("est_jaccard"))
         .orderBy(desc("est_jaccard"), col("id"), col("corpus_id"))
         .limit(100)
+    }),
+    // INCREMENTAL maintenance of id01's capped band index
+    // (maintainMinhashIndex) — removals included, the gap the
+    // additions-only mergeIntoMinhashIndex leaves. %2 half-corpus (the
+    // sd03 cost convention), %13/%7/%11-copy snapshot step; cap=1 so
+    // the step both RESURRECTS rows (a removed crowd member un-degrades
+    // its buckets) and DEGRADES them (the %11 exact copies re-crowd
+    // their sources' buckets). Signatures stage once — the index build,
+    // the departed-side banding, and the next-sigs union all read them.
+    // Oracle = full DuckDB rebuild of the capped index over the new
+    // snapshot (same no-xxhash64-collision reading as id01)
+    "id02_incremental_index" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = base.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          base.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def sigsOf(d: DataFrame) = d.select(
+        col("doc_id").as("id"),
+        Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
+          .as("sig"))
+      val priorSigs = graft.operators.Barriers.stage(sigsOf(base))
+      val priorIndex = Dedup.minhashIndexFromSigs(priorSigs,
+        numHashes = 64, bands = 16, maxBucketSize = 1)
+      val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+        .withColumnRenamed("doc_id", "id")
+      val deltaSigs = sigsOf(newSnap.join(
+        diffDf.filter(col("status").isin("added", "changed"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi"))
+      val (_, nextIndex) = Incremental.maintainMinhashIndex(
+        priorSigs, deltaSigs, diffDf, priorIndex,
+        numHashes = 64, bands = 16, maxBucketSize = 1)
+      nextIndex
+        .select(col("id").as("doc_id"), col("band").cast("long").as("band"))
+        .orderBy(col("doc_id"), col("band"))
     }),
     "dd02_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

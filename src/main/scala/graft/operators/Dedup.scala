@@ -329,7 +329,7 @@ object Dedup {
   }
 
   /** (id, sig) → exploded (id, sig, band, bucket) LSH banding rows. */
-  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[operators] def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
@@ -408,7 +408,7 @@ object Dedup {
     * cap, or it is the bucket's min-id representative (degrade, never
     * drop — see [[minhashIndex]]). ONE join + one filter, keeping the
     * expensive upstream pipeline at two plan references. */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[operators] def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val sizes = banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))

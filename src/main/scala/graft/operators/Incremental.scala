@@ -168,7 +168,8 @@ object Incremental {
       keyCol: String,
       valueCols: Seq[String],
       countCol: String = "n_rows"): (DataFrame, DataFrame) = {
-    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    // valueCols MAY be empty: count-only maintenance (e.g. the kv02
+    // vocabulary holder-counts) is the degenerate additive fold
     require(prior.columns.sameElements(delta.columns),
       s"prior/delta schemas differ: ${prior.columns.mkString(",")} vs " +
         delta.columns.mkString(","))
@@ -534,6 +535,206 @@ object Incremental {
       .unionByName(deltaPostings),
       priorLens.join(gone, Seq(idCol), "left_anti")
         .unionByName(deltaLens))
+  }
+
+  /** Incremental maintenance of the CAPPED minhash band index
+    * ([[Dedup.minhashIndexFromSigs]] — the near-dup gate id01 checks
+    * incoming batches against) under a full snapshot delta, REMOVALS
+    * INCLUDED — the gap [[Dedup.mergeIntoMinhashIndex]] leaves open
+    * (merge is additions-only; a changed or removed doc's stale rows
+    * previously left only via a full rebuild).
+    *
+    * The persisted state is the SIGNATURE frame (id, sig), not the
+    * banded postings: banding is a pure per-row function of the
+    * signature ([[Dedup.bandRows]] is an explode — no shuffle), so the
+    * narrow one-row-per-doc frame re-derives any bucket's membership
+    * on demand and folds by plain id-keyed anti/union.
+    *
+    * The capped index CANNOT fold row-by-row — the bucket cap degrades
+    * over-cap buckets to their min-id representative, so a removal can
+    * RESURRECT rows the stored index dropped (size falls back under
+    * cap) and an addition can evict them (size crosses it, or a
+    * smaller id takes the representative slot). But a bucket's capped
+    * slice is a pure function of its OWN membership, and membership
+    * moves only with delta/departed docs — so only TOUCHED (band,
+    * bucket) cells re-cap:
+    *
+    *   - touched = cells of the delta docs' banded rows ∪ cells of the
+    *     departed docs' banded rows (both derived from the narrow sig
+    *     frames, no text);
+    *   - the next sig frame's banded rows, semi-join-restricted to
+    *     touched cells, re-cap through the exact batch
+    *     [[Dedup.capBuckets]] (the restriction keeps whole buckets, so
+    *     sizes and representatives are exact);
+    *   - every untouched cell's index rows carry via one (band,
+    *     bucket)-keyed anti-join.
+    *
+    * Work is bounded by touched-bucket sizes (a crowd bucket touched
+    * by one arrival re-caps all its rows — the same fan-in batch
+    * pays). Incremental == batch EXACTLY, which the id02 oracle
+    * enforces: a full DuckDB rebuild of the capped index over the new
+    * snapshot, same no-xxhash64-collision assumption as id01 (bucket
+    * equality ⇔ band-slice equality).
+    *
+    * @param priorSigs  stored (id, sig) for the OLD snapshot
+    * @param deltaSigs  signatures for added+changed ids ONLY
+    * @param diff       (id, status) from [[Dedup.corpusDiff]] (rename
+    *                   the id column to `id` to match the sig frames)
+    * @param priorIndex stored capped index (id, sig, band, bucket) —
+    *                   [[Dedup.minhashIndexFromSigs]]'s output for the
+    *                   old snapshot
+    * @return (nextSigs, nextIndex) — persist both */
+  def maintainMinhashIndex(
+      priorSigs: DataFrame,
+      deltaSigs: DataFrame,
+      diff: DataFrame,
+      priorIndex: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+    require(priorSigs.columns.toSeq == Seq("id", "sig"),
+      s"priorSigs must be (id, sig), got ${priorSigs.columns.mkString(",")}")
+    require(deltaSigs.columns.toSeq == Seq("id", "sig"),
+      s"deltaSigs must be (id, sig), got ${deltaSigs.columns.mkString(",")}")
+    // order-insensitive: minhashIndexFromSigs emits the cap join's
+    // (band, bucket, id, sig) order; unionByName aligns either way
+    require(priorIndex.columns.toSet == Set("id", "sig", "band", "bucket"),
+      s"priorIndex must carry (id, sig, band, bucket), got " +
+        priorIndex.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col("id"))
+    val nextSigs = priorSigs.join(gone, Seq("id"), "left_anti")
+      .unionByName(deltaSigs)
+    val touched = Dedup.bandRows(deltaSigs, numHashes, bands)
+      .select(col("band"), col("bucket"))
+      .unionByName(
+        Dedup.bandRows(priorSigs.join(gone, Seq("id"), "left_semi"),
+          numHashes, bands).select(col("band"), col("bucket")))
+      .distinct()
+    val reCapped = Dedup.capBuckets(
+      Dedup.bandRows(nextSigs, numHashes, bands)
+        .join(touched, Seq("band", "bucket"), "left_semi"),
+      maxBucketSize)
+    val nextIndex = priorIndex
+      .join(touched, Seq("band", "bucket"), "left_anti")
+      .unionByName(reCapped.select(
+        col("id"), col("sig"), col("band"), col("bucket")))
+    (nextSigs, nextIndex)
+  }
+
+  /** Incremental maintenance of a MAX-register table (the
+    * [[Sketches.hllRegisters]] shape) under a snapshot delta. A max is
+    * NOT invertible — losing a register's current maximum needs the
+    * remaining contributors — so unlike the additive folds the state
+    * is the per-document contribution frame ([[Sketches.hllContrib]]:
+    * one (id, bucket, rho) row per non-empty bucket per doc, the
+    * keep-first election shape with max in place of min):
+    *
+    *   - contributions fold by id-keyed anti/union;
+    *   - a register can only move when a contributor entered or left
+    *     its bucket, so only TOUCHED buckets (buckets of delta ∪
+    *     departed contributions) re-max — a semi-join-restricted
+    *     group-max whose input is bounded by touched-bucket fan-in;
+    *   - untouched registers carry via one anti-join; a bucket whose
+    *     contributors all left disappears, exactly as batch.
+    *
+    * Incremental == batch EXACTLY; the hl03 oracle replays the full
+    * batch register build over the new snapshot in DuckDB. Note the
+    * asymmetry with production HLL merging: UNIONS of sketches merge
+    * register-wise for free (max is a homomorphism) — maintenance
+    * under REMOVALS is what needs the contribution state.
+    *
+    * @param priorContrib stored (idCol, bucket, rho) for the OLD
+    *                     snapshot
+    * @param deltaContrib contributions for added+changed ids ONLY
+    * @param diff         (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorRegisters stored (bucket, register) — the batch
+    *                     register table for the old snapshot
+    * @return (nextContrib, nextRegisters) */
+  def maintainRegisterMax(
+      priorContrib: DataFrame,
+      deltaContrib: DataFrame,
+      diff: DataFrame,
+      priorRegisters: DataFrame,
+      idCol: String): (DataFrame, DataFrame) = {
+    require(priorContrib.columns.toSeq == Seq(idCol, "bucket", "rho"),
+      s"priorContrib must be ($idCol, bucket, rho), got " +
+        priorContrib.columns.mkString(","))
+    require(priorContrib.columns.sameElements(deltaContrib.columns),
+      s"prior/delta contribution schemas differ: " +
+        s"${priorContrib.columns.mkString(",")} vs " +
+        deltaContrib.columns.mkString(","))
+    require(priorRegisters.columns.toSeq == Seq("bucket", "register"),
+      s"priorRegisters must be (bucket, register), got " +
+        priorRegisters.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val nextContrib = priorContrib.join(gone, Seq(idCol), "left_anti")
+      .unionByName(deltaContrib)
+    val touched = deltaContrib.select(col("bucket"))
+      .unionByName(
+        priorContrib.join(gone, Seq(idCol), "left_semi").select(col("bucket")))
+      .distinct()
+    val reMaxed = nextContrib
+      .join(touched, Seq("bucket"), "left_semi")
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+    val nextRegisters = priorRegisters
+      .join(touched, Seq("bucket"), "left_anti")
+      .unionByName(reMaxed)
+    (nextContrib, nextRegisters)
+  }
+
+  /** Incremental maintenance of a Count-Min cell table
+    * ([[Sketches.countMinCells]]) under a snapshot delta. Cell counts
+    * are ADDITIVE over documents, so this is the [[maintainGroupSums]]
+    * fold over the composite (r, c) cell key, with the per-document
+    * contribution frame ([[Sketches.countMinContrib]]) as state:
+    * departed and delta docs' contributions alone aggregate, then one
+    * (r, c)-keyed three-way outer join over the ≤ d·w cell domain
+    * folds them into the stored table. Cells folded to zero disappear,
+    * exactly as batch (the batch table only emits occupied cells).
+    * Incremental == batch EXACTLY; the cs03 oracle replays the full
+    * batch cell build over the new snapshot in DuckDB.
+    *
+    * @param priorContrib stored (idCol, r, c, cnt) for the OLD snapshot
+    * @param deltaContrib contributions for added+changed ids ONLY
+    * @param diff         (idCol, status) from [[Dedup.corpusDiff]]
+    * @param priorCells   stored (r, c, cnt) batch cell table
+    * @return (nextContrib, nextCells) */
+  def maintainCountMinCells(
+      priorContrib: DataFrame,
+      deltaContrib: DataFrame,
+      diff: DataFrame,
+      priorCells: DataFrame,
+      idCol: String): (DataFrame, DataFrame) = {
+    require(priorContrib.columns.toSeq == Seq(idCol, "r", "c", "cnt"),
+      s"priorContrib must be ($idCol, r, c, cnt), got " +
+        priorContrib.columns.mkString(","))
+    require(priorContrib.columns.sameElements(deltaContrib.columns),
+      s"prior/delta contribution schemas differ: " +
+        s"${priorContrib.columns.mkString(",")} vs " +
+        deltaContrib.columns.mkString(","))
+    require(priorCells.columns.toSeq == Seq("r", "c", "cnt"),
+      s"priorCells must be (r, c, cnt), got " +
+        priorCells.columns.mkString(","))
+    val gone = diff.filter(col("status").isin("changed", "removed"))
+      .select(col(idCol))
+    val nextContrib = priorContrib.join(gone, Seq(idCol), "left_anti")
+      .unionByName(deltaContrib)
+    def cells(df: DataFrame, tag: String) = df
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as(tag))
+    val minus = cells(priorContrib.join(gone, Seq(idCol), "left_semi"), "__m")
+    val adds = cells(deltaContrib, "__a")
+    val nextCells = priorCells
+      .join(minus, Seq("r", "c"), "full_outer")
+      .join(adds, Seq("r", "c"), "full_outer")
+      .select(col("r"), col("c"),
+        (coalesce(col("cnt"), lit(0L)) - coalesce(col("__m"), lit(0L)) +
+          coalesce(col("__a"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0L)
+    (nextContrib, nextCells)
   }
 
   /** STREAMING twin of [[maintainKeepFirst]]. Elections are NOT

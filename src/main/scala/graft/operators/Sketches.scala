@@ -65,6 +65,38 @@ object Sketches {
       .agg(max(col("rho")).as("register"))
   }
 
+  /** Per-document HLL register CONTRIBUTIONS — the state frame
+    * [[Incremental.maintainRegisterMax]] folds under snapshot deltas.
+    * One row per (document, non-empty bucket): the doc's own maximal
+    * rank for that bucket, derived by the exact hash/bucket/rho chain
+    * of [[hllRegisters]], so `max(rho)` over this frame per bucket IS
+    * the register table (SketchesSpec pins the identity). Linear in
+    * min(doc count × 2^p, token volume) — the same posting-frame
+    * shape the dedup families persist; only 8-byte integers, never
+    * text. Batch callers should keep using [[hllRegisters]] (one
+    * m-domain agg, no per-doc shuffle); this frame exists so a daily
+    * snapshot only re-tokenizes its delta. */
+  def hllContrib(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: Int = 4): DataFrame = {
+    require(p >= 1 && p <= 16, s"p=$p out of range")
+    val wBits = 32 - p
+    val mod = 1L << wBits
+    docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), PortableHash.h32(col("tok")).as("h"))
+      .select(col(idCol), ldiv(col("h"), lit(mod)).as("bucket"),
+        (col("h") % mod).as("w"))
+      .select(col(idCol), col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1).cast("long"))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
   /** The published HLL estimator over a [[hllRegisters]] frame, in
     * micro-units: raw = alpha_m · m² / Σ 2^(−register) (empty buckets
     * contribute 2^0 = 1), with the small-range linear-counting
@@ -135,11 +167,22 @@ object Sketches {
     * shuffle, no sort.
     *
     * Output: one row (n_kept, kth_min, est_distinct). */
-  def kmvDistinct(docs: DataFrame, textCol: String, k: Int = 16): DataFrame = {
+  def kmvDistinct(docs: DataFrame, textCol: String, k: Int = 16): DataFrame =
+    kmvFromHashes(
+      tokenStream(docs, textCol)
+        .select(PortableHash.h60(col("tok")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("__n")).drop("__n"),
+      k)
+
+  /** The bottom-k + estimator tail of [[kmvDistinct]] over an already-
+    * distinct hash frame (h) — factored so a MAINTAINED vocabulary
+    * table (the kv02 incremental path: distinct per-doc hash
+    * contributions folded additively into (h, holder-count) rows) feeds
+    * the identical estimate. The TakeOrdered is map-side min-k — no
+    * sort, no corpus-sized shuffle, at any vocabulary size. */
+  def kmvFromHashes(hashes: DataFrame, k: Int = 16): DataFrame = {
     require(k >= 2, s"k=$k too small")
-    tokenStream(docs, textCol)
-      .select(PortableHash.h60(col("tok")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("__n")).drop("__n")
+    hashes.select(col("h"))
       .orderBy(col("h")).limit(k)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
       .select(col("n_kept"), col("kth_min"),
@@ -148,6 +191,19 @@ object Sketches {
             lit(1152921504606846976L), col("kth_min")))
           .as("est_distinct"))
   }
+
+  /** Per-document DISTINCT 60-bit token-hash memberships — the state
+    * frame the kv02 incremental KMV path folds: a hash survives the
+    * corpus while ≥ 1 document holds it, so holder counts are additive
+    * over documents ([[Incremental.maintainGroupSums]] count-only) and
+    * the maintained (h, holder-count) vocabulary table re-derives the
+    * sketch via [[kmvFromHashes]] with no re-tokenization. */
+  def kmvContrib(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), PortableHash.h60(col("tok")).as("h"))
+      .distinct()
 
   /** Pairwise source-similarity matrix via bottom-k (KMV) vocabulary
     * sketches — the corpus-mixture-design table: which sources share
@@ -303,6 +359,36 @@ object Sketches {
     tokenStream(docs, textCol)
       .select(explode(cells).as("cell"))
       .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-document Count-Min cell CONTRIBUTIONS — the state frame
+    * [[Incremental.maintainCountMinCells]] folds under snapshot
+    * deltas. One row per (document, r, c) the doc's tokens hash into,
+    * carrying the doc's exact occurrence count for that cell via the
+    * identical row-salted hash chain as [[countMinCells]]; summing
+    * `cnt` per (r, c) over this frame IS the cell table (SketchesSpec
+    * pins the identity). At most d × (per-doc distinct tokens) rows
+    * per document — the posting-frame shape, integers only. Batch
+    * callers keep [[countMinCells]] (d·w-domain agg, no per-doc key);
+    * this frame exists so a snapshot step only re-tokenizes its
+    * delta. */
+  def countMinContrib(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Int = 4,
+      w: Int = 64): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"d=$d w=$w out of range")
+    val cells = array((0 until d).map { r =>
+      struct(lit(r.toLong).as("r"),
+        (PortableHash.h32(concat(lit(s"cm$r|"), col("tok"))) % w).as("c"))
+    }: _*)
+    docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), explode(cells).as("cell"))
+      .groupBy(col(idCol), col("cell.r").as("r"), col("cell.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
   }
 

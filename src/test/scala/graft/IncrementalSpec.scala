@@ -311,4 +311,169 @@ class IncrementalSpec extends AnyFunSuite {
     assert(next.select(col("id"), col("cell"))
       .as[(Long, Int)].collect().toSet == gold)
   }
+
+  // --- capped minhash band index ---------------------------------------
+
+  test("maintainMinhashIndex: incremental equals batch on a randomized step") {
+    import graft.operators.Dedup
+    val (oldDocs0, newDocs0, d) = textStep(21L)
+    // seed an exact-duplicate crowd (ids %4==2, minus the re-texted
+    // %5==1 rows) so buckets actually exceed the cap on both snapshots
+    // and the step moves crowd membership (removals + adds 42, 46)
+    def crowd(rows: Seq[(Long, String)]) = rows.map { case (i, t) =>
+      if (i % 4 == 2 && i % 5 != 1) (i, "x y z w v u t s") else (i, t)
+    }
+    val oldDocs = crowd(oldDocs0)
+    val newDocs = crowd(newDocs0)
+    val oldDf = oldDocs.toDF("id", "text")
+    val newDf = newDocs.toDF("id", "text")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"),
+      Dedup.minhashSigColumnPortable(col("text"), numHashes = 16, nGram = 2)
+        .as("sig"))
+    val cap = 2
+    val priorSigs = sigsOf(oldDf)
+    val priorIndex = Dedup.minhashIndexFromSigs(priorSigs,
+      numHashes = 16, bands = 4, maxBucketSize = cap)
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val (nextSigs, nextIndex) = Incremental.maintainMinhashIndex(
+      priorSigs, sigsOf(newDf.filter(col("id").isin(deltaIds.toSeq: _*))),
+      diff(d: _*), priorIndex, numHashes = 16, bands = 4, maxBucketSize = cap)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("sig"), col("band"), col("bucket"))
+      .as[(Long, Seq[Long], Int, Long)].collect()
+      .map(t => (t._1, t._2.toList, t._3, t._4)).toSet
+    assert(nextSigs.select(col("id")).as[Long].collect().toSet ==
+      newDocs.map(_._1).toSet)
+    val gold = rows(Dedup.minhashIndexFromSigs(sigsOf(newDf),
+      numHashes = 16, bands = 4, maxBucketSize = cap))
+    // the 12-token vocabulary makes crowds certain: the step must
+    // exercise the cap (some bucket over cap => degraded to its rep)
+    assert(gold.size < newDocs.size * 4, "step must degrade some bucket")
+    assert(rows(nextIndex) == gold)
+  }
+
+  test("maintainMinhashIndex: removal resurrects degraded rows; " +
+      "arrival degrades a crowd") {
+    import graft.operators.Dedup
+    // three identical docs share EVERY bucket; cap=2 degrades all their
+    // buckets to the min-id representative at build time
+    val oldDocs = Seq((1L, "x y z w v u"), (2L, "x y z w v u"),
+      (3L, "x y z w v u"), (9L, "totally different words here now"))
+    val oldDf = oldDocs.toDF("id", "text")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"),
+      Dedup.minhashSigColumnPortable(col("text"), numHashes = 16, nGram = 2)
+        .as("sig"))
+    val priorSigs = sigsOf(oldDf)
+    val priorIndex = Dedup.minhashIndexFromSigs(priorSigs,
+      numHashes = 16, bands = 4, maxBucketSize = 2)
+    assert(priorIndex.filter(col("id").isin(2L, 3L)).count() == 0L,
+      "crowd must be degraded to its min-id representative")
+    // step 1: removing one crowd member RESURRECTS the other two
+    val (s1, i1) = Incremental.maintainMinhashIndex(
+      priorSigs, sigsOf(oldDf).filter(lit(false)),
+      diff((1L, "removed")), priorIndex,
+      numHashes = 16, bands = 4, maxBucketSize = 2)
+    assert(i1.filter(col("id") === 2L).count() == 4L &&
+      i1.filter(col("id") === 3L).count() == 4L)
+    def gold(sigs: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndexFromSigs(sigs, numHashes = 16, bands = 4,
+        maxBucketSize = 2)
+        .select(col("id"), col("band"), col("bucket"))
+        .as[(Long, Int, Long)].collect().toSet
+    assert(i1.select(col("id"), col("band"), col("bucket"))
+      .as[(Long, Int, Long)].collect().toSet == gold(s1))
+    // step 2: a fourth copy arriving re-degrades the crowd
+    val (s2, i2) = Incremental.maintainMinhashIndex(
+      s1, sigsOf(Seq((4L, "x y z w v u")).toDF("id", "text")),
+      diff((4L, "added")), i1, numHashes = 16, bands = 4, maxBucketSize = 2)
+    assert(i2.filter(col("id").isin(3L, 4L)).count() == 0L,
+      "over-cap crowd keeps only its min-id representative (2)")
+    assert(i2.select(col("id"), col("band"), col("bucket"))
+      .as[(Long, Int, Long)].collect().toSet == gold(s2))
+  }
+
+  // --- sketch state ------------------------------------------------------
+
+  test("maintainRegisterMax: incremental equals batch; emptied corpus " +
+      "empties the table") {
+    import graft.operators.Sketches
+    val (oldDocs, newDocs, d) = textStep(33L)
+    val oldDf = oldDocs.toDF("id", "text")
+    val newDf = newDocs.toDF("id", "text")
+    val prior = Sketches.hllContrib(oldDf, "id", "text", p = 4)
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val (nc, nr) = Incremental.maintainRegisterMax(
+      prior,
+      Sketches.hllContrib(
+        newDf.filter(col("id").isin(deltaIds.toSeq: _*)), "id", "text", p = 4),
+      diff(d: _*),
+      Sketches.hllRegisters(oldDf, "text", p = 4), "id")
+    assert(nc.as[(Long, Long, Long)].collect().toSet ==
+      Sketches.hllContrib(newDf, "id", "text", p = 4)
+        .as[(Long, Long, Long)].collect().toSet)
+    val gold = Sketches.hllRegisters(newDf, "text", p = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(gold.nonEmpty)
+    assert(nr.as[(Long, Long)].collect().toSet == gold)
+    // removing every contributor leaves no register rows, as batch would
+    val one = Seq((1L, "solo doc")).toDF("id", "text")
+    val (_, empty) = Incremental.maintainRegisterMax(
+      Sketches.hllContrib(one, "id", "text", p = 4),
+      Sketches.hllContrib(one.filter(lit(false)), "id", "text", p = 4),
+      diff((1L, "removed")),
+      Sketches.hllRegisters(one, "text", p = 4), "id")
+    assert(empty.count() == 0L)
+  }
+
+  test("count-only maintainGroupSums + kmvFromHashes equals batch " +
+      "kmvDistinct") {
+    import graft.operators.Sketches
+    val (oldDocs, newDocs, d) = textStep(59L)
+    val oldDf = oldDocs.toDF("id", "text")
+    val newDf = newDocs.toDF("id", "text")
+    val prior = Sketches.kmvContrib(oldDf, "id", "text")
+    val priorTotals = prior.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val (_, totals) = Incremental.maintainGroupSums(
+      prior,
+      Sketches.kmvContrib(
+        newDf.filter(col("id").isin(deltaIds.toSeq: _*)), "id", "text"),
+      diff(d: _*), priorTotals, "id", "h", Seq.empty, countCol = "n_docs")
+    // the maintained vocabulary is exactly the new snapshot's hash set
+    assert(totals.select(col("h")).as[Long].collect().toSet ==
+      Sketches.kmvContrib(newDf, "id", "text")
+        .select(col("h")).distinct().as[Long].collect().toSet)
+    // and the batch sketch tail over it IS the batch sketch
+    assert(Sketches.kmvFromHashes(totals.select(col("h")), k = 8)
+      .as[(Long, Long, Long)].collect().toSeq ==
+      Sketches.kmvDistinct(newDf, "text", k = 8)
+        .as[(Long, Long, Long)].collect().toSeq)
+  }
+
+  test("maintainCountMinCells: incremental equals batch on a randomized " +
+      "step") {
+    import graft.operators.Sketches
+    val (oldDocs, newDocs, d) = textStep(47L)
+    val oldDf = oldDocs.toDF("id", "text")
+    val newDf = newDocs.toDF("id", "text")
+    val prior = Sketches.countMinContrib(oldDf, "id", "text", d = 2, w = 8)
+    val deltaIds = d.collect { case (i, s) if s != "removed" => i }.toSet
+    val (nc, cells) = Incremental.maintainCountMinCells(
+      prior,
+      Sketches.countMinContrib(
+        newDf.filter(col("id").isin(deltaIds.toSeq: _*)), "id", "text",
+        d = 2, w = 8),
+      diff(d: _*),
+      Sketches.countMinCells(oldDf, "text", d = 2, w = 8), "id")
+    assert(nc.as[(Long, Long, Long, Long)].collect().toSet ==
+      Sketches.countMinContrib(newDf, "id", "text", d = 2, w = 8)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    val gold = Sketches.countMinCells(newDf, "text", d = 2, w = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gold.nonEmpty)
+    assert(cells.as[(Long, Long, Long)].collect().toSet == gold)
+  }
 }

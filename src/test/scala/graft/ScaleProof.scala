@@ -1223,6 +1223,96 @@ object ScaleProof {
             .agg(coalesce(sum(col("score_micro")), lit(0L)))
             .head().getLong(0)
         })
+      measure("id02_incrindex", scale)(
+        // incremental capped-index maintenance under the same delta:
+        // the prior sig/index build is the setup (production: table
+        // reads); the fold re-signs delta docs only and re-caps only
+        // touched (band, bucket) cells — the hot-cluster buckets
+        // (~110 docs) sit over the cap 100 so the step exercises the
+        // representative-degrade path at scale
+        {
+          import graft.operators.Incremental
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val priorSigs = Dedup.minhashSignature(prior, "doc_id", "text",
+            numHashes = 64, nGram = 3)
+          val priorIndex = Dedup.minhashIndexFromSigs(priorSigs,
+            numHashes = 64, bands = 16, maxBucketSize = 100)
+          val d = docs.select(col("doc_id").as("id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val deltaSigs = Dedup.minhashSignature(
+            next.filter(
+              col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7),
+            "doc_id", "text", numHashes = 64, nGram = 3)
+          val (_, nextIndex) = Incremental.maintainMinhashIndex(
+            priorSigs, deltaSigs, d, priorIndex,
+            numHashes = 64, bands = 16, maxBucketSize = 100)
+          nextIndex.agg(count(lit(1))).head().getLong(0)
+        })
+      measure("hl03_incrhll", scale)(
+        // incremental HLL register maintenance: the contribution-frame
+        // setup is the one token pass; the fold re-maxes touched
+        // buckets only (64 at p=6 — all touched under any real delta,
+        // which is fine: the re-max input is bucket-fan-in-bounded)
+        {
+          import graft.operators.{Incremental, Sketches}
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val deltaContrib = Sketches.hllContrib(
+            next.filter(
+              col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7),
+            "doc_id", "text", p = 6)
+          val (_, reg) = Incremental.maintainRegisterMax(
+            Sketches.hllContrib(prior, "doc_id", "text", p = 6),
+            deltaContrib, d,
+            Sketches.hllRegisters(prior, "text", p = 6), "doc_id")
+          reg.agg(coalesce(sum(col("register")), lit(0L)))
+            .head().getLong(0)
+        })
+      measure("cs03_incrcm", scale)(
+        // incremental Count-Min maintenance: additive cell fold —
+        // departed/delta contributions alone aggregate into the d*w
+        // cell domain
+        {
+          import graft.operators.{Incremental, Sketches}
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val deltaContrib = Sketches.countMinContrib(
+            next.filter(
+              col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7),
+            "doc_id", "text", d = 4, w = 64)
+          val (_, cells) = Incremental.maintainCountMinCells(
+            Sketches.countMinContrib(prior, "doc_id", "text", d = 4, w = 64),
+            deltaContrib, d,
+            Sketches.countMinCells(prior, "text", d = 4, w = 64), "doc_id")
+          cells.agg(coalesce(sum(col("cnt")), lit(0L)))
+            .head().getLong(0)
+        })
       measure("mw03_mixsolve", scale)(
         // mixture solver: one group-domain token agg + a source-domain
         // collect (the output's own size) + BigInt driver solve

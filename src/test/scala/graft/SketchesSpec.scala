@@ -98,6 +98,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("est_distinct") == 3L)
   }
 
+  test("contribution frames fold to the batch sketches exactly") {
+    // hllContrib: max over per-doc maxes == the global register table
+    val folded = Sketches.hllContrib(docs, "doc_id", "text", p = 4)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+      .as[(Long, Long)].collect().toSet
+    assert(folded ==
+      Sketches.hllRegisters(docs, "text", p = 4)
+        .as[(Long, Long)].collect().toSet)
+    // countMinContrib: sum over per-doc counts == the global cell table
+    val cellsFolded = Sketches.countMinContrib(docs, "doc_id", "text",
+      d = 4, w = 64)
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cellsFolded ==
+      Sketches.countMinCells(docs, "text", d = 4, w = 64)
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("countMinCells equals a driver replay and point estimates bound exact") {
     val d = 4
     val w = 64
