@@ -169,6 +169,173 @@ object SparkEntry {
       .unionByName(nearDupRows)
   }
 
+  /** [[corpusReportRows]] maintained INCREMENTALLY under a snapshot
+    * step — the cr03 composition capstone: the card re-derives from
+    * maintained NARROW frames only, so no text beyond the delta is
+    * ever re-read. Persisted state (computed batch-style in-lane over
+    * `oldDocs`; in production every `prior*` frame is a table read):
+    *
+    *   - per-doc FACTS (lang, token/char counts, md5, gopher keep,
+    *     registered domain) — id-keyed anti/union fold;
+    *   - per-doc LINE-DIGEST counts (the dup-paragraph overhang's
+    *     contributions) and per-doc DISTINCT 3-GRAM postings (the
+    *     confirm step's sets) — same fold;
+    *   - minhash SIGNATURES (banding cells re-derive per-row,
+    *     shuffle-free) and the LSH candidate PAIR table, maintained by
+    *     [[Incremental.maintainWinnowingPairs]] over [[Dedup.bandCells]]
+    *     (pair ⇔ ≥ 1 shared usable bucket — dd01's cap semantics);
+    *   - the CONFIRMED near-dup pair table: a pair's exact-Jaccard
+    *     verdict is a pure function of its two gram sets, so only
+    *     pairs touching a delta doc or whose CANDIDACY flipped
+    *     (appeared/disappeared in the pair fold — a third doc moving a
+    *     shared bucket across the cap flips pairs of UNTOUCHED docs)
+    *     re-verify; the rest carry. Both the prior table and the
+    *     re-verified slice use the same relational confirm over the
+    *     gram postings (the oracle's string-gram Jaccard under the
+    *     dd-family no-collision reading).
+    *
+    * Incremental == batch EXACTLY: the cr03 oracle replays cr01's full
+    * batch chain over the new snapshot and hash-compares the card. */
+  private[graft] def incrementalReportRows(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import graft.operators.{Barriers, Curation, Incremental}
+    def factsOf(docs: DataFrame) = docs.select(col("doc_id"),
+      TextFunctions.langIdNgram(col("text")).as("lang"),
+      size(filter(TextFunctions.tokens(col("text")),
+        t => length(t) > 0)).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      md5(col("text").cast("binary")).as("__md5"),
+      coalesce(graft.functions.UrlFunctions.urlDomain(synthUrl()),
+        lit("unattributed")).as("dom"))
+      .join(Curation.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+    def linesOf(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\r?\n"),
+          l => length(l) > 0)).as("__p"))
+      .groupBy(col("doc_id"), md5(col("__p").cast("binary")).as("ldig"))
+      .agg(count(lit(1)).as("cnt"))
+    def gramsOf(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        explode(ngramHashes(TextFunctions.tokens(col("text")), 3)).as("gh"))
+      .distinct()
+    def sigsOf(docs: DataFrame) = docs.select(col("doc_id").as("id"),
+      Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
+        .as("sig"))
+    // the same relational confirm for the PRIOR table and the touched
+    // slice — one definition, so carried and recomputed verdicts cannot
+    // drift; arithmetic mirrors the oracle's CAST(inter AS DOUBLE)/union
+    def confirm(pairs: DataFrame, posts: DataFrame): DataFrame = {
+      val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+      val inter = pairs
+        .join(posts.select(col("doc_id").as("id_a"), col("gh")), Seq("id_a"))
+        .join(posts.select(col("doc_id").as("id_b"), col("gh")),
+          Seq("id_b", "gh"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+      pairs
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(sizes.select(col("doc_id").as("id_a"), col("__n").as("__na")),
+          Seq("id_a"), "left")
+        .join(sizes.select(col("doc_id").as("id_b"), col("__n").as("__nb")),
+          Seq("id_b"), "left")
+        .withColumn("__u",
+          coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L)) -
+            coalesce(col("__i"), lit(0L)))
+        .filter(col("__u") > 0L &&
+          coalesce(col("__i"), lit(0L)).cast("double") / col("__u") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+    }
+    // --- prior state (stage the multi-consumer frames: sigs feed the
+    // index build AND the fold's departed side; grams feed the prior
+    // confirm AND the touched re-verify; the pair tables feed three
+    // set-differences each)
+    val priorSigs = Barriers.stage(sigsOf(oldDocs))
+    val priorCells = Dedup.bandCells(priorSigs)
+    val priorPairs = Barriers.stage(
+      Dedup.winnowingPairCounts(priorCells, "id", maxBucketSize))
+    val priorGrams = Barriers.stage(gramsOf(oldDocs))
+    val priorConfirmed = confirm(
+      priorPairs.select(col("id_a"), col("id_b")), priorGrams)
+    // --- the snapshot step
+    val diffDf = Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+    val deltaIds = diffDf.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val deltaDocs = newDocs.join(deltaIds, Seq("doc_id"), "left_semi")
+    val gone = diffDf.filter(col("status").isin("changed", "removed"))
+      .select("doc_id")
+    def fold(prior: DataFrame, delta: DataFrame) =
+      prior.join(gone, Seq("doc_id"), "left_anti").unionByName(delta)
+    val facts = Barriers.stage(fold(factsOf(oldDocs), factsOf(deltaDocs)))
+    val lines = fold(linesOf(oldDocs), linesOf(deltaDocs))
+    val grams = fold(priorGrams, gramsOf(deltaDocs))
+    val (_, nextPairsCounts) = Incremental.maintainWinnowingPairs(
+      priorCells, Dedup.bandCells(sigsOf(deltaDocs)),
+      diffDf.withColumnRenamed("doc_id", "id"), priorPairs, "id",
+      maxBucketSize)
+    val nextPairs = Barriers.stage(
+      nextPairsCounts.select(col("id_a"), col("id_b")))
+    // --- confirmed-pair maintenance: re-verify pairs touching a delta
+    // doc or newly candidate; drop pairs no longer candidate (covers
+    // every pair holding a gone id — its cells left the index)
+    val touchingDelta = nextPairs
+      .join(deltaIds.select(col("doc_id").as("id_a")), Seq("id_a"),
+        "left_semi")
+      .unionByName(nextPairs.join(
+        deltaIds.select(col("doc_id").as("id_b")), Seq("id_b"),
+        "left_semi"))
+      .distinct()
+    val appeared = nextPairs
+      .join(priorPairs.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+    val recompute = touchingDelta.unionByName(appeared).distinct()
+    val disappeared = priorPairs.select(col("id_a"), col("id_b"))
+      .join(nextPairs, Seq("id_a", "id_b"), "left_anti")
+    val stale = recompute.unionByName(disappeared).distinct()
+    val confirmedNext = priorConfirmed
+      .join(stale, Seq("id_a", "id_b"), "left_anti")
+      .unionByName(confirm(recompute, grams))
+    // --- the card, from maintained narrow frames only
+    val corpus = facts.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+      countDistinct(col("__md5")).as("__uniq"))
+    val corpusRows = corpus.selectExpr(
+      "stack(4, 'corpus', 'n_docs', n_docs, " +
+        "'corpus', 'n_tokens', n_tokens, " +
+        "'corpus', 'n_chars', n_chars, " +
+        "'dedup', 'exact_dup_docs', n_docs - __uniq) " +
+        "AS (section, metric, value)")
+    val langRows = facts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("lang").as("section"),
+        concat(lit("docs_"), col("lang")).as("metric"), col("value"))
+    val qualityRows = facts
+      .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+        .as("value"))
+      .select(lit("quality").as("section"),
+        lit("gopher_keep_docs").as("metric"), col("value"))
+    val paraRows = lines
+      .agg((coalesce(sum(col("cnt")), lit(0L)) -
+        countDistinct(col("ldig"))).as("value"))
+      .select(lit("dedup").as("section"),
+        lit("dup_paragraphs").as("metric"), col("value"))
+    val mixtureRows = facts.groupBy(col("dom"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("mixture").as("section"),
+        concat(lit("docs_"), col("dom")).as("metric"), col("value"))
+    val nearDupRows = confirmedNext.select(col("id_a").as("id"))
+      .unionByName(confirmedNext.select(col("id_b").as("id")))
+      .agg(countDistinct(col("id")).as("value"))
+      .select(lit("dedup").as("section"),
+        lit("near_dup_docs").as("metric"), col("value"))
+    corpusRows.unionByName(langRows).unionByName(qualityRows)
+      .unionByName(paraRows).unionByName(mixtureRows)
+      .unionByName(nearDupRows)
+  }
+
   /** wp01/wp02's shared front-door funnel over the synthesized web
     * corpus: URL policy filters -> HTML -> text extraction -> URL-level
     * keep-first dedup (among policy survivors) -> text-quality gate,
@@ -2153,6 +2320,24 @@ object SparkEntry {
           coalesce(col("value_new"), lit(0L)).as("value_new"),
           (coalesce(col("value_new"), lit(0L)) -
             coalesce(col("value_old"), lit(0L))).as("delta"))
+        .orderBy(col("section"), col("metric"))
+    }),
+    // the INCREMENTALLY MAINTAINED datasheet (the composition capstone
+    // of the incremental tier): cr02's %10 snapshot step, every card
+    // section re-derived from maintained narrow frames — facts/lines/
+    // grams fold by id, the LSH candidate pairs fold through
+    // maintainWinnowingPairs over band cells, and only pairs touching
+    // a delta doc or whose candidacy flipped re-verify their exact
+    // Jaccard. Oracle = cr01's FULL BATCH chain over the new snapshot
+    "cr03_incremental_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 3)
+      val newDocs = docs.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7,
+            concat(col("text"), lit(" updated rev")))
+            .otherwise(col("text")))
+      incrementalReportRows(oldDocs, newDocs)
         .orderBy(col("section"), col("metric"))
     }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
@@ -4740,6 +4925,17 @@ object SparkEntry {
         |    AS delta
         |FROM o_v o FULL OUTER JOIN n_v n
         |  ON o.section = n.section AND o.metric = n.metric
+        |ORDER BY section, metric""").stripMargin,
+    // cr03's oracle is cr01's FULL BATCH chain over the new snapshot
+    // (cr02's n_src) — the incremental==batch invariant for the whole
+    // maintained datasheet, enforced by hash
+    "cr03_incremental_report" ->
+      ("WITH n_src AS (SELECT doc_id,\n" +
+      "    CASE WHEN doc_id % 10 = 7 THEN text || ' updated rev'\n" +
+      "      ELSE text END AS text\n" +
+      "  FROM documents WHERE doc_id % 10 <> 9),\n" +
+      sqlCorpusReportChain("", "n_src") + "\n" +
+      """SELECT section, metric, value FROM v
         |ORDER BY section, metric""").stripMargin,
     // prompt-dedup replay: identical synthesized transcripts, first
     // user turn via the same trim -> role-regex pipeline, tokens-joined

@@ -343,6 +343,20 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** PUBLIC banding cells for pair-index maintenance: one (id, fp) row
+    * per band, fp = "band:bucket". [[Incremental.maintainWinnowingPairs]]
+    * over these cells maintains exactly [[minhashCandidatesFromSigs]]'s
+    * pair set — pair ⇔ ≥ 1 shared usable bucket, and the winnowing
+    * usability gate (2 ≤ posting ≤ cap) equals [[bucketPairs]]' cap
+    * semantics (a 1-row bucket forms no pair either way). The ann05
+    * hyperplane-cell trick, exposed for the text-minhash family. */
+  def bandCells(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    bandRows(sigs, numHashes, bands)
+      .select(col("id"), concat_ws(":", col("band"), col("bucket")).as("fp"))
+
   /** Signature-overlap estimate of Jaccard between two sig columns. */
   private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
     aggregate(

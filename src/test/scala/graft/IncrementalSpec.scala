@@ -394,6 +394,36 @@ class IncrementalSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSet == gold(s2))
   }
 
+  // --- the cr03 confirmed-pair maintenance: candidacy flips of
+  // UNTOUCHED pairs (a third doc moving a shared bucket across the cap)
+  // must drop/compute their confirm — sf0.01's cap (1000) never binds,
+  // so this path is pinned here with cap=2 via the injectable parameter
+
+  test("incrementalReportRows: a cap flip drops and restores the " +
+      "near-dup verdict of untouched pairs") {
+    def report(oldD: Seq[(Long, String)], newD: Seq[(Long, String)]) =
+      SparkEntry.incrementalReportRows(
+        oldD.toDF("doc_id", "text"), newD.toDF("doc_id", "text"),
+        maxBucketSize = 2)
+    def nearDup(df: org.apache.spark.sql.DataFrame): Long = df
+      .filter(col("metric") === "near_dup_docs")
+      .select(col("value")).as[Long].head()
+    val twin = "alpha beta gamma delta epsilon zeta"
+    val other = (9L, "completely different words appear here instead")
+    // arrival of a third copy pushes every shared bucket over cap=2:
+    // the (1,2) pair — BOTH members untouched — loses candidacy
+    val out1 = report(
+      Seq((1L, twin), (2L, twin), other),
+      Seq((1L, twin), (2L, twin), (3L, twin), other))
+    assert(nearDup(out1) == 0L)
+    // removal of the third copy brings the buckets back under cap:
+    // the untouched (1,2) pair re-appears and confirms (jaccard 1.0)
+    val out2 = report(
+      Seq((1L, twin), (2L, twin), (3L, twin), other),
+      Seq((1L, twin), (2L, twin), other))
+    assert(nearDup(out2) == 2L)
+  }
+
   // --- sketch state ------------------------------------------------------
 
   test("maintainRegisterMax: incremental equals batch; emptied corpus " +

@@ -157,7 +157,11 @@ object ScaleProof {
     "ann04_incrivf" -> Bounds(17, 8),   // measured 10.5x (0.5 -> 5.6): the prior-assignment setup agg is the only corpus-wide exchange; the maintenance argmax is delta-broadcast
     "bm02_incrbm25" -> Bounds(45, 8),   // measured 28.1x of a 0.1 MiB base (map-side-combined (term, id) postings — the one token-stream exchange indexing pays; query reads stay term-bounded)
     "dc03_incrdecon" -> Bounds(32, 8),  // measured 21x (5.8 -> 122.3): ANSWER-bound — the hot boilerplate shingle links the fixed test split to ~every variant doc (inter rows 276k -> 3M); the fold itself is touched-shingle-bounded
-    "ann05_incrknn" -> Bounds(200, 8))  // measured 133x (1.1 -> 152.4): ANSWER-bound — 10 perturbation variants/vector make the pair index ~cluster-squared (ann03's own knnJoin measured 33x on the same corpus; this lane builds prior+next pair frames AND the fold)
+    "ann05_incrknn" -> Bounds(200, 8),  // measured 133x (1.1 -> 152.4): ANSWER-bound — 10 perturbation variants/vector make the pair index ~cluster-squared (ann03's own knnJoin measured 33x on the same corpus; this lane builds prior+next pair frames AND the fold)
+    // round-14 fourth-sitting lanes (sketch/index maintenance)
+    "id02_incrindex" -> Bounds(32, 8),  // measured 20.3x (1.4 -> 28.8): linear sig/index setup + touched-bucket re-caps on the hot-cluster corpus; skew 1.9
+    "hl03_incrhll" -> Bounds(45, 8),    // measured 29.5x of a 0.8 MiB base (23.9): the per-doc contribution frame is the price of removability — rows ~ docs x covered buckets (<= 64/doc), longer 10x variants cover more buckets; skew 2.7
+    "cs03_incrcm" -> Bounds(190, 8))    // measured 126x of a 0.2 MiB base (25.5): contribution frame ~linear in token volume (occurrences 1.07M -> 12.1M = 11.3x); the tiny 1x base is map-side-collapsed partials, not a smaller structure; skew 1.5
 
   /** 10×→100× ceilings for the lanes the `--x100` subset measures (same
     * ~1.6× margin over the committed SCALING.md third-point table). The
@@ -236,7 +240,11 @@ object ScaleProof {
     "sd03_incrspans" -> Bounds(21, 8),  // measured 13.2x (144.6 -> 1910): exactly the sd01 linear profile; skew 3.2
     "fp02_incrwinnow" -> Bounds(150, 8), // measured 98.4x (130.5 -> 12837) — ANSWER-bound, fp01's 91.4x profile: 675M pairs at 550k near-clique docs; skew 3.5
     "bm02_incrbm25" -> Bounds(28, 8),   // measured 18.4x (2.7 -> 49.6): ~linear postings fold, skew 1.3
-    "dc03_incrdecon" -> Bounds(25, 8))  // measured 16.3x (122.3 -> 1998): the answer keeps growing with the hot-shingle overlap (32.8M inter rows); skew 1.5
+    "dc03_incrdecon" -> Bounds(25, 8),  // measured 16.3x (122.3 -> 1998): the answer keeps growing with the hot-shingle overlap (32.8M inter rows); skew 1.5
+    // round-14 fourth-sitting third points
+    "id02_incrindex" -> Bounds(27, 8),  // measured 17.9x (28.8 -> 514.9): linear sig/posting setup + hot-crowd re-caps (index rows 780k -> 7.5M); skew 1.5
+    "hl03_incrhll" -> Bounds(9, 8),     // measured 5.2x (23.9 -> 123.9): SUB-linear — per-doc bucket coverage saturates at 64 buckets/doc; skew 4.1
+    "cs03_incrcm" -> Bounds(3, 8))      // measured 1.1x (25.5 -> 28.4): cell-domain-bounded exchange, map-side combined at 550k docs; skew 3.3
 
   /** Check measured 1×/10× pairs against [[bounds]]; returns violation
     * messages (empty = all within ceilings). Lanes missing either scale

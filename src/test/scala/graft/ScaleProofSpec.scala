@@ -117,7 +117,11 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("wp05_incr", 0.0, 0.2, 1.8),
       pair("url06_incrcap", 0.0, 1.0, 1.1),
       pair("mw04_incrmix", 0.0, 0.0, 1.0),
-      pair("ch07_packshards", 0.1, 1.7, 1.1)).flatten
+      pair("ch07_packshards", 0.1, 1.7, 1.1),
+      // round-14 fourth-sitting lanes (SCALING.md addendum)
+      pair("id02_incrindex", 1.4, 28.8, 1.9),
+      pair("hl03_incrhll", 0.8, 23.9, 2.8),
+      pair("cs03_incrcm", 0.2, 25.5, 1.5)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -146,7 +150,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "ch05_packspans", "rb03_fetchsched", "wp05_incr",
       "url06_incrcap", "mw04_incrmix", "ch07_packshards",
       "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf",
-      "bm02_incrbm25", "dc03_incrdecon", "ann05_incrknn")
+      "bm02_incrbm25", "dc03_incrdecon", "ann05_incrknn",
+      "id02_incrindex", "hl03_incrhll", "cs03_incrcm")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
@@ -237,7 +242,11 @@ class ScaleProofSpec extends AnyFunSuite {
       pair100("wp05_incr", 0.2, 13.6, 2.0),
       pair100("url06_incrcap", 1.0, 7.7, 1.3),
       pair100("mw04_incrmix", 0.0, 0.4, 1.5),
-      pair100("ch07_packshards", 1.7, 17.3, 1.1)).flatten
+      pair100("ch07_packshards", 1.7, 17.3, 1.1),
+      // round-14 fourth-sitting third points (SCALING.md addendum)
+      pair100("id02_incrindex", 28.8, 514.9, 1.5),
+      pair100("hl03_incrhll", 23.9, 123.9, 4.1),
+      pair100("cs03_incrcm", 25.5, 28.4, 3.3)).flatten
     assert(ScaleProof.checkBounds(committed).isEmpty)
     // a 100x regression (sd01 at 30x growth vs ceiling 20) is flagged
     val bad = pair100("sd01_spans", 78.1, 2343.0, 1.2)
