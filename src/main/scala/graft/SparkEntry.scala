@@ -1596,6 +1596,48 @@ object SparkEntry {
         pp, pl, dp, dl, diffDf, "doc_id")
       CorpusStats.bm25TopKFromIndex(np, nl, "doc_id", terms, k = 10)
     }),
+    // hard-negative mining (batch BM25 retrieval): per query doc (the
+    // %100 slice of dc01's %10 test split — queries are NOT in the
+    // corpus, so every hit is a negative), the top-3 train docs by
+    // BM25 over the query doc's 4 RAREST in-corpus tokens (df asc,
+    // tie -> token asc) — the relational form of WAND/impact ordering:
+    // selective terms touch only their short posting lists. The
+    // testdata is ADVERSARIAL for that: its global vocabulary is 31
+    // tokens, so every term posts corpus-wide and each query scores
+    // ~the whole corpus — hence the %100 query slice (the operator is
+    // query-count-linear; df/idf fold relationally inside
+    // bm25BatchTopK, so a corpus-sized query set changes nothing
+    // structurally and nothing collects)
+    "hn01_hard_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // the index frames STAGE (Barriers convention): term selection,
+      // idf, and scoring each read the postings, and the scalar stats
+      // plus the score join each read the lens — unstaged, every
+      // consumer re-runs the tokenize/explode index build (measured
+      // ~3x this lane). In production both are table reads.
+      val (p0, l0) = CorpusStats.bm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val postings = graft.operators.Barriers.stage(p0)
+      val lens = graft.operators.Barriers.stage(l0)
+      // per-query term candidates reuse the index builder on the query
+      // split: (term, doc_id, tf) is the per-query vocabulary frame
+      val (qPost, _) = CorpusStats.bm25Index(
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      val dfFrame = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("__df"))
+      val queries = graft.operators.Barriers.stage(qPost
+        .join(dfFrame, Seq("term")) // in-corpus tokens only
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("__df"), col("term"))))
+        .filter(col("__rn") <= 4)
+        .select(col("doc_id").as("query_id"), col("term")))
+      CorpusStats.bm25BatchTopK(postings, lens, "doc_id", queries,
+          "query_id", "term", k = 3)
+        .select(col("query_id"), col("doc_id").as("neg_id"), col("rank"),
+          col("score_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // PSI drift between the %3 split and the rest over capped n_chars
     // centile buckets — the production data-drift monitor; log2 micro-
     // bits (the lm01/ds01 rounding convention)
@@ -2404,6 +2446,25 @@ object SparkEntry {
         t(s, dir, "documents")
           .withColumn("transcript", synthPromptTranscript),
         "doc_id", "transcript")
+        .orderBy(col("prompt_fp"))
+    }),
+    // preference-pair assembly (the DPO/RLHF reward-data step): the
+    // candidate responses of each prompt group (ch02's fingerprints)
+    // elect a chosen (max integer quality, tie -> min id) and a
+    // rejected (min quality, tie -> min id) in ONE aggregation — both
+    // elections are struct min/max riding the same groupBy, so the
+    // partials map-side combine and no candidate list materializes.
+    // margin=1 drops noise pairs whose chosen barely wins
+    "pp01_preference_pairs" -> ((s, dir) => {
+      import graft.operators.Conversations
+      val cands = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Conversations.promptFingerprint(synthPromptTranscript)
+            .as("prompt_fp"),
+          TextFunctions.qualityScore(col("text")).as("score"))
+        .filter(col("prompt_fp").isNotNull)
+      Conversations.preferencePairs(cands, "doc_id", "prompt_fp", "score",
+          margin = 1L)
         .orderBy(col("prompt_fp"))
     }),
     // composed SFT pipeline (the ch-family's wp01): QA gate -> prompt
@@ -3700,6 +3761,58 @@ object SparkEntry {
         |  GROUP BY d.doc_id)
         |SELECT doc_id, score_micro FROM sc
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+    // hn01: the bm01 scoring chain evaluated per (query, doc) — the
+    // %100 docs are the queries (their 4 rarest in-corpus tokens,
+    // df asc, tie -> token asc), the %10<>0 docs are the corpus,
+    // rank <= 3 per query by (score desc, doc)
+    "hn01_hard_negatives" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents WHERE doc_id % 10 <> 0) WHERE tok <> ''),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tk GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS len
+        |  FROM dt GROUP BY 1),
+        |st AS (SELECT CAST(SUM(len) AS BIGINT) AS tt,
+        |  CAST(COUNT(*) AS BIGINT) AS nd FROM lens),
+        |qtk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents WHERE doc_id % 100 = 0) WHERE tok <> ''),
+        |qdt AS (SELECT DISTINCT doc_id, tok FROM qtk),
+        |cdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY 1),
+        |qsel AS (SELECT doc_id AS query_id, tok FROM (
+        |    SELECT q.doc_id, q.tok, row_number() OVER (PARTITION BY
+        |      q.doc_id ORDER BY f.df, q.tok) AS rn
+        |    FROM qdt q JOIN cdf f USING (tok))
+        |  WHERE rn <= 4),
+        |voc AS (SELECT DISTINCT tok FROM qsel),
+        |idf AS (SELECT d.tok,
+        |    CAST(round(log2((s.nd - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM dt d JOIN voc USING (tok) CROSS JOIN st s
+        |  GROUP BY d.tok, s.nd),
+        |sc AS (SELECT q.query_id, d.doc_id,
+        |    CAST(SUM((i.idf_micro *
+        |      ((d.occ * 2200000 * 1000000) // (d.occ * 1000000 +
+        |        (1200000 * (250000 +
+        |          (750000 * ((l.len * 1000000000000) //
+        |            ((s.tt * 1000000) // s.nd))) // 1000000)) // 1000000))
+        |    ) // 1000000) AS BIGINT) AS score_micro
+        |  FROM qsel q JOIN dt d USING (tok) JOIN idf i USING (tok)
+        |    JOIN lens l ON l.doc_id = d.doc_id CROSS JOIN st s
+        |  GROUP BY q.query_id, d.doc_id),
+        |rk AS (SELECT query_id, doc_id AS neg_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neg_id AS BIGINT) AS neg_id, rank, score_micro
+        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // bm02's oracle: full batch BM25 over the NEW snapshot with the
     // query terms pinned from the FULL table — the incremental==batch
     // invariant for the maintained inverted index
@@ -5010,6 +5123,65 @@ object SparkEntry {
         |SELECT prompt_fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM n GROUP BY 1 ORDER BY prompt_fp""".stripMargin,
+    // pp01: prompt groups (ch02's fingerprint chain), integer quality
+    // (qs01's chain), chosen = rn 1 by (score desc, id), rejected =
+    // rn 1 by (score asc, id), margin 1 and the self-pair guard
+    "pp01_preference_pairs" ->
+      raw"""WITH tr AS (SELECT doc_id, $sqlSynthPromptTranscript AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    list_filter(list_filter(list_transform(
+        |      string_split_regex(t, '\r?\n'), x -> trim(x)),
+        |      x -> len(x) > 0),
+        |      x -> regexp_extract(x, '^(system|user|assistant): ?', 1)
+        |        = 'user') AS ut
+        |  FROM tr),
+        |p AS (SELECT doc_id,
+        |    regexp_replace(ut[1], '^(system|user|assistant): ?', '')
+        |      AS prompt
+        |  FROM u WHERE len(ut) > 0),
+        |n AS (SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(lower(prompt)),
+        |      '[ \t\n\x0B\f\r]+'), ' ')) AS prompt_fp
+        |  FROM p),
+        |tok AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents),
+        |ann AS (SELECT doc_id,
+        |    GREATEST(CAST(len(ts) AS BIGINT), 1) AS tc,
+        |    GREATEST(CAST(length(text) AS BIGINT), 1) AS cc,
+        |    CAST(len(list_filter(ts, t -> t IN ('the','a','an','and','or',
+        |      'of','to','in','is','it','for','on','with','as','at','by',
+        |      'this','that'))) AS BIGINT) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+        |      AS dg,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+        |      AS pc
+        |  FROM tok),
+        |q AS (SELECT doc_id,
+        |    GREATEST(LEAST((sw*100)//tc + LEAST(cc//20, 30) + 40
+        |      - (dg*100)//cc - (pc*100)//cc, 100), 0) AS score
+        |  FROM ann),
+        |c AS (SELECT n.prompt_fp, n.doc_id, q.score
+        |  FROM n JOIN q USING (doc_id)),
+        |ch AS (SELECT prompt_fp, doc_id, score,
+        |    row_number() OVER (PARTITION BY prompt_fp
+        |      ORDER BY score DESC, doc_id) AS rn FROM c),
+        |rj AS (SELECT prompt_fp, doc_id, score,
+        |    row_number() OVER (PARTITION BY prompt_fp
+        |      ORDER BY score ASC, doc_id) AS rn FROM c),
+        |g AS (SELECT prompt_fp, CAST(COUNT(*) AS BIGINT) AS n_cands
+        |  FROM c GROUP BY 1)
+        |SELECT ch.prompt_fp,
+        |  CAST(ch.doc_id AS BIGINT) AS chosen_id,
+        |  CAST(ch.score AS BIGINT) AS chosen_score,
+        |  CAST(rj.doc_id AS BIGINT) AS rejected_id,
+        |  CAST(rj.score AS BIGINT) AS rejected_score,
+        |  g.n_cands
+        |FROM ch JOIN rj USING (prompt_fp) JOIN g USING (prompt_fp)
+        |WHERE ch.rn = 1 AND rj.rn = 1 AND g.n_cands >= 2
+        |  AND ch.doc_id <> rj.doc_id AND ch.score - rj.score >= 1
+        |ORDER BY prompt_fp""".stripMargin,
     // composed SFT replay: battery keep -> prompt groups among keepers
     // -> assistant content lengths on survivors (the ch03 offsets'
     // independent twin: end-start must equal len(content))

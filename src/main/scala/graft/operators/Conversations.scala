@@ -359,4 +359,53 @@ object Conversations {
               .cast("int"))))
       .drop("__gpre", "__gcum", "__gtot")
   }
+
+  /** Preference-pair assembly — the DPO/RLHF reward-data step: for each
+    * prompt group (candidate responses sharing a [[promptFingerprint]]),
+    * elect the CHOSEN response (highest score, ties to the smallest id)
+    * and the REJECTED one (lowest score, ties to the smallest id), and
+    * keep the pair only when the group has ≥ 2 candidates and the score
+    * gap clears `margin` (a pair whose chosen barely beats its rejected
+    * teaches the reward model noise). With margin = 0 an all-tied group
+    * drops via the chosen ≠ rejected guard rather than emitting a
+    * self-pair. Scores are the caller's integers (a reward-model
+    * output, [[graft.functions.TextFunctions.qualityScore]], a rubric
+    * sum) — the election is score-agnostic.
+    *
+    * Scale: ONE hash aggregation over (group, score, id) — both
+    * elections ride the same groupBy as struct min/max (field-ordered
+    * comparison), so partials map-side combine and no per-group window
+    * or sort materializes the candidate lists. The tie-to-smallest-id
+    * CHOSEN election negates the id inside the max-struct; ids must be
+    * non-negative (raised below), the frame every catalog id satisfies.
+    *
+    * Output: (groupCol, chosen_id, chosen_score, rejected_id,
+    * rejected_score, n_cands). */
+  def preferencePairs(
+      scored: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      margin: Long = 1L): DataFrame = {
+    require(margin >= 0L, "negative margin would admit inverted pairs")
+    val guarded = when(col(idCol) < 0L, raise_error(lit(
+      s"preferencePairs: negative $idCol — the chosen election negates " +
+        "ids inside its max-struct, which would invert their tie order")))
+      .otherwise(col(idCol))
+    scored
+      .select(col(groupCol), col(scoreCol).cast("long").as("__s"),
+        guarded.cast("long").as("__i"))
+      .groupBy(col(groupCol))
+      .agg(
+        max(struct(col("__s").as("s"), (-col("__i")).as("ni"))).as("__c"),
+        min(struct(col("__s").as("s"), col("__i").as("i"))).as("__r"),
+        count(lit(1)).as("n_cands"))
+      .select(col(groupCol),
+        (-col("__c.ni")).as("chosen_id"), col("__c.s").as("chosen_score"),
+        col("__r.i").as("rejected_id"), col("__r.s").as("rejected_score"),
+        col("n_cands"))
+      .filter(col("n_cands") >= 2L &&
+        col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= lit(margin))
+  }
 }

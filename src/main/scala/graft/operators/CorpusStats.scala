@@ -786,6 +786,91 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Batch BM25 retrieval over the inverted index: one top-`k` result
+    * set PER QUERY in a query FRAME — the shape of hard-negative mining
+    * for retrieval/embedding training (per training example, the
+    * highest-scoring corpus documents that are NOT its positive), bulk
+    * relevance labeling, and dataset-level contamination triage. Same
+    * micro-unit arithmetic as [[bm25TopKFromIndex]] (identical scores
+    * for a one-query frame; CorpusStatsSpec pins it), but NOTHING is
+    * driver-collected: the query set may be corpus-sized, so document
+    * frequencies aggregate relationally over the vocabulary-pruned
+    * postings and idf joins back by term. One caveat inherited from the
+    * micro-unit family: idf = round(log2(...)·1e6) evaluates in the
+    * executor's libm here vs the driver's in the single-query ops —
+    * both java.lang.Math on this JVM, and the micro rounding absorbs
+    * the ≤1-ulp slack.
+    *
+    * Scale: queries ⋈ postings is the classic impact-ordered posting
+    * join, keyed by term (bucket both by term at warehouse scale and it
+    * is co-located); per-(query, doc) partial sums map-side combine;
+    * the final top-k is a per-query window over already-aggregated
+    * score rows. Queries with no term in the corpus emit nothing (no
+    * postings to score). Callers exclude known positives by filtering
+    * the (qid, id) output or the corpus frame — the operator does not
+    * guess which hits are gold.
+    *
+    * Input `queries`: (qidCol, termCol) — duplicate (qid, term) rows
+    * are folded (a term scores once per query, the [[bm25TopKFromIndex]]
+    * distinct-terms contract). Output: (qidCol, idCol, rank, score_micro)
+    * with rank 1..k by (score desc, id). */
+  def bm25BatchTopK(
+      postings: DataFrame,
+      lens: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termCol: String,
+      k: Int = 10,
+      k1Micro: Long = 1200000L,
+      bMicro: Long = 750000L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(bMicro >= 0L && bMicro <= 1000000L, "b outside [0, 1]")
+    val r = lens.agg(
+      count(lit(1)).as("nd"),
+      coalesce(sum(col("len")), lit(0L)).as("tt")).head()
+    val nd = r.getLong(0); val tt = r.getLong(1)
+    val empty = lens.select(col(idCol)).limit(0)
+      .select(lit(0L).as(qidCol), col(idCol), lit(0L).as("rank"),
+        lit(0L).as("score_micro"))
+    if (nd == 0L) return empty
+    val avgMicro = tt * 1000000L / nd
+    val q = queries.select(col(qidCol), col(termCol).as("term")).distinct()
+    val vocab = q.select(col("term")).distinct()
+    // postings pruned to the query vocabulary BEFORE anything heavy —
+    // at scale this is the only slice of the index that is read
+    val qp = postings.join(vocab, Seq("term"), "left_semi")
+    // relational document frequencies: the vocabulary can be
+    // corpus-sized (one query per document), so no driver collect;
+    // terms absent from the corpus have no postings and score nowhere
+    val idf = qp.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .select(col("term"),
+        round(log2((lit(nd.toDouble) - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)) * lit(1e6))
+          .cast("long").as("__idf"))
+    val ratio = ldiv(col("len") * lit(1000000000000L), lit(avgMicro))
+    val norm = lit(1000000L - bMicro) +
+      ldiv(lit(bMicro) * ratio, lit(1000000L))
+    val tfpart = ldiv(
+      col("tf") * lit(k1Micro + 1000000L) * lit(1000000L),
+      col("tf") * lit(1000000L) + ldiv(lit(k1Micro) * norm, lit(1000000L)))
+    val scores = q
+      .join(qp, Seq("term"))
+      .join(lens, Seq(idCol))
+      .join(idf, Seq("term"))
+      .select(col(qidCol), col(idCol),
+        ldiv(col("__idf") * tfpart, lit(1000000L)).as("__c"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__c")).as("score_micro"))
+    scores
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col(qidCol))
+          .orderBy(desc("score_micro"), col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("score_micro"))
+  }
+
   /** Temperature-scaled mixture weights — the exponent-smoothed sampling
     * distribution multilingual corpora are drawn with (p_i ∝ share_i^α
     * with α < 1 upweights low-resource sources; the mBERT/XLM-R

@@ -214,4 +214,37 @@ class ConversationsSpec extends AnyFunSuite {
     assert(bins(0).span_keys.head.startsWith("4:1:") &&
       bins(1).span_keys.head.startsWith("4:2:"))
   }
+
+  test("preferencePairs: elections, tie rules, margin, and the " +
+      "self-pair guard") {
+    val scored = Seq(
+      // g1: chosen = score-50 tie broken to min id 2; rejected = the
+      // score-10 tie broken to min id 1
+      (1L, "g1", 10L), (2L, "g1", 50L), (3L, "g1", 50L), (4L, "g1", 10L),
+      (5L, "g2", 30L), // singleton group -> dropped (n_cands < 2)
+      (6L, "g3", 20L), (7L, "g3", 21L), // gap exactly 1 clears margin 1
+      (8L, "g4", 20L), (9L, "g4", 20L) // all tied
+    ).toDF("id", "grp", "score")
+    val out = Conversations.preferencePairs(
+        scored, "id", "grp", "score", margin = 1L)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("g1", 2L, 50L, 1L, 10L, 4L),
+      ("g3", 7L, 21L, 6L, 20L, 2L)))
+    // margin 0: the all-tied group still drops — chosen and rejected
+    // both elect the min id, and the self-pair guard rejects the pair
+    val m0 = Conversations.preferencePairs(
+      scored, "id", "grp", "score", margin = 0L)
+    assert(m0.filter(col("grp") === "g4").count() == 0L)
+    assert(m0.filter(col("grp") === "g1").count() == 1L)
+    // negative ids raise: the chosen election negates ids in its
+    // max-struct, which would invert their tie order
+    val neg = Seq((-1L, "g", 1L), (2L, "g", 2L)).toDF("id", "grp", "score")
+    val e = intercept[Exception] {
+      Conversations.preferencePairs(neg, "id", "grp", "score").collect()
+    }
+    assert(e.getMessage.contains("preferencePairs"))
+  }
 }

@@ -112,6 +112,49 @@ class CorpusStatsSpec extends AnyFunSuite {
       empty._1, empty._2, "doc_id", Seq("x")).count() == 0L)
   }
 
+  test("bm25BatchTopK: one-query slices reproduce the single-query form; " +
+      "ranks restart per query; duplicate and absent terms behave") {
+    val docs = Seq(
+      (1L, "x x x a b"), (2L, "x a a a a a"), (3L, "b b b b"),
+      (4L, "x y"), (6L, "y y b x")).toDF("doc_id", "text")
+    val (postings, lens) = CorpusStats.bm25Index(docs, "doc_id", "text")
+    // equivalence against the driver-literal single-query scorer —
+    // multi-term and zero-df included (the scaladoc's promise)
+    for (q <- Seq(Seq("x"), Seq("x", "b"), Seq("x", "y", "zzz_absent"))) {
+      val direct = CorpusStats.bm25TopKFromIndex(
+        postings, lens, "doc_id", q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val qf = q.map(t => (7L, t)).toDF("qid", "term")
+      val batch = CorpusStats.bm25BatchTopK(
+        postings, lens, "doc_id", qf, "qid", "term", k = 10)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+      assert(batch == direct, s"query $q")
+    }
+    // multi-query frame: per-query ranks are independent 1..k runs,
+    // duplicate (qid, term) rows fold to one contribution, and a
+    // query whose only term is absent from the corpus emits nothing
+    val qf = Seq((1L, "x"), (1L, "x"), (2L, "b"), (3L, "zzz_absent"))
+      .toDF("qid", "term")
+    val out = CorpusStats.bm25BatchTopK(
+      postings, lens, "doc_id", qf, "qid", "term", k = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 1L, 2L, 2L))
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 1L, 2L))
+    val directX = CorpusStats.bm25TopKFromIndex(
+      postings, lens, "doc_id", Seq("x"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._4)).toSeq == directX)
+    // empty corpus serves the empty frame with the contract columns
+    val empty = CorpusStats.bm25Index(
+      Seq((1L, " ")).toDF("doc_id", "text"), "doc_id", "text")
+    val e = CorpusStats.bm25BatchTopK(
+      empty._1, empty._2, "doc_id", qf, "qid", "term")
+    assert(e.columns.toSeq == Seq("qid", "doc_id", "rank", "score_micro"))
+    assert(e.count() == 0L)
+  }
+
   test("temperatureWeights: hand-computed sqrt smoothing upweights the small source") {
     // big: 16 tokens, small: 4 -> raw shares 800/200 permille, smoothed
     // sqrt weights 4e6/2e6 -> shares 666666/333333 micro (exact floor)

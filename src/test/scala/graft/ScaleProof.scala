@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CorpusStats, Curation, Dedup, Sampling, Similarity}
@@ -156,6 +157,8 @@ object ScaleProof {
     "fp02_incrwinnow" -> Bounds(65, 8), // measured 42x (3.1 -> 130.5): ANSWER-bound like fp01 — the unfiltered pair table IS the answer (15.6k -> 12.3M pairs on near-clique variants)
     "ann04_incrivf" -> Bounds(17, 8),   // measured 10.5x (0.5 -> 5.6): the prior-assignment setup agg is the only corpus-wide exchange; the maintenance argmax is delta-broadcast
     "bm02_incrbm25" -> Bounds(45, 8),   // measured 28.1x of a 0.1 MiB base (map-side-combined (term, id) postings — the one token-stream exchange indexing pays; query reads stay term-bounded)
+    "hn01_batchbm25" -> Bounds(22, 8),  // measured 15.8x (2.4 -> 38.3): linear index build + the queries x corpus scored product on the 31-token adversarial vocabulary (the query set itself grows ~10x); skew 1.2
+    "pp01_prefpairs" -> Bounds(5, 8),   // ~zero-shuffle: one (group, score, id) struct-min/max agg, group-domain rows out
     "dc03_incrdecon" -> Bounds(32, 8),  // measured 21x (5.8 -> 122.3): ANSWER-bound — the hot boilerplate shingle links the fixed test split to ~every variant doc (inter rows 276k -> 3M); the fold itself is touched-shingle-bounded
     "ann05_incrknn" -> Bounds(200, 8),  // measured 133x (1.1 -> 152.4): ANSWER-bound — 10 perturbation variants/vector make the pair index ~cluster-squared (ann03's own knnJoin measured 33x on the same corpus; this lane builds prior+next pair frames AND the fold)
     // round-14 fourth-sitting lanes (sketch/index maintenance)
@@ -1231,6 +1234,45 @@ object ScaleProof {
             .agg(coalesce(sum(col("score_micro")), lit(0L)))
             .head().getLong(0)
         })
+      measure("hn01_batchbm25", scale)(
+        // batch BM25 retrieval (hard-negative mining): index the
+        // %10<>0 corpus, one query per %997 doc — the query set GROWS
+        // with the corpus, the shape's point — 4 rarest in-corpus
+        // terms each. This corpus is retrieval-adversarial (31-token
+        // global vocabulary: every term posts corpus-wide), so the
+        // scored frame is the full queries x corpus product — the
+        // WORST case the operator can meet; real vocabularies bound
+        // each query by its terms' posting lists
+        {
+          import graft.operators.Barriers
+          val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+          val (p0, l0) = CorpusStats.bm25Index(corpus, "doc_id", "text")
+          val postings = Barriers.stage(p0)
+          val lens = Barriers.stage(l0)
+          val (qPost, _) = CorpusStats.bm25Index(
+            docs.filter(col("doc_id") % 997 === 0), "doc_id", "text")
+          val dfFrame = postings.groupBy(col("term"))
+            .agg(count(lit(1)).as("__df"))
+          val queries = qPost
+            .join(dfFrame, Seq("term"))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(col("doc_id"))
+                .orderBy(col("__df"), col("term"))))
+            .filter(col("__rn") <= 4)
+            .select(col("doc_id").as("query_id"), col("term"))
+          CorpusStats.bm25BatchTopK(postings, lens, "doc_id", queries,
+            "query_id", "term", k = 3).count()
+        })
+      measure("pp01_prefpairs", scale)(
+        // preference-pair assembly: scores scan-side, then ONE
+        // (group, score, id) aggregation — both elections are struct
+        // min/max partials, so only group-domain rows exchange
+        graft.operators.Conversations.preferencePairs(
+          docs.select(col("doc_id"),
+            (col("doc_id") % 50).cast("string").as("grp"),
+            graft.functions.TextFunctions.qualityScore(col("text"))
+              .as("score")),
+          "doc_id", "grp", "score", margin = 1L).count())
       measure("id02_incrindex", scale)(
         // incremental capped-index maintenance under the same delta:
         // the prior sig/index build is the setup (production: table
