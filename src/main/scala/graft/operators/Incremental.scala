@@ -306,9 +306,11 @@ object Incremental {
     *   - subtract each touched fp's OLD pair contributions (computed
     *     over the prior fingerprint frame restricted BY FP — a semi-
     *     join on fp keeps every holder, so posting lengths and the
-    *     usability gate stay exact) and add its NEW contributions;
-    *   - one (id_a, id_b)-keyed 3-way outer join folds the deltas into
-    *     the stored pair table.
+    *     usability gate stay exact) and add its NEW contributions —
+    *     the signed delta frame [[winnowingPairDeltas]] factors out;
+    *   - one (id_a, id_b)-keyed outer join folds the deltas into the
+    *     stored pair table ([[maintainPairCountsStream]] is the same
+    *     fold as a stateful streaming sum).
     *
     * State must be the UNFILTERED pair counts (n_shared ≥ 1,
     * [[Dedup.winnowingPairCounts]]): a sub-threshold pair can cross
@@ -336,13 +338,42 @@ object Incremental {
       priorPairs: DataFrame,
       idCol: String,
       maxPostingLength: Int = 1000): (DataFrame, DataFrame) = {
+    require(priorPairs.columns.toSeq == Seq("id_a", "id_b", "n_shared"),
+      s"priorPairs must be (id_a, id_b, n_shared), got " +
+        priorPairs.columns.mkString(","))
+    val (nextFps, deltas) = winnowingPairDeltas(
+      priorFps, deltaFps, diff, idCol, maxPostingLength)
+    val nextPairs = priorPairs
+      .join(deltas, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_shared"), lit(0L)) +
+          coalesce(col("d_shared"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0L)
+    (nextFps, nextPairs)
+  }
+
+  /** The SIGNED pair-count deltas of one snapshot step — the shared
+    * artifact behind [[maintainWinnowingPairs]] (which folds them into
+    * the stored table with one relational outer join) and
+    * [[maintainPairCountsStream]] (which folds them as a stateful
+    * streaming sum): one `(id_a, id_b, d_shared ≠ 0)` row per pair
+    * whose shared-count moved this step, computed as each touched
+    * fingerprint's NEW contributions minus its OLD ones (touched = fps
+    * of delta docs ∪ fps of departed docs; the fp-restricted semi-join
+    * keeps every holder, so posting lengths and the usability/cap
+    * gates evaluate exactly as batch). Pairs whose subtract and add
+    * cancel emit nothing. Returns (nextFps, deltas); persist nextFps
+    * as the next step's prior. */
+  def winnowingPairDeltas(
+      priorFps: DataFrame,
+      deltaFps: DataFrame,
+      diff: DataFrame,
+      idCol: String,
+      maxPostingLength: Int = 1000): (DataFrame, DataFrame) = {
     require(priorFps.columns.sameElements(deltaFps.columns),
       s"prior/delta fingerprint schemas differ: " +
         s"${priorFps.columns.mkString(",")} vs " +
         deltaFps.columns.mkString(","))
-    require(priorPairs.columns.toSeq == Seq("id_a", "id_b", "n_shared"),
-      s"priorPairs must be (id_a, id_b, n_shared), got " +
-        priorPairs.columns.mkString(","))
     val gone = diff.filter(col("status").isin("changed", "removed"))
       .select(col(idCol))
     val nextFps = priorFps.join(gone, Seq(idCol), "left_anti")
@@ -356,18 +387,39 @@ object Incremental {
         fps.join(touchedFp, Seq("fp"), "left_semi"), idCol,
         maxPostingLength)
         .withColumnRenamed("n_shared", tag)
-    val minus = contrib(priorFps, "__m")
-    val adds = contrib(nextFps, "__a")
-    val nextPairs = priorPairs
-      .join(minus, Seq("id_a", "id_b"), "full_outer")
-      .join(adds, Seq("id_a", "id_b"), "full_outer")
+    val deltas = contrib(priorFps, "__m")
+      .join(contrib(nextFps, "__a"), Seq("id_a", "id_b"), "full_outer")
       .select(col("id_a"), col("id_b"),
-        (coalesce(col("n_shared"), lit(0L)) -
-          coalesce(col("__m"), lit(0L)) +
-          coalesce(col("__a"), lit(0L))).as("n_shared"))
-      .filter(col("n_shared") > 0L)
-    (nextFps, nextPairs)
+        (coalesce(col("__a"), lit(0L)) -
+          coalesce(col("__m"), lit(0L))).as("d_shared"))
+      .filter(col("d_shared") =!= 0L)
+    (nextFps, deltas)
   }
+
+  /** STREAMING twin of the additive PAIR folds
+    * ([[maintainWinnowingPairs]]' table, dc03's containment `inter`
+    * table, ann05's candidate index — every (a, b, count) structure
+    * whose count is a sum of per-key contributions): a live pair table
+    * is one stateful grouped SUM in complete mode over the signed
+    * `(aCol, bCol, deltaCol)` rows each snapshot step emits
+    * ([[winnowingPairDeltas]] for the winnowing/LSH families). Addition
+    * is a homomorphism, so ANY microbatch partitioning of the delta
+    * stream folds to the batch table — the same any-union duality as
+    * [[maintainGroupSumsStream]], pair-keyed; pairs whose counts fold
+    * to ≤ 0 drop, exactly the batch rule. State is one long per live
+    * pair — pay it only when steps are small relative to the corpus
+    * (the batch fold re-derives from the stored table otherwise). */
+  def maintainPairCountsStream(
+      deltas: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      deltaCol: String = "d_shared",
+      countCol: String = "n_shared"): DataFrame =
+    deltas
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(sum(col(deltaCol)).as(countCol))
+      .filter(col(countCol) > 0L)
 
   /** Incremental maintenance of an IVF assignment table
     * ([[Similarity.Ivf]]) under a snapshot delta — the embedding-store

@@ -1001,4 +1001,73 @@ class StreamingSpec extends AnyFunSuite {
       assert(day1A.length == 1 && day1A.head._2 == batch1)
     } finally q.stop()
   }
+
+  test("maintainPairCountsStream: signed winnowing deltas over two " +
+      "microbatches equal the batch pair table") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.operators.{Dedup, Incremental}
+    val dir = Files.createTempDirectory("graft-pairs-stream").toString
+    val twin = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "completely different words appear here instead of those"
+    // snapshot A: one twin pair; step 1 adds a third copy; step 2
+    // removes a twin and REVISES the odd doc into a fourth copy
+    val snapA = Seq((1L, twin), (2L, twin), (3L, other)).toDF("id", "text")
+    val snapB = snapA.unionByName(Seq((4L, twin)).toDF("id", "text"))
+    val snapC = Seq((2L, twin), (3L, twin), (4L, twin)).toDF("id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowingFingerprints(d, "id", "text", k = 2, w = 2)
+    val diff0 = Seq((1L, "added"), (2L, "added"), (3L, "added"))
+      .toDF("id", "status")
+    val diff1 = Seq((4L, "added")).toDF("id", "status")
+    val diff2 = Seq((1L, "removed"), (3L, "changed")).toDF("id", "status")
+    // the REAL delta artifacts of the snapshot steps, from the factored
+    // winnowing machinery (not hand-written rows) — including the
+    // day-0 bootstrap (the stream starts from EMPTY state, so the
+    // initial snapshot enters as an everything-added step, which the
+    // operator produces from an empty prior)
+    val (fpsA, d0) = Incremental.winnowingPairDeltas(
+      fps(snapA).limit(0), fps(snapA), diff0, "id")
+    val (fpsB, d1) = Incremental.winnowingPairDeltas(
+      fpsA, fps(snapB.filter(col("id") === 4L)), diff1, "id")
+    val (fpsC, d2) = Incremental.winnowingPairDeltas(
+      fpsB, fps(snapC.filter(col("id") === 3L)), diff2, "id")
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType),
+      StructField("d_shared", LongType)))
+    d0.coalesce(1).write.parquet(s"$dir/b0")
+    d1.coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val pairs = graft.operators.Incremental.maintainPairCountsStream(stream)
+    val q = pairs.writeStream.outputMode("complete")
+      .format("memory").queryName("pairs_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      def live = spark.table("pairs_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      def batchOf(f: org.apache.spark.sql.DataFrame) =
+        Dedup.winnowingPairCounts(f, "id")
+          .as[(Long, Long, Long)].collect().toSet
+      q.processAllAvailable()
+      val afterB = batchOf(fpsB)
+      assert(live == afterB && afterB.nonEmpty)
+      d2.coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val afterC = batchOf(fpsC)
+      assert(live == afterC && afterC.nonEmpty)
+      // the same table through the batch fold (maintainWinnowingPairs
+      // applied per step over the stored state) — three-way agreement
+      val (_, p1) = Incremental.maintainWinnowingPairs(
+        fpsA, fps(snapB.filter(col("id") === 4L)), diff1,
+        batchOf(fpsA).toSeq.toDF("id_a", "id_b", "n_shared"),
+        "id")
+      val (_, p2) = Incremental.maintainWinnowingPairs(
+        fpsB, fps(snapC.filter(col("id") === 3L)), diff2,
+        p1, "id")
+      assert(p2.as[(Long, Long, Long)].collect().toSet == afterC)
+      // removed-pair coverage: the (1, x) pairs died with doc 1
+      assert(afterB.exists(_._1 == 1L) && !afterC.exists(_._1 == 1L))
+    } finally q.stop()
+  }
 }
