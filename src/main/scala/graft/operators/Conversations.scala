@@ -372,10 +372,12 @@ object Conversations {
     * output, [[graft.functions.TextFunctions.qualityScore]], a rubric
     * sum) — the election is score-agnostic.
     *
-    * Scale: ONE hash aggregation over (group, score, id) — both
-    * elections ride the same groupBy as struct min/max (field-ordered
+    * Scale: ONE aggregation over (group, score, id) — both elections
+    * ride the same groupBy as struct min/max (field-ordered
     * comparison), so partials map-side combine and no per-group window
-    * or sort materializes the candidate lists. The tie-to-smallest-id
+    * materializes the candidate lists (struct-typed min/max buffers
+    * plan as SortAggregate rather than HashAggregate — partial+final
+    * all the same, PlanShapeSpec-pinned). The tie-to-smallest-id
     * CHOSEN election negates the id inside the max-struct; ids must be
     * non-negative (raised below), the frame every catalog id satisfies.
     *

@@ -525,6 +525,40 @@ object Incremental {
     require(priorInter.columns.toSeq == Seq("test_id", idCol, "inter"),
       s"priorInter must be (test_id, $idCol, inter), got " +
         priorInter.columns.mkString(","))
+    val (nextPost, deltas) = containmentDeltas(
+      priorTrainPost, deltaTrainPost, diff, testPost, idCol,
+      maxPostingLength)
+    val nextInter = priorInter
+      .join(deltas, Seq("test_id", idCol), "full_outer")
+      .select(col("test_id"), col(idCol),
+        (coalesce(col("inter"), lit(0L)) +
+          coalesce(col("d_inter"), lit(0L))).as("inter"))
+      .filter(col("inter") > 0L)
+    (nextPost, nextInter)
+  }
+
+  /** The SIGNED overlap deltas of one decontamination snapshot step —
+    * [[winnowingPairDeltas]]' cross-sided twin, factored out of
+    * [[maintainContainment]] for the same reason: the batch fold
+    * applies them with one relational outer join, and
+    * [[maintainPairCountsStream]] (keyed (test_id, train id), deltaCol
+    * `d_inter`) folds the SAME rows as a stateful streaming sum. One
+    * `(test_id, idCol, d_inter ≠ 0)` row per (test doc, train doc)
+    * whose capped shingle intersection moved this step: each touched
+    * shingle's NEW cross-side contributions minus its OLD ones, the
+    * hot-shingle cap re-evaluated over the touched slice exactly as
+    * batch. Returns (nextTrainPost, deltas); persist nextTrainPost. */
+  def containmentDeltas(
+      priorTrainPost: DataFrame,
+      deltaTrainPost: DataFrame,
+      diff: DataFrame,
+      testPost: DataFrame,
+      idCol: String,
+      maxPostingLength: Int = 10000): (DataFrame, DataFrame) = {
+    require(priorTrainPost.columns.sameElements(deltaTrainPost.columns),
+      s"prior/delta posting schemas differ: " +
+        s"${priorTrainPost.columns.mkString(",")} vs " +
+        deltaTrainPost.columns.mkString(","))
     val gone = diff.filter(col("status").isin("changed", "removed"))
       .select(col(idCol))
     val nextPost = priorTrainPost.join(gone, Seq(idCol), "left_anti")
@@ -541,16 +575,13 @@ object Incremental {
         .groupBy(col("test_id"), col(idCol))
         .agg(count(lit(1)).as(tag))
     }
-    val minus = contrib(priorTrainPost, "__m")
-    val adds = contrib(nextPost, "__a")
-    val nextInter = priorInter
-      .join(minus, Seq("test_id", idCol), "full_outer")
-      .join(adds, Seq("test_id", idCol), "full_outer")
+    val deltas = contrib(priorTrainPost, "__m")
+      .join(contrib(nextPost, "__a"), Seq("test_id", idCol), "full_outer")
       .select(col("test_id"), col(idCol),
-        (coalesce(col("inter"), lit(0L)) - coalesce(col("__m"), lit(0L)) +
-          coalesce(col("__a"), lit(0L))).as("inter"))
-      .filter(col("inter") > 0L)
-    (nextPost, nextInter)
+        (coalesce(col("__a"), lit(0L)) -
+          coalesce(col("__m"), lit(0L))).as("d_inter"))
+      .filter(col("d_inter") =!= 0L)
+    (nextPost, deltas)
   }
 
   /** Incremental maintenance of the BM25 inverted index

@@ -540,4 +540,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val lim = p.indexOf("GlobalLimit", gen)
     assert(gen >= 0 && lim > gen, p)
   }
+
+  test("pp01: both elections ride ONE partial-combined aggregation — " +
+      "no join, no per-group window") {
+    val p = plan("pp01_preference_pairs")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // partial aggregate before the exchange: the struct min/max
+    // partials combine map-side, so only group-domain rows shuffle
+    // (struct-typed min/max buffers aren't hash-aggregable, so the
+    // planner picks SortAggregate — partial+final all the same)
+    assert("(Sort|Hash)Aggregate[\\s\\S]*Exchange[\\s\\S]*(Sort|Hash)Aggregate".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("hn01: retrieval joins carry postings and scores, never text; " +
+      "the rank window sits above the aggregated score rows") {
+    val o = optimized("hn01_hard_negatives")
+    // every text column is consumed below the index builds (staged
+    // frames); the joins and the window see only narrow columns
+    val win = o.indexOf("Window")
+    assert(win >= 0, o)
+    assert(!o.substring(0, win).contains("text#"),
+      o.substring(0, win))
+    val p = plan("hn01_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }

@@ -121,7 +121,10 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-14 fourth-sitting lanes (SCALING.md addendum)
       pair("id02_incrindex", 1.4, 28.8, 1.9),
       pair("hl03_incrhll", 0.8, 23.9, 2.8),
-      pair("cs03_incrcm", 0.2, 25.5, 1.5)).flatten
+      pair("cs03_incrcm", 0.2, 25.5, 1.5),
+      // round-14 fifth-sitting lanes (SCALING.md addendum)
+      pair("hn01_batchbm25", 2.4, 38.3, 1.7),
+      pair("pp01_prefpairs", 0.0, 0.1, 1.0)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -151,7 +154,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "url06_incrcap", "mw04_incrmix", "ch07_packshards",
       "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf",
       "bm02_incrbm25", "dc03_incrdecon", "ann05_incrknn",
-      "id02_incrindex", "hl03_incrhll", "cs03_incrcm")
+      "id02_incrindex", "hl03_incrhll", "cs03_incrcm",
+      "hn01_batchbm25", "pp01_prefpairs")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

@@ -1070,4 +1070,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterB.exists(_._1 == 1L) && !afterC.exists(_._1 == 1L))
     } finally q.stop()
   }
+
+  test("maintainPairCountsStream: signed containment deltas maintain the " +
+      "live decontamination table") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.operators.Incremental
+    val dir = Files.createTempDirectory("graft-decon-stream").toString
+    // fixed test suite: two docs sharing shingles with the train side
+    val testPost = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 3L), (200L, 4L)).toDF("test_id", "sh")
+    def post(rows: (Long, Long)*) = rows.toDF("doc_id", "sh")
+    // train snapshot A: doc 10 overlaps test 100 on {1,2}, doc 11 on {3}
+    val postA = post((10L, 1L), (10L, 2L), (11L, 3L), (11L, 9L))
+    // step 1: doc 12 arrives overlapping test 200 on {3,4}
+    val postD1 = post((12L, 3L), (12L, 4L))
+    val diff1 = Seq((12L, "added")).toDF("doc_id", "status")
+    // step 2: doc 10 shrinks to {2} (changed), doc 11 is removed
+    val postD2 = post((10L, 2L))
+    val diff2 = Seq((10L, "changed"), (11L, "removed"))
+      .toDF("doc_id", "status")
+    val diff0 = Seq((10L, "added"), (11L, "added")).toDF("doc_id", "status")
+    val (pA, d0) = Incremental.containmentDeltas(
+      postA.limit(0), postA, diff0, testPost, "doc_id")
+    val (pB, d1) = Incremental.containmentDeltas(
+      pA, postD1, diff1, testPost, "doc_id")
+    val (pC, d2) = Incremental.containmentDeltas(
+      pB, postD2, diff2, testPost, "doc_id")
+    val schema = StructType(Seq(
+      StructField("test_id", LongType), StructField("doc_id", LongType),
+      StructField("d_inter", LongType)))
+    d0.unionByName(d1).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val inter = Incremental.maintainPairCountsStream(
+      stream, "test_id", "doc_id", "d_inter", "inter")
+    val q = inter.writeStream.outputMode("complete")
+      .format("memory").queryName("decon_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      def live = spark.table("decon_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      def batchOf(p: org.apache.spark.sql.DataFrame) = testPost
+        .join(p, Seq("sh"))
+        .groupBy(col("test_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter"))
+        .as[(Long, Long, Long)].collect().toSet
+      q.processAllAvailable()
+      assert(live == batchOf(pB) &&
+        live == Set((100L, 10L, 2L), (100L, 11L, 1L), (100L, 12L, 1L),
+          (200L, 11L, 1L), (200L, 12L, 2L)))
+      d2.coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      // doc 11's rows died with it; doc 10 fell to the {2} overlap
+      assert(live == batchOf(pC) &&
+        live == Set((100L, 10L, 1L), (100L, 12L, 1L), (200L, 12L, 2L)))
+    } finally q.stop()
+  }
 }
