@@ -1894,6 +1894,24 @@ object SparkEntry {
         diffDf, Sketches.hllRegisters(docs, "text", p = 6), "doc_id")
       nextReg.orderBy(col("bucket"))
     }),
+    // per-LANGUAGE HLL distinct-token estimates (the datasheet's
+    // per-source diversity table when exact distincts stop scaling):
+    // one (lang x 16)-domain register agg + the published estimator
+    // per group, with the EXACT distinct riding next to the estimate
+    // (self-verifying at test scale; at 100 TB only the sketch runs)
+    "hl04_grouped_hll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val est = Sketches.groupedHllEstimate(
+        Sketches.groupedHllRegisters(docs, "lang", "text", p = 4),
+        "lang", p = 4)
+      val exact = docs
+        .select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      est.join(exact, Seq("lang")).orderBy(col("lang"))
+    }),
     // INCREMENTAL Count-Min maintenance (maintainCountMinCells): cell
     // counts are additive over documents, so departed/delta docs'
     // contributions alone fold into the stored d*w table under the
@@ -4073,6 +4091,43 @@ object SparkEntry {
         |        * 0.6931471805599453) * 1000000.0) AS BIGINT)
         |    ELSE CAST(round(raw * 1000000.0) AS BIGINT) END AS est_micro
         |FROM r ORDER BY m""".stripMargin,
+    // hl04: the hl02 estimator chain carried per language, exact
+    // distinct joined next to the estimate
+    "hl04_grouped_hll" ->
+      """WITH tk AS (SELECT lang, tok FROM (
+        |    SELECT lang, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |h AS (SELECT lang,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+        |reg AS (SELECT lang, h // 268435456 AS bucket,
+        |    MAX(CASE WHEN h % 268435456 = 0 THEN 29
+        |      ELSE 29 - length(bin(h % 268435456)) END) AS register
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (SELECT lang, COUNT(*) AS nb,
+        |    SUM(1.0 / CAST(1::BIGINT << CAST(register AS INT) AS DOUBLE))
+        |      AS s_nonzero
+        |  FROM reg GROUP BY 1),
+        |est AS (SELECT lang, 16 - nb AS v_zero,
+        |    (coalesce(s_nonzero, 0.0) + CAST(16 - nb AS DOUBLE)) AS s
+        |  FROM agg),
+        |r AS (SELECT lang, v_zero, ((0.673 * 256.0) / s) AS raw FROM est),
+        |ex AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT)
+        |    AS exact_distinct
+        |  FROM tk GROUP BY 1)
+        |SELECT r.lang, CAST(16 AS BIGINT) AS m,
+        |  CAST(v_zero AS BIGINT) AS v_zero,
+        |  CAST(round(raw * 1000000.0) AS BIGINT) AS raw_est_micro,
+        |  CASE WHEN v_zero > 0 THEN
+        |    CAST(round(((16.0 * log2(16.0 / CAST(v_zero AS DOUBLE)))
+        |      * 0.6931471805599453) * 1000000.0) AS BIGINT) END
+        |    AS lc_est_micro,
+        |  CASE WHEN raw <= 40.0 AND v_zero > 0 THEN
+        |      CAST(round(((16.0 * log2(16.0 / CAST(v_zero AS DOUBLE)))
+        |        * 0.6931471805599453) * 1000000.0) AS BIGINT)
+        |    ELSE CAST(round(raw * 1000000.0) AS BIGINT) END AS est_micro,
+        |  ex.exact_distinct
+        |FROM r JOIN ex USING (lang) ORDER BY r.lang""".stripMargin,
     // KMV replay: bottom-16 distinct md5-60 hashes; the estimate widens
     // (k-1)*2^60 to HUGEINT before the floor division (Spark: decimal)
     "kv01_kmv_distinct" ->

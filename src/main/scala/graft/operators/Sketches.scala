@@ -97,6 +97,85 @@ object Sketches {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** [[hllRegisters]] keyed by a group column — per-source /
+    * per-language distinct sketches, the observability table a corpus
+    * datasheet reports when exact per-group distincts stop scaling.
+    * Identical hash/bucket/rho chain; ONE (group × 2^p)-domain
+    * aggregation (map-side combined — the register frame is bounded by
+    * group-domain · m at any corpus size). Per-group slices equal the
+    * global operator over the group's slice (SketchesSpec pins it),
+    * and register-wise `max` merges stay free across groups, unions,
+    * and snapshots. Output: (groupCol, bucket, register). */
+  def groupedHllRegisters(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      p: Int = 4): DataFrame = {
+    require(p >= 1 && p <= 16, s"p=$p out of range")
+    val wBits = 32 - p
+    val mod = 1L << wBits
+    docs
+      .select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(groupCol), PortableHash.h32(col("tok")).as("h"))
+      .select(col(groupCol), ldiv(col("h"), lit(mod)).as("bucket"),
+        (col("h") % mod).as("w"))
+      .select(col(groupCol), col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1).cast("long"))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** [[hllEstimate]] keyed by a group column — the same published
+    * estimator (identical literals, branch, and rounding points)
+    * evaluated per group over a [[groupedHllRegisters]] frame; every
+    * floating step replays cross-engine for the same reasons (the 2^−r
+    * terms are exact binary fractions, so the per-group sums are exact
+    * in any order). Output: one row per group —
+    * (groupCol, m, v_zero, raw_est_micro, lc_est_micro, est_micro). */
+  def groupedHllEstimate(
+      registers: DataFrame,
+      groupCol: String,
+      p: Int = 4): DataFrame = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => throw new IllegalArgumentException(
+        s"p=$p: keep p in 4..6 so alpha_m is a published literal")
+    }
+    registers
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nb"),
+        sum(lit(1.0) / call_function("shiftleft", lit(1L),
+          col("register").cast("int")).cast("double")).as("s_nonzero"))
+      .select(col(groupCol), lit(m.toLong).as("m"),
+        when(col("nb") > m.toLong, raise_error(lit(
+          s"groupedHllEstimate: a group has more than 2^p = $m buckets" +
+            " — p does not match the frame")))
+          .otherwise(lit(m.toLong) - col("nb")).as("v_zero"),
+        (coalesce(col("s_nonzero"), lit(0.0)) +
+          (lit(m.toLong) - col("nb")).cast("double")).as("s"))
+      .select(col(groupCol), col("m"), col("v_zero"),
+        ((lit(alpha) * lit(m.toDouble * m.toDouble)) / col("s")).as("raw"))
+      .select(col(groupCol), col("m"), col("v_zero"),
+        round(col("raw") * lit(1000000.0)).cast("long").as("raw_est_micro"),
+        when(col("v_zero") > 0L,
+          round(((lit(m.toDouble) *
+            log2(lit(m.toDouble) / col("v_zero").cast("double"))) *
+            lit(0.6931471805599453)) * lit(1000000.0)).cast("long"))
+          .as("lc_est_micro"),
+        col("raw").as("__raw"))
+      .select(col(groupCol), col("m"), col("v_zero"),
+        col("raw_est_micro"), col("lc_est_micro"),
+        when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0L,
+          col("lc_est_micro")).otherwise(col("raw_est_micro"))
+          .as("est_micro"))
+  }
+
   /** The published HLL estimator over a [[hllRegisters]] frame, in
     * micro-units: raw = alpha_m · m² / Σ 2^(−register) (empty buckets
     * contribute 2^0 = 1), with the small-range linear-counting

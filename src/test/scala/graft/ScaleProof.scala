@@ -159,6 +159,7 @@ object ScaleProof {
     "bm02_incrbm25" -> Bounds(45, 8),   // measured 28.1x of a 0.1 MiB base (map-side-combined (term, id) postings — the one token-stream exchange indexing pays; query reads stay term-bounded)
     "hn01_batchbm25" -> Bounds(22, 8),  // measured 15.8x (2.4 -> 38.3): linear index build + the queries x corpus scored product on the 31-token adversarial vocabulary (the query set itself grows ~10x); skew 1.2
     "pp01_prefpairs" -> Bounds(5, 8),   // ~zero-shuffle: one (group, score, id) struct-min/max agg, group-domain rows out
+    "hl04_groupedhll" -> Bounds(5, 8),  // ~zero-shuffle: (group x 2^p)-domain register agg, map-side combined
     "dc03_incrdecon" -> Bounds(32, 8),  // measured 21x (5.8 -> 122.3): ANSWER-bound — the hot boilerplate shingle links the fixed test split to ~every variant doc (inter rows 276k -> 3M); the fold itself is touched-shingle-bounded
     "ann05_incrknn" -> Bounds(200, 8),  // measured 133x (1.1 -> 152.4): ANSWER-bound — 10 perturbation variants/vector make the pair index ~cluster-squared (ann03's own knnJoin measured 33x on the same corpus; this lane builds prior+next pair frames AND the fold)
     // round-14 fourth-sitting lanes (sketch/index maintenance)
@@ -1273,6 +1274,14 @@ object ScaleProof {
             graft.functions.TextFunctions.qualityScore(col("text"))
               .as("score")),
           "doc_id", "grp", "score", margin = 1L).count())
+      measure("hl04_groupedhll", scale)(
+        // per-group HLL: the register agg is (group x 2^p)-domain,
+        // map-side combined — ~zero shuffle at any corpus size
+        graft.operators.Sketches.groupedHllEstimate(
+          graft.operators.Sketches.groupedHllRegisters(
+            docs.withColumn("grp", (col("doc_id") % 50).cast("string")),
+            "grp", "text", p = 4),
+          "grp", p = 4).count())
       measure("id02_incrindex", scale)(
         // incremental capped-index maintenance under the same delta:
         // the prior sig/index build is the setup (production: table

@@ -124,7 +124,8 @@ class ScaleProofSpec extends AnyFunSuite {
       pair("cs03_incrcm", 0.2, 25.5, 1.5),
       // round-14 fifth-sitting lanes (SCALING.md addendum)
       pair("hn01_batchbm25", 2.4, 38.3, 1.7),
-      pair("pp01_prefpairs", 0.0, 0.1, 1.0)).flatten
+      pair("pp01_prefpairs", 0.0, 0.1, 1.0),
+      pair("hl04_groupedhll", 0.0, 0.1, 1.1)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -155,7 +156,7 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf",
       "bm02_incrbm25", "dc03_incrdecon", "ann05_incrknn",
       "id02_incrindex", "hl03_incrhll", "cs03_incrcm",
-      "hn01_batchbm25", "pp01_prefpairs")
+      "hn01_batchbm25", "pp01_prefpairs", "hl04_groupedhll")
     assert(ScaleProof.bounds.keySet == measured)
   }
 

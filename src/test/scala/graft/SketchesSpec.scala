@@ -203,4 +203,40 @@ class SketchesSpec extends AnyFunSuite {
     val ac = got.find(t => t._1 == "a" && t._2 == "c").get
     assert(ac._3 == 8L && ac._4 == inter.toLong)
   }
+
+  test("grouped HLL: each group's slice equals the global operator " +
+      "over that group's documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"),
+      (2L, "en", "alpha beta zeta eta theta iota kappa"),
+      (3L, "fr", "un deux trois quatre"),
+      (4L, "fr", "un cinq six"),
+      (5L, "de", "ein zwei")).toDF("doc_id", "lang", "text")
+    val reg = Sketches.groupedHllRegisters(docs, "lang", "text", p = 4)
+    val est = Sketches.groupedHllEstimate(reg, "lang", p = 4)
+    for (g <- Seq("en", "fr", "de")) {
+      val slice = docs.filter(col("lang") === g)
+      val regSlice = reg.filter(col("lang") === g)
+        .select("bucket", "register")
+        .as[(Long, Long)].collect().toSet
+      val global = Sketches.hllRegisters(slice, "text", p = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(regSlice == global, s"registers for $g")
+      val estSlice = est.filter(col("lang") === g)
+        .select("m", "v_zero", "raw_est_micro", "lc_est_micro", "est_micro")
+        .collect().map(_.toSeq).toSeq
+      val estGlobal = Sketches.hllEstimate(
+        Sketches.hllRegisters(slice, "text", p = 4), p = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(estSlice == estGlobal, s"estimate for $g")
+    }
+    // p mismatch raises per group (the hllEstimate guard, grouped)
+    val badReg = (0 until 17).map(b => ("en", b.toLong, 1L))
+      .toDF("lang", "bucket", "register")
+    val e = intercept[Exception] {
+      Sketches.groupedHllEstimate(badReg, "lang", p = 4).collect()
+    }
+    assert(e.getMessage.contains("groupedHllEstimate"))
+  }
 }
