@@ -164,9 +164,21 @@ object SparkEntry {
       .agg(countDistinct(col("id")).as("value"))
       .select(lit("dedup").as("section"),
         lit("near_dup_docs").as("metric"), col("value"))
+    // per-language distinct-token estimates (grouped HLL, p=4 — the
+    // hl04 machinery): the diversity table a release review reads;
+    // est_micro is deterministic double math, replayed exactly by the
+    // chain's grouped estimator CTEs
+    val diversityRows = Sketches.groupedHllEstimate(
+      Sketches.groupedHllRegisters(
+        docs.withColumn("__lang", TextFunctions.langIdNgram(col("text"))),
+        "__lang", "text", p = 4),
+      "__lang", p = 4)
+      .select(lit("diversity").as("section"),
+        concat(lit("distinct_tokens_micro_"), col("__lang")).as("metric"),
+        col("est_micro").as("value"))
     corpusRows.unionByName(langRows).unionByName(qualityRows)
       .unionByName(paraRows).unionByName(mixtureRows)
-      .unionByName(nearDupRows)
+      .unionByName(nearDupRows).unionByName(diversityRows)
   }
 
   /** [[corpusReportRows]] maintained INCREMENTALLY under a snapshot
@@ -274,6 +286,23 @@ object SparkEntry {
     val facts = Barriers.stage(fold(factsOf(oldDocs), factsOf(deltaDocs)))
     val lines = fold(linesOf(oldDocs), linesOf(deltaDocs))
     val grams = fold(priorGrams, gramsOf(deltaDocs))
+    // --- per-language sketch maintenance (the diversity section):
+    // grouped HLL contributions are per-doc facts (doc's lang rides
+    // with its rows), so the register family folds delta-bounded via
+    // maintainRegisterMax keyed (lang, bucket)
+    def hllOf(docs: DataFrame) = graft.operators.Sketches.groupedHllContrib(
+      docs.withColumn("lang", TextFunctions.langIdNgram(col("text"))),
+      "doc_id", "lang", "text", p = 4)
+    // staged: the fold reads the contribution frame three times
+    // (anti-join, touched semi-join, re-max input); the prior register
+    // table derives from the SAME staged frame via the SketchesSpec-
+    // pinned max identity — no second text pass
+    val priorHllContrib = Barriers.stage(hllOf(oldDocs))
+    val (_, nextHllReg) = Incremental.maintainRegisterMax(
+      priorHllContrib, hllOf(deltaDocs), diffDf,
+      priorHllContrib.groupBy(col("lang"), col("bucket"))
+        .agg(max(col("rho")).as("register")),
+      "doc_id", keyCols = Seq("lang", "bucket"))
     val (_, nextPairsCounts) = Incremental.maintainWinnowingPairs(
       priorCells, Dedup.bandCells(sigsOf(deltaDocs)),
       diffDf.withColumnRenamed("doc_id", "id"), priorPairs, "id",
@@ -335,9 +364,14 @@ object SparkEntry {
       .agg(countDistinct(col("id")).as("value"))
       .select(lit("dedup").as("section"),
         lit("near_dup_docs").as("metric"), col("value"))
+    val diversityRows = graft.operators.Sketches.groupedHllEstimate(
+      nextHllReg, "lang", p = 4)
+      .select(lit("diversity").as("section"),
+        concat(lit("distinct_tokens_micro_"), col("lang")).as("metric"),
+        col("est_micro").as("value"))
     corpusRows.unionByName(langRows).unionByName(qualityRows)
       .unionByName(paraRows).unionByName(mixtureRows)
-      .unionByName(nearDupRows)
+      .unionByName(nearDupRows).unionByName(diversityRows)
   }
 
   /** wp01/wp02's shared front-door funnel over the synthesized web
@@ -1912,6 +1946,37 @@ object SparkEntry {
         .agg(countDistinct(col("tok")).as("exact_distinct"))
       est.join(exact, Seq("lang")).orderBy(col("lang"))
     }),
+    // INCREMENTAL per-group HLL maintenance — maintainRegisterMax
+    // keyed (lang, bucket): the WHOLE per-language register family
+    // folds in one delta-bounded pass under the %13/%7/%11-copy step
+    // (contributions move by doc id, so a doc's group rides with it).
+    // Oracle = full batch grouped register build over the new snapshot
+    "hl05_incremental_grouped" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("text")))
+      val diffDf = modStepDiff(docs, "doc_id")
+      val deltaContrib = Sketches.groupedHllContrib(
+        newSnap.join(
+          diffDf.filter(col("status").isin("added", "changed"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "lang", "text", p = 4)
+      val (_, nextReg) = Incremental.maintainRegisterMax(
+        Sketches.groupedHllContrib(docs, "doc_id", "lang", "text", p = 4),
+        deltaContrib, diffDf,
+        Sketches.groupedHllRegisters(docs, "lang", "text", p = 4),
+        "doc_id", keyCols = Seq("lang", "bucket"))
+      nextReg.orderBy(col("lang"), col("bucket"))
+    }),
     // INCREMENTAL Count-Min maintenance (maintainCountMinCells): cell
     // counts are additive over documents, so departed/delta docs'
     // contributions alone fold into the stored d*w table under the
@@ -3281,6 +3346,23 @@ object SparkEntry {
         |  CASE WHEN scheme = '' OR host = '' THEN NULL
         |    ELSE ${sqlRegisteredDomain("host")} END AS domain
         |  FROM ${p}q3),
+        |${p}ht AS (SELECT lg.lang,
+        |    ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_filter(ts, x -> x <> ''))
+        |      AS tok FROM ${p}d) t
+        |    JOIN ${p}lg lg USING (doc_id)),
+        |${p}hreg AS (SELECT lang, h // 268435456 AS bucket,
+        |    MAX(CASE WHEN h % 268435456 = 0 THEN 29
+        |      ELSE 29 - length(bin(h % 268435456)) END) AS register
+        |  FROM ${p}ht GROUP BY 1, 2),
+        |${p}hagg AS (SELECT lang, COUNT(*) AS nb,
+        |    SUM(1.0 / CAST(1::BIGINT << CAST(register AS INT) AS DOUBLE))
+        |      AS s_nonzero
+        |  FROM ${p}hreg GROUP BY 1),
+        |${p}hest AS (SELECT lang, 16 - nb AS v_zero,
+        |    ((0.673 * 256.0) /
+        |      (coalesce(s_nonzero, 0.0) + CAST(16 - nb AS DOUBLE))) AS raw
+        |  FROM ${p}hagg),
         |${sqlMinhashBandsCtes(p, s"${p}d")},
         |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM ${p}bands a JOIN ${p}bands b
@@ -3320,7 +3402,13 @@ object SparkEntry {
         |        UNION ALL SELECT id_b FROM ${p}conf)
         |UNION ALL SELECT 'quality', 'gopher_keep_docs',
         |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) FROM ${p}m)"""
+        |    AS BIGINT) FROM ${p}m
+        |UNION ALL SELECT 'diversity', 'distinct_tokens_micro_' || lang,
+        |  CASE WHEN raw <= 40.0 AND v_zero > 0 THEN
+        |      CAST(round(((16.0 * log2(16.0 / CAST(v_zero AS DOUBLE)))
+        |        * 0.6931471805599453) * 1000000.0) AS BIGINT)
+        |    ELSE CAST(round(raw * 1000000.0) AS BIGINT) END
+        |  FROM ${p}hest)"""
 
   /** ht01's DuckDB replay (identical synthesized markup, then the six
     * extraction clauses in order; every regexp_replace carries 'g' —
@@ -4128,6 +4216,26 @@ object SparkEntry {
         |    ELSE CAST(round(raw * 1000000.0) AS BIGINT) END AS est_micro,
         |  ex.exact_distinct
         |FROM r JOIN ex USING (lang) ORDER BY r.lang""".stripMargin,
+    // hl05: full batch grouped register build over the new snapshot —
+    // the incremental==batch invariant for the per-group max fold
+    "hl05_incremental_grouped" ->
+      """WITH snap AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+        |  WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |tk AS (SELECT lang, tok FROM (
+        |    SELECT lang, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM snap) WHERE tok <> ''),
+        |h AS (SELECT lang,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk)
+        |SELECT lang, h // 268435456 AS bucket,
+        |  CAST(MAX(CASE WHEN h % 268435456 = 0 THEN 29
+        |    ELSE 29 - length(bin(h % 268435456)) END) AS BIGINT) AS register
+        |FROM h GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // KMV replay: bottom-16 distinct md5-60 hashes; the estimate widens
     // (k-1)*2^60 to HUGEINT before the floor division (Spark: decimal)
     "kv01_kmv_distinct" ->

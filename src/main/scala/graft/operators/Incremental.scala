@@ -727,43 +727,50 @@ object Incremental {
     * register-wise for free (max is a homomorphism) — maintenance
     * under REMOVALS is what needs the contribution state.
     *
-    * @param priorContrib stored (idCol, bucket, rho) for the OLD
+    * @param priorContrib stored (idCol, keyCols..., rho) for the OLD
     *                     snapshot
     * @param deltaContrib contributions for added+changed ids ONLY
     * @param diff         (idCol, status) from [[Dedup.corpusDiff]]
-    * @param priorRegisters stored (bucket, register) — the batch
+    * @param priorRegisters stored (keyCols..., register) — the batch
     *                     register table for the old snapshot
+    * @param keyCols      the register key — `bucket` for the global
+    *                     sketch; `(group, bucket)` maintains a whole
+    *                     PER-GROUP sketch family
+    *                     ([[Sketches.groupedHllRegisters]]) in one fold
     * @return (nextContrib, nextRegisters) */
   def maintainRegisterMax(
       priorContrib: DataFrame,
       deltaContrib: DataFrame,
       diff: DataFrame,
       priorRegisters: DataFrame,
-      idCol: String): (DataFrame, DataFrame) = {
-    require(priorContrib.columns.toSeq == Seq(idCol, "bucket", "rho"),
-      s"priorContrib must be ($idCol, bucket, rho), got " +
-        priorContrib.columns.mkString(","))
+      idCol: String,
+      keyCols: Seq[String] = Seq("bucket")): (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(priorContrib.columns.toSeq == (idCol +: keyCols) :+ "rho",
+      s"priorContrib must be ($idCol, ${keyCols.mkString(", ")}, rho), " +
+        s"got ${priorContrib.columns.mkString(",")}")
     require(priorContrib.columns.sameElements(deltaContrib.columns),
       s"prior/delta contribution schemas differ: " +
         s"${priorContrib.columns.mkString(",")} vs " +
         deltaContrib.columns.mkString(","))
-    require(priorRegisters.columns.toSeq == Seq("bucket", "register"),
-      s"priorRegisters must be (bucket, register), got " +
-        priorRegisters.columns.mkString(","))
+    require(priorRegisters.columns.toSeq == keyCols :+ "register",
+      s"priorRegisters must be (${keyCols.mkString(", ")}, register), " +
+        s"got ${priorRegisters.columns.mkString(",")}")
+    val keys = keyCols.map(col)
     val gone = diff.filter(col("status").isin("changed", "removed"))
       .select(col(idCol))
     val nextContrib = priorContrib.join(gone, Seq(idCol), "left_anti")
       .unionByName(deltaContrib)
-    val touched = deltaContrib.select(col("bucket"))
+    val touched = deltaContrib.select(keys: _*)
       .unionByName(
-        priorContrib.join(gone, Seq(idCol), "left_semi").select(col("bucket")))
+        priorContrib.join(gone, Seq(idCol), "left_semi").select(keys: _*))
       .distinct()
     val reMaxed = nextContrib
-      .join(touched, Seq("bucket"), "left_semi")
-      .groupBy(col("bucket"))
+      .join(touched, keyCols, "left_semi")
+      .groupBy(keys: _*)
       .agg(max(col("rho")).as("register"))
     val nextRegisters = priorRegisters
-      .join(touched, Seq("bucket"), "left_anti")
+      .join(touched, keyCols, "left_anti")
       .unionByName(reMaxed)
     (nextContrib, nextRegisters)
   }

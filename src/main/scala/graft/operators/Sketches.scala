@@ -97,6 +97,38 @@ object Sketches {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** [[hllContrib]] carrying a group column — the state frame a
+    * per-group sketch family ([[groupedHllRegisters]]) needs under
+    * snapshot deltas: one (id, group, non-empty bucket, own max rank)
+    * row per document, so `max(rho)` per (group, bucket) IS the
+    * grouped register table (SketchesSpec pins the identity) and
+    * [[Incremental.maintainRegisterMax]] with
+    * `keyCols = Seq(groupCol, "bucket")` folds the whole family in one
+    * delta-bounded pass. The group value is the DOCUMENT's — rows fold
+    * by id, so a doc whose group changes across snapshots moves its
+    * contributions with it. */
+  def groupedHllContrib(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      p: Int = 4): DataFrame = {
+    require(p >= 1 && p <= 16, s"p=$p out of range")
+    val wBits = 32 - p
+    val mod = 1L << wBits
+    docs.select(col(idCol), col(groupCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), col(groupCol), PortableHash.h32(col("tok")).as("h"))
+      .select(col(idCol), col(groupCol), ldiv(col("h"), lit(mod)).as("bucket"),
+        (col("h") % mod).as("w"))
+      .select(col(idCol), col(groupCol), col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1).cast("long"))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(idCol), col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
   /** [[hllRegisters]] keyed by a group column — per-source /
     * per-language distinct sketches, the observability table a corpus
     * datasheet reports when exact per-group distincts stop scaling.

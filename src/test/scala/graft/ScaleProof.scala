@@ -160,6 +160,7 @@ object ScaleProof {
     "hn01_batchbm25" -> Bounds(22, 8),  // measured 15.8x (2.4 -> 38.3): linear index build + the queries x corpus scored product on the 31-token adversarial vocabulary (the query set itself grows ~10x); skew 1.2
     "pp01_prefpairs" -> Bounds(5, 8),   // ~zero-shuffle: one (group, score, id) struct-min/max agg, group-domain rows out
     "hl04_groupedhll" -> Bounds(5, 8),  // ~zero-shuffle: (group x 2^p)-domain register agg, map-side combined
+    "hl05_incrgrouped" -> Bounds(25, 8), // measured 16.4x (1.0 -> 16.2): the per-doc grouped contribution frame is the price of removability (hl03's story, group-keyed); skew 2.6
     "dc03_incrdecon" -> Bounds(32, 8),  // measured 21x (5.8 -> 122.3): ANSWER-bound — the hot boilerplate shingle links the fixed test split to ~every variant doc (inter rows 276k -> 3M); the fold itself is touched-shingle-bounded
     "ann05_incrknn" -> Bounds(200, 8),  // measured 133x (1.1 -> 152.4): ANSWER-bound — 10 perturbation variants/vector make the pair index ~cluster-squared (ann03's own knnJoin measured 33x on the same corpus; this lane builds prior+next pair frames AND the fold)
     // round-14 fourth-sitting lanes (sketch/index maintenance)
@@ -1282,6 +1283,38 @@ object ScaleProof {
             docs.withColumn("grp", (col("doc_id") % 50).cast("string")),
             "grp", "text", p = 4),
           "grp", p = 4).count())
+      measure("hl05_incrgrouped", scale)(
+        // per-group register maintenance under a ~2% delta: the prior
+        // contribution build is the setup (production: a table read);
+        // the fold re-tokenizes delta docs only and re-maxes touched
+        // (group, bucket) cells
+        {
+          import graft.operators.{Barriers, Incremental, Sketches}
+          def hllOf(d: DataFrame) = Sketches.groupedHllContrib(
+            d.withColumn("grp", (col("doc_id") % 50).cast("string")),
+            "doc_id", "grp", "text", p = 4)
+          val prior = docs.filter(col("doc_id") % 100 =!= 3)
+          val next = docs.filter(col("doc_id") % 100 =!= 9)
+            .withColumn("text",
+              when(col("doc_id") % 100 === 7,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          val d = docs.select(col("doc_id"),
+            when(col("doc_id") % 100 === 3, lit("added"))
+              .when(col("doc_id") % 100 === 7, lit("changed"))
+              .when(col("doc_id") % 100 === 9, lit("removed"))
+              .otherwise(lit(null).cast("string")).as("status"))
+            .filter(col("status").isNotNull)
+          val pc = Barriers.stage(hllOf(prior))
+          val (_, nextReg) = Incremental.maintainRegisterMax(
+            pc,
+            hllOf(next.filter(
+              col("doc_id") % 100 === 3 || col("doc_id") % 100 === 7)),
+            d,
+            pc.groupBy(col("grp"), col("bucket"))
+              .agg(max(col("rho")).as("register")),
+            "doc_id", keyCols = Seq("grp", "bucket"))
+          nextReg.count()
+        })
       measure("id02_incrindex", scale)(
         // incremental capped-index maintenance under the same delta:
         // the prior sig/index build is the setup (production: table

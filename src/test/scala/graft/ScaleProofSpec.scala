@@ -125,7 +125,8 @@ class ScaleProofSpec extends AnyFunSuite {
       // round-14 fifth-sitting lanes (SCALING.md addendum)
       pair("hn01_batchbm25", 2.4, 38.3, 1.7),
       pair("pp01_prefpairs", 0.0, 0.1, 1.0),
-      pair("hl04_groupedhll", 0.0, 0.1, 1.1)).flatten
+      pair("hl04_groupedhll", 0.0, 0.1, 1.1),
+      pair("hl05_incrgrouped", 1.0, 16.2, 2.6)).flatten
     val violations = ScaleProof.checkBounds(committed)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
@@ -156,7 +157,8 @@ class ScaleProofSpec extends AnyFunSuite {
       "sd03_incrspans", "fp02_incrwinnow", "ann04_incrivf",
       "bm02_incrbm25", "dc03_incrdecon", "ann05_incrknn",
       "id02_incrindex", "hl03_incrhll", "cs03_incrcm",
-      "hn01_batchbm25", "pp01_prefpairs", "hl04_groupedhll")
+      "hn01_batchbm25", "pp01_prefpairs", "hl04_groupedhll",
+      "hl05_incrgrouped")
     assert(ScaleProof.bounds.keySet == measured)
   }
 
