@@ -457,6 +457,42 @@ class IncrementalSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
+  test("maintainRegisterMax keyed (group, bucket): a doc changing GROUP " +
+      "moves its contributions; incremental equals batch per group") {
+    import graft.operators.Sketches
+    def contrib(rows: Seq[(Long, String, String)]) =
+      Sketches.groupedHllContrib(
+        rows.toDF("id", "grp", "text"), "id", "grp", "text", p = 4)
+    def registers(rows: Seq[(Long, String, String)]) = rows
+      .groupBy(_._2).toSeq.flatMap { case (g, docs) =>
+        Sketches.hllRegisters(
+          docs.map(r => (r._1, r._3)).toDF("id", "text"), "text", p = 4)
+          .as[(Long, Long)].collect().map { case (b, r) => (g, b, r) }
+      }.toSet
+    val oldRows = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "epsilon zeta"),
+      (3L, "fr", "un deux trois"))
+    // doc 2 MOVES from en to fr with new text; doc 3 removed; 4 arrives
+    val newRows = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "fr", "epsilon zeta eta"),
+      (4L, "de", "ein zwei drei"))
+    val (_, nextReg) = Incremental.maintainRegisterMax(
+      contrib(oldRows),
+      contrib(newRows.filter(r => Set(2L, 4L)(r._1))),
+      diff((2L, "changed"), (3L, "removed"), (4L, "added")),
+      contrib(oldRows).groupBy(col("grp"), col("bucket"))
+        .agg(max(col("rho")).as("register")),
+      "id", keyCols = Seq("grp", "bucket"))
+    assert(nextReg.as[(String, Long, Long)].collect().toSet ==
+      registers(newRows))
+    // en lost doc 2's buckets entirely (group membership is per-row
+    // state, not a key rename): no en register may still carry a rho
+    // only doc 2's old tokens produced
+    assert(registers(newRows).exists(_._1 == "fr"))
+  }
+
   test("count-only maintainGroupSums + kmvFromHashes equals batch " +
       "kmvDistinct") {
     import graft.operators.Sketches
