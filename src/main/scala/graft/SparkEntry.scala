@@ -1672,6 +1672,48 @@ object SparkEntry {
           col("score_micro"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // HYBRID retrieval with reciprocal-rank fusion (rrfFuse): the
+    // lexical channel (bm25TopK, the bm01 integer-micro chain, fixed
+    // 4-token query) and the semantic channel (exact cosine between the
+    // portable hash-embedder's integer ACCUMULATORS and the query
+    // text's own accumulator — one IEEE sqrt + division per doc, so the
+    // ordering replays cross-engine) each rank their top 50; RRF merges
+    // them in exact nano units. Every fusion stage is k-bounded — the
+    // corpus pays one bm25 scan and one accumulate scan, nothing more
+    "hy01_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qTokens = Seq("vector", "stream", "window", "agg")
+      val lex = CorpusStats.bm25TopK(docs, "doc_id", "text", qTokens, k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score_micro"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val acc = graft.vector.PortableHashEmbedder.accumulate(
+        docs, "doc_id", "text", dim = 16)
+      val qacc = graft.vector.PortableHashEmbedder.accumulate(
+          Seq((0L, qTokens.mkString(" "))).toDF("qid", "text"),
+          "qid", "text", dim = 16)
+        .select(col("accs").as("qaccs"))
+      val dot = aggregate(
+        zip_with(col("accs"), col("qaccs"), (a, b) => a * b),
+        lit(0L), (acc0, x) => acc0 + x)
+      val nrm = (c: Column) => aggregate(c, lit(0L), (acc0, x) => acc0 + x * x)
+      val sem = acc.crossJoin(broadcast(qacc))
+        .select(col("doc_id"), dot.as("dot"),
+          nrm(col("accs")).as("nd"), nrm(col("qaccs")).as("nq"))
+        // norms are exact longs < 2^53: ONE sqrt of their exact product
+        // + one division — both correctly rounded IEEE steps
+        .withColumn("cos",
+          when(col("nd") === 0L || col("nq") === 0L, lit(0.0))
+            .otherwise(col("dot").cast("double") /
+              sqrt((col("nd") * col("nq")).cast("double"))))
+        .orderBy(desc("cos"), col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cos"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      CorpusStats.rrfFuse(Seq(lex, sem), "doc_id", kRrf = 60, topK = 10)
+        .orderBy(col("fused_rank"))
+    }),
     // PSI drift between the %3 split and the rest over capped n_chars
     // centile buckets — the production data-drift monitor; log2 micro-
     // bits (the lm01/ds01 rounding convention)
@@ -3919,6 +3961,81 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id,
         |  CAST(neg_id AS BIGINT) AS neg_id, rank, score_micro
         |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // hy01: the bm01 BM25 chain with a fixed 4-token query ranks the
+    // lexical top 50; the me01 accumulator chain (unnormalized) scores
+    // exact cosine against the query text's own accumulator for the
+    // semantic top 50; RRF fuses in exact nano units (1e9 // (60+rank))
+    "hy01_hybrid_rrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tk GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS len
+        |  FROM dt GROUP BY 1),
+        |st AS (SELECT CAST(SUM(len) AS BIGINT) AS tt,
+        |  CAST(COUNT(*) AS BIGINT) AS nd FROM lens),
+        |q AS (SELECT unnest(['vector', 'stream', 'window', 'agg']) AS tok),
+        |idf AS (SELECT d.tok,
+        |    CAST(round(log2((s.nd - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM dt d JOIN q USING (tok) CROSS JOIN st s
+        |  GROUP BY d.tok, s.nd),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(SUM((i.idf_micro *
+        |      ((d.occ * 2200000 * 1000000) // (d.occ * 1000000 +
+        |        (1200000 * (250000 +
+        |          (750000 * ((l.len * 1000000000000) //
+        |            ((s.tt * 1000000) // s.nd))) // 1000000)) // 1000000))
+        |    ) // 1000000) AS BIGINT) AS score_micro
+        |  FROM dt d JOIN q USING (tok) JOIN idf i USING (tok)
+        |    JOIN lens l USING (doc_id) CROSS JOIN st s
+        |  GROUP BY d.doc_id),
+        |lexr AS (SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |      score_micro DESC, doc_id) AS BIGINT) AS rank FROM sc)
+        |  WHERE rank <= 50),
+        |ht AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+        |acc AS (SELECT doc_id, CAST((h // 2) % 16 AS INTEGER) AS dim,
+        |    SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS acc
+        |  FROM ht GROUP BY 1, 2),
+        |qh AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM q),
+        |qa AS (SELECT CAST((h // 2) % 16 AS INTEGER) AS dim,
+        |    SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS acc
+        |  FROM qh GROUP BY 1),
+        |qn AS (SELECT SUM(acc * acc) AS nq FROM qa),
+        |dn AS (SELECT doc_id, SUM(acc * acc) AS nd FROM acc GROUP BY 1),
+        |dp AS (SELECT a.doc_id, SUM(a.acc * b.acc) AS dot
+        |  FROM acc a JOIN qa b USING (dim) GROUP BY 1),
+        |cosv AS (SELECT i.doc_id,
+        |    CASE WHEN COALESCE(d.nd, 0) = 0 OR n.nq = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(p.dot, 0) AS DOUBLE) /
+        |        sqrt(CAST(COALESCE(d.nd, 0) * n.nq AS DOUBLE)) END AS cos
+        |  FROM (SELECT DISTINCT doc_id FROM documents) i
+        |  LEFT JOIN dn d USING (doc_id) LEFT JOIN dp p USING (doc_id)
+        |  CROSS JOIN qn n),
+        |semr AS (SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |      cos DESC, doc_id) AS BIGINT) AS rank FROM cosv)
+        |  WHERE rank <= 50),
+        |fuse AS (SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+        |    CAST(COALESCE(1000000000 // (60 + l.rank), 0) +
+        |      COALESCE(1000000000 // (60 + m.rank), 0) AS BIGINT)
+        |      AS rrf_nano,
+        |    CAST((CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END) +
+        |      (CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_lists
+        |  FROM lexr l FULL OUTER JOIN semr m ON l.doc_id = m.doc_id)
+        |SELECT doc_id, rrf_nano, n_lists, fused_rank FROM (
+        |  SELECT doc_id, rrf_nano, n_lists,
+        |    CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+        |      AS BIGINT) AS fused_rank
+        |  FROM fuse)
+        |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
     // bm02's oracle: full batch BM25 over the NEW snapshot with the
     // query terms pinned from the FULL table — the incremental==batch
     // invariant for the maintained inverted index

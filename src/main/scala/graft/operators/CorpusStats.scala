@@ -871,6 +871,48 @@ object CorpusStats {
       .select(col(qidCol), col(idCol), col("rank"), col("score_micro"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of k
+    * ranked retrieval lists — the standard way a hybrid search stack
+    * merges its lexical (BM25) and semantic (embedding) channels
+    * without score calibration: each list contributes `1/(K + rank)`
+    * per document, here in exact NANO units (`1e9 DIV (K + rank)`,
+    * floor division) so the fused ordering replays bit-for-bit
+    * cross-engine regardless of how the input rankings were scored.
+    *
+    * Scale: the inputs are TOP-K frames (each channel already bounded
+    * by its own retrieval k), so every stage here — the union, the
+    * id-keyed sum, the top-k — is k·lists-bounded, never corpus-sized;
+    * the fused top-k plans as TakeOrderedAndProject. Ties in the fused
+    * score break by id ascending (deterministic).
+    *
+    * Input frames carry (idCol, rank) with 1-based ranks; output is
+    * (idCol, rrf_nano, n_lists, fused_rank) for the fused top `topK`,
+    * `n_lists` = how many channels surfaced the document. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(kRrf >= 1, "kRrf must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val contribs = rankings
+      .map(_.select(col(idCol),
+        ldiv(lit(1000000000L), lit(kRrf.toLong) + col("rank").cast("long"))
+          .as("__c")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_nano"), count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf_nano"), col(idCol))
+      .limit(topK)
+    // rank over the topK-row frame — a tiny single-task window
+    fused.withColumn("fused_rank",
+        row_number().over(Window.orderBy(desc("rrf_nano"), col(idCol)))
+          .cast("long"))
+      .select(col(idCol), col("rrf_nano"), col("n_lists"),
+        col("fused_rank"))
+  }
+
   /** Temperature-scaled mixture weights — the exponent-smoothed sampling
     * distribution multilingual corpora are drawn with (p_i ∝ share_i^α
     * with α < 1 upweights low-resource sources; the mBERT/XLM-R

@@ -980,4 +980,75 @@ object Incremental {
         valueCols.map(c => sum(col(c) * col("__sgn")).as(c)): _*)
       .filter(col(countCol) > 0L)
   }
+
+  /** STREAMING twin of [[maintainRegisterMax]] — the removal-capable
+    * register fold for the HLL family as a stateful stream. Max is NOT
+    * invertible, so unlike [[maintainGroupSumsStream]]'s stateless
+    * signed-sum fold the per-key state must hold the contributing
+    * MEMBERSHIP: the (id → rho) map for the register key — exactly the
+    * per-key slice of the contribution frame the batch operator
+    * persists ([[graft.operators.Sketches.hllContrib]] rows for that
+    * bucket), and the minimum state that answers "what is the register
+    * now?" under arbitrary removals (each id holds at most ONE rho per
+    * key by the contribution contract, so the map is doc-bounded, not
+    * token-bounded).
+    *
+    * Each microbatch emits one row per TOUCHED key:
+    * (key, register, n_contribs) — register NULL when every contributor
+    * left, the tombstone a downstream register table applies as a
+    * delete (the batch table only holds non-empty buckets). Removals
+    * fold before additions within a batch (the keep-first convention);
+    * a changed doc whose new text no longer feeds the key simply has a
+    * changed_old row with no matching changed_new — the contribution
+    * disappears, as batch. ONE-STEP batch duality only, like
+    * [[maintainKeepFirstStream]]: the rows carry no ordering, so
+    * multi-step histories must fold one microbatch per step.
+    *
+    * For a GROUPED register family ([[Sketches.groupedHllContrib]])
+    * pass the concatenated (group, bucket) as `keyCol` — the fold is
+    * key-wise, so any composite encoding that injects works. Key casts
+    * to string, ids/rhos to long; null-key rows drop (the batch
+    * contract); an unknown status raises. */
+  def maintainRegisterMaxStream(
+      deltas: DataFrame,
+      keyCol: String,
+      idCol: String,
+      rhoCol: String,
+      statusCol: String): DataFrame = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val valid = Set("added", "changed_new", "removed", "changed_old")
+    def fold(key: String, rows: Iterator[(String, Long, Long, String)],
+        state: GroupState[Map[Long, Long]])
+        : (String, java.lang.Long, Long) = {
+      val batch = rows.toSeq
+      batch.find(r => !valid(r._4)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"maintainRegisterMaxStream: status '${r._4}' — must be " +
+            "added|removed|changed_new|changed_old")
+      }
+      var cur = state.getOption.getOrElse(Map.empty[Long, Long])
+      batch.foreach { r =>
+        if (r._4 == "removed" || r._4 == "changed_old") cur -= r._2
+      }
+      batch.foreach { r =>
+        if (r._4 == "added" || r._4 == "changed_new") cur += (r._2 -> r._3)
+      }
+      if (cur.isEmpty) { state.remove(); (key, null, 0L) }
+      else {
+        state.update(cur)
+        (key, Long.box(cur.values.max), cur.size.toLong)
+      }
+    }
+    deltas
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(rhoCol).cast("long"), col(statusCol).cast("string"))
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], (String, java.lang.Long, Long)](
+        GroupStateTimeout.NoTimeout)(fold)
+      .toDF(keyCol, "register", "n_contribs")
+  }
 }

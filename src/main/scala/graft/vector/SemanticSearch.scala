@@ -101,11 +101,17 @@ final class CharNgramEmbedder(override val dim: Int = 384, n: Int = 3)
   */
 object PortableHashEmbedder {
 
-  /** (idCol, embedding array<float>) for every distinct input id —
-    * ids must be unique non-null (the usual corpus contract); a NULL
-    * text embeds to the zero vector, exactly as the SQL replay's dense
-    * grid does (an explode-side drop would silently lose the row). */
-  def embed(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+  /** The UNNORMALIZED integer accumulator frame behind [[embed]]:
+    * (idCol, accs array<long>) for every distinct input id. Exposed
+    * because exact-integer consumers (hybrid retrieval's cosine, which
+    * ranks on `dot/sqrt(normA·normB)` computed from these longs in ONE
+    * IEEE sqrt + division, so the ordering replays bit-for-bit
+    * cross-engine) want the accumulators, not the float-rounded unit
+    * vectors. A NULL text accumulates to the zero vector, exactly as
+    * the SQL replay's dense grid does (an explode-side drop would
+    * silently lose the row). */
+  def accumulate(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
     val toks = df.select(col(idCol),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
@@ -121,10 +127,18 @@ object PortableHashEmbedder {
     // dense grid over ALL input ids: a NULL-text row has no token rows
     // (explode drops them), so it re-enters here with a null map and
     // falls out as the zero vector — element_at(NULL, j) is null → 0
-    val dense = df.select(col(idCol)).distinct()
+    df.select(col(idCol)).distinct()
       .join(bags, Seq(idCol), "left")
-      .withColumn("accs", transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("m"), j), lit(0L))))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j), lit(0L))).as("accs"))
+  }
+
+  /** (idCol, embedding array<float>) for every distinct input id —
+    * ids must be unique non-null (the usual corpus contract); a NULL
+    * text embeds to the zero vector ([[accumulate]] holds the zero
+    * accumulator for it). */
+  def embed(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    val dense = accumulate(df, idCol, textCol, dim)
     val norm = aggregate(col("accs"), lit(0L), (s, x) => s + x * x)
     val inv = when(norm === 0L, lit(0.0))
       .otherwise(lit(1.0) / sqrt(norm.cast("double")))

@@ -1128,4 +1128,95 @@ class StreamingSpec extends AnyFunSuite {
         live == Set((100L, 10L, 1L), (100L, 12L, 1L), (200L, 12L, 2L)))
     } finally q.stop()
   }
+
+  test("maintainRegisterMaxStream: stateful register fold over two " +
+      "microbatches equals the batch register table") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.operators.Sketches
+    val dir = Files.createTempDirectory("graft-regmax-stream").toString
+    // snapshot A: three docs; snapshot B: doc 1 leaves, doc 3's text is
+    // revised, doc 4 arrives — the full status alphabet in one step
+    val snapA = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val snapB = Seq(
+      (2L, "epsilon zeta eta theta"), (3L, "nu xi omicron pi"),
+      (4L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+    def contrib(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllContrib(d, "doc_id", "text", p = 4)
+    val cA = contrib(snapA)
+    // the REAL per-step delta rows a snapshot step emits: the departed
+    // ids' stored contributions signed out, the delta docs' fresh
+    // contributions signed in (changed = old rows out + new rows in)
+    val b1 = cA.withColumn("status", lit("added"))
+    val b2 = cA.filter(col("doc_id") === 1L)
+        .withColumn("status", lit("removed"))
+      .unionByName(cA.filter(col("doc_id") === 3L)
+        .withColumn("status", lit("changed_old")))
+      .unionByName(contrib(snapB.filter(col("doc_id") === 3L))
+        .withColumn("status", lit("changed_new")))
+      .unionByName(contrib(snapB.filter(col("doc_id") === 4L))
+        .withColumn("status", lit("added")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("bucket", LongType),
+      StructField("rho", LongType), StructField("status", StringType)))
+    b1.select("doc_id", "bucket", "rho", "status")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val regs = graft.operators.Incremental.maintainRegisterMaxStream(
+      stream, "bucket", "doc_id", "rho", "status")
+    val q = regs.writeStream.outputMode("update")
+      .format("memory").queryName("regmax_stream")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // the fold keys as string (the twins' convention): cast back
+      def emissions = spark.table("regmax_stream")
+        .select(col("bucket").cast("long"), col("register"),
+          col("n_contribs"))
+        .as[(Long, Option[Long], Long)].collect().toSet
+      def batchRegs(d: org.apache.spark.sql.DataFrame) =
+        Sketches.hllRegisters(d, "text", p = 4)
+          .as[(Long, Long)].collect().toMap
+      // one-step duality: day 1 folds from empty state, so the emitted
+      // registers ARE the batch table of snapshot A (with the per-key
+      // contributor counts from the contribution frame)
+      val contribCountsA = cA.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val day1 = batchRegs(snapA).map { case (b, r) =>
+        (b, Some(r), contribCountsA(b)) }.toSet
+      assert(emissions == day1 && day1.nonEmpty)
+      b2.select("doc_id", "bucket", "rho", "status")
+        .coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      // day 2 touches exactly b2's keys: each re-emits the batch
+      // register of snapshot B, or a NULL tombstone if it emptied
+      val regB = batchRegs(snapB)
+      val contribCountsB = contrib(snapB).groupBy("bucket")
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+      val touched = b2.select("bucket").distinct()
+        .as[Long].collect().toSet
+      assert(touched.nonEmpty)
+      val day2 = touched.map { b =>
+        regB.get(b) match {
+          case Some(r) => (b, Some(r), contribCountsB(b))
+          case None    => (b, None, 0L)
+        }
+      }
+      assert(emissions == (day1 ++ day2))
+      // the full status alphabet was exercised, including a tombstone
+      assert(day2.exists(_._2.isEmpty))
+      // END state == batch over snapshot B on every live key (untouched
+      // keys carried day-1 emissions that already match snapshot B)
+      val finalPerKey = (day1 ++ day2).groupBy(_._1).map { case (b, es) =>
+        b -> (if (day2.exists(_._1 == b)) day2.find(_._1 == b).get
+              else es.head)
+      }
+      regB.foreach { case (b, r) =>
+        assert(finalPerKey(b)._2.contains(r), s"bucket $b register drift")
+      }
+    } finally q.stop()
+  }
 }
