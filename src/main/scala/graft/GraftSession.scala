@@ -59,6 +59,13 @@ object GraftSession {
     // before any events read — not inside lane builders: a lane mutating
     // session state is a footgun for every lane that runs after it.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NOTE (round-14 optimization, measured and rejected): flipping
+    // spark.sql.adaptive.coalescePartitions.parallelismFirst to false
+    // (size-targeted coalescing) cut the 32-near-empty-task stages of
+    // the tiny lanes but cost the mid-size lanes their parallelism
+    // (q09 1.4 s -> 2.3 s, g05c 6.0 -> 7.2 s at sf0.1) — the default
+    // parallelism-first coalescing is the right trade on BOTH this box
+    // and a busy cluster, where the core count is the scarce resource.
     s
   }
 }

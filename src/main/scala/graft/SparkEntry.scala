@@ -25,8 +25,27 @@ import graft.operators.{CorpusStats, Curation, Decontaminate, Dedup, GraphOps, S
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Once-inferred parquet schemas, keyed by file path. A bare
+    * `spark.read.parquet` re-infers the schema from the footer on the
+    * driver on EVERY call (~70 ms/call on the bench box), and the
+    * catalog constructs the same nine immutable fixture tables in every
+    * lane build — the repeated driver-side metadata cost a catalog
+    * table's cached listing avoids (optimization guide §6). Only the
+    * SCHEMA is cached: each call still returns a completely fresh scan
+    * (distinct attribute ids, so self-joins stay unambiguous) and every
+    * action re-reads the parquet input. NOTE the inference session's
+    * read confs bind the cached schema — all engine sessions go through
+    * GraftSession.local/prepare, which pin the one relevant conf
+    * (parquet.nanosAsLong) before any read. */
+  private val tableSchemas =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = tableSchemas.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(path)
+  }
 
   /** The events table's stored `ts` type varies by fixture generation —
     * TIMESTAMP(NANOS) (read as long via the legacy conf) or
@@ -99,34 +118,82 @@ object SparkEntry {
     * sides of a snapshot step. Every value an exact integer from the
     * already-oracled primitives (langIdNgram, gopherRules, the token
     * model, md5 identity). */
+  /** The four fact-derived card sections — corpus volume, exact-dup
+    * overhang, the Gopher keep count, per-language and per-domain doc
+    * counts — in ONE aggregation over the per-doc facts frame
+    * (grouping sets (), (lang), (dom)), where the batch card previously
+    * paid one full text scan + one shuffle PER section (guide §1.2/§2.4:
+    * remove passes and shuffles outright). The section rows then derive
+    * from the single agg output with one explode — a second consumer of
+    * the agg would re-run its whole subtree (no CSE across DataFrame
+    * branches). Values are bit-identical to the per-section aggs: every
+    * cell is a count/sum/countDistinct of the same rows.
+    *
+    * `facts` must carry (lang, n_tokens, n_chars, __md5, keep, dom);
+    * callers guarantee a non-empty frame (grouping sets emit no global
+    * row over empty input, where the old keyless agg emitted zeros —
+    * no caller feeds an empty corpus). */
+  private def cardSectionsFromFacts(facts: DataFrame): DataFrame = {
+    val g = facts
+      .groupingSets(Seq(Seq(), Seq(col("lang")), Seq(col("dom"))),
+        col("lang"), col("dom"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        countDistinct(col("__md5")).as("__uniq"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+          .as("keep_docs"),
+        grouping_id().as("__gid"))
+    // grouping_id bits follow the groupBy column order (lang, dom):
+    // 3 = global, 1 = by-lang (dom aggregated), 2 = by-dom
+    g.select(explode(
+      when(col("__gid") === 3, array(
+        struct(lit("corpus").as("section"), lit("n_docs").as("metric"),
+          col("n_docs").as("value")),
+        struct(lit("corpus").as("section"), lit("n_tokens").as("metric"),
+          col("n_tokens").as("value")),
+        struct(lit("corpus").as("section"), lit("n_chars").as("metric"),
+          col("n_chars").as("value")),
+        struct(lit("dedup").as("section"),
+          lit("exact_dup_docs").as("metric"),
+          (col("n_docs") - col("__uniq")).as("value")),
+        struct(lit("quality").as("section"),
+          lit("gopher_keep_docs").as("metric"),
+          col("keep_docs").as("value"))))
+        .when(col("__gid") === 1, array(
+          struct(lit("lang").as("section"),
+            concat(lit("docs_"), col("lang")).as("metric"),
+            col("n_docs").as("value"))))
+        .otherwise(array(
+          struct(lit("mixture").as("section"),
+            concat(lit("docs_"), col("dom")).as("metric"),
+            col("n_docs").as("value"))))).as("__r"))
+      .select(col("__r.section").as("section"),
+        col("__r.metric").as("metric"), col("__r.value").as("value"))
+  }
+
+  /** The datasheet's per-doc facts over an arbitrary (doc_id, text)
+    * snapshot, in ONE text pass: language, token/char counts, content
+    * digest, registered domain, and the Gopher verdict composed as a
+    * column (no per-doc join). Shared by the batch card and the
+    * incremental maintenance so the two facts definitions cannot
+    * drift. */
+  private def docFacts(docs: DataFrame): DataFrame =
+    graft.operators.Curation.withGopherKeep(docs, "text", "keep")
+      .select(col("doc_id"),
+        TextFunctions.langIdNgram(col("text")).as("lang"),
+        size(filter(TextFunctions.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("__md5"),
+        coalesce(graft.functions.UrlFunctions.urlDomain(synthUrl()),
+          lit("unattributed")).as("dom"),
+        col("keep"))
+
   private def corpusReportRows(docs: DataFrame): DataFrame = {
-    import graft.operators.Curation
-    val sig = docs.select(col("doc_id"),
-      TextFunctions.langIdNgram(col("text")).as("lang"),
-      size(filter(TextFunctions.tokens(col("text")),
-        t => length(t) > 0)).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"),
-      md5(col("text").cast("binary")).as("__md5"))
-    val corpus = sig.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
-      coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
-      countDistinct(col("__md5")).as("__uniq"))
-    val corpusRows = corpus.selectExpr(
-      "stack(4, 'corpus', 'n_docs', n_docs, " +
-        "'corpus', 'n_tokens', n_tokens, " +
-        "'corpus', 'n_chars', n_chars, " +
-        "'dedup', 'exact_dup_docs', n_docs - __uniq) " +
-        "AS (section, metric, value)")
-    val langRows = sig.groupBy(col("lang"))
-      .agg(count(lit(1)).as("value"))
-      .select(lit("lang").as("section"),
-        concat(lit("docs_"), col("lang")).as("metric"), col("value"))
-    val qualityRows = Curation.gopherRules(docs, "doc_id", "text")
-      .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
-        .as("value"))
-      .select(lit("quality").as("section"),
-        lit("gopher_keep_docs").as("metric"), col("value"))
+    // corpus volume + exact-dup + gopher + lang + mixture: one text
+    // pass, one grouping-sets shuffle (was 4 passes / 4 shuffles)
+    val factRows = cardSectionsFromFacts(docFacts(docs))
     // paragraph-dup overhang: non-empty lines beyond the first copy of
     // their exact digest (the pd01 line-identity convention) — the
     // distinct agg is line-digest-domain, not corpus-row-domain
@@ -137,30 +204,22 @@ object SparkEntry {
         countDistinct(md5(col("__p").cast("binary")))).as("value"))
       .select(lit("dedup").as("section"),
         lit("dup_paragraphs").as("metric"), col("value"))
-    // domain mixture (url04's table folded into the card): registered-
-    // domain doc counts over the synth URL mapping; unparseable rows
-    // get their own row — a mixture that silently dropped them would
-    // misstate every share a release reviewer reads
-    val mixtureRows = docs
-      .select(coalesce(
-        graft.functions.UrlFunctions.urlDomain(synthUrl()),
-        lit("unattributed")).as("__dom"))
-      .groupBy(col("__dom"))
-      .agg(count(lit(1)).as("value"))
-      .select(lit("mixture").as("section"),
-        concat(lit("docs_"), col("__dom")).as("metric"), col("value"))
     // near-dup overhang (the dd01/dd05 machinery): docs holding at
     // least one CONFIRMED near-duplicate — portable-minhash LSH
-    // candidates verified by exact 3-gram Jaccard at 0.8
+    // candidates verified by exact 3-gram Jaccard at 0.8. (The sigs
+    // frame stages INSIDE minhashCandidatesFromSigs — the round-14
+    // before plan carried minhash_portable EIGHT times without it.)
     val sigs = docs.select(col("doc_id").as("id"),
-      Dedup.minhashSigColumnPortable(col("text"), numHashes = 64, nGram = 3)
-        .as("sig"))
+      Dedup.minhashSigColumnPortable(col("text"), numHashes = 64,
+        nGram = 3).as("sig"))
     val confirmed = Dedup.withExactJaccard(
       Dedup.minhashCandidatesFromSigs(sigs, numHashes = 64, bands = 16),
       docs, "doc_id", "text", nGram = 3)
       .filter(col("exact_jaccard") >= 0.8)
-    val nearDupRows = confirmed.select(col("id_a").as("id"))
-      .unionByName(confirmed.select(col("id_b").as("id")))
+    // one explode instead of a two-branch union: the union re-ran the
+    // whole confirm subtree (candidates + exact-Jaccard join) per branch
+    val nearDupRows = confirmed
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .agg(countDistinct(col("id")).as("value"))
       .select(lit("dedup").as("section"),
         lit("near_dup_docs").as("metric"), col("value"))
@@ -176,8 +235,7 @@ object SparkEntry {
       .select(lit("diversity").as("section"),
         concat(lit("distinct_tokens_micro_"), col("__lang")).as("metric"),
         col("est_micro").as("value"))
-    corpusRows.unionByName(langRows).unionByName(qualityRows)
-      .unionByName(paraRows).unionByName(mixtureRows)
+    factRows.unionByName(paraRows)
       .unionByName(nearDupRows).unionByName(diversityRows)
   }
 
@@ -209,21 +267,17 @@ object SparkEntry {
     * Incremental == batch EXACTLY: the cr03 oracle replays cr01's full
     * batch chain over the new snapshot and hash-compares the card. */
   private[graft] def incrementalReportRows(
-      oldDocs: DataFrame,
-      newDocs: DataFrame,
+      oldDocs0: DataFrame,
+      newDocs0: DataFrame,
       maxBucketSize: Int = 1000,
       diff: Option[DataFrame] = None): DataFrame = {
     import graft.operators.{Barriers, Curation, Incremental}
-    def factsOf(docs: DataFrame) = docs.select(col("doc_id"),
-      TextFunctions.langIdNgram(col("text")).as("lang"),
-      size(filter(TextFunctions.tokens(col("text")),
-        t => length(t) > 0)).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"),
-      md5(col("text").cast("binary")).as("__md5"),
-      coalesce(graft.functions.UrlFunctions.urlDomain(synthUrl()),
-        lit("unattributed")).as("dom"))
-      .join(Curation.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+    val oldDocs = oldDocs0
+    val newDocs = newDocs0
+    // the one-pass facts projection (gopher verdict as a column — the
+    // old per-doc join with gopherRules cost a second text scan plus an
+    // exchange per facts build)
+    def factsOf(docs: DataFrame) = docFacts(docs)
     def linesOf(docs: DataFrame) = docs
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\r?\n"),
@@ -329,38 +383,19 @@ object SparkEntry {
     val confirmedNext = priorConfirmed
       .join(stale, Seq("id_a", "id_b"), "left_anti")
       .unionByName(confirm(recompute, grams))
-    // --- the card, from maintained narrow frames only
-    val corpus = facts.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
-      coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
-      countDistinct(col("__md5")).as("__uniq"))
-    val corpusRows = corpus.selectExpr(
-      "stack(4, 'corpus', 'n_docs', n_docs, " +
-        "'corpus', 'n_tokens', n_tokens, " +
-        "'corpus', 'n_chars', n_chars, " +
-        "'dedup', 'exact_dup_docs', n_docs - __uniq) " +
-        "AS (section, metric, value)")
-    val langRows = facts.groupBy(col("lang"))
-      .agg(count(lit(1)).as("value"))
-      .select(lit("lang").as("section"),
-        concat(lit("docs_"), col("lang")).as("metric"), col("value"))
-    val qualityRows = facts
-      .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
-        .as("value"))
-      .select(lit("quality").as("section"),
-        lit("gopher_keep_docs").as("metric"), col("value"))
+    // --- the card, from maintained narrow frames only: the four
+    // fact-derived sections in ONE grouping-sets agg over the staged
+    // facts (was 4 separate agg jobs)
+    val factRows = cardSectionsFromFacts(facts)
     val paraRows = lines
       .agg((coalesce(sum(col("cnt")), lit(0L)) -
         countDistinct(col("ldig"))).as("value"))
       .select(lit("dedup").as("section"),
         lit("dup_paragraphs").as("metric"), col("value"))
-    val mixtureRows = facts.groupBy(col("dom"))
-      .agg(count(lit(1)).as("value"))
-      .select(lit("mixture").as("section"),
-        concat(lit("docs_"), col("dom")).as("metric"), col("value"))
-    val nearDupRows = confirmedNext.select(col("id_a").as("id"))
-      .unionByName(confirmedNext.select(col("id_b").as("id")))
+    // one explode instead of a two-branch union: the union re-ran the
+    // carried/recomputed confirm subtree once per branch
+    val nearDupRows = confirmedNext
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .agg(countDistinct(col("id")).as("value"))
       .select(lit("dedup").as("section"),
         lit("near_dup_docs").as("metric"), col("value"))
@@ -369,8 +404,7 @@ object SparkEntry {
       .select(lit("diversity").as("section"),
         concat(lit("distinct_tokens_micro_"), col("lang")).as("metric"),
         col("est_micro").as("value"))
-    corpusRows.unionByName(langRows).unionByName(qualityRows)
-      .unionByName(paraRows).unionByName(mixtureRows)
+    factRows.unionByName(paraRows)
       .unionByName(nearDupRows).unionByName(diversityRows)
   }
 
@@ -471,7 +505,11 @@ object SparkEntry {
     val gate = Robots.robotsGate(urls, "doc_id", "domain", "path", rules)
       .select(col("doc_id"), col("allowed"))
     // the gate only emits rows for non-null canonicals, so a missed
-    // left join IS the null-canon case: one coalesce covers both
+    // left join IS the null-canon case: one coalesce covers both.
+    // NOT staged (measured): the verdict join re-runs off the staged
+    // extraction checkpoint cheaply and its two consumers execute as
+    // concurrent AQE stages — an eager stage here read wp03 at 2.7 s
+    // vs 1.2 s lazy
     val withRobots = v
       .join(gate, Seq("doc_id"), "left_outer")
       .withColumn("robots_allowed", coalesce(col("allowed"), lit(false)))
@@ -1617,6 +1655,11 @@ object SparkEntry {
           when(col("doc_id") % 10 === 7,
             concat(col("text"), lit(" updated rev")))
             .otherwise(col("text")))
+      // NOT staged (measured): the prior index frames are cheap
+      // tokenize-and-aggregate passes whose eager materialization cost
+      // more than the duplicate-subtree recompute it saved (2.7 s vs
+      // 1.9 s median) — the fold's consumers run as concurrent AQE
+      // stages when left lazy
       val (pp, pl) = CorpusStats.bm25Index(oldSnap, "doc_id", "text")
       val diffDf = residueStepDiff(docs, "doc_id",
         addRes = 3L, dropRes = 9L, chgRes = 7L)
@@ -1914,7 +1957,10 @@ object SparkEntry {
           docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val diffDf = modStepDiff(docs, "doc_id")
-      val priorContrib = Sketches.kmvContrib(docs, "doc_id", "text")
+      // staged (the ann05/sd03 convention): the totals build and the
+      // fold's three reads share one materialized contribution pass
+      val priorContrib = graft.operators.Barriers.stage(
+        Sketches.kmvContrib(docs, "doc_id", "text"))
       val priorTotals = priorContrib.groupBy(col("h"))
         .agg(count(lit(1)).as("n_docs"))
       val deltaContrib = Sketches.kmvContrib(
@@ -1965,9 +2011,18 @@ object SparkEntry {
             .select("doc_id"),
           Seq("doc_id"), "left_semi"),
         "doc_id", "text", p = 6)
+      // staged prior contributions (the ann05/sd03 convention): the fold
+      // reads them three times, and the prior register table derives
+      // from the SAME staged frame via the SketchesSpec-pinned max
+      // identity — the second full text pass hllRegisters(docs) paid is
+      // gone
+      val priorContrib = graft.operators.Barriers.stage(
+        Sketches.hllContrib(docs, "doc_id", "text", p = 6))
       val (_, nextReg) = Incremental.maintainRegisterMax(
-        Sketches.hllContrib(docs, "doc_id", "text", p = 6), deltaContrib,
-        diffDf, Sketches.hllRegisters(docs, "text", p = 6), "doc_id")
+        priorContrib, deltaContrib, diffDf,
+        priorContrib.groupBy(col("bucket"))
+          .agg(max(col("rho")).as("register")),
+        "doc_id")
       nextReg.orderBy(col("bucket"))
     }),
     // per-LANGUAGE HLL distinct-token estimates (the datasheet's
@@ -2012,10 +2067,14 @@ object SparkEntry {
             .select("doc_id"),
           Seq("doc_id"), "left_semi"),
         "doc_id", "lang", "text", p = 4)
+      // staged prior contributions + the grouped max identity (the cr03
+      // pattern): one text pass instead of two, fold reads deduplicated
+      val priorContrib = graft.operators.Barriers.stage(
+        Sketches.groupedHllContrib(docs, "doc_id", "lang", "text", p = 4))
       val (_, nextReg) = Incremental.maintainRegisterMax(
-        Sketches.groupedHllContrib(docs, "doc_id", "lang", "text", p = 4),
-        deltaContrib, diffDf,
-        Sketches.groupedHllRegisters(docs, "lang", "text", p = 4),
+        priorContrib, deltaContrib, diffDf,
+        priorContrib.groupBy(col("lang"), col("bucket"))
+          .agg(max(col("rho")).as("register")),
         "doc_id", keyCols = Seq("lang", "bucket"))
       nextReg.orderBy(col("lang"), col("bucket"))
     }),
@@ -2041,6 +2100,10 @@ object SparkEntry {
             .select("doc_id"),
           Seq("doc_id"), "left_semi"),
         "doc_id", "text", d = 4, w = 64)
+      // NOT staged (measured): the (id, r, c) contribution frame is
+      // wide enough that materializing it cost more than the concurrent
+      // recompute it saved (2.9 s vs 2.2 s median) — unlike the hll
+      // lanes whose contribution frames are bucket-bounded
       val (_, nextCells) = Incremental.maintainCountMinCells(
         Sketches.countMinContrib(docs, "doc_id", "text", d = 4, w = 64),
         deltaContrib, diffDf,
@@ -2115,7 +2178,9 @@ object SparkEntry {
         .select(col("doc_id"),
           UrlFunctions.urlDomain(col("url")).as("domain"))
         .filter(col("domain").isNotNull)
-      val prior = membership(oldUrls)
+      // staged: the two-window stratified sample and the min-k fold
+      // both read the prior membership
+      val prior = graft.operators.Barriers.stage(membership(oldUrls))
       val priorSample = graft.operators.Sampling.stratifiedFixedSample(
         prior, "doc_id", "domain", k = 5, salt = "url06")
       val diffDf = residueStepDiff(all, "doc_id", addRes = 3L, dropRes = 9L)
@@ -2153,7 +2218,9 @@ object SparkEntry {
           t => length(t) > 0)).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
         .filter(col("domain").isNotNull)
-      val prior = signals(oldDocs)
+      // staged (the ann05/sd03 prior-frame convention): the totals and
+      // the group-sums fold both read the prior signal pass
+      val prior = graft.operators.Barriers.stage(signals(oldDocs))
       val priorTotals = prior.groupBy(col("domain")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -2704,7 +2771,9 @@ object SparkEntry {
             Conversations.promptFingerprint(col("transcript")).as("fp")),
             Seq("doc_id"))
           .select(col("doc_id"), col("fp"), col("qa_keep"))
-      val prior = signals(oldT)
+      // staged (the ann05/sd03 prior-frame convention): the owner
+      // election and the keep-first fold both read the prior signals
+      val prior = graft.operators.Barriers.stage(signals(oldT))
       val priorOwners = prior
         .filter(col("qa_keep") && col("fp").isNotNull)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
@@ -9086,8 +9155,12 @@ object SparkEntry {
           ngramHashes(TextFunctions.tokens(col("text")), 3).as("__s"))
         .select(col("test_id"), col("__s"),
           size(col("__s")).cast("long").as("test_size"))
-      val testPost = testSets
-        .select(col("test_id"), explode(col("__s")).as("sh"))
+      // staged (the ann05/sd03 prior-frame convention): testPost feeds
+      // the prior overlap build AND the maintenance fold; unstaged, each
+      // consumer re-ran the n-gram explode and the plan AQE re-optimizes
+      // per stage carried the duplicated tree
+      val testPost = graft.operators.Barriers.stage(testSets
+        .select(col("test_id"), explode(col("__s")).as("sh")))
       val oldTrain = docs.filter(col("doc_id") % 10 =!= 0)
       val newTrain = oldTrain.filter(col("doc_id") % 13 =!= 0)
         .withColumn("text",
@@ -9099,7 +9172,10 @@ object SparkEntry {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       def post(d: DataFrame) = d.select(col("doc_id"),
         explode(ngramHashes(TextFunctions.tokens(col("text")), 3)).as("sh"))
-      val priorPost = post(oldTrain)
+      // staged: the ok census, the prior overlap, and the fold's
+      // departed-side contribution all read the prior postings
+      // (measured both ways same-window: staged 3.6 s vs unstaged 4.0 s)
+      val priorPost = graft.operators.Barriers.stage(post(oldTrain))
       // prior overlap table computed batch-style in-lane (production:
       // a table read) — the capped intersection counts, inter >= 1
       val ok = priorPost.groupBy("sh").agg(count(lit(1)).as("__n"))
@@ -9312,9 +9388,16 @@ object SparkEntry {
         .select(col("vec_id"),
           (col("bb.band").cast("long") * lit(4294967296L) +
             col("bb.bucket")).as("fp"))
-      val priorCells = cells(oldSnap)
-      val priorPairs = Dedup.winnowingPairCounts(
-        priorCells, "vec_id", maxPostingLength = 10000)
+      // staged like sd03/fp02's priors: the fold reads priorCells three
+      // times (next-cells anti-join, touched semi-join, departed-side
+      // contribution) and priorPairs twice — unstaged, every consumer
+      // re-ran the hyperplane projection AND the plan AQE re-optimizes
+      // per stage carried the whole duplicated tree (the lane spent ~4 s
+      // of its 6 s wall in driver-side replanning gaps, not stages)
+      val priorCells = graft.operators.Barriers.stage(cells(oldSnap))
+      val priorPairs = graft.operators.Barriers.stage(
+        Dedup.winnowingPairCounts(
+          priorCells, "vec_id", maxPostingLength = 10000))
       val diffDf = residueStepDiff(e, "vec_id", addRes = 4L, dropRes = 8L)
       val deltaCells = cells(newSnap.join(
         diffDf.filter(col("status").isin("added", "changed"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -241,60 +241,92 @@ object Curation {
       .withColumn("keep", col("n_hits") === 0L)
   }
 
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The 10 exact Gopher counters over (text, token-array, line-array)
+    * ATTRIBUTES — the single definition [[gopherRules]] and
+    * [[withGopherKeep]] share, so the two call shapes can never drift.
+    * The inputs must be attributes (aliased in a prior projection), not
+    * inline trees: each counter re-references them, and an inlined
+    * tokens() would re-split the text once per counter. */
+  private def gopherCounterCols(
+      text: Column, toks: Column, lines: Column): Seq[Column] = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    docs
+    Seq(
+      size(filter(toks, t => length(t) > 0)).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).as("n_word_chars"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+        .as("n_alpha_words"),
+      stops.map(s => when(array_contains(toks, s), 1L)
+        .otherwise(0L)).reduce(_ + _).as("n_stop"),
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+        .as("n_hash"),
+      call_function("div",
+        (length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+          .cast("long"), lit(3L)).as("n_ellipsis"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines,
+        l => substring(ltrim(l), 1, 1).isin("•", "-", "*")))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(lines,
+        l => right(rtrim(l), lit(3)) === "..." ||
+          right(rtrim(l), lit(1)) === "…"))
+        .cast("long").as("n_ellipsis_lines"))
+  }
+
+  /** The 7 published rule verdicts over the counters, by name — `c`
+    * resolves a counter name to a Column (an attribute in
+    * [[gopherRules]], a struct field in [[withGopherKeep]]).
+    * Per-symbol thresholds, as published (Rae et al. 2021 apply the
+    * 0.1 symbol-to-word ratio to '#' and '...' SEPARATELY — a doc
+    * with 6% hash + 6% ellipsis passes; a summed ratio would fail it). */
+  private def gopherRuleCols(
+      c: String => Column): Seq[(String, Column)] = Seq(
+    "r_word_count" -> (c("n_words") >= 50L && c("n_words") <= 100000L),
+    "r_mean_word_len" ->
+      (c("n_word_chars") >= lit(3L) * c("n_words") &&
+        c("n_word_chars") <= lit(10L) * c("n_words")),
+    "r_symbol_ratio" ->
+      (lit(10L) * c("n_hash") <= c("n_words") &&
+        lit(10L) * c("n_ellipsis") <= c("n_words")),
+    "r_bullet_lines" ->
+      (lit(10L) * c("n_bullet_lines") <= lit(9L) * c("n_lines")),
+    "r_ellipsis_lines" ->
+      (lit(10L) * c("n_ellipsis_lines") <= lit(3L) * c("n_lines")),
+    "r_alpha_words" ->
+      (lit(5L) * c("n_alpha_words") >= lit(4L) * c("n_words")),
+    "r_stopwords" -> (c("n_stop") >= 2L))
+
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counters = docs
       .select(col(idCol), col(textCol).as("__text"),
         tokens(col(textCol)).as("__toks"),
         split(col(textCol), "\n").as("__lines"))
-      .select(col(idCol), col("__text"), col("__lines"),
-        size(filter(col("__toks"), t => length(t) > 0)).cast("long")
-          .as("n_words"),
-        aggregate(col("__toks"), lit(0L), (a, x) => a + length(x))
-          .as("n_word_chars"),
-        size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("long")
-          .as("n_alpha_words"),
-        stops.map(s => when(array_contains(col("__toks"), s), 1L)
-          .otherwise(0L)).reduce(_ + _).as("n_stop"))
-      .select(col(idCol), col("n_words"), col("n_word_chars"),
-        col("n_alpha_words"), col("n_stop"),
-        (length(col("__text")) -
-          length(regexp_replace(col("__text"), "#", ""))).cast("long")
-          .as("n_hash"),
-        call_function("div",
-          (length(col("__text")) -
-            length(regexp_replace(col("__text"), "\\.\\.\\.", "")))
-            .cast("long"), lit(3L)).as("n_ellipsis"),
-        size(col("__lines")).cast("long").as("n_lines"),
-        size(filter(col("__lines"),
-          l => substring(ltrim(l), 1, 1).isin("•", "-", "*")))
-          .cast("long").as("n_bullet_lines"),
-        size(filter(col("__lines"),
-          l => right(rtrim(l), lit(3)) === "..." ||
-            right(rtrim(l), lit(1)) === "…"))
-          .cast("long").as("n_ellipsis_lines"))
-      .withColumn("r_word_count",
-        col("n_words") >= 50L && col("n_words") <= 100000L)
-      .withColumn("r_mean_word_len",
-        col("n_word_chars") >= lit(3L) * col("n_words") &&
-          col("n_word_chars") <= lit(10L) * col("n_words"))
-      // per-symbol thresholds, as published (Rae et al. 2021 apply the
-      // 0.1 symbol-to-word ratio to '#' and '...' SEPARATELY — a doc
-      // with 6% hash + 6% ellipsis passes; a summed ratio would fail it)
-      .withColumn("r_symbol_ratio",
-        lit(10L) * col("n_hash") <= col("n_words") &&
-          lit(10L) * col("n_ellipsis") <= col("n_words"))
-      .withColumn("r_bullet_lines",
-        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
-      .withColumn("r_ellipsis_lines",
-        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
-      .withColumn("r_alpha_words",
-        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
-      .withColumn("r_stopwords", col("n_stop") >= 2L)
-      .withColumn("keep",
-        col("r_word_count") && col("r_mean_word_len") &&
-          col("r_symbol_ratio") && col("r_bullet_lines") &&
-          col("r_ellipsis_lines") && col("r_alpha_words") &&
-          col("r_stopwords"))
+      .select(col(idCol) +:
+        gopherCounterCols(col("__text"), col("__toks"), col("__lines")): _*)
+    val withRules = gopherRuleCols(col).foldLeft(counters) {
+      case (d, (name, rule)) => d.withColumn(name, rule)
+    }
+    withRules.withColumn("keep",
+      gopherRuleCols(col).map { case (name, _) => col(name) }
+        .reduce(_ && _))
   }
+
+  /** An arbitrary frame plus [[gopherRules]]' final keep verdict as ONE
+    * extra boolean column — the row-local composition for pipelines that
+    * need only the verdict next to their own per-doc signals (the
+    * datasheet's facts frame), without the per-doc join
+    * `gopherRules(docs).select(id, keep)` would cost. Identical
+    * arithmetic by construction: counters and rules come from the same
+    * [[gopherCounterCols]]/[[gopherRuleCols]] definitions. The counter
+    * struct is built behind attribute projections so the token/line
+    * arrays split once per row, not once per counter. */
+  def withGopherKeep(
+      docs: DataFrame, textCol: String, keepCol: String): DataFrame =
+    docs
+      .withColumn("__gk_toks", tokens(col(textCol)))
+      .withColumn("__gk_lines", split(col(textCol), "\n"))
+      .withColumn("__gk_c", struct(gopherCounterCols(
+        col(textCol), col("__gk_toks"), col("__gk_lines")): _*))
+      .withColumn(keepCol,
+        gopherRuleCols(n => col("__gk_c")(n)).map(_._2).reduce(_ && _))
+      .drop("__gk_toks", "__gk_lines", "__gk_c")
 }

@@ -367,10 +367,21 @@ object Dedup {
   /** LSH banding + candidate estimation over precomputed (id, sig) rows —
     * the second half of [[minhashCandidates]]. */
   def minhashCandidatesFromSigs(
-      sigs: DataFrame,
+      sigs0: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
+    // the signature frame feeds FIVE consumers below (both banding
+    // sides inside bucketPairs, the bucket-cap census, and both
+    // withSigs attachment sides); left lazy, every consumer re-ran the
+    // numHashes-per-gram signature computation — round-14's cr01 plan
+    // carried minhash_portable EIGHT times — and the AQE-replanned lane
+    // plan carried the duplicated tree. Narrow (id + numHashes ints) and
+    // expensive ⇒ stage (the measured criterion; wide cheap frames like
+    // raw posting explodes measured SLOWER staged). Streaming callers
+    // pass through: a micro-batch frame arrives here as a batch plan.
+    val sigs =
+      if (sigs0.isStreaming) sigs0 else Barriers.stage(sigs0)
     val banded = bandRows(sigs, numHashes, bands)
     val pairs = bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
 
