@@ -314,17 +314,6 @@ object SparkEntry {
           coalesce(col("__i"), lit(0L)).cast("double") / col("__u") >= 0.8)
         .select(col("id_a"), col("id_b"))
     }
-    // --- prior state (stage the multi-consumer frames: sigs feed the
-    // index build AND the fold's departed side; grams feed the prior
-    // confirm AND the touched re-verify; the pair tables feed three
-    // set-differences each)
-    val priorSigs = Barriers.stage(sigsOf(oldDocs))
-    val priorCells = Dedup.bandCells(priorSigs)
-    val priorPairs = Barriers.stage(
-      Dedup.winnowingPairCounts(priorCells, "id", maxBucketSize))
-    val priorGrams = Barriers.stage(gramsOf(oldDocs))
-    val priorConfirmed = confirm(
-      priorPairs.select(col("id_a"), col("id_b")), priorGrams)
     // --- the snapshot step: the caller passes the delta when it knows
     // it closed-form (a production ingest manifest; cr03's synthesized
     // step); corpusDiff reconciles from content when it doesn't
@@ -337,9 +326,6 @@ object SparkEntry {
       .select("doc_id")
     def fold(prior: DataFrame, delta: DataFrame) =
       prior.join(gone, Seq("doc_id"), "left_anti").unionByName(delta)
-    val facts = Barriers.stage(fold(factsOf(oldDocs), factsOf(deltaDocs)))
-    val lines = fold(linesOf(oldDocs), linesOf(deltaDocs))
-    val grams = fold(priorGrams, gramsOf(deltaDocs))
     // --- per-language sketch maintenance (the diversity section):
     // grouped HLL contributions are per-doc facts (doc's lang rides
     // with its rows), so the register family folds delta-bounded via
@@ -347,11 +333,27 @@ object SparkEntry {
     def hllOf(docs: DataFrame) = graft.operators.Sketches.groupedHllContrib(
       docs.withColumn("lang", TextFunctions.langIdNgram(col("text"))),
       "doc_id", "lang", "text", p = 4)
-    // staged: the fold reads the contribution frame three times
-    // (anti-join, touched semi-join, re-max input); the prior register
-    // table derives from the SAME staged frame via the SketchesSpec-
-    // pinned max identity — no second text pass
-    val priorHllContrib = Barriers.stage(hllOf(oldDocs))
+    // --- prior state (stage the multi-consumer frames: sigs feed the
+    // index build AND the fold's departed side; grams feed the prior
+    // confirm AND the touched re-verify; the HLL contributions feed the
+    // fold three ways AND the prior register derivation; facts feed the
+    // grouping-sets card). The four chains are mutually independent, so
+    // they materialize CONCURRENTLY (Barriers.stageAll, guide §2.6) —
+    // issued sequentially, each eager barrier left the box idle through
+    // its own job's tail
+    val Seq(priorSigs, priorGrams, priorHllContrib, facts) =
+      Barriers.stageAll(
+        sigsOf(oldDocs), gramsOf(oldDocs), hllOf(oldDocs),
+        fold(factsOf(oldDocs), factsOf(deltaDocs)))
+    val priorCells = Dedup.bandCells(priorSigs)
+    val priorPairs = Barriers.stage(
+      Dedup.winnowingPairCounts(priorCells, "id", maxBucketSize))
+    val priorConfirmed = confirm(
+      priorPairs.select(col("id_a"), col("id_b")), priorGrams)
+    val lines = fold(linesOf(oldDocs), linesOf(deltaDocs))
+    // grams stay LAZY (measured: staging this wide posting fold read
+    // cr03 at 10.3 s vs 8.9 s — the cs03/bm02 wide-frame lesson)
+    val grams = fold(priorGrams, gramsOf(deltaDocs))
     val (_, nextHllReg) = Incremental.maintainRegisterMax(
       priorHllContrib, hllOf(deltaDocs), diffDf,
       priorHllContrib.groupBy(col("lang"), col("bucket"))
@@ -9032,10 +9034,13 @@ object SparkEntry {
     // by an md5 fingerprint (case preserved, whitespace normalized)
     "sd02_rm_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val affected = Dedup.dupSpans(docs, "doc_id", "text",
-          k = 8, minDocs = 2L)
-        .select("doc_id").distinct()
-      Dedup.removeDupSpans(docs, "doc_id", "text", k = 8, minDocs = 2L)
+      // the narrow span table computes ONCE (staged) and feeds both the
+      // affected-ids projection and the rewrite — each consumer re-ran
+      // the full posting build (2 window-hash passes each) inlined
+      val spans = graft.operators.Barriers.stage(
+        Dedup.dupSpans(docs, "doc_id", "text", k = 8, minDocs = 2L))
+      val affected = spans.select("doc_id").distinct()
+      Dedup.removeSpansFrame(docs, spans, "doc_id", "text")
         .join(affected, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           when(length(col("text")) === 0, lit(0L))
@@ -9158,9 +9163,11 @@ object SparkEntry {
       // staged (the ann05/sd03 prior-frame convention): testPost feeds
       // the prior overlap build AND the maintenance fold; unstaged, each
       // consumer re-ran the n-gram explode and the plan AQE re-optimizes
-      // per stage carried the duplicated tree
-      val testPost = graft.operators.Barriers.stage(testSets
-        .select(col("test_id"), explode(col("__s")).as("sh")))
+      // per stage carried the duplicated tree. Materialized CONCURRENTLY
+      // with the prior train postings below (Barriers.stageAll) — the
+      // two chains are independent
+      val testPostLazy = testSets
+        .select(col("test_id"), explode(col("__s")).as("sh"))
       val oldTrain = docs.filter(col("doc_id") % 10 =!= 0)
       val newTrain = oldTrain.filter(col("doc_id") % 13 =!= 0)
         .withColumn("text",
@@ -9175,7 +9182,8 @@ object SparkEntry {
       // staged: the ok census, the prior overlap, and the fold's
       // departed-side contribution all read the prior postings
       // (measured both ways same-window: staged 3.6 s vs unstaged 4.0 s)
-      val priorPost = graft.operators.Barriers.stage(post(oldTrain))
+      val Seq(testPost, priorPost) = graft.operators.Barriers.stageAll(
+        testPostLazy, post(oldTrain))
       // prior overlap table computed batch-style in-lane (production:
       // a table read) — the capped intersection counts, inter >= 1
       val ok = priorPost.groupBy("sh").agg(count(lit(1)).as("__n"))

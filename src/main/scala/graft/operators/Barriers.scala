@@ -83,4 +83,35 @@ object Barriers {
       case None => df.localCheckpoint(eager)
     }
   }
+
+  /** Materialize several MUTUALLY INDEPENDENT frames' barriers
+    * concurrently. Eager [[stage]] calls issued one after another leave
+    * the cluster idle through each job's tail; Spark's scheduler runs
+    * concurrent jobs happily (actions are only sequential because the
+    * driver calls them sequentially — optimization guide §2.6), so the
+    * independent prior-state frames of a maintenance lane can
+    * materialize together and back-fill each other's stragglers.
+    *
+    * Implementation: every frame takes a LAZY barrier, then one bounded
+    * thread pool runs a count() per frame — the first action
+    * materializes a lazy checkpoint, so after the barrier returns, all
+    * frames read from their materialized blocks exactly as if staged
+    * eagerly in sequence. Caller contract: the frames must not depend
+    * on one another's barrier (a dependent frame would just recompute
+    * its parent inside its own job — correct, but the parent's work
+    * runs twice). */
+  def stageAll(dfs: DataFrame*): Seq[DataFrame] = {
+    val staged = dfs.map(stage(_, eager = false))
+    if (staged.size <= 1) { staged.foreach(_.count()); return staged }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(staged.size, 8))
+    try {
+      val futures = staged.map(df =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = df.count()
+        }))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    staged
+  }
 }

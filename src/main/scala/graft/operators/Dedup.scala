@@ -1716,10 +1716,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 50,
-      minDocs: Long = 2L): DataFrame = {
+      minDocs: Long = 2L): DataFrame =
+    removeSpansFrame(docs, dupSpans(docs, idCol, textCol, k, minDocs),
+      idCol, textCol)
+
+  /** [[removeDupSpans]] over a PRECOMPUTED [[dupSpans]] frame: a caller
+    * that also consumes the span table itself (sd02 projects the
+    * affected ids from it) computes the narrow, posting-build-expensive
+    * spans ONCE and feeds both consumers — inlined, each consumer re-ran
+    * the full (id, pos, gh) posting build. Identical rewrite semantics:
+    * this IS [[removeDupSpans]]'s body, with the spans input lifted. */
+  def removeSpansFrame(
+      docs: DataFrame,
+      dupSpansDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     require(!docs.columns.contains("graft_spans"),
       "input already has a graft_spans column")
-    val spans = dupSpans(docs, idCol, textCol, k, minDocs)
+    val spans = dupSpansDf
       .groupBy(col(idCol))
       .agg(collect_list(
         struct(col("span_start"), col("span_end"))).as("graft_spans"))
